@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() of the full result (not .collect(),
+so driver materialization doesn't dominate; not .show(), which would
+allow partial evaluation via LocalLimit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from gbif_filter_python_spark.session import get_spark
+
+#: The headline subset: one per operator family, weighted toward the
+#: shapes that dominate real pipelines (agg, joins, windows, dedup, ANN).
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "existence_semijoin",
+    "ternary_tag",
+    "resolution_join",
+    "window_rank",
+    "time_window_hourly",
+    "sessionize",
+    "rollup_counts",
+    "dedup_exact",
+    "token_stats",
+    "language_guess",
+    "quality_scores",
+    "cosine_topk",
+    "minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="gbif-filter-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §2 final row, §7.1 step 7):
+language-ID, quality scoring, token counting, document fingerprinting.
+All hot-path functions are pure Column expressions — JVM-side, inside
+whole-stage codegen, no Python in the loop — so they hold up on a
+100 TB documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic.
+# Chosen to be mutually exclusive and high-frequency.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " to "),
+    "fr": (" le ", " la ", " et ", " les "),
+    "de": (" der ", " die ", " und ", " das "),
+    "es": (" el ", " los ", " que ", " y "),
+}
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim.
+
+    The canonical form feeding fingerprints and shingle-based dedup —
+    whitespace/punctuation variation must not defeat near-dup joins.
+    """
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "),
+                         r"\s+", " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/null-ish text."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word pieces + standalone digits/punct.
+
+    Counts regex word-ish units rather than whitespace chunks — closer
+    to what a subword tokenizer sees, still pure-JVM.
+    """
+    arr = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(arr)
+
+
+def _occurrences(col: Column, marker: str) -> Column:
+    """Occurrence count of a literal inside a string, JVM-side:
+    (len(s) - len(replace(s, m, ''))) / len(m)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("int")
+
+
+def language_guess(col: Column) -> Column:
+    """Marker-n-gram language heuristic over {en, fr, de, es}.
+
+    Scores each language by total marker-phrase occurrences in the
+    lowercased, space-padded text; returns the argmax, or 'und'
+    (undetermined) when nothing matches. Pure Column expression:
+    greatest() + chained when() — no UDF.
+    """
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = {
+        lang: sum_cols([_occurrences(padded, m) for m in markers])
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Deterministic tie-break: first language in dict order wins.
+    for lang in reversed(list(scores)):
+        result = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Blends (a) alphabetic ratio, (b) 1 - punctuation ratio, (c) a
+    length factor saturating at 1000 chars, (d) mean-word-length
+    sanity. Mirrors the usual pretraining-corpus filters; fully
+    SQL-expressible for oracle checking.
+    """
+    n = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    # "punctuation" = anything not alphanumeric/whitespace — simpler and
+    # portable across regex engines (Java here, RE2 in the DuckDB oracle).
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")).cast("double")
+    toks = token_count(col).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    alpha_ratio = alpha / safe_n
+    punct_ratio = punct / safe_n
+    len_factor = F.least(n / F.lit(1000.0), F.lit(1.0))
+    mean_word = F.when(toks > 0, alpha / toks).otherwise(F.lit(0.0))
+    word_factor = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = (
+        alpha_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+        + len_factor * 0.2
+        + word_factor * 0.2
+    )
+    return F.when(n > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit document fingerprint over the normalized text.
+
+    xxhash64 is Spark-native (JVM, codegen). For DuckDB-oracle-checked
+    queries use ``F.md5`` instead (common algorithm across engines);
+    this one is the engine-internal fast path.
+    """
+    return F.xxhash64(normalized_text(col))

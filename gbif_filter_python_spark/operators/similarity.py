@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Beyond-reference block (SURVEY.md §2 final row): brute-force cosine
+top-k as the exact baseline; LSH (random hyperplane) and IVF
+(coarse-centroid) bucketed variants as the 100 TB scale path.
+
+Scale analysis:
+* brute force = one broadcast of the (few) query vectors against the
+  full corpus, a JVM-expression cosine, and a per-query top-k window —
+  O(corpus) per query batch but embarrassingly parallel and
+  shuffle-free until the final tiny top-k exchange;
+* hyperplane LSH reduces the probed fraction ~2^-n_planes per probe;
+  buckets are plain integer columns, so a corpus bucketed/partitioned
+  by them is partition-prunable at query time;
+* IVF assigns every vector to its nearest coarse centroid (broadcast
+  join against ≤ a few thousand centroids) and probes only the
+  ``n_probe`` closest cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.vectors import cosine_similarity
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    fixed LCG — no numpy dependency at plan-build time, reproducible
+    across runs/sessions, which random.seed alone would not guarantee
+    across Python versions)."""
+    state = 0x243F6A8885A308D3
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        v: list[float] = []
+        while len(v) < dim:
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u1 = ((state >> 11) + 1) / (1 << 53)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u2 = (state >> 11) / (1 << 53)
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec, dim: int, n_planes: int = 8):
+    """Integer LSH bucket id: sign bits of n_planes projections."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        dot = F.lit(0.0)
+        for j, w in enumerate(plane):
+            # element_at is 1-indexed
+            dot = dot + F.element_at(vec, j + 1) * F.lit(w)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` (small: user-supplied probes) is broadcast; the corpus
+    is scanned once, never shuffled except the final top-k, which the
+    per-query window + filter reduces to k rows per query before the
+    exchange (rank pushes down as a WindowGroupLimit in Spark 3.5+).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k probing only the query's hyperplane bucket.
+
+    At scale the corpus is written partitioned by ``_bucket`` so the
+    equi-join partition-prunes; recall is traded via n_planes (and
+    multi-probe extensions would OR adjacent buckets).
+    """
+    c = corpus.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn(
+        "_bucket", hyperplane_bucket(F.col(query_vec_col), dim, n_planes)
+    )
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF coarse assignment: each vector → nearest centroid.
+
+    ``centroids`` is small (≤ thousands) → broadcast cross join +
+    per-vector argmax window. This is the build step; query-time IVF
+    joins the query's n_probe nearest centroid ids against the
+    assignment and scores only those cells.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_sim")
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are chosen so the
+same plans scale to a multi-executor cluster: AQE re-plans joins and
+splits skewed partitions at runtime, shuffle partition count tracks the
+parallelism of the target cluster rather than the 200 default, and
+Arrow makes the few Pandas-UDF paths (point-in-polygon, multimodal
+decode) batch-transfer instead of per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gbif-filter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    AQE is on: at 100 TB it converts sort-merge joins to broadcast when
+    a filtered side turns out small, coalesces tiny shuffle partitions,
+    and splits skewed ones (mega-taxon keys in the occurrence fact).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,103 @@
+"""CSV/Parquet sources and the CSV sink.
+
+Reference contracts:
+* scan — configurable separator, role columns forced to string
+  (``pd.read_csv(path, sep=cfg.sep, dtype={col: "object"})``,
+  /root/reference/apply_gbif_filter.py:102-104). Only *typing* was
+  pruned there; pandas still read every column. Spark prunes I/O for
+  real via Catalyst column pruning once a ``select`` narrows the plan.
+* sink — same separator as input, nulls written as ``"NA"``, no index
+  (``df.to_csv(out, sep=cfg.sep, na_rep="NA", index=False)``,
+  apply_gbif_filter.py:187,192). Array columns serialize as JSON-style
+  strings — a documented difference from pandas' ``str(list)`` repr
+  (SURVEY.md §2-H); Parquet output keeps native arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_taxa_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    role_columns: list[str] | None = None,
+) -> DataFrame:
+    """op 1+2: header CSV scan; role columns cast to string explicitly
+    (the reference deliberately disables inference for them)."""
+    df = (
+        spark.read.option("sep", sep)
+        .option("header", True)
+        .option("inferSchema", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    for c in role_columns or []:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("string"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-corpus table, normalizing physical quirks.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert exactly with
+    integer division — ``ts DIV 1000`` then timestamp_micros — because
+    a double-typed division would lose precision above 2^53 ns.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver corpus tables (TESTDATA.md) as DataFrames."""
+    return {t: read_table(spark, sf_dir, t) for t in CORPUS_TABLES}
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",", single_file: bool = True) -> None:
+    """op 3: CSV sink with NA fill and delimiter parity.
+
+    ``single_file`` coalesces to one partition for small edge outputs
+    (parity with the reference's one-file contract); large outputs
+    should keep it False and write partitioned.
+    """
+    out = df
+    # CSV cannot hold arrays — serialize them (SURVEY.md §2-H).
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "array":
+            out = out.withColumn(field.name, F.to_json(F.col(field.name)))
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.write.mode("overwrite")
+        .option("sep", sep)
+        .option("header", True)
+        .option("nullValue", "NA")
+        .option("emptyValue", "")
+        .csv(path)
+    )

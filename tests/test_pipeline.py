@@ -1,0 +1,220 @@
+"""End-to-end tests of the GBIF-filter pipeline semantics.
+
+Covers the reference's documented behaviors (SURVEY.md §2 semantics
+notes A, D, E, G) over hermetic fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from gbif_filter_python_spark import Country, FilterConfig, OccurrenceEngine, Polygon
+from gbif_filter_python_spark.config import ConfigError, resolve_zone
+from tests.conftest import NORWAY_ISH_WKT
+
+
+def _taxa(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, rank string")
+
+
+@pytest.fixture()
+def engine(taxonomy, occurrence):
+    return OccurrenceEngine(taxonomy, occurrence)
+
+
+def _tags(df):
+    rows = df.orderBy("id").collect()
+    return [r["gbif_filter_tag"] for r in rows]
+
+
+class TestTernaryTag:
+    """§2-G: True / False / None semantics, tag mode vs filter mode."""
+
+    ROWS = [
+        (1, "Lumbricus terrestris", "SPECIES"),  # occurs in NO → True
+        (2, "Eisenia nullius", "SPECIES"),       # valid, no occurrence → False
+        (3, "Nonexistent name", "SPECIES"),      # unresolvable → None
+        (4, None, "SPECIES"),                    # no usable name → None
+        (5, "Lumbricus aquaticus", "SPECIES"),   # occurs only in SE → False
+    ]
+
+    def test_tag_mode(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        out = engine.run_filter(_taxa(spark, self.ROWS), cfg, tag_mode=True)
+        assert out.columns == ["id", "name", "rank", "gbif_filter_tag"]
+        assert _tags(out) == [True, False, None, None, False]
+
+    def test_filter_mode(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        out = engine.run_filter(_taxa(spark, self.ROWS), cfg, tag_mode=False)
+        assert out.columns == ["id", "name", "rank"]  # input schema
+        assert [r["id"] for r in out.orderBy("id").collect()] == [1]
+
+    def test_tag_mode_row_count_invariant(self, spark, engine):
+        cfg = FilterConfig(name_column="name", zone=Country("NO"),
+                           taxa_kingdom="Animalia")
+        df = _taxa(spark, self.ROWS)
+        assert engine.run_filter(df, cfg, tag_mode=True).count() == df.count()
+
+
+class TestResolution:
+    """§2-A: exact-or-nothing, synonym redirect, ambiguity → null."""
+
+    def test_synonym_redirects_to_accepted(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        rows = [(1, "Lumbricus oldname", "SPECIES")]  # synonym of 4000
+        out = engine.run_filter(_taxa(spark, rows), cfg, tag_mode=True)
+        # 4000 occurs in NO, so the redirect must produce True.
+        assert _tags(out) == [True]
+
+    def test_ambiguous_name_is_null_without_kingdom(self, spark, engine):
+        # "Ambigua" exists in Animalia and Plantae: no kingdom scope →
+        # ambiguous → null key → tag None (matchType != EXACT analog).
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           zone=Country("NO"))
+        out = engine.run_filter(_taxa(spark, [(1, "Ambigua", "GENUS")]), cfg)
+        assert _tags(out) == [None]
+
+    def test_kingdom_scope_disambiguates(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        out = engine.run_filter(_taxa(spark, [(1, "Ambigua", "GENUS")]), cfg)
+        assert _tags(out) == [True]
+
+    def test_case_insensitive_name_match(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        out = engine.run_filter(
+            _taxa(spark, [(1, "LUMBRICUS TERRESTRIS", "SPECIES")]), cfg)
+        assert _tags(out) == [True]
+
+    def test_trusted_taxid_short_circuit(self, spark, engine):
+        cfg = FilterConfig(taxid_column="taxid", zone=Country("NO"))
+        taxa = spark.createDataFrame(
+            [(1, "4000"), (2, "GBIF:4100"), (3, "NCBI:77"), (4, "notanum")],
+            "id int, taxid string")
+        out = engine.run_filter(taxa, cfg, tag_mode=True)
+        # 4000/4100 occur in NO; NCBI-prefixed and garbage → null → None.
+        assert _tags(out) == [True, True, None, None]
+
+
+class TestZones:
+    """§2-E fixed precedence + polygon predicate (op 17)."""
+
+    def test_polygon_excludes_out_of_ring_point(self, spark, engine):
+        cfg = FilterConfig(name_column="name", taxa_kingdom="Animalia",
+                           zone=Polygon(NORWAY_ISH_WKT))
+        rows = [(1, "Lumbricus terrestris", None),  # inside ring → True
+                (2, "Lumbricus rubellus", None)]    # NO but outside → False
+        out = engine.run_filter(_taxa(spark, [(i, n, r) for i, n, r in rows]),
+                                cfg, tag_mode=True)
+        assert _tags(out) == [True, False]
+
+    def test_country_wins_over_geometry(self):
+        zone = resolve_zone("no", NORWAY_ISH_WKT)
+        assert isinstance(zone, Country) and zone.code == "NO"
+
+    def test_country_only_config_works(self):
+        # The reference crashes on country-only configs (§2-E).
+        cfg = FilterConfig.from_dict(
+            {"name_column": "n", "country": "NO"})
+        assert isinstance(cfg.zone, Country)
+
+    def test_no_zone_means_worldwide(self, spark, engine):
+        cfg = FilterConfig(name_column="name", taxa_kingdom="Animalia")
+        out = engine.run_filter(
+            _taxa(spark, [(1, "Lumbricus aquaticus", None)]), cfg)
+        assert _tags(out) == [True]  # occurs in SE; no zone → counts
+
+
+class TestExpansion:
+    """§2-D trigger matrix + sorted arrays joined to all rows (§2-C fix)."""
+
+    def test_genus_to_species(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="SPECIES")
+        out = engine.run_filter(_taxa(spark, [(1, "Lumbricus", "GENUS")]), cfg)
+        row = out.collect()[0]
+        # terrestris (NO) yes; rubellus (NO) yes; aquaticus (SE only) no;
+        # oldname is SYNONYM → excluded; shadow is non-backbone → excluded.
+        assert row["gbif_filter_resolved_species_names"] == [
+            "Lumbricus rubellus", "Lumbricus terrestris"]
+        assert row["gbif_filter_resolved_species_ids"] == [4001, 4000]
+        assert out.columns == [
+            "id", "name", "rank", "gbif_filter_tag",
+            "gbif_filter_resolved_species_names",
+            "gbif_filter_resolved_species_ids"]
+
+    def test_family_to_genus_one_hop(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="GENUS")
+        out = engine.run_filter(_taxa(spark, [(1, "Lumbricidae", "FAMILY")]), cfg)
+        row = out.collect()[0]
+        # Lumbricus has a genus-level occurrence in NO; Eisenia has none
+        # at genus level (only its species do) → only Lumbricus remains.
+        assert row["gbif_filter_resolved_genus_names"] == ["Lumbricus"]
+
+    def test_family_to_species_two_hops(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="SPECIES")
+        out = engine.run_filter(_taxa(spark, [(1, "Lumbricidae", "FAMILY")]), cfg)
+        row = out.collect()[0]
+        assert row["gbif_filter_resolved_species_names"] == [
+            "Eisenia fetida", "Lumbricus rubellus", "Lumbricus terrestris"]
+
+    def test_habitat_filter(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia",  # worldwide
+                           resolve_to_rank="SPECIES", habitat="FRESHWATER")
+        out = engine.run_filter(_taxa(spark, [(1, "Lumbricus", "GENUS")]), cfg)
+        row = out.collect()[0]
+        assert row["gbif_filter_resolved_species_names"] == [
+            "Lumbricus aquaticus"]
+
+    def test_no_expansion_when_rank_equals_target(self, spark, engine):
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="SPECIES")
+        out = engine.run_filter(
+            _taxa(spark, [(1, "Lumbricus terrestris", "SPECIES")]), cfg)
+        row = out.collect()[0]
+        assert row["gbif_filter_tag"] is True
+        assert row["gbif_filter_resolved_species_names"] is None
+
+    def test_duplicate_parents_all_get_arrays(self, spark, engine):
+        # §2-C fix: the reference only fills arrays for the first row
+        # per distinct taxid; we fill all duplicates.
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="SPECIES")
+        rows = [(1, "Lumbricus", "GENUS"), (2, "Lumbricus", "GENUS")]
+        out = engine.run_filter(_taxa(spark, rows), cfg).orderBy("id").collect()
+        assert all(r["gbif_filter_resolved_species_names"] is not None
+                   for r in out)
+
+
+class TestConfig:
+    def test_legacy_config_fails_loudly(self):
+        with pytest.raises(ConfigError, match="legacy"):
+            FilterConfig.from_dict({"taxa_column": "x", "taxa_field": "name"})
+
+    def test_requires_a_role_column(self):
+        with pytest.raises(ConfigError, match="name_column or taxid_column"):
+            FilterConfig()
+
+    def test_bad_enum_values(self):
+        with pytest.raises(ConfigError):
+            FilterConfig(name_column="n", habitat="SPACE")
+        with pytest.raises(ConfigError):
+            FilterConfig(name_column="n", resolve_to_rank="PHYLUM")
+
+    def test_bad_wkt(self):
+        with pytest.raises(ConfigError):
+            Polygon("POLYGON((0 0, 1 1))")  # unclosed / too few points
