@@ -46,6 +46,11 @@ def main() -> None:
     spark = get_spark(app_name="gbif-filter-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM / parquet reader / codegen infrastructure once so
+    # the first timed query doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -32,7 +32,8 @@ def is_valid_taxid(col: Column, prefix: str = "GBIF") -> Column:
     return (
         (F.size(parts) == 2)
         & (parts[0] == prefix)
-        & parts[1].cast("long").isNotNull()
+        # try_cast: ANSI mode (Spark 4 default) throws on malformed ids
+        & parts[1].try_cast("long").isNotNull()
     )
 
 

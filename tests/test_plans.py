@@ -1,0 +1,90 @@
+"""Plan-quality tests — the 100 TB design rules as assertions.
+
+These enforce SURVEY.md §4.3: predicates reach the parquet scan,
+small sides broadcast, existence probes don't shuffle the fact, and
+nothing goes cartesian by accident.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.plans.inspect import (
+    codegen_stage_count,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/orders.parquet")
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    text = explain_str(df, "formatted")
+    # The scan must read only the projected columns.
+    assert "ReadSchema" in text
+    read_schema = [l for l in text.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_existence_probe_broadcasts(spark, orders, sf001_dir):
+    """The engine's signature move: distinct probe keys broadcast, the
+    fact side never shuffles (SURVEY.md §4.3)."""
+    customer = spark.read.parquet(f"{sf001_dir}/customer.parquet")
+    keys = orders.select("o_custkey").distinct()
+    df = customer.join(
+        F.broadcast(keys), customer["c_custkey"] == keys["o_custkey"], "left_semi"
+    )
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # no exchange on the customer (streamed) side other than broadcast
+    assert plan.count("Exchange") <= 2
+
+
+def test_run_filter_pipeline_broadcasts(spark, sf001_dir):
+    from gbif_filter_python_spark import Country, FilterConfig, OccurrenceEngine
+    from gbif_filter_python_spark.schemas import OCCURRENCE_SCHEMA, TAXONOMY_SCHEMA
+
+    taxonomy = spark.createDataFrame([], TAXONOMY_SCHEMA)
+    occurrence = spark.createDataFrame([], OCCURRENCE_SCHEMA)
+    taxa = spark.createDataFrame([("Abc",)], "name string")
+    cfg = FilterConfig(name_column="name", zone=Country("NO"))
+    out = OccurrenceEngine(taxonomy, occurrence).run_filter(taxa, cfg)
+    assert has_broadcast_join(out)
+
+
+def test_agg_has_map_side_combine(lineitem):
+    """Aggregation must be partial+final (map-side combine): at 100 TB
+    the shuffle carries one row per (partition, group), not the fact.
+
+    Note: with AQE the pre-execution plan shows HashAggregate pairs but
+    no WholeStageCodegen markers (those appear in the final plan), so
+    assert on partial_sum."""
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = explain_str(df, "simple")
+    assert "partial_sum" in plan, plan
+
+
+def test_codegen_present_after_execution(lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    df.count()  # materialize so AQE finalizes the plan
+    assert codegen_stage_count(df) >= 1 or "HashAggregate" in explain_str(
+        df, "simple"
+    )

@@ -1,0 +1,255 @@
+"""Tests for the beyond-reference training-data operators:
+dedup (exact / MinHash / SimHash / Jaccard / embedding), similarity
+search, text analysis, multimodal plumbing (SURVEY.md §2 final block).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.text import (
+    fingerprint64,
+    language_guess,
+    normalized_text,
+    quality_score,
+    token_count,
+)
+from gbif_filter_python_spark.functions.taxid import (
+    format_taxid,
+    is_valid_taxid,
+    parse_taxid,
+)
+from gbif_filter_python_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+from gbif_filter_python_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from gbif_filter_python_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+)
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark woods to hide from the hunters tonight"
+)
+LONG_B = LONG_A + " with an extra trailing clause appended"
+OTHER = (
+    "completely different content about distributed query engines and "
+    "catalyst optimizer rules for large scale data processing pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, LONG_A), (2, LONG_B), (3, OTHER), (4, LONG_A), (5, "")],
+        "doc_id long, text string",
+    )
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        ids = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        assert ids == [1, 2, 3, 5]  # 4 is an exact dup of 1
+
+    def test_minhash_candidates_find_near_dups(self, docs):
+        pairs = {
+            (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()
+        }
+        assert (1, 4) in pairs  # exact dup always pairs
+        assert (1, 2) in pairs  # near dup
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_minhash_dedup_drops_near_dups(self, docs):
+        # (1,2) has Jaccard 20/26 ≈ 0.77: kept at the default 0.8
+        # threshold, dropped at 0.7 — assert both sides of the cut.
+        ids = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.7).collect())
+        assert ids == [1, 3, 5]
+        ids_strict = sorted(
+            r.doc_id for r in minhash_dedup(docs, threshold=0.8).collect()
+        )
+        assert ids_strict == [1, 2, 3, 5]
+
+    def test_jaccard_values(self, spark, docs):
+        pairs = spark.createDataFrame(
+            [(1, 4), (1, 2), (1, 3)], "id_a long, id_b long"
+        )
+        j = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, pairs).collect()
+        }
+        assert j[(1, 4)] == 1.0
+        assert 0.5 < j[(1, 2)] < 1.0
+        assert j[(1, 3)] < 0.05
+
+    def test_simhash_exact_dup_hamming_zero(self, docs):
+        rows = {
+            (r.id_a, r.id_b): r.hamming for r in simhash_candidates(docs).collect()
+        }
+        assert rows.get((1, 4)) == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_topk_order(self, emb):
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = [
+            (r.vec_id, r.rank)
+            for r in brute_force_topk(emb, queries, k=4)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+    def test_ivf_assign_nearest_centroid(self, spark, emb):
+        centroids = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        got = {
+            r.vec_id: r.centroid_id for r in ivf_assign(emb, centroids).collect()
+        }
+        assert got[0] == 100 and got[1] == 100 and got[2] == 200
+
+    def test_cosine_and_dot(self, spark):
+        df = spark.range(1).select(
+            cosine_similarity(
+                F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(2.0), F.lit(4.0))
+            ).alias("c"),
+            dot_product(
+                F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+            ).alias("d"),
+        )
+        row = df.collect()[0]
+        assert abs(row.c - 1.0) < 1e-9
+        assert row.d == 11.0
+
+
+class TestTextFunctions:
+    def test_normalize_and_tokens(self, spark):
+        df = spark.createDataFrame(
+            [("  Hello,   WORLD!! 42 ",), ("",)], "text string"
+        )
+        rows = df.select(
+            normalized_text(F.col("text")).alias("n"),
+            token_count(F.col("text")).alias("t"),
+        ).collect()
+        assert rows[0].n == "hello world 42"
+        assert rows[0].t == 3
+        assert rows[1].t == 0
+
+    def test_language_guess(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of the house went to the park"),
+                (2, "le chat et la maison et les enfants dans le jardin"),
+                (3, "der hund und die katze und das haus sind hier"),
+                (4, "xyzzy plugh"),
+            ],
+            "id long, text string",
+        )
+        got = {
+            r.id: r.lang
+            for r in df.select(
+                "id", language_guess(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+    def test_quality_score_ranges(self, spark):
+        df = spark.createDataFrame(
+            [(1, LONG_A), (2, "!!!! ???? ####"), (3, "")],
+            "id long, text string",
+        )
+        got = {
+            r.id: r.q
+            for r in df.select(
+                "id", quality_score(F.col("text")).alias("q")
+            ).collect()
+        }
+        assert 0.5 < got[1] <= 1.0
+        assert got[2] < 0.4
+        assert got[3] == 0.0
+
+    def test_fingerprint_stable_under_formatting(self, spark):
+        df = spark.createDataFrame(
+            [("Hello, World!",), ("hello   world",)], "text string"
+        )
+        fps = [r.f for r in df.select(fingerprint64(F.col("text")).alias("f")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_taxid_functions(self, spark):
+        df = spark.createDataFrame(
+            [("GBIF:2433670",), ("NCBI:77",), ("garbage",), ("GBIF:abc",)],
+            "taxid string",
+        )
+        rows = df.select(
+            parse_taxid(F.col("taxid")).alias("p"),
+            is_valid_taxid(F.col("taxid")).alias("v"),
+        ).collect()
+        assert rows[0].p.asDict() == {"type": "GBIF", "value": "2433670"}
+        assert rows[0].v is True
+        assert rows[1].v is False  # wrong prefix
+        assert rows[2].p is None
+        assert rows[3].v is False  # non-numeric id
+        fmt = (
+            spark.range(1)
+            .select(format_taxid("GBIF", F.lit(42)).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert fmt == "GBIF:42"
+
+
+class TestMultimodal:
+    def test_decode_and_features_shapes(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_images,
+            extract_features,
+            sample_frames,
+        )
+
+        media = spark.createDataFrame(
+            [(1, b"payload-one"), (2, b"payload-two")],
+            "media_id long, payload binary",
+        )
+        decoded = decode_images(media, side=4)
+        rows = decoded.collect()
+        assert {r.media_id for r in rows} == {1, 2}
+        assert all(len(r.pixels) == 16 for r in rows)
+        # determinism: same payload → same pixels
+        again = decode_images(media, side=4).collect()
+        assert {r.media_id: r.pixels[0] for r in rows} == {
+            r.media_id: r.pixels[0] for r in again
+        }
+        feats = extract_features(decoded, n_features=4).collect()
+        assert all(len(r.features) == 4 for r in feats)
+        frames = sample_frames(media, n_frames=3).collect()
+        assert len(frames) == 6
+
+    def test_decode_real_is_stubbed(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import decode_images
+
+        media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+        with pytest.raises(NotImplementedError):
+            decode_images(media, fake=False)
