@@ -1,0 +1,92 @@
+"""Command-line entry point — drop-in workflow parity with the
+reference CLI (/root/reference/apply_gbif_filter.py:80-93):
+
+    python -m gbif_filter_python_spark.cli [--tag] CONFIG INPUT OUTPUT
+
+Same positional arguments and ``--tag`` flag; the one necessary
+difference is that resolution/existence run against parquet snapshots
+(configured via ``taxonomy_path`` / ``occurrence_path`` config keys)
+instead of the live GBIF REST API — the engine is offline-first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from gbif_filter_python_spark.config import ConfigError, FilterConfig
+from gbif_filter_python_spark.engine import OccurrenceEngine
+from gbif_filter_python_spark.session import get_spark
+from gbif_filter_python_spark.sources.io import read_taxa_csv, write_csv
+from gbif_filter_python_spark.sources.providers import ParquetSnapshotProvider
+
+logger = logging.getLogger("gbif_filter_python_spark")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gbif-filter-spark",
+        description=(
+            "Filter/tag a taxa table by GBIF occurrence existence in a "
+            "spatial zone (Spark-native reimplementation)"
+        ),
+    )
+    # Mirrors apply_gbif_filter.py:80-93: CONFIG, INPUT, OUTPUT, --tag.
+    p.add_argument("config", help="YAML config file")
+    p.add_argument("input", help="input CSV path")
+    p.add_argument("output", help="output CSV path (directory)")
+    p.add_argument(
+        "--tag",
+        action="store_true",
+        help="tag mode: keep all rows, append gbif_filter_tag "
+        "(default filters to tag==True rows)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    try:
+        cfg = FilterConfig.from_yaml(args.config)
+    except ConfigError as e:
+        logger.error("invalid config: %s", e)
+        return 2
+    extra = cfg_extra_paths(args.config)
+    if not extra.get("taxonomy_path") or not extra.get("occurrence_path"):
+        logger.error(
+            "config must set taxonomy_path and occurrence_path "
+            "(parquet snapshots; the engine is offline-first)"
+        )
+        return 2
+
+    spark = get_spark(app_name="gbif-filter-cli")
+    provider = ParquetSnapshotProvider(
+        spark, extra["taxonomy_path"], extra["occurrence_path"]
+    )
+    engine = OccurrenceEngine(provider.taxonomy(), provider.occurrences())
+
+    role_cols = [
+        c for c in (cfg.name_column, cfg.taxid_column, cfg.rank_column) if c
+    ]
+    taxa = read_taxa_csv(spark, args.input, sep=cfg.sep, role_columns=role_cols)
+    out = engine.run_filter(taxa, cfg, tag_mode=args.tag)
+    write_csv(out, args.output, sep=cfg.sep)
+    logger.info("wrote %s", args.output)
+    return 0
+
+
+def cfg_extra_paths(path: str) -> dict:
+    """Engine-specific config keys the dataclass doesn't model."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return {
+        k: raw.get(k) for k in ("taxonomy_path", "occurrence_path")
+    }
+
+
+if __name__ == "__main__":
+    sys.exit(main())

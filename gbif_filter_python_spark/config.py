@@ -185,12 +185,18 @@ class FilterConfig:
                 "migrate to name_column/taxid_column/rank_column "
                 "(see reference example/config.yml)"
             )
-        known = {f.name for f in dataclasses.fields(cls)} | {"country", "geometry"}
+        known = (
+            {f.name for f in dataclasses.fields(cls)}
+            | {"country", "geometry"}
+            # engine-specific snapshot locations, read by the CLI layer
+            | {"taxonomy_path", "occurrence_path"}
+        )
         unknown = raw.keys() - known
         if unknown:
             raise ConfigError(f"unknown config keys: {sorted(unknown)}")
         zone = resolve_zone(raw.get("country"), raw.get("geometry"))
-        kwargs = {k: v for k, v in raw.items() if k not in ("country", "geometry")}
+        dropped = ("country", "geometry", "taxonomy_path", "occurrence_path")
+        kwargs = {k: v for k, v in raw.items() if k not in dropped}
         return cls(zone=zone, **kwargs)
 
     @classmethod

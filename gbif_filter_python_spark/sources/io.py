@@ -46,6 +46,10 @@ def read_taxa_csv(
         .option("inferSchema", True)
         .option("quote", '"')
         .option("escape", '"')
+        # pandas' default na_values treats "NA" as null
+        # (apply_gbif_filter.py relies on pd.isna for role guards);
+        # match it so sink/scan round-trip.
+        .option("nullValue", "NA")
         .csv(path)
     )
     for c in role_columns or []:

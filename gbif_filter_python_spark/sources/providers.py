@@ -1,0 +1,149 @@
+"""Pluggable data-source providers (SURVEY.md §1.4, §2 ops 39-40).
+
+The reference's deleted ``util`` package defined a provider protocol —
+``DataSource`` with ``OccurrenceSource`` / ``TaxonomicSource``
+subclasses and a ``GbifAPI`` REST implementation
+(/root/reference/util/__pycache__/data_source.cpython-37.pyc,
+gbif.cpython-37.pyc). This module is the set-oriented equivalent:
+every provider yields *DataFrames* with the canonical schemas
+(schemas.TAXONOMY_SCHEMA / OCCURRENCE_SCHEMA) instead of per-taxid
+scalars.
+
+* ``ParquetSnapshotProvider`` — the production path: a materialized
+  GBIF snapshot (occurrence.org publishes monthly parquet dumps);
+  predicates push into the scan, the 100 TB design case.
+* ``InMemoryProvider`` — hermetic fixtures for tests.
+* ``RestBatchProvider`` — the online path mirroring the reference's
+  per-name ``species.name_backbone`` lookups
+  (/root/reference/gbif_helper.py:17-19), re-expressed as a batched
+  ``mapInPandas`` over the *distinct* names (one HTTP call per name
+  per partition batch, not per input row). The HTTP fetch function is
+  injected, so tests run with a fake and the container needs no
+  network. This is deliberately the slow path — resolution against a
+  snapshot dimension is the default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from gbif_filter_python_spark.schemas import OCCURRENCE_SCHEMA, TAXONOMY_SCHEMA
+
+
+class TaxonomicSource(Protocol):
+    """Provider of the taxonomy dimension (legacy TaxonomicSource)."""
+
+    def taxonomy(self) -> DataFrame: ...
+
+
+class OccurrenceSource(Protocol):
+    """Provider of the occurrence fact (legacy OccurrenceSource)."""
+
+    def occurrences(self) -> DataFrame: ...
+
+
+class ParquetSnapshotProvider:
+    """Both sources from parquet snapshots — the scale path.
+
+    At cluster scale the occurrence snapshot should be partitioned by
+    ``country`` and bucketed by ``taxon_key`` so zone predicates
+    partition-prune and existence probes co-locate (SURVEY.md §4.3).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        taxonomy_path: str | None = None,
+        occurrence_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.taxonomy_path = taxonomy_path
+        self.occurrence_path = occurrence_path
+
+    def taxonomy(self) -> DataFrame:
+        if not self.taxonomy_path:
+            raise ValueError("taxonomy_path not configured")
+        return self.spark.read.parquet(self.taxonomy_path)
+
+    def occurrences(self) -> DataFrame:
+        if not self.occurrence_path:
+            raise ValueError("occurrence_path not configured")
+        return self.spark.read.parquet(self.occurrence_path)
+
+
+class InMemoryProvider:
+    """Hermetic fixture provider for tests."""
+
+    def __init__(self, spark: SparkSession, taxonomy_rows, occurrence_rows) -> None:
+        self._taxonomy = spark.createDataFrame(taxonomy_rows, TAXONOMY_SCHEMA)
+        self._occurrence = spark.createDataFrame(occurrence_rows, OCCURRENCE_SCHEMA)
+
+    def taxonomy(self) -> DataFrame:
+        return self._taxonomy
+
+    def occurrences(self) -> DataFrame:
+        return self._occurrence
+
+
+#: fetch(name, rank, kingdom) -> dict with the name_backbone response
+#: fields the reference reads (gbif_helper.py:20-25): usageKey,
+#: acceptedUsageKey, matchType, synonym, rank. Injected for testability.
+BackboneFetch = Callable[[str, str | None, str | None], dict]
+
+
+class RestBatchProvider:
+    """Online name resolution via batched mapInPandas (op 4 parity).
+
+    ``resolve_names_online(distinct_names)`` takes a DataFrame of
+    ``(name, rank, kingdom)`` and returns ``(name, key, rank)`` with
+    the reference's EXACT/synonym semantics applied per response
+    (gbif_helper.py:20-29). The caller is expected to pass DISTINCT
+    names (the structural memoization of SURVEY.md §2 op 23) and join
+    results back — never the raw input rows.
+    """
+
+    def __init__(self, fetch: BackboneFetch, batch_log_every: int = 0) -> None:
+        self.fetch = fetch
+
+    def resolve_names_online(self, names: DataFrame) -> DataFrame:
+        fetch = self.fetch
+
+        def _resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keys: list[int | None] = []
+                ranks: list[str | None] = []
+                for name, rank, kingdom in zip(
+                    pdf["name"], pdf.get("rank"), pdf.get("kingdom")
+                ):
+                    try:
+                        m = fetch(name, rank, kingdom) or {}
+                    except Exception:
+                        m = {}
+                    # EXACT-or-nothing + synonym redirect
+                    # (gbif_helper.py:20-29)
+                    if m.get("matchType") == "EXACT":
+                        key = (
+                            m.get("acceptedUsageKey")
+                            if m.get("synonym")
+                            else m.get("usageKey")
+                        )
+                        keys.append(key)
+                        ranks.append(m.get("rank", rank))
+                    else:
+                        keys.append(None)
+                        ranks.append(rank)
+                yield pd.DataFrame(
+                    {
+                        "name": pdf["name"],
+                        "key": pd.array(keys, dtype="Int64"),
+                        "rank": ranks,
+                    }
+                )
+
+        return names.mapInPandas(
+            _resolve, schema="name string, key long, rank string"
+        )

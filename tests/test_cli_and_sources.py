@@ -1,0 +1,175 @@
+"""End-to-end CLI test (reference workflow parity: config + CSV in,
+CSV out — /root/reference/apply_gbif_filter.py:80-93,184-192) plus
+provider-layer tests."""
+
+from __future__ import annotations
+
+import csv
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.cli import main as cli_main
+from gbif_filter_python_spark.sources.io import read_taxa_csv, write_csv
+from gbif_filter_python_spark.sources.providers import RestBatchProvider
+from tests.conftest import NORWAY_ISH_WKT
+
+
+def _read_csv_rows(out_dir: str, sep: str = ";") -> list[dict]:
+    files = glob.glob(f"{out_dir}/part-*.csv")
+    assert len(files) == 1
+    with open(files[0]) as f:
+        return list(csv.DictReader(f, delimiter=sep))
+
+
+@pytest.fixture()
+def snapshots(spark, taxonomy, occurrence, tmp_path):
+    tax = str(tmp_path / "taxonomy.parquet")
+    occ = str(tmp_path / "occurrence.parquet")
+    taxonomy.write.mode("overwrite").parquet(tax)
+    occurrence.write.mode("overwrite").parquet(occ)
+    return tax, occ
+
+
+def _write_config(tmp_path, tax, occ, **extra) -> str:
+    import yaml
+
+    cfg = {
+        "name_column": "name",
+        "rank_column": "rank",
+        "taxa_kingdom": "Animalia",
+        "country": "NO",
+        "sep": ";",
+        "taxonomy_path": tax,
+        "occurrence_path": occ,
+        **extra,
+    }
+    path = tmp_path / "config.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+@pytest.fixture()
+def input_csv(tmp_path) -> str:
+    path = tmp_path / "input.csv"
+    path.write_text(
+        "id;name;rank;payload\n"
+        "1;Lumbricus terrestris;SPECIES;a\n"
+        "2;Eisenia nullius;SPECIES;b\n"
+        "3;Unknown thing;SPECIES;c\n"
+        "4;;SPECIES;d\n"
+    )
+    return str(path)
+
+
+class TestCli:
+    def test_tag_mode_end_to_end(self, snapshots, tmp_path, input_csv):
+        tax, occ = snapshots
+        cfg = _write_config(tmp_path, tax, occ)
+        out = str(tmp_path / "out_tag")
+        assert cli_main(["--tag", cfg, input_csv, out]) == 0
+        rows = _read_csv_rows(out)
+        assert len(rows) == 4
+        by_id = {r["id"]: r for r in rows}
+        # ternary tag serialized with NA for null (§2-G/H)
+        assert by_id["1"]["gbif_filter_tag"] == "true"
+        assert by_id["2"]["gbif_filter_tag"] == "false"
+        assert by_id["3"]["gbif_filter_tag"] == "NA"
+        assert by_id["4"]["gbif_filter_tag"] == "NA"
+        # column order contract: input columns then tag
+        assert list(rows[0].keys()) == ["id", "name", "rank", "payload",
+                                        "gbif_filter_tag"]
+
+    def test_filter_mode_end_to_end(self, snapshots, tmp_path, input_csv):
+        tax, occ = snapshots
+        cfg = _write_config(tmp_path, tax, occ)
+        out = str(tmp_path / "out_filter")
+        assert cli_main([cfg, input_csv, out]) == 0
+        rows = _read_csv_rows(out)
+        assert [r["id"] for r in rows] == ["1"]
+        assert list(rows[0].keys()) == ["id", "name", "rank", "payload"]
+
+    def test_resolve_mode_arrays_serialized(self, snapshots, tmp_path):
+        tax, occ = snapshots
+        cfg = _write_config(tmp_path, tax, occ, resolve_to_rank="SPECIES")
+        inp = tmp_path / "genus.csv"
+        inp.write_text("id;name;rank\n1;Lumbricus;GENUS\n")
+        out = str(tmp_path / "out_resolve")
+        assert cli_main(["--tag", cfg, str(inp), out]) == 0
+        rows = _read_csv_rows(out)
+        assert rows[0]["gbif_filter_tag"] == "true"
+        # arrays serialize as JSON in CSV (documented difference, §2-H)
+        assert "Lumbricus terrestris" in rows[0][
+            "gbif_filter_resolved_species_names"
+        ]
+
+    def test_invalid_config_exit_code(self, tmp_path, input_csv):
+        bad = tmp_path / "bad.yml"
+        bad.write_text("taxa_column: x\ntaxa_field: name\n")
+        assert cli_main(["--tag", str(bad), input_csv, "/tmp/never"]) == 2
+
+    def test_missing_snapshots_exit_code(self, tmp_path, input_csv):
+        import yaml
+
+        cfgp = tmp_path / "nosnap.yml"
+        cfgp.write_text(yaml.safe_dump({"name_column": "name", "country": "NO"}))
+        assert cli_main(["--tag", str(cfgp), input_csv, "/tmp/never"]) == 2
+
+
+class TestCsvIo:
+    def test_roundtrip_na_and_sep(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, None, 3.5)], "id int, s string, v double"
+        )
+        out = str(tmp_path / "csv_out")
+        write_csv(df, out, sep="\t")
+        back = read_taxa_csv(spark, out, sep="\t")
+        rows = {r["id"]: r for r in back.collect()}
+        assert rows[1]["v"] is None and rows[2]["s"] is None
+
+    def test_wide_passthrough_preserves_columns(self, spark, tmp_path):
+        # 103-column-wide fidelity (reference test/motu_table_sample.csv)
+        cols = ", ".join(f"c{i} int" for i in range(100))
+        df = spark.createDataFrame(
+            [tuple([1, "Abc", "GENUS"] + list(range(100)))],
+            f"id int, name string, rank string, {cols}",
+        )
+        out = str(tmp_path / "wide")
+        write_csv(df, out)
+        back = read_taxa_csv(spark, out, role_columns=["name", "rank"])
+        assert back.columns == df.columns
+        assert back.count() == 1
+
+
+class TestRestBatchProvider:
+    def test_online_resolution_semantics(self, spark):
+        def fake_fetch(name, rank, kingdom):
+            return {
+                "Lumbricus terrestris": {
+                    "matchType": "EXACT", "synonym": False, "usageKey": 4000,
+                    "rank": "SPECIES",
+                },
+                "Old name": {
+                    "matchType": "EXACT", "synonym": True, "usageKey": 9,
+                    "acceptedUsageKey": 4000, "rank": "SPECIES",
+                },
+                "Fuzzy thing": {"matchType": "FUZZY", "usageKey": 123},
+            }.get(name, {"matchType": "NONE"})
+
+        provider = RestBatchProvider(fake_fetch)
+        names = spark.createDataFrame(
+            [("Lumbricus terrestris", "SPECIES", "Animalia"),
+             ("Old name", "SPECIES", "Animalia"),
+             ("Fuzzy thing", None, None),
+             ("Missing", None, None)],
+            "name string, rank string, kingdom string",
+        )
+        got = {r["name"]: r["key"] for r in
+               provider.resolve_names_online(names).collect()}
+        assert got == {
+            "Lumbricus terrestris": 4000,
+            "Old name": 4000,     # synonym redirect
+            "Fuzzy thing": None,  # non-EXACT → null
+            "Missing": None,
+        }
