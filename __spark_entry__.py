@@ -335,6 +335,150 @@ def q_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b").where(cos >= 0.35)
 
 
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS via left_anti: customers with no orders (broadcast
+    build side, fact untouched — same shape as the existence probe)."""
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    # anti-join against open (P) orders: every customer has SOME order
+    # in this corpus, so the unfiltered anti-join would be vacuous
+    keys = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_custkey"
+    ).distinct()
+    return customer.join(
+        F.broadcast(keys), customer["c_custkey"] == keys["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT: (BUILDING ∪ AUTOMOBILE customers) ∩
+    customers-with-orders − customers-with-open(P)-orders."""
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    ).union(
+        customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+            F.col("c_custkey").alias("custkey")
+        )
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    open_orders = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return seg.intersect(with_orders).exceptAll(open_orders).distinct()
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string ops (SURVEY ops 29-33): upper, split, concat,
+    length, substring — all JVM-side Column expressions."""
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.split(F.col("p_name"), " ")[0].alias("name_head"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_type"), 1, 3).alias("type_prefix"),
+    )
+
+
+def q_taxid_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """TaxId parse/validate (SURVEY ops 31-32) over synthesized
+    DBPREFIX:ID strings — even suppkeys get GBIF:, odd get NCBI:."""
+    from gbif_filter_python_spark.functions.taxid import (
+        is_valid_taxid,
+        parse_taxid,
+    )
+
+    supplier = _t(spark, sf, "supplier")
+    taxid = F.concat_ws(
+        ":",
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("GBIF")).otherwise(F.lit("NCBI")),
+        F.col("s_suppkey").cast("string"),
+    )
+    with_id = supplier.select("s_suppkey", taxid.alias("taxid"))
+    return with_id.select(
+        "s_suppkey",
+        "taxid",
+        is_valid_taxid(F.col("taxid")).alias("is_gbif"),
+        parse_taxid(F.col("taxid"))["value"].alias("id_value"),
+    )
+
+
+def q_rank_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-membership projection filter (SURVEY op 34)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over the region→nation hierarchy."""
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    joined = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return joined.cube("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 2h/1h event windows (each event lands in 2 windows)."""
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """lag() analytics: mean inter-event value delta per user."""
+    events = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        events.withColumn("_d", delta)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("_d"), 4).alias("avg_delta"))
+    )
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated median per order status."""
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price")
+    )
+
+
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY + HAVING: customers with more than 2 orders."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 2)
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column."""
+    events = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -395,6 +539,76 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=10, n_planes=4)
 
 
+def q_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigation path: salted lineitem⋈orders then re-aggregate.
+
+    Salting only routes rows (build side replicated per salt), so the
+    aggregate equals the plain join's — which is exactly what the
+    oracle checks. At scale this is the fallback when one hot key
+    defeats AQE's skew splitting."""
+    from gbif_filter_python_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL approximate distinct (the 100 TB path for cardinality;
+    rows-only — approximation is engine-specific by design)."""
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: label-mean centroids → coarse assignment → probe the
+    query's nearest cell only (rows-only; recall < 1 by design)."""
+    from gbif_filter_python_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf, "embeddings")
+    # centroids: per-label position-wise means via posexplode
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid_vec")
+        )
+        .select(F.col("label").alias("centroid_id"), "centroid_vec")
+    )
+    assigned = ivf_assign(emb, centroids)
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("centroid_id").alias("_qc"),
+    )
+    probed = assigned.join(
+        F.broadcast(queries),
+        (assigned["centroid_id"] == queries["_qc"])
+        & (assigned["vec_id"] != queries["query_id"]),
+    )
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), 6
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        probed.select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: text→binary payloads → stub decode via
     mapInPandas → JVM-side feature pooling (rows-only check)."""
@@ -426,6 +640,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup_counts": q_rollup_counts,
         "distinct_counts": q_distinct_counts,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "string_funcs": q_string_funcs,
+        "taxid_parse": q_taxid_parse,
+        "rank_filter": q_rank_filter,
+        "cube_counts": q_cube_counts,
+        "sliding_window": q_sliding_window,
+        "lag_delta": q_lag_delta,
+        "percentiles": q_percentiles,
+        "having": q_having,
+        "json_extract": q_json_extract,
+        "salted_join_agg": q_salted_join_agg,
         "dedup_exact": q_dedup_exact,
         "dup_groups": q_dup_groups,
         "token_stats": q_token_stats,
@@ -438,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_dup_lsh": q_near_dup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "approx_distinct": q_approx_distinct,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -628,7 +856,83 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)"
             " >= 0.35"
         ),
-        # minhash_pairs / simhash_pairs / near_dup_lsh / ann_lsh_topk /
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"
+        ),
+        "set_ops": (
+            "SELECT DISTINCT custkey FROM ("
+            "SELECT custkey FROM ("
+            "  SELECT c_custkey AS custkey FROM customer "
+            "  WHERE c_mktsegment = 'BUILDING' "
+            "  UNION ALL "
+            "  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+            ") INTERSECT SELECT o_custkey FROM orders"
+            ") EXCEPT SELECT o_custkey AS custkey FROM orders "
+            "WHERE o_orderstatus = 'P'"
+        ),
+        "string_funcs": (
+            "SELECT p_partkey, upper(p_brand) AS brand_upper, "
+            "string_split(p_name, ' ')[1] AS name_head, "
+            "p_brand || ':' || p_type AS brand_type, "
+            "length(p_name) AS name_len, "
+            "substring(p_type, 1, 3) AS type_prefix FROM part"
+        ),
+        "taxid_parse": (
+            "SELECT s_suppkey, taxid, "
+            "(string_split(taxid, ':')[1] = 'GBIF') AS is_gbif, "
+            "string_split(taxid, ':')[2] AS id_value FROM ("
+            "SELECT s_suppkey, "
+            "(CASE WHEN s_suppkey % 2 = 0 THEN 'GBIF' ELSE 'NCBI' END) "
+            "|| ':' || CAST(s_suppkey AS VARCHAR) AS taxid FROM supplier)"
+        ),
+        "rank_filter": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+            "WHERE l_returnflag IN ('A', 'R')"
+        ),
+        "cube_counts": (
+            "SELECT r_name, n_name, count(*) AS n "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY CUBE (r_name, n_name)"
+        ),
+        "sliding_window": (
+            "SELECT window_start, count(*) AS n_events FROM ("
+            "SELECT date_trunc('hour', ts) AS window_start FROM events "
+            "UNION ALL "
+            "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events"
+            ") GROUP BY window_start"
+        ),
+        "lag_delta": (
+            "SELECT user_id, round(avg(d), 4) AS avg_delta FROM ("
+            "SELECT user_id, value - lag(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS d FROM events"
+            ") GROUP BY user_id"
+        ),
+        "percentiles": (
+            "SELECT o_orderstatus, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)"
+            " AS median_price FROM orders GROUP BY o_orderstatus"
+        ),
+        "having": (
+            "SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey HAVING count(*) > 2"
+        ),
+        "json_extract": (
+            "SELECT event_type, count(k) AS n_with_k, "
+            "CAST(sum(k) AS BIGINT) AS sum_k FROM ("
+            "SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+            ") GROUP BY event_type"
+        ),
+        "salted_join_agg": (
+            "SELECT o_orderstatus, count(*) AS n_lineitems, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
+        # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
+        # ann_lsh_topk / approx_distinct / ivf_topk /
         # multimodal_features: non-SQL-expressible (LSH bucketing,
-        # mapInPandas) → rows-only checks.
+        # HLL approximation, mapInPandas) → rows-only checks.
     }
