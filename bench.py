@@ -37,6 +37,14 @@ BENCH_QUERIES = [
     "quality_scores",
     "cosine_topk",
     "minhash_pairs",
+    "sliding_window",
+    "json_extract",
+    "salted_join_agg",
+    "set_ops",
+    # NOT near_dup_exact: the O(n²) exact baseline is a correctness
+    # oracle (sf0.01), not a headline query — the LSH variant is the
+    # scale path.
+    "near_dup_lsh",
 ]
 
 
