@@ -84,7 +84,11 @@ class OccurrenceEngine:
     # -- the full reference pipeline ------------------------------------
 
     def run_filter(
-        self, taxa: DataFrame, cfg: FilterConfig, tag_mode: bool = True
+        self,
+        taxa: DataFrame,
+        cfg: FilterConfig,
+        tag_mode: bool = True,
+        observation=None,
     ) -> DataFrame:
         """The reference CLI end-to-end (apply_gbif_filter.py:96-192).
 
@@ -92,12 +96,29 @@ class OccurrenceEngine:
                          arrays when expansion is configured), all rows.
         tag_mode=False → filter mode: input schema, rows where tag is
                          strictly True.
+        observation    → optional ``pyspark.sql.Observation``; after an
+                         action it carries rows / tagged_true /
+                         tagged_false / tagged_null counts (the
+                         result-size accounting of SURVEY.md §2 op 28,
+                         computed inline with zero extra passes).
         """
         input_cols = list(taxa.columns)
 
         resolved = resolve_names(taxa, self.taxonomy, cfg)
         occ_zone = self.occurrences_in_zone(cfg.zone)
         tagged = tag_existence(resolved, occ_zone)
+        if observation is not None:
+            tagged = tagged.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows"),
+                F.count_if(F.col(TAG_COL).eqNullSafe(F.lit(True))).alias(
+                    "tagged_true"
+                ),
+                F.count_if(F.col(TAG_COL).eqNullSafe(F.lit(False))).alias(
+                    "tagged_false"
+                ),
+                F.count_if(F.col(TAG_COL).isNull()).alias("tagged_null"),
+            )
 
         resolved_cols: list[str] = []
         if cfg.resolve_to_rank:

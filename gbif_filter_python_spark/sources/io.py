@@ -105,3 +105,33 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", single_file: bool = True
         .option("emptyValue", "")
         .csv(path)
     )
+
+
+def write_occurrence_snapshot(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "country",
+    sort_col: str = "taxon_key",
+) -> None:
+    """Write the occurrence fact in its 100 TB layout (SURVEY.md §4.3).
+
+    Hive-partitioned by ``country`` so the zone predicate (SURVEY op
+    16) prunes whole directories, and sorted WITHIN files by
+    ``taxon_key`` so parquet row-group min/max statistics prune the
+    existence-probe key lookups. (Spark's ``bucketBy`` requires a
+    table catalog; partition + in-file sort delivers the same pruning
+    for path-based parquet, and a Delta/Iceberg table would add true
+    bucketing on top.)
+    """
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, sort_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_occurrence_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned occurrence snapshot (partition discovery on)."""
+    return spark.read.parquet(path)

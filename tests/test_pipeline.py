@@ -218,3 +218,19 @@ class TestConfig:
     def test_bad_wkt(self):
         with pytest.raises(ConfigError):
             Polygon("POLYGON((0 0, 1 1))")  # unclosed / too few points
+
+
+class TestObservation:
+    def test_run_filter_metrics(self, spark, engine):
+        """op 28: inline result-size accounting via df.observe."""
+        from pyspark.sql import Observation
+
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"))
+        obs = Observation("gbif_filter_metrics")
+        out = engine.run_filter(
+            _taxa(spark, TestTernaryTag.ROWS), cfg, observation=obs)
+        out.collect()
+        got = obs.get
+        assert got == {"rows": 5, "tagged_true": 1, "tagged_false": 2,
+                       "tagged_null": 2}

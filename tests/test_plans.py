@@ -88,3 +88,24 @@ def test_codegen_present_after_execution(lineitem):
     assert codegen_stage_count(df) >= 1 or "HashAggregate" in explain_str(
         df, "simple"
     )
+
+
+def test_partitioned_snapshot_prunes_country(spark, occurrence, tmp_path):
+    """Zone predicate must partition-prune the snapshot layout
+    (SURVEY.md §4.3: fact partitioned by country)."""
+    from gbif_filter_python_spark.sources.io import (
+        read_occurrence_snapshot,
+        write_occurrence_snapshot,
+    )
+
+    path = str(tmp_path / "occ_snapshot")
+    write_occurrence_snapshot(occurrence, path)
+    snap = read_occurrence_snapshot(spark, path)
+    df = snap.filter(F.col("country") == "NO").select("taxon_key")
+    text = explain_str(df, "formatted")
+    # the country predicate must appear as a PartitionFilter, not a
+    # post-scan filter
+    assert "PartitionFilters" in text
+    pf_line = [l for l in text.splitlines() if "PartitionFilters" in l][0]
+    assert "country" in pf_line
+    assert df.count() == 7  # NO rows in the fixture
