@@ -18,8 +18,11 @@ def events_dir(spark, tmp_path_factory):
     from gbif_filter_python_spark.sources.io import read_table
 
     out = str(tmp_path_factory.mktemp("events_stream"))
-    read_table(spark, "/root/testdata/sf0.001", "events").repartition(
-        4
+    # repartitionByRange on ts: each file covers a time range and the
+    # file source replays them in path order → arrival ≈ event order,
+    # as a time-partitioned ingest (kafka/daily drops) would give.
+    read_table(spark, "/root/testdata/sf0.001", "events").repartitionByRange(
+        4, "ts"
     ).write.mode("overwrite").parquet(out)
     return out
 
@@ -64,3 +67,61 @@ def test_stream_matches_batch(spark, events_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stateful_sessionize_stream(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionization over a file stream: every
+    CLOSED session must match the batch lag+cumsum sessionization."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.streaming.stateful import sessionize_stateful
+
+    events = spark.read.parquet(events_dir)
+
+    # batch oracle: lag+cumsum sessions (same 30-min gap)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = (
+        events.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessions.collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(events_dir)
+    out = sessionize_stateful(stream, gap_seconds=1800, watermark=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    # The stream only emits CLOSED sessions (last session per user may
+    # still be open in state) → got ⊆ expected, and substantial.
+    assert got <= expected
+    assert len(got) >= len(expected) * 0.5
