@@ -115,7 +115,10 @@ def resolve_names(
     cond = cond & (
         needs_name["_rank"].isNull() | (needs_name["_rank"] == dim["_dim_rank"])
     )
-    matched = needs_name.join(F.broadcast(dim), on=cond, how="left")
+    # No broadcast hint: the kingdom-scoped dimension slice is usually
+    # broadcastable and AQE will pick that at runtime; forcing it would
+    # break on a full 7M-row backbone over the 8 GB broadcast limit.
+    matched = needs_name.join(dim, on=cond, how="left")
 
     # Exact-match-or-nothing: >1 candidate rows per tuple → null key
     # (mirrors matchType != "EXACT" → (None, rank), gbif_helper.py:30-32).
@@ -189,8 +192,12 @@ def resolve_names(
     )
 
     # Join resolution back to every input row (null-safe on the tuple).
+    # No broadcast hint: the lookup is |distinct role tuples| — tiny
+    # for typical inputs (AQE broadcasts it at runtime), but it scales
+    # with the input's name cardinality, so forcing a broadcast would
+    # cap the engine at ~8 GB of distinct names.
     out = taxa_r.join(
-        F.broadcast(lookup),
+        lookup,
         on=[
             F.col("_name").eqNullSafe(F.col("_k_name")),
             F.col("_taxid").eqNullSafe(F.col("_k_taxid")),
