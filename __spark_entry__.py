@@ -277,9 +277,32 @@ def q_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Text analysis: whitespace token counts per document."""
+    """Text analysis: whitespace + BPE-ish (word/digit/punct) token
+    counts per document."""
+    from gbif_filter_python_spark.functions.text import word_token_count
+
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        word_token_count(F.col("text")).alias("n_word_tokens"),
+    )
+
+
+def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-window running aggregate: cumulative spend per customer
+    over order time."""
+    orders = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
 
 
 def q_language_guess(spark: SparkSession, sf: str) -> DataFrame:
@@ -655,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dup_groups": q_dup_groups,
         "token_stats": q_token_stats,
+        "running_total": q_running_total,
         "language_guess": q_language_guess,
         "quality_scores": q_quality_scores,
         "cosine_topk": q_cosine_topk,
@@ -835,8 +859,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_word_tokens "
             "FROM documents"
+        ),
+        "running_total": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING), 2) AS running_total FROM orders"
         ),
         "language_guess": _language_guess_sql(),
         "quality_scores": _quality_sql(),

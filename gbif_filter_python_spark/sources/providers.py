@@ -94,6 +94,12 @@ class InMemoryProvider:
 #: acceptedUsageKey, matchType, synonym, rank. Injected for testability.
 BackboneFetch = Callable[[str, str | None, str | None], dict]
 
+#: fetch_children(parent_key, rank, habitat) -> list of name_lookup
+#: result dicts with the fields the reference reads
+#: (gbif_helper.py:44-49, apply_gbif_filter.py:167-168):
+#: key, canonicalName, taxonomicStatus.
+ChildrenFetch = Callable[[int, str | None, str | None], list]
+
 
 class RestBatchProvider:
     """Online name resolution via batched mapInPandas (op 4 parity).
@@ -106,8 +112,13 @@ class RestBatchProvider:
     results back — never the raw input rows.
     """
 
-    def __init__(self, fetch: BackboneFetch, batch_log_every: int = 0) -> None:
+    def __init__(
+        self,
+        fetch: BackboneFetch,
+        fetch_children: ChildrenFetch | None = None,
+    ) -> None:
         self.fetch = fetch
+        self.fetch_children = fetch_children
 
     def resolve_names_online(self, names: DataFrame) -> DataFrame:
         fetch = self.fetch
@@ -146,4 +157,51 @@ class RestBatchProvider:
 
         return names.mapInPandas(
             _resolve, schema="name string, key long, rank string"
+        )
+
+    def children_online(
+        self,
+        parents: DataFrame,
+        children_rank: str | None = None,
+        habitat: str | None = None,
+    ) -> DataFrame:
+        """Online child listing (op 5 parity: ``species.name_lookup``,
+        gbif_helper.py:35-42), batched per partition over DISTINCT
+        parent keys. Applies the client-side ``taxonomicStatus ==
+        'ACCEPTED'`` filter the reference applies (gbif_helper.py:48-50)
+        and returns ``(parent, child_key, child_name)`` rows — the same
+        shape as the offline ``expansion.descend_to_rank``.
+        """
+        if self.fetch_children is None:
+            raise ValueError("no fetch_children callable configured")
+        fetch_children = self.fetch_children
+
+        def _children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_parent: list[int] = []
+                out_key: list[int] = []
+                out_name: list[str] = []
+                for parent in pdf["parent"]:
+                    try:
+                        results = fetch_children(
+                            int(parent), children_rank, habitat
+                        ) or []
+                    except Exception:
+                        results = []
+                    for child in results:
+                        if child.get("taxonomicStatus") != "ACCEPTED":
+                            continue
+                        out_parent.append(int(parent))
+                        out_key.append(child.get("key"))
+                        out_name.append(child.get("canonicalName"))
+                yield pd.DataFrame(
+                    {
+                        "parent": pd.array(out_parent, dtype="int64"),
+                        "child_key": pd.array(out_key, dtype="Int64"),
+                        "child_name": out_name,
+                    }
+                )
+
+        return parents.mapInPandas(
+            _children, schema="parent long, child_key long, child_name string"
         )

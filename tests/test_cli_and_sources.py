@@ -173,3 +173,30 @@ class TestRestBatchProvider:
             "Fuzzy thing": None,  # non-EXACT → null
             "Missing": None,
         }
+
+    def test_online_children_semantics(self, spark):
+        def fake_children(parent, rank, habitat):
+            assert rank == "SPECIES" and habitat == "TERRESTRIAL"
+            return {
+                3000: [
+                    {"key": 4000, "canonicalName": "L terrestris",
+                     "taxonomicStatus": "ACCEPTED"},
+                    {"key": 4003, "canonicalName": "L oldname",
+                     "taxonomicStatus": "SYNONYM"},  # filtered out
+                ],
+            }.get(parent, [])
+
+        provider = RestBatchProvider(lambda *a: {}, fake_children)
+        parents = spark.createDataFrame([(3000,), (9999,)], "parent long")
+        rows = provider.children_online(
+            parents, "SPECIES", "TERRESTRIAL"
+        ).collect()
+        assert [(r.parent, r.child_key, r.child_name) for r in rows] == [
+            (3000, 4000, "L terrestris")
+        ]
+
+    def test_online_children_requires_callable(self, spark):
+        provider = RestBatchProvider(lambda *a: {})
+        with pytest.raises(ValueError):
+            provider.children_online(
+                spark.createDataFrame([(1,)], "parent long"))
