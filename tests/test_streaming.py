@@ -18,12 +18,22 @@ def events_dir(spark, tmp_path_factory):
     from gbif_filter_python_spark.sources.io import read_table
 
     out = str(tmp_path_factory.mktemp("events_stream"))
-    # repartitionByRange on ts: each file covers a time range and the
-    # file source replays them in path order → arrival ≈ event order,
-    # as a time-partitioned ingest (kafka/daily drops) would give.
+    # repartitionByRange on ts: each file covers a time range → replay
+    # approximates event order, as time-partitioned ingest would.
     read_table(spark, "/root/testdata/sf0.001", "events").repartitionByRange(
         4, "ts"
     ).write.mode("overwrite").parquet(out)
+    # FileStreamSource orders files by MODIFICATION TIME; a single write
+    # gives all parts the same mtime, making replay order (and any
+    # order-sensitive stateful test) flaky. Stagger mtimes to match
+    # path order.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 1000
+    for i, f in enumerate(sorted(_glob.glob(f"{out}/part-*.parquet"))):
+        _os.utime(f, (base + i * 10, base + i * 10))
     return out
 
 
