@@ -70,9 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     role_cols = [
         c for c in (cfg.name_column, cfg.taxid_column, cfg.rank_column) if c
     ]
-    taxa = read_taxa_csv(spark, args.input, sep=cfg.sep, role_columns=role_cols)
-    out = engine.run_filter(taxa, cfg, tag_mode=args.tag)
-    write_csv(out, args.output, sep=cfg.sep)
+    try:
+        taxa = read_taxa_csv(
+            spark, args.input, sep=cfg.sep, role_columns=role_cols
+        )
+        out = engine.run_filter(taxa, cfg, tag_mode=args.tag)
+        write_csv(out, args.output, sep=cfg.sep)
+    except Exception as e:  # surface a one-line error, not a Spark trace
+        logger.error("pipeline failed: %s", str(e).splitlines()[0])
+        return 1
     logger.info("wrote %s", args.output)
     return 0
 
