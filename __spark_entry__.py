@@ -553,13 +553,15 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH ANN top-k (bucket-pruned; recall traded for probe cost)."""
+    """LSH ANN top-k (bucket-pruned; recall traded for probe cost).
+
+    No driver-side dim probe: the bucket UDF derives its plane matrix
+    deterministically from the vector width per batch."""
     emb = _t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, dim=dim, k=10, n_planes=4)
+    return lsh_topk(emb, queries, k=10, n_planes=4)
 
 
 def q_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -634,7 +636,12 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: text→binary payloads → stub decode via
-    mapInPandas → JVM-side feature pooling (rows-only check)."""
+    mapInPandas → JVM-side feature pooling (rows-only check).
+
+    Output is exploded to scalar (media_id, pos, value) rows — the
+    driver's canonicalization sorts column values and cannot hash an
+    array<float> column, which is what turned this entry red in round
+    1. Values are rounded to 6dp so the hash is fp-stable."""
     from gbif_filter_python_spark.multimodal.binary_ops import (
         decode_images,
         extract_features,
@@ -646,7 +653,10 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     decoded = decode_images(media, fake=True)
-    return extract_features(decoded)
+    feats = extract_features(decoded)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("pos", "value")
+    ).select("media_id", "pos", F.round(F.col("value"), 6).alias("value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -64,36 +64,51 @@ class Polygon:
     """WKT POLYGON predicate (gbif_helper.py:87, example/config.yml:7).
 
     Parsed eagerly so invalid WKT fails at config time, not mid-job.
-    Only single-ring polygons are supported, matching the reference's
-    usage (its WKT is passed verbatim to the GBIF API; holes and
-    antimeridian crossing are out of scope there too — SURVEY.md §7.4).
+    Multi-ring polygons (outer ring + holes) are supported with
+    even-odd semantics — beyond the reference, whose WKT goes verbatim
+    to the GBIF API, but necessary for real GBIF polygons which often
+    carry holes. Antimeridian crossing stays out of scope (the
+    reference ignores it too — SURVEY.md §7.4).
     """
 
     wkt: str
 
     def __post_init__(self) -> None:
-        self.ring()  # validate eagerly
+        self.rings()  # validate eagerly
 
-    def ring(self) -> list[tuple[float, float]]:
-        """Parse the outer ring into (lon, lat) pairs."""
+    def rings(self) -> list[list[tuple[float, float]]]:
+        """All rings (outer first, then holes) as (lon, lat) pairs."""
         m = re.fullmatch(
-            r"\s*POLYGON\s*\(\(\s*(.+?)\s*\)\)\s*", self.wkt, flags=re.IGNORECASE
+            r"\s*POLYGON\s*\((.+)\)\s*", self.wkt, flags=re.IGNORECASE | re.DOTALL
         )
         if not m:
-            raise ConfigError(f"not a single-ring WKT POLYGON: {self.wkt[:80]!r}")
-        pts: list[tuple[float, float]] = []
-        for pair in m.group(1).split(","):
-            toks = pair.split()
-            if len(toks) != 2:
-                raise ConfigError(f"bad WKT coordinate pair: {pair!r}")
-            pts.append((float(toks[0]), float(toks[1])))
-        if len(pts) < 4 or pts[0] != pts[-1]:
-            raise ConfigError("WKT polygon ring must be closed with >= 4 points")
-        return pts
+            raise ConfigError(f"not a WKT POLYGON: {self.wkt[:80]!r}")
+        ring_texts = re.findall(r"\(([^()]*)\)", m.group(1))
+        if not ring_texts:
+            raise ConfigError(f"WKT POLYGON has no rings: {self.wkt[:80]!r}")
+        rings: list[list[tuple[float, float]]] = []
+        for ring_text in ring_texts:
+            pts: list[tuple[float, float]] = []
+            for pair in ring_text.split(","):
+                toks = pair.split()
+                if len(toks) != 2:
+                    raise ConfigError(f"bad WKT coordinate pair: {pair!r}")
+                pts.append((float(toks[0]), float(toks[1])))
+            if len(pts) < 4 or pts[0] != pts[-1]:
+                raise ConfigError(
+                    "each WKT polygon ring must be closed with >= 4 points"
+                )
+            rings.append(pts)
+        return rings
+
+    def ring(self) -> list[tuple[float, float]]:
+        """The outer ring (kept for single-ring callers)."""
+        return self.rings()[0]
 
     def bbox(self) -> tuple[float, float, float, float]:
-        """(min_lon, min_lat, max_lon, max_lat) — drives the pushdown-
-        friendly range prefilter (SURVEY.md §4.3)."""
+        """(min_lon, min_lat, max_lon, max_lat) of the OUTER ring
+        (holes lie inside it) — drives the pushdown-friendly range
+        prefilter (SURVEY.md §4.3)."""
         ring = self.ring()
         lons = [p[0] for p in ring]
         lats = [p[1] for p in ring]

@@ -79,7 +79,11 @@ class OccurrenceEngine:
             F.col("_k").isNotNull()
         ).distinct()
         occ = self.occurrences_in_zone(zone)
-        return occ.join(F.broadcast(keys), occ["taxon_key"] == keys["_k"], "left_semi")
+        # No broadcast hint: the distinct key set scales with the
+        # caller's taxa input, so forcing a broadcast would cap the verb
+        # at the 8 GB limit (and could OOM the driver). AQE broadcasts
+        # it at runtime whenever it is actually small — the typical case.
+        return occ.join(keys, occ["taxon_key"] == keys["_k"], "left_semi")
 
     # -- the full reference pipeline ------------------------------------
 
@@ -94,8 +98,12 @@ class OccurrenceEngine:
 
         tag_mode=True  → input columns + gbif_filter_tag (+ resolved
                          arrays when expansion is configured), all rows.
-        tag_mode=False → filter mode: input schema, rows where tag is
-                         strictly True.
+        tag_mode=False → filter mode: rows where tag is strictly True;
+                         input columns + resolved arrays when expansion
+                         is configured (the reference appends the
+                         resolved columns to df_taxa BEFORE the
+                         filter-mode write, apply_gbif_filter.py:176-192
+                         — only the tag column is tag-mode-specific).
         observation    → optional ``pyspark.sql.Observation``; after an
                          action it carries rows / tagged_true /
                          tagged_false / tagged_null counts (the
@@ -146,8 +154,12 @@ class OccurrenceEngine:
                 zone_occurrence_keys=occurrence_keys(occ_zone),
                 habitat=cfg.habitat,
             )
+            # No broadcast hint on the arrays join: |arrays| grows with
+            # distinct parents × children (family-level inputs over the
+            # full backbone could exceed the broadcast cap). AQE picks
+            # broadcast at runtime when the side is actually small.
             tagged = tagged.join(
-                F.broadcast(arrays),
+                arrays,
                 tagged[KEY_COL].eqNullSafe(arrays["parent"]) & eligible,
                 "left",
             ).drop("parent")
@@ -157,4 +169,4 @@ class OccurrenceEngine:
 
         if tag_mode:
             return apply_tag_mode(tagged, input_cols, resolved_cols)
-        return apply_filter_mode(tagged).select(*input_cols)
+        return apply_filter_mode(tagged).select(*input_cols, *resolved_cols)

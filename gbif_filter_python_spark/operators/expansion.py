@@ -88,8 +88,12 @@ def descend_to_rank(
     ).distinct()
     reached: DataFrame | None = None
     for _ in range(max_hops):
+        # No broadcast hint: the frontier grows multiplicatively with
+        # fan-out per hop (a family-level frontier over the full
+        # backbone could blow the broadcast cap); AQE broadcasts small
+        # frontiers at runtime.
         step = tax.join(
-            F.broadcast(frontier), tax["_parent_key"] == frontier["_cur"], "inner"
+            frontier, tax["_parent_key"] == frontier["_cur"], "inner"
         )
         hit = step.filter(leaf_cond).select("_root", "_child_key", "_child_name")
         reached = hit if reached is None else reached.unionByName(hit)

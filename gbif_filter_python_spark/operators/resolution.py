@@ -122,20 +122,29 @@ def resolve_names(
 
     # Exact-match-or-nothing: >1 candidate rows per tuple → null key
     # (mirrors matchType != "EXACT" → (None, rank), gbif_helper.py:30-32).
+    # _n counts NON-NULL keys, so the picked (key, rank) must also come
+    # from a non-null-key row — first() without ignorenulls could
+    # nondeterministically return a synonym row whose accepted_key is
+    # null even when _n == 1. Key and rank are pulled from the SAME row
+    # via a struct so they can't mix across candidate rows.
+    kr = F.when(
+        F.col("_dim_key").isNotNull(), F.struct("_dim_key", "_dim_rank")
+    )
     resolved_by_name = (
         matched.groupBy("_name", "_taxid", "_rank")
         .agg(
             F.count("_dim_key").alias("_n"),
-            F.first("_dim_key").alias("_k"),
-            F.first("_dim_rank").alias("_r"),
+            F.first(kr, ignorenulls=True).alias("_kr"),
         )
         .select(
             "_name",
             "_taxid",
             "_rank",
-            F.when(F.col("_n") == 1, F.col("_k")).alias("_resolved_key"),
+            F.when(F.col("_n") == 1, F.col("_kr")["_dim_key"]).alias(
+                "_resolved_key"
+            ),
             # Resolved rank replaces input rank (gbif_helper.py:25).
-            F.when(F.col("_n") == 1, F.col("_r"))
+            F.when(F.col("_n") == 1, F.col("_kr")["_dim_rank"])
             .otherwise(F.col("_rank"))
             .alias("_resolved_rank"),
         )

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from gbif_filter_python_spark.functions.vectors import cosine_similarity
 
@@ -50,16 +53,38 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_bucket(vec, dim: int, n_planes: int = 8):
-    """Integer LSH bucket id: sign bits of n_planes projections."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
-        dot = F.lit(0.0)
-        for j, w in enumerate(plane):
-            # element_at is 1-indexed
-            dot = dot + F.element_at(vec, j + 1) * F.lit(w)
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def hyperplane_bucket(vec, dim: int | None = None, n_planes: int = 8):
+    """Integer LSH bucket id: sign bits of ``n_planes`` random-hyperplane
+    projections, as one NumPy matmul per Arrow batch.
+
+    The planes matrix ships in the UDF closure (or, when ``dim`` is
+    None, is derived deterministically from the first batch's vector
+    width — ``_hyperplanes`` is a pure function of (dim, n_planes), so
+    every task builds the identical matrix and no driver-side probe of
+    the data is needed). Expression-tree size is O(1) regardless of
+    dim × n_planes; the previous per-dimension ``element_at``
+    multiply-add chain built ~dim × n_planes Catalyst nodes, which at
+    real embedding dims (768-4096) blew analysis/codegen time — the
+    same failure mode as the naive per-permutation MinHash expression,
+    fixed the same way (dedup.py's aggregate/zip_with signatures).
+    """
+    cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        cache[dim] = np.asarray(_hyperplanes(dim, n_planes))
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        d = mat.shape[1]
+        if d not in cache:
+            cache[d] = np.asarray(_hyperplanes(d, n_planes))
+        proj = mat @ cache[d].T  # (batch, n_planes)
+        return pd.Series(((proj >= 0.0) @ weights).astype("int32"))
+
+    return _bucket(vec)
 
 
 def brute_force_topk(
@@ -95,7 +120,7 @@ def brute_force_topk(
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     n_planes: int = 8,
     vec_col: str = "embedding",

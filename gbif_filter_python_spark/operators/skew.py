@@ -32,7 +32,17 @@ def salted_join(
     ``F.rand`` is seeded per-task by Spark; determinism of *results* is
     preserved (the salt only routes rows, every pair still meets
     exactly once because the right side carries all salt values).
+
+    Only ``inner`` and ``left`` joins are salting-safe: the right side
+    is exploded once per salt value, so right/full-outer joins would
+    emit each unmatched right row ``salt`` times, and anti/semi joins
+    against the salted condition are wrong too.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how in {'inner', 'left'}: the salted "
+            f"right side replicates unmatched rows under {how!r} joins"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand() * salt).cast("int")
     )

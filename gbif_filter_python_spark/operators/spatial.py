@@ -56,10 +56,13 @@ def _point_in_ring(
 def polygon_contains_udf(polygon: Polygon):
     """Build a vectorized Pandas UDF testing point-in-polygon.
 
-    The ring is captured in the closure (tiny — broadcast implicitly in
-    the serialized task), so executors do no WKT parsing per batch.
+    The rings are captured in the closure (tiny — broadcast implicitly
+    in the serialized task), so executors do no WKT parsing per batch.
+    Multi-ring polygons use the even-odd rule: XOR of per-ring
+    membership, so a point inside the outer ring AND inside a hole
+    (2 rings → even) is outside the polygon.
     """
-    ring = polygon.ring()
+    rings = polygon.rings()
 
     @F.pandas_udf(BooleanType())
     def _contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -68,7 +71,10 @@ def polygon_contains_udf(polygon: Polygon):
         ok = ~(np.isnan(lon_v) | np.isnan(lat_v))
         result = np.zeros(len(lon_v), dtype=bool)
         if ok.any():
-            result[ok] = _point_in_ring(lon_v[ok], lat_v[ok], ring)
+            inside = np.zeros(int(ok.sum()), dtype=bool)
+            for ring in rings:
+                inside ^= _point_in_ring(lon_v[ok], lat_v[ok], ring)
+            result[ok] = inside
         return pd.Series(result)
 
     return _contains

@@ -82,8 +82,12 @@ def apply_filter_mode(tagged: DataFrame, tag_col: str = TAG_COL) -> DataFrame:
 
     Null-safe equality mirrors the reference's ``x == True`` over a
     list containing None (apply_gbif_filter.py:189-190): None and False
-    both drop. The tag column itself is removed — filter-mode output
-    schema equals the input schema (apply_gbif_filter.py:192).
+    both drop. The tag column itself is removed — it is only inserted
+    in the reference's tag branch (apply_gbif_filter.py:184-185), so
+    filter-mode output carries the input columns plus, when
+    ``resolve_to_rank`` is set, the resolved array columns the
+    reference appends before either write (apply_gbif_filter.py:176-183);
+    the engine's ``run_filter`` re-selects accordingly.
     """
     return tagged.filter(F.col(tag_col).eqNullSafe(F.lit(True))).drop(tag_col)
 

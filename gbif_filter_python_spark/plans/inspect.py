@@ -36,6 +36,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of FORCED broadcast hints in the analyzed logical plan.
+
+    Counts ``ResolvedHint`` nodes — i.e. explicit ``F.broadcast(...)``
+    calls — not broadcasts AQE/Catalyst choose on their own. The scale
+    rule under test: a hint is only allowed on sides whose size is
+    bounded by a dimension (|taxonomy|), never on sides that scale with
+    the caller's input cardinality.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return plan.count("ResolvedHint")
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
 

@@ -30,7 +30,9 @@ from typing import Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from gbif_filter_python_spark.config import Country, Polygon, Zone
 from gbif_filter_python_spark.schemas import OCCURRENCE_SCHEMA, TAXONOMY_SCHEMA
 
 
@@ -100,6 +102,12 @@ BackboneFetch = Callable[[str, str | None, str | None], dict]
 #: key, canonicalName, taxonomicStatus.
 ChildrenFetch = Callable[[int, str | None, str | None], list]
 
+#: fetch_occurrences(taxon_key, geometry, country) -> first page of
+#: occurrence results, mirroring ``occurrences.search(taxonKey,
+#: geometry, country, limit=1)`` (gbif_helper.py:86-88); existence is
+#: ``len(results) > 0`` (gbif_helper.py:92). A limit-1 page suffices.
+OccurrenceFetch = Callable[[int, str | None, str | None], list]
+
 
 class RestBatchProvider:
     """Online name resolution via batched mapInPandas (op 4 parity).
@@ -116,9 +124,11 @@ class RestBatchProvider:
         self,
         fetch: BackboneFetch,
         fetch_children: ChildrenFetch | None = None,
+        fetch_occurrences: OccurrenceFetch | None = None,
     ) -> None:
         self.fetch = fetch
         self.fetch_children = fetch_children
+        self.fetch_occurrences = fetch_occurrences
 
     def resolve_names_online(self, names: DataFrame) -> DataFrame:
         fetch = self.fetch
@@ -205,3 +215,72 @@ class RestBatchProvider:
         return parents.mapInPandas(
             _children, schema="parent long, child_key long, child_name string"
         )
+
+    def exists_online(
+        self, keys: DataFrame, zone: Zone | None = None
+    ) -> DataFrame:
+        """Online occurrence-existence probe (op 6's online twin:
+        ``occurrences.search(taxonKey, geometry, country, limit=1)`` →
+        ``len(results) > 0``, gbif_helper.py:85-92), batched per
+        partition over DISTINCT taxon keys — the caller passes distinct
+        keys and joins results back, never raw input rows (the
+        structural memoization of SURVEY.md §2 ops 23/24; the
+        reference's mismatched-key-type occ_cache bug §2-B cannot
+        occur). Returns ``(taxon_key, occurs: boolean)``.
+        """
+        if self.fetch_occurrences is None:
+            raise ValueError("no fetch_occurrences callable configured")
+        fetch_occ = self.fetch_occurrences
+        geometry = country = None
+        if isinstance(zone, Country):
+            country = zone.code
+        elif isinstance(zone, Polygon):
+            geometry = zone.wkt
+
+        def _exists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                occurs: list[bool] = []
+                for key in pdf["taxon_key"]:
+                    try:
+                        results = fetch_occ(int(key), geometry, country) or []
+                    except Exception:
+                        results = []
+                    occurs.append(len(results) > 0)
+                yield pd.DataFrame(
+                    {
+                        "taxon_key": pdf["taxon_key"].astype("int64"),
+                        "occurs": occurs,
+                    }
+                )
+
+        return keys.mapInPandas(_exists, schema="taxon_key long, occurs boolean")
+
+
+def tag_existence_online(
+    taxa: DataFrame,
+    provider: RestBatchProvider,
+    zone: Zone | None = None,
+    key_col: str = "gbif_key",
+    tag_col: str = "gbif_filter_tag",
+) -> DataFrame:
+    """Online twin of ``tagging.tag_existence`` for users without a
+    parquet occurrence snapshot: distinct non-null keys are probed once
+    via the injected REST fetch, then joined back to all rows with the
+    reference's ternary semantics (§2-G — None for null keys, False
+    for probed-but-absent, True for occurs).
+    """
+    keys = (
+        taxa.select(F.col(key_col).cast("long").alias("taxon_key"))
+        .filter(F.col("taxon_key").isNotNull())
+        .distinct()
+    )
+    probed = (
+        provider.exists_online(keys, zone)
+        .filter(F.col("occurs"))
+        .select(F.col("taxon_key").alias("_occ_key"))
+    )
+    out = taxa.join(probed, taxa[key_col] == probed["_occ_key"], "left")
+    tag = F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.col("_occ_key").isNotNull()
+    )
+    return out.withColumn(tag_col, tag).drop("_occ_key")

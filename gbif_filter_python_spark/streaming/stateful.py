@@ -46,17 +46,31 @@ def sessionize_stateful(
     user_col: str = "user_id",
     value_col: str = "value",
     watermark: str = "2 hours",
-    idle_timeout: bool = False,
+    timeout: str = "none",
 ) -> DataFrame:
     """Emit one row per closed session (gap > ``gap_seconds``).
 
-    ``idle_timeout=True`` adds ProcessingTimeTimeout so idle users'
-    open sessions flush (and their state evicts) after the gap elapses
-    in wall-clock time — the production setting for unbounded streams.
-    It is off by default because timer batches keep the query "busy":
-    ``processAllAvailable()`` (used by tests/backfills) never drains
-    while timers are pending.
+    ``timeout`` selects how idle users' open sessions flush (and their
+    state evicts):
+
+    * ``"none"`` (default) — state persists until a later event of the
+      same user closes the session. Right for bounded backfills and
+      tests (``processAllAvailable()`` drains cleanly).
+    * ``"event"`` — EventTimeTimeout: the session flushes when the
+      WATERMARK passes session_end + gap. This is the production
+      setting for unbounded streams — eviction is aligned with event
+      time, so late data within the watermark can still extend a
+      session, and an idle user's state cannot accumulate forever.
+      Requires a non-None ``watermark``.
+    * ``"processing"`` — ProcessingTimeTimeout: flush after the gap
+      elapses in wall-clock time. Simpler but decoupled from event
+      time; pending timers also keep ``processAllAvailable()`` busy,
+      so prefer ``"event"`` unless the stream has no usable event time.
     """
+    if timeout not in ("none", "event", "processing"):
+        raise ValueError(f"timeout must be none|event|processing, got {timeout!r}")
+    if timeout == "event" and not watermark:
+        raise ValueError("timeout='event' requires a watermark")
     gap_us = gap_seconds * 1_000_000
 
     def _update(
@@ -90,8 +104,18 @@ def sessionize_stateful(
                     end, n, s = max(end, t), n + 1, s + v
             if start is not None:
                 state.update((start, end, n, s))
-                if idle_timeout:
+                if timeout == "processing":
                     state.setTimeoutDuration(gap_seconds * 1000)
+                elif timeout == "event":
+                    # Flush when the watermark passes session_end + gap.
+                    # setTimeoutTimestamp requires a value strictly
+                    # beyond the current watermark; if the watermark has
+                    # already passed (late-arriving group), fire at the
+                    # next opportunity instead of erroring.
+                    wm_ms = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max(end // 1000 + gap_seconds * 1000, wm_ms + 1)
+                    )
         if closed:
             yield pd.DataFrame(
                 {
@@ -117,9 +141,9 @@ def sessionize_stateful(
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf={
+            "none": GroupStateTimeout.NoTimeout,
+            "event": GroupStateTimeout.EventTimeTimeout,
+            "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        }[timeout],
     )

@@ -200,3 +200,50 @@ class TestRestBatchProvider:
         with pytest.raises(ValueError):
             provider.children_online(
                 spark.createDataFrame([(1,)], "parent long"))
+
+    def test_online_existence_parity_with_offline(
+        self, spark, taxonomy, occurrence
+    ):
+        """op 6's online twin (occurrences.search limit=1 →
+        len(results) > 0, gbif_helper.py:85-92): the ternary tag from
+        the REST path must equal the offline snapshot path on the same
+        fixture (VERDICT r1 #5)."""
+        from gbif_filter_python_spark.config import Country
+        from gbif_filter_python_spark.operators.spatial import zone_filter
+        from gbif_filter_python_spark.operators.tagging import tag_existence
+        from gbif_filter_python_spark.sources.providers import (
+            tag_existence_online,
+        )
+        from tests.conftest import OCCURRENCE_ROWS
+
+        def fake_occ(taxon_key, geometry, country):
+            # the limit=1 page the reference requests
+            assert geometry is None and country == "NO"
+            return [
+                {"key": occ_id}
+                for (occ_id, tk, _r, c, _lon, _lat, _ts) in OCCURRENCE_ROWS
+                if tk == taxon_key and c == country
+            ][:1]
+
+        provider = RestBatchProvider(lambda *a: {}, fetch_occurrences=fake_occ)
+        # 4000 occurs in NO; 6000 nowhere; null key; 4002 only in SE
+        taxa = spark.createDataFrame(
+            [(1, 4000), (2, 6000), (3, None), (4, 4002)],
+            "id int, gbif_key long",
+        )
+        zone = Country("NO")
+        online = {
+            r["id"]: r["gbif_filter_tag"]
+            for r in tag_existence_online(taxa, provider, zone).collect()
+        }
+        offline = {
+            r["id"]: r["gbif_filter_tag"]
+            for r in tag_existence(taxa, zone_filter(occurrence, zone)).collect()
+        }
+        assert online == offline == {1: True, 2: False, 3: None, 4: False}
+
+    def test_online_existence_requires_callable(self, spark):
+        provider = RestBatchProvider(lambda *a: {})
+        with pytest.raises(ValueError):
+            provider.exists_online(
+                spark.createDataFrame([(1,)], "taxon_key long"))

@@ -114,6 +114,23 @@ class TestZones:
                                 cfg, tag_mode=True)
         assert _tags(out) == [True, False]
 
+    #: Outer Norway-ish ring with a hole covering (7.6-10, 59.6-61.5).
+    HOLED_WKT = (
+        "POLYGON((5 58, 12 58, 12 62, 5 62, 5 58), "
+        "(7.6 59.6, 10 59.6, 10 61.5, 7.6 61.5, 7.6 59.6))"
+    )
+
+    def test_holed_polygon_excludes_interior_points(self, spark, engine):
+        """Multi-ring even-odd semantics: both L. terrestris points
+        ((8,60), (9,61)) fall inside the hole → excluded; E. fetida at
+        (6,59) is inside the outer ring but outside the hole → True."""
+        cfg = FilterConfig(name_column="name", taxa_kingdom="Animalia",
+                           zone=Polygon(self.HOLED_WKT))
+        rows = [(1, "Lumbricus terrestris", None),
+                (2, "Eisenia fetida", None)]
+        out = engine.run_filter(_taxa(spark, rows), cfg, tag_mode=True)
+        assert _tags(out) == [False, True]
+
     def test_country_wins_over_geometry(self):
         zone = resolve_zone("no", NORWAY_ISH_WKT)
         assert isinstance(zone, Country) and zone.code == "NO"
@@ -187,6 +204,24 @@ class TestExpansion:
         row = out.collect()[0]
         assert row["gbif_filter_tag"] is True
         assert row["gbif_filter_resolved_species_names"] is None
+
+    def test_filter_mode_includes_resolved_arrays(self, spark, engine):
+        """Reference parity: filter mode appends the resolved array
+        columns (but not the tag) when resolve_to_rank is set — the
+        reference adds them to df_taxa before EITHER write
+        (apply_gbif_filter.py:176-192)."""
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia", zone=Country("NO"),
+                           resolve_to_rank="SPECIES")
+        out = engine.run_filter(
+            _taxa(spark, [(1, "Lumbricus", "GENUS")]), cfg, tag_mode=False)
+        assert out.columns == [
+            "id", "name", "rank",
+            "gbif_filter_resolved_species_names",
+            "gbif_filter_resolved_species_ids"]
+        row = out.collect()[0]
+        assert row["gbif_filter_resolved_species_names"] == [
+            "Lumbricus rubellus", "Lumbricus terrestris"]
 
     def test_duplicate_parents_all_get_arrays(self, spark, engine):
         # §2-C fix: the reference only fills arrays for the first row

@@ -70,6 +70,25 @@ def test_run_filter_pipeline_broadcasts(spark, sf001_dir):
     assert has_broadcast_join(out)
 
 
+def test_no_forced_broadcast_on_cardinality_scaling_sides(taxonomy, occurrence):
+    """Sides that scale with the caller's input (expansion frontier,
+    expansion arrays, get_occurrences key set) must carry NO forced
+    broadcast hint — AQE picks broadcast at runtime when a side is
+    actually small, and a forced hint would cap the engine at the 8 GB
+    broadcast limit on family-scale inputs (VERDICT r1 #3)."""
+    from gbif_filter_python_spark import OccurrenceEngine
+    from gbif_filter_python_spark.operators.expansion import descend_to_rank
+    from gbif_filter_python_spark.plans.inspect import broadcast_hint_count
+
+    parents = taxonomy.select(F.col("key").alias("parent"))
+    descended = descend_to_rank(taxonomy, parents, "SPECIES")
+    assert broadcast_hint_count(descended) == 0
+
+    engine = OccurrenceEngine(taxonomy, occurrence)
+    occ = engine.get_occurrences(taxonomy.select(F.col("key").alias("gbif_key")))
+    assert broadcast_hint_count(occ) == 0
+
+
 def test_agg_has_map_side_combine(lineitem):
     """Aggregation must be partial+final (map-side combine): at 100 TB
     the shuffle carries one row per (partition, group), not the fact.

@@ -1,0 +1,125 @@
+"""Checked invariants for the driver's rows-only (no-oracle) queries
+(VERDICT r1 next-step 6): the approximate/LSH operators can't be
+hash-compared against DuckDB, but each satisfies a testable relation
+to an exact twin — estimate within error bounds, candidates a superset
+of the true high-similarity pairs, LSH results a subset of the exact
+threshold pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from gbif_filter_python_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def sf(sf001_dir):
+    return sf001_dir
+
+
+def test_approx_distinct_within_rsd_of_exact(spark, sf):
+    """HLL estimates must land within a few standard errors of the
+    exact per-group cardinalities (rsd=0.02 in the query)."""
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in entry_mod.q_approx_distinct(spark, sf).collect()
+    }
+    orders = entry_mod._t(spark, sf, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for status, n in exact.items():
+        # 5 sigma at rsd=0.02, floored for tiny groups
+        tol = max(5 * 0.02 * n, 3)
+        assert abs(approx[status] - n) <= tol, (status, approx[status], n)
+
+
+def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, sf):
+    """LSH recall check: every pair with exact shingle-Jaccard >= 0.9
+    must appear among the banded MinHash candidates (at 64 hashes /
+    16 bands the band threshold is ~0.5; a >=0.9 pair is missed with
+    probability ~3e-8, and the hash family is deterministic)."""
+    docs = entry_mod._perturbed_docs(spark, sf)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    exact_high = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, all_pairs)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    candidates = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert exact_high, "fixture must contain high-Jaccard pairs"
+    assert exact_high <= candidates, exact_high - candidates
+
+
+def test_simhash_candidates_include_exact_duplicates(spark, sf):
+    """Exact copies have identical SimHash → hamming 0 → must match in
+    every band; all (doc, copy) pairs of the augmented corpus appear."""
+    docs = entry_mod._augmented_docs(spark, sf)
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(docs).collect()
+    }
+    assert expected, "fixture must contain duplicate pairs"
+    for pair in expected:
+        assert got.get(pair) == 0, (pair, got.get(pair))
+
+
+def test_near_dup_lsh_subset_of_exact_pairs(spark, sf):
+    """Bucketed embedding near-dup: exact cosine is verified inside
+    buckets, so the LSH pairs are a SUBSET of the exact threshold
+    pairs (precision 1.0); recall < 1 by design but non-vacuous."""
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in entry_mod.q_near_dup_lsh(spark, sf).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in entry_mod.q_near_dup_exact(spark, sf).collect()
+    }
+    assert lsh <= exact, lsh - exact
+    assert len(lsh) > 0
+
+
+def test_ann_lsh_topk_ranks_and_cosine_consistency(spark, sf):
+    """LSH ANN output sanity: <= k contiguous ranks per query starting
+    at 1, and the reported cosine ordering is correct."""
+    rows = entry_mod.q_ann_lsh_topk(spark, sf).collect()
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert by_query, "ANN query must return rows"
+    for qid, rs in by_query.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), (qid, ranks)
+        assert len(rs) <= 10
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True), (qid, cosines)

@@ -69,3 +69,12 @@ def test_two_phase_agg_matches_direct(skewed):
 def test_two_phase_agg_rejects_non_associative():
     with pytest.raises(ValueError):
         two_phase_agg(None, ["k"], {"v": "avg"})
+
+
+@pytest.mark.parametrize("how", ["right", "full", "left_anti", "left_semi"])
+def test_salted_join_rejects_unsafe_how(skewed, dim, how):
+    """The right side is exploded per salt value, so any join shape
+    that can emit unmatched right rows (or tests membership against
+    the salted condition) is wrong — reject loudly."""
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", "k2", salt=4, how=how)

@@ -135,3 +135,67 @@ def test_stateful_sessionize_stream(spark, events_dir, tmp_path):
     # still be open in state) → got ⊆ expected, and substantial.
     assert got <= expected
     assert len(got) >= len(expected) * 0.5
+
+
+def test_event_time_timeout_flushes_idle_session(spark, tmp_path):
+    """timeout='event' (VERDICT r1 #7): an idle user's open session
+    must flush when the WATERMARK (advanced by other users' events)
+    passes session_end + gap — no further events for that user, no
+    wall-clock dependence."""
+    import datetime
+    import glob
+    import os
+
+    from gbif_filter_python_spark.streaming.stateful import sessionize_stateful
+
+    d = str(tmp_path / "ev_et")
+    os.makedirs(d, exist_ok=True)
+    t0 = datetime.datetime(2021, 1, 1, 0, 0, 0)
+
+    def _append(rows, mtime):
+        # one file per micro-batch, mtimes staggered so FileStreamSource
+        # replays in this order (it sorts by modification time)
+        before = set(glob.glob(f"{d}/part-*.parquet"))
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+        for f in set(glob.glob(f"{d}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    base = 1_600_000_000
+    # batch 0: user 1's only session (2 events, 60 s apart)
+    _append(
+        [(1, 1, t0, 1.0), (1, 2, t0 + datetime.timedelta(seconds=60), 2.0)],
+        base,
+    )
+    # batch 1: user 2 at t0+4h → next batch's watermark = 3h (1h delay),
+    # which is far past user 1's session_end + 30-min gap
+    _append([(2, 3, t0 + datetime.timedelta(hours=4), 1.0)], base + 10)
+    # batch 2: user 2 again → the batch in which user 1's timer fires
+    _append([(2, 4, t0 + datetime.timedelta(hours=5), 1.0)], base + 20)
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = sessionize_stateful(
+        stream, gap_seconds=1800, watermark="1 hour", timeout="event"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_et")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_et").collect()
+        }
+    finally:
+        q.stop()
+    # user 1 never got another event; only the event-time timer can
+    # have closed this session
+    assert (1, t0, t0 + datetime.timedelta(seconds=60), 2) in got, got

@@ -131,6 +131,44 @@ class TestSimilarity:
         }
         assert got[0] == 100 and got[1] == 100 and got[2] == 200
 
+    def test_hyperplane_bucket_high_dim(self, spark):
+        """VERDICT r1 #2: bucketing at real embedding dims must not
+        blow up Catalyst — the matmul UDF keeps the expression tree
+        O(1) regardless of dim × n_planes. Also: deterministic, in
+        range, and identical whether dim is passed or inferred."""
+        import time
+
+        from gbif_filter_python_spark.operators.similarity import (
+            hyperplane_bucket,
+        )
+
+        dim = 1024
+        df = spark.range(8).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(i.cast("double") * (F.col("id") + 1.0)),
+            ).alias("embedding"),
+        )
+        t0 = time.monotonic()
+        rows = df.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding"), n_planes=8).alias("b"),
+        ).collect()
+        assert time.monotonic() - t0 < 20  # plan+run; old form took minutes
+        assert all(0 <= r.b < 256 for r in rows)
+        explicit = df.select(
+            hyperplane_bucket(F.col("embedding"), dim=dim, n_planes=8).alias("b")
+        ).collect()
+        assert [r.b for r in rows] == [r.b for r in explicit]
+
+    def test_embedding_near_dups_empty_input(self, spark):
+        """No driver-side dim probe → empty input is fine (ADVICE r1)."""
+        from gbif_filter_python_spark.operators.dedup import embedding_near_dups
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert embedding_near_dups(empty).count() == 0
+
     def test_cosine_and_dot(self, spark):
         df = spark.range(1).select(
             cosine_similarity(
