@@ -502,6 +502,103 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click event matched to
+    the user's most recent prior-or-equal purchase event. One shuffle
+    on user_id + a linear window scan — never a nested-loop theta-join.
+    Purchases are pre-aggregated per (user, ts) so ties are
+    deterministic."""
+    from gbif_filter_python_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(clicks, purchases, on="user_id")
+    return joined.select("event_id", "user_id", "purchase_id")
+
+
+def q_interval_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (operators/temporal.py): events joined into derived
+    daily [02:00, 08:00) maintenance windows via coarse-bucket
+    equi-join + exact filter (no BroadcastNestedLoop), then aggregated
+    per window."""
+    from gbif_filter_python_spark.operators.temporal import range_join
+
+    events = _t(spark, sf, "events")
+    intervals = (
+        events.select(F.date_trunc("day", F.col("ts")).alias("_day"))
+        .distinct()
+        .select(
+            (F.col("_day") + F.expr("INTERVAL 2 HOURS")).alias("win_start"),
+            (F.col("_day") + F.expr("INTERVAL 8 HOURS")).alias("win_end"),
+        )
+    )
+    joined = range_join(
+        events.select("event_id", "ts", "value"),
+        intervals,
+        left_point="ts",
+        right_start="win_start",
+        right_end="win_end",
+        bucket_seconds=6 * 3600,
+    )
+    return joined.groupBy("win_start").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-priority revenue split by order status (wide form)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "sum_f", "O": "sum_o", "P": "sum_p"})
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist per status
+    (unique (price, key) ordering keeps every rank deterministic)."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's native session_window operator (gap-merged event-time
+    sessions; end = last event + gap), the built-in twin of the
+    lag+cumsum `sessionize` and the stateful streaming sessionizer."""
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -685,6 +782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having": q_having,
         "json_extract": q_json_extract,
         "salted_join_agg": q_salted_join_agg,
+        "asof_purchase": q_asof_purchase,
+        "interval_events": q_interval_events,
+        "pivot_status": q_pivot_status,
+        "ntile_quartiles": q_ntile_quartiles,
+        "session_window_native": q_session_window_native,
         "dedup_exact": q_dedup_exact,
         "dup_groups": q_dup_groups,
         "token_stats": q_token_stats,
@@ -972,6 +1074,58 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderstatus"
+        ),
+        "asof_purchase": (
+            "SELECT c.event_id, c.user_id, p.purchase_id FROM "
+            "(SELECT event_id, user_id, ts FROM events "
+            " WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN "
+            "(SELECT user_id, ts, max(event_id) AS purchase_id FROM events "
+            " WHERE event_type = 'purchase' GROUP BY user_id, ts) p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "interval_events": (
+            "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d "
+            "FROM events), "
+            "iv AS (SELECT d + INTERVAL 2 HOUR AS win_start, "
+            "d + INTERVAL 8 HOUR AS win_end FROM days) "
+            "SELECT win_start, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM iv JOIN events ON ts >= win_start AND ts < win_end "
+            "GROUP BY win_start"
+        ),
+        "pivot_status": (
+            "SELECT o_orderpriority, "
+            "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)"
+            " AS sum_f, "
+            "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)"
+            " AS sum_o, "
+            "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)"
+            " AS sum_p "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "ntile_quartiles": (
+            "SELECT o_orderkey, o_orderstatus, "
+            "ntile(4) OVER w AS quartile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cume "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice, o_orderkey)"
+        ),
+        "session_window_native": (
+            "WITH gaps AS (SELECT user_id, ts, value, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END "
+            "AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)), "
+            "s AS (SELECT user_id, ts, value, "
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, value "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM gaps) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
         # ann_lsh_topk / approx_distinct / ivf_topk /

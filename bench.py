@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "json_extract",
     "salted_join_agg",
     "set_ops",
+    "asof_purchase",
+    "session_window_native",
     # NOT near_dup_exact: the O(n²) exact baseline is a correctness
     # oracle (sf0.01), not a headline query — the LSH variant is the
     # scale path.

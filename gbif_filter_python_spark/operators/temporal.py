@@ -1,0 +1,162 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+interval range join, expressed as scale-safe compositions of DataFrame
+ops (brief: custom operators should be (a) compositions of existing
+ops where semantics allow — both qualify; no UDF, no mapPartitions).
+
+No reference counterpart (the reference has no temporal joins at all);
+these belong to the beyond-reference training-pipeline block — joining
+events to the most recent model-checkpoint/session/price row, and
+joining points into time windows, are staple shapes of log and
+feature-engineering pipelines.
+
+Scale design:
+
+* **as-of join** — the naive formulation is a non-equi theta-join
+  (BroadcastNestedLoop at best, O(n·m) at worst). Here: union both
+  sides tagged, ONE shuffle on the join key (the same exchange a
+  sort-merge join would pay), then a linear window scan carrying the
+  last-seen right row. State per row is O(1); no row explosion ever.
+  Skew caveat: a window partition is one task — a single mega-key is
+  not split by AQE (same caveat as any windowed analytic; pre-split
+  hot keys upstream if that matters).
+* **range join** — the naive BETWEEN theta-join is cartesian-shaped.
+  Here: coarse time buckets turn it into an EQUI-join (hash/sort-merge,
+  AQE-eligible) + exact residual filter. The point side lands in
+  exactly one bucket, so no dedup pass is needed; only intervals are
+  replicated, by ceil(span/bucket) + 1 — pick ``bucket_seconds`` near
+  the typical interval length to keep that factor ~2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: matched right-row timestamp carried alongside the payload
+ASOF_TS_COL = "_asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    include_right_ts: bool = False,
+) -> DataFrame:
+    """Left as-of join: for each left row, the single right row with
+    the greatest ``right_ts`` <= ``left_ts`` (direction="backward",
+    inclusive — DuckDB/pandas ``merge_asof`` semantics) or the smallest
+    ``right_ts`` >= ``left_ts`` (direction="forward") within the same
+    ``on`` key. Unmatched left rows keep null payload columns.
+
+    The right side should be unique per (key, ts) — pre-aggregate ties
+    upstream, otherwise which peer row wins is nondeterministic (the
+    same caveat every as-of implementation carries).
+
+    ``tolerance_seconds`` nulls the payload when the matched row is
+    further than the tolerance from the left timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+
+    # Tag + union: right rows must sort BEFORE left rows at equal ts
+    # for backward (so an exact-ts match is visible), AFTER for forward.
+    left_side = 1 if direction == "backward" else 0
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(left_side).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1 - left_side).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias(ASOF_TS_COL),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_r", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("_r", ignorenulls=True).over(w)
+
+    out = u.withColumn("_m", matched).filter(F.col("_side") == left_side)
+    if tolerance_seconds is not None:
+        delta_us = F.abs(
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_m")[ASOF_TS_COL])
+        )
+        out = out.withColumn(
+            "_m",
+            F.when(delta_us <= tolerance_seconds * 1_000_000, F.col("_m")),
+        )
+
+    cols = [F.col("_l")[c].alias(c) for c in left.columns]
+    if include_right_ts:
+        cols.append(F.col("_m")[ASOF_TS_COL].alias(ASOF_TS_COL))
+    cols.extend(F.col("_m")[c].alias(c) for c in payload_cols)
+    return out.select(*cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows into [start, end) timestamp intervals without a
+    cartesian/nested-loop plan: coarse bucket equi-join + exact filter.
+
+    Each point falls in exactly ONE bucket while intervals are exploded
+    across every bucket they touch, so each qualifying (point,
+    interval) pair meets exactly once — no dedup needed and unmatched
+    LEFT rows survive a ``how="left"`` exactly once. Right-outer joins
+    would see replicated interval rows and are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how in {{'inner','left'}}: {how!r}")
+    clash = set(right.columns) & set(left.columns)
+    if clash:
+        raise ValueError(f"overlapping column names: {sorted(clash)}")
+    width_us = bucket_seconds * 1_000_000
+    lb = left.withColumn(
+        "_pb", F.floor(F.unix_micros(F.col(left_point)) / width_us)
+    )
+    rb = right.withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(right_start)) / width_us),
+                F.floor(F.unix_micros(F.col(right_end)) / width_us),
+            )
+        ),
+    )
+    cond = (
+        (lb["_pb"] == rb["_ib"])
+        & (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return lb.join(rb, cond, how).drop("_pb", "_ib")

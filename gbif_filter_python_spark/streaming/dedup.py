@@ -1,0 +1,57 @@
+"""Streaming deduplication — exact dedup over unbounded streams with
+watermark-bounded state.
+
+Batch exact dedup (operators/dedup.py) hashes and groups; a stream
+can't group unbounded history, so the streaming twin uses
+``dropDuplicatesWithinWatermark``: each key is remembered only until
+the watermark passes its event time, so state size is bounded by
+(arrival rate × watermark horizon) instead of growing forever — the
+only formulation that survives an unbounded 100 TB/day ingest. A
+duplicate arriving after the watermark horizon is NOT caught (that is
+the documented trade-off; widen the watermark to widen the guarantee,
+paying proportional state).
+
+The batch path of the same function is plain ``dropDuplicates`` so one
+pipeline definition runs identically in backfill and streaming mode
+(the repo's batch ≡ stream test discipline, streaming/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.text import normalized_text
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence per key wins; duplicates within the watermark
+    horizon are dropped. Works on both streaming and batch frames."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)
+
+
+def streaming_content_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-hash variant for document streams: dedup on the 64-bit
+    hash of the normalized text (8-byte state entries — the document
+    body never enters the state store), mirroring the batch
+    ``exact_dedup``."""
+    with_hash = df.withColumn(
+        "_h", F.xxhash64(normalized_text(F.col(text_col)))
+    )
+    return streaming_exact_dedup(
+        with_hash, ["_h"], ts_col=ts_col, watermark=watermark
+    ).drop("_h")

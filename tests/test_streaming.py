@@ -199,3 +199,61 @@ def test_event_time_timeout_flushes_idle_session(spark, tmp_path):
     # user 1 never got another event; only the event-time timer can
     # have closed this session
     assert (1, t0, t0 + datetime.timedelta(seconds=60), 2) in got, got
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of batch exact dedup: a key
+    re-arriving in a LATER micro-batch (within the watermark horizon)
+    must be dropped; each unique key is emitted exactly once."""
+    import datetime
+    import glob
+    import os
+
+    from gbif_filter_python_spark.streaming.dedup import streaming_exact_dedup
+
+    d = str(tmp_path / "ev_dd")
+    os.makedirs(d, exist_ok=True)
+    t0 = datetime.datetime(2021, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+
+    def _append(rows, mtime):
+        before = set(glob.glob(f"{d}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        for f in set(glob.glob(f"{d}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    m = datetime.timedelta(minutes=1)
+    base = 1_600_000_000
+    _append([(1, t0, 1.0), (2, t0 + 10 * m, 2.0)], base)
+    # exact duplicates of 1 and 2, plus new key 3
+    _append([(1, t0, 1.0), (2, t0 + 10 * m, 2.0), (3, t0 + 20 * m, 3.0)],
+            base + 10)
+    # duplicate of 3, plus new key 4
+    _append([(3, t0 + 20 * m, 3.0), (4, t0 + 30 * m, 4.0)], base + 20)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = streaming_exact_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4], ids
+
+    # batch path of the same function: plain dropDuplicates
+    batch = spark.read.parquet(d)
+    assert streaming_exact_dedup(batch, ["event_id"]).count() == 4

@@ -1,0 +1,148 @@
+"""Unit tests for the as-of and range join operators
+(operators/temporal.py) — semantics edges the sf-corpus query can't
+isolate: inclusive equal-ts matching, direction, tolerance, bucket
+spanning, and the join-type guards."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # key 1: quotes at minutes 0, 10; key 2: none
+    return spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(10), 110.0)],
+        "k long, ts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # key 1 trades at 0 (equal-ts), 5, 20; key 2 at 5 (no quotes)
+    return spark.createDataFrame(
+        [(101, 1, _ts(0)), (102, 1, _ts(5)), (103, 1, _ts(20)), (201, 2, _ts(5))],
+        "trade_id long, k long, ts timestamp",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, trades, quotes):
+        got = {
+            r["trade_id"]: r["price"]
+            for r in asof_join(trades, quotes, on="k").collect()
+        }
+        # equal-ts quote matches (inclusive); 5 → quote@0; 20 → quote@10
+        assert got == {101: 100.0, 102: 100.0, 103: 110.0, 201: None}
+
+    def test_forward(self, trades, quotes):
+        got = {
+            r["trade_id"]: r["price"]
+            for r in asof_join(trades, quotes, on="k", direction="forward").collect()
+        }
+        # 0 → quote@0 (inclusive); 5 → quote@10; 20 → nothing after
+        assert got == {101: 100.0, 102: 110.0, 103: None, 201: None}
+
+    def test_tolerance_nulls_distant_matches(self, trades, quotes):
+        got = {
+            r["trade_id"]: r["price"]
+            for r in asof_join(
+                trades, quotes, on="k", tolerance_seconds=360
+            ).collect()
+        }
+        # trade@5 is 300 s from quote@0 (kept); trade@20 is 600 s from
+        # quote@10 (nulled)
+        assert got == {101: 100.0, 102: 100.0, 103: None, 201: None}
+
+    def test_include_right_ts(self, trades, quotes):
+        rows = asof_join(
+            trades, quotes, on="k", include_right_ts=True
+        ).collect()
+        by_id = {r["trade_id"]: r["_asof_ts"] for r in rows}
+        assert by_id[103] == _ts(10)
+        assert by_id[201] is None
+
+    def test_column_collision_raises(self, spark, trades):
+        bad_right = spark.createDataFrame(
+            [(1, _ts(0), 9)], "k long, ts timestamp, trade_id long"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(trades, bad_right, on="k")
+
+    def test_bad_direction(self, trades, quotes):
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(trades, quotes, on="k", direction="nearest")
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        return spark.createDataFrame(
+            [(1, _ts(0)), (2, _ts(15)), (3, _ts(45)), (4, _ts(59))],
+            "pid long, ts timestamp",
+        )
+
+    @pytest.fixture(scope="class")
+    def intervals(self, spark):
+        # [0, 30) and [10, 50): point 2 (min 15) is in BOTH
+        return spark.createDataFrame(
+            [(10, _ts(0), _ts(30)), (20, _ts(10), _ts(50))],
+            "iid long, win_start timestamp, win_end timestamp",
+        )
+
+    def test_each_pair_meets_exactly_once(self, points, intervals):
+        # tiny bucket (60 s) → intervals span ~30-40 buckets each; the
+        # pair set must still be exact, no duplicates
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, "ts", "win_start", "win_end",
+                bucket_seconds=60,
+            ).collect()
+        )
+        assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]
+
+    def test_left_keeps_unmatched_once(self, points, intervals):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, "ts", "win_start", "win_end",
+                bucket_seconds=60, how="left",
+            ).collect()
+        )
+        assert got == [(1, 10), (2, 10), (2, 20), (3, 20), (4, None)]
+
+    def test_half_open_boundaries(self, spark, intervals):
+        pts = spark.createDataFrame(
+            [(1, _ts(30)), (2, _ts(10))], "pid long, ts timestamp"
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                pts, intervals, "ts", "win_start", "win_end", bucket_seconds=600
+            ).collect()
+        )
+        # ts == win_end excluded, ts == win_start included
+        assert got == [(1, 20), (2, 10), (2, 20)]
+
+    def test_rejects_unsafe_how(self, points, intervals):
+        with pytest.raises(ValueError, match="range_join supports"):
+            range_join(
+                points, intervals, "ts", "win_start", "win_end", how="full"
+            )
+
+    def test_rejects_column_overlap(self, spark, points):
+        bad = spark.createDataFrame(
+            [(1, _ts(0), _ts(30))], "pid long, win_start timestamp, win_end timestamp"
+        )
+        with pytest.raises(ValueError, match="overlapping"):
+            range_join(points, bad, "ts", "win_start", "win_end")
