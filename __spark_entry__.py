@@ -599,6 +599,29 @@ def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL entry point (spark.sql over registered views):
+    TPC-H Q3-shaped 3-table join + aggregation, written in ANSI SQL so
+    Catalyst plans it exactly like the DataFrame API would."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(f"v_{t}")
+    # revenue rounds to 4 decimals, not 2: each product of a 2-decimal
+    # price and discount is exactly a 4-decimal value, so the true
+    # group sum has <= 4 decimals and can never sit on the 5th-decimal
+    # rounding boundary — round(sum, 4) is summation-order-proof, while
+    # round(sum, 2) flips the last cent on .xx50 sums and per-row
+    # round(x, 2) diverges across engines' rounding conventions.
+    return spark.sql(
+        "SELECT o_orderkey, o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "FROM v_customer "
+        "JOIN v_orders ON c_custkey = o_custkey "
+        "JOIN v_lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey, o_orderpriority"
+    )
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -676,6 +699,23 @@ def q_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_lineitems"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based quantiles (percentile_approx / Greenwald-Khanna —
+    the 100 TB path where exact percentile's full sort is off the
+    table). Rows-only: the sketch is engine-specific; a local
+    invariant test bounds it against the exact quantiles. Output is
+    exploded to scalar (status, quantile, value) rows."""
+    orders = _t(spark, sf, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75], 10000
+        ).alias("_qs")
+    )
+    return agg.select(
+        "o_orderstatus", F.posexplode("_qs").alias("q_idx", "approx_value")
     )
 
 
@@ -787,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "ntile_quartiles": q_ntile_quartiles,
         "session_window_native": q_session_window_native,
+        "sql_segment_revenue": q_sql_segment_revenue,
+        "approx_percentiles": q_approx_percentiles,
         "dedup_exact": q_dedup_exact,
         "dup_groups": q_dup_groups,
         "token_stats": q_token_stats,
@@ -1112,6 +1154,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders "
             "WINDOW w AS (PARTITION BY o_orderstatus "
             "ORDER BY o_totalprice, o_orderkey)"
+        ),
+        "sql_segment_revenue": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderpriority"
         ),
         "session_window_native": (
             "WITH gaps AS (SELECT user_id, ts, value, "

@@ -135,3 +135,34 @@ def write_occurrence_snapshot(
 def read_occurrence_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned occurrence snapshot (partition discovery on)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Catalog-managed bucketed parquet table for CO-LOCATED joins.
+
+    Two tables bucketed on their join key with the same bucket count
+    hash-partition identically at WRITE time, so a join between them
+    needs NO shuffle at read time — at 100 TB the single biggest join
+    cost simply disappears for every downstream query against the same
+    key (the classic fact/fact pre-bucketing play; an asserted plan
+    test proves the Exchange-free SortMergeJoin). ``sort_cols`` adds
+    in-bucket ordering so the merge side skips its sort too.
+
+    Spark's native bucketing needs the session catalog (``saveAsTable``),
+    not a bare path — path-based snapshots get the partition+sort layout
+    of :func:`write_occurrence_snapshot` instead.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

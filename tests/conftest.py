@@ -25,11 +25,19 @@ from gbif_filter_python_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
+    import tempfile
+
     # Tiny fixtures: 1 shuffle partition and no AQE re-planning keeps
     # per-test driver overhead low (the suite is plan-heavy, not data-heavy).
+    # Warehouse in a temp dir so saveAsTable (bucketed-table tests)
+    # never writes into the repo.
     s = get_spark(app_name="gbif-filter-spark-tests", master="local[4]",
                   shuffle_partitions=1,
-                  extra_conf={"spark.sql.adaptive.enabled": "false"})
+                  extra_conf={
+                      "spark.sql.adaptive.enabled": "false",
+                      "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                          prefix="spark-warehouse-"),
+                  })
     yield s
     s.stop()
 

@@ -89,6 +89,36 @@ def test_no_forced_broadcast_on_cardinality_scaling_sides(taxonomy, occurrence):
     assert broadcast_hint_count(occ) == 0
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf001_dir):
+    """Co-located join: two tables bucketed on the join key with the
+    same bucket count must sort-merge-join with ZERO Exchange — the
+    100 TB pre-bucketing play (sources/io.py::write_bucketed_table)."""
+    from gbif_filter_python_spark.sources.io import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", num_buckets=4, sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", num_buckets=4, sort_cols=["l_orderkey"],
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        df = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        plan = explain_str(df, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert df.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_agg_has_map_side_combine(lineitem):
     """Aggregation must be partial+final (map-side combine): at 100 TB
     the shuffle carries one row per (partition, group), not the fact.

@@ -45,6 +45,33 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf):
         assert abs(approx[status] - n) <= tol, (status, approx[status], n)
 
 
+def test_approx_percentiles_near_exact(spark, sf):
+    """Greenwald-Khanna sketch quantiles must land within a tight
+    relative band of the exact interpolation-free quantiles (accuracy
+    10000 >> group sizes here, so the sketch is near-exact; the bound
+    is loose enough to survive exact-vs-nearest-rank convention
+    differences)."""
+    approx = {
+        (r["o_orderstatus"], r["q_idx"]): r["approx_value"]
+        for r in entry_mod.q_approx_percentiles(spark, sf).collect()
+    }
+    orders = entry_mod._t(spark, sf, "orders")
+    exact = {
+        (r["o_orderstatus"], i): v
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.25, 0.5, 0.75))"
+            ).alias("qs")
+        )
+        .collect()
+        for i, v in enumerate(r["qs"])
+    }
+    assert approx.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.02 * abs(v) + 1.0, (k, approx[k], v)
+
+
 def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, sf):
     """LSH recall check: every pair with exact shingle-Jaccard >= 0.9
     must appear among the banded MinHash candidates (at 64 hashes /
