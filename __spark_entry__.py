@@ -599,6 +599,87 @@ def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (operators/graph.py) over CHAIN edges of
+    the exact-duplicate groups: consecutive (id_i, id_i+1) pairs per
+    group force the label-propagation fixpoint to actually propagate,
+    and the result must equal each md5-group's minimum id — which is
+    what the SQL oracle computes directly."""
+    from gbif_filter_python_spark.operators.graph import connected_components
+
+    docs = _augmented_docs(spark, sf)
+    h = F.md5(normalized_text(F.col("text")))
+    groups = (
+        docs.select(F.col("doc_id"), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    chain = F.transform(
+        F.sequence(F.lit(1), F.size("_ids") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_ids"), i).alias("id_a"),
+            F.element_at(F.col("_ids"), i + 1).alias("id_b"),
+        ),
+    )
+    edges = groups.select(F.explode(chain).alias("e")).select(
+        "e.id_a", "e.id_b"
+    )
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy join (operators/fuzzy.py): distinct part names
+    with their 3rd character dropped, matched back to the clean names
+    at Levenshtein <= 2. The oracle states the SAME semantics
+    (first-char + length-band blocking + edit distance) declaratively."""
+    from gbif_filter_python_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf, "part")
+    heads = part.select(F.col("p_name").alias("name")).distinct()
+    probes = heads.select(
+        F.concat(
+            F.substring(F.col("name"), 1, 2), F.expr("substring(name, 4)")
+        ).alias("probe")
+    ).distinct()
+    out = fuzzy_join(probes, heads, "probe", "name", max_distance=2)
+    return out.select("probe", "name", "levenshtein")
+
+
+def q_orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar functions: year/month extraction + monthly aggregates."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-position embedding statistics (posexplode + aggregate) —
+    the normalization-stats pass a feature pipeline runs before
+    standardizing vectors."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 6).alias("std_v"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_sql_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """The engine's SQL entry point (spark.sql over registered views):
     TPC-H Q3-shaped 3-table join + aggregation, written in ANSI SQL so
@@ -829,6 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "sql_segment_revenue": q_sql_segment_revenue,
         "approx_percentiles": q_approx_percentiles,
+        "dup_components": q_dup_components,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "orders_by_month": q_orders_by_month,
+        "vector_stats": q_vector_stats,
         "dedup_exact": q_dedup_exact,
         "dup_groups": q_dup_groups,
         "token_stats": q_token_stats,
@@ -1154,6 +1239,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders "
             "WINDOW w AS (PARTITION BY o_orderstatus "
             "ORDER BY o_totalprice, o_orderkey)"
+        ),
+        "fuzzy_name_match": (
+            "WITH heads AS (SELECT DISTINCT p_name AS name FROM part), "
+            "probes AS (SELECT DISTINCT substring(name, 1, 2) || "
+            "substring(name, 4) AS probe FROM heads) "
+            "SELECT probe, name, "
+            "levenshtein(lower(probe), lower(name)) AS levenshtein "
+            "FROM probes JOIN heads "
+            "ON substring(lower(probe), 1, 1) = substring(lower(name), 1, 1) "
+            "AND abs(length(probe) - length(name)) <= 2 "
+            "AND levenshtein(lower(probe), lower(name)) <= 2"
+        ),
+        "orders_by_month": (
+            "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(month(o_orderdate) AS INT) AS o_month, "
+            "count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "vector_stats": (
+            "SELECT pos, round(avg(v), 6) AS mean_v, "
+            "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
+            "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
+            "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "dup_components": (
+            f"WITH aug AS ({_AUG_DOCS}), "
+            f"g AS (SELECT doc_id, md5({_NORM}) AS h FROM aug) "
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS component "
+            "FROM g QUALIFY count(*) OVER (PARTITION BY h) > 1"
         ),
         "sql_segment_revenue": (
             "SELECT o_orderkey, o_orderpriority, "

@@ -1,0 +1,103 @@
+"""Iterative graph operators: connected components over an edge list.
+
+Near-duplicate detection produces PAIRS (minhash/simhash/embedding LSH,
+operators/dedup.py); turning pairs into dedup GROUPS is a connected-
+components problem — the greedy "drop id_b of every pair" in
+``minhash_dedup`` over-drops when duplicates chain (a~b, b~c: greedy
+drops b and c even if a~c was never verified). This module provides the
+label-propagation fixpoint the standard large-scale dedup pipelines
+use.
+
+Scale design: each iteration is ONE equi-join (labels against the
+symmetric edge list) + a map-side-combined min-aggregate — no driver
+data movement; the only driver-side values are the per-iteration
+changed-count (a scalar) used for convergence. Lineage is truncated
+every iteration with ``localCheckpoint`` so the plan doesn't grow
+unboundedly (the documented hard part of iterative Spark,
+SURVEY.md §7.4). Convergence is O(component diameter) iterations;
+dedup clusters are shallow (near-clique), so this converges in 2-3
+rounds in practice. For adversarially long chains at extreme scale the
+large-star/small-star contraction variant (O(log n) rounds) is the
+drop-in upgrade — same join shape per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``edges``; component is the
+    minimum node id reachable. Deterministic.
+
+    Raises if the fixpoint isn't reached within ``max_iterations`` —
+    a diameter that large means the input isn't dedup-shaped and the
+    star-contraction variant should be used instead.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_ncomp"))
+        )
+        updated = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations; component diameter too large — use star contraction"
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the component-minimum id) per verified
+    near-duplicate component; rows never in any pair pass through.
+
+    The chain-correct upgrade of ``minhash_dedup``'s greedy drop: a~b
+    and b~c collapse to ONE survivor (a) instead of greedy's a only if
+    edges happened to point that way.
+    """
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,71 @@
+"""Connected-components / component-dedup tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.graph import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comps(df):
+    return {r["id"]: r["comp"] for r in df.collect()}
+
+
+class TestConnectedComponents:
+    def test_chain_needs_propagation(self, spark):
+        # 1-2-3-4-5 chain: label 1 must travel 4 hops
+        got = _comps(connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_disjoint_components(self, spark):
+        got = _comps(
+            connected_components(
+                _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+            )
+        )
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_edge_direction_irrelevant(self, spark):
+        got = _comps(connected_components(_edges(spark, [(5, 3), (3, 9)])))
+        assert got == {3: 3, 5: 3, 9: 3}
+
+    def test_non_convergence_raises(self, spark):
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(
+                _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]),
+                max_iterations=1,
+            )
+
+
+class TestDedupByComponents:
+    def test_chain_collapses_to_one_survivor(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+        )
+        # a~b, b~c chain: greedy would also drop correctly here, but the
+        # component answer is principled — one survivor per component
+        pairs = _edges(spark, [(1, 2), (2, 3)])
+        kept = sorted(
+            r["doc_id"] for r in dedup_by_components(docs, pairs).collect()
+        )
+        assert kept == [1, 4, 5]
+
+    def test_rows_without_pairs_pass_through(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        # no edges → nothing dropped (empty edge list short-circuits in
+        # one converged iteration)
+        kept = sorted(
+            r["doc_id"] for r in dedup_by_components(docs, empty).collect()
+        )
+        assert kept == [1, 2]

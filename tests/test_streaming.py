@@ -201,6 +201,61 @@ def test_event_time_timeout_flushes_idle_session(spark, tmp_path):
     assert (1, t0, t0 + datetime.timedelta(seconds=60), 2) in got, got
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream inner interval join (clicks ⋈ purchases within the
+    preceding hour, per user) must emit exactly the batch join's pairs;
+    watermarks on both sides bound the join state."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.streaming.joins import interval_join
+    from gbif_filter_python_spark.streaming.windows import stream_events
+
+    def _sides(events):
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    batch = spark.read.parquet(events_dir)
+    cb, pb = _sides(batch)
+    expected = {
+        (r["event_id"], r["p_event_id"])
+        for r in interval_join(
+            cb, pb, on="user_id", left_ts="ts", right_ts="p_ts",
+            lookback="1 hour",
+        ).collect()
+    }
+    assert expected, "fixture must produce click/purchase pairs"
+
+    stream = stream_events(spark, events_dir)
+    cs, ps = _sides(stream)
+    joined = interval_join(
+        cs, ps, on="user_id", left_ts="ts", right_ts="p_ts",
+        lookback="1 hour", watermark="48 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["p_event_id"])
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     """dropDuplicatesWithinWatermark twin of batch exact dedup: a key
     re-arriving in a LATER micro-batch (within the watermark horizon)
