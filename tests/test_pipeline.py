@@ -195,6 +195,20 @@ class TestExpansion:
         assert row["gbif_filter_resolved_species_names"] == [
             "Lumbricus aquaticus"]
 
+    def test_expansion_with_polygon_zone(self, spark, engine):
+        """Expansion's child zone-filter composed with the polygon
+        predicate: only children with an occurrence INSIDE the ring
+        survive (rubellus is in NO but outside the ring)."""
+        cfg = FilterConfig(name_column="name", rank_column="rank",
+                           taxa_kingdom="Animalia",
+                           zone=Polygon(NORWAY_ISH_WKT),
+                           resolve_to_rank="SPECIES")
+        out = engine.run_filter(_taxa(spark, [(1, "Lumbricus", "GENUS")]), cfg)
+        row = out.collect()[0]
+        assert row["gbif_filter_tag"] is True  # genus occ (7.5, 59.5) in ring
+        assert row["gbif_filter_resolved_species_names"] == [
+            "Lumbricus terrestris"]
+
     def test_no_expansion_when_rank_equals_target(self, spark, engine):
         cfg = FilterConfig(name_column="name", rank_column="rank",
                            taxa_kingdom="Animalia", zone=Country("NO"),

@@ -83,6 +83,95 @@ class TestAsofJoin:
             asof_join(trades, quotes, on="k", direction="nearest")
 
 
+class TestAsofRandomizedOracle:
+    """Seeded-random comparison against pandas.merge_asof — hundreds of
+    rows, hot/cold keys, duplicate left timestamps, unmatched keys."""
+
+    def _tables(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        n_l, n_r = 400, 300
+        lpdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, n_l),
+                "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+                "lid": np.arange(n_l),
+            }
+        )
+        rpdf = (
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 6, n_r),  # keys 6,7 never match
+                    "ts": pd.to_datetime(
+                        rng.integers(0, 10_000, n_r), unit="s"
+                    ),
+                    "val": rng.random(n_r).round(6),
+                }
+            )
+            .drop_duplicates(["k", "ts"])  # asof right side must be unique
+            .reset_index(drop=True)
+        )
+        return lpdf, rpdf
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_pandas_merge_asof(self, spark, direction):
+        import pandas as pd
+
+        lpdf, rpdf = self._tables()
+        expected = pd.merge_asof(
+            lpdf.sort_values(["ts", "lid"]),
+            rpdf.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+        )
+        em = {
+            int(r.lid): (None if pd.isna(r.val) else round(float(r.val), 6))
+            for r in expected.itertuples()
+        }
+        got = asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="k",
+            direction=direction,
+        ).collect()
+        gm = {
+            int(r["lid"]): (None if r["val"] is None else round(r["val"], 6))
+            for r in got
+        }
+        assert gm == em
+
+    def test_tolerance_matches_pandas(self, spark):
+        import pandas as pd
+
+        lpdf, rpdf = self._tables()
+        expected = pd.merge_asof(
+            lpdf.sort_values(["ts", "lid"]),
+            rpdf.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction="backward",
+            tolerance=pd.Timedelta(seconds=500),
+        )
+        em = {
+            int(r.lid): (None if pd.isna(r.val) else round(float(r.val), 6))
+            for r in expected.itertuples()
+        }
+        got = asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="k",
+            tolerance_seconds=500,
+        ).collect()
+        gm = {
+            int(r["lid"]): (None if r["val"] is None else round(r["val"], 6))
+            for r in got
+        }
+        assert gm == em
+
+
 class TestRangeJoin:
     @pytest.fixture(scope="class")
     def points(self, spark):
@@ -133,6 +222,49 @@ class TestRangeJoin:
         )
         # ts == win_end excluded, ts == win_start included
         assert got == [(1, 20), (2, 10), (2, 20)]
+
+    def test_matches_bruteforce_on_random_data(self, spark):
+        """Seeded-random points/intervals vs a brute-force BETWEEN scan,
+        with a bucket width that doesn't divide anything evenly."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        pts = pd.DataFrame(
+            {
+                "pid": np.arange(300),
+                "ts": pd.to_datetime(rng.integers(0, 50_000, 300), unit="s"),
+            }
+        )
+        starts = rng.integers(0, 45_000, 60)
+        iv = pd.DataFrame(
+            {
+                "iid": np.arange(60),
+                "win_start": pd.to_datetime(starts, unit="s"),
+                "win_end": pd.to_datetime(
+                    starts + rng.integers(1, 8_000, 60), unit="s"
+                ),
+            }
+        )
+        expected = {
+            (int(p.pid), int(i.iid))
+            for p in pts.itertuples()
+            for i in iv.itertuples()
+            if i.win_start <= p.ts < i.win_end
+        }
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                spark.createDataFrame(pts),
+                spark.createDataFrame(iv),
+                "ts",
+                "win_start",
+                "win_end",
+                bucket_seconds=137,
+            ).collect()
+        }
+        assert got == expected
+        assert expected  # non-vacuous
 
     def test_rejects_unsafe_how(self, points, intervals):
         with pytest.raises(ValueError, match="range_join supports"):
