@@ -123,21 +123,39 @@ def lsh_topk(
     dim: int | None = None,
     k: int = 10,
     n_planes: int = 8,
+    multi_probe: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """ANN top-k probing only the query's hyperplane bucket.
+    """ANN top-k probing the query's hyperplane bucket.
 
-    At scale the corpus is written partitioned by ``_bucket`` so the
-    equi-join partition-prunes; recall is traded via n_planes (and
-    multi-probe extensions would OR adjacent buckets).
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 (one flipped sign bit): the QUERY side — tiny,
+    broadcast — is exploded to its n_planes + 1 candidate buckets
+    while the corpus keeps exactly one bucket per vector, so each
+    (query, vector) pair still meets at most once and recall rises
+    steeply for near-boundary vectors at the cost of probing
+    (n_planes + 1)× more corpus cells. At scale the corpus is written
+    partitioned by ``_bucket`` so the equi-join partition-prunes
+    either way.
     """
     c = corpus.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn(
         "_bucket", hyperplane_bucket(F.col(query_vec_col), dim, n_planes)
     )
+    if multi_probe:
+        if multi_probe != 1:
+            raise ValueError("multi_probe supports 0 (off) or 1 (1-bit flips)")
+        probes = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),

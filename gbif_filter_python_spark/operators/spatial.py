@@ -96,6 +96,46 @@ def polygon_filter(
     return df.filter(bbox).filter(contains(F.col(lon_col), F.col(lat_col)))
 
 
+def _spread_bits16(c: Column) -> Column:
+    """Spread a 16-bit value's bits to even positions of 32 bits
+    (classic magic-number interleave, all JVM bitwise ops)."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def morton_code(lon: Column, lat: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) code of a lon/lat point — pure Column
+    expressions (quantize each axis to ``bits`` bits, interleave), so
+    it stays inside whole-stage codegen.
+
+    Sorting a spatial table by this code clusters BOTH axes at once:
+    parquet row-group min/max statistics on lon/lat then prune
+    bbox-range scans (the polygon prefilter of :func:`polygon_filter`)
+    far better than a single-column sort, which clusters only one
+    axis. ``bits=16`` gives ~0.005° cells (~500 m) — finer than any
+    row group, so deeper precision buys nothing.
+    """
+    if bits != 16:
+        raise ValueError("morton_code supports bits=16")
+    top = (1 << bits) - 1
+    qx = F.least(
+        F.lit(top),
+        F.greatest(
+            F.lit(0), ((lon + 180.0) / 360.0 * (1 << bits)).cast("long")
+        ),
+    )
+    qy = F.least(
+        F.lit(top),
+        F.greatest(
+            F.lit(0), ((lat + 90.0) / 180.0 * (1 << bits)).cast("long")
+        ),
+    )
+    return _spread_bits16(qx).bitwiseOR(F.shiftleft(_spread_bits16(qy), 1))
+
+
 def zone_filter(
     occurrences: DataFrame,
     zone: Zone | None,

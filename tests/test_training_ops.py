@@ -162,6 +162,37 @@ class TestSimilarity:
         ).collect()
         assert [r.b for r in rows] == [r.b for r in explicit]
 
+    def test_lsh_multi_probe_recall_non_decreasing(self, spark):
+        """multi_probe=1 probes a superset of buckets, so its recall
+        against brute-force truth can only rise (a true top-k member
+        present in the candidate pool always survives pool top-k)."""
+        from gbif_filter_python_spark.operators.similarity import lsh_topk
+        from gbif_filter_python_spark.sources.io import read_table
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in brute_force_topk(emb, queries, k=10).collect()
+        }
+
+        def pairs(multi):
+            return {
+                (r["query_id"], r["vec_id"])
+                for r in lsh_topk(
+                    emb, queries, k=10, n_planes=4, multi_probe=multi
+                ).collect()
+            }
+
+        single, multi = pairs(0), pairs(1)
+        assert len(multi & truth) >= len(single & truth)
+        assert len(multi) >= len(single)
+        with pytest.raises(ValueError):
+            lsh_topk(emb, queries, multi_probe=2)
+
     def test_embedding_near_dups_empty_input(self, spark):
         """No driver-side dim probe → empty input is fine (ADVICE r1)."""
         from gbif_filter_python_spark.operators.dedup import embedding_near_dups
