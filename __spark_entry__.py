@@ -877,6 +877,104 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     ).select("media_id", "pos", F.round(F.col("value"), 6).alias("value"))
 
 
+def q_det_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5 train/val/test split — per-split doc/token
+    totals. Map-only at scale (no shuffle until the tiny 3-row agg)."""
+    from gbif_filter_python_spark.operators.corpus import deterministic_split
+
+    docs = _t(spark, sf, "documents")
+    split = deterministic_split(docs, "doc_id", test_pct=10, val_pct=10)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over docs augmented with synthetic emails/phones
+    (the corpus has none); emits the scrub count and an md5 of the
+    scrubbed text so the oracle verifies full redaction content."""
+    from gbif_filter_python_spark.functions.text import pii_count, scrub_pii
+
+    docs = _t(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +12 345 678 901"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        pii_count(F.col("text")).alias("n_pii"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_fp"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rank ordered by the ROUNDED
+    score then term, so ordering is stable across engines)."""
+    from gbif_filter_python_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train->test leakage: test docs sharing word trigrams with the
+    train split, by deterministic md5 split."""
+    from gbif_filter_python_spark.operators.corpus import contamination_report
+
+    return contamination_report(_t(spark, sf, "documents"), n=3, test_pct=10)
+
+
+def q_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: docs -> fixed 2048-token packs by running
+    offset; per-pack doc and token totals."""
+    from gbif_filter_python_spark.operators.corpus import pack_sequences
+
+    packed = pack_sequences(_t(spark, sf, "documents"), budget=2048)
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+def q_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, exploded to scalar
+    (vec_id, pos, q) rows. floor(x+0.5) ties + pure IEEE double ops
+    make the values bit-identical to the DuckDB oracle."""
+    from gbif_filter_python_spark.functions.vectors import quantize_int8
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode(quantize_int8(F.col("embedding"))).alias("pos", "q")
+    )
+
+
+def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 corpus bigrams (count desc, bigram asc tie-break)."""
+    from gbif_filter_python_spark.operators.corpus import _staged_ngrams
+
+    docs = _t(spark, sf, "documents")
+    grams = _staged_ngrams(docs, "doc_id", "text", 2).withColumnRenamed(
+        "ngram", "bigram"
+    )
+    counted = grams.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("bigram", "n", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "existence_semijoin": q_existence_semijoin,
@@ -930,6 +1028,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "det_split": q_det_split,
+        "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination": q_contamination,
+        "seq_pack": q_seq_pack,
+        "int8_quantize": q_int8_quantize,
+        "bigram_top": q_bigram_top,
     }
 
 
@@ -941,6 +1046,28 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
+
+#: SQL twin of ``corpus.split_bucket`` (md5 → first 8 hex chars → int
+#: bucket in [0, 100)); md5 hex is identical across Spark and DuckDB.
+_BUCKET_SQL = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+)
+
+#: SQL twin of ``corpus.deterministic_split`` at test=10 / val=10.
+_SPLIT_SQL = (
+    f"CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' "
+    f"WHEN {_BUCKET_SQL} < 20 THEN 'val' ELSE 'train' END"
+)
+
+#: SQL twin of ``text.token_count``.
+_TOK_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+#: PII regexes (RE2-safe, mirror text.EMAIL_RE / text.PHONE_RE).
+_EMAIL_RE_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE_SQL = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
 
 #: SQL twin of ``_augmented_docs``.
 _AUG_DOCS = (
@@ -1291,6 +1418,93 @@ def oracle_sql() -> dict[str, str]:
             "max(ts) + INTERVAL 30 MINUTE AS session_end, "
             "count(*) AS n_events, round(sum(value), 2) AS sum_value "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "det_split": (
+            f"WITH s AS (SELECT doc_id, text, {_SPLIT_SQL} AS split "
+            f"FROM documents) "
+            f"SELECT split, count(*) AS n_docs, "
+            f"CAST(sum({_TOK_SQL}) AS BIGINT) AS total_tokens "
+            f"FROM s GROUP BY split"
+        ),
+        "pii_scrub": (
+            f"WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            f"text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            f"'@example.com or +12 345 678 901' ELSE text END AS text "
+            f"FROM documents) "
+            f"SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) "
+            f"+ len(regexp_extract_all(regexp_replace(text, "
+            f"'{_EMAIL_RE_SQL}', '<EMAIL>', 'g'), '{_PHONE_RE_SQL}')) "
+            f"AS INT) AS n_pii, "
+            f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE_SQL}', "
+            f"'<EMAIL>', 'g'), '{_PHONE_RE_SQL}', '<PHONE>', 'g')) "
+            f"AS scrub_fp FROM aug"
+        ),
+        "tfidf_top_terms": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents), "
+            f"words AS (SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) "
+            f"AS term FROM norm WHERE t <> ''), "
+            f"tf AS (SELECT doc_id, term, count(*) AS tf FROM words "
+            f"GROUP BY 1, 2), "
+            f"dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf "
+            f"GROUP BY 1), "
+            f"n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n "
+            f"FROM documents), "
+            f"scored AS (SELECT tf.doc_id, tf.term, "
+            f"round(tf.tf * ln((SELECT n FROM n) / dfc.df), 6) AS tfidf "
+            f"FROM tf JOIN dfc ON tf.term = dfc.term) "
+            f"SELECT doc_id, term, tfidf, rank FROM ("
+            f"SELECT doc_id, term, tfidf, row_number() OVER ("
+            f"PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank "
+            f"FROM scored) WHERE rank <= 3"
+        ),
+        "contamination": (
+            f"WITH s AS (SELECT doc_id, {_NORM} AS t, "
+            f"CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END "
+            f"AS split FROM documents), "
+            f"w AS (SELECT doc_id, split, regexp_split_to_array(t, ' ') AS w "
+            f"FROM s WHERE t <> ''), "
+            f"g AS (SELECT DISTINCT doc_id, split, ngram FROM ("
+            f"SELECT doc_id, split, unnest(CASE WHEN len(w) >= 3 THEN "
+            f"list_transform(range(1, len(w) - 1), "
+            f"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+            f"ELSE [] END) AS ngram FROM w)), "
+            f"tr AS (SELECT DISTINCT ngram FROM g WHERE split = 'train') "
+            f"SELECT doc_id, count(*) AS n_shared FROM ("
+            f"SELECT doc_id, ngram FROM g WHERE split = 'test' "
+            f"AND ngram IN (SELECT ngram FROM tr)) GROUP BY doc_id"
+        ),
+        "seq_pack": (
+            f"WITH t AS (SELECT doc_id, {_TOK_SQL} AS n_tokens "
+            f"FROM documents), "
+            f"o AS (SELECT doc_id, n_tokens, "
+            f"CAST(sum(n_tokens) OVER (ORDER BY doc_id "
+            f"ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) "
+            f"AS start_offset FROM t) "
+            f"SELECT start_offset // 2048 AS pack_id, "
+            f"count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+            f"AS pack_tokens FROM o GROUP BY 1"
+        ),
+        "int8_quantize": (
+            "SELECT vec_id, CAST(i - 1 AS INT) AS pos, "
+            "CAST(CASE WHEN m > 0 THEN "
+            "floor(embedding[i]::DOUBLE * 127.0 / m + 0.5) ELSE 0 END "
+            "AS INT) AS q "
+            "FROM (SELECT vec_id, embedding, "
+            "list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), "
+            "'max') AS m FROM embeddings WHERE vec_id < 50), "
+            "unnest(range(1, len(embedding) + 1)) AS t(i)"
+        ),
+        "bigram_top": (
+            f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w FROM "
+            f"(SELECT {_NORM} AS t FROM documents) WHERE t <> ''), "
+            f"g AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+            f"list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+            f"ELSE [] END) AS bigram FROM w), "
+            f"c AS (SELECT bigram, count(*) AS n FROM g GROUP BY 1) "
+            f"SELECT bigram, n, rank FROM (SELECT bigram, n, "
+            f"row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank "
+            f"FROM c) WHERE rank <= 20"
         ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
         # ann_lsh_topk / approx_distinct / ivf_topk /

@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     # oracle (sf0.01), not a headline query — the LSH variant is the
     # scale path.
     "near_dup_lsh",
+    # Corpus-prep additions (round 2): split/scrub/TF-IDF/leak-check/
+    # quantization — the LLM-pipeline ops a 100 TB corpus runs nightly.
+    "det_split",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "contamination",
+    "int8_quantize",
 ]
 
 

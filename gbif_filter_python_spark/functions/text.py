@@ -120,6 +120,34 @@ def quality_score(col: Column) -> Column:
     return F.when(n > 0, F.round(score, 6)).otherwise(F.lit(0.0))
 
 
+#: PII patterns kept to syntax both Java regex (Spark) and RE2
+#: (DuckDB oracle) support: no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact email addresses and phone-like digit runs.
+
+    Training corpora must not memorize contact details; this is the
+    standard regex-scrub pass. Pure ``regexp_replace`` — JVM-side,
+    codegen, safe in the 100 TB hot path. Emails are replaced first
+    so their digit-bearing local parts can't be half-eaten by the
+    phone pattern.
+    """
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII matches that :func:`scrub_pii` would redact."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0))
+    )
+
+
 def fingerprint64(col: Column) -> Column:
     """64-bit document fingerprint over the normalized text.
 

@@ -1,0 +1,252 @@
+"""Training-corpus preparation operators.
+
+Beyond-reference block (SURVEY.md §2 final row, §7.1 step 7): the
+operations a large-scale LLM training-data pipeline runs between "raw
+documents" and "tokenized shards" — deterministic splits, PII
+scrubbing, TF-IDF term scoring, train/test contamination checks, and
+sequence packing. Everything here is pure DataFrame/Column expression
+code (JVM-side, whole-stage codegen, no Python UDFs), so each operator
+holds up on a 100 TB documents table:
+
+* splits hash a key column — no shuffle at all, a map-only stage;
+* TF-IDF and contamination explode to (doc, term) rows and aggregate —
+  map-side partial aggregation, shuffle carries counts, not text;
+* packing is one window over a chosen ordering — a single range
+  shuffle, O(1) state per row.
+
+All public ops emit scalar columns only (no arrays in outputs), so the
+driver's order-insensitive hash check can canonicalize them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.text import normalized_text, token_count
+
+__all__ = [
+    "deterministic_split",
+    "tfidf_top_terms",
+    "word_ngrams",
+    "contamination_report",
+    "pack_sequences",
+]
+
+
+def split_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable [0, buckets) bucket from the md5 of a key column.
+
+    md5 (not xxhash64) so the assignment is reproducible across
+    engines and releases — the split of a given doc_id must never
+    change between pipeline runs. Uses the first 8 hex chars as an
+    integer; uniform for any key distribution.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    ).cast("int")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    test_pct: int = 10,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by hashing ``key_col``.
+
+    Map-only (no shuffle): the hash is computed per row, so this
+    costs one codegen'd projection even at 100 TB. Percentages are
+    integer percent points of the 100-bucket hash space.
+    """
+    b = split_bucket(F.col(key_col))
+    return df.withColumn(
+        split_col,
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def _words(text_col: Column) -> Column:
+    """Normalized word array of a text column (empty array for blank)."""
+    t = normalized_text(text_col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Plan shape (scale path): explode words → two hash aggregations
+    (term frequency per (doc, term); document frequency per term) →
+    broadcast-size df table joined back → per-doc window top-k.
+    The shuffles carry (doc_id, term, count) rows — never the text.
+    ``score = tf * ln(N / df)`` rounded to 6dp for fp-stable hashing.
+    """
+    words = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.col(doc_id_col)).distinct().count()
+    scored = tf.join(df_counts, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def ngrams_from_words(w: Column, n: int = 3) -> Column:
+    """Array of word ``n``-grams from a word-array column.
+
+    ``w`` should be a MATERIALIZED attribute (its own projection) when
+    this feeds an explode: the expression references ``w`` n+2 times,
+    and Catalyst does no common-subexpression elimination — an inlined
+    words expression (two regexes + split) would re-evaluate once per
+    reference per row (measured 17× slower on the contamination
+    query at sf0.1: 46 s → 2.7 s staged).
+    """
+    # sequence(1, 0) would DESCEND ([1, 0]); guard short docs to empty.
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+
+
+def word_ngrams(text_col: Column, n: int = 3) -> Column:
+    """Single-expression convenience form of :func:`ngrams_from_words`.
+
+    Fine for one-shot projections; hot paths must stage the word array
+    first (see ``ngrams_from_words``).
+    """
+    return ngrams_from_words(_words(text_col), n)
+
+
+def _staged_ngrams(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
+    """(doc_id, [extra...], ngram) exploded rows via the two-projection
+    shape: words materialized once, then explode(ngrams) referencing
+    the word-array ATTRIBUTE (free) instead of the words expression
+    (re-evaluated per reference)."""
+    with_words = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        *(extra_cols or []),
+        _words(F.col(text_col)).alias("_w"),
+    )
+    keep = [c for c in with_words.columns if c != "_w"]
+    return with_words.select(
+        *keep, F.explode(ngrams_from_words(F.col("_w"), n)).alias("ngram")
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    n: int = 3,
+    test_pct: int = 10,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train→test leakage: test docs sharing word ``n``-grams with train.
+
+    Splits the corpus with :func:`deterministic_split`, explodes each
+    side to distinct (doc, ngram) rows, and joins test ngrams against
+    the distinct train ngram set. Returns one row per contaminated
+    test doc: ``(doc_id, n_shared)`` — the number of its distinct
+    n-grams that also appear anywhere in train.
+
+    Scale: n-grams are folded to xxhash64 longs in the explode
+    projection, so every shuffle (distinct, semi-join, agg) carries
+    8-byte keys — never text. The train side is reduced to distinct
+    hashes first (a big corpus has far fewer distinct n-grams than
+    (doc, ngram) pairs), and AQE broadcasts it when small. Collision
+    risk is ~|train grams| × |test grams| / 2^64 — immaterial.
+    """
+    split = deterministic_split(
+        docs, doc_id_col, test_pct=test_pct, val_pct=0
+    )
+    grams = (
+        _staged_ngrams(
+            split, doc_id_col, text_col, n, extra_cols=[F.col("split")]
+        )
+        .select("doc_id", "split", F.xxhash64("ngram").alias("ngram_h"))
+        .distinct()
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("ngram_h").distinct()
+    )
+    test_grams = grams.filter(F.col("split") == "test").select(
+        "doc_id", "ngram_h"
+    )
+    return (
+        test_grams.join(train_grams, "ngram_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget packs (sequence packing).
+
+    Orders documents by ``doc_id`` (the deterministic shard order a
+    tokenizer run would use), takes a running token total, and assigns
+    ``pack_id = floor(start_offset / budget)`` — the pack in which the
+    document *starts*. One window over one ordering: a single range
+    shuffle; state per row is one long. Deterministic, so train runs
+    can be resumed/verified byte-for-byte.
+
+    A doc longer than ``budget`` still gets exactly one pack (the one
+    its offset lands in) — downstream tokenizers split it; the pack
+    assignment stays a pure function of the ordering.
+    """
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_off = toks.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    return with_off.withColumn(
+        "pack_id", (F.col("start_offset") / budget).cast("long")
+    )

@@ -1,0 +1,210 @@
+"""Training-corpus preparation operators (operators/corpus.py,
+functions/text.py PII scrub, functions/vectors.py quantization).
+
+Beyond-reference block — SURVEY.md §2 final row, §7.1 step 7.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.text import pii_count, scrub_pii
+from gbif_filter_python_spark.functions.vectors import quantize_int8
+from gbif_filter_python_spark.operators.corpus import (
+    contamination_report,
+    deterministic_split,
+    pack_sequences,
+    tfidf_top_terms,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox naps all day"),
+        (3, ""),
+        (4, "one two"),
+        (5, "sphinx of black quartz judge my vow"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDeterministicSplit:
+    def test_stable_and_total(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = deterministic_split(df, "doc_id")
+        b = deterministic_split(df, "doc_id")
+        # Same assignment on every call — the split is a pure function
+        # of the key, never of partitioning or run order.
+        assert a.exceptAll(b).count() == 0
+        counts = dict(
+            a.groupBy("split").count().rdd.map(tuple).collect()
+        )
+        assert sum(counts.values()) == 1000
+        # md5 buckets are uniform: 10% +- a generous tolerance.
+        assert 50 <= counts["test"] <= 150
+        assert 50 <= counts["val"] <= 150
+
+    def test_no_shuffle(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        plan = deterministic_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestWordNgrams:
+    def test_trigrams(self, docs):
+        out = (
+            docs.filter(F.col("doc_id") == 4)
+            .select(word_ngrams(F.col("text"), 3).alias("g"))
+            .first()["g"]
+        )
+        assert out == []  # 2 words < n=3 → empty, not sequence(1,0)
+
+        out = (
+            docs.filter(F.col("doc_id") == 1)
+            .select(word_ngrams(F.col("text"), 3).alias("g"))
+            .first()["g"]
+        )
+        assert out[0] == "pack my box"
+        assert out[-1] == "dozen liquor jugs"
+        assert len(out) == 6  # 8 words → 6 trigrams
+
+    def test_empty_text(self, docs):
+        out = (
+            docs.filter(F.col("doc_id") == 3)
+            .select(word_ngrams(F.col("text"), 2).alias("g"))
+            .first()["g"]
+        )
+        assert out == []
+
+
+class TestTfIdf:
+    def test_rare_term_outranks_common(self, docs):
+        top = tfidf_top_terms(docs, k=3).collect()
+        by_doc = {}
+        for r in top:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # Doc 1: every term has tf=1; 'my' also appears in doc 5 so its
+        # idf (ln 3) loses to the unique terms' (ln 6) — top-3 is the
+        # alphabetically-first unique terms, 'my' excluded.
+        doc1 = sorted(by_doc[1], key=lambda r: r["rank"])
+        assert [r["term"] for r in doc1] == ["box", "dozen", "five"]
+        # Every listed doc has <= 3 terms, ranks 1..k contiguous.
+        for rows in by_doc.values():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+
+    def test_empty_doc_absent(self, docs):
+        top = tfidf_top_terms(docs, k=3)
+        assert top.filter(F.col("doc_id") == 3).count() == 0
+
+
+class TestContamination:
+    def test_planted_leak(self, spark):
+        # md5 buckets: doc 2 → 5 (test); docs 17, 30 → 30, 99 (train).
+        # One trigram ('alpha beta gamma') is planted in both splits.
+        rows = [
+            (2, "alpha beta gamma delta"),
+            (17, "zzz alpha beta gamma yyy"),
+            (30, "unrelated words only here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = contamination_report(docs, n=3, test_pct=10).collect()
+        assert len(rep) == 1
+        assert rep[0]["doc_id"] == 2
+        assert rep[0]["n_shared"] == 1
+
+    def test_planted_leak_count(self, spark):
+        # Test doc 2 trigrams {abg, bgd} are both inside train doc 17.
+        rows = [
+            (2, "alpha beta gamma delta"),
+            (17, "alpha beta gamma delta extra"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = contamination_report(docs, n=3, test_pct=10).collect()
+        assert rep[0]["doc_id"] == 2
+        assert rep[0]["n_shared"] == 2
+
+
+class TestPackSequences:
+    def test_offsets_and_packs(self, spark):
+        rows = [(i, " ".join(["w"] * 1000)) for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r for r in pack_sequences(docs, budget=2048).collect()
+        }
+        assert out[0]["start_offset"] == 0 and out[0]["pack_id"] == 0
+        assert out[2]["start_offset"] == 2000 and out[2]["pack_id"] == 0
+        assert out[3]["start_offset"] == 3000 and out[3]["pack_id"] == 1
+        assert out[4]["pack_id"] == 1
+
+    def test_empty_doc_zero_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "a b c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in pack_sequences(docs, 10).collect()}
+        assert out[0]["n_tokens"] == 0
+        assert out[1]["start_offset"] == 0
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self, spark):
+        rows = [
+            (0, "mail me at jane.doe+x@sub.example.org thanks"),
+            (1, "call +1 (555) 123-4567 now or 020 7946 0958"),
+            (2, "clean text with no pii at all"),
+            (3, "both a@b.io and +12 345 678 901 here"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                scrub_pii(F.col("text")).alias("s"),
+                pii_count(F.col("text")).alias("n"),
+            ).collect()
+        }
+        assert "<EMAIL>" in out[0]["s"] and "jane" not in out[0]["s"]
+        assert out[0]["n"] == 1
+        assert out[1]["s"].count("<PHONE>") == 2 and out[1]["n"] == 2
+        assert out[2]["s"] == "clean text with no pii at all"
+        assert out[2]["n"] == 0
+        assert "<EMAIL>" in out[3]["s"] and "<PHONE>" in out[3]["s"]
+        assert out[3]["n"] == 2
+
+    def test_email_digits_not_half_eaten(self, spark):
+        # An email whose local part is digit-heavy must be redacted as
+        # an email, not partially as a phone number.
+        df = spark.createDataFrame(
+            [(0, "id 123456789012@example.com end")], "id long, text string"
+        )
+        s = df.select(scrub_pii(F.col("text")).alias("s")).first()["s"]
+        assert s == "id <EMAIL> end"
+
+
+class TestQuantizeInt8:
+    def test_range_and_extremes(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, -2.0, 0.5, 0.0]), (1, [0.0, 0.0])],
+            "vec_id long, v array<double>",
+        )
+        out = {
+            r["vec_id"]: r["q"]
+            for r in df.select(
+                "vec_id", quantize_int8(F.col("v")).alias("q")
+            ).collect()
+        }
+        # maxabs=2 → 1.0→floor(63.5+0.5)=64, -2→-127? floor(-127+0.5)=-127
+        assert out[0] == [64, -127, 32, 0]
+        assert out[1] == [0, 0]
+
+    def test_sf_embeddings_bounds(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.select(
+            F.explode(quantize_int8(F.col("embedding"))).alias("q")
+        ).agg(F.min("q"), F.max("q")).first()
+        assert q[0] >= -127 and q[1] <= 127
