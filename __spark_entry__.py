@@ -975,6 +975,28 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 50%, de 25%) —
+    per-lang kept-doc counts."""
+    from gbif_filter_python_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    kept = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_domain_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Rebalance the source mix to the smallest source's share —
+    per-source kept-doc counts."""
+    from gbif_filter_python_spark.operators.corpus import flatten_domains
+
+    docs = _t(spark, sf, "documents")
+    kept = flatten_domains(docs, "source", "doc_id")
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "existence_semijoin": q_existence_semijoin,
@@ -1035,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "int8_quantize": q_int8_quantize,
         "bigram_top": q_bigram_top,
+        "stratified_sample": q_stratified_sample,
+        "domain_flatten": q_domain_flatten,
     }
 
 
@@ -1051,6 +1075,12 @@ _NORM = (
 #: bucket in [0, 100)); md5 hex is identical across Spark and DuckDB.
 _BUCKET_SQL = (
     "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+)
+
+#: 10 000-bucket twin (corpus.SAMPLE_BUCKETS) for sampling thresholds.
+_BUCKET10K_SQL = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 10000)"
 )
 
 #: SQL twin of ``corpus.deterministic_split`` at test=10 / val=10.
@@ -1505,6 +1535,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT bigram, n, rank FROM (SELECT bigram, n, "
             f"row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank "
             f"FROM c) WHERE rank <= 20"
+        ),
+        "stratified_sample": (
+            f"SELECT lang, count(*) AS n_docs FROM documents "
+            f"WHERE {_BUCKET10K_SQL} < CASE WHEN lang = 'en' THEN 5000 "
+            f"WHEN lang = 'de' THEN 2500 ELSE 10000 END GROUP BY lang"
+        ),
+        "domain_flatten": (
+            f"WITH c AS (SELECT source AS dom, count(*) AS n "
+            f"FROM documents GROUP BY source), "
+            f"m AS (SELECT min(n) AS mn FROM c) "
+            f"SELECT d.source, count(*) AS n_docs FROM documents d "
+            f"JOIN c ON d.source = c.dom "
+            f"WHERE {_BUCKET10K_SQL.replace('doc_id', 'd.doc_id')} < "
+            f"(SELECT mn FROM m) * 10000 // c.n GROUP BY d.source"
         ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
         # ann_lsh_topk / approx_distinct / ivf_topk /

@@ -31,6 +31,9 @@ __all__ = [
     "word_ngrams",
     "contamination_report",
     "pack_sequences",
+    "sample_by_hash",
+    "stratified_sample",
+    "flatten_domains",
 ]
 
 
@@ -69,6 +72,74 @@ def deterministic_split(
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+#: Hash-space width for sampling thresholds. Thresholds are INTEGER
+#: bucket counts (never float fractions), so keep/drop decisions are
+#: exact and reproducible across engines — no fp-compare drift.
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, fraction: float, seed_salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by md5 of ``key_col``.
+
+    Unlike ``df.sample()`` this is a pure function of the key: the
+    same doc is kept in every run, on any cluster, under any
+    partitioning — which is what makes ablation corpora and resumable
+    pipelines reproducible. Map-only, no shuffle. ``seed_salt``
+    decorrelates independent samples over the same keys.
+    """
+    threshold = int(fraction * SAMPLE_BUCKETS)
+    key = F.concat(F.col(key_col).cast("string"), F.lit(seed_salt))
+    return df.filter(split_bucket(key, SAMPLE_BUCKETS) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``, but stable).
+
+    ``rates`` maps stratum value → fraction; missing strata keep
+    everything. The per-row decision is hash(key) < rate-threshold
+    with integer thresholds, so results are exactly reproducible and
+    oracle-checkable. Map-only — the strata table never shuffles.
+    """
+    b = split_bucket(F.col(key_col), SAMPLE_BUCKETS)
+    threshold: Column = F.lit(SAMPLE_BUCKETS)
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
+def flatten_domains(
+    df: DataFrame, domain_col: str, key_col: str
+) -> DataFrame:
+    """Rebalance a skewed domain mix to ~equal per-domain share.
+
+    The standard pretraining-mix move: downsample every domain to the
+    smallest domain's size. Two tiny aggregations (per-domain counts;
+    global min) joined back — AQE broadcasts both — then the same
+    integer-threshold hash filter as :func:`sample_by_hash`. The
+    per-domain rate is ``min_count / count`` computed with INTEGER
+    division (``min * BUCKETS div count``), bit-identical across
+    engines. The fact table itself never shuffles.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").alias("_n")
+    )
+    min_n = counts.agg(F.min("_n").alias("_mn"))
+    rates = counts.crossJoin(min_n).select(
+        "_dom",
+        F.expr(f"_mn * {SAMPLE_BUCKETS} DIV _n").alias("_thresh"),
+    )
+    joined = df.join(rates, df[domain_col] == rates["_dom"], "left")
+    return joined.filter(
+        split_bucket(F.col(key_col), SAMPLE_BUCKETS) < F.col("_thresh")
+    ).drop("_dom", "_thresh")
 
 
 def _words(text_col: Column) -> Column:

@@ -151,6 +151,74 @@ class TestPackSequences:
         assert out[1]["start_offset"] == 0
 
 
+class TestSampling:
+    def test_sample_by_hash_deterministic_and_sized(self, spark):
+        from gbif_filter_python_spark.operators.corpus import sample_by_hash
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = sample_by_hash(df, "doc_id", 0.3)
+        b = sample_by_hash(df, "doc_id", 0.3)
+        assert a.exceptAll(b).count() == 0
+        n = a.count()
+        assert 500 <= n <= 700  # ~600 expected
+        # salt decorrelates: overlap of two independent 30% samples
+        # is ~9%, far from the 30% self-overlap.
+        c = sample_by_hash(df, "doc_id", 0.3, seed_salt="x")
+        overlap = a.join(c, "doc_id", "left_semi").count()
+        assert overlap < n * 0.6
+
+    def test_sample_nested_subset(self, spark):
+        # A 10% hash sample is a subset of the 30% sample (thresholds
+        # nest) — the property that makes ablation corpora comparable.
+        from gbif_filter_python_spark.operators.corpus import sample_by_hash
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        small = sample_by_hash(df, "doc_id", 0.1)
+        big = sample_by_hash(df, "doc_id", 0.3)
+        assert small.join(big, "doc_id", "left_anti").count() == 0
+
+    def test_stratified_rates(self, spark):
+        from gbif_filter_python_spark.operators.corpus import stratified_sample
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("fr")
+            .alias("lang"),
+        )
+        kept = dict(
+            stratified_sample(df, "lang", "doc_id", {"en": 0.5, "de": 0.1})
+            .groupBy("lang")
+            .count()
+            .rdd.map(tuple)
+            .collect()
+        )
+        assert 400 <= kept["en"] <= 600  # ~500 of 1000
+        assert 50 <= kept["de"] <= 160  # ~100 of 1000
+        assert kept["fr"] == 1000  # unlisted stratum keeps all
+
+    def test_flatten_domains_equalizes(self, spark):
+        from gbif_filter_python_spark.operators.corpus import flatten_domains
+
+        # 100 'small' docs vs 1900 'big' docs → big downsampled to ~100.
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 100, "small").otherwise("big").alias("src"),
+        )
+        kept = dict(
+            flatten_domains(df, "src", "doc_id")
+            .groupBy("src")
+            .count()
+            .rdd.map(tuple)
+            .collect()
+        )
+        assert kept["small"] == 100  # threshold = 10000 → keep all
+        assert 60 <= kept["big"] <= 140  # ~100 expected
+        # schema untouched apart from the filter
+        assert flatten_domains(df, "src", "doc_id").columns == ["doc_id", "src"]
+
+
 class TestPiiScrub:
     def test_redacts_and_counts(self, spark):
         rows = [
