@@ -975,6 +975,20 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Unbounded-depth transitive closure (iterative join + checkpoint)
+    over a synthetic supplier hierarchy (parent = s_suppkey div 10);
+    oracle is a DuckDB recursive CTE."""
+    from gbif_filter_python_spark.operators.graph import transitive_closure
+
+    sup = _t(spark, sf, "supplier")
+    edges = sup.filter(F.col("s_suppkey") >= 10).select(
+        F.col("s_suppkey").alias("child"),
+        F.expr("s_suppkey DIV 10").alias("parent"),
+    )
+    return transitive_closure(edges).select("ancestor", "descendant", "depth")
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language downsampling (en 50%, de 25%) —
     per-lang kept-doc counts."""
@@ -1059,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_top": q_bigram_top,
         "stratified_sample": q_stratified_sample,
         "domain_flatten": q_domain_flatten,
+        "closure_chain": q_closure_chain,
     }
 
 
@@ -1535,6 +1550,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT bigram, n, rank FROM (SELECT bigram, n, "
             f"row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank "
             f"FROM c) WHERE rank <= 20"
+        ),
+        "closure_chain": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT s_suppkey AS child, s_suppkey // 10 AS parent "
+            "FROM supplier WHERE s_suppkey >= 10), "
+            "cl AS (SELECT child AS descendant, parent AS ancestor, "
+            "1 AS depth FROM edges "
+            "UNION ALL SELECT cl.descendant, e.parent, cl.depth + 1 "
+            "FROM cl JOIN edges e ON cl.ancestor = e.child) "
+            "SELECT ancestor, descendant, depth FROM cl"
         ),
         "stratified_sample": (
             f"SELECT lang, count(*) AS n_docs FROM documents "

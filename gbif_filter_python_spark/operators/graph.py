@@ -82,6 +82,60 @@ def connected_components(
     )
 
 
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """All (ancestor, descendant, depth) pairs of a parent-edge DAG.
+
+    The unbounded-depth generalization of ``expansion.descend_to_rank``
+    (SURVEY.md §7.4 "arbitrary-depth hierarchy"): the reference's
+    taxonomy only ever needs ≤ 2 hops, but a real hierarchy (org
+    charts, category trees, full taxonomic lineages) needs the
+    fixpoint. Each round extends every frontier path by one parent
+    edge: one equi-join, lineage truncated with ``localCheckpoint``,
+    convergence detected by an empty frontier. Rounds = hierarchy
+    depth, not data size; the per-round shuffle carries (ancestor,
+    descendant, depth) triples only.
+
+    Spark 4's recursive CTE (``WITH RECURSIVE``) can express the same
+    plan SQL-side; this formulation adds the checkpoint cadence and an
+    explicit ``max_iterations`` cycle guard (a cycle in a parent edge
+    list would otherwise iterate forever — depth exceeding the cap
+    raises instead).
+    """
+    e = edges.select(
+        F.col(child_col).alias("descendant"),
+        F.col(parent_col).alias("ancestor"),
+    ).filter(F.col("ancestor").isNotNull())
+    paths = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    result = paths
+    frontier = paths
+    up = e.select(
+        F.col("descendant").alias("_c"), F.col("ancestor").alias("_p")
+    )
+    for _ in range(max_iterations):
+        nxt = (
+            frontier.join(up, frontier["ancestor"] == up["_c"])
+            .select(
+                "descendant",
+                F.col("_p").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return result
+        result = result.unionByName(nxt)
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive_closure exceeded {max_iterations} levels — "
+        "cycle in the parent edges or a deeper-than-expected hierarchy"
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gbif_filter_python_spark.operators.graph import (
     connected_components,
     dedup_by_components,
+    transitive_closure,
 )
 
 
@@ -69,3 +70,35 @@ class TestDedupByComponents:
             r["doc_id"] for r in dedup_by_components(docs, empty).collect()
         )
         assert kept == [1, 2]
+
+
+class TestTransitiveClosure:
+    def test_chain_depths(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2), (4, 3)], "child long, parent long"
+        )
+        rows = {
+            (r["ancestor"], r["descendant"]): r["depth"]
+            for r in transitive_closure(edges).collect()
+        }
+        assert rows[(1, 2)] == 1 and rows[(2, 3)] == 1 and rows[(3, 4)] == 1
+        assert rows[(1, 3)] == 2 and rows[(2, 4)] == 2
+        assert rows[(1, 4)] == 3
+        assert len(rows) == 6
+
+    def test_forest_and_null_parent(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (3, None), (5, 4)], "child long, parent long"
+        )
+        rows = {
+            (r["ancestor"], r["descendant"])
+            for r in transitive_closure(edges).collect()
+        }
+        assert rows == {(1, 2), (4, 5)}  # null-parent edge dropped
+
+    def test_cycle_raises(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1)], "child long, parent long"
+        )
+        with pytest.raises(RuntimeError, match="cycle"):
+            transitive_closure(edges, max_iterations=5)
