@@ -975,6 +975,46 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image pipeline with a resize stage: decode (8x8 stub) →
+    block-mean resize to 4x4 (real NumPy pooling) → scalar rows.
+    Rows-only: the hash-seeded fake decode is not SQL-expressible."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_images,
+        resize_pixels,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    resized = resize_pixels(decode_images(media, side=8), out_side=4)
+    return resized.select(
+        "media_id", F.posexplode("pixels").alias("pos", "value")
+    ).select("media_id", "pos", F.round(F.col("value"), 6).alias("value"))
+
+
+def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio pipeline: stub decode (Arrow-batched mapInPandas) →
+    JVM-side waveform features (RMS / zero-crossing rate / peak).
+    Rows-only: the hash-seeded fake decode is not SQL-expressible."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        audio_features,
+        decode_audio,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = audio_features(decode_audio(media))
+    return feats.select(
+        "media_id", "rms", F.round(F.col("zcr"), 6).alias("zcr"), "peak"
+    )
+
+
 def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-depth transitive closure (iterative join + checkpoint)
     over a synthetic supplier hierarchy (parent = s_suppkey div 10);
@@ -1074,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_flatten": q_domain_flatten,
         "closure_chain": q_closure_chain,
+        "media_resize": q_media_resize,
+        "audio_stats": q_audio_stats,
     }
 
 
@@ -1577,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
         # ann_lsh_topk / approx_distinct / ivf_topk /
-        # multimodal_features: non-SQL-expressible (LSH bucketing,
-        # HLL approximation, mapInPandas) → rows-only checks.
+        # multimodal_features / media_resize / audio_stats:
+        # non-SQL-expressible (LSH bucketing, HLL approximation,
+        # hash-seeded stub codecs behind mapInPandas) → rows-only checks.
     }

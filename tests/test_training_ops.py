@@ -322,3 +322,50 @@ class TestMultimodal:
         media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
         with pytest.raises(NotImplementedError):
             decode_images(media, fake=False)
+
+    def test_resize_block_mean(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_images,
+            resize_pixels,
+        )
+
+        media = spark.createDataFrame(
+            [(1, b"payload-one")], "media_id long, payload binary"
+        )
+        decoded = decode_images(media, side=8)
+        resized = resize_pixels(decoded, out_side=4).collect()
+        assert len(resized) == 1
+        r = resized[0]
+        assert r.width == 4 and r.height == 4 and len(r.pixels) == 16
+        # Block mean preserves the global mean (each block weighs equally).
+        src = decoded.collect()[0].pixels
+        assert abs(sum(src) / 64 - sum(r.pixels) / 16) < 1e-4
+        # Uneven divisor rejected.
+        with pytest.raises(Exception, match="divide evenly"):
+            resize_pixels(decoded, out_side=3).collect()
+
+    def test_audio_decode_and_features(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            audio_features,
+            decode_audio,
+        )
+
+        media = spark.createDataFrame(
+            [(1, b"wave-one"), (2, b"wave-two")],
+            "media_id long, payload binary",
+        )
+        decoded = decode_audio(media, n_samples=64)
+        rows = decoded.collect()
+        assert all(len(r.samples) == 64 for r in rows)
+        assert all(r.sample_rate == 16000 for r in rows)
+        assert all(-1.0 <= s <= 1.0 for r in rows for s in r.samples)
+        feats = {r.media_id: r for r in audio_features(decoded).collect()}
+        for f in feats.values():
+            assert 0.0 < f.rms <= 1.0
+            assert 0.0 <= f.zcr <= 1.0
+            assert f.peak <= 1.0
+        # determinism across invocations
+        again = {r.media_id: r for r in audio_features(decoded).collect()}
+        assert feats[1].rms == again[1].rms
+        with pytest.raises(NotImplementedError):
+            decode_audio(media, fake=False)
