@@ -172,12 +172,16 @@ def tfidf_top_terms(
     df_counts = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = docs.select(F.col(doc_id_col)).distinct().count()
-    scored = tf.join(df_counts, "term").select(
+    # N as a 1-row aggregate crossJoined in — no driver-side .count()
+    # during plan construction (no extra Spark job per pipeline build).
+    n_docs = docs.select(F.col(doc_id_col)).distinct().agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    scored = tf.join(df_counts, "term").crossJoin(n_docs).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
