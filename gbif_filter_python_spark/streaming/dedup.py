@@ -55,3 +55,55 @@ def streaming_content_dedup(
     return streaming_exact_dedup(
         with_hash, ["_h"], ts_col=ts_col, watermark=watermark
     ).drop("_h")
+
+
+def incremental_corpus_writer(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+):
+    """foreachBatch sink: accumulate a deduplicated document corpus.
+
+    The watermark variants above bound state by TIME; an ingest
+    pipeline building a training corpus needs the opposite guarantee —
+    a document seen at ANY point in history is never re-admitted. That
+    history can't live in streaming state (unbounded), so it lives in
+    the store itself: each micro-batch is content-hashed, deduplicated
+    within the batch, anti-joined against the hashes already on disk,
+    and appended. Parquet column pruning means the history scan reads
+    only the 8-byte ``_h`` column, not the documents.
+
+    Exactly-once: each batch writes to its own ``batch_id=N``
+    partition directory with ``mode("overwrite")``, so a replayed
+    batch overwrites its own previous (possibly partial) output
+    instead of double-appending; the history anti-join EXCLUDES the
+    current batch_id partition, so a replay after a complete-but-
+    uncommitted write does not see its own rows and empty itself.
+
+    Returns a configured ``DataStreamWriter`` — call ``.start()``.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.withColumn(
+            "_h", F.xxhash64(normalized_text(F.col(text_col)))
+        ).dropDuplicates(["_h"])
+        try:
+            seen = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("_h")
+            )
+            fresh = fresh.join(seen, "_h", "left_anti")
+        except Exception:
+            pass  # first batch: store does not exist yet
+        fresh.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -312,3 +312,54 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     # batch path of the same function: plain dropDuplicates
     batch = spark.read.parquet(d)
     assert streaming_exact_dedup(batch, ["event_id"]).count() == 4
+
+
+def test_incremental_corpus_writer_cross_batch_unique(spark, tmp_path):
+    """foreachBatch corpus sink: duplicates within a batch, across
+    batches, and formatting-variant near-identical texts (same
+    normalized hash) are all admitted exactly once; the store is
+    partitioned by batch_id."""
+    import glob
+    import os
+
+    from gbif_filter_python_spark.streaming.dedup import (
+        incremental_corpus_writer,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "corpus_store")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    def _append(rows, mtime):
+        before = set(glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    base = 1_600_000_000
+    _append([(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")], base)
+    # cross-batch duplicate of doc 1 (different doc_id, same content)
+    # and a FORMATTING variant (normalizes to the same text)
+    _append([(4, "alpha beta"), (5, "  Gamma   DELTA "), (6, "epsilon")],
+            base + 10)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = incremental_corpus_writer(
+        stream, store, str(tmp_path / "ckpt_corpus")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(store)
+    texts = sorted(r["text"] for r in out.collect())
+    assert texts == ["alpha beta", "epsilon", "gamma delta"], texts
+    # batch_id partition column discovered from the directory layout
+    assert "batch_id" in out.columns
+    assert out.select("batch_id").distinct().count() == 2
