@@ -975,6 +975,16 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-band outlier trim on document length (p5..p95 of
+    n_chars) — per-lang kept-doc counts."""
+    from gbif_filter_python_spark.operators.corpus import trim_by_percentile
+
+    docs = _t(spark, sf, "documents")
+    kept = trim_by_percentile(docs, "n_chars", 0.05, 0.95)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Image pipeline with a resize stage: decode (8x8 stub) →
     block-mean resize to 4x4 (real NumPy pooling) → scalar rows.
@@ -1116,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_chain": q_closure_chain,
         "media_resize": q_media_resize,
         "audio_stats": q_audio_stats,
+        "length_trim": q_length_trim,
     }
 
 
@@ -1592,6 +1603,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT bigram, n, rank FROM (SELECT bigram, n, "
             f"row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank "
             f"FROM c) WHERE rank <= 20"
+        ),
+        "length_trim": (
+            "WITH b AS (SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo, "
+            "round(quantile_cont(n_chars, 0.95), 6) AS hi FROM documents) "
+            "SELECT lang, count(*) AS n_docs FROM documents, b "
+            "WHERE n_chars BETWEEN lo AND hi GROUP BY lang"
         ),
         "closure_chain": (
             "WITH RECURSIVE edges AS ("

@@ -142,6 +142,30 @@ def flatten_domains(
     ).drop("_dom", "_thresh")
 
 
+def trim_by_percentile(
+    df: DataFrame, col: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Keep rows whose ``col`` lies within the [lo, hi] percentile band.
+
+    The standard outlier trim before corpus stats (drop the truncated
+    stubs and the concatenation monsters). Exact interpolated
+    percentiles computed in ONE aggregate, crossJoined back as a 1-row
+    bound table (AQE turns it into a broadcast) — no driver action, no
+    second scan parameterized by a collected value. Bounds are rounded
+    to 6dp so the band edge is reproducible across engines (the
+    interpolation's last bits are not).
+    """
+    bounds = df.agg(
+        F.round(F.expr(f"percentile({col}, {lo})"), 6).alias("_lo"),
+        F.round(F.expr(f"percentile({col}, {hi})"), 6).alias("_hi"),
+    )
+    return (
+        df.crossJoin(bounds)
+        .filter(F.col(col).between(F.col("_lo"), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )
+
+
 def _words(text_col: Column) -> Column:
     """Normalized word array of a text column (empty array for blank)."""
     t = normalized_text(text_col)

@@ -168,6 +168,31 @@ def write_spatial_snapshot(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str = "doc_id",
+) -> None:
+    """Write a corpus as ``n_shards`` globally-ordered parquet shards.
+
+    Tokenizer/packing runs want shards whose KEY RANGES are disjoint
+    and whose rows are sorted, so shard k can be processed (and
+    resumed) independently while the global order stays deterministic:
+    ``repartitionByRange`` range-partitions on ``order_col`` (one
+    sampling pass + one range-exchange — Spark's sort machinery, no
+    driver involvement), then an in-shard sort. Downstream readers get
+    per-file min/max parquet stats on the order column for free, so
+    key-range scans prune whole shards.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -276,3 +276,48 @@ class TestQuantizeInt8:
             F.explode(quantize_int8(F.col("embedding"))).alias("q")
         ).agg(F.min("q"), F.max("q")).first()
         assert q[0] >= -127 and q[1] <= 127
+
+
+class TestTrimByPercentile:
+    def test_band_and_no_driver_action(self, spark):
+        from gbif_filter_python_spark.operators.corpus import trim_by_percentile
+
+        df = spark.range(1, 101).select(F.col("id").alias("n"))
+        kept = trim_by_percentile(df, "n", 0.10, 0.90)
+        vals = sorted(r["n"] for r in kept.collect())
+        # p10 of 1..100 = 10.9, p90 = 90.1 → keep 11..90
+        assert vals[0] == 11 and vals[-1] == 90
+        assert len(vals) == 80
+
+    def test_uniform_column_keeps_all(self, spark):
+        from gbif_filter_python_spark.operators.corpus import trim_by_percentile
+
+        df = spark.range(50).select(F.lit(7).alias("n"))
+        assert trim_by_percentile(df, "n").count() == 50
+
+
+class TestTrainingShards:
+    def test_disjoint_ordered_shards(self, spark, tmp_path):
+        import glob
+
+        from gbif_filter_python_spark.sources.io import write_training_shards
+
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        path = str(tmp_path / "shards")
+        write_training_shards(df.repartition(7), path, n_shards=8)
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) == 8
+        # Each shard internally sorted; shard key ranges disjoint.
+        ranges = []
+        for f in files:
+            ids = [r["doc_id"] for r in spark.read.parquet(f).collect()]
+            assert ids == sorted(ids)
+            ranges.append((ids[0], ids[-1]))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo
+        # Nothing lost or duplicated.
+        total = sorted(
+            r["doc_id"] for r in spark.read.parquet(path).collect()
+        )
+        assert total == list(range(1000))
