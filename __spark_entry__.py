@@ -975,6 +975,23 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus-prep pipeline (scrub → quality floor → trim →
+    dedup → split → pack) as ONE declarative plan; per-split pack/doc/
+    token totals. The oracle replays every stage as a CTE chain."""
+    from gbif_filter_python_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf, "documents")
+    prepped = prepare_training_corpus(docs)
+    return prepped.groupBy("split").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
     """Percentile-band outlier trim on document length (p5..p95 of
     n_chars) — per-lang kept-doc counts."""
@@ -1127,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "audio_stats": q_audio_stats,
         "length_trim": q_length_trim,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -1212,7 +1230,9 @@ def _language_guess_sql() -> str:
     )
 
 
-def _quality_sql() -> str:
+def _quality_expr() -> str:
+    """CASE expression computing ``text.quality_score`` over a column
+    named ``text`` — reusable inside larger CTE pipelines."""
     n = "CAST(length(text) AS DOUBLE)"
     safe_n = f"(CASE WHEN {n} > 0 THEN {n} ELSE 1.0 END)"
     alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
@@ -1229,9 +1249,12 @@ def _quality_sql() -> str:
         f"+ (CASE WHEN {mean_word} >= 3 AND {mean_word} <= 10 "
         f"THEN 1.0 ELSE 0.5 END) * 0.2"
     )
+    return f"CASE WHEN {n} > 0 THEN round({score}, 6) ELSE 0.0 END"
+
+
+def _quality_sql() -> str:
     return (
-        f"SELECT doc_id, CASE WHEN {n} > 0 THEN round({score}, 6) "
-        f"ELSE 0.0 END AS quality FROM documents"
+        f"SELECT doc_id, {_quality_expr()} AS quality FROM documents"
     )
 
 
@@ -1603,6 +1626,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT bigram, n, rank FROM (SELECT bigram, n, "
             f"row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank "
             f"FROM c) WHERE rank <= 20"
+        ),
+        "corpus_prep": (
+            f"WITH scrub AS (SELECT doc_id, "
+            f"regexp_replace(regexp_replace(text, '{_EMAIL_RE_SQL}', "
+            f"'<EMAIL>', 'g'), '{_PHONE_RE_SQL}', '<PHONE>', 'g') AS text "
+            f"FROM documents), "
+            f"scored AS (SELECT doc_id, text, {_quality_expr()} AS quality "
+            f"FROM scrub), "
+            f"fq AS (SELECT doc_id, text, {_TOK_SQL} AS n_tokens "
+            f"FROM scored WHERE quality >= 0.3), "
+            f"b AS (SELECT round(quantile_cont(n_tokens, 0.02), 6) AS lo, "
+            f"round(quantile_cont(n_tokens, 0.98), 6) AS hi FROM fq), "
+            f"trimmed AS (SELECT fq.* FROM fq, b "
+            f"WHERE n_tokens BETWEEN lo AND hi), "
+            f"dedup AS (SELECT doc_id, n_tokens FROM ("
+            f"SELECT doc_id, n_tokens, row_number() OVER ("
+            f"PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn "
+            f"FROM trimmed) WHERE rn = 1), "
+            f"sp AS (SELECT doc_id, n_tokens, "
+            f"CASE WHEN {_BUCKET_SQL} < 5 THEN 'test' "
+            f"WHEN {_BUCKET_SQL} < 10 THEN 'val' ELSE 'train' END AS split "
+            f"FROM dedup), "
+            f"pk AS (SELECT split, n_tokens, "
+            f"(CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // 2048 "
+            f"AS pack_id FROM sp WINDOW w AS (PARTITION BY split "
+            f"ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) "
+            f"SELECT split, count(DISTINCT pack_id) AS n_packs, "
+            f"count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+            f"AS total_tokens FROM pk GROUP BY split"
         ),
         "length_trim": (
             "WITH b AS (SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo, "

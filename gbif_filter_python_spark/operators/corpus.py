@@ -34,7 +34,74 @@ __all__ = [
     "sample_by_hash",
     "stratified_sample",
     "flatten_domains",
+    "trim_by_percentile",
+    "prepare_training_corpus",
 ]
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_floor: float = 0.3,
+    trim_lo: float = 0.02,
+    trim_hi: float = 0.98,
+    test_pct: int = 5,
+    val_pct: int = 5,
+    pack_budget: int = 2048,
+) -> DataFrame:
+    """The end-to-end corpus-prep chain, one declarative plan:
+
+    scrub PII → quality floor → length-band trim → exact dedup (first
+    doc per normalized-content hash wins, deterministically) → split →
+    pack. Returns the input columns plus ``quality``, ``n_tokens``,
+    ``split``, ``pack_id`` — ready for :func:`~gbif_filter_python_spark.
+    sources.io.write_training_shards`.
+
+    Everything before the dedup window is map-only; dedup is one hash
+    shuffle on 8-byte keys; packing is one range shuffle per split.
+    No stage collects to the driver, so the same plan runs at 100 TB.
+    """
+    from gbif_filter_python_spark.functions.text import (
+        quality_score,
+        scrub_pii,
+    )
+
+    scrubbed = docs.withColumn(text_col, scrub_pii(F.col(text_col)))
+    scored = scrubbed.withColumn(
+        "quality", quality_score(F.col(text_col))
+    ).filter(F.col("quality") >= quality_floor)
+    scored = scored.withColumn("n_tokens", token_count(F.col(text_col)))
+    trimmed = trim_by_percentile(scored, "n_tokens", trim_lo, trim_hi)
+
+    # First-wins exact dedup on normalized content (same rule as
+    # dedup.exact_dedup): deterministic representative = min doc_id.
+    # md5 (not xxhash64) so the whole pipeline stays oracle-checkable
+    # cross-engine; swap to xxhash64 for 8-byte shuffle keys at scale.
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(F.col(doc_id_col))
+    deduped = (
+        trimmed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    split = deterministic_split(
+        deduped, doc_id_col, test_pct=test_pct, val_pct=val_pct
+    )
+    # Pack WITHIN each split (a test doc must never share a pack with
+    # a train doc); same running-offset rule as pack_sequences.
+    pw = (
+        Window.partitionBy("split")
+        .orderBy(doc_id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return split.withColumn(
+        "pack_id",
+        (
+            (F.sum("n_tokens").over(pw) - F.col("n_tokens")) / pack_budget
+        ).cast("long"),
+    )
 
 
 def split_bucket(key: Column, buckets: int = 100) -> Column:

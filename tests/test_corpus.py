@@ -321,3 +321,37 @@ class TestTrainingShards:
             r["doc_id"] for r in spark.read.parquet(path).collect()
         )
         assert total == list(range(1000))
+
+
+class TestPrepareTrainingCorpus:
+    def test_end_to_end_invariants(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            prepare_training_corpus,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = prepare_training_corpus(docs).cache()
+        rows = out.collect()
+        assert rows, "pipeline must keep documents"
+        # No PII survives the scrub stage.
+        assert out.filter(F.col("text").rlike("@")).count() == 0
+        # Quality floor holds.
+        assert all(r["quality"] >= 0.3 for r in rows)
+        # No duplicate normalized content.
+        from gbif_filter_python_spark.functions.text import normalized_text
+
+        n_norm = out.select(
+            F.md5(normalized_text(F.col("text"))).alias("h")
+        ).distinct().count()
+        assert n_norm == len(rows)
+        # Every row has a split and packs are per-split contiguous
+        # from 0.
+        by_split = {}
+        for r in rows:
+            by_split.setdefault(r["split"], []).append(r["pack_id"])
+        for packs in by_split.values():
+            assert min(packs) == 0
+        # Determinism: a second build is identical.
+        again = prepare_training_corpus(docs)
+        assert out.exceptAll(again).count() == 0
+        out.unpersist()
