@@ -158,3 +158,46 @@ def test_partitioned_snapshot_prunes_country(spark, occurrence, tmp_path):
     pf_line = [l for l in text.splitlines() if "PartitionFilters" in l][0]
     assert "country" in pf_line
     assert df.count() == 7  # NO rows in the fixture
+
+
+def test_corpus_prep_plan_shape(spark, sf001_dir):
+    """The corpus pipeline's plan follows the scale rules: no
+    cartesian join (the 1-row percentile bounds ride a broadcast
+    nested loop, which is the intended shape), the documents scan
+    reads only the referenced columns, and dedup/packing aggregate
+    with partial combine where applicable."""
+    from gbif_filter_python_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from gbif_filter_python_spark.plans.inspect import assert_no_cartesian
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = prepare_training_corpus(docs)
+    assert_no_cartesian(out)
+
+
+def test_contamination_no_cartesian_and_pruned_scan(spark, sf001_dir):
+    from gbif_filter_python_spark.operators.corpus import (
+        contamination_report,
+    )
+    from gbif_filter_python_spark.plans.inspect import assert_no_cartesian
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    rep = contamination_report(docs)
+    assert_no_cartesian(rep)
+    # Only doc_id and text feed the report; lang/source/n_chars must
+    # not be read from the parquet scan.
+    plan = explain_str(rep, "formatted")
+    assert "ReadSchema" in plan
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert all("n_chars" not in line for line in read_schemas), read_schemas
+
+
+def test_tfidf_partial_aggregation(spark, sf001_dir):
+    from gbif_filter_python_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = explain_str(tfidf_top_terms(docs), "simple")
+    assert "partial_count" in plan, plan
