@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "contamination",
     "int8_quantize",
+    "corpus_prep",
 ]
 
 
