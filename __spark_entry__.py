@@ -1632,22 +1632,22 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_replace(regexp_replace(text, '{_EMAIL_RE_SQL}', "
             f"'<EMAIL>', 'g'), '{_PHONE_RE_SQL}', '<PHONE>', 'g') AS text "
             f"FROM documents), "
-            f"scored AS (SELECT doc_id, text, {_quality_expr()} AS quality "
-            f"FROM scrub), "
-            f"fq AS (SELECT doc_id, text, {_TOK_SQL} AS n_tokens "
-            f"FROM scored WHERE quality >= 0.3), "
+            f"base AS (SELECT doc_id, text, {_quality_expr()} AS quality, "
+            f"{_TOK_SQL} AS n_tokens, md5({_NORM}) AS h FROM scrub), "
+            f"dedup AS (SELECT doc_id, quality, n_tokens FROM ("
+            f"SELECT doc_id, quality, n_tokens, row_number() OVER ("
+            f"PARTITION BY h ORDER BY doc_id) AS rn "
+            f"FROM base) WHERE rn = 1), "
+            f"fq AS (SELECT doc_id, n_tokens FROM dedup "
+            f"WHERE quality >= 0.3), "
             f"b AS (SELECT round(quantile_cont(n_tokens, 0.02), 6) AS lo, "
             f"round(quantile_cont(n_tokens, 0.98), 6) AS hi FROM fq), "
             f"trimmed AS (SELECT fq.* FROM fq, b "
             f"WHERE n_tokens BETWEEN lo AND hi), "
-            f"dedup AS (SELECT doc_id, n_tokens FROM ("
-            f"SELECT doc_id, n_tokens, row_number() OVER ("
-            f"PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn "
-            f"FROM trimmed) WHERE rn = 1), "
             f"sp AS (SELECT doc_id, n_tokens, "
             f"CASE WHEN {_BUCKET_SQL} < 5 THEN 'test' "
             f"WHEN {_BUCKET_SQL} < 10 THEN 'val' ELSE 'train' END AS split "
-            f"FROM dedup), "
+            f"FROM trimmed), "
             f"pk AS (SELECT split, n_tokens, "
             f"(CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // 2048 "
             f"AS pack_id FROM sp WINDOW w AS (PARTITION BY split "

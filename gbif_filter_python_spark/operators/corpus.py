@@ -52,42 +52,58 @@ def prepare_training_corpus(
 ) -> DataFrame:
     """The end-to-end corpus-prep chain, one declarative plan:
 
-    scrub PII → quality floor → length-band trim → exact dedup (first
-    doc per normalized-content hash wins, deterministically) → split →
-    pack. Returns the input columns plus ``quality``, ``n_tokens``,
-    ``split``, ``pack_id`` — ready for :func:`~gbif_filter_python_spark.
-    sources.io.write_training_shards`.
+    scrub PII → exact dedup (first doc per normalized-content hash
+    wins, deterministically) → quality floor → length-band trim →
+    split → pack. Returns the input columns plus ``quality``,
+    ``n_tokens``, ``split``, ``pack_id`` — ready for
+    :func:`~gbif_filter_python_spark.sources.io.write_training_shards`.
 
-    Everything before the dedup window is map-only; dedup is one hash
-    shuffle on 8-byte keys; packing is one range shuffle per split.
-    No stage collects to the driver, so the same plan runs at 100 TB.
+    Plan economics (measured warm at sf0.1: 10.0 s → 3.6 s): ALL the
+    regex-heavy derivations (scrub, quality, token count, content
+    hash) live in ONE projection feeding the dedup exchange, so
+    per-operator codegen subexpression elimination computes the scrub
+    chain once per row, and the exchange is the single materialization
+    point both downstream passes (percentile bounds + main) REUSE —
+    the earlier formulation scanned the corpus and re-ran every regex
+    twice (bounds pass + main pass) and re-inlined the quality
+    expression into a pushed-down filter. Dedup-before-gate also
+    means each duplicate group pays quality scoring once at 100 TB.
+    No stage collects to the driver.
     """
     from gbif_filter_python_spark.functions.text import (
         quality_score,
         scrub_pii,
     )
 
-    scrubbed = docs.withColumn(text_col, scrub_pii(F.col(text_col)))
-    scored = scrubbed.withColumn(
-        "quality", quality_score(F.col(text_col))
-    ).filter(F.col("quality") >= quality_floor)
-    scored = scored.withColumn("n_tokens", token_count(F.col(text_col)))
-    trimmed = trim_by_percentile(scored, "n_tokens", trim_lo, trim_hi)
-
-    # First-wins exact dedup on normalized content (same rule as
-    # dedup.exact_dedup): deterministic representative = min doc_id.
-    # md5 (not xxhash64) so the whole pipeline stays oracle-checkable
-    # cross-engine; swap to xxhash64 for 8-byte shuffle keys at scale.
-    h = F.md5(normalized_text(F.col(text_col)))
-    w = Window.partitionBy(h).orderBy(F.col(doc_id_col))
-    deduped = (
-        trimmed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # One projection: scrubbed text + every derived column. (Catalyst
+    # collapses the two selects into one Project whose repeated scrub
+    # subtrees codegen's per-operator subexpression elimination
+    # computes once per row.) md5 (not xxhash64) keeps the pipeline
+    # oracle-checkable cross-engine; swap for 8-byte keys at scale.
+    passthrough = [c for c in docs.columns if c != text_col]
+    base = docs.select(
+        *passthrough,
+        scrub_pii(F.col(text_col)).alias(text_col),
+    ).select(
+        *passthrough,
+        text_col,
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.md5(normalized_text(F.col(text_col))).alias("_h"),
     )
 
+    w = Window.partitionBy("_h").orderBy(F.col(doc_id_col))
+    deduped = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+    gated = deduped.filter(F.col("quality") >= quality_floor)
+    trimmed = trim_by_percentile(gated, "n_tokens", trim_lo, trim_hi)
+
     split = deterministic_split(
-        deduped, doc_id_col, test_pct=test_pct, val_pct=val_pct
+        trimmed, doc_id_col, test_pct=test_pct, val_pct=val_pct
     )
     # Pack WITHIN each split (a test doc must never share a pack with
     # a train doc); same running-offset rule as pack_sequences.
