@@ -69,6 +69,19 @@ class OccurrenceEngine:
         """Semi-join: taxa rows with ≥1 occurrence in zone (legacy occurs_in)."""
         return filter_occurring(taxa, self.occurrences_in_zone(zone), key_col=key_col)
 
+    def get_lineage(
+        self, taxa: DataFrame, key_col: str = KEY_COL
+    ) -> DataFrame:
+        """Ancestor chain per taxon (legacy TaxonomicSource.get_lineage,
+        SURVEY.md §1.4): (key, ancestor_key/_name/_rank, depth 1 =
+        immediate parent), set-at-a-time over the taxonomy dimension."""
+        from gbif_filter_python_spark.operators.expansion import ascend_lineage
+
+        keys = taxa.select(F.col(key_col).alias("key")).filter(
+            F.col("key").isNotNull()
+        )
+        return ascend_lineage(self.taxonomy, keys)
+
     def get_occurrences(
         self, taxa: DataFrame, zone: Zone | None = None, key_col: str = KEY_COL
     ) -> DataFrame:

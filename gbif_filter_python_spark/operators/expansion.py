@@ -109,6 +109,59 @@ def descend_to_rank(
     )
 
 
+def ascend_lineage(
+    taxonomy: DataFrame,
+    keys: DataFrame,
+    max_hops: int = 30,
+) -> DataFrame:
+    """Ancestor chain of each taxon key, walking ``parent_key`` upward.
+
+    The Spark twin of the legacy ``TaxonomicSource.get_lineage``
+    (SURVEY.md §1.4, util/__pycache__/data_source.cpython-37.pyc) —
+    set-oriented: ``keys`` is a single-column ``key`` DataFrame;
+    returns ``(key, ancestor_key, ancestor_name, ancestor_rank,
+    depth)`` with depth 1 = immediate parent (self excluded). One
+    equi-join per hop against the taxonomy dimension, frontier-sized
+    (shrinks as chains hit roots), lineage checkpoint-truncated;
+    rounds = tree height (~10 for taxonomic ranks), never data size.
+    ``max_hops`` guards corrupt (cyclic) parent edges.
+    """
+    tax = taxonomy.select(
+        F.col("key").alias("_k"),
+        F.col("parent_key").alias("_p"),
+        F.col("canonical_name").alias("_name"),
+        F.upper(F.col("rank")).alias("_rank"),
+    )
+    frontier = (
+        keys.select(F.col("key").alias("_start"))
+        .distinct()
+        .join(tax, F.col("_start") == F.col("_k"))
+        .select("_start", F.col("_p").alias("_cur"))
+        .filter(F.col("_cur").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for depth in range(1, max_hops + 1):
+        node = frontier.join(tax, frontier["_cur"] == tax["_k"]).select(
+            F.col("_start").alias("key"),
+            F.col("_k").alias("ancestor_key"),
+            F.col("_name").alias("ancestor_name"),
+            F.col("_rank").alias("ancestor_rank"),
+            F.lit(depth).alias("depth"),
+            F.col("_p"),
+        ).localCheckpoint(eager=True)
+        if node.isEmpty():
+            return out if out is not None else node.drop("_p")
+        emitted = node.drop("_p")
+        out = emitted if out is None else out.unionByName(emitted)
+        frontier = node.filter(F.col("_p").isNotNull()).select(
+            F.col("key").alias("_start"), F.col("_p").alias("_cur")
+        )
+    raise RuntimeError(
+        f"ascend_lineage exceeded {max_hops} hops — cyclic parent edges?"
+    )
+
+
 def expand_children(
     taxonomy: DataFrame,
     parents: DataFrame,

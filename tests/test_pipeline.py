@@ -283,3 +283,35 @@ class TestObservation:
         got = obs.get
         assert got == {"rows": 5, "tagged_true": 1, "tagged_false": 2,
                        "tagged_null": 2}
+
+
+class TestLineage:
+    def test_species_full_chain(self, spark, taxonomy, occurrence):
+        from gbif_filter_python_spark.engine import OccurrenceEngine
+
+        eng = OccurrenceEngine(taxonomy, occurrence)
+        taxa = spark.createDataFrame([(4000,)], "gbif_key long")
+        rows = eng.get_lineage(taxa).collect()
+        chain = {r["depth"]: (r["ancestor_key"], r["ancestor_rank"]) for r in rows}
+        assert chain[1] == (3000, "GENUS")
+        assert chain[2] == (2000, "FAMILY")
+        assert chain[3] == (1000, "ORDER")
+        assert chain[4] == (100, "CLASS")
+        assert chain[5] == (10, "PHYLUM")
+        assert chain[6] == (1, "KINGDOM")
+        assert len(rows) == 6
+        names = {r["depth"]: r["ancestor_name"] for r in rows}
+        assert names[2] == "Lumbricidae"
+
+    def test_root_and_multiple_keys(self, spark, taxonomy, occurrence):
+        from gbif_filter_python_spark.engine import OccurrenceEngine
+
+        eng = OccurrenceEngine(taxonomy, occurrence)
+        # Root (Animalia, parent null) has no ancestors; 3000 has 5.
+        taxa = spark.createDataFrame([(1,), (3000,), (None,)], "gbif_key long")
+        rows = eng.get_lineage(taxa).collect()
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r["key"], []).append(r)
+        assert 1 not in per_key
+        assert len(per_key[3000]) == 5
