@@ -975,6 +975,17 @@ def q_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user hourly grid with zero-filled counts and forward-filled
+    sums (gap-fill resample; no theta-join, per-key sequence grid)."""
+    from gbif_filter_python_spark.operators.temporal import (
+        resample_forward_fill,
+    )
+
+    events = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    return resample_forward_fill(events)
+
+
 def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     """The full corpus-prep pipeline (scrub → quality floor → trim →
     dedup → split → pack) as ONE declarative plan; per-split pack/doc/
@@ -1145,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
+        "resample_ffill": q_resample_ffill,
     }
 
 
@@ -1655,6 +1667,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT split, count(DISTINCT pack_id) AS n_packs, "
             f"count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
             f"AS total_tokens FROM pk GROUP BY split"
+        ),
+        "resample_ffill": (
+            "WITH hourly AS (SELECT user_id AS key, "
+            "date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            "round(sum(value), 4) AS sv FROM events "
+            "WHERE user_id < 20 GROUP BY 1, 2), "
+            "b AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi "
+            "FROM hourly GROUP BY key), "
+            "grid AS (SELECT key, unnest(list_transform("
+            "range(0, CAST(date_diff('hour', lo, hi) AS BIGINT) + 1), "
+            "i -> lo + i * INTERVAL 1 HOUR)) AS bucket FROM b), "
+            "j AS (SELECT g.key, g.bucket, h.n, h.sv FROM grid g "
+            "LEFT JOIN hourly h ON g.key = h.key AND g.bucket = h.bucket) "
+            "SELECT key AS user_id, bucket, "
+            "CAST(coalesce(n, 0) AS BIGINT) AS n_events, "
+            "last_value(sv IGNORE NULLS) OVER (PARTITION BY key "
+            "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_value "
+            "FROM j"
         ),
         "length_trim": (
             "WITH b AS (SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo, "

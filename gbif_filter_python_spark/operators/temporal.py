@@ -160,3 +160,61 @@ def range_join(
         & (F.col(left_point) < F.col(right_end))
     )
     return lb.join(rb, cond, how).drop("_pb", "_ib")
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key,
+    forward-filling gaps — the standard feature-engineering resample
+    (metrics dashboards, state snapshots between sparse updates).
+
+    Per key: bucket events to the grid step (one hash aggregation),
+    derive the (min, max) bucket bounds (second tiny aggregation),
+    EXPLODE a per-key ``sequence(min, max, step)`` grid (rows scale
+    with key-span/step, never with pairwise joins), left-join the
+    aggregated buckets back, and forward-fill with
+    ``last(ignorenulls)`` over one ordered window. Two narrow
+    shuffles on the key; no theta-join, no driver actions.
+
+    Returns (key, bucket, n_events, filled_value): n_events is 0 on
+    gap rows; filled_value carries the most recent non-null bucket
+    aggregate (rounded before filling so propagated values are
+    fp-stable).
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else (
+        F.window(F.col(ts_col), step)["start"]
+    )
+    hourly = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.round(F.sum(value_col), 4).alias("_sv"),
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"interval {step}")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("_sv", ignorenulls=True).over(w).alias("filled_value"),
+    )
