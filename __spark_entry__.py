@@ -986,6 +986,105 @@ def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     return resample_forward_fill(events)
 
 
+def q_stats_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates per group: Pearson correlation, sample
+    covariance, and least-squares regression of extendedprice on
+    quantity — one hash aggregation, all JVM-side built-ins."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qp"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def q_histogram_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals (fixed 30k buckets, capped
+    at bucket 19) — pure arithmetic bucketing, one aggregation."""
+    orders = _t(spark, sf, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outliers: events whose value is > 3 sample
+    stddevs from their event_type's mean. One window pass (mean and
+    stddev share the frame); no second scan or join."""
+    events = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.mean("value").over(w)) / F.stddev_samp(
+        "value"
+    ).over(w)
+    return (
+        events.withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("_z"), 4).alias("zscore"),
+        )
+    )
+
+
+def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass per-column table profile of orders (null counts,
+    exact distincts for the oracle twin — approx HLL is the scale
+    default), unpivoted via stack."""
+    from gbif_filter_python_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf, "orders")
+    return profile_table(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+              "o_totalprice"],
+        exact_distinct=True,
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word and
+    top-bigram fractions) per document."""
+    from gbif_filter_python_spark.operators.corpus import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"))
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-width token chunks (size 64, overlap 16) —
+    map-only posexplode; chunk content compared by md5."""
+    from gbif_filter_python_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_size=64, overlap=16
+    )
+
+
+def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-ordered k-per-group sample of orders by
+    priority class (reproducible across engines and partitionings)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        hash_sample_k_per_group,
+    )
+
+    orders = _t(spark, sf, "orders")
+    return hash_sample_k_per_group(
+        orders, "o_orderpriority", "o_orderkey", k=5
+    ).select("o_orderpriority", "o_orderkey", "sample_rank")
+
+
 def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     """The full corpus-prep pipeline (scrub → quality floor → trim →
     dedup → split → pack) as ONE declarative plan; per-split pack/doc/
@@ -1157,6 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
+        "stats_corr": q_stats_corr,
+        "histogram_price": q_histogram_price,
+        "outlier_zscore": q_outlier_zscore,
+        "profile_stats": q_profile_stats,
+        "repetition_signals": q_repetition_signals,
+        "chunk_documents": q_chunk_documents,
+        "group_sample": q_group_sample,
     }
 
 
@@ -1685,6 +1791,81 @@ def oracle_sql() -> dict[str, str]:
             "last_value(sv IGNORE NULLS) OVER (PARTITION BY key "
             "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_value "
             "FROM j"
+        ),
+        "stats_corr": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+            "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp, "
+            "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 2) "
+            "AS intercept, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "histogram_price": (
+            "SELECT CAST(least(floor(o_totalprice / 30000), 19) AS BIGINT) "
+            "AS bucket, count(*) AS n FROM orders GROUP BY 1"
+        ),
+        "outlier_zscore": (
+            "WITH z AS (SELECT event_id, event_type, "
+            "(value - avg(value) OVER (PARTITION BY event_type)) / "
+            "stddev_samp(value) OVER (PARTITION BY event_type) AS zv "
+            "FROM events) "
+            "SELECT event_id, event_type, round(zv, 4) AS zscore "
+            "FROM z WHERE abs(zv) > 3.0"
+        ),
+        "profile_stats": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", "
+                f"(SELECT count(*) FROM orders) AS n_rows, "
+                f"count({c}) AS n_nonnull, "
+                f"count(DISTINCT {c}) AS n_distinct, "
+                f"CAST(min({c}) AS VARCHAR) AS min_value, "
+                f"CAST(max({c}) AS VARCHAR) AS max_value FROM orders"
+                for c in [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_totalprice",
+                ]
+            )
+        ),
+        "repetition_signals": (
+            f"WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(ws) AS n_words, "
+            "len(list_distinct(ws)) AS nd, ws FROM w WHERE len(ws) >= 2), "
+            "b AS (SELECT doc_id, n_words, nd, "
+            "unnest(list_transform(range(1, n_words), "
+            "i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM s), "
+            "c AS (SELECT doc_id, n_words, nd, bigram, count(*) AS cnt "
+            "FROM b GROUP BY ALL), "
+            "t AS (SELECT doc_id, n_words, nd, max(cnt) AS top "
+            "FROM c GROUP BY doc_id, n_words, nd) "
+            "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+            "round(1 - nd / CAST(n_words AS DOUBLE), 6) AS dup_word_frac, "
+            "round(top / CAST(n_words - 1 AS DOUBLE), 6) AS top_bigram_frac "
+            "FROM t"
+        ),
+        "chunk_documents": (
+            f"WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(ws) AS n, ws FROM w "
+            "WHERE len(ws) >= 1 AND NOT (n = 1 AND ws[1] = '')), "
+            "c AS (SELECT doc_id, n, ws, "
+            "unnest(range(0, CAST(n AS BIGINT), 48)) AS start FROM s) "
+            "SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id, "
+            "CAST(least(64, n - start) AS INT) AS n_tokens, "
+            "md5(array_to_string(list_slice(ws, start + 1, start + 64), ' ')) "
+            "AS chunk_md5 FROM c"
+        ),
+        "group_sample": (
+            "WITH r AS (SELECT o_orderpriority, o_orderkey, "
+            "row_number() OVER (PARTITION BY o_orderpriority ORDER BY "
+            "md5('s1|' || CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC) "
+            "AS sample_rank FROM orders) "
+            "SELECT o_orderpriority, o_orderkey, "
+            "CAST(sample_rank AS INT) AS sample_rank FROM r "
+            "WHERE sample_rank <= 5"
         ),
         "length_trim": (
             "WITH b AS (SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo, "

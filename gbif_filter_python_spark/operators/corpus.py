@@ -432,3 +432,127 @@ def pack_sequences(
     return with_off.withColumn(
         "pack_id", (F.col("start_offset") / budget).cast("long")
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style rules):
+    duplicate-word fraction and most-frequent-bigram fraction.
+
+    One staged words projection feeds both: the scalar stats
+    (word count, distinct word count) ride along the exploded bigram
+    rows as grouping keys, so the whole thing is one scan + two hash
+    aggregations — shuffles carry (doc_id, bigram-ints) rows, never
+    text. Docs with < 2 words have no bigram and are excluded (the
+    signal is undefined for them); the SQL twin applies the same
+    guard.
+
+    Returns (doc_id, n_words, dup_word_frac, top_bigram_frac), the
+    fractions rounded to 6dp for fp-stable comparison.
+    """
+    with_words = docs.select(
+        F.col(doc_id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    )
+    exploded = with_words.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        F.size(F.array_distinct("_w")).alias("_nd"),
+        F.explode(ngrams_from_words(F.col("_w"), 2)).alias("bigram"),
+    )
+    per_bigram = exploded.groupBy("doc_id", "n_words", "_nd", "bigram").agg(
+        F.count("*").alias("_c")
+    )
+    per_doc = per_bigram.groupBy("doc_id", "n_words", "_nd").agg(
+        F.max("_c").alias("_top")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.lit(1.0) - F.col("_nd") / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.col("_top") / (F.col("n_words") - 1).cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width token chunks — the
+    standard pre-embedding / pre-training windowing step.
+
+    Chunk starts are ``0, stride, 2*stride, ...`` (stride =
+    chunk_size - overlap) while start < n_words; each chunk is
+    ``words[start : start + chunk_size]``. All per-row: one staged
+    words projection, one posexplode over a sequence() of starts —
+    rows scale with tokens/stride, no shuffle at all (the operator is
+    map-only; downstream writers decide partitioning).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_md5): the md5 is over
+    the space-joined chunk words, so two engines agree byte-for-byte
+    without moving chunk text through a comparison harness.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    with_words = docs.select(
+        F.col(doc_id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    )
+    starts = F.when(
+        F.size("_w") >= 1,
+        F.sequence(F.lit(0), F.size("_w") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = with_words.select(
+        "doc_id",
+        F.size("_w").alias("_n"),
+        F.col("_w"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk_words = F.slice(F.col("_w"), F.col("_start") + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("_start")).alias(
+            "n_tokens"
+        ),
+        F.md5(F.concat_ws(" ", chunk_words)).alias("chunk_md5"),
+    )
+
+
+def hash_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 5,
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic k-per-group sample: order each group by
+    ``md5(seed | key)`` and keep the first ``k``.
+
+    The hash ordering is a pure function of (seed, key), so the sample
+    is reproducible across runs, engines, and cluster sizes — unlike
+    ``rand()``-based sampling, whose draw depends on partitioning.
+    One window per group (single hash shuffle); at scale, groups are
+    window partitions, so skewed groups parallelize per-partition
+    only — for k << group size a cheaper two-phase
+    (per-partition top-k then merge) variant applies, which
+    ``WindowGroupLimit`` performs automatically for rank filters in
+    Spark 3.5+.
+    """
+    h = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -107,6 +107,28 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", single_file: bool = True
     )
 
 
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink — the interchange format of most LLM-corpus
+    tooling. Arrays and structs serialize natively (no CSV-style
+    to_json flattening); timestamps are ISO-8601; nulls are omitted
+    per JSON convention. Partitioned by default — a 100 TB corpus
+    writes one file per task; ``single_file`` exists only for small
+    edge exports."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("ignoreNullFields", False).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source with an explicit schema (recommended: schema
+    inference on JSON costs a full extra pass over the data, which at
+    100 TB is a second scan). Without ``schema``, inference is
+    accepted for small inputs."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_occurrence_snapshot(
     df: DataFrame,
     path: str,

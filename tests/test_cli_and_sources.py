@@ -142,6 +142,29 @@ class TestCsvIo:
         assert back.count() == 1
 
 
+class TestJsonlIo:
+    def test_roundtrip_arrays_nulls_timestamps(self, spark, tmp_path):
+        from gbif_filter_python_spark.sources.io import read_jsonl, write_jsonl
+
+        df = spark.createDataFrame(
+            [
+                (1, ["a", "b"], None, "2024-03-01 10:30:00"),
+                (2, [], 1.5, None),
+            ],
+            "id long, tags array<string>, v double, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        out = str(tmp_path / "jsonl")
+        write_jsonl(df, out)
+        back = read_jsonl(spark, out, schema=df.schema)
+        rows = {r["id"]: r for r in back.collect()}
+        # Arrays survive natively (CSV would have JSON-stringified them).
+        assert rows[1]["tags"] == ["a", "b"] and rows[2]["tags"] == []
+        assert rows[1]["v"] is None and rows[2]["v"] == 1.5
+        assert rows[2]["ts"] is None
+        assert rows[1]["ts"].isoformat().startswith("2024-03-01T10:30")
+        assert back.schema == df.schema
+
+
 class TestRestBatchProvider:
     def test_online_resolution_semantics(self, spark):
         def fake_fetch(name, rank, kingdom):

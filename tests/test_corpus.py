@@ -355,3 +355,122 @@ class TestPrepareTrainingCorpus:
         again = prepare_training_corpus(docs)
         assert out.exceptAll(again).count() == 0
         out.unpersist()
+
+
+class TestRepetitionSignals:
+    def test_fractions(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            repetition_signals,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),          # heavy bigram repetition
+                (2, "one two three four"),   # all distinct
+                (3, "x"),                    # < 2 words: excluded
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        assert set(rows) == {1, 2}
+        # doc 1: 6 words, 2 distinct → dup frac 4/6; bigrams
+        # [a b, b a, a b, b a, a b] → top 'a b' ×3 of 5.
+        assert rows[1].n_words == 6
+        assert abs(rows[1].dup_word_frac - 4 / 6) < 1e-6
+        assert abs(rows[1].top_bigram_frac - 3 / 5) < 1e-6
+        # doc 2: no repetition at all.
+        assert rows[2].dup_word_frac == 0.0
+        assert abs(rows[2].top_bigram_frac - 1 / 3) < 1e-6
+
+
+class TestChunkDocuments:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from gbif_filter_python_spark.operators.corpus import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(100))
+        docs = spark.createDataFrame(
+            [(1, words), (2, "small doc")], "doc_id long, text string"
+        )
+        out = chunk_documents(docs, chunk_size=40, overlap=10).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # stride 30 over 100 words → starts 0, 30, 60, 90.
+        c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+        assert [r.n_tokens for r in c1] == [40, 40, 40, 10]
+        # Short doc: exactly one chunk with every token.
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+        # Overlap determinism: identical chunks hash identically.
+        again = chunk_documents(docs, chunk_size=40, overlap=10).collect()
+        assert sorted(r.chunk_md5 for r in out) == sorted(
+            r.chunk_md5 for r in again
+        )
+
+    def test_invalid_overlap_rejected(self, spark):
+        import pytest
+        from gbif_filter_python_spark.operators.corpus import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+class TestHashSampleKPerGroup:
+    def test_deterministic_and_sized(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            hash_sample_k_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(g, g * 100 + i) for g in range(3) for i in range(20)],
+            "grp int, key long",
+        )
+        s1 = hash_sample_k_per_group(df, "grp", "key", k=4).collect()
+        assert len(s1) == 12
+        # Same seed → identical sample even under different partitioning.
+        s2 = hash_sample_k_per_group(
+            df.repartition(7), "grp", "key", k=4
+        ).collect()
+        assert sorted((r.grp, r.key) for r in s1) == sorted(
+            (r.grp, r.key) for r in s2
+        )
+        # Different seed → (almost surely) different sample.
+        s3 = hash_sample_k_per_group(df, "grp", "key", k=4, seed="s2").collect()
+        assert sorted((r.grp, r.key) for r in s1) != sorted(
+            (r.grp, r.key) for r in s3
+        )
+
+
+class TestProfileTable:
+    def test_one_pass_stats(self, spark):
+        from gbif_filter_python_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (None, "c", 0.5)],
+            "k long, s string, v double",
+        )
+        out = {r.column: r for r in profile_table(
+            df, exact_distinct=True
+        ).collect()}
+        assert set(out) == {"k", "s", "v"}
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["k"].n_nonnull == 3 and out["k"].n_distinct == 3
+        assert out["s"].n_distinct == 3
+        assert out["v"].n_nonnull == 3
+        assert out["v"].min_value == "0.5" and out["v"].max_value == "2.5"
+        assert out["s"].min_value == "a" and out["s"].max_value == "c"
+
+    def test_single_aggregation_pass(self, spark):
+        """The profile must be ONE aggregate over the table — approx
+        mode plans no Expand and a single pair of HashAggregates."""
+        from gbif_filter_python_spark.operators.profile import profile_table
+
+        df = spark.range(100).selectExpr("id", "id % 7 AS m")
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        # exact mode documents its cost: the Expand appears.
+        plan_exact = profile_table(
+            df, exact_distinct=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan_exact
