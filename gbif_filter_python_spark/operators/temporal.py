@@ -218,3 +218,66 @@ def resample_forward_fill(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
         F.last("_sv", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key (pandas
+    ``ewm(alpha, adjust=True)`` semantics), as pure window algebra:
+
+        y_t = Σ_i x_i (1-α)^(t-i) / Σ_i (1-α)^(t-i)
+            = running_sum(x_i · r^-i) / running_sum(r^-i),  r = 1-α
+
+    (the common (1-α)^t factor cancels). One window over one ordering
+    — a single hash shuffle on the key, no Python in the path.
+
+    BOUNDED-LENGTH caveat: r^-i overflows double at i ≈ ln(1.8e308) /
+    -ln(r) (~3 100 rows/key at α=0.2). For unbounded per-key history
+    use :func:`ewma_stateful` (Arrow-batched, O(1) state). This is the
+    oracle-checkable closed form; that is the scale path.
+    """
+    r = 1.0 - alpha
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w_ord = Window.partitionBy(key_col).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w_ord) - 1
+    inv = F.pow(F.lit(1.0 / r), i)
+    return df.withColumn(
+        "ewma",
+        F.sum(F.col(value_col) * inv).over(w_run) / F.sum(inv).over(w_run),
+    )
+
+
+def ewma_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Unbounded-length EWMA via ``applyInPandas``: one Arrow batch
+    per key, sorted in-batch, pandas ``ewm`` recurrence (numerically
+    stable for any length — no r^-i term). Use when per-key history
+    exceeds the closed form's double-overflow bound; groups must fit
+    an executor's memory (one key's history per batch), which is the
+    standard applyInPandas envelope."""
+    import pandas as pd
+
+    schema = df.schema.add("ewma", "double")
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        )
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_ewm, schema=schema)
