@@ -1188,6 +1188,85 @@ def q_domain_flatten(spark: SparkSession, sf: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
 
 
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal: synthesize multi-line docs
+    (10 corpus docs per synthetic doc, newline-joined), strip lines
+    occurring in >= 3 distinct docs, return per-doc md5 of the
+    scrubbed text. The planted duplicate texts in the corpus become
+    the repeated 'boilerplate' lines."""
+    from gbif_filter_python_spark.operators.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf, "documents")
+    synth = docs.groupBy(F.pmod("doc_id", F.lit(50)).alias("doc_id")).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    scrubbed = remove_boilerplate_lines(synth, min_docs=3)
+    return scrubbed.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_kept"),
+    )
+
+
+def q_gopher_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality signals + combined pass flag
+    (min_words lowered to 25 for the synthetic corpus's short docs)."""
+    from gbif_filter_python_spark.functions.text import gopher_signals
+
+    docs = _t(spark, sf, "documents")
+    sig = gopher_signals(F.col("text"), min_words=25)
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in sig.items()]
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keeping the best row per duplicate group — here
+    'best' = highest doc_id (deterministic, oracle-checkable), vs
+    exact_dedup's min-id representative. Runs over the augmented
+    corpus (planted duplicates) so canonical selection is exercised."""
+    from gbif_filter_python_spark.operators.dedup import dedup_keep_best
+
+    docs = _augmented_docs(spark, sf)
+    kept = dedup_keep_best(docs, score=F.col("doc_id"))
+    return kept.select("doc_id", "source", "lang")
+
+
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle: md5-derived shard
+    + in-shard position, reproducible across runs and partitionings."""
+    from gbif_filter_python_spark.operators.corpus import shuffle_corpus
+
+    docs = _t(spark, sf, "documents")
+    return shuffle_corpus(docs, salt="epoch1", num_shards=8).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Spherical k-means (Lloyd, 5 iterations) over the embeddings —
+    per-cluster sizes. Rows-only: the iterative refit is not
+    SQL-expressible; invariants (monotone inertia, argmax assignment)
+    are pytest-checked in tests/test_training_ops.py."""
+    from gbif_filter_python_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=8, max_iter=5)
+    assigned = kmeans_assign(emb, centroids)
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "existence_semijoin": q_existence_semijoin,
@@ -1263,6 +1342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "chunk_documents": q_chunk_documents,
         "group_sample": q_group_sample,
+        "line_dedup": q_line_dedup,
+        "gopher_filters": q_gopher_filters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_shuffle": q_corpus_shuffle,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1897,9 +1981,83 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_BUCKET10K_SQL.replace('doc_id', 'd.doc_id')} < "
             f"(SELECT mn FROM m) * 10000 // c.n GROUP BY d.source"
         ),
+        "line_dedup": (
+            "WITH synth AS (SELECT doc_id % 50 AS doc_id, "
+            "string_agg(text, chr(10) ORDER BY doc_id) AS text "
+            "FROM documents GROUP BY (doc_id % 50)), "
+            "ex AS (SELECT s.doc_id, g.i AS pos, s.ls[g.i] AS line "
+            "FROM (SELECT doc_id, string_split(text, chr(10)) AS ls "
+            "FROM synth) s, "
+            "LATERAL (SELECT unnest(generate_series(1, len(s.ls))) AS i) g "
+            "WHERE trim(s.ls[g.i]) <> ''), "
+            "freq AS (SELECT tl FROM (SELECT DISTINCT doc_id, trim(line) "
+            "AS tl FROM ex) GROUP BY tl HAVING count(*) >= 3), "
+            "kept AS (SELECT * FROM ex WHERE trim(line) NOT IN "
+            "(SELECT tl FROM freq)), "
+            "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) "
+            "AS text FROM kept GROUP BY doc_id) "
+            "SELECT s.doc_id, md5(coalesce(r.text, '')) AS text_md5, "
+            "length(coalesce(r.text, '')) AS n_chars_kept "
+            "FROM synth s LEFT JOIN reb r ON s.doc_id = r.doc_id"
+        ),
+        "gopher_filters": (
+            "WITH s AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "m AS (SELECT doc_id, len(words) AS n_words, "
+            "CASE WHEN len(words) > 0 THEN CAST(len(words) AS DOUBLE) "
+            "ELSE 1.0 END AS safe_n, "
+            "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) "
+            "AS nonspace, "
+            "len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "AS alpha_words, "
+            "CAST(length(text) - length(replace(text, '#', '')) AS INT) + "
+            "CAST((length(text) - length(replace(text, '...', ''))) / 3 "
+            "AS INT) AS symbol_hits, "
+            "(CASE WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' and ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' of ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' to ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' a ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' in ' IN ' ' || lower(text) || ' ') > 0 "
+            "THEN 1 ELSE 0 END) AS stopword_hits FROM s) "
+            "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+            "round(nonspace / safe_n, 6) AS mean_word_len, "
+            "round(alpha_words / safe_n, 6) AS alpha_word_ratio, "
+            "round(symbol_hits / safe_n, 6) AS symbol_ratio, "
+            "CAST(stopword_hits AS INT) AS stopword_hits, "
+            "((n_words BETWEEN 25 AND 100000) "
+            "AND (round(nonspace / safe_n, 6) BETWEEN 3.0 AND 10.0) "
+            "AND round(symbol_hits / safe_n, 6) <= 0.1 "
+            "AND round(alpha_words / safe_n, 6) >= 0.8 "
+            "AND stopword_hits >= 2) AS passes FROM m"
+        ),
+        "dedup_keep_best": (
+            f"WITH aug AS ({_AUG_DOCS}), "
+            f"r AS (SELECT doc_id, source, lang, row_number() OVER ("
+            f"PARTITION BY md5({_NORM}) ORDER BY doc_id DESC) AS rn "
+            f"FROM aug) "
+            f"SELECT doc_id, source, lang FROM r WHERE rn = 1"
+        ),
+        "corpus_shuffle": (
+            "WITH h AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS hh FROM documents), "
+            "s AS (SELECT doc_id, hh, "
+            "CAST(('0x' || substring(hh, 1, 8))::BIGINT % 8 AS INT) AS shard "
+            "FROM h) "
+            "SELECT doc_id, shard, CAST(row_number() OVER ("
+            "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
+            "AS pos_in_shard FROM s"
+        ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
-        # ann_lsh_topk / approx_distinct / ivf_topk /
+        # ann_lsh_topk / approx_distinct / ivf_topk / kmeans_clusters /
         # multimodal_features / media_resize / audio_stats:
-        # non-SQL-expressible (LSH bucketing, HLL approximation,
-        # hash-seeded stub codecs behind mapInPandas) → rows-only checks.
+        # non-SQL-expressible (LSH bucketing, HLL approximation, Lloyd
+        # iteration, hash-seeded stub codecs behind mapInPandas) →
+        # rows-only checks.
     }

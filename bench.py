@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "contamination",
     "int8_quantize",
     "corpus_prep",
+    # Round-2 continuation: line-level boilerplate scrub, heuristic
+    # quality filters, training-order shuffle, IVF-trainer k-means.
+    "line_dedup",
+    "gopher_filters",
+    "corpus_shuffle",
+    "kmeans_clusters",
 ]
 
 

@@ -156,3 +156,65 @@ def fingerprint64(col: Column) -> Column:
     this one is the engine-internal fast path.
     """
     return F.xxhash64(normalized_text(col))
+
+
+#: Marker stopwords for the Gopher-style presence check. Padded-space
+#: containment (not word-split) keeps the check one JVM `contains` per
+#: marker — and identical semantics in the DuckDB oracle's position().
+_STOPWORD_MARKERS = (" the ", " and ", " of ", " to ", " a ", " in ")
+
+
+def gopher_signals(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher/C4-style heuristic document-quality signals.
+
+    Returns named Column expressions (word count, mean word length,
+    alphabetic-word ratio, symbol ratio, stopword-marker hits, and the
+    combined ``passes`` rule) mirroring the repetition/length filters
+    of Rae et al. 2021 (Gopher §A1.1) and Raffel et al. 2020 (C4).
+    Pure Column expressions — whole-stage codegen, no Python in the
+    100 TB hot path — and every ratio is 6dp-rounded so the DuckDB
+    oracle hashes identically.
+
+    Thresholds are parameters (defaults = the published Gopher bounds)
+    because real pipelines tune them per-source.
+    """
+    words = F.array_remove(F.split(F.trim(col), r"\s+"), "")
+    n_words = F.size(words)
+    safe_n = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("double")
+    mean_word_len = F.round(nonspace / safe_n, 6)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(alpha_words.cast("double") / safe_n, 6)
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    symbol_hits = _occurrences(col, "#") + _occurrences(col, "...")
+    symbol_ratio = F.round(symbol_hits.cast("double") / safe_n, 6)
+    stopword_hits = sum_cols(
+        [
+            F.when(F.contains(padded, F.lit(m)), 1).otherwise(0)
+            for m in _STOPWORD_MARKERS
+        ]
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_word_ratio >= min_alpha_word_ratio)
+        & (stopword_hits >= min_stopword_hits)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_word_ratio": alpha_word_ratio,
+        "symbol_ratio": symbol_ratio,
+        "stopword_hits": stopword_hits,
+        "passes": passes,
+    }

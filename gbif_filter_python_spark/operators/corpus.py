@@ -36,6 +36,8 @@ __all__ = [
     "flatten_domains",
     "trim_by_percentile",
     "prepare_training_corpus",
+    "remove_boilerplate_lines",
+    "shuffle_corpus",
 ]
 
 
@@ -562,4 +564,95 @@ def hash_sample_k_per_group(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip boilerplate lines: any line occurring in >= ``min_docs``
+    distinct documents is removed from EVERY document (the CCNet /
+    RefinedWeb line-frequency pass — headers, footers, cookie banners).
+
+    Scale shape: posexplode lines -> distinct (doc, line-hash) ->
+    per-hash doc-frequency -> the frequent-line set (tiny: boilerplate
+    is by definition a small set of distinct lines) anti-joined back
+    (AQE broadcasts it) -> per-doc ordered reconstruction. Shuffles
+    carry 8-byte line hashes and positions, never document text; the
+    only text-bearing exchange is the final per-doc collect_list,
+    keyed by doc id (no skew: one group per document).
+
+    Blank lines are dropped from the reconstruction; documents whose
+    every line was boilerplate survive with empty text (callers chain
+    a quality filter to drop them).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_bid"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).filter(F.trim("_line") != "")
+    hashed = lines.withColumn("_lh", F.xxhash64(F.trim(F.col("_line"))))
+    frequent = (
+        hashed.select("_bid", "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_lh")
+    )
+    rebuilt = (
+        hashed.join(frequent, "_lh", "left_anti")
+        .groupBy("_bid")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("_new_text")
+        )
+        .withColumnRenamed("_bid", id_col)
+    )
+    cols = df.columns
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
+        .select(*cols)
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "0",
+    num_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign each row a
+    shard and a position within the shard, both pure functions of
+    (id, salt).
+
+    Training runs need the corpus in a reproducible pseudo-random
+    order (and re-shuffled per epoch via a new salt). ``rand()`` is
+    partitioning-dependent; a single global ``row_number`` would put
+    the whole corpus through one window partition. Instead:
+    shard = first 8 hex chars of md5(id:salt) mod num_shards (map-only,
+    no shuffle), position = row_number within the shard ordered by the
+    same hash — num_shards parallel window partitions, each ~n/shards
+    rows, so the exchange is balanced by construction (md5 is uniform).
+    Readers consume shards round-robin for a fully shuffled epoch.
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(num_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("_h")
     )

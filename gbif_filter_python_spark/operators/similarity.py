@@ -194,3 +194,155 @@ def ivf_assign(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_sim")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[float]]:
+    """Spherical k-means (Lloyd) over an embedding column; returns
+    (centroids, per-iteration inertia history). Centroids pair with
+    :func:`ivf_assign` / :func:`ivf_topk` as the trained coarse
+    quantizer (the reference has no clustering; this is the
+    beyond-reference IVF build step).
+
+    Distributed shape, per iteration:
+
+    * assignment — one vectorized pandas UDF (NumPy ``matmul`` of each
+      Arrow batch against the k×dim centroid matrix shipped in the
+      closure). Map-only: no shuffle, no per-row Python, and O(1)
+      Catalyst tree regardless of k×dim (a literal-array argmax
+      expression would be k×dim nodes — the blowup hyperplane_bucket
+      already fixed);
+    * update — posexplode vectors to (cluster, pos, value) and one
+      hash aggregation (map-side partials; shuffle rows = k×dim, not
+      n×dim), plus the same pass summing max-cosine for the inertia;
+    * the k×dim means come back to the driver (the model state —
+      a few MB at worst — the ONLY driver materialization), are
+      L2-normalized, and ship into the next iteration's closure.
+
+    Iterations stop early when relative inertia improvement < ``tol``.
+    Deterministic end to end: seeds are the k rows with smallest
+    ``md5(id)`` (hash-ordered, partitioning-independent), ties in
+    assignment break toward the lower centroid id.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} but corpus has only {len(seed_rows)} rows")
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return m / n
+
+    centroids = _norm(np.array([r[vec_col] for r in seed_rows], dtype=np.float64))
+    history: list[float] = []
+    for _ in range(max_iter):
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+        )
+        stats = (
+            assigned.select(
+                "_c",
+                F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+            )
+            .groupBy("_c", "_pos")
+            .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        dim = centroids.shape[1]
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in stats:
+            sums[r["_c"], r["_pos"]] = r["_s"]
+            counts[r["_c"]] = r["_n"]
+        # Empty clusters keep their previous centroid (standard Lloyd
+        # fallback; deterministic, no resampling).
+        new_centroids = centroids.copy()
+        nonempty = counts > 0
+        # Round to 9dp: distributed float sums are order-dependent in
+        # the last bits, and the fit must be reproducible across
+        # partitionings (a re-run on a different cluster layout must
+        # yield the identical model).
+        new_centroids[nonempty] = np.round(
+            _norm(sums[nonempty] / counts[nonempty, None]), 9
+        )
+        # Inertia (sum of 1 - cosine to the assigned centroid) under the
+        # NEW centroids, one aggregate pass.
+        inertia = assigned.select(
+            F.sum(
+                F.lit(1.0)
+                - _cosine_to_centroid(F.col(vec_col), new_centroids, F.col("_c"))
+            ).alias("_i")
+        ).first()["_i"]
+        # 6dp for the same cross-partitioning reproducibility reason.
+        history.append(round(float(inertia if inertia is not None else 0.0), 6))
+        shift = float(np.abs(new_centroids - centroids).max())
+        centroids = new_centroids
+        if shift < tol or (
+            len(history) >= 2
+            and abs(history[-2] - history[-1]) <= tol * max(history[-2], 1e-12)
+        ):
+            break
+    return centroids.tolist(), history
+
+
+def _nearest_centroid(vec, centroids: np.ndarray):
+    """argmax-cosine cluster id for each vector, one NumPy matmul per
+    Arrow batch (centroid matrix in the closure — O(1) plan size)."""
+    mat = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (x / norms) @ mat.T  # centroids are unit-norm already
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return _assign(vec)
+
+
+def _cosine_to_centroid(vec, centroids: np.ndarray, cluster):
+    """cosine(vec, centroids[cluster]) — vectorized row gather +
+    einsum per Arrow batch."""
+    mat = np.asarray(centroids, dtype=np.float64)
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(v: pd.Series, c: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sel = mat[c.to_numpy()]
+        return pd.Series(np.einsum("ij,ij->i", x / norms, sel))
+
+    return _cos(vec, cluster)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Attach the trained k-means cluster id (map-only, vectorized)."""
+    return corpus.withColumn(
+        out_col, _nearest_centroid(F.col(vec_col), np.asarray(centroids))
+    )

@@ -1,0 +1,242 @@
+"""Boilerplate-line removal, Gopher heuristic filters, keep-best
+dedup, deterministic corpus shuffle, and k-means clustering.
+
+Round-2 additions to the beyond-reference training-data block
+(SURVEY.md §2 final row): the CCNet/RefinedWeb line-frequency pass,
+the Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020) heuristic
+document filters, quality-ranked canonical selection, reproducible
+training-order shuffling, and the IVF coarse-quantizer trainer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.functions.text import gopher_signals
+from gbif_filter_python_spark.operators.corpus import (
+    remove_boilerplate_lines,
+    shuffle_corpus,
+)
+from gbif_filter_python_spark.operators.dedup import dedup_keep_best
+from gbif_filter_python_spark.operators.similarity import (
+    ivf_assign,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+HEADER = "SITE NAVIGATION home about contact"
+FOOTER = "copyright 2024 all rights reserved"
+
+
+class TestRemoveBoilerplateLines:
+    def _docs(self, spark):
+        rows = [
+            (1, f"{HEADER}\nunique first body line\n{FOOTER}"),
+            (2, f"{HEADER}\nanother distinct body\nmore body text\n{FOOTER}"),
+            (3, f"{HEADER}\nthird doc body here\n{FOOTER}"),
+            (4, f"{HEADER}\n{FOOTER}"),  # all boilerplate
+            (5, "standalone document with no boilerplate at all"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_frequent_lines_removed_everywhere(self, spark):
+        out = remove_boilerplate_lines(self._docs(spark), min_docs=3)
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert HEADER not in texts[1] and FOOTER not in texts[1]
+        assert texts[1] == "unique first body line"
+        # line ORDER of survivors is preserved
+        assert texts[2] == "another distinct body\nmore body text"
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        out = remove_boilerplate_lines(self._docs(spark), min_docs=3)
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert texts[4] == ""
+        assert out.count() == 5  # no doc dropped
+
+    def test_rare_lines_kept(self, spark):
+        out = remove_boilerplate_lines(self._docs(spark), min_docs=3)
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert texts[5] == "standalone document with no boilerplate at all"
+
+    def test_threshold_counts_distinct_docs_not_occurrences(self, spark):
+        # one doc repeating a line 5 times must NOT make it boilerplate
+        docs = spark.createDataFrame(
+            [(1, "\n".join(["echo echo"] * 5)), (2, "other text")],
+            ["doc_id", "text"],
+        )
+        out = remove_boilerplate_lines(docs, min_docs=3)
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert texts[1] == "\n".join(["echo echo"] * 5)
+
+    def test_other_columns_pass_through(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a\nb", "en"), (2, "a\nc", "de"), (3, "a\nd", "fr")],
+            ["doc_id", "text", "lang"],
+        )
+        out = remove_boilerplate_lines(docs, min_docs=3)
+        assert out.columns == ["doc_id", "text", "lang"]
+        rows = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+        assert rows[1] == ("b", "en") and rows[2] == ("c", "de")
+
+
+class TestGopherSignals:
+    def _one(self, spark, text, **kw):
+        df = spark.createDataFrame([(text,)], ["text"])
+        sig = gopher_signals(F.col("text"), **kw)
+        return df.select(*[v.alias(k) for k, v in sig.items()]).first()
+
+    def test_good_document_passes(self, spark):
+        text = " ".join(
+            ["the quick brown fox jumps over a lazy dog in the sunny field"]
+            * 5
+        )
+        r = self._one(spark, text, min_words=25)
+        assert r["passes"] is True
+        assert r["n_words"] == 65
+        assert r["stopword_hits"] >= 2
+
+    def test_too_short_fails(self, spark):
+        r = self._one(spark, "the cat sat on a mat", min_words=25)
+        assert r["passes"] is False
+
+    def test_symbol_soup_fails(self, spark):
+        words = "the word and stuff of things " * 10
+        r = self._one(spark, words + "# # # # # # # #", min_words=25)
+        assert r["symbol_ratio"] > 0.1
+        assert r["passes"] is False
+
+    def test_numeric_soup_fails_alpha_ratio(self, spark):
+        text = "the total and sum " + " ".join(str(i) for i in range(40))
+        r = self._one(spark, text, min_words=25)
+        assert r["alpha_word_ratio"] < 0.8
+        assert r["passes"] is False
+
+    def test_no_stopwords_fails(self, spark):
+        text = " ".join(["lorem ipsum dolor sit amet consectetur"] * 8)
+        r = self._one(spark, text, min_words=25)
+        assert r["stopword_hits"] < 2
+        assert r["passes"] is False
+
+    def test_empty_text_is_safe(self, spark):
+        r = self._one(spark, "", min_words=25)
+        assert r["n_words"] == 0 and r["passes"] is False
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_score_per_group(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "Same Text!", 0.2),
+                (2, "same   text", 0.9),  # normalized-equal, best score
+                (3, "same text", 0.5),
+                (4, "different text", 0.1),
+            ],
+            ["doc_id", "text", "q"],
+        )
+        kept = dedup_keep_best(docs, score=F.col("q"))
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [2, 4]
+
+    def test_tie_breaks_to_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "x y z", 1.0), (3, "X Y Z", 1.0)], ["doc_id", "text", "q"]
+        )
+        kept = dedup_keep_best(docs, score=F.col("q"))
+        assert [r["doc_id"] for r in kept.collect()] == [3]
+
+    def test_schema_unchanged(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en")], ["doc_id", "text", "lang"]
+        )
+        kept = dedup_keep_best(docs, score=F.length("text"))
+        assert kept.columns == ["doc_id", "text", "lang"]
+
+
+class TestShuffleCorpus:
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        a = shuffle_corpus(docs, salt="e1", num_shards=4).collect()
+        b = shuffle_corpus(
+            docs.repartition(7), salt="e1", num_shards=4
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_positions_contiguous_per_shard(self, spark):
+        docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        out = shuffle_corpus(docs, num_shards=4)
+        per = (
+            out.groupBy("shard")
+            .agg(F.count("*").alias("n"), F.max("pos_in_shard").alias("mx"))
+            .collect()
+        )
+        assert all(r["n"] == r["mx"] for r in per)
+        assert sum(r["n"] for r in per) == 100
+
+    def test_new_salt_reorders(self, spark):
+        docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        a = {
+            (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+            for r in shuffle_corpus(docs, salt="e1").collect()
+        }
+        b = {
+            (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+            for r in shuffle_corpus(docs, salt="e2").collect()
+        }
+        assert a != b  # astronomically unlikely to coincide
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # three tight clusters around orthogonal axes + slight noise
+    import math
+
+    rows = []
+    vid = 0
+    for axis in range(3):
+        for j in range(10):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[(axis + 3) % 8] = 0.05 * ((j % 5) - 2)
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestKmeans:
+    def test_inertia_monotone_nonincreasing(self, vectors):
+        _, hist = kmeans_fit(vectors, k=3, max_iter=6)
+        assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+
+    def test_recovers_planted_clusters(self, vectors):
+        cents, _ = kmeans_fit(vectors, k=3, max_iter=10)
+        assigned = kmeans_assign(vectors, cents)
+        # every planted group of 10 lands in one cluster
+        sizes = sorted(
+            r["count"]
+            for r in assigned.groupBy("cluster").count().collect()
+        )
+        assert sizes == [10, 10, 10]
+
+    def test_assignment_matches_ivf_argmax(self, spark, vectors):
+        cents, _ = kmeans_fit(vectors, k=3, max_iter=4)
+        fast = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assign(vectors, cents).collect()
+        }
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            ["centroid_id", "centroid_vec"],
+        )
+        slow = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(vectors, cdf).collect()
+        }
+        assert fast == slow
+
+    def test_deterministic_across_runs(self, vectors):
+        c1, h1 = kmeans_fit(vectors, k=3, max_iter=5)
+        c2, h2 = kmeans_fit(vectors.repartition(5), k=3, max_iter=5)
+        assert h1 == h2
+        assert c1 == c2
