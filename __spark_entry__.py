@@ -1267,6 +1267,56 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
 
 
+def q_hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(day, event_type) HLL sketches of
+    distinct users, merged up to per-day estimates — the persisted
+    pre-aggregation pattern (rollup reuse is lossless for HLL union).
+    Rows-only: sketch estimates are engine-specific; losslessness and
+    estimate-vs-exact tolerance are pinned in tests/test_sketches.py."""
+    from gbif_filter_python_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+
+    events = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    fine = hll_rollup(events, ["day", "event_type"], "user_id")
+    return hll_merge_estimate(fine, ["day"]).withColumn(
+        "est_distinct", F.col("est_distinct").cast("long")
+    )
+
+
+def q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch audience overlap: distinct users with 'click' vs
+    'purchase' events, their intersection and union — one fact scan,
+    set algebra on kilobyte blobs. Rows-only (sketch estimates)."""
+    from gbif_filter_python_spark.operators.sketches import theta_overlap
+
+    events = _t(spark, sf, "events")
+    return theta_overlap(events, "event_type", "user_id", "click", "purchase")
+
+
+def q_kll_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """KLL quantile sketches per event_type merged to global p50/p95/
+    p99 of event value. Rows-only (sketch estimates; rank-error bound
+    pinned in tests)."""
+    from gbif_filter_python_spark.operators.sketches import kll_quantiles
+
+    events = _t(spark, sf, "events")
+    return kll_quantiles(events, "event_type", "value")
+
+
+def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase approximate heavy hitters (approx_top_k accumulate/
+    combine) over document words — global top-20 terms. Rows-only;
+    exactness under a sufficient tracked-item budget is pinned in
+    tests/test_sketches.py."""
+    from gbif_filter_python_spark.operators.dedup import words_array
+    from gbif_filter_python_spark.operators.sketches import approx_top_terms
+
+    docs = _t(spark, sf, "documents")
+    return approx_top_terms(docs, words_array(F.col("text")), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "existence_semijoin": q_existence_semijoin,
@@ -1347,6 +1397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_shuffle": q_corpus_shuffle,
         "kmeans_clusters": q_kmeans_clusters,
+        "hll_daily_users": q_hll_daily_users,
+        "theta_overlap": q_theta_overlap,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "approx_top_terms": q_approx_top_terms,
     }
 
 

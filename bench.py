@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "gopher_filters",
     "corpus_shuffle",
     "kmeans_clusters",
+    # Mergeable DataSketches (HLL rollup merge, Theta set algebra,
+    # two-phase approx top-k) — the persisted pre-aggregation path.
+    "hll_daily_users",
+    "theta_overlap",
+    "approx_top_terms",
 ]
 
 

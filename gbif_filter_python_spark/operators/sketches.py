@@ -1,0 +1,190 @@
+"""Mergeable-sketch operators (Apache DataSketches via Spark SQL).
+
+Beyond-reference block (SURVEY.md §2 final row): the pre-aggregation
+pattern that makes 100 TB interactive — build small mergeable sketches
+at fine granularity ONCE (per partition / day / source), persist them,
+and answer coarser-granularity questions by merging sketches instead
+of rescanning raw data. All sketch work happens in JVM aggregate
+expressions (map-side partial aggregation; the shuffle carries
+kilobyte sketch blobs, not rows):
+
+* HLL (`hll_sketch_agg` / `hll_union_agg`) — distinct counting whose
+  union is LOSSLESS: merging per-group sketches gives exactly the
+  sketch of the union, so a daily rollup table answers weekly/monthly
+  distinct-user questions without touching the fact table;
+* Theta (`theta_*`) — distinct counting with set ALGEBRA
+  (intersection / difference), e.g. audience overlap between event
+  types;
+* KLL (`kll_sketch_agg_*`) — mergeable rank/quantile sketches with
+  a priori error bounds, for latency/size percentiles per group and
+  globally from the same rollup;
+* frequent items (`approx_top_k_accumulate` / `_combine` /
+  `_estimate`) — two-phase heavy hitters: per-shard summaries merge
+  into a global top-k without shipping full term dictionaries.
+
+Estimates are approximate and engine-specific (no DuckDB oracle);
+tests/test_sketches.py pins the invariants instead: HLL merge
+losslessness, estimate-vs-exact tolerance, KLL rank error, and
+exactness of approx_top_k when the tracked-item budget exceeds the
+distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_rollup",
+    "hll_merge_estimate",
+    "theta_overlap",
+    "kll_quantiles",
+    "approx_top_terms",
+]
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Fine-granularity HLL sketch table: one row per ``fine_keys``
+    combination carrying a binary sketch of distinct ``value_col``.
+
+    This is the persisted rollup: at 100 TB you write it partitioned
+    by the leading key and never rescan raw events for distinct
+    counts. ``lgk`` trades size for accuracy (2^lgk registers;
+    12 → ~1.6% rse, 4 KB).
+    """
+    return df.groupBy(*fine_keys).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lgk})").alias("hll_sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame,
+    coarse_keys: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge a sketch rollup up to ``coarse_keys`` and estimate
+    distinct counts. HLL union is lossless: the merged sketch is
+    byte-identical to one built directly over the union of the raw
+    data, so rollup reuse costs no accuracy."""
+    grouped = (
+        sketches.groupBy(*coarse_keys)
+        if coarse_keys
+        else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.expr(
+            f"hll_sketch_estimate(hll_union_agg({sketch_col}))"
+        ).alias("est_distinct")
+    )
+
+
+def theta_overlap(
+    df: DataFrame,
+    cohort_col: str,
+    value_col: str,
+    cohort_a: str,
+    cohort_b: str,
+) -> DataFrame:
+    """Audience overlap between two cohorts via Theta sketches:
+    one row (est_a, est_b, est_intersection, est_union).
+
+    One scan builds both cohort sketches (conditional aggregation —
+    no self-join of the fact table); intersection/union run on the
+    two kilobyte blobs. The exact equivalent is a self-join +
+    count(distinct), which at 100 TB shuffles the fact twice.
+    """
+    sk = df.agg(
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN {cohort_col} = '{cohort_a}' "
+            f"THEN {value_col} END)"
+        ).alias("_a"),
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN {cohort_col} = '{cohort_b}' "
+            f"THEN {value_col} END)"
+        ).alias("_b"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(_a)").cast("long").alias("est_a"),
+        F.expr("theta_sketch_estimate(_b)").cast("long").alias("est_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(_a, _b))")
+        .cast("long")
+        .alias("est_intersection"),
+        F.expr("theta_sketch_estimate(theta_union(_a, _b))")
+        .cast("long")
+        .alias("est_union"),
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile sketches merged to GLOBAL quantiles —
+    one row per requested probability, estimated from the merged
+    sketch (per-group sketches are the persisted rollup; the global
+    answer costs one merge of |groups| kilobyte blobs).
+
+    Uses the double-typed KLL family; ``k=200`` gives ~1.65% rank
+    error (normalized, 99% confidence).
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias("_sk")
+    )
+    merged = per_group.agg(
+        F.expr("kll_merge_agg_double(_sk)").alias("_m")
+    )
+    quantile_cols = [
+        F.round(
+            F.expr(f"kll_sketch_get_quantile_double(_m, {p})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return merged.select(*quantile_cols)
+
+
+def approx_top_terms(
+    docs: DataFrame,
+    words: Column,
+    k: int = 20,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Two-phase approximate heavy hitters over a word-array column:
+    per-shard ``approx_top_k_accumulate`` summaries combined into one
+    global state, then estimated — (term, est_count) rows, count
+    desc / term asc.
+
+    The accumulate/combine split is the point: each shard summary is
+    a bounded-size state (``max_items_tracked`` slots), so the merge
+    shuffles |shards| states instead of the full term dictionary —
+    the classic SpaceSaving/Misra-Gries layout. When
+    ``max_items_tracked`` >= the true distinct-term count the result
+    is exact (pytest pins this).
+    """
+    exploded = docs.select(F.explode(words).alias("_term"))
+    shards = exploded.groupBy(F.spark_partition_id().alias("_p")).agg(
+        F.expr(
+            f"approx_top_k_accumulate(_term, {max_items_tracked})"
+        ).alias("_st")
+    )
+    est = shards.agg(
+        F.expr(
+            f"approx_top_k_estimate(approx_top_k_combine(_st), {k})"
+        ).alias("_tk")
+    )
+    return (
+        est.select(F.explode("_tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("term"))
+    )
