@@ -38,6 +38,7 @@ __all__ = [
     "prepare_training_corpus",
     "remove_boilerplate_lines",
     "shuffle_corpus",
+    "char_entropy",
 ]
 
 
@@ -655,4 +656,38 @@ def shuffle_corpus(
         .withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w))
         .drop("_h")
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (bits/char) — the quality signal that separates natural prose
+    (~4 bits) from degenerate repetition (near 0) and random noise /
+    base64 blobs (~6 bits). CCNet-family filters threshold on it.
+
+    Shape: explode to (doc, char) → one hash aggregation to per-doc
+    char counts → second aggregation folding counts into
+    H = log2(N) - Σ c·log2(c) / N (that identity needs only the
+    per-char counts and the total — no per-char probability column,
+    so the second agg is a plain sum). Two shuffles keyed by doc id;
+    rows scale with doc length, never pairwise. Rounded to 6dp for
+    cross-partitioning stability (the Σ has ≤ |alphabet| terms per
+    doc, so fp error is far below the rounding grid).
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_n"))
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("_n"))
+            - F.sum(F.col("_n") * F.log2("_n")) / F.sum("_n"),
+            6,
+        ).alias("entropy_bits"),
+        F.sum("_n").cast("long").alias("n_chars_counted"),
     )

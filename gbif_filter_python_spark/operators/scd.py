@@ -1,0 +1,145 @@
+"""Slowly-changing-dimension (SCD type 2) snapshot merge.
+
+Beyond-reference block (the reference rewrites its output CSV whole,
+apply_gbif_filter.py:196-198 — it has no notion of history). At 100 TB
+the dimension-maintenance pattern every warehouse pipeline needs is:
+given the current versioned dimension and a batch of updates, close
+changed rows (set ``valid_to``), open new versions, and pass untouched
+history through — without rewriting unchanged partitions' content.
+
+Scale design:
+
+* ONE equi-join between the open slice of the dimension and the
+  (deduplicated) update batch — hash/sort-merge on the key, AQE picks
+  broadcast when the update batch is small (the common case: daily
+  deltas vs a multi-TB dimension). No theta-join, no window over the
+  whole dimension.
+* Closed history rows never join anything — they are filtered out
+  before the join and unioned back untouched (at scale: the closed
+  slice is partition-pruned by ``valid_to IS NOT NULL`` layout and
+  never rescanned).
+* A changed key must emit TWO rows (the closed old version + the new
+  open version). That is done with one ``explode`` over a per-row
+  array built in the join projection — single pass, no self-union of
+  the joined plan (which would run the join twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_merge", "latest_per_key"]
+
+
+def latest_per_key(
+    updates: DataFrame, key_cols: list[str], ts_col: str
+) -> DataFrame:
+    """Reduce an update batch to the single newest row per key
+    (deterministic: ties on ``ts_col`` break by the remaining columns
+    ascending, so re-runs pick the same winner)."""
+    others = [c for c in updates.columns if c not in (*key_cols, ts_col)]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).asc() for c in others]
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Merge an update batch into an SCD2 dimension.
+
+    ``dim`` carries ``key_cols + tracked_cols + [valid_from, valid_to]``
+    with ``valid_to IS NULL`` marking the open (current) version.
+    ``updates`` carries ``key_cols + tracked_cols + [ts_col]``.
+
+    Semantics (standard type-2):
+
+    * closed rows pass through untouched;
+    * open row, no update for its key → passes through;
+    * open row, update with identical tracked values → passes through
+      (``valid_from`` keeps the original effective date);
+    * open row, update with different tracked values → the old version
+      closes at the update timestamp and a new open version starts
+      there;
+    * update for a key with no open row (brand new, or all versions
+      closed) → a new open version.
+
+    Update batches with several rows per key are first reduced to the
+    newest via :func:`latest_per_key` (intra-batch intermediate states
+    collapse — the batch is one effective snapshot, matching MERGE
+    semantics).
+    """
+    upd = latest_per_key(updates, key_cols, ts_col)
+
+    closed = dim.filter(F.col(valid_to).isNotNull())
+    open_rows = dim.filter(F.col(valid_to).isNull())
+
+    u = upd.select(
+        *[F.col(k).alias(f"_uk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_uv_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("_uts"),
+    )
+    cond = [open_rows[k] == u[f"_uk_{k}"] for k in key_cols]
+    j = open_rows.join(u, cond, "full_outer")
+
+    def _version(keys, values, vfrom, vto):
+        return F.struct(
+            *[k.alias(f"k_{name}") for name, k in zip(key_cols, keys)],
+            *[v.alias(f"v_{name}") for name, v in zip(tracked_cols, values)],
+            vfrom.alias("_vf"),
+            vto.alias("_vt"),
+        )
+
+    cur_keys = [j[k] for k in key_cols]
+    cur_vals = [j[c] for c in tracked_cols]
+    upd_keys = [j[f"_uk_{k}"] for k in key_cols]
+    upd_vals = [j[f"_uv_{c}"] for c in tracked_cols]
+
+    no_update = j["_uts"].isNull()
+    # No open row on the dim side of the full-outer join: the key
+    # column (never null in a well-formed dimension) is the
+    # discriminator, not valid_from, which a malformed open row could
+    # legitimately carry as null.
+    brand_new = j[key_cols[0]].isNull()
+    # Null-safe per-column comparison: a tracked NULL→value (or
+    # value→NULL) transition is a real change.
+    unchanged = F.lit(True)
+    for c in tracked_cols:
+        unchanged = unchanged & j[c].eqNullSafe(j[f"_uv_{c}"])
+
+    versions = (
+        F.when(no_update, F.array(_version(cur_keys, cur_vals, j[valid_from], F.lit(None).cast(dim.schema[valid_to].dataType))))
+        .when(brand_new, F.array(_version(upd_keys, upd_vals, j["_uts"], F.lit(None).cast(dim.schema[valid_to].dataType))))
+        .when(unchanged, F.array(_version(cur_keys, cur_vals, j[valid_from], F.lit(None).cast(dim.schema[valid_to].dataType))))
+        .otherwise(
+            F.array(
+                _version(cur_keys, cur_vals, j[valid_from], j["_uts"]),
+                _version(upd_keys, upd_vals, j["_uts"], F.lit(None).cast(dim.schema[valid_to].dataType)),
+            )
+        )
+    )
+
+    merged = (
+        j.select(F.explode(versions).alias("_v"))
+        .select(
+            *[F.col(f"_v.k_{k}").alias(k) for k in key_cols],
+            *[F.col(f"_v.v_{c}").alias(c) for c in tracked_cols],
+            F.col("_v._vf").alias(valid_from),
+            F.col("_v._vt").alias(valid_to),
+        )
+    )
+    return closed.select(
+        *key_cols, *tracked_cols, valid_from, valid_to
+    ).unionByName(merged)

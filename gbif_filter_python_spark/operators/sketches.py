@@ -40,6 +40,9 @@ __all__ = [
     "theta_overlap",
     "kll_quantiles",
     "approx_top_terms",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 
@@ -187,4 +190,92 @@ def approx_top_terms(
             F.col("e.count").alias("est_count"),
         )
         .orderBy(F.desc("est_count"), F.asc("term"))
+    )
+
+
+def _cms_bucket(depth_col: Column, term: Column, width: int) -> Column:
+    """Row's bucket for one hash row: md5 of ``depth:term`` → first 12
+    hex chars (48 bits, exact in a long) → mod width. md5, not
+    xxhash64, so the layout is reproducible in any engine (the DuckDB
+    oracle replays the identical bucket arithmetic — same reasoning as
+    corpus.split_bucket)."""
+    h = F.md5(F.concat_ws(":", depth_col.cast("string"), term))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch of a term column as a plain DataFrame:
+    ``(depth, bucket, cnt)`` rows — at most depth × width of them,
+    regardless of input size.
+
+    Each input row lands in exactly one bucket per hash row (explode
+    by depth → one hash aggregation with map-side partials; the
+    shuffle carries ≤ depth × width counter rows per task, never
+    terms). The sketch is MERGEABLE (:func:`cms_merge` is a plain
+    sum-by-cell), so per-day/per-shard sketches roll up losslessly —
+    the same persisted pre-aggregation pattern as :func:`hll_rollup`,
+    but answering FREQUENCY questions: est(t) = min over hash rows of
+    the bucket count, an upper bound on the true count with classic
+    (ε, δ) guarantees (ε ≈ e/width overestimate, δ ≈ e^-depth).
+    """
+    rows = df.select(
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("depth"),
+        F.col(term_col).alias("_t"),
+    )
+    return (
+        rows.groupBy(
+            "depth", _cms_bucket(F.col("depth"), F.col("_t"), width).alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width):
+    cell-wise sum. Lossless: the merged sketch is identical to one
+    built over the concatenated inputs."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query a count-min sketch for each row of ``terms``:
+    (term, est_count). est is min over the sketch's hash rows of the
+    probed cell (0 if a probed cell is absent — possible only for
+    terms the sketch never saw).
+
+    The probe side is terms × depth rows (tiny); the join is an
+    equi-join on (depth, bucket) against the ≤ depth × width sketch —
+    AQE broadcasts whichever side is small.
+    """
+    depths = sketch.select("depth").distinct()
+    probes = (
+        terms.select(F.col(term_col).alias("term"))
+        .distinct()
+        .crossJoin(depths)
+        .select(
+            "term",
+            "depth",
+            _cms_bucket(F.col("depth"), F.col("term"), width).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(sketch, ["depth", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

@@ -270,8 +270,13 @@ def ewma_stateful(
     an executor's memory (one key's history per batch), which is the
     standard applyInPandas envelope."""
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    schema = df.schema.add("ewma", "double")
+    # A fresh StructType — StructType.add mutates in place, and the
+    # input DataFrame's schema object must not grow a column.
+    schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
 
     def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
@@ -281,3 +286,48 @@ def ewma_stateful(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(_ewm, schema=schema)
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 7,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Trailing-``n``-row rolling statistics per key (mean, sample
+    stddev, min, max, row count over the frame) — the moving-average /
+    volatility-band primitive of feature pipelines.
+
+    One window over one ordering: a single hash shuffle on the key,
+    all five aggregates share the same frame (Spark evaluates them in
+    one WindowExec pass — no repeated sorts). ``tiebreak_col`` makes
+    the ordering total so the ROWS frame is deterministic under equal
+    timestamps (same caveat as every ROWS-frame analytic; pass the
+    event id).
+
+    Rounding to 6dp keeps the output fp-stable across partitionings
+    (frame sums are fixed-order here, but stddev's two-pass formula
+    is not bit-exact across platforms).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    return df.select(
+        key_col,
+        ts_col,
+        *([tiebreak_col] if tiebreak_col else []),
+        value_col,
+        F.round(F.avg(v).over(w), 6).alias("roll_mean"),
+        F.round(F.stddev_samp(v).over(w), 6).alias("roll_std"),
+        F.round(F.min(v).over(w), 6).alias("roll_min"),
+        F.round(F.max(v).over(w), 6).alias("roll_max"),
+        F.count(v).over(w).alias("roll_n"),
+    )

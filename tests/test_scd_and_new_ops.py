@@ -1,0 +1,263 @@
+"""Unit tests for round-2 additions: SCD2 merge, rolling stats, EWMA,
+count-min sketch, per-doc char entropy, and SemDeDup-style semantic
+dedup — semantics edges the sf-corpus oracle queries can't isolate."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.corpus import char_entropy
+from gbif_filter_python_spark.operators.dedup import semantic_dedup
+from gbif_filter_python_spark.operators.scd import latest_per_key, scd2_merge
+from gbif_filter_python_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from gbif_filter_python_spark.operators.temporal import (
+    ewma,
+    ewma_stateful,
+    rolling_stats,
+)
+
+
+def _d(day: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, 0, 0, 0)
+
+
+class TestScd2Merge:
+    @pytest.fixture(scope="class")
+    def dim(self, spark):
+        # key 1: one closed + one open version; key 2: open only;
+        # key 3: open only (will change); key 4: all versions closed.
+        return spark.createDataFrame(
+            [
+                (1, "bronze", _d(1), _d(5)),
+                (1, "silver", _d(5), None),
+                (2, "gold", _d(2), None),
+                (3, "bronze", _d(3), None),
+                (4, "gone", _d(1), _d(4)),
+            ],
+            "k long, tier string, valid_from timestamp, valid_to timestamp",
+        )
+
+    @pytest.fixture(scope="class")
+    def merged(self, spark, dim):
+        updates = spark.createDataFrame(
+            [
+                (3, "platinum", _d(10)),  # change
+                (2, "gold", _d(10)),      # no-op (same value)
+                (5, "bronze", _d(10)),    # brand-new key
+                (4, "revived", _d(10)),   # key with only closed history
+            ],
+            "k long, tier string, effective_ts timestamp",
+        )
+        out = scd2_merge(dim, updates, ["k"], ["tier"])
+        return {(r.k, r.tier, r.valid_from, r.valid_to) for r in out.collect()}
+
+    def test_changed_key_closes_and_reopens(self, merged):
+        assert (3, "bronze", _d(3), _d(10)) in merged
+        assert (3, "platinum", _d(10), None) in merged
+
+    def test_unchanged_update_is_noop(self, merged):
+        assert (2, "gold", _d(2), None) in merged
+
+    def test_no_update_passthrough_and_closed_history(self, merged):
+        assert (1, "silver", _d(5), None) in merged
+        assert (1, "bronze", _d(1), _d(5)) in merged
+        assert (4, "gone", _d(1), _d(4)) in merged
+
+    def test_new_key_and_revived_key_open(self, merged):
+        assert (5, "bronze", _d(10), None) in merged
+        assert (4, "revived", _d(10), None) in merged
+
+    def test_row_count(self, merged):
+        # 5 original + 1 close-split extra + 1 new + 1 revived = 8
+        assert len(merged) == 8
+
+    def test_single_open_row_per_key(self, merged):
+        open_keys = [k for (k, _, _, vt) in merged if vt is None]
+        assert sorted(open_keys) == [1, 2, 3, 4, 5]
+
+    def test_null_tracked_value_is_a_change(self, spark):
+        dim = spark.createDataFrame(
+            [(1, None, _d(1), None)],
+            "k long, tier string, valid_from timestamp, valid_to timestamp",
+        )
+        upd = spark.createDataFrame(
+            [(1, "set", _d(2))], "k long, tier string, effective_ts timestamp"
+        )
+        got = {
+            (r.k, r.tier, r.valid_to)
+            for r in scd2_merge(dim, upd, ["k"], ["tier"]).collect()
+        }
+        assert (1, None, _d(2)) in got and (1, "set", None) in got
+
+    def test_intra_batch_collapse_to_latest(self, spark, dim):
+        updates = spark.createDataFrame(
+            [(3, "mid", _d(8)), (3, "final", _d(9))],
+            "k long, tier string, effective_ts timestamp",
+        )
+        out = scd2_merge(dim, updates, ["k"], ["tier"])
+        rows = {(r.tier, r.valid_from, r.valid_to) for r in
+                out.filter(F.col("k") == 3).collect()}
+        # the intermediate "mid" state never materializes
+        assert rows == {("bronze", _d(3), _d(9)), ("final", _d(9), None)}
+
+    def test_latest_per_key_deterministic(self, spark):
+        u = spark.createDataFrame(
+            [(1, "a", _d(5)), (1, "b", _d(5))],
+            "k long, v string, ts timestamp",
+        )
+        got = latest_per_key(u, ["k"], "ts").collect()
+        assert len(got) == 1 and got[0].v == "a"  # tie → others asc
+
+
+class TestRollingStats:
+    def test_matches_pandas_rolling(self, spark):
+        rows = [(1, _d(i + 1), float(x)) for i, x in
+                enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            r.ts: (r.roll_mean, r.roll_std, r.roll_min, r.roll_max, r.roll_n)
+            for r in rolling_stats(df, n=3).collect()
+        }
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["u", "ts", "v"]).sort_values("ts")
+        roll = pdf["v"].rolling(3, min_periods=1)
+        for ts, mean, std in zip(pdf["ts"], roll.mean(), roll.std()):
+            g = got[ts]
+            assert g[0] == pytest.approx(round(mean, 6), abs=1e-6)
+            if not math.isnan(std):
+                assert g[1] == pytest.approx(round(std, 6), abs=1e-6)
+
+    def test_frame_shorter_than_n_at_start(self, spark):
+        df = spark.createDataFrame(
+            [(1, _d(1), 10.0), (1, _d(2), 20.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        first = rolling_stats(df, n=5).orderBy("ts").first()
+        assert first.roll_n == 1 and first.roll_mean == 10.0
+
+
+class TestEwma:
+    def test_matches_pandas_ewm(self, spark):
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+        df = spark.createDataFrame(
+            [(1, _d(i + 1), v) for i, v in enumerate(vals)],
+            "user_id long, ts timestamp, value double",
+        )
+        got = [r.ewma for r in ewma(df, alpha=0.3).orderBy("ts").collect()]
+        import pandas as pd
+
+        want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean().tolist()
+        assert got == pytest.approx(want, rel=1e-9)
+
+    def test_stateful_matches_closed_form(self, spark):
+        rows = [(u, _d(i + 1), float((u * 7 + i * 3) % 11))
+                for u in (1, 2) for i in range(20)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        a = {(r.user_id, r.ts): r.ewma for r in ewma(df, alpha=0.2).collect()}
+        b = {(r.user_id, r.ts): r.ewma
+             for r in ewma_stateful(df, alpha=0.2).collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+
+class TestCountMinSketch:
+    @pytest.fixture(scope="class")
+    def terms(self, spark):
+        rows = [("alpha",)] * 50 + [("beta",)] * 20 + [("gamma",)] * 3
+        return spark.createDataFrame(rows, "term string")
+
+    def test_estimate_is_upper_bound_and_tight_when_sparse(self, spark, terms):
+        sk = cms_build(terms, "term", depth=4, width=2048)
+        probes = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("absent",)], "term string"
+        )
+        est = {r.term: r.est_count
+               for r in cms_estimate(sk, probes, "term", width=2048).collect()}
+        # 3 distinct terms in 2048 buckets: no collisions → exact
+        assert est == {"alpha": 50, "beta": 20, "gamma": 3, "absent": 0}
+
+    def test_merge_equals_rebuild(self, spark, terms):
+        half_a = spark.createDataFrame([("alpha",)] * 30 + [("beta",)] * 5,
+                                       "term string")
+        half_b = spark.createDataFrame([("alpha",)] * 20 + [("beta",)] * 15 +
+                                       [("gamma",)] * 3, "term string")
+        merged = cms_merge(cms_build(half_a, "term"), cms_build(half_b, "term"))
+        direct = cms_build(terms, "term")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_sketch_size_bounded(self, spark):
+        big = spark.range(10_000).select(
+            F.concat(F.lit("t"), F.col("id") % 5000).alias("term")
+        )
+        sk = cms_build(big, "term", depth=4, width=64)
+        assert sk.count() <= 4 * 64
+
+
+class TestCharEntropy:
+    def test_known_distributions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.entropy_bits, r.n_chars_counted)
+               for r in char_entropy(df).collect()}
+        assert got[1] == (0.0, 4)
+        assert got[2] == (1.0, 4)
+        assert got[3] == (2.0, 4)
+
+    def test_degenerate_below_prose(self, spark):
+        df = spark.createDataFrame(
+            [(1, "zzzzzzzzzzzzzzzzzzzz"), (2, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+        assert got[1] < 1.0 < got[2]
+
+
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # Two well-separated directions; ids 10/11 are near-copies of
+        # id 1's vector, id 20 is alone in the second direction.
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (10, [0.999, 0.01, 0.0]),
+            (11, [0.998, -0.02, 0.0]),
+            (20, [0.0, 1.0, 0.0]),
+            (21, [0.0, 0.6, 0.8]),  # same cluster as 20, below threshold
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_drops_near_copies_keeps_min_id(self, corpus):
+        centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        kept = semantic_dedup(corpus, centroids, threshold=0.97)
+        ids = sorted(r.vec_id for r in kept.collect())
+        assert ids == [1, 20, 21]
+
+    def test_cluster_column_attached(self, corpus):
+        centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        kept = semantic_dedup(corpus, centroids, threshold=0.97)
+        by_id = {r.vec_id: r.cluster for r in kept.collect()}
+        assert by_id[1] == 0 and by_id[20] == 1
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        # Identical vectors forced into different clusters survive:
+        # SemDeDup compares within clusters only (documented behavior).
+        rows = [(1, [1.0, 0.05, 0.0]), (2, [1.0, 0.05, 0.0])]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        centroids = [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0]]
+        # both assign to the SAME argmax cluster here → dup dropped
+        kept = semantic_dedup(corpus, centroids, threshold=0.97)
+        assert sorted(r.vec_id for r in kept.collect()) == [1]
