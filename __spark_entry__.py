@@ -1317,6 +1317,115 @@ def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return approx_top_terms(docs, words_array(F.col("text")), k=20)
 
 
+def q_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension merge: a versioned customer-segment
+    dimension (open rows as of 2020-01-01, a closed LEGACY version for
+    every 10th key) absorbs one update batch (changed segment for keys
+    % 3 == 0, no-op resend for % 3 == 1, silence for % 3 == 2, and 5
+    brand-new keys). One equi-join against the OPEN slice only; closed
+    history passes through unjoined (operators/scd.py)."""
+    from gbif_filter_python_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    t0 = F.to_timestamp(F.lit("2020-01-01"))
+    t1 = F.to_timestamp(F.lit("2021-06-01"))
+    null_ts = F.lit(None).cast("timestamp")
+    dim = cust.select(
+        "custkey", "segment", t0.alias("valid_from"), null_ts.alias("valid_to")
+    ).unionByName(
+        cust.filter(F.col("custkey") % 10 == 0).select(
+            "custkey",
+            F.lit("LEGACY").alias("segment"),
+            F.to_timestamp(F.lit("2019-01-01")).alias("valid_from"),
+            t0.alias("valid_to"),
+        )
+    )
+    updates = (
+        cust.filter(F.col("custkey") % 3 == 0)
+        .select(
+            "custkey",
+            F.concat(F.lit("NEW-"), F.col("segment")).alias("segment"),
+            t1.alias("effective_ts"),
+        )
+        .unionByName(
+            cust.filter(F.col("custkey") % 3 == 1).select(
+                "custkey", "segment", t1.alias("effective_ts")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("custkey") < 5).select(
+                (F.col("custkey") + 1000000).alias("custkey"),
+                F.lit("STARTUP").alias("segment"),
+                t1.alias("effective_ts"),
+            )
+        )
+    )
+    merged = scd2_merge(dim, updates, ["custkey"], ["segment"])
+    # Versions as yyyy-MM-dd strings: Spark DATE collects as
+    # datetime.date while DuckDB DATE collects as Timestamp, so the
+    # driver's value-hash would diverge on repr despite equal values.
+    return merged.select(
+        "custkey",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+def q_global_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous global row index over documents ordered by doc_id —
+    the scalable zipWithIndex (range shuffle + bit-split
+    monotonically_increasing_id + tiny offsets broadcast; no
+    single-partition window)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        assign_global_index,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return assign_global_index(docs, ["doc_id"], num_partitions=8).select(
+        "doc_id", "source", "global_idx"
+    )
+
+
+def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join (region→nation→customer→
+    orders→lineitem→supplier, supplier co-national with the customer)
+    with a region filter and a one-year order-date slice, revenue per
+    nation. The dims broadcast (AQE), the date filter pushes to the
+    orders scan, and the fact shuffles once for the final 5-row agg.
+    Money math in DECIMAL so the group sums are bit-deterministic
+    regardless of partial-aggregation order."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "existence_semijoin": q_existence_semijoin,
@@ -1401,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_overlap": q_theta_overlap,
         "kll_value_quantiles": q_kll_value_quantiles,
         "approx_top_terms": q_approx_top_terms,
+        "scd2_merge": q_scd2_merge,
+        "star_join_revenue": q_star_join_revenue,
+        "global_index": q_global_index,
     }
 
 
@@ -2107,6 +2219,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "global_index": (
+            "SELECT doc_id, source, "
+            "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+            "AS global_idx FROM documents"
+        ),
+        "scd2_merge": (
+            # The expected SCD2 output, enumerated case by case (the
+            # update batch is derived deterministically from customer):
+            # closed history passes through; %3==2 no update; %3==1
+            # unchanged resend; %3==0 closes the old version and opens
+            # NEW-<segment>; custkey<5 spawn brand-new +1000000 keys.
+            "WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS "
+            "segment FROM customer) "
+            "SELECT custkey, 'LEGACY' AS segment, "
+            "'2019-01-01' AS valid_from, "
+            "'2020-01-01' AS valid_to FROM c WHERE custkey % 10 = 0 "
+            "UNION ALL "
+            "SELECT custkey, segment, '2020-01-01', "
+            "CAST(NULL AS VARCHAR) FROM c WHERE custkey % 3 IN (1, 2) "
+            "UNION ALL "
+            "SELECT custkey, segment, '2020-01-01', "
+            "'2021-06-01' FROM c WHERE custkey % 3 = 0 "
+            "UNION ALL "
+            "SELECT custkey, 'NEW-' || segment, '2021-06-01', "
+            "CAST(NULL AS VARCHAR) FROM c WHERE custkey % 3 = 0 "
+            "UNION ALL "
+            "SELECT custkey + 1000000, 'STARTUP', '2021-06-01', "
+            "CAST(NULL AS VARCHAR) FROM c WHERE custkey < 5"
+        ),
+        "star_join_revenue": (
+            "SELECT n_name, CAST(CAST(sum("
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+            ") AS DECIMAL(18,4)) AS DOUBLE) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         # minhash_pairs / minhash_dedup / simhash_pairs / near_dup_lsh /
         # ann_lsh_topk / approx_distinct / ivf_topk / kmeans_clusters /

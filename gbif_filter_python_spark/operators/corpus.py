@@ -39,6 +39,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "shuffle_corpus",
     "char_entropy",
+    "assign_global_index",
 ]
 
 
@@ -691,3 +692,62 @@ def char_entropy(
         ).alias("entropy_bits"),
         F.sum("_n").cast("long").alias("n_chars_counted"),
     )
+
+
+def assign_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "global_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based global row index in the total order of
+    ``order_cols`` — the scalable DataFrame replacement for
+    ``zipWithIndex`` (training pipelines need it for example ids,
+    resumable iteration order, and joining shuffled corpora back to
+    their source row).
+
+    A single global ``row_number()`` window would funnel the whole
+    table through ONE partition — the canonical non-scalable plan.
+    Instead:
+
+    1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` —
+       one range shuffle puts partition *p*'s rows all before partition
+       *p+1*'s and sorts within; total order across the table.
+    2. ``monotonically_increasing_id()`` evaluated AFTER that sort
+       encodes ``partition_id << 33 | local_row_number`` — a map-only
+       JVM projection (the expression is nondeterministic, so Catalyst
+       will not reorder it below the sort). Splitting the bits yields
+       each row's partition and dense local index for free.
+    3. The per-partition row counts (one tiny agg; #partitions rows)
+       turn into exclusive prefix-sum offsets with a window over that
+       TINY frame, and broadcast-join back: ``global = offset + local``.
+
+    Total cost at 100 TB: one range shuffle of the data, one
+    counts-only agg, one broadcast hash join — no single-partition
+    stage anywhere. The emitted index is deterministic as long as
+    ``order_cols`` is a total order (include a unique tiebreaker);
+    range-boundary sampling may move rows between partitions across
+    runs, but offset+local always reconstructs the same global rank.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).sortWithinPartitions(*order_cols)
+    mid = ranged.withColumn("_mid", F.monotonically_increasing_id())
+    parts = mid.withColumn(
+        "_pid", F.shiftrightunsigned("_mid", 33).cast("long")
+    ).withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    # Bounded broadcast: |offsets| == #partitions, never data-sized.
+    out = parts.join(F.broadcast(offsets), "_pid").withColumn(
+        index_col, (F.col("_offset") + F.col("_local")).cast("long")
+    )
+    return out.drop("_mid", "_pid", "_local", "_offset")

@@ -61,19 +61,27 @@ def read_taxa_csv(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-corpus table, normalizing physical quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+    ``events.ts`` has shipped in two physical flavors across corpus
+    generations: parquet TIMESTAMP(NANOS) — which Spark 4 rejects
+    ([PARQUET_TYPE_ILLEGAL]), so we read nanos as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and convert exactly with
-    integer division — ``ts DIV 1000`` then timestamp_micros — because
-    a double-typed division would lose precision above 2^53 ns.
+    integer division (``ts DIV 1000`` then timestamp_micros; a
+    double-typed division would lose precision above 2^53 ns) — and
+    tz-naive TIMESTAMP(MICROS), which Spark 4 infers as TIMESTAMP_NTZ.
+    Both normalize to TIMESTAMP (ltz): watermarks/windows on streams
+    require it, and with the session pinned to UTC the wall-clock
+    values are unchanged (identical to DuckDB's naive reading).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -59,11 +59,19 @@ def stream_events(
 
     File sources are the hermetic stand-in for Kafka here; the plan is
     identical from the first transformation on.
+
+    TIMESTAMP_NTZ columns (tz-naive parquet micros) are cast to
+    TIMESTAMP: event-time watermarks accept only ltz, and with the
+    session pinned to UTC the wall-clock values are unchanged.
     """
     if schema is None:
         schema = spark.read.parquet(parquet_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_dir)
     )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return stream
