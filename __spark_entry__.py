@@ -1375,6 +1375,38 @@ def q_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings ∪ near-copies (every 5th vector, slightly scaled and
+    shifted → cosine ≈ 0.999 to its source) — the corpus itself has no
+    pair above ~0.51 cosine, so semantic dedup needs planted
+    positives, mirroring ``_perturbed_docs``."""
+    emb = _t(spark, sf, "embeddings")
+    near = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * 1.02 + F.lit(0.001)
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(near)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the perturbed embeddings: k-means clusters then
+    within-cluster cosine >= 0.99 prune (keep-lowest-id) — each
+    planted near-copy shares a cluster with its source and is the
+    higher id, so the originals survive. Rows-only (Lloyd iteration
+    is not SQL-expressible); planted-duplicate semantics pinned in
+    TestSemanticDedup and the kept-set invariant in
+    tests/test_rows_only_invariants.py."""
+    from gbif_filter_python_spark.operators.dedup import semantic_dedup
+
+    emb = _perturbed_embeddings(spark, sf)
+    return semantic_dedup(emb, k=16, threshold=0.99, max_iter=4).select(
+        "vec_id", "cluster"
+    )
+
+
 def q_global_index(spark: SparkSession, sf: str) -> DataFrame:
     """Contiguous global row index over documents ordered by doc_id —
     the scalable zipWithIndex (range shuffle + bit-split
@@ -1513,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "star_join_revenue": q_star_join_revenue,
         "global_index": q_global_index,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "hll_daily_users",
     "theta_overlap",
     "approx_top_terms",
+    # Dimension maintenance, multi-way star join, global indexing,
+    # and clustering-based semantic dedup.
+    "scd2_merge",
+    "star_join_revenue",
+    "global_index",
+    "semantic_dedup",
 ]
 
 

@@ -150,3 +150,44 @@ def test_ann_lsh_topk_ranks_and_cosine_consistency(spark, sf):
         ordered = sorted(rs, key=lambda r: r["rank"])
         cosines = [r["cosine"] for r in ordered]
         assert cosines == sorted(cosines, reverse=True), (qid, cosines)
+
+
+def test_semantic_dedup_kept_set_properties(spark, sf):
+    """Over the perturbed embeddings (planted near-copies at cosine
+    ≈ 0.999): (a) every original survives and every planted copy that
+    shares its source's cluster is dropped — keep-lowest-id policy;
+    (b) no within-cluster kept pair sits at or above the threshold
+    (every dropped row pointed at a lower id, so the minimum of each
+    relation chain always survives)."""
+    from gbif_filter_python_spark.functions.vectors import cosine_similarity
+    from gbif_filter_python_spark.operators.dedup import semantic_dedup
+
+    emb = entry_mod._perturbed_embeddings(spark, sf)
+    kept = semantic_dedup(emb, k=4, threshold=0.99, max_iter=4)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    originals = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") < 100000).select("vec_id").collect()
+    }
+    planted = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= 100000).select("vec_id").collect()
+    }
+    # keep-lowest-id: no original is ever dropped (each pairs only
+    # with its higher-id planted copy)
+    assert originals <= kept_ids
+    # the planted copies are near-identical to their sources, so they
+    # share the source's cluster and must be dropped
+    assert not (planted & kept_ids), sorted(planted & kept_ids)[:5]
+    # no surviving within-cluster pair at/above threshold
+    compact = kept.select(
+        "cluster", F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+    )
+    survivors = (
+        compact.alias("l")
+        .join(compact.alias("r"), "cluster")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .filter(cosine_similarity(F.col("l._v"), F.col("r._v")) >= 0.99)
+        .count()
+    )
+    assert survivors == 0

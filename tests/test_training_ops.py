@@ -369,3 +369,46 @@ class TestMultimodal:
         assert feats[1].rms == again[1].rms
         with pytest.raises(NotImplementedError):
             decode_audio(media, fake=False)
+
+
+class TestSemanticDedup:
+    def test_planted_near_identical_vectors_pruned(self, spark):
+        """Two tight groups far apart; within each group the non-lowest
+        ids whose cosine to the anchor is ~1 are dropped, the distant
+        singleton survives."""
+        from gbif_filter_python_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # ~dup of 1
+            (3, [0.998, 0.02, 0.0]),   # ~dup of 1
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.01, 0.999, 0.0]),  # ~dup of 10
+            (20, [0.0, 0.0, 1.0]),     # lone direction
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(emb, k=3, threshold=0.99, max_iter=5)
+        ids = sorted(r.vec_id for r in kept.collect())
+        assert ids == [1, 10, 20]
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        from gbif_filter_python_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(emb, k=2, threshold=1.1, max_iter=3)
+        assert kept.count() == 3
+
+    def test_precomputed_centroids_skip_fit(self, spark):
+        from gbif_filter_python_spark.operators.dedup import semantic_dedup
+
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(
+            emb, threshold=0.999, centroids=[[1.0, 0.0], [0.0, 1.0]]
+        )
+        assert sorted(r.vec_id for r in kept.collect()) == [1, 3]
