@@ -1391,6 +1391,68 @@ def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(near)
 
 
+def q_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """The cogrouped (applyInPandas) twin of q_asof_purchase: per-user
+    pandas merge_asof of clicks against deduped purchases. Same oracle
+    as the JVM-side as-of join — the two paths are differentially
+    checked against each other in tests/test_temporal.py."""
+    from gbif_filter_python_spark.operators.cogroup import (
+        asof_merge_cogrouped,
+    )
+
+    events = _t(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_merge_cogrouped(clicks, purchases, on="user_id")
+    return joined.select("event_id", "user_id", "purchase_id")
+
+
+def q_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured path via Spark 4 VariantType: parse_json once
+    into the binary variant encoding, variant_get typed extraction,
+    then aggregate. At scale this replaces repeated get_json_object
+    string re-parsing (each extraction re-tokenizes the JSON) with one
+    parse + O(1) binary field reads."""
+    ev = _t(spark, sf, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """24-hour trailing per-user activity (RANGE frame over event-time
+    seconds): running event count + value sum within the window ending
+    at each row. The range frame is one sort per user partition —
+    no self-join, no explode of the time axis."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_24h"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup over the perturbed embeddings: k-means clusters then
     within-cluster cosine >= 0.99 prune (keep-lowest-id) — each
@@ -1546,6 +1608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_revenue": q_star_join_revenue,
         "global_index": q_global_index,
         "semantic_dedup": q_semantic_dedup,
+        "variant_extract": q_variant_extract,
+        "trailing_window": q_trailing_window,
+        "cogroup_asof": q_cogroup_asof,
     }
 
 
@@ -2252,6 +2317,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "cogroup_asof": (
+            "SELECT c.event_id, c.user_id, p.purchase_id FROM "
+            "(SELECT event_id, user_id, ts FROM events "
+            " WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN "
+            "(SELECT user_id, ts, max(event_id) AS purchase_id FROM events "
+            " WHERE event_type = 'purchase' GROUP BY user_id, ts) p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "variant_extract": (
+            "SELECT event_type, count(*) AS n, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) "
+            "AS avg_k, "
+            "min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "trailing_window": (
+            "SELECT event_id, user_id, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, "
+            "count(*) OVER w AS n_24h, "
+            "round(sum(value) OVER w, 4) AS sum_24h "
+            "FROM events WHERE user_id < 30 "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
         ),
         "global_index": (
             "SELECT doc_id, source, "

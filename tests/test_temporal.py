@@ -278,3 +278,55 @@ class TestRangeJoin:
         )
         with pytest.raises(ValueError, match="overlapping"):
             range_join(points, bad, "ts", "win_start", "win_end")
+
+
+class TestCogroupAsof:
+    def test_matches_jvm_asof_join(self, spark):
+        """Differential: the cogrouped pandas merge_asof and the
+        JVM-side union+window as-of join must agree row for row."""
+        from gbif_filter_python_spark.operators.cogroup import (
+            asof_merge_cogrouped,
+        )
+        from gbif_filter_python_spark.operators.temporal import asof_join
+        from gbif_filter_python_spark.sources.io import read_table
+        from pyspark.sql import functions as F
+
+        events = read_table(spark, "/root/testdata/sf0.001", "events")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            events.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"))
+        )
+        a = {
+            (r["event_id"], r["purchase_id"])
+            for r in asof_join(clicks, purchases, on="user_id").collect()
+        }
+        b = {
+            (r["event_id"], r["purchase_id"])
+            for r in asof_merge_cogrouped(
+                clicks, purchases, on="user_id"
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_key_with_no_right_rows_gets_nulls(self, spark):
+        from gbif_filter_python_spark.operators.cogroup import (
+            asof_merge_cogrouped,
+        )
+        import datetime
+
+        ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, 10, ts), (2, 20, ts)], "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(10, ts, 99)], "user_id long, ts timestamp, purchase_id long"
+        )
+        rows = {
+            r["event_id"]: r["purchase_id"]
+            for r in asof_merge_cogrouped(left, right, on="user_id").collect()
+        }
+        assert rows == {1: 99, 2: None}
