@@ -1391,6 +1391,35 @@ def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(near)
 
 
+def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated 5-word spans over the exact-duplicate
+    augmented corpus (each copied doc's every span repeats; naturally
+    shared spans count too). Per-doc (n_spans, n_repeated)."""
+    from gbif_filter_python_spark.operators.corpus import repeated_spans
+
+    docs = _t(spark, sf, "documents")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return repeated_spans(aug, n=5, min_docs=2)
+
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (corpus
+    quality signal: prose ~4 bits, degenerate repetition ~0, random
+    blobs ~6)."""
+    from gbif_filter_python_spark.operators.corpus import char_entropy
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return char_entropy(docs)
+
+
 def q_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
     """The cogrouped (applyInPandas) twin of q_asof_purchase: per-user
     pandas merge_asof of clicks against deduped purchases. Same oracle
@@ -1611,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "trailing_window": q_trailing_window,
         "cogroup_asof": q_cogroup_asof,
+        "char_entropy": q_char_entropy,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -2317,6 +2348,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "repeated_spans": (
+            f"WITH aug AS ({_AUG_DOCS}), "
+            f"s AS (SELECT doc_id, {_NORM} AS t FROM aug), "
+            "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+            "FROM s WHERE t <> ''), "
+            "sp AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN "
+            "list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || "
+            "w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) "
+            "ELSE [] END) AS span FROM w), "
+            "freq AS (SELECT span FROM "
+            "(SELECT DISTINCT doc_id, span FROM sp) "
+            "GROUP BY span HAVING count(*) >= 2), "
+            "tot AS (SELECT doc_id, count(*) AS n_spans FROM sp "
+            "GROUP BY doc_id), "
+            "rep AS (SELECT doc_id, count(*) AS n_repeated FROM sp "
+            "WHERE span IN (SELECT span FROM freq) GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_spans, "
+            "coalesce(r.n_repeated, 0) AS n_repeated "
+            "FROM tot t LEFT JOIN rep r ON t.doc_id = r.doc_id"
+        ),
+        "char_entropy": (
+            "WITH ex AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '')) AS c "
+            "FROM documents WHERE doc_id < 200), "
+            "cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ex "
+            "WHERE c <> '' GROUP BY doc_id, c) "
+            "SELECT doc_id, "
+            "round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) "
+            "AS entropy_bits, "
+            "CAST(sum(n) AS BIGINT) AS n_chars_counted "
+            "FROM cnt GROUP BY doc_id"
         ),
         "cogroup_asof": (
             "SELECT c.event_id, c.user_id, p.purchase_id FROM "

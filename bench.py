@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "star_join_revenue",
     "global_index",
     "semantic_dedup",
+    # Variant semi-structured extraction, trailing range windows, and
+    # the substring-dedup repeated-span signal.
+    "variant_extract",
+    "trailing_window",
+    "repeated_spans",
 ]
 
 

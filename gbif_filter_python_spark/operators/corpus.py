@@ -751,3 +751,55 @@ def assign_global_index(
         index_col, (F.col("_offset") + F.col("_local")).cast("long")
     )
     return out.drop("_mid", "_pid", "_local", "_offset")
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated word-span detection — the signal behind
+    exact substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2021, approximated at word-``n``-gram
+    granularity): for every document, how many of its ``n``-word spans
+    also occur in at least ``min_docs - 1`` OTHER documents, plus the
+    document's total span count. Downstream policy can drop documents
+    whose repeated fraction is high (boilerplate mirrors, licence
+    blocks, syndicated articles).
+
+    Returns ``(doc_id, n_spans, n_repeated)``.
+
+    Scale shape: spans fold to md5 in the explode projection (the
+    shuffle carries 16-byte hashes, never text); doc-frequency is one
+    hash aggregation over DISTINCT (doc, span) pairs; the per-doc
+    count joins span rows to the frequent-span set on the hash.
+    Everything is linear in total span count — no pairwise stage. md5
+    (not xxhash64) keeps it oracle-checkable cross-engine; swap for
+    8-byte xxhash64 at scale.
+    """
+    spans = _staged_ngrams(docs, doc_id_col, text_col, n).select(
+        "doc_id", F.md5(F.col("ngram")).alias("_h")
+    )
+    freq = (
+        spans.distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    repeated = (
+        spans.join(freq, "_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(repeated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        )
+    )

@@ -49,3 +49,30 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return l.join(r, cond, how).drop("_r_key")
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream without any state.
+
+    Structured Streaming plans a stream-static join per micro-batch —
+    the static side is just re-joined (broadcast when small, which a
+    dimension should be), NO streaming state is kept, and no watermark
+    is needed. This is the scalable lookup shape for "events × slowly
+    changing reference data" at any stream rate; when the dimension
+    itself must evolve mid-stream, snapshot it per batch via
+    ``foreachBatch`` instead.
+
+    Only ``inner`` and ``left`` (stream side preserved) are supported:
+    right/full joins against a static side are not stream-plannable.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports inner/left, got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), on, how)

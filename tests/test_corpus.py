@@ -534,3 +534,29 @@ class TestAssignGlobalIndex:
         # partition in the test session it may be elided entirely)
         assert plan.count("Exchange SinglePartition") <= 1
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestRepeatedSpans:
+    def test_planted_shared_span_counts(self, spark):
+        from gbif_filter_python_spark.operators.corpus import repeated_spans
+
+        shared = "alpha beta gamma delta epsilon"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{shared} zeta eta theta"),      # spans incl shared
+                (2, f"intro words here {shared}"),    # shares the span
+                (3, "totally different content with many unique words"),
+                (4, "tiny doc"),                      # < 5 words: no rows
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_spans"], r["n_repeated"])
+            for r in repeated_spans(docs, n=5, min_docs=2).collect()
+        }
+        # doc 1: 8 words -> 4 spans; only the leading shared 5-gram
+        # also occurs in doc 2 (as its trailing 5-gram of 8 words)
+        assert out[1] == (4, 1)
+        assert out[2] == (4, 1)
+        assert out[3] == (3, 0)  # 7 words -> 3 spans, none shared
+        assert 4 not in out

@@ -363,3 +363,54 @@ def test_incremental_corpus_writer_cross_batch_unique(spark, tmp_path):
     # batch_id partition column discovered from the directory layout
     assert "batch_id" in out.columns
     assert out.select("batch_id").distinct().count() == 2
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static left join (no state, dim broadcast per batch)
+    produces exactly the batch join's rows, and survives an
+    AvailableNow backfill run — the catch-up trigger that drains all
+    pending files in bounded micro-batches then stops (how a nightly
+    restart processes a day's backlog with streaming semantics)."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.streaming.joins import static_enrich
+    from gbif_filter_python_spark.streaming.windows import stream_events
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 5.0)],
+        "event_type string, weight double",
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = dict(
+        static_enrich(batch, dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("s"))
+        .collect()
+    )
+
+    stream = static_enrich(stream_events(spark, events_dir), dim, "event_type")
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("s"))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = dict(spark.sql("SELECT event_type, s FROM enriched").collect())
+    assert got == expected
+
+
+def test_static_enrich_rejects_right_join(spark, events_dir):
+    from gbif_filter_python_spark.streaming.joins import static_enrich
+    from gbif_filter_python_spark.streaming.windows import stream_events
+
+    dim = spark.createDataFrame([("click", 1.0)], "event_type string, w double")
+    with pytest.raises(ValueError):
+        static_enrich(stream_events(spark, events_dir), dim, "event_type", how="full")
