@@ -1391,6 +1391,40 @@ def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(near)
 
 
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 adjacent char pairs (one BPE merge-step statistic) via
+    the distinct-words-first aggregation."""
+    from gbif_filter_python_spark.operators.corpus import bpe_pair_stats
+
+    return bpe_pair_stats(_t(spark, sf, "documents"), k=20)
+
+
+def q_unicode_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization + accent stripping (Arrow-batched
+    pandas UDFs) over docs augmented with decomposed-form accents; md5
+    fingerprints prove byte-level parity with the DuckDB oracle's
+    nfc_normalize/strip_accents."""
+    from gbif_filter_python_spark.functions.text import (
+        normalize_unicode,
+        strip_accents,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # decomposed: e+U+0301, a+U+0300, u+U+0308 — NFC composes
+            F.lit(" cafe\u0301 de\u0301ja\u0300 u\u0308ber"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(normalize_unicode(F.col("text"), "NFC")).alias("nfc_md5"),
+        F.md5(strip_accents(F.col("text"))).alias("stripped_md5"),
+    )
+
+
 def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document repeated 5-word spans over the exact-duplicate
     augmented corpus (each copied doc's every span repeats; naturally
@@ -1642,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cogroup_asof": q_cogroup_asof,
         "char_entropy": q_char_entropy,
         "repeated_spans": q_repeated_spans,
+        "bpe_pairs": q_bpe_pairs,
+        "unicode_norm": q_unicode_norm,
     }
 
 
@@ -2348,6 +2384,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "bpe_pairs": (
+            f"WITH s AS (SELECT {_NORM} AS t FROM documents), "
+            "w0 AS (SELECT unnest(regexp_split_to_array(t, ' ')) AS word "
+            "FROM s WHERE t <> ''), "
+            "wc AS (SELECT word, count(*)::BIGINT AS n FROM w0 "
+            "WHERE word <> '' GROUP BY word), "
+            "cs AS (SELECT n, regexp_split_to_array(word, '') AS cs "
+            "FROM wc), "
+            "p AS (SELECT unnest(list_transform(range(1, len(cs)), "
+            "i -> cs[i] || ' ' || cs[i+1])) AS pair, n FROM cs), "
+            "agg AS (SELECT pair, sum(n)::BIGINT AS n FROM p "
+            "GROUP BY pair) "
+            "SELECT pair, n, rank FROM (SELECT pair, n, "
+            "CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INT) "
+            "AS rank FROM agg) WHERE rank <= 20"
+        ),
+        "unicode_norm": (
+            "SELECT doc_id, "
+            "md5(nfc_normalize(text || ' cafe' || chr(769) || ' de' || "
+            "chr(769) || 'ja' || chr(768) || ' u' || chr(776) || 'ber')) "
+            "AS nfc_md5, "
+            "md5(strip_accents(text || ' cafe' || chr(769) || ' de' || "
+            "chr(769) || 'ja' || chr(768) || ' u' || chr(776) || 'ber')) "
+            "AS stripped_md5 "
+            "FROM documents WHERE doc_id < 100"
         ),
         "repeated_spans": (
             f"WITH aug AS ({_AUG_DOCS}), "

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "variant_extract",
     "trailing_window",
     "repeated_spans",
+    # BPE pair stats (distinct-words-first) and the pandas-UDF unicode
+    # normalization path (Arrow batch cost measured honestly).
+    "bpe_pairs",
+    "unicode_norm",
 ]
 
 

@@ -9,6 +9,8 @@ whole-stage codegen, no Python in the loop — so they hold up on a
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -218,3 +220,41 @@ def gopher_signals(
         "stopword_hits": stopword_hits,
         "passes": passes,
     }
+
+
+def normalize_unicode(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) as an Arrow-batched
+    pandas UDF — the one text op in this module that genuinely needs
+    Python (the JVM expression library exposes no normalizer).
+    Vectorized ``Series.str.normalize`` per batch, no per-row Python.
+
+    Corpus-prep rationale: mixed-source scrapes carry the same grapheme
+    in composed and decomposed forms; hash-based dedup and shingling
+    treat them as different bytes unless normalized first.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(col)
+
+
+def strip_accents(col: Column) -> Column:
+    """Accent/diacritic removal: NFD-decompose, drop combining marks
+    (U+0300–U+036F), recompose. Arrow-batched pandas UDF, vectorized
+    string ops per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        return (
+            s.str.normalize("NFD")
+            .str.replace("[\u0300-\u036f]", "", regex=True)
+            .str.normalize("NFC")
+        )
+
+    return _strip(col)

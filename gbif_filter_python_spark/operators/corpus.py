@@ -803,3 +803,49 @@ def repeated_spans(
             F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
         )
     )
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic
+    one BPE merge step maximizes (Sennrich et al. 2016), computed the
+    way BPE trainers actually scale: aggregate to DISTINCT words with
+    counts FIRST (Zipf — the distinct-word table is orders of magnitude
+    smaller than the token stream), then explode each distinct word's
+    adjacent pairs weighted by its count.
+
+    Returns the top-``k`` ``(pair, n, rank)`` rows (count desc, pair
+    asc tie-break). Shuffles carry words then 3-char pair keys with
+    counts — never document text. The pair explode references the
+    char array as a materialized ATTRIBUTE (own projection) since
+    slice/size would otherwise re-split per reference.
+    """
+    words = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("_n"))
+    )
+    chars = words.select(
+        "_n", F.array_remove(F.split(F.col("word"), ""), "").alias("_cs")
+    )
+    pairs = chars.select(
+        "_n",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_cs"), 1, F.size("_cs") - 1),
+                F.slice(F.col("_cs"), 2, F.size("_cs") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("_n").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n", "rank")
+    )

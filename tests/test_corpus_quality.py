@@ -240,3 +240,54 @@ class TestKmeans:
         c2, h2 = kmeans_fit(vectors.repartition(5), k=3, max_iter=5)
         assert h1 == h2
         assert c1 == c2
+
+
+class TestUnicodeNormalization:
+    def test_nfc_composes_and_strip_removes(self, spark):
+        from gbif_filter_python_spark.functions.text import (
+            normalize_unicode,
+            strip_accents,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, "plain")],
+            "id long, t string",
+        )
+        out = {
+            r["id"]: (r["n"], r["s"])
+            for r in df.select(
+                "id",
+                normalize_unicode(F.col("t"), "NFC").alias("n"),
+                strip_accents(F.col("t")).alias("s"),
+            ).collect()
+        }
+        # decomposed and composed inputs converge under NFC
+        assert out[1][0] == out[2][0] == "café"
+        assert out[1][1] == out[2][1] == "cafe"
+        assert out[3] == ("plain", "plain")
+
+    def test_bad_form_rejected(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.functions.text import normalize_unicode
+        from pyspark.sql import functions as F
+
+        with _pytest.raises(ValueError):
+            normalize_unicode(F.col("x"), "NFX")
+
+
+class TestBpePairStats:
+    def test_weighted_pair_counts(self, spark):
+        from gbif_filter_python_spark.operators.corpus import bpe_pair_stats
+
+        docs = spark.createDataFrame(
+            [(1, "abab abab"), (2, "abab"), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r["pair"]: r["n"] for r in bpe_pair_stats(docs, k=5).collect()}
+        # 'abab' occurs 3 times; pairs per occurrence: a b (x2), b a (x1)
+        assert out["a b"] == 6
+        assert out["b a"] == 3
+        # single-char word 'x' contributes nothing
+        assert len(out) == 2
