@@ -1391,6 +1391,38 @@ def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(near)
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha=0.2, adjust=False recursion) — applyInPandas per key; the
+    oracle replays the identical recursion as a DuckDB recursive
+    CTE."""
+    from gbif_filter_python_spark.operators.temporal import ewma
+
+    events = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    out = ewma(events, "user_id", "ts", "value", alpha=0.2)
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
+def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style constraint report over orders: completeness,
+    key uniqueness, FK containment into customer, and a value
+    predicate — all completeness/predicate checks in ONE aggregate
+    pass, FK via broadcast anti-join."""
+    from gbif_filter_python_spark.operators.profile import (
+        check_constraints,
+    )
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    return check_constraints(
+        orders,
+        completeness={"o_custkey": 1.0, "o_orderdate": 1.0},
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+        predicates={"positive_price": F.col("o_totalprice") > 0},
+    )
+
+
 def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 adjacent char pairs (one BPE merge-step statistic) via
     the distinct-words-first aggregation."""
@@ -1678,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "bpe_pairs": q_bpe_pairs,
         "unicode_norm": q_unicode_norm,
+        "ewma_values": q_ewma,
+        "dq_report": q_dq_report,
     }
 
 
@@ -2384,6 +2418,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "ewma_values": (
+            "WITH RECURSIVE o AS (SELECT user_id, ts, value, event_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS r "
+            "FROM events WHERE user_id < 20), "
+            "e AS (SELECT user_id, r, value, event_id, value AS y "
+            "FROM o WHERE r = 1 "
+            "UNION ALL "
+            "SELECT o.user_id, o.r, o.value, o.event_id, "
+            "0.2 * o.value + 0.8 * e.y "
+            "FROM o JOIN e ON o.user_id = e.user_id AND o.r = e.r + 1) "
+            "SELECT event_id, user_id, value, round(y, 6) AS ewma FROM e"
+        ),
+        "dq_report": (
+            "SELECT 'completeness(o_custkey)>=1.0' AS constraint, "
+            "round(count(o_custkey)::DOUBLE / count(*), 6) AS metric, "
+            "count(o_custkey) = count(*) AS passed FROM orders "
+            "UNION ALL "
+            "SELECT 'completeness(o_orderdate)>=1.0', "
+            "round(count(o_orderdate)::DOUBLE / count(*), 6), "
+            "count(o_orderdate) = count(*) FROM orders "
+            "UNION ALL "
+            "SELECT 'predicate(positive_price)', "
+            "round(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)"
+            "::DOUBLE / count(*), 6), "
+            "sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) = count(*) "
+            "FROM orders "
+            "UNION ALL "
+            "SELECT 'unique(o_orderkey)', "
+            "count(DISTINCT o_orderkey)::DOUBLE, "
+            "count(DISTINCT o_orderkey) = count(*) FROM orders "
+            "UNION ALL "
+            "SELECT 'fk(o_custkey)', count(*)::DOUBLE, count(*) = 0 FROM "
+            "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL "
+            "AND o_custkey NOT IN (SELECT c_custkey FROM customer))"
         ),
         "bpe_pairs": (
             f"WITH s AS (SELECT {_NORM} AS t FROM documents), "

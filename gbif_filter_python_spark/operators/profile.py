@@ -17,7 +17,7 @@ documented cost of exactness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,101 @@ def profile_table(
     return stacked.select(
         "column", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    completeness: dict[str, float] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+    predicates: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint report (the Deequ/Great
+    Expectations pattern): evaluate every declared constraint in a
+    HANDFUL of aggregate jobs and emit one ``(constraint, metric,
+    passed)`` row each — the gate a production pipeline runs before
+    promoting a snapshot.
+
+    * ``completeness``: column → minimum non-null fraction. ALL
+      completeness checks and ALL ``predicates`` fold into ONE
+      aggregation pass over the table (conditional counts), so the
+      table is scanned once regardless of how many are declared.
+    * ``unique``: column tuples that must be row-unique —
+      count_distinct(struct) == count(*), one aggregate each.
+    * ``foreign_keys``: (col, dim, dim_col) containment — metric is
+      the number of orphan rows via left_anti against the DISTINCT
+      dim keys (broadcast when small; the fact never shuffles).
+    * ``predicates``: name → boolean Column; metric is the satisfying
+      fraction, passing only at 1.0.
+
+    Metrics are 6dp-rounded so the report is hash-stable cross-engine.
+    """
+    spark = df.sparkSession
+    reports: list[DataFrame] = []
+
+    agg_exprs: list[Column] = [F.count(F.lit(1)).alias("_total")]
+    for col, _ in (completeness or {}).items():
+        agg_exprs.append(
+            F.count(F.col(col)).cast("double").alias(f"_c_{col}")
+        )
+    for name, pred in (predicates or {}).items():
+        agg_exprs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("double").alias(f"_p_{name}")
+        )
+    base = df.agg(*agg_exprs)
+    safe_total = F.when(F.col("_total") > 0, F.col("_total").cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    for col, floor in (completeness or {}).items():
+        m = F.round(F.col(f"_c_{col}") / safe_total, 6)
+        reports.append(
+            base.select(
+                F.lit(f"completeness({col})>={floor}").alias("constraint"),
+                m.alias("metric"),
+                (m >= floor).alias("passed"),
+            )
+        )
+    for name in (predicates or {}):
+        m = F.round(F.col(f"_p_{name}") / safe_total, 6)
+        reports.append(
+            base.select(
+                F.lit(f"predicate({name})").alias("constraint"),
+                m.alias("metric"),
+                (m >= 1.0).alias("passed"),
+            )
+        )
+    for cols in unique or []:
+        u = df.agg(
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias("_d"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        reports.append(
+            u.select(
+                F.lit(f"unique({','.join(cols)})").alias("constraint"),
+                F.col("_d").cast("double").alias("metric"),
+                (F.col("_d") == F.col("_n")).alias("passed"),
+            )
+        )
+    for col, dim, dim_col in foreign_keys or []:
+        keys = dim.select(F.col(dim_col).alias(col)).distinct()
+        orphans = (
+            df.select(col)
+            .filter(F.col(col).isNotNull())
+            .join(keys, col, "left_anti")
+            .agg(F.count(F.lit(1)).alias("_o"))
+        )
+        reports.append(
+            orphans.select(
+                F.lit(f"fk({col})").alias("constraint"),
+                F.col("_o").cast("double").alias("metric"),
+                (F.col("_o") == 0).alias("passed"),
+            )
+        )
+    if not reports:
+        return spark.createDataFrame(
+            [], "constraint string, metric double, passed boolean"
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

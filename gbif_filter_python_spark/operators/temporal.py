@@ -331,3 +331,49 @@ def rolling_stats(
         F.round(F.max(v).over(w), 6).alias("roll_max"),
         F.count(v).over(w).alias("roll_n"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over event time:
+    ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` (adjust=False form,
+    seeded with the key's first value).
+
+    The recursion has no Spark window equivalent (frames aggregate
+    INPUT rows; they cannot reference the previous OUTPUT), and the
+    closed-form rewrite overflows (1-alpha)^-n for long series — so
+    this is a deliberate applyInPandas op: one shuffle keyed by
+    ``key_col``, then a vectorized ``Series.ewm`` per key. Executor
+    memory bounds one key's history, the same contract as
+    sessionization state.
+
+    Emits the input columns plus ``out_col`` (6dp-rounded so replays
+    and cross-engine recursive-CTE oracles hash identically).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+    cols = list(df.columns)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        # total order: ts first, every remaining column as tie-break,
+        # so equal-timestamp rows fold into the recursion identically
+        # on every run/partitioning
+        tiebreak = [c for c in cols if c != ts_col]
+        pdf = pdf.sort_values([ts_col] + tiebreak, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(key_col).applyInPandas(per_key, out_schema)

@@ -201,3 +201,18 @@ def test_tfidf_partial_aggregation(spark, sf001_dir):
     docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
     plan = explain_str(tfidf_top_terms(docs), "simple")
     assert "partial_count" in plan, plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf001_dir):
+    """TPC-H Q5 shape: every dimension side must broadcast (no
+    sort-merge join at this scale ratio) and the order-date slice must
+    push down to the parquet scan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_star_join_revenue(spark, sf001_dir)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "orders" in l]
+    assert scans and any("o_orderdate" in l and "PushedFilters" in l for l in scans)

@@ -330,3 +330,75 @@ class TestCogroupAsof:
             for r in asof_merge_cogrouped(left, right, on="user_id").collect()
         }
         assert rows == {1: 99, 2: None}
+
+
+class TestEwma:
+    def test_exact_recursion(self, spark):
+        import datetime
+
+        from gbif_filter_python_spark.operators.temporal import ewma
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10.0),
+            (1, t0 + datetime.timedelta(hours=1), 20.0),
+            (1, t0 + datetime.timedelta(hours=2), 30.0),
+            (2, t0, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+        out = {
+            (r["k"], r["value"]): r["e"]
+            for r in ewma(df, "k", "ts", "value", alpha=0.5, out_col="e").collect()
+        }
+        assert out[(1, 10.0)] == 10.0
+        assert out[(1, 20.0)] == 15.0       # 0.5*20 + 0.5*10
+        assert out[(1, 30.0)] == 22.5       # 0.5*30 + 0.5*15
+        assert out[(2, 5.0)] == 5.0
+
+
+class TestCheckConstraints:
+    def test_all_constraint_kinds(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            check_constraints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "d", 0.0)],
+            "id long, name string, v double",
+        )
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        rep = {
+            r["constraint"]: (r["metric"], r["passed"])
+            for r in check_constraints(
+                df,
+                completeness={"name": 0.7, "id": 1.0},
+                unique=[["id"]],
+                foreign_keys=[("id", dim, "id")],
+                predicates={"v_pos": F.col("v") > 0},
+            ).collect()
+        }
+        assert rep["completeness(name)>=0.7"] == (0.75, True)
+        assert rep["completeness(id)>=1.0"] == (1.0, True)
+        assert rep["unique(id)"] == (3.0, False)       # id 3 twice
+        assert rep["fk(id)"] == (0.0, True)
+        assert rep["predicate(v_pos)"] == (0.5, False)
+
+    def test_fk_orphans_counted(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            check_constraints,
+        )
+
+        df = spark.createDataFrame([(1,), (9,), (9,)], "fk long")
+        dim = spark.createDataFrame([(1,), (2,)], "k long")
+        rep = check_constraints(
+            df, foreign_keys=[("fk", dim, "k")]
+        ).collect()
+        assert rep[0]["metric"] == 2.0 and not rep[0]["passed"]
+
+    def test_empty_constraint_set(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            check_constraints,
+        )
+
+        df = spark.createDataFrame([(1,)], "id long")
+        assert check_constraints(df).count() == 0
