@@ -1391,6 +1391,39 @@ def _perturbed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(near)
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """view→click→purchase ordered funnel per user: one collect+fold
+    shuffle instead of a per-stage self-join chain."""
+    from gbif_filter_python_spark.operators.analytics import funnel
+
+    events = _t(spark, sf, "events")
+    return funnel(events, ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: cohort = first-activity week, count
+    of returning users per later week offset."""
+    from gbif_filter_python_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_t(spark, sf, "events"), period_days=7)
+
+
+def q_rolling_actives(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (distinct doesn't
+    decompose over sliding frames — explode each distinct (user, day)
+    pair into its window-end days instead)."""
+    from gbif_filter_python_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    out = rolling_active_users(_t(spark, sf, "events"), window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active"
+    )
+
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (alpha=0.2, adjust=False recursion) — applyInPandas per key; the
@@ -1712,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_norm": q_unicode_norm,
         "ewma_values": q_ewma,
         "dq_report": q_dq_report,
+        "funnel_stages": q_funnel,
+        "retention_triangle": q_retention,
+        "rolling_actives": q_rolling_actives,
     }
 
 
@@ -2418,6 +2454,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, CAST(row_number() OVER ("
             "PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) "
             "AS pos_in_shard FROM s"
+        ),
+        "funnel_stages": (
+            "WITH t1 AS (SELECT user_id, min(ts) AS view_ts FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.view_ts "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts "
+            "FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.click_ts "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')) "
+            "SELECT u.user_id, t1.view_ts, t2.click_ts, t3.purchase_ts, "
+            "(CASE WHEN t1.view_ts IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN t2.click_ts IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN t3.purchase_ts IS NULL THEN 0 ELSE 1 END)::INT "
+            "AS stages_completed "
+            "FROM u LEFT JOIN t1 ON u.user_id = t1.user_id "
+            "LEFT JOIN t2 ON u.user_id = t2.user_id "
+            "LEFT JOIN t3 ON u.user_id = t3.user_id"
+        ),
+        "retention_triangle": (
+            "WITH pairs AS (SELECT DISTINCT user_id AS u, "
+            "CAST(floor((epoch(ts) - epoch(TIMESTAMP '2000-01-01')) / "
+            "(7 * 86400)) AS BIGINT) AS p FROM events), "
+            "coh AS (SELECT u, min(p) AS c FROM pairs GROUP BY u) "
+            "SELECT c AS cohort_period, CAST(p - c AS INT) AS "
+            "period_offset, count(DISTINCT pairs.u) AS n_users "
+            "FROM pairs JOIN coh ON pairs.u = coh.u "
+            "GROUP BY c, p - c"
+        ),
+        "rolling_actives": (
+            "WITH pairs AS (SELECT DISTINCT user_id AS u, "
+            "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+            "contrib AS (SELECT u, unnest(generate_series(d, "
+            "d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM pairs) "
+            "SELECT strftime(day, '%Y-%m-%d') AS day, "
+            "count(DISTINCT u) AS n_active FROM contrib GROUP BY 1"
         ),
         "ewma_values": (
             "WITH RECURSIVE o AS (SELECT user_id, ts, value, event_id, "

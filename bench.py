@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     # normalization path (Arrow batch cost measured honestly).
     "bpe_pairs",
     "unicode_norm",
+    # Event analytics: fold-based funnel, cohort retention, rolling
+    # distinct actives, and the single-pass data-quality report.
+    "funnel_stages",
+    "retention_triangle",
+    "rolling_actives",
+    "dq_report",
 ]
 
 

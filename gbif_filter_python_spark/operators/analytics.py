@@ -1,0 +1,169 @@
+"""Event-analytics operators: funnels, retention cohorts, rolling
+active users.
+
+Beyond-reference block (the reference has no event analytics;
+SURVEY.md §2 "absent in reference"). These are the product-analytics
+queries every event warehouse runs nightly, each written in its
+scale-correct shape:
+
+* the funnel folds each user's history in ONE groupBy — no per-stage
+  self-join chain (k stages would otherwise be k shuffles of the fact);
+* retention joins the fact against per-user FIRST-activity (a distinct
+  pair aggregate), never fact×fact;
+* rolling actives explode distinct (user, day) pairs into the few
+  windows each contributes to — O(window_days × distinct pairs), never
+  a range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "retention_cohorts", "rolling_active_users"]
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion per user: the earliest time each
+    stage is reached, where stage *i* must STRICTLY follow the user's
+    recorded stage *i-1* time.
+
+    Scale shape: ONE shuffle — ``collect_list(struct(ts, type))`` per
+    user (state bounded by one user's history, like sessionization),
+    ``sort_array`` for event-time order, then a single ``aggregate``
+    fold threading an ``array<timestamp>`` of stage times through the
+    sorted events. A join-chain formulation would shuffle the fact
+    once per stage; this does it once total, entirely JVM-side.
+
+    Equal-timestamp events cannot complete two consecutive stages (the
+    comparison is strict) — deterministic regardless of intra-tie
+    processing order.
+
+    Returns ``user_col``, one ``<stage>_ts`` column per stage, and
+    ``stages_completed`` (length of the non-null prefix).
+    """
+    n = len(stages)
+    if n == 0:
+        raise ValueError("funnel needs at least one stage")
+    stage_lits = F.array(*[F.lit(s) for s in stages])
+    init = F.array_repeat(F.lit(None).cast("timestamp"), n)
+
+    def step(state, ev):
+        # For each stage slot i (0-based): fill it with ev.ts when the
+        # slot is empty, the event matches the stage, and stage i-1 is
+        # already filled strictly earlier. element_at is 1-based, so
+        # element_at(state, i) IS the previous slot for lambda index i.
+        def update(slot, i):
+            gate = F.when(
+                i == 0, F.lit(True)
+            ).otherwise(
+                F.element_at(state, i).isNotNull()
+                & (ev["ts"] > F.element_at(state, i))
+            )
+            return F.coalesce(
+                slot,
+                F.when(
+                    (ev["tp"] == F.element_at(stage_lits, i + 1)) & gate,
+                    ev["ts"],
+                ),
+            )
+
+        return F.transform(state, update)
+
+    history = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")))
+    )
+    folded = (
+        events.filter(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(F.aggregate(history, init, step).alias("_st"))
+    )
+    stage_cols = [
+        F.element_at("_st", i + 1).alias(f"{s}_ts") for i, s in enumerate(stages)
+    ]
+    completed = F.size(F.filter(F.col("_st"), lambda t: t.isNotNull()))
+    return folded.select(
+        user_col, *stage_cols, completed.cast("int").alias("stages_completed")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by FIRST-activity
+    period; for each later period offset, how many came back.
+
+    Shape: distinct (user, period) pairs first (one agg — the fact
+    collapses to at most users×periods rows), per-user cohort via a
+    min aggregate over those pairs, one equi-join back on user (AQE
+    broadcasts the per-user cohort when small), then a count-distinct
+    per (cohort, offset). The fact is scanned once; nothing pairwise.
+
+    Returns ``(cohort_period, period_offset, n_users)``.
+    """
+    day0 = F.lit("2000-01-01").cast("timestamp")
+    period = (
+        F.floor(
+            (F.col(ts_col).cast("long") - day0.cast("long"))
+            / (period_days * 86400)
+        )
+    ).cast("long")
+    pairs = events.select(
+        F.col(user_col).alias("_u"), period.alias("_p")
+    ).distinct()
+    cohorts = pairs.groupBy("_u").agg(F.min("_p").alias("_c"))
+    return (
+        pairs.join(cohorts, "_u")
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).cast("int").alias("period_offset"),
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per day
+    (rolling DAU/WAU): for each calendar day, the count of distinct
+    users seen in the window ending that day.
+
+    Distinct counting does not decompose over a sliding frame, so a
+    RANGE window cannot express it. The scale-correct shape: collapse
+    the fact to distinct (user, day) pairs (one agg), explode each
+    pair into the ``window_days`` window-end days it contributes to
+    (map-side sequence, O(window × pairs) — window is a small
+    constant), and count distinct users per window-end day. Days with
+    no activity in range simply don't appear.
+
+    Returns ``(day, n_active)`` where ``day`` is the window END date.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = events.select(
+        F.col(user_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    contributes = pairs.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    return contributes.groupBy("day").agg(
+        F.count_distinct("_u").alias("n_active")
+    )

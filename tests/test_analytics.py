@@ -1,0 +1,88 @@
+"""Event-analytics operators (operators/analytics.py): funnels,
+retention cohorts, rolling active users."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.analytics import (
+    funnel,
+    retention_cohorts,
+    rolling_active_users,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + datetime.timedelta(hours=h), t) for u, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_ordered_completion(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+                # user 2: purchase BEFORE click -> stops at click
+                (2, 0, "view"), (2, 1, "purchase"), (2, 2, "click"),
+                # user 3: only view
+                (3, 5, "view"),
+                # user 4: click without view -> nothing
+                (4, 0, "click"),
+            ],
+        )
+        out = {
+            r["user_id"]: r["stages_completed"]
+            for r in funnel(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert out == {1: 3, 2: 2, 3: 1, 4: 0}
+
+    def test_earliest_stage_times_and_strictness(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 0, "click"),  # same ts: click not after view
+                (1, 3, "click"), (1, 2, "view"),
+            ],
+        )
+        row = funnel(ev, ["view", "click"]).collect()[0]
+        assert row["view_ts"] == T0
+        assert row["click_ts"] == T0 + datetime.timedelta(hours=3)
+        assert row["stages_completed"] == 2
+
+    def test_retention_first_period_is_offset_zero(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 24 * 8, "view"),   # week 0 and week 1
+                (2, 24 * 8, "view"),                   # first seen week 1
+            ],
+        )
+        out = {
+            (r["cohort_period"], r["period_offset"]): r["n_users"]
+            for r in retention_cohorts(ev, period_days=7).collect()
+        }
+        cohorts = sorted({c for c, _ in out})
+        first = cohorts[0]
+        assert out[(first, 0)] == 1 and out[(first, 1)] == 1
+        assert out[(first + 1, 0)] == 1
+
+    def test_rolling_actives_window(self, spark):
+        ev = _ev(spark, [(1, 0, "view"), (2, 24 * 3, "view")])
+        out = {
+            str(r["day"]): r["n_active"]
+            for r in rolling_active_users(ev, window_days=7).collect()
+        }
+        # user 1 active Jan 1 -> contributes to window-ends Jan 1..7;
+        # user 2 active Jan 4 -> Jan 4..10
+        assert out["2024-01-01"] == 1
+        assert out["2024-01-04"] == 2
+        assert out["2024-01-07"] == 2
+        assert out["2024-01-08"] == 1
+        assert "2024-01-11" not in out
