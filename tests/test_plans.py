@@ -216,3 +216,29 @@ def test_star_join_broadcasts_all_dims(spark, sf001_dir):
     assert "CartesianProduct" not in plan
     scans = [l for l in plan.splitlines() if "FileScan" in l and "orders" in l]
     assert scans and any("o_orderdate" in l and "PushedFilters" in l for l in scans)
+
+
+def test_dynamic_partition_pruning_on_snapshot(spark, occurrence, tmp_path):
+    """At 100 TB the zone is often known only through a DIMENSION
+    filter, not a literal — dynamic partition pruning must inject the
+    dim-side subquery into the fact scan's PartitionFilters so
+    non-qualifying country directories are never read."""
+    from gbif_filter_python_spark.sources.io import (
+        read_occurrence_snapshot,
+        write_occurrence_snapshot,
+    )
+
+    path = str(tmp_path / "occ_dpp")
+    write_occurrence_snapshot(occurrence, path)
+    snap = read_occurrence_snapshot(spark, path)
+    zones = spark.createDataFrame(
+        [("NO", "nordic"), ("FR", "continental"), ("BR", "tropics")],
+        "country string, zone_class string",
+    )
+    joined = snap.join(
+        F.broadcast(zones.filter(F.col("zone_class") == "nordic")),
+        "country",
+    ).select("taxon_key")
+    text = explain_str(joined, "formatted")
+    assert "dynamicpruning" in text.lower(), text
+    assert joined.count() == 7  # the NO partition only
