@@ -1432,7 +1432,10 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     from gbif_filter_python_spark.operators.temporal import ewma
 
     events = _t(spark, sf, "events").filter(F.col("user_id") < 20)
-    out = ewma(events, "user_id", "ts", "value", alpha=0.2)
+    out = ewma(
+        events, "user_id", "ts", "value", alpha=0.2,
+        adjust=False, tiebreak_cols=["event_id"],
+    )
     return out.select("event_id", "user_id", "value", "ewma")
 
 

@@ -226,34 +226,77 @@ def ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     alpha: float = 0.2,
-    order_tiebreak: str | None = None,
+    adjust: bool = True,
+    out_col: str = "ewma",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exponentially weighted moving average per key (pandas
-    ``ewm(alpha, adjust=True)`` semantics), as pure window algebra:
+    """Per-key exponentially weighted moving average over event time,
+    both pandas ``ewm`` variants behind one ``adjust=`` flag.
+
+    ``adjust=True`` (default) — the weighted-mean form
 
         y_t = Σ_i x_i (1-α)^(t-i) / Σ_i (1-α)^(t-i)
             = running_sum(x_i · r^-i) / running_sum(r^-i),  r = 1-α
 
-    (the common (1-α)^t factor cancels). One window over one ordering
-    — a single hash shuffle on the key, no Python in the path.
+    (the common (1-α)^t factor cancels), expressed as pure window
+    algebra: one window over one ordering — a single hash shuffle on
+    the key, no Python in the path. BOUNDED-LENGTH caveat: r^-i
+    overflows double at i ≈ ln(1.8e308)/-ln(r) (~3 100 rows/key at
+    α=0.2). For unbounded per-key adjust=True history use
+    :func:`ewma_stateful` (Arrow-batched, O(1) state).
 
-    BOUNDED-LENGTH caveat: r^-i overflows double at i ≈ ln(1.8e308) /
-    -ln(r) (~3 100 rows/key at α=0.2). For unbounded per-key history
-    use :func:`ewma_stateful` (Arrow-batched, O(1) state). This is the
-    oracle-checkable closed form; that is the scale path.
+    ``adjust=False`` — the recursion
+    ``y_t = α·x_t + (1-α)·y_{t-1}`` seeded with the key's first value.
+    Window frames aggregate INPUT rows and cannot reference previous
+    OUTPUT, and the closed-form rewrite overflows for long series, so
+    this path is a deliberate ``applyInPandas``: one shuffle keyed by
+    ``key_col``, then vectorized ``Series.ewm`` per key (executor
+    memory bounds one key's history — the sessionization-state
+    contract). Output is 6dp-rounded so replays and cross-engine
+    recursive-CTE oracles hash identically.
+
+    ``tiebreak_cols`` makes the per-key ordering total when equal
+    timestamps occur (pass the unique event id); without it the fold
+    order of equal-ts rows is nondeterministic. Only ``[ts_col] +
+    tiebreak_cols`` is ever sorted on — never arbitrary payload
+    columns, which may be non-orderable (arrays/maps/structs).
     """
-    r = 1.0 - alpha
-    order = [F.col(ts_col).asc()] + (
-        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    tiebreak_cols = list(tiebreak_cols or [])
+    if adjust:
+        r = 1.0 - alpha
+        order = [F.col(c).asc() for c in [ts_col, *tiebreak_cols]]
+        w_ord = Window.partitionBy(key_col).orderBy(*order)
+        w_run = w_ord.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        i = F.row_number().over(w_ord) - 1
+        inv = F.pow(F.lit(1.0 / r), i)
+        return df.withColumn(
+            out_col,
+            F.sum(F.col(value_col) * inv).over(w_run)
+            / F.sum(inv).over(w_run),
+        )
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # A fresh StructType — StructType.add mutates in place, and the
+    # input DataFrame's schema object must not grow a column.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
     )
-    w_ord = Window.partitionBy(key_col).orderBy(*order)
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    i = F.row_number().over(w_ord) - 1
-    inv = F.pow(F.lit(1.0 / r), i)
-    return df.withColumn(
-        "ewma",
-        F.sum(F.col(value_col) * inv).over(w_run) / F.sum(inv).over(w_run),
-    )
+    cols = list(df.columns)
+    sort_cols = [ts_col] + tiebreak_cols
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(key_col).applyInPandas(per_key, out_schema)
 
 
 def ewma_stateful(
@@ -333,47 +376,3 @@ def rolling_stats(
     )
 
 
-def ewma(
-    df: DataFrame,
-    key_col: str,
-    ts_col: str,
-    value_col: str,
-    alpha: float = 0.2,
-    out_col: str = "ewma",
-) -> DataFrame:
-    """Per-key exponentially weighted moving average over event time:
-    ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` (adjust=False form,
-    seeded with the key's first value).
-
-    The recursion has no Spark window equivalent (frames aggregate
-    INPUT rows; they cannot reference the previous OUTPUT), and the
-    closed-form rewrite overflows (1-alpha)^-n for long series — so
-    this is a deliberate applyInPandas op: one shuffle keyed by
-    ``key_col``, then a vectorized ``Series.ewm`` per key. Executor
-    memory bounds one key's history, the same contract as
-    sessionization state.
-
-    Emits the input columns plus ``out_col`` (6dp-rounded so replays
-    and cross-engine recursive-CTE oracles hash identically).
-    """
-    import pandas as pd
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
-    )
-    cols = list(df.columns)
-
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        # total order: ts first, every remaining column as tie-break,
-        # so equal-timestamp rows fold into the recursion identically
-        # on every run/partitioning
-        tiebreak = [c for c in cols if c != ts_col]
-        pdf = pdf.sort_values([ts_col] + tiebreak, kind="mergesort")
-        pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
-        )
-        return pdf[cols + [out_col]]
-
-    return df.groupBy(key_col).applyInPandas(per_key, out_schema)

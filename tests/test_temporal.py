@@ -348,7 +348,10 @@ class TestEwma:
         df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
         out = {
             (r["k"], r["value"]): r["e"]
-            for r in ewma(df, "k", "ts", "value", alpha=0.5, out_col="e").collect()
+            for r in ewma(
+                df, "k", "ts", "value", alpha=0.5,
+                adjust=False, out_col="e",
+            ).collect()
         }
         assert out[(1, 10.0)] == 10.0
         assert out[(1, 20.0)] == 15.0       # 0.5*20 + 0.5*10
