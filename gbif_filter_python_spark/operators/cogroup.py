@@ -74,6 +74,12 @@ def asof_merge_cogrouped(
     right_vals = [
         f for f in right.schema.fields if f.name not in (on, ts_col)
     ]
+    clash = {f.name for f in right_vals} & set(left.columns)
+    if clash:
+        raise ValueError(
+            "right value column(s) collide with left columns: "
+            f"{sorted(clash)}; rename the right side first"
+        )
     out_schema = StructType(
         list(left.schema.fields)
         + [StructField(f.name, f.dataType, True) for f in right_vals]

@@ -107,21 +107,31 @@ def check_constraints(
         F.lit(1.0)
     )
     for col, floor in (completeness or {}).items():
-        m = F.round(F.col(f"_c_{col}") / safe_total, 6)
+        raw = F.col(f"_c_{col}") / safe_total
+        # passed from exact counts / the UNROUNDED ratio: a violation
+        # fraction in [0, 5e-7) must not round its way past the gate
+        # (4 bad rows in 10M round to metric 1.0 but must still fail
+        # a >=1.0 floor).
+        passed = (
+            (F.col(f"_c_{col}") == F.col("_total").cast("double"))
+            if floor >= 1.0
+            else (raw >= floor)
+        )
         reports.append(
             base.select(
                 F.lit(f"completeness({col})>={floor}").alias("constraint"),
-                m.alias("metric"),
-                (m >= floor).alias("passed"),
+                F.round(raw, 6).alias("metric"),
+                passed.alias("passed"),
             )
         )
     for name in (predicates or {}):
-        m = F.round(F.col(f"_p_{name}") / safe_total, 6)
         reports.append(
             base.select(
                 F.lit(f"predicate({name})").alias("constraint"),
-                m.alias("metric"),
-                (m >= 1.0).alias("passed"),
+                F.round(F.col(f"_p_{name}") / safe_total, 6).alias("metric"),
+                (F.col(f"_p_{name}") == F.col("_total").cast("double")).alias(
+                    "passed"
+                ),
             )
         )
     for cols in unique or []:

@@ -56,6 +56,7 @@ def static_enrich(
     dim: DataFrame,
     on: str,
     how: str = "left",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a
     stream without any state.
@@ -70,9 +71,15 @@ def static_enrich(
 
     Only ``inner`` and ``left`` (stream side preserved) are supported:
     right/full joins against a static side are not stream-plannable.
+
+    ``broadcast=False`` (default) lets the planner pick the strategy
+    from ``autoBroadcastJoinThreshold`` stats — a large static side
+    falls back to a shuffled stream-static join instead of OOMing the
+    executors under a forced hint. Pass ``broadcast=True`` only when
+    the dimension is known-small and stats under-estimate it.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"stream-static join supports inner/left, got {how!r}"
         )
-    return stream.join(F.broadcast(dim), on, how)
+    return stream.join(F.broadcast(dim) if broadcast else dim, on, how)

@@ -414,3 +414,18 @@ def test_static_enrich_rejects_right_join(spark, events_dir):
     dim = spark.createDataFrame([("click", 1.0)], "event_type string, w double")
     with pytest.raises(ValueError):
         static_enrich(stream_events(spark, events_dir), dim, "event_type", how="full")
+
+
+def test_static_enrich_broadcast_is_opt_in(spark):
+    """By default the dim carries NO forced broadcast hint (a large
+    static side must be allowed to fall back to a shuffled join under
+    autoBroadcastJoinThreshold); broadcast=True injects the hint."""
+    from gbif_filter_python_spark.streaming.joins import static_enrich
+
+    fact = spark.createDataFrame([("click", 1)], "event_type string, v long")
+    dim = spark.createDataFrame([("click", 1.0)], "event_type string, w double")
+
+    default_plan = static_enrich(fact, dim, "event_type")._jdf.queryExecution().optimizedPlan().toString()
+    hinted_plan = static_enrich(fact, dim, "event_type", broadcast=True)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in default_plan.lower()
+    assert "broadcast" in hinted_plan.lower()

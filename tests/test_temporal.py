@@ -331,6 +331,23 @@ class TestCogroupAsof:
         }
         assert rows == {1: 99, 2: None}
 
+    def test_right_value_name_collision_raises(self, spark):
+        import datetime
+
+        from gbif_filter_python_spark.operators.cogroup import (
+            asof_merge_cogrouped,
+        )
+
+        ts = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 10, ts)], "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(10, ts, 99)], "user_id long, ts timestamp, event_id long"
+        )
+        with pytest.raises(ValueError, match="collide.*event_id"):
+            asof_merge_cogrouped(left, right, on="user_id")
+
 
 class TestEwma:
     def test_exact_recursion(self, spark):
@@ -405,3 +422,27 @@ class TestCheckConstraints:
 
         df = spark.createDataFrame([(1,)], "id long")
         assert check_constraints(df).count() == 0
+
+    def test_tiny_violation_fails_despite_metric_rounding(self, spark):
+        # 4 bad rows in 10M: fraction 0.9999996 rounds to metric 1.0 at
+        # 6dp, but a >=1.0 completeness floor / all-rows predicate must
+        # still FAIL — passed comes from exact counts, not the rounded
+        # metric.
+        from gbif_filter_python_spark.operators.profile import (
+            check_constraints,
+        )
+
+        n = 10_000_000
+        df = spark.range(n).select(
+            F.when(F.col("id") % (n // 4) != 7, F.col("id")).alias("v")
+        )
+        rep = {
+            r["constraint"]: (r["metric"], r["passed"])
+            for r in check_constraints(
+                df,
+                completeness={"v": 1.0},
+                predicates={"v_set": F.col("v").isNotNull()},
+            ).collect()
+        }
+        assert rep["completeness(v)>=1.0"] == (1.0, False)
+        assert rep["predicate(v_set)"] == (1.0, False)
