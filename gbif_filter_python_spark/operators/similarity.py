@@ -25,7 +25,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from gbif_filter_python_spark.functions.vectors import cosine_similarity
 
@@ -210,17 +215,22 @@ def kmeans_fit(
     quantizer (the reference has no clustering; this is the
     beyond-reference IVF build step).
 
-    Distributed shape, per iteration:
+    Distributed shape — ONE corpus scan per Lloyd iteration:
 
     * assignment — one vectorized pandas UDF (NumPy ``matmul`` of each
       Arrow batch against the k×dim centroid matrix shipped in the
-      closure). Map-only: no shuffle, no per-row Python, and O(1)
-      Catalyst tree regardless of k×dim (a literal-array argmax
-      expression would be k×dim nodes — the blowup hyperplane_bucket
-      already fixed);
-    * update — posexplode vectors to (cluster, pos, value) and one
-      hash aggregation (map-side partials; shuffle rows = k×dim, not
-      n×dim), plus the same pass summing max-cosine for the inertia;
+      closure) emitting ``struct(cluster, max_sim)``. Map-only: no
+      shuffle, no per-row Python, and O(1) Catalyst tree regardless of
+      k×dim (a literal-array argmax expression would be k×dim nodes —
+      the blowup hyperplane_bucket already fixed);
+    * update AND inertia — posexplode vectors to (cluster, pos, value)
+      and ONE hash aggregation (map-side partials; shuffle rows =
+      k×dim, not n×dim) that also folds ``sum(1 - max_sim)`` on the
+      pos==0 rows. Inertia is therefore measured against the centroids
+      the assignment used (the standard Lloyd objective), which keeps
+      the sequence monotone non-increasing AND avoids the second scan
+      a new-centroid inertia pass would need — at 100 TB, max_iter=6
+      is 6 full passes, not 12;
     * the k×dim means come back to the driver (the model state —
       a few MB at worst — the ONLY driver materialization), are
       L2-normalized, and ship into the next iteration's closure.
@@ -247,26 +257,40 @@ def kmeans_fit(
     centroids = _norm(np.array([r[vec_col] for r in seed_rows], dtype=np.float64))
     history: list[float] = []
     for _ in range(max_iter):
+        a = _nearest_centroid_sim(F.col(vec_col), centroids)
         assigned = corpus.select(
-            F.col(id_col),
             F.col(vec_col),
-            _nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+            a["c"].alias("_c"),
+            a["sim"].alias("_sim"),
         )
+        # ONE aggregation pass: centroid sums/counts AND the inertia
+        # contribution (1 - max_sim, folded on the pos==0 row so each
+        # vector counts once) share the same k×dim-row shuffle.
         stats = (
             assigned.select(
                 "_c",
+                "_sim",
                 F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
             )
             .groupBy("_c", "_pos")
-            .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+            .agg(
+                F.sum("_v").alias("_s"),
+                F.count("*").alias("_n"),
+                F.sum(
+                    F.when(F.col("_pos") == 0, F.lit(1.0) - F.col("_sim"))
+                ).alias("_i"),
+            )
             .collect()
         )
         dim = centroids.shape[1]
         sums = np.zeros((k, dim))
         counts = np.zeros(k)
+        inertia = 0.0
         for r in stats:
             sums[r["_c"], r["_pos"]] = r["_s"]
             counts[r["_c"]] = r["_n"]
+            if r["_i"] is not None:
+                inertia += r["_i"]
         # Empty clusters keep their previous centroid (standard Lloyd
         # fallback; deterministic, no resampling).
         new_centroids = centroids.copy()
@@ -278,16 +302,8 @@ def kmeans_fit(
         new_centroids[nonempty] = np.round(
             _norm(sums[nonempty] / counts[nonempty, None]), 9
         )
-        # Inertia (sum of 1 - cosine to the assigned centroid) under the
-        # NEW centroids, one aggregate pass.
-        inertia = assigned.select(
-            F.sum(
-                F.lit(1.0)
-                - _cosine_to_centroid(F.col(vec_col), new_centroids, F.col("_c"))
-            ).alias("_i")
-        ).first()["_i"]
         # 6dp for the same cross-partitioning reproducibility reason.
-        history.append(round(float(inertia if inertia is not None else 0.0), 6))
+        history.append(round(float(inertia), 6))
         shift = float(np.abs(new_centroids - centroids).max())
         centroids = new_centroids
         if shift < tol or (
@@ -316,23 +332,38 @@ def _nearest_centroid(vec, centroids: np.ndarray):
     return _assign(vec)
 
 
-def _cosine_to_centroid(vec, centroids: np.ndarray, cluster):
-    """cosine(vec, centroids[cluster]) — vectorized row gather +
-    einsum per Arrow batch."""
+def _nearest_centroid_sim(vec, centroids: np.ndarray):
+    """``struct(c: int, sim: double)`` — argmax-cosine cluster id AND
+    its cosine, one NumPy matmul per Arrow batch (centroid matrix in
+    the closure — O(1) plan size). Returning both from one UDF is what
+    lets kmeans_fit fold the inertia into the update aggregation
+    instead of re-scanning the corpus."""
     mat = np.asarray(centroids, dtype=np.float64)
-    from pyspark.sql.types import DoubleType
+    out_t = StructType(
+        [
+            StructField("c", IntegerType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
 
-    @F.pandas_udf(DoubleType())
-    def _cos(v: pd.Series, c: pd.Series) -> pd.Series:
+    @F.pandas_udf(out_t)
+    def _assign(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
-            return pd.Series([], dtype="float64")
+            return pd.DataFrame({"c": pd.Series([], dtype="int32"),
+                                 "sim": pd.Series([], dtype="float64")})
         x = np.array(v.tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
-        sel = mat[c.to_numpy()]
-        return pd.Series(np.einsum("ij,ij->i", x / norms, sel))
+        sims = (x / norms) @ mat.T  # centroids are unit-norm already
+        c = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "c": c.astype("int32"),
+                "sim": sims[np.arange(len(c)), c],
+            }
+        )
 
-    return _cos(vec, cluster)
+    return _assign(vec)
 
 
 def kmeans_assign(

@@ -241,6 +241,34 @@ class TestKmeans:
         assert h1 == h2
         assert c1 == c2
 
+    def test_one_action_per_lloyd_iteration(self, vectors, monkeypatch):
+        """The fit must scan the corpus ONCE per iteration: 1 seed
+        collect + max_iter stats collects, and NO separate inertia
+        action (at 100 TB a second pass doubles the cost of every
+        iteration)."""
+        # the concrete class (classic, not the abstract base) owns the
+        # collect/first implementations in PySpark 4
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        calls = {"collect": 0, "first": 0}
+        orig_collect = DataFrame.collect
+        orig_first = DataFrame.first
+
+        def counting_collect(self):
+            calls["collect"] += 1
+            return orig_collect(self)
+
+        def counting_first(self):
+            calls["first"] += 1
+            return orig_first(self)
+
+        monkeypatch.setattr(DataFrame, "collect", counting_collect)
+        monkeypatch.setattr(DataFrame, "first", counting_first)
+        _, hist = kmeans_fit(vectors, k=3, max_iter=4, tol=0.0)
+        assert calls["first"] == 0
+        # 1 seed collect + exactly one stats collect per iteration run
+        assert calls["collect"] == 1 + len(hist)
+
 
 class TestUnicodeNormalization:
     def test_nfc_composes_and_strip_removes(self, spark):
