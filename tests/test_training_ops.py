@@ -200,6 +200,27 @@ class TestSimilarity:
         empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
         assert embedding_near_dups(empty).count() == 0
 
+    def test_embedding_near_dups_hot_bucket_capped(self, spark):
+        """One degenerate bucket (50 identical vectors land in the same
+        hyperplane bucket) must emit at most max_bucket²/2 pairs, not
+        the quadratic 50·49/2 — the same blowout cap MinHash has."""
+        from gbif_filter_python_spark.operators.dedup import embedding_near_dups
+
+        hot = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        capped = embedding_near_dups(hot, threshold=0.9, max_bucket=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert len(got) == 10 * 9 // 2  # the 10 smallest ids, all-pairs
+        assert got == {(a, b) for a in range(10) for b in range(10) if a < b}
+        # and capped output stays a subset of the exact pair set
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(hot, threshold=0.9).collect()
+        }
+        assert got <= full and len(full) == 50 * 49 // 2
+
     def test_cosine_and_dot(self, spark):
         df = spark.range(1).select(
             cosine_similarity(
