@@ -26,50 +26,50 @@ def sf(sf001_dir):
 
 def test_approx_distinct_within_rsd_of_exact(spark, sf):
     """HLL estimates must land within a few standard errors of the
-    exact per-group cardinalities (rsd=0.02 in the query)."""
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in entry_mod.q_approx_distinct(spark, sf).collect()
-    }
+    exact per-group cardinalities (the q_approx_distinct query asserts
+    the same bound as its within_rsd column at sf0.01; this pins the
+    raw operator at sf0.001 where the query's floor is unmeasured)."""
     orders = entry_mod._t(spark, sf, "orders")
-    exact = {
-        r["o_orderstatus"]: r["n"]
-        for r in orders.groupBy("o_orderstatus")
-        .agg(F.countDistinct("o_custkey").alias("n"))
+    rows = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("ap"),
+            F.countDistinct("o_custkey").alias("n"),
+        )
         .collect()
-    }
-    assert approx.keys() == exact.keys()
-    for status, n in exact.items():
+    )
+    assert rows
+    for r in rows:
         # 5 sigma at rsd=0.02, floored for tiny groups
-        tol = max(5 * 0.02 * n, 3)
-        assert abs(approx[status] - n) <= tol, (status, approx[status], n)
+        tol = max(5 * 0.02 * r["n"], 3)
+        assert abs(r["ap"] - r["n"]) <= tol, (r["o_orderstatus"], r["ap"], r["n"])
 
 
 def test_approx_percentiles_near_exact(spark, sf):
     """Greenwald-Khanna sketch quantiles must land within a tight
-    relative band of the exact interpolation-free quantiles (accuracy
+    relative band of the exact interpolated quantiles (accuracy
     10000 >> group sizes here, so the sketch is near-exact; the bound
     is loose enough to survive exact-vs-nearest-rank convention
-    differences)."""
-    approx = {
-        (r["o_orderstatus"], r["q_idx"]): r["approx_value"]
-        for r in entry_mod.q_approx_percentiles(spark, sf).collect()
-    }
+    differences). Pins the raw aggregates at sf0.001; the
+    q_approx_percentiles query asserts the same relation as its
+    within_tol column at sf0.01."""
     orders = entry_mod._t(spark, sf, "orders")
-    exact = {
-        (r["o_orderstatus"], i): v
-        for r in orders.groupBy("o_orderstatus")
+    rows = (
+        orders.groupBy("o_orderstatus")
         .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("ap"),
             F.expr(
-                "percentile(o_totalprice, array(0.25, 0.5, 0.75))"
-            ).alias("qs")
+                "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("ex"),
         )
         .collect()
-        for i, v in enumerate(r["qs"])
-    }
-    assert approx.keys() == exact.keys()
-    for k, v in exact.items():
-        assert abs(approx[k] - v) <= 0.02 * abs(v) + 1.0, (k, approx[k], v)
+    )
+    assert rows
+    for r in rows:
+        for a, v in zip(r["ap"], r["ex"]):
+            assert abs(a - v) <= 0.02 * abs(v) + 1.0, (r["o_orderstatus"], a, v)
 
 
 def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, sf):
@@ -122,10 +122,17 @@ def test_simhash_candidates_include_exact_duplicates(spark, sf):
 def test_near_dup_lsh_subset_of_exact_pairs(spark, sf):
     """Bucketed embedding near-dup: exact cosine is verified inside
     buckets, so the LSH pairs are a SUBSET of the exact threshold
-    pairs (precision 1.0); recall < 1 by design but non-vacuous."""
+    pairs (precision 1.0); recall < 1 by design but non-vacuous.
+    (The q_near_dup_lsh query folds this into its subset_ok /
+    recall_ok columns at sf0.01; this pins the raw operator.)"""
+    from gbif_filter_python_spark.operators.dedup import embedding_near_dups
+
+    emb = entry_mod._t(spark, sf, "embeddings")
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in entry_mod.q_near_dup_lsh(spark, sf).collect()
+        for r in embedding_near_dups(
+            emb, threshold=0.35, n_planes=6
+        ).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
@@ -137,8 +144,17 @@ def test_near_dup_lsh_subset_of_exact_pairs(spark, sf):
 
 def test_ann_lsh_topk_ranks_and_cosine_consistency(spark, sf):
     """LSH ANN output sanity: <= k contiguous ranks per query starting
-    at 1, and the reported cosine ordering is correct."""
-    rows = entry_mod.q_ann_lsh_topk(spark, sf).collect()
+    at 1, and the reported cosine ordering is correct. (The
+    q_ann_lsh_topk query folds the same structural checks into its ok
+    column; this pins the raw operator at sf0.001.)"""
+    from gbif_filter_python_spark.operators.similarity import lsh_topk
+
+    emb = entry_mod._t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    rows = lsh_topk(emb, queries, k=10, n_planes=4).collect()
     by_query: dict[int, list] = {}
     for r in rows:
         by_query.setdefault(r["query_id"], []).append(r)
