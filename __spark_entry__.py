@@ -1829,7 +1829,77 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate: the driver's harness checks the
+    FIRST 50 entries, so the window leads with (a) the 8 queries whose
+    oracles are new this round and (b) every oracle-backed query that
+    has never appeared in a CORRECTNESS_r0*.json, plus the three most
+    important rows-only entries (multimodal — round 1's red row —,
+    k-means, semantic dedup). The long-driver-proven §2/SQL queries
+    (green in r01 AND r02) rotate behind the window; they remain fully
+    covered by tools/check_correctness.py and the pytest suite."""
     return {
+        # -- oracles new this round (previously rows-only) ----------
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dup_lsh": q_near_dup_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "approx_distinct": q_approx_distinct,
+        "approx_percentiles": q_approx_percentiles,
+        "ivf_topk": q_ivf_topk,
+        # -- oracle-backed, never driver-checked before r03 ---------
+        "det_split": q_det_split,
+        "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination": q_contamination,
+        "seq_pack": q_seq_pack,
+        "int8_quantize": q_int8_quantize,
+        "bigram_top": q_bigram_top,
+        "stratified_sample": q_stratified_sample,
+        "domain_flatten": q_domain_flatten,
+        "closure_chain": q_closure_chain,
+        "length_trim": q_length_trim,
+        "corpus_prep": q_corpus_prep,
+        "resample_ffill": q_resample_ffill,
+        "stats_corr": q_stats_corr,
+        "histogram_price": q_histogram_price,
+        "outlier_zscore": q_outlier_zscore,
+        "profile_stats": q_profile_stats,
+        "repetition_signals": q_repetition_signals,
+        "chunk_documents": q_chunk_documents,
+        "group_sample": q_group_sample,
+        "line_dedup": q_line_dedup,
+        "gopher_filters": q_gopher_filters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_shuffle": q_corpus_shuffle,
+        "scd2_merge": q_scd2_merge,
+        "star_join_revenue": q_star_join_revenue,
+        "global_index": q_global_index,
+        "variant_extract": q_variant_extract,
+        "trailing_window": q_trailing_window,
+        "cogroup_asof": q_cogroup_asof,
+        "char_entropy": q_char_entropy,
+        "repeated_spans": q_repeated_spans,
+        "bpe_pairs": q_bpe_pairs,
+        "unicode_norm": q_unicode_norm,
+        "ewma_values": q_ewma,
+        "dq_report": q_dq_report,
+        "funnel_stages": q_funnel,
+        "retention_triangle": q_retention,
+        "rolling_actives": q_rolling_actives,
+        # -- key rows-only entries (invariants live in the query or
+        #    pytest; no SQL twin possible) --------------------------
+        "multimodal_features": q_multimodal_features,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        # ---- 50-entry driver window ends here ---------------------
+        "hll_daily_users": q_hll_daily_users,
+        "theta_overlap": q_theta_overlap,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "approx_top_terms": q_approx_top_terms,
+        "media_resize": q_media_resize,
+        "audio_stats": q_audio_stats,
+        # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
         "filter_mode": q_filter_mode,
@@ -1860,7 +1930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": q_ntile_quartiles,
         "session_window_native": q_session_window_native,
         "sql_segment_revenue": q_sql_segment_revenue,
-        "approx_percentiles": q_approx_percentiles,
         "dup_components": q_dup_components,
         "fuzzy_name_match": q_fuzzy_name_match,
         "orders_by_month": q_orders_by_month,
@@ -1873,61 +1942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "cosine_topk": q_cosine_topk,
         "near_dup_exact": q_near_dup_exact,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "near_dup_lsh": q_near_dup_lsh,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "approx_distinct": q_approx_distinct,
-        "ivf_topk": q_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "det_split": q_det_split,
-        "pii_scrub": q_pii_scrub,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "contamination": q_contamination,
-        "seq_pack": q_seq_pack,
-        "int8_quantize": q_int8_quantize,
-        "bigram_top": q_bigram_top,
-        "stratified_sample": q_stratified_sample,
-        "domain_flatten": q_domain_flatten,
-        "closure_chain": q_closure_chain,
-        "media_resize": q_media_resize,
-        "audio_stats": q_audio_stats,
-        "length_trim": q_length_trim,
-        "corpus_prep": q_corpus_prep,
-        "resample_ffill": q_resample_ffill,
-        "stats_corr": q_stats_corr,
-        "histogram_price": q_histogram_price,
-        "outlier_zscore": q_outlier_zscore,
-        "profile_stats": q_profile_stats,
-        "repetition_signals": q_repetition_signals,
-        "chunk_documents": q_chunk_documents,
-        "group_sample": q_group_sample,
-        "line_dedup": q_line_dedup,
-        "gopher_filters": q_gopher_filters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "corpus_shuffle": q_corpus_shuffle,
-        "kmeans_clusters": q_kmeans_clusters,
-        "hll_daily_users": q_hll_daily_users,
-        "theta_overlap": q_theta_overlap,
-        "kll_value_quantiles": q_kll_value_quantiles,
-        "approx_top_terms": q_approx_top_terms,
-        "scd2_merge": q_scd2_merge,
-        "star_join_revenue": q_star_join_revenue,
-        "global_index": q_global_index,
-        "semantic_dedup": q_semantic_dedup,
-        "variant_extract": q_variant_extract,
-        "trailing_window": q_trailing_window,
-        "cogroup_asof": q_cogroup_asof,
-        "char_entropy": q_char_entropy,
-        "repeated_spans": q_repeated_spans,
-        "bpe_pairs": q_bpe_pairs,
-        "unicode_norm": q_unicode_norm,
-        "ewma_values": q_ewma,
-        "dq_report": q_dq_report,
-        "funnel_stages": q_funnel,
-        "retention_triangle": q_retention,
-        "rolling_actives": q_rolling_actives,
     }
 
 

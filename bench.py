@@ -112,6 +112,13 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # The flagship domain pipeline (resolution → zone probe → ternary
+    # tag, three scenarios over a 2M-row synthetic occurrence snapshot)
+    # gets its own tracked block alongside the operator queries.
+    from tools.bench_gbif import run as run_gbif
+
+    gbif_block = run_gbif(spark, rows=2_000_000)
+
     print(
         json.dumps(
             {
@@ -120,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "gbif_pipeline": gbif_block,
             }
         )
     )

@@ -338,11 +338,20 @@ class TestMultimodal:
         assert len(frames) == 6
 
     def test_decode_real_is_stubbed(self, spark):
-        from gbif_filter_python_spark.multimodal.binary_ops import decode_images
+        """Contract for the PERMANENT codec stub (documented in README):
+        every real-codec path fails eagerly at plan-construction time
+        with NotImplementedError — never lazily inside an executor UDF,
+        and never silently falling back to fake data."""
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_audio,
+            decode_images,
+            sample_frames,
+        )
 
         media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
-        with pytest.raises(NotImplementedError):
-            decode_images(media, fake=False)
+        for fn in (decode_images, decode_audio, sample_frames):
+            with pytest.raises(NotImplementedError):
+                fn(media, fake=False)
 
     def test_resize_block_mean(self, spark):
         from gbif_filter_python_spark.multimodal.binary_ops import (

@@ -136,14 +136,11 @@ def build_taxa_input(spark, n: int = 20000):
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--keep", action="store_true")
-    args = ap.parse_args()
-
-    spark = get_spark(app_name="gbif-scale-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def run(spark, rows: int = 2_000_000, keep: bool = False) -> dict:
+    """Build the synthetic snapshot and time the three run_filter
+    scenarios. Returns the gbif_pipeline result block (also embedded
+    into bench.py's JSON line so the flagship domain pipeline has a
+    tracked per-round number, not just the operator queries)."""
     workdir = tempfile.mkdtemp(prefix="gbif_bench_")
     timings: dict[str, float] = {}
     try:
@@ -151,7 +148,7 @@ def main() -> None:
         tax_path = f"{workdir}/taxonomy.parquet"
         occ_path = f"{workdir}/occurrence"
         build_taxonomy(spark).write.mode("overwrite").parquet(tax_path)
-        write_occurrence_snapshot(build_occurrence(spark, args.rows), occ_path)
+        write_occurrence_snapshot(build_occurrence(spark, rows), occ_path)
         timings["build_snapshot"] = round(time.perf_counter() - t0, 3)
 
         taxonomy = spark.read.parquet(tax_path)
@@ -181,23 +178,33 @@ def main() -> None:
             ).count()
             timings[name] = round(time.perf_counter() - t0, 3)
             counts[name] = n_true
-        print(
-            json.dumps(
-                {
-                    "metric": "gbif_pipeline",
-                    "value": round(sum(
-                        v for k, v in timings.items() if k != "build_snapshot"
-                    ), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "tagged_true": counts,
-                    "occurrence_rows": args.rows,
-                }
-            )
-        )
+        taxa.unpersist()
+        return {
+            "metric": "gbif_pipeline",
+            "value": round(sum(
+                v for k, v in timings.items() if k != "build_snapshot"
+            ), 3),
+            "unit": "sec",
+            "queries": timings,
+            "tagged_true": counts,
+            "occurrence_rows": rows,
+        }
     finally:
-        if not args.keep:
+        if not keep:
             shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="gbif-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        print(json.dumps(run(spark, rows=args.rows, keep=args.keep)))
+    finally:
         spark.stop()
 
 
