@@ -787,29 +787,33 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     row: n_exact (SQL-knowable via list_cosine_similarity), subset_ok
     (every LSH pair must appear in the exact set — strict, since LSH
     computes exact cosine within buckets), and recall_ok (≥ 5 % of
-    exact pairs surfaced; measured 0.077 at sf0.01 / 0.065 at sf0.1 —
-    6 planes over cosine-0.35 pairs prune hard by design, and the
-    floor is deterministic for fixed planes)."""
-    from gbif_filter_python_spark.operators.dedup import embedding_near_dups
+    exact pairs surfaced; measured 0.077 at sf0.01 — 6 planes over
+    cosine-0.35 pairs prune hard by design, and the floor is
+    deterministic for fixed planes).
 
-    emb = _t(spark, sf, "embeddings")
-    lsh = embedding_near_dups(emb, threshold=0.35, n_planes=6).select(
-        "id_a", "id_b"
+    The exact baseline is CAPPED at vec_id < 2000 (O(cap²), not
+    corpus-quadratic) and computed by similarity.exact_cosine_pairs —
+    blocked NumPy matmul over Arrow batches, because the JVM
+    higher-order-function cosine costs ~30 µs/pair (a theta-join
+    formulation measured 66 s for 2 M pairs at sf0.1; the matmul does
+    the same in under a second). At sf0.01 — the oracle's scale —
+    every id is under the cap, so the oracle sees the full exact
+    set."""
+    from gbif_filter_python_spark.operators.dedup import embedding_near_dups
+    from gbif_filter_python_spark.operators.similarity import (
+        exact_cosine_pairs,
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_similarity(F.col("_va"), F.col("_vb")), 6
-            ).alias("_c"),
-        )
-        .filter(F.col("_c") >= 0.35)
+
+    cap = 2000
+    emb = _t(spark, sf, "embeddings")
+    lsh = (
+        embedding_near_dups(emb, threshold=0.35, n_planes=6)
+        .filter((F.col("id_a") < cap) & (F.col("id_b") < cap))
         .select("id_a", "id_b")
     )
+    exact = exact_cosine_pairs(
+        emb.filter(F.col("vec_id") < cap), threshold=0.35
+    ).select("id_a", "id_b")
     j = exact.withColumn("_e", F.lit(1)).join(
         lsh.withColumn("_l", F.lit(1)), ["id_a", "id_b"], "full"
     )
@@ -2987,7 +2991,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_exact, true AS subset_ok, "
             "true AS recall_ok FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE round(list_cosine_similarity(a.embedding, b.embedding)"
+            "WHERE a.vec_id < 2000 AND b.vec_id < 2000 "
+            "AND round(list_cosine_similarity(a.embedding, b.embedding)"
             ", 6) >= 0.35"
         ),
         "ann_lsh_topk": (

@@ -1,0 +1,195 @@
+"""BPE tokenizer training and application at corpus scale.
+
+Beyond-reference block (SURVEY.md §2 "absent in reference"; the
+training-data-pipeline mandate): `operators/corpus.py::bpe_pair_stats`
+computes ONE merge step's statistic; this module runs the full
+iterative trainer (Sennrich et al. 2016) and the encoder, structured
+the way BPE actually scales on a cluster:
+
+* **Everything aggregates to DISTINCT words with counts first** (the
+  Zipf shrink): the distinct-word table is orders of magnitude smaller
+  than the token stream, and it is the ONLY thing the iterations touch.
+  At 100 TB of text the distinct-word table is ~10⁷-10⁸ rows — an
+  executor-trivial frame.
+* **The trainer's per-iteration work is one small aggregation job**
+  over that table (pair counts, weighted by word count) plus a
+  map-only re-segmentation fold; lineage is truncated per iteration
+  with ``localCheckpoint`` (the graph.py pattern) so the plan does not
+  grow with merges.
+* **The merge list is driver-side model state** (like k-means
+  centroids): n_merges × a few bytes, the only materialization.
+* **Encoding memoizes by distinct word** — encode each distinct word
+  once with a vectorized pandas UDF (the per-word merge loop is
+  genuinely iterative — the one justified Python step), then join the
+  token counts back to the stream. Same structural-memoization shape
+  as resolution's distinct-then-join (reference `gbif_helper.py:11-32`
+  re-expressed set-at-a-time).
+
+Proof: pytest differential test against an independent pure-Python
+BPE reference (exact merge-sequence and encoding parity); driver
+queries are rows-only (the iterative trainer has no SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.corpus import _words
+
+
+def _distinct_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, _n) — the Zipf-shrunk trainer input."""
+    return (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def _merge_pair_in_syms(syms: Column, a: str, b: str) -> Column:
+    """Replace every left-to-right non-overlapping adjacent (a, b) in a
+    symbol array with the merged symbol — one pure-Column fold, no
+    Python. 'aaa' under merge (a,a) → ['aa','a'], matching the
+    reference BPE semantics."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, x):
+        take = (acc["prev"] == a) & (x == F.lit(b))
+        return F.when(
+            take,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                x.alias("prev"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges over the corpus; returns the
+    ordered merge list [(left, right, pair_count), ...] — driver-side
+    model state.
+
+    Per iteration: ONE aggregation job over the distinct-word table
+    (adjacent pairs exploded from each word's current segmentation,
+    weighted by word count; deterministic argmax with (count desc,
+    left asc, right asc) tie-break) and one map-only re-segmentation.
+    Stops early when the best pair's count falls below ``min_count``.
+    """
+    segs = _distinct_words(docs, text_col).select(
+        "_n", F.array_remove(F.split(F.col("word"), ""), "").alias("_syms")
+    )
+    segs = segs.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            segs.select(
+                "_n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_syms"), 1, F.size("_syms") - 1),
+                        F.slice(F.col("_syms"), 2, F.size("_syms") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p")
+            .agg(F.sum("_n").alias("n"))
+            .orderBy(F.desc("n"), F.asc("_p.a"), F.asc("_p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["_p"]["a"], top[0]["_p"]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        segs = segs.select(
+            "_n", _merge_pair_in_syms(F.col("_syms"), a, b).alias("_syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic greedy BPE apply: repeatedly merge the lowest-rank
+    adjacent pair. Used inside the vectorized UDF (per distinct word,
+    once) and by the tests as the shared definition."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) per document under the trained
+    merges.
+
+    Scale shape: explode to (doc, word) → DISTINCT words → encode each
+    once (vectorized pandas UDF; the merge loop is per-word iterative,
+    the one justified Python step) → broadcast-join token lengths back
+    → per-doc sum. The token stream never carries encoded arrays, only
+    a word→length int."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf(IntegerType())
+    def _n_tokens(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(_encode_word_py(w, ranks))).astype(
+            "int32"
+        )
+
+    doc_words = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    lengths = (
+        doc_words.select("word")
+        .distinct()
+        .select("word", _n_tokens(F.col("word")).alias("_len"))
+    )
+    return (
+        doc_words.join(F.broadcast(lengths), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_len").cast("long").alias("n_bpe_tokens"),
+        )
+    )

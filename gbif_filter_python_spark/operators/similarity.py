@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -90,6 +91,74 @@ def hyperplane_bucket(vec, dim: int | None = None, n_planes: int = 8):
         return pd.Series(((proj >= 0.0) @ weights).astype("int32"))
 
     return _bucket(vec)
+
+
+def exact_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 20_000,
+) -> DataFrame:
+    """ALL-pairs exact cosine ≥ threshold (id_a < id_b) via blocked
+    NumPy matmul — the verification baseline for the LSH/IVF scale
+    paths.
+
+    The JVM higher-order-function cosine costs ~30 µs per pair
+    (interpreted lambda, per-pair array allocation; measured 66 s for
+    2 M pairs), which makes a theta-join formulation unusable even at
+    verification scale. Here the corpus is collected once (bounded by
+    ``max_rows`` — refuse anything larger: all-pairs is O(n²) and NOT
+    a production path), the L2-normalized matrix ships to executors in
+    the closure, and each Arrow batch of rows computes its sims
+    against the whole matrix in one ``X @ M.T`` (vectorized, ~4 ns per
+    pair). Output ids are pairs with rounded cosine ≥ threshold —
+    rounding at 6dp before the threshold keeps membership fp-stable
+    cross-engine (same convention as the JVM/DuckDB twins)."""
+    rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is an O(n²) verification baseline; got "
+            f"{len(rows)} rows > max_rows={max_rows} — use "
+            "embedding_near_dups (LSH) at scale"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms
+    spark = corpus.sparkSession
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def blocks(pdfs):
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0.0] = 1.0
+            sims = np.round((x / xn) @ mat.T, 6)
+            row_ids = pdf[id_col].to_numpy()
+            # id_a < id_b keeps each unordered pair once
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (row_ids[:, None] < ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": row_ids[ii],
+                    "id_b": ids[jj],
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    return src.mapInPandas(blocks, out_schema)
 
 
 def brute_force_topk(

@@ -119,6 +119,29 @@ def test_simhash_candidates_include_exact_duplicates(spark, sf):
         assert got.get(pair) == 0, (pair, got.get(pair))
 
 
+def test_exact_cosine_pairs_matches_jvm_form(spark, sf):
+    """Differential: the blocked-matmul exact_cosine_pairs (Arrow/NumPy
+    path) must produce exactly the pair set of the JVM zip_with cosine
+    formulation (q_near_dup_exact) — same 6dp-rounded threshold
+    membership. Also pins the O(n²) refusal guard."""
+    from gbif_filter_python_spark.operators.similarity import (
+        exact_cosine_pairs,
+    )
+
+    emb = entry_mod._t(spark, sf, "embeddings")
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in exact_cosine_pairs(emb, threshold=0.35).collect()
+    }
+    jvm = {
+        (r["id_a"], r["id_b"])
+        for r in entry_mod.q_near_dup_exact(spark, sf).collect()
+    }
+    assert fast == jvm and len(fast) > 0
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_cosine_pairs(emb, threshold=0.35, max_rows=3)
+
+
 def test_near_dup_lsh_subset_of_exact_pairs(spark, sf):
     """Bucketed embedding near-dup: exact cosine is verified inside
     buckets, so the LSH pairs are a SUBSET of the exact threshold
