@@ -1564,6 +1564,38 @@ def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return approx_top_terms(docs, words_array(F.col("text")), k=20)
 
 
+def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """Full iterative BPE trainer (16 merges) over documents — the
+    tokenizer-training path (operators/bpe.py): per iteration one
+    aggregation over the DISTINCT-word table + a pure-Column
+    re-segmentation fold, lineage checkpointed. Rows-only: the
+    iterative trainer has no SQL twin; exact parity with an
+    independent pure-Python reference is pinned in tests/test_bpe.py."""
+    from gbif_filter_python_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "step int, left string, right string, pair_count long",
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply 16 learned BPE merges to every document: distinct words
+    encoded once (vectorized UDF), lengths joined back, per-doc sums.
+    Rows-only (encoding depends on the learned merges; differential
+    parity in tests/test_bpe.py)."""
+    from gbif_filter_python_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return bpe_token_counts(docs, merges).filter(F.col("doc_id") < 100)
+
+
 def q_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
     """SCD type-2 dimension merge: a versioned customer-segment
     dimension (open rows as of 2020-01-01, a closed LEGACY version for
@@ -1974,6 +2006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "media_resize": q_media_resize,
         "audio_stats": q_audio_stats,
+        "bpe_learn": q_bpe_learn,
+        "bpe_token_counts": q_bpe_token_counts,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,

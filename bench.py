@@ -77,9 +77,11 @@ BENCH_QUERIES = [
     "variant_extract",
     "trailing_window",
     "repeated_spans",
-    # BPE pair stats (distinct-words-first) and the pandas-UDF unicode
-    # normalization path (Arrow batch cost measured honestly).
+    # BPE pair stats (distinct-words-first), the full iterative BPE
+    # trainer (round 3), and the pandas-UDF unicode normalization path
+    # (Arrow batch cost measured honestly).
     "bpe_pairs",
+    "bpe_learn",
     "unicode_norm",
     # Event analytics: fold-based funnel, cohort retention, rolling
     # distinct actives, and the single-pass data-quality report.

@@ -32,8 +32,10 @@ queries are rows-only (the iterative trainer has no SQL twin).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from gbif_filter_python_spark.operators.corpus import _words
 
@@ -166,9 +168,6 @@ def bpe_token_counts(
     the one justified Python step) → broadcast-join token lengths back
     → per-doc sum. The token stream never carries encoded arrays, only
     a word→length int."""
-    import pandas as pd
-    from pyspark.sql.types import IntegerType
-
     ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
 
     @F.pandas_udf(IntegerType())

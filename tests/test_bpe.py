@@ -1,0 +1,129 @@
+"""BPE trainer/encoder tests: exact differential parity against an
+independent pure-Python reference implementation (the standard
+Sennrich-style trainer over a word-count dict), plus scale-shape and
+determinism checks."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.bpe import (
+    _encode_word_py,
+    bpe_token_counts,
+    learn_bpe_merges,
+)
+
+
+def _ref_words(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def _ref_learn(texts: list[str], n_merges: int, min_count: int = 2):
+    """Independent reference: dict-of-word-counts BPE trainer with the
+    same (count desc, left asc, right asc) tie-break."""
+    counts = collections.Counter(
+        w for t in texts for w in _ref_words(t)
+    )
+    segs = {w: list(w) for w in counts}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: collections.Counter = collections.Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += counts[w]
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        (a, b), n = best
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        for w, syms in segs.items():
+            out, prev = [], None
+            for x in syms:
+                if prev == a and x == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            segs[w] = out
+    return merges
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "pack my box with five dozen liquor jugs, quick!",
+    "lowered lower lowest low slower slowest slow",
+    "new newer newest news renew renewal",
+    "the the the thesis theory there then them",
+]
+
+
+class TestLearnBpeMerges:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+        )
+
+    def test_matches_pure_python_reference(self, spark, docs):
+        got = learn_bpe_merges(docs, n_merges=12)
+        want = _ref_learn(TEXTS, n_merges=12)
+        assert got == want
+        assert len(got) == 12  # corpus is rich enough for all 12
+
+    def test_min_count_stops_early(self, spark):
+        docs = spark.createDataFrame([(1, "ab ab xz")], "doc_id long, text string")
+        got = learn_bpe_merges(docs, n_merges=10, min_count=2)
+        # only 'ab' appears twice; 'xz' pairs once
+        assert got == [("a", "b", 2)]
+
+    def test_chained_merge_left_to_right(self, spark):
+        # 'aaa': merge (a,a) applies left-to-right non-overlapping →
+        # ['aa','a'], so the next best pair is ('aa','a')
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa aaa")], "doc_id long, text string"
+        )
+        got = learn_bpe_merges(docs, n_merges=2, min_count=2)
+        assert got[0][:2] == ("a", "a")
+        assert got[1][:2] == ("aa", "a")
+
+    def test_deterministic_across_partitionings(self, spark, docs):
+        a = learn_bpe_merges(docs, n_merges=8)
+        b = learn_bpe_merges(docs.repartition(7), n_merges=8)
+        assert a == b
+
+
+class TestBpeTokenCounts:
+    def test_counts_match_reference_encoding(self, spark):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+        )
+        merges = learn_bpe_merges(docs, n_merges=10)
+        ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts(docs, merges).collect()
+        }
+        for i, t in enumerate(TEXTS):
+            words = _ref_words(t)
+            want_tokens = sum(len(_encode_word_py(w, ranks)) for w in words)
+            assert got[i] == (len(words), want_tokens), (i, got[i])
+
+    def test_no_merges_means_char_count(self, spark):
+        docs = spark.createDataFrame([(1, "abc de")], "doc_id long, text string")
+        row = bpe_token_counts(docs, []).collect()[0]
+        assert row["n_words"] == 2 and row["n_bpe_tokens"] == 5
