@@ -1564,6 +1564,25 @@ def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return approx_top_terms(docs, words_array(F.col("text")), k=20)
 
 
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus mixing (corpus.mixture_sample): target mix
+    en:de:fr:es = 5:2:2:1 over the lang domain, no upsampling — the
+    binding domain keeps everything, the rest downsample by
+    integer-threshold hash. Oracle replays the identical integer
+    arithmetic (thresholds, argmin by cross-multiplication) in SQL."""
+    from gbif_filter_python_spark.functions.text import token_count
+    from gbif_filter_python_spark.operators.corpus import mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    kept = mixture_sample(
+        docs, {"en": 5, "de": 2, "fr": 2, "es": 1}, "lang", "doc_id"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
 def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
     """Full iterative BPE trainer (16 merges) over documents — the
     tokenizer-training path (operators/bpe.py): per iteration one
@@ -2008,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "bpe_learn": q_bpe_learn,
         "bpe_token_counts": q_bpe_token_counts,
+        "mixture_sample": q_mixture_sample,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3073,6 +3093,30 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "mixture_sample": (
+            f"WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS t "
+            "FROM documents), "
+            "tot AS (SELECT lang, CAST(sum(t) AS BIGINT) AS T FROM tok "
+            "GROUP BY lang), "
+            "w AS (SELECT 'en' AS lang, 5 AS wt UNION ALL "
+            "SELECT 'de', 2 UNION ALL SELECT 'fr', 2 UNION ALL "
+            "SELECT 'es', 1), "
+            "j AS (SELECT tot.lang AS lang, T, wt FROM tot "
+            "JOIN w ON tot.lang = w.lang WHERE wt > 0 AND T > 0), "
+            # binding domain via exact cross-multiplied argmin of T/wt
+            "m AS (SELECT T AS Tm, wt AS wm FROM j a "
+            "WHERE NOT EXISTS (SELECT 1 FROM j b "
+            "WHERE b.T * a.wt < a.T * b.wt "
+            "OR (b.T * a.wt = a.T * b.wt AND b.lang < a.lang))), "
+            "th AS (SELECT lang, least(10000, "
+            "(10000 * wt * Tm) // (wm * T)) AS th FROM j, m), "
+            "kept AS (SELECT tok.lang AS lang, tok.t FROM tok "
+            "JOIN th ON tok.lang = th.lang "
+            "WHERE (('0x' || substring(md5(CAST(tok.doc_id AS VARCHAR) "
+            "|| 'mixture'), 1, 8))::BIGINT % 10000) < th.th) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(t) AS BIGINT) AS n_tokens FROM kept GROUP BY lang"
         ),
         "approx_top_terms": (
             f"WITH t AS (SELECT {_NORM} AS t FROM documents), "

@@ -229,6 +229,71 @@ def flatten_domains(
     ).drop("_dom", "_thresh")
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    domain_col: str,
+    key_col: str,
+    token_col: Column | None = None,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Token-budget corpus mixing: downsample domains so the SAMPLED
+    corpus's token mix approaches the target ``weights`` (integer
+    parts, e.g. ``{"en": 5, "de": 2, "fr": 2, "es": 1}``) — the
+    data-curation step that turns a raw crawl into a recipe mix.
+
+    No upsampling: the achievable total is capped by the binding
+    domain m = argmin(T_d / w_d); every domain keeps
+    ``rate_d = w_d·T_m / (w_m·T_d)`` of its tokens (rate_m = 1).
+    Domains absent from ``weights`` (or weighted 0) are dropped.
+
+    Determinism contract: thresholds are computed with PURE INTEGER
+    arithmetic — ``(BUCKETS·w_d·T_m) div (w_m·T_d)`` — and the argmin
+    uses exact cross-multiplied comparison (``Fraction``), so the kept
+    set is bit-identical across engines/runs (no float rounding
+    anywhere; the SQL twin replays the same integer ops). Overflow
+    bound: BUCKETS·w·T < 2^63 holds through ~10^12-token domains at
+    weight ≤ 100.
+
+    Scale shape: one aggregation for per-domain token totals (k rows
+    to the driver — model-state scale, like k-means centroids), then
+    the same map-only integer-threshold hash filter as
+    :func:`sample_by_hash`; the corpus never shuffles. ``token_col``
+    defaults to :func:`~gbif_filter_python_spark.functions.text.
+    token_count` of ``text``.
+    """
+    from fractions import Fraction
+
+    if any(int(w) != w or w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    tok = token_col if token_col is not None else token_count(F.col("text"))
+    totals = {
+        r["_dom"]: int(r["_t"])
+        for r in df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.sum(tok).alias("_t"))
+        .collect()
+    }
+    doms = sorted(
+        d for d, w in weights.items() if w > 0 and totals.get(d, 0) > 0
+    )
+    if not doms:
+        raise ValueError("no overlap between weights and present domains")
+    m = min(doms, key=lambda d: (Fraction(totals[d], weights[d]), d))
+    thresholds = {
+        d: min(
+            SAMPLE_BUCKETS,
+            (SAMPLE_BUCKETS * weights[d] * totals[m])
+            // (weights[m] * totals[d]),
+        )
+        for d in doms
+    }
+    th: Column = F.lit(None).cast("long")
+    for d in doms:
+        th = F.when(F.col(domain_col) == d, F.lit(thresholds[d])).otherwise(th)
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    return df.filter(split_bucket(key, SAMPLE_BUCKETS) < th)
+
+
 def trim_by_percentile(
     df: DataFrame, col: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

@@ -198,6 +198,43 @@ class TestSampling:
         assert 50 <= kept["de"] <= 160  # ~100 of 1000
         assert kept["fr"] == 1000  # unlisted stratum keeps all
 
+    def test_mixture_sample_hits_target_mix(self, spark):
+        """Binding domain keeps everything; others downsample so the
+        kept token mix approaches the target weights; excluded domains
+        drop entirely; runs are bit-identical."""
+        from gbif_filter_python_spark.operators.corpus import mixture_sample
+
+        # en: 3000 docs × 1 token, de: 1000, zh: 500 (excluded)
+        df = spark.range(4500).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 3000, "en")
+            .when(F.col("id") < 4000, "de")
+            .otherwise("zh")
+            .alias("lang"),
+            F.lit("tok").alias("text"),
+        )
+        # target en:de = 1:1 → de (T/w = 1000) binds, en keeps 1/3
+        kept = mixture_sample(df, {"en": 1, "de": 1}, "lang", "doc_id")
+        counts = dict(
+            (r["lang"], r["count"]) for r in kept.groupBy("lang").count().collect()
+        )
+        assert "zh" not in counts
+        assert counts["de"] == 1000  # binding domain: rate exactly 1
+        assert 900 <= counts["en"] <= 1100  # ~1000 of 3000
+        again = mixture_sample(df, {"en": 1, "de": 1}, "lang", "doc_id")
+        assert kept.exceptAll(again).count() == 0
+
+    def test_mixture_sample_rejects_bad_weights(self, spark):
+        from gbif_filter_python_spark.operators.corpus import mixture_sample
+
+        df = spark.createDataFrame(
+            [(1, "en", "x")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError, match="integer"):
+            mixture_sample(df, {"en": 0.5}, "lang", "doc_id")
+        with pytest.raises(ValueError, match="overlap"):
+            mixture_sample(df, {"xx": 2}, "lang", "doc_id")
+
     def test_flatten_domains_equalizes(self, spark):
         from gbif_filter_python_spark.operators.corpus import flatten_domains
 
