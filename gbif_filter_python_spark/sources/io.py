@@ -252,3 +252,42 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files, returning the output file count.
+
+    The petabyte-lake maintenance op the reference's CSV world never
+    needs: streaming sinks and fine-grained partition writes leave
+    thousands of KB-sized files, and at scan time every file costs a task
+    plus a NameNode/listing round-trip — a 100 TB table fragmented
+    into 1 MB files is unreadable in practice. Sizing comes from the
+    Hadoop FileSystem API (content summary of the input), not a
+    driver-side listing loop; the rewrite is one ``repartition(n)``
+    (round-robin — even output sizes) plus an optional
+    ``sortWithinPartitions`` so downstream min/max row-group pruning
+    survives compaction.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path).repartition(int(n_files))
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(out_path)
+    out = fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_path))
+    return sum(
+        1
+        for st in out
+        if st.getPath().getName().endswith(".parquet")
+    )

@@ -165,6 +165,48 @@ class TestJsonlIo:
         assert back.schema == df.schema
 
 
+class TestCompactParquet:
+    def test_compacts_fragmented_dataset_losslessly(self, spark, tmp_path):
+        from gbif_filter_python_spark.sources.io import compact_parquet
+
+        src = str(tmp_path / "fragmented")
+        # 64 tiny files
+        spark.range(10_000).repartition(64).write.parquet(src)
+        import glob
+
+        assert len(glob.glob(f"{src}/*.parquet")) == 64
+        out = str(tmp_path / "compacted")
+        # dataset is well under 1 target file
+        n = compact_parquet(spark, src, out, target_file_mb=256)
+        assert n == 1
+        assert len(glob.glob(f"{out}/*.parquet")) == 1
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(out)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_sort_within_partitions_restores_pruning_order(
+        self, spark, tmp_path
+    ):
+        from gbif_filter_python_spark.sources.io import compact_parquet
+
+        src = str(tmp_path / "frag2")
+        spark.range(1000).repartition(16).write.parquet(src)
+        out = str(tmp_path / "comp2")
+        compact_parquet(spark, src, out, target_file_mb=256, sort_cols=["id"])
+        vals = [r.id for r in spark.read.parquet(out).collect()]
+        # single output file sorted within → fully ordered on read? Not
+        # guaranteed by reader ordering; assert via per-file row-group
+        # min/max instead: the file's values are the full sorted range.
+        assert sorted(vals) == list(range(1000))
+        import pyarrow.parquet as pq
+        import glob
+
+        f = glob.glob(f"{out}/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        assert col.statistics.min == 0
+
+
 class TestRestBatchProvider:
     def test_online_resolution_semantics(self, spark):
         def fake_fetch(name, rank, kingdom):

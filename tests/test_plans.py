@@ -203,6 +203,32 @@ def test_tfidf_partial_aggregation(spark, sf001_dir):
     assert "partial_count" in plan, plan
 
 
+def test_mixture_sample_filter_is_map_only(spark, sf001_dir):
+    """After the (driver-collected) totals aggregation, the kept-set
+    filter must be a map-only projection over the scan — thresholds
+    are literals folded into one when-chain, so the corpus never
+    shuffles (no Exchange anywhere in the sampled plan)."""
+    from gbif_filter_python_spark.operators.corpus import mixture_sample
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    kept = mixture_sample(
+        docs, {"en": 5, "de": 2}, "lang", "doc_id"
+    )
+    plan = explain_str(kept, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bpe_pair_count_has_partial_aggregation(spark, sf001_dir):
+    """One trainer iteration's pair count must partial-aggregate
+    map-side: the shuffle carries (pair, count) partials, never the
+    exploded pair stream."""
+    from gbif_filter_python_spark.operators.bpe import _distinct_words
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = explain_str(_distinct_words(docs, "text"), "simple")
+    assert "partial_count" in plan, plan
+
+
 def test_star_join_broadcasts_all_dims(spark, sf001_dir):
     """TPC-H Q5 shape: every dimension side must broadcast (no
     sort-merge join at this scale ratio) and the order-date slice must
