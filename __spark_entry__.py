@@ -1564,6 +1564,31 @@ def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return approx_top_terms(docs, words_array(F.col("text")), k=20)
 
 
+def q_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered selective join (operators/skew.py): lineitem
+    against the ~25 % slice of open ('P') orders — the fact side is
+    pruned BEFORE its shuffle by a Column-ops Bloom filter built from
+    the dim keys (m bits broadcast, not the dim). False positives only
+    waste shuffle; the result is exactly the plain join's, which is
+    what the oracle states."""
+    from gbif_filter_python_spark.operators.skew import bloom_prefilter_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    open_orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = bloom_prefilter_join(
+        li, open_orders, "l_orderkey", "o_orderkey",
+        expected_items=100_000, fpp=0.01,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus mixing (corpus.mixture_sample): target mix
     en:de:fr:es = 5:2:2:1 over the lang domain, no upsampling — the
@@ -2028,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_token_counts": q_bpe_token_counts,
         "mixture_sample": q_mixture_sample,
+        "bloom_join": q_bloom_join,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3093,6 +3119,12 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "bloom_join": (
+            "SELECT o_orderpriority, count(*) AS n_lineitems, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'P' GROUP BY o_orderpriority"
         ),
         "mixture_sample": (
             f"WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS t "

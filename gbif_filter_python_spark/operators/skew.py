@@ -88,3 +88,93 @@ def two_phase_agg(
             for c, agg in agg_exprs.items()
         ]
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom-filter prefilter on the fact side — the
+    standard move when the dim side is too big to BROADCAST-join but
+    the join is SELECTIVE (most fact rows match nothing).
+
+    A plain shuffle join moves the ENTIRE fact table. Here the dim
+    keys fold into a dense Bloom bit array built with pure Column ops
+    (``bloom_filter_agg`` is not SQL-exposed, and ``stat.bloomFilter``
+    lands driver-side where only a slow Python UDF could probe it):
+
+    * build — each key explodes to its k hash positions; one hash
+      aggregation ORs them into ≤ m/64 ``(word_idx, bits)`` rows
+      (map-side combined), assembled into a single-row map. Size is
+      m bits regardless of dim cardinality (~1.2 MB for 10⁶ keys at
+      1 % fpp) — broadcastable even when the dim itself is not;
+    * probe — the fact crossJoins the broadcast 1-row filter and
+      tests its k bit positions with JVM bit ops (``forall`` over the
+      hash sequence). Map-only: rows are dropped BEFORE the exchange.
+
+    With 1 % join selectivity the shuffle moves ~1 % + fpp of the
+    fact bytes. False positives only waste shuffle (the real join
+    still decides membership), never change results — the output is
+    exactly the plain join's, which is what the oracle checks.
+
+    Only ``inner``/``left_semi`` are prefilter-safe: outer joins need
+    the dropped rows."""
+    import math
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom prefilter drops fact rows; only inner/left_semi "
+            f"are safe, got {how!r}"
+        )
+    n = max(1, expected_items)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+
+    def positions(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.pmod(F.xxhash64(col.cast("string"), i), F.lit(m)),
+        )
+
+    one = F.lit(1).cast("long")
+    pos_df = dim.select(
+        F.explode(positions(F.col(dim_key))).alias("_pos")
+    )
+    words = pos_df.select(
+        F.floor(F.col("_pos") / 64).cast("int").alias("_w"),
+        F.call_function(
+            "shiftleft", one, (F.col("_pos") % 64).cast("int")
+        ).alias("_b"),
+    )
+    bloom = (
+        words.groupBy("_w")
+        .agg(F.bit_or("_b").alias("_word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_w", "_word"))
+            ).alias("_bm")
+        )
+    )
+
+    # The k bit tests are a PLAIN expression conjunction, not a
+    # forall-lambda: a higher-order function whose lambda captures
+    # attributes from both join sides trips Catalyst reference binding
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when it becomes the
+    # nested-loop join condition. k is small (~7 at 1 % fpp), so the
+    # expanded tree is tiny.
+    key = F.col(fact_key)
+    hit = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m))
+        word = F.element_at(F.col("_bm"), F.floor(p / 64).cast("int"))
+        bit = F.call_function("shiftleft", one, (p % 64).cast("int"))
+        hit = hit & (
+            F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(bit) != 0
+        )
+    pre = fact.join(F.broadcast(bloom), on=hit, how="inner").drop("_bm")
+    return pre.join(dim, pre[fact_key] == dim[dim_key], how)

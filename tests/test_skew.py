@@ -78,3 +78,46 @@ def test_salted_join_rejects_unsafe_how(skewed, dim, how):
     the salted condition) is wrong — reject loudly."""
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(skewed, dim, "k", "k2", salt=4, how=how)
+
+
+class TestBloomPrefilterJoin:
+    def test_equals_plain_join_and_prunes_fact(self, spark):
+        from gbif_filter_python_spark.operators.skew import (
+            bloom_prefilter_join,
+        )
+
+        fact = spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+        )
+        # selective dim: 1% of fact keys match
+        dim = spark.range(500).select(
+            (F.col("id") * 100).alias("dk"), F.lit("d").alias("name")
+        )
+        out = bloom_prefilter_join(fact, dim, "k", "dk", expected_items=500)
+        plain = fact.join(dim, fact["k"] == dim["dk"])
+        assert out.exceptAll(plain).count() == 0
+        assert plain.exceptAll(out).count() == 0
+
+    def test_false_positive_rate_bounded(self, spark):
+        from gbif_filter_python_spark.operators.skew import (
+            bloom_prefilter_join,
+        )
+
+        fact = spark.range(50_000).select(F.col("id").alias("k"))
+        dim = spark.range(500).select((F.col("id") * 100).alias("dk"))
+        semi = bloom_prefilter_join(
+            fact, dim, "k", "dk", expected_items=500, fpp=0.01,
+            how="left_semi",
+        )
+        # left_semi of the REAL join: exactly the 500 true matches
+        # (false positives are removed by the join itself)
+        assert semi.count() == 500
+
+    def test_rejects_outer_joins(self, spark):
+        from gbif_filter_python_spark.operators.skew import (
+            bloom_prefilter_join,
+        )
+
+        df = spark.range(1).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="inner/left_semi"):
+            bloom_prefilter_join(df, df, "k", "k", how="left")
