@@ -1564,6 +1564,37 @@ def q_approx_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return approx_top_terms(docs, words_array(F.col("text")), k=20)
 
 
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE (SCD1) over a customer snapshot: a deterministic
+    change batch (updates for keys %7, deletes for %11 at a LATER
+    timestamp — so %77 keys resolve delete-over-update via
+    last-writer-wins — and 10 inserts). Snapshot side never shuffles
+    (broadcast anti-join of change keys); oracle enumerates the same
+    case split."""
+    from gbif_filter_python_spark.operators.scd import cdc_apply
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    upd = cust.filter(F.col("custkey") % 7 == 0).select(
+        "custkey", F.lit("UPDATED").alias("segment"),
+        F.lit("U").alias("op"), ts("2021-01-02").alias("change_ts"),
+    )
+    dele = cust.filter(F.col("custkey") % 11 == 0).select(
+        "custkey", F.lit(None).cast("string").alias("segment"),
+        F.lit("D").alias("op"), ts("2021-01-03").alias("change_ts"),
+    )
+    ins = cust.filter(F.col("custkey") < 10).select(
+        (F.col("custkey") + 2000000).alias("custkey"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit("I").alias("op"), ts("2021-01-01").alias("change_ts"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(cust, changes, ["custkey"])
+
+
 def q_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered selective join (operators/skew.py): lineitem
     against the ~25 % slice of open ('P') orders — the fact side is
@@ -2054,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "mixture_sample": q_mixture_sample,
         "bloom_join": q_bloom_join,
+        "cdc_apply": q_cdc_apply,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3119,6 +3151,15 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "cdc_apply": (
+            "SELECT c_custkey AS custkey, "
+            "CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' "
+            "ELSE c_mktsegment END AS segment "
+            "FROM customer WHERE c_custkey % 11 <> 0 "
+            "UNION ALL "
+            "SELECT c_custkey + 2000000, 'NEWSEG' FROM customer "
+            "WHERE c_custkey < 10"
         ),
         "bloom_join": (
             "SELECT o_orderpriority, count(*) AS n_lineitems, "

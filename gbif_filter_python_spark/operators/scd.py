@@ -143,3 +143,51 @@ def scd2_merge(
     return closed.select(
         *key_cols, *tracked_cols, valid_from, valid_to
     ).unionByName(merged)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    ts_col: str = "change_ts",
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot — MERGE (SCD type-1) semantics
+    without a table format: upserts (``I``/``U``) replace the row for
+    their key, deletes (``D``) remove it, untouched keys pass through.
+
+    A key may appear many times in one batch: last-writer-wins by
+    ``ts_col`` with the op as deterministic tie-break (at equal
+    timestamps a delete loses to the concurrent upsert — the
+    conservative choice; pass distinct timestamps for strict replay).
+
+    Scale shape: the change batch (small) is reduced to one row per
+    key with a WindowGroupLimit-prunable rank, then (a) its keys
+    anti-join the snapshot — broadcastable, the snapshot itself NEVER
+    shuffles — and (b) the surviving upserts union in. The snapshot's
+    partitioning is preserved for the passthrough rows; only changed
+    keys move. Column contract: ``changes`` carries the snapshot
+    columns plus ``op_col`` and ``ts_col``.
+    """
+    # unknown op codes are dropped up front (declarative plan — no
+    # driver-side validation job; the dropped-op count is observable
+    # via df.observe if a pipeline wants the metric)
+    changes = changes.filter(F.col(op_col).isin("I", "U", "D"))
+    data_cols = list(snapshot.columns)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col),
+        # 'U' > 'I' > 'D' lexicographically reversed: upserts beat
+        # concurrent deletes at the same timestamp
+        F.desc(op_col),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    change_keys = latest.select(*key_cols)
+    untouched = snapshot.join(
+        F.broadcast(change_keys), key_cols, "left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*data_cols)
+    return untouched.unionByName(upserts)

@@ -261,3 +261,63 @@ class TestSemanticDedup:
         # both assign to the SAME argmax cluster here → dup dropped
         kept = semantic_dedup(corpus, centroids, threshold=0.97)
         assert sorted(r.vec_id for r in kept.collect()) == [1]
+
+
+class TestCdcApply:
+    def _snapshot(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+            "k long, v string",
+        )
+
+    def test_upsert_delete_passthrough(self, spark):
+        from gbif_filter_python_spark.operators.scd import cdc_apply
+
+        snap = self._snapshot(spark)
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", "U", _d(1)),   # update
+                (3, None, "D", _d(1)),   # delete
+                (9, "new", "I", _d(1)),  # insert
+                (8, "x", "Q", _d(1)),    # unknown op: dropped
+            ],
+            "k long, v string, op string, change_ts timestamp",
+        )
+        got = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"]).collect()}
+        assert got == {1: "a", 2: "b2", 4: "d", 9: "new"}
+
+    def test_last_writer_wins_and_tie_break(self, spark):
+        from gbif_filter_python_spark.operators.scd import cdc_apply
+
+        snap = self._snapshot(spark)
+        changes = spark.createDataFrame(
+            [
+                # same key three times: latest ts wins
+                (1, "v1", "U", _d(1)),
+                (1, "v2", "U", _d(2)),
+                (1, "v3", "U", _d(3)),
+                # delete then later re-insert: insert wins
+                (2, None, "D", _d(1)),
+                (2, "back", "I", _d(2)),
+                # concurrent (equal-ts) delete + upsert: upsert wins
+                (4, None, "D", _d(5)),
+                (4, "kept", "U", _d(5)),
+            ],
+            "k long, v string, op string, change_ts timestamp",
+        )
+        got = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"]).collect()}
+        assert got == {1: "v3", 2: "back", 3: "c", 4: "kept"}
+
+    def test_snapshot_side_never_shuffles(self, spark):
+        from gbif_filter_python_spark.operators.scd import cdc_apply
+
+        snap = self._snapshot(spark)
+        changes = spark.createDataFrame(
+            [(1, "x", "U", _d(1))],
+            "k long, v string, op string, change_ts timestamp",
+        )
+        plan = (
+            cdc_apply(snap, changes, ["k"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
