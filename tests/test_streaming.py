@@ -429,3 +429,67 @@ def test_static_enrich_broadcast_is_opt_in(spark):
     hinted_plan = static_enrich(fact, dim, "event_type", broadcast=True)._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in default_plan.lower()
     assert "broadcast" in hinted_plan.lower()
+
+
+def test_cdc_snapshot_writer_matches_batch_merge(spark, tmp_path):
+    """Streaming CDC merge: two change micro-batches fold into a
+    versioned snapshot whose latest version equals the one-shot batch
+    cdc_apply of all changes; earlier versions remain readable (time
+    travel)."""
+    import glob
+    import os
+
+    from gbif_filter_python_spark.operators.scd import cdc_apply
+    from gbif_filter_python_spark.streaming.cdc import (
+        cdc_snapshot_writer,
+        read_cdc_snapshot,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    snap = str(tmp_path / "cdc_snap")
+    os.makedirs(src, exist_ok=True)
+    schema = "k long, v string, op string, change_ts timestamp"
+
+    def _append(rows, mtime):
+        before = set(glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    import datetime
+
+    t = lambda i: datetime.datetime(2024, 1, 1, i)  # noqa: E731
+    base = 1_600_000_000
+    b1 = [(1, "a", "I", t(1)), (2, "b", "I", t(1)), (3, "c", "I", t(1))]
+    b2 = [(2, "b2", "U", t(2)), (3, None, "D", t(2)), (4, "d", "I", t(2))]
+    _append(b1, base)
+    _append(b2, base + 10)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = cdc_snapshot_writer(
+        stream, snap, str(tmp_path / "ckpt_cdc"), ["k"]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = {
+        r["k"]: r["v"] for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    all_changes = spark.createDataFrame(b1 + b2, schema)
+    empty = all_changes.select("k", "v").limit(0)
+    want = {
+        r["k"]: r["v"] for r in cdc_apply(empty, all_changes, ["k"]).collect()
+    }
+    assert latest == want == {1: "a", 2: "b2", 4: "d"}
+    # time travel: version 0 holds only batch-1 state
+    v0 = {
+        r["k"]: r["v"]
+        for r in read_cdc_snapshot(spark, snap, version=0).collect()
+    }
+    assert v0 == {1: "a", 2: "b", 3: "c"}
