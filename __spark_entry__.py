@@ -1347,6 +1347,28 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME unbounded-depth closure as q_closure_chain, but via
+    Spark 4's native ``WITH RECURSIVE`` (SURVEY §7.4's 'or Spark 4
+    recursive CTE' path) — Catalyst plans the fixpoint (UnionLoop)
+    instead of the driver loop in operators/graph.py. Differential
+    pair: closure_chain (iterative join + localCheckpoint) and this
+    must agree row-for-row, and both hash-match the DuckDB recursive
+    CTE."""
+    _t(spark, sf, "supplier").createOrReplaceTempView("_rc_supplier")
+    return spark.sql(
+        "WITH RECURSIVE cl AS ("
+        "SELECT s_suppkey AS descendant, s_suppkey DIV 10 AS ancestor, "
+        "1 AS depth FROM _rc_supplier WHERE s_suppkey >= 10 "
+        "UNION ALL "
+        "SELECT cl.descendant, e.s_suppkey DIV 10 AS ancestor, "
+        "cl.depth + 1 FROM cl "
+        "JOIN _rc_supplier e ON cl.ancestor = e.s_suppkey "
+        "WHERE e.s_suppkey >= 10) "
+        "SELECT ancestor, descendant, depth FROM cl"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language downsampling (en 50%, de 25%) —
     per-lang kept-doc counts."""
@@ -2086,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "bloom_join": q_bloom_join,
         "cdc_apply": q_cdc_apply,
+        "recursive_cte": q_recursive_cte,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3151,6 +3174,16 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "recursive_cte": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT s_suppkey AS child, s_suppkey // 10 AS parent "
+            "FROM supplier WHERE s_suppkey >= 10), "
+            "cl AS (SELECT child AS descendant, parent AS ancestor, "
+            "1 AS depth FROM edges "
+            "UNION ALL SELECT cl.descendant, e.parent, cl.depth + 1 "
+            "FROM cl JOIN edges e ON cl.ancestor = e.child) "
+            "SELECT ancestor, descendant, depth FROM cl"
         ),
         "cdc_apply": (
             "SELECT c_custkey AS custkey, "
