@@ -1347,6 +1347,27 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing text embedding (functions/vectors.py): words →
+    md5 buckets → L2-normalized dim-64 vector, pure Column ops — the
+    model-free featurizer that connects raw text to the ANN/semantic-
+    dedup operators. Emitted as sparse (doc_id, pos, v) rows; the
+    oracle recomputes the same md5 bucketing and normalization in
+    SQL."""
+    from gbif_filter_python_spark.functions.vectors import hashed_embedding
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(hashed_embedding(F.col("text"), 64)).alias(
+                "pos", "v"
+            ),
+        )
+        .filter(F.col("v") != 0)
+    )
+
+
 def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     """The SAME unbounded-depth closure as q_closure_chain, but via
     Spark 4's native ``WITH RECURSIVE`` (SURVEY §7.4's 'or Spark 4
@@ -2109,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "cdc_apply": q_cdc_apply,
         "recursive_cte": q_recursive_cte,
+        "hashed_embedding": q_hashed_embedding,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3174,6 +3196,20 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "hashed_embedding": (
+            f"WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents "
+            "WHERE doc_id < 50), "
+            "w AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(t, ' ')) AS w "
+            "FROM nrm WHERE t <> ''), "
+            "b AS (SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 8))"
+            "::BIGINT % 64 AS INT) AS pos, count(*) AS n "
+            "FROM w GROUP BY 1, 2), "
+            "nn AS (SELECT doc_id, sqrt(sum(CAST(n AS DOUBLE) * n)) "
+            "AS nrm FROM b GROUP BY doc_id) "
+            "SELECT b.doc_id, pos, round(n / nrm, 6) AS v "
+            "FROM b JOIN nn ON b.doc_id = nn.doc_id"
         ),
         "recursive_cte": (
             "WITH RECURSIVE edges AS ("

@@ -57,3 +57,47 @@ def quantize_int8(a: Column) -> Column:
         .otherwise(F.lit(0))
         .cast("int"),
     )
+
+
+def hashed_embedding(text: Column, dim: int = 64) -> Column:
+    """Feature-hashing text embedding: normalized words hash into
+    ``dim`` buckets (md5-based — reproducible across engines and
+    releases, like corpus.split_bucket), counts L2-normalize into a
+    unit ``array<double>`` — a model-free featurizer that makes every
+    ANN/dedup operator in similarity.py/dedup.py applicable to raw
+    text columns.
+
+    Pure Column ops end to end (no UDF): one O(dim) fold per word.
+    Values round to 6dp so downstream hashes are fp-stable
+    cross-engine; empty/whitespace text yields the zero vector.
+    """
+    norm_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    words = F.when(norm_text == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm_text, " ")
+    )
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    buckets = F.transform(words, bucket)
+    counts = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda v, i: v + F.when(b == i, 1.0).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    return F.transform(
+        counts,
+        lambda v: F.when(norm > 0, F.round(v / norm, 6)).otherwise(0.0),
+    )

@@ -442,3 +442,47 @@ class TestSemanticDedup:
             emb, threshold=0.999, centroids=[[1.0, 0.0], [0.0, 1.0]]
         )
         assert sorted(r.vec_id for r in kept.collect()) == [1, 3]
+
+
+class TestHashedEmbedding:
+    def test_unit_norm_and_composability_with_ann(self, spark):
+        """Vectors are unit-L2 (or zero for empty text), deterministic,
+        and feed brute_force_topk directly: a doc is its own nearest
+        neighbor under the hashed embedding."""
+        import math
+
+        from gbif_filter_python_spark.functions.vectors import (
+            hashed_embedding,
+        )
+        from gbif_filter_python_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma alpha"),
+                (2, "delta epsilon zeta"),
+                (3, "alpha beta gamma alpha"),  # exact content twin of 1
+                (4, "   "),
+            ],
+            "vec_id long, text string",
+        )
+        emb = docs.select(
+            "vec_id", hashed_embedding(F.col("text"), 32).alias("embedding")
+        )
+        rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        for vid, v in rows.items():
+            n = math.sqrt(sum(x * x for x in v))
+            if vid == 4:
+                assert n == 0.0
+            else:
+                assert abs(n - 1.0) < 1e-4
+        assert rows[1] == rows[3] != rows[2]
+        queries = emb.filter(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = brute_force_topk(emb, queries, k=2).collect()
+        # content twin ranks above the unrelated doc (self included)
+        got = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+        assert set(got) == {1, 3}
