@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "retention_triangle",
     "rolling_actives",
     "dq_report",
+    # Round 3: Bloom-prefiltered selective join, CDC merge, token-budget
+    # mixture, feature-hashing embeddings, native recursive CTE.
+    "bloom_join",
+    "cdc_apply",
+    "mixture_sample",
+    "hashed_embedding",
+    "recursive_cte",
 ]
 
 

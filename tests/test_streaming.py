@@ -493,3 +493,99 @@ def test_cdc_snapshot_writer_matches_batch_merge(spark, tmp_path):
         for r in read_cdc_snapshot(spark, snap, version=0).collect()
     }
     assert v0 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_stream_stream_interval_join_left_outer_emits_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an unmatched left row
+    must emit a null-padded result once the watermark passes its join
+    window (never before — correctness depends on the time bound), and
+    matched rows emit normally."""
+    import datetime
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.streaming.joins import interval_join
+
+    d = str(tmp_path / "ssj_outer_src")
+    os.makedirs(d, exist_ok=True)
+    t0 = datetime.datetime(2021, 1, 1, 0, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    def _append(rows, mtime):
+        before = set(glob.glob(f"{d}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        for f in set(glob.glob(f"{d}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    base = 1_600_000_000
+    m = datetime.timedelta(minutes=1)
+    # batch 0: user 1 clicks, never purchases; user 2 purchases, then
+    # clicks 10 min later (the purchase is inside the click's 1h
+    # LOOKBACK — the interval condition wants the right row BEFORE
+    # the left one)
+    _append(
+        [
+            (1, 1, "click", t0 + 10 * m),
+            (3, 2, "purchase", t0),
+            (2, 2, "click", t0 + 10 * m),
+        ],
+        base,
+    )
+    # batches 1-2: far-future events ON BOTH SIDES. The global
+    # watermark is the MIN across inputs, so the purchases side must
+    # also see late events or its watermark pins the join state
+    # forever and no outer row ever emits.
+    _append(
+        [
+            (4, 9, "click", t0 + datetime.timedelta(hours=12)),
+            (6, 9, "purchase", t0 + datetime.timedelta(hours=12)),
+        ],
+        base + 10,
+    )
+    _append(
+        [
+            (5, 9, "click", t0 + datetime.timedelta(hours=13)),
+            (7, 9, "purchase", t0 + datetime.timedelta(hours=13)),
+        ],
+        base + 20,
+    )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        lookback="1 hour", watermark="1 hour", how="left",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["p_event_id"])
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+    finally:
+        q.stop()
+    assert (2, 3) in got          # matched pair emits
+    assert (1, None) in got       # unmatched left emits null-padded
+    assert (2, None) not in got   # matched left never also emits null
