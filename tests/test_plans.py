@@ -229,6 +229,35 @@ def test_bpe_pair_count_has_partial_aggregation(spark, sf001_dir):
     assert "partial_count" in plan, plan
 
 
+def test_bloom_prefilter_prunes_before_fact_exchange(spark, sf001_dir):
+    """The Bloom probe must sit BELOW the fact's shuffle: a broadcast
+    nested-loop join against the 1-row filter feeds the equi-join, so
+    pruned rows never ride the exchange."""
+    from gbif_filter_python_spark.operators.skew import bloom_prefilter_join
+
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf001_dir}/orders.parquet").filter(
+        "o_orderstatus = 'P'"
+    ).select("o_orderkey")
+    plan = explain_str(
+        bloom_prefilter_join(li, orders, "l_orderkey", "o_orderkey",
+                             expected_items=10_000),
+        "simple",
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the probe's nested-loop join appears deeper in the tree (later in
+    # the printed plan) than the final equi-join of the fact
+    probe_at = plan.index("BroadcastNestedLoopJoin")
+    equi_at = min(
+        (plan.index(j) for j in ("SortMergeJoin", "BroadcastHashJoin",
+                                 "ShuffledHashJoin") if j in plan),
+        default=None,
+    )
+    assert equi_at is not None and equi_at < probe_at, plan
+
+
 def test_star_join_broadcasts_all_dims(spark, sf001_dir):
     """TPC-H Q5 shape: every dimension side must broadcast (no
     sort-merge join at this scale ratio) and the order-date slice must

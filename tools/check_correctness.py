@@ -54,7 +54,14 @@ def value_hash(rows: list[str]) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = get_spark(app_name="correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -75,11 +82,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc()
             failures += 1
+            results[name] = {"err": "spark_raised"}
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(sdf)} rows)")
             if len(sdf) == 0:
                 print(f"WARN  {name}: zero rows")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -87,6 +100,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle SQL raised")
             traceback.print_exc()
             failures += 1
+            results[name] = {"err": "oracle_raised"}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -112,7 +126,21 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"PASS  {name} ({len(sdf)} rows)")
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) if problems else None,
+        }
     spark.stop()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path}")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
