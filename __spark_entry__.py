@@ -1347,6 +1347,26 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_event_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral-sequence training examples (analytics.
+    user_event_sequences): each user's time-ordered history cut into
+    max_len=8 windows every stride=4 — one sorted collect per user,
+    then map-only window explode. Items serialize to a '-'-joined
+    string so the hash is array-repr-agnostic."""
+    from gbif_filter_python_spark.operators.analytics import (
+        user_event_sequences,
+    )
+
+    events = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+    seqs = user_event_sequences(events, max_len=8, stride=4)
+    return seqs.select(
+        "user_id",
+        "seq_idx",
+        F.concat_ws("-", F.col("items")).alias("items_s"),
+        "n_items",
+    )
+
+
 def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing text embedding (functions/vectors.py): words →
     md5 buckets → L2-normalized dim-64 vector, pure Column ops — the
@@ -2131,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "recursive_cte": q_recursive_cte,
         "hashed_embedding": q_hashed_embedding,
+        "event_sequences": q_event_sequences,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3196,6 +3217,20 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "event_sequences": (
+            "WITH h AS (SELECT user_id, "
+            "list(event_id ORDER BY ts, event_id) AS items "
+            "FROM events WHERE user_id < 40 GROUP BY user_id), "
+            "s AS (SELECT user_id, items, unnest(range(0, "
+            "greatest(CAST(ceil((len(items) - 8) / 4.0) AS BIGINT), 0)"
+            " + 1)) AS seq_idx FROM h), "
+            "w AS (SELECT user_id, CAST(seq_idx AS INT) AS seq_idx, "
+            "list_slice(items, seq_idx * 4 + 1, seq_idx * 4 + 8) AS win "
+            "FROM s) "
+            "SELECT user_id, seq_idx, array_to_string(win, '-') AS "
+            "items_s, CAST(len(win) AS INT) AS n_items FROM w "
+            "WHERE len(win) > 0"
         ),
         "hashed_embedding": (
             f"WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents "

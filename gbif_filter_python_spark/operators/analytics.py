@@ -167,3 +167,68 @@ def rolling_active_users(
     return contributes.groupBy("day").agg(
         F.count_distinct("_u").alias("n_active")
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    max_len: int = 8,
+    stride: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_id",
+) -> DataFrame:
+    """Fixed-length overlapping event sequences per user — the
+    training-example generator for behavioral sequence models
+    (session-based recommendation, event-stream LMs): each user's
+    time-ordered history is cut into windows of ``max_len`` items
+    every ``stride`` items; the final partial window is kept iff it
+    adds items (i.e. its start is a stride boundary inside the
+    history).
+
+    One shuffle keyed by user (the sorted collect), then a map-only
+    posexplode of window starts — sequences never re-shuffle. Executor
+    memory bounds one user's history (the applyInPandas/sessionization
+    envelope); per-sequence output is (key, seq_idx, items
+    array, n_items). Ordering inside a sequence is total:
+    (ts, item) sorts make equal-timestamp histories deterministic.
+    """
+    hist = (
+        events.select(key_col, ts_col, item_col)
+        .groupBy(key_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts_col, item_col))
+                ),
+                lambda s: s[item_col],
+            ).alias("_items")
+        )
+    )
+    n = F.size("_items")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - max_len) / F.lit(stride)).cast("long"), F.lit(0)
+        ),
+    )
+    return (
+        hist.select(
+            key_col,
+            "_items",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.slice(
+                        F.col("_items"), i * stride + 1, max_len
+                    ),
+                )
+            ).alias("seq_idx", "items"),
+        )
+        .filter(F.size("items") > 0)
+        .select(
+            key_col,
+            "seq_idx",
+            "items",
+            F.size("items").alias("n_items"),
+        )
+    )

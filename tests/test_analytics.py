@@ -86,3 +86,46 @@ class TestFunnel:
         assert out["2024-01-07"] == 2
         assert out["2024-01-08"] == 1
         assert "2024-01-11" not in out
+
+
+class TestUserEventSequences:
+    def test_windows_stride_and_partial_tail(self, spark):
+        import datetime
+
+        from gbif_filter_python_spark.operators.analytics import (
+            user_event_sequences,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        m = datetime.timedelta(minutes=1)
+        rows = [(1, t0 + i * m, 100 + i) for i in range(10)] + [(2, t0, 500)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        )
+        got = {
+            (r["user_id"], r["seq_idx"]): (list(r["items"]), r["n_items"])
+            for r in user_event_sequences(df, max_len=4, stride=2).collect()
+        }
+        assert got[(1, 0)] == ([100, 101, 102, 103], 4)
+        assert got[(1, 1)] == ([102, 103, 104, 105], 4)
+        assert got[(1, 3)] == ([106, 107, 108, 109], 4)
+        assert (1, 4) not in got  # history fully covered at start 6
+        assert got[(2, 0)] == ([500], 1)  # short history: one window
+
+    def test_equal_timestamps_are_deterministic(self, spark):
+        import datetime
+
+        from gbif_filter_python_spark.operators.analytics import (
+            user_event_sequences,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 7), (1, t0, 3), (1, t0, 5)],
+            "user_id long, ts timestamp, event_id long",
+        )
+        a = user_event_sequences(df, max_len=4, stride=4).collect()
+        b = user_event_sequences(
+            df.repartition(5), max_len=4, stride=4
+        ).collect()
+        assert list(a[0]["items"]) == list(b[0]["items"]) == [3, 5, 7]
