@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "hashed_embedding",
     "recursive_cte",
+    "event_sequences",
 ]
 
 
