@@ -1347,6 +1347,26 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (graph.leakage_safe_split):
+    near-dup components (MinHash candidates → exact Jaccard ≥ 0.8
+    verify → connected components) share one split assignment, so a
+    test doc can never have a near-copy in train. Oracle rebuilds the
+    same components with a DuckDB recursive CTE over the exact
+    shingle-Jaccard graph (valid because banding recall is 1.0 at
+    θ=0.8 on this corpus — see q_minhash_pairs) and applies the same
+    md5 component-bucket split."""
+    from gbif_filter_python_spark.operators.graph import leakage_safe_split
+
+    docs = _perturbed_docs(spark, sf)
+    cands = minhash_lsh_candidates(docs)
+    verified = ngram_jaccard_pairs(docs, cands).filter(
+        F.col("jaccard") >= 0.8
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(docs, verified)
+    return out.select("doc_id", "split")
+
+
 def q_event_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Behavioral-sequence training examples (analytics.
     user_event_sequences): each user's time-ordered history cut into
@@ -2152,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": q_recursive_cte,
         "hashed_embedding": q_hashed_embedding,
         "event_sequences": q_event_sequences,
+        "leakage_split": q_leakage_split,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3217,6 +3238,35 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "leakage_split": (
+            f"WITH pert AS ({_PERT_DOCS}), "
+            f"nrm AS (SELECT doc_id, {_NORM} AS t FROM pert), "
+            "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+            "FROM nrm), "
+            f"g AS ({_SHINGLES_SQL}), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM g a JOIN g b ON a.sh = b.sh "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = inter.id_a "
+            "JOIN sz sb ON sb.doc_id = inter.id_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8), "
+            "sym AS (SELECT id_a AS a, id_b AS b FROM j "
+            "UNION SELECT id_b, id_a FROM j), "
+            "rec AS (WITH RECURSIVE reach(a, b) AS ("
+            "SELECT a, b FROM sym UNION "
+            "SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+            "SELECT a AS id, least(a, min(b)) AS comp FROM reach "
+            "GROUP BY a) "
+            "SELECT d.doc_id, CASE WHEN "
+            "(('0x' || substring(md5(CAST(coalesce(rec.comp, d.doc_id) "
+            "AS VARCHAR)), 1, 8))::BIGINT % 100) < 10 THEN 'test' "
+            "WHEN (('0x' || substring(md5(CAST(coalesce(rec.comp, "
+            "d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100) < 20 "
+            "THEN 'val' ELSE 'train' END AS split "
+            "FROM pert d LEFT JOIN rec ON rec.id = d.doc_id"
         ),
         "event_sequences": (
             "WITH h AS (SELECT user_id, "

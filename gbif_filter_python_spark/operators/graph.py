@@ -155,3 +155,47 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    test_pct: int = 10,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that near-duplicates can NEVER straddle —
+    the leakage guard an LLM corpus needs: a test document with a
+    near-copy in train silently inflates eval.
+
+    Per-row hash splits (corpus.deterministic_split) assign duplicates
+    independently, so ~2·test_pct% of each dup pair leaks across the
+    boundary. Here the split key is the row's near-dup COMPONENT
+    (minimum reachable id over the verified-pair graph; rows in no
+    pair are their own component), so every member of a duplicate
+    cluster lands in the same split by construction.
+
+    Scale shape: connected_components shuffles only the pair edges
+    (tiny vs the corpus); the component map joins back to the corpus
+    once (broadcastable — components exist only for paired rows); the
+    split itself is the map-only md5-threshold filter. Output: input
+    rows + ``split_col``.
+    """
+    from gbif_filter_python_spark.operators.corpus import split_bucket
+
+    comps = connected_components(pairs, src_col, dst_col).select(
+        F.col("id").alias(id_col), F.col("comp").alias("_comp")
+    )
+    with_comp = df.join(F.broadcast(comps), id_col, "left").withColumn(
+        "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
+    )
+    b = split_bucket(F.col("_comp"))
+    return with_comp.withColumn(
+        split_col,
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    ).drop("_comp")

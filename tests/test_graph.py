@@ -102,3 +102,46 @@ class TestTransitiveClosure:
         )
         with pytest.raises(RuntimeError, match="cycle"):
             transitive_closure(edges, max_iterations=5)
+
+
+class TestLeakageSafeSplit:
+    def test_dup_components_never_straddle_splits(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+        )
+        # chain 0~1~2 plus pair (10, 11); everything else isolated
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+        )
+        out = leakage_safe_split(docs, pairs, test_pct=30, val_pct=30)
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(rows) == 200
+        assert rows[0] == rows[1] == rows[2]
+        assert rows[10] == rows[11]
+        assert len(set(rows.values())) == 3  # all three splits used
+
+    def test_matches_plain_split_for_isolated_rows(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            deterministic_split,
+        )
+        from gbif_filter_python_spark.operators.graph import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(100)], "doc_id long, text string"
+        )
+        no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+        a = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, no_pairs).collect()
+        }
+        b = {
+            r["doc_id"]: r["split"]
+            for r in deterministic_split(docs, "doc_id").collect()
+        }
+        assert a == b
