@@ -1347,6 +1347,38 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup maintenance (sketches.build_rollup /
+    merge_rollup): two ingest increments (events before/after Jan 20)
+    each build a DAILY rollup; their union merges to MONTHLY without
+    rescanning raw data. Oracle recomputes monthly aggregates from
+    the raw fact — mergeability makes them identical (HLL distinct is
+    in exact mode at this cardinality; measured 0 error)."""
+    from gbif_filter_python_spark.operators.sketches import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    old = ev.filter(F.col("day") < "2021-01-20")
+    new = ev.filter(F.col("day") >= "2021-01-20")
+    increments = build_rollup(old, ["day"], "value", "user_id").unionByName(
+        build_rollup(new, ["day"], "value", "user_id")
+    )
+    monthly = merge_rollup(
+        increments.withColumn("month", F.date_format("day", "yyyy-MM")),
+        ["month"],
+    )
+    return monthly.select(
+        "month",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "est_distinct",
+    )
+
+
 def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe train/val/test split (graph.leakage_safe_split):
     near-dup components (MinHash candidates → exact Jaccard ≥ 0.8
@@ -2173,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_embedding": q_hashed_embedding,
         "event_sequences": q_event_sequences,
         "leakage_split": q_leakage_split,
+        "rollup_merge": q_rollup_merge,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3238,6 +3271,15 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "rollup_merge": (
+            "SELECT strftime(CAST(date_trunc('month', ts) AS DATE), "
+            "'%Y-%m') AS month, count(*) AS n_rows, "
+            "round(sum(value), 4) AS sum_value, "
+            "round(min(value), 6) AS min_value, "
+            "round(max(value), 6) AS max_value, "
+            "count(DISTINCT user_id) AS est_distinct "
+            "FROM events GROUP BY 1"
         ),
         "leakage_split": (
             f"WITH pert AS ({_PERT_DOCS}), "

@@ -279,3 +279,56 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def build_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """One fine-granularity rollup row per ``keys`` combination
+    carrying every MERGEABLE aggregate a dashboard needs: count, sum,
+    min, max, and an HLL sketch of ``distinct_col``. This is the table
+    you PERSIST — at 100 TB the raw fact is scanned once per period,
+    and every later question at any coarser granularity merges these
+    rows instead (see :func:`merge_rollup`)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.expr(f"hll_sketch_agg({distinct_col}, {lgk})").alias("hll_distinct"),
+    )
+
+
+def merge_rollup(
+    rollup: DataFrame,
+    coarse_keys: list[str],
+) -> DataFrame:
+    """Re-aggregate a rollup (or a UNION of rollup increments) to
+    coarser keys. Every aggregate is mergeable — count/sum re-sum,
+    min/max re-min/max, HLL unions LOSSLESSLY — so
+
+        merge_rollup(build(day1) ∪ build(day2), [month])
+        ≡ merge_rollup(build(day1 ∪ day2 raw), [month])
+
+    which is the incremental-maintenance contract: append each new
+    partition's rollup rows and never rescan history. The query's
+    oracle states exactly that equivalence against a full recompute.
+    """
+    grouped = (
+        rollup.groupBy(*coarse_keys) if coarse_keys else rollup.groupBy()
+    )
+    return grouped.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.round(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(hll_distinct, true))"
+            )
+        ).cast("long").alias("est_distinct"),
+    )

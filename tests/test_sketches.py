@@ -148,3 +148,39 @@ class TestApproxTopK:
         ).first()
         assert got["term"] == "dominant"
         assert got["est_count"] >= 1000
+
+
+class TestRollupMaintenance:
+    def test_incremental_merge_equals_full_recompute(self, spark):
+        """The mergeability contract: union of per-increment rollups
+        merged coarse == rollup of all raw data merged coarse — for
+        count/sum/min/max exactly, for HLL distinct exactly below
+        sketch capacity."""
+        from gbif_filter_python_spark.operators.sketches import (
+            build_rollup,
+            merge_rollup,
+        )
+        from gbif_filter_python_spark.sources.io import read_table
+        from pyspark.sql import functions as F
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        a = ev.filter(F.col("event_id") % 3 == 0)
+        b = ev.filter(F.col("event_id") % 3 != 0)
+        inc = build_rollup(a, ["day"], "value", "user_id").unionByName(
+            build_rollup(b, ["day"], "value", "user_id")
+        )
+        got = {
+            r["day"]: (r["n_rows"], round(r["sum_value"], 6),
+                       r["min_value"], r["max_value"], r["est_distinct"])
+            for r in merge_rollup(inc, ["day"]).collect()
+        }
+        want = {
+            r["day"]: (r["n_rows"], round(r["sum_value"], 6),
+                       r["min_value"], r["max_value"], r["est_distinct"])
+            for r in merge_rollup(
+                build_rollup(ev, ["day"], "value", "user_id"), ["day"]
+            ).collect()
+        }
+        assert got == want and len(got) > 5
