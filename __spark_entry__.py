@@ -1347,6 +1347,25 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (corpus.decontaminate): train docs
+    sharing ≥ 5 distinct 3-grams with the test split are dropped —
+    the enforcement twin of contamination_report. Emits the surviving
+    train doc ids; the oracle replays the same n-gram semi-join and
+    threshold in SQL."""
+    from gbif_filter_python_spark.operators.corpus import (
+        decontaminate,
+        deterministic_split,
+    )
+
+    docs = deterministic_split(
+        _t(spark, sf, "documents"), "doc_id", test_pct=10, val_pct=0
+    )
+    train = docs.filter(F.col("split") == "train").drop("split")
+    test = docs.filter(F.col("split") == "test").drop("split")
+    return decontaminate(train, test, n=3, min_shared=5).select("doc_id")
+
+
 def q_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental rollup maintenance (sketches.build_rollup /
     merge_rollup): two ingest increments (events before/after Jan 20)
@@ -2206,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": q_event_sequences,
         "leakage_split": q_leakage_split,
         "rollup_merge": q_rollup_merge,
+        "decontaminate": q_decontaminate,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3271,6 +3291,24 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "decontaminate": (
+            f"WITH s AS (SELECT doc_id, {_NORM} AS t, "
+            f"CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END "
+            "AS split FROM documents), "
+            "w AS (SELECT doc_id, split, regexp_split_to_array(t, ' ') "
+            "AS w FROM s WHERE t <> ''), "
+            "g AS (SELECT DISTINCT doc_id, split, ngram FROM ("
+            "SELECT doc_id, split, unnest(CASE WHEN len(w) >= 3 THEN "
+            "list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+            "ELSE [] END) AS ngram FROM w)), "
+            "tg AS (SELECT DISTINCT ngram FROM g WHERE split = 'test'), "
+            "off AS (SELECT doc_id FROM g WHERE split = 'train' "
+            "AND ngram IN (SELECT ngram FROM tg) "
+            "GROUP BY doc_id HAVING count(*) >= 5) "
+            "SELECT doc_id FROM s WHERE split = 'train' "
+            "AND doc_id NOT IN (SELECT doc_id FROM off)"
         ),
         "rollup_merge": (
             "SELECT strftime(CAST(date_trunc('month', ts) AS DATE), "

@@ -914,3 +914,45 @@ def bpe_pair_stats(
         .filter(F.col("rank") <= k)
         .select("pair", "n", "rank")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop train documents that leak benchmark content: any train doc
+    sharing ≥ ``min_shared`` distinct word ``n``-grams with the test
+    set is removed — the enforcement twin of
+    :func:`contamination_report` (which only measures).
+
+    Same scale shape: both sides fold n-grams to xxhash64 longs in the
+    explode projection (shuffles carry 8-byte keys, never text); the
+    TEST n-gram set reduces to distinct hashes (tiny — benchmarks are
+    small — so AQE broadcasts it); offending train doc ids come from
+    one semi-join + count, and the final pass is an anti-join of the
+    train corpus against that id set. Raising ``min_shared`` above 1
+    tolerates incidental collisions of common phrases while still
+    removing wholesale inclusions.
+    """
+    test_grams = (
+        _staged_ngrams(test, doc_id_col, text_col, n)
+        .select(F.xxhash64("ngram").alias("ngram_h"))
+        .distinct()
+    )
+    train_grams = (
+        _staged_ngrams(train, doc_id_col, text_col, n)
+        .select("doc_id", F.xxhash64("ngram").alias("ngram_h"))
+        .distinct()
+    )
+    offenders = (
+        train_grams.join(test_grams, "ngram_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared)
+        .select(F.col("doc_id").alias(doc_id_col))
+    )
+    return train.join(offenders, doc_id_col, "left_anti")

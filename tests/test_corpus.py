@@ -130,6 +130,36 @@ class TestContamination:
         assert rep[0]["n_shared"] == 2
 
 
+class TestDecontaminate:
+    def test_leaking_train_doc_dropped_clean_kept(self, spark):
+        from gbif_filter_python_spark.operators.corpus import decontaminate
+
+        test = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # 3 shared trigrams (wholesale inclusion) → dropped
+                (1, "alpha beta gamma delta epsilon zeta"),
+                # 1 shared trigram (incidental) → kept at min_shared=2
+                (2, "prefix alpha beta gamma something else"),
+                (3, "totally unrelated content right here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept2 = sorted(
+            r["doc_id"]
+            for r in decontaminate(train, test, n=3, min_shared=2).collect()
+        )
+        assert kept2 == [2, 3]
+        kept1 = sorted(
+            r["doc_id"]
+            for r in decontaminate(train, test, n=3, min_shared=1).collect()
+        )
+        assert kept1 == [3]
+
+
 class TestPackSequences:
     def test_offsets_and_packs(self, spark):
         rows = [(i, " ".join(["w"] * 1000)) for i in range(5)]
