@@ -1347,6 +1347,26 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
 
 
+def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth discretization (profile.quantile_bins): order values
+    into quartile bins via one exact-percentile aggregation + a
+    broadcast threshold fold; emits the per-bin histogram. Oracle
+    replays the same 6dp-rounded threshold comparisons over
+    quantile_cont."""
+    from gbif_filter_python_spark.operators.profile import quantile_bins
+
+    orders = _t(spark, sf, "orders")
+    return (
+        quantile_bins(orders, "o_totalprice", 4)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_v"),
+            F.round(F.max("o_totalprice"), 2).alias("max_v"),
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (corpus.decontaminate): train docs
     sharing ≥ 5 distinct 3-grams with the test split are dropped —
@@ -2226,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "rollup_merge": q_rollup_merge,
         "decontaminate": q_decontaminate,
+        "quantile_bins": q_quantile_bins,
         # -- driver-proven in r01/r02 (rotated behind the window) ---
         "existence_semijoin": q_existence_semijoin,
         "ternary_tag": q_ternary_tag,
@@ -3291,6 +3312,17 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
             "round(quantile_cont(value, 0.99), 6) AS exact_p99, "
             "true AS within_tol FROM events"
+        ),
+        "quantile_bins": (
+            "WITH th AS (SELECT quantile_cont(o_totalprice, "
+            "[0.25, 0.5, 0.75]) AS t FROM orders), "
+            "b AS (SELECT o_totalprice AS v, "
+            "(CASE WHEN o_totalprice > round(t[1], 6) THEN 1 ELSE 0 END"
+            " + CASE WHEN o_totalprice > round(t[2], 6) THEN 1 ELSE 0 "
+            "END + CASE WHEN o_totalprice > round(t[3], 6) THEN 1 ELSE "
+            "0 END) AS bin FROM orders, th) "
+            "SELECT bin, count(*) AS n, round(min(v), 2) AS min_v, "
+            "round(max(v), 2) AS max_v FROM b GROUP BY bin"
         ),
         "decontaminate": (
             f"WITH s AS (SELECT doc_id, {_NORM} AS t, "

@@ -169,3 +169,39 @@ def check_constraints(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth discretization: assign each row the quantile bin of
+    ``col`` (bin i ⇔ value above the i-th of n_bins-1 interior exact
+    percentiles) — the feature-bucketing / length-band primitive.
+
+    One aggregation computes ALL thresholds (exact interpolated
+    percentiles, a single pass), the 1-row result broadcasts via
+    crossJoin, and the bin is a fold over the threshold array — the
+    fact table never shuffles. Thresholds are 6dp-rounded BEFORE the
+    comparison so bin membership is fp-stable cross-engine (the
+    comparison then pits two exactly-representable reproductions
+    against each other, not two engines' last-ulp interpolations).
+    """
+    probs = ", ".join(
+        f"{i / n_bins}D" for i in range(1, n_bins)
+    )
+    th = df.agg(
+        F.expr(f"percentile({col}, array({probs}))").alias("_th")
+    )
+    binned = df.crossJoin(F.broadcast(th)).withColumn(
+        out_col,
+        F.aggregate(
+            F.col("_th"),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.col(col) > F.round(t, 6), 1).otherwise(0),
+        ),
+    )
+    return binned.drop("_th")
