@@ -145,3 +145,24 @@ class TestLeakageSafeSplit:
             for r in deterministic_split(docs, "doc_id").collect()
         }
         assert a == b
+
+
+def test_recursive_cte_matches_iterative_closure(spark):
+    """Differential: Spark 4's native WITH RECURSIVE (UnionLoop) and
+    the iterative-join transitive_closure must produce the identical
+    closure over the same edge set."""
+    import __spark_entry__ as entry_mod
+
+    # sf0.001's supplier table has no keys >= 10 (both sides empty and
+    # the check would be vacuous) — use sf0.01, where the closure has
+    # 90 rows.
+    sf = "/root/testdata/sf0.01"
+    a = {
+        (r["ancestor"], r["descendant"], r["depth"])
+        for r in entry_mod.q_recursive_cte(spark, sf).collect()
+    }
+    b = {
+        (r["ancestor"], r["descendant"], r["depth"])
+        for r in entry_mod.q_closure_chain(spark, sf).collect()
+    }
+    assert a == b and len(a) > 0
