@@ -160,6 +160,12 @@ def cdc_apply(
     ``ts_col`` with the op as deterministic tie-break (at equal
     timestamps a delete loses to the concurrent upsert — the
     conservative choice; pass distinct timestamps for strict replay).
+    If a batch carries multiple rows with identical ``(key, ts, op)``
+    but different payloads there is no semantic winner, so the rank
+    falls through to a stable 64-bit hash of the payload columns —
+    arbitrary but deterministic across replays, engines, and
+    partitionings (a plain ``row_number`` over a non-total order would
+    pick whichever row the shuffle delivered first).
 
     Scale shape: the change batch (small) is reduced to one row per
     key with a WindowGroupLimit-prunable rank, then (a) its keys
@@ -174,12 +180,28 @@ def cdc_apply(
     # via df.observe if a pipeline wants the metric)
     changes = changes.filter(F.col(op_col).isin("I", "U", "D"))
     data_cols = list(snapshot.columns)
-    w = Window.partitionBy(*key_cols).orderBy(
+    # Map-typed columns are not hashable in Spark SQL (disallowed by
+    # default since 3.0) — exclude them; any scalar/array/struct
+    # payload column still makes the order total in practice.
+    payload_cols = [
+        f.name
+        for f in snapshot.schema.fields
+        if f.name not in key_cols
+        and f.dataType.typeName() != "map"
+    ]
+    order = [
         F.desc(ts_col),
         # 'U' > 'I' > 'D' lexicographically reversed: upserts beat
         # concurrent deletes at the same timestamp
         F.desc(op_col),
-    )
+    ]
+    if payload_cols:
+        # total-order fallback: identical (key, ts, op) with differing
+        # payloads resolves by payload hash, not shuffle arrival order
+        order.append(
+            F.desc(F.xxhash64(*[F.col(c) for c in payload_cols]))
+        )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -233,6 +233,15 @@ def ewma(
     """Per-key exponentially weighted moving average over event time,
     both pandas ``ewm`` variants behind one ``adjust=`` flag.
 
+    .. warning:: **Default changed when the duplicate definitions were
+       merged.** Before the merge this module accidentally defined
+       ``ewma`` twice and Python's last-def-wins resolved callers to
+       the ``adjust=False`` recursion; the merged function defaults to
+       ``adjust=True`` (the pandas default). Any caller that relied on
+       the implicit old default gets different values — pass
+       ``adjust=False`` explicitly to recover the recursive form. Pin
+       ``adjust=`` at every call site.
+
     ``adjust=True`` (default) — the weighted-mean form
 
         y_t = Σ_i x_i (1-α)^(t-i) / Σ_i (1-α)^(t-i)

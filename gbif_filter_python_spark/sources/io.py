@@ -274,11 +274,31 @@ def compact_parquet(
     (round-robin — even output sizes) plus an optional
     ``sortWithinPartitions`` so downstream min/max row-group pruning
     survives compaction.
+
+    ``out_path`` must be disjoint from ``in_path``: Spark's scan is
+    lazy, so ``mode("overwrite")`` onto the source location would
+    delete the input files mid-read and silently lose data. The
+    natural in-place call is therefore rejected up front — compact to
+    a sibling directory and rename.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(in_path)
     fs = hpath.getFileSystem(conf)
+    # Qualify both paths against the filesystem so "data", "./data/"
+    # and "file:/cwd/data" all compare equal before the overlap check.
+    q_in = str(fs.makeQualified(hpath))
+    q_out = str(fs.makeQualified(jvm.org.apache.hadoop.fs.Path(out_path)))
+    if (
+        q_in == q_out
+        or q_out.startswith(q_in.rstrip("/") + "/")
+        or q_in.startswith(q_out.rstrip("/") + "/")
+    ):
+        raise ValueError(
+            f"compact_parquet: out_path {q_out!r} overlaps in_path "
+            f"{q_in!r}; overwrite of a lazily-read source deletes it "
+            "mid-scan. Write to a disjoint directory, then rename."
+        )
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(in_path).repartition(int(n_files))

@@ -42,9 +42,18 @@ def _versions(spark: SparkSession, snapshot_path: str) -> list[int]:
         name = st.getPath().getName()
         if name.startswith("version="):
             try:
-                out.append(int(name.split("=", 1)[1]))
+                v = int(name.split("=", 1)[1])
             except ValueError:
-                pass
+                continue
+            # Only expose COMMITTED versions: Spark's FileOutputCommitter
+            # writes _SUCCESS as the final act of the job, so a version
+            # directory without it is a write in flight (or a crash) —
+            # a reader racing the stream must not see it as "latest".
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), "_SUCCESS"
+            )
+            if fs.exists(marker):
+                out.append(v)
     return sorted(out)
 
 

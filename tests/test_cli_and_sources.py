@@ -206,6 +206,23 @@ class TestCompactParquet:
         col = md.row_group(0).column(0)
         assert col.statistics.min == 0
 
+    def test_refuses_overlapping_in_and_out_paths(self, spark, tmp_path):
+        """In-place compaction (out == in, or nested either way) would
+        overwrite a lazily-read source mid-scan and lose data — the
+        guard must reject it before any write starts, across path
+        spellings that qualify to the same location."""
+        import pytest
+
+        from gbif_filter_python_spark.sources.io import compact_parquet
+
+        src = str(tmp_path / "inplace")
+        spark.range(100).write.parquet(src)
+        for bad_out in (src, src + "/", src + "/sub", str(tmp_path)):
+            with pytest.raises(ValueError, match="overlaps"):
+                compact_parquet(spark, src, bad_out)
+        # source untouched after the refusals
+        assert spark.read.parquet(src).count() == 100
+
 
 class TestRestBatchProvider:
     def test_online_resolution_semantics(self, spark):

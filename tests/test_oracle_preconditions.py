@@ -1,0 +1,124 @@
+"""Explicit assertions for the measured dataset-specific facts the
+cross-engine oracles rely on (ADVICE r3, __spark_entry__ oracle
+hardening). Several full hash-match oracles are only valid because of
+a property measured on THIS corpus:
+
+* ``minhash_pairs`` / ``minhash_dedup`` / ``leakage_split`` — MinHash
+  banding (64 hashes / 16 bands) recalls 100% of exact shingle-Jaccard
+  >= 0.8 pairs, so verified-candidates == the exact pair set.
+* ``rollup_merge`` — per-month user_id cardinality is low enough that
+  the HLL sketch operates in exact mode (estimate == exact count).
+* ``approx_top_terms`` — no count tie at the rank-20 boundary, so the
+  exact top-20 is a unique set.
+
+The failure direction of those oracles is safe (false alarm, never a
+false pass), but a testdata refresh would surface only as a bare hash
+mismatch. These tests assert the preconditions directly at sf0.01 —
+the driver gate's scale — so a data change reports WHICH assumption
+broke, by name, before anyone has to bisect a hash.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from gbif_filter_python_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def sf(sf01_dir):
+    # Gate scale: the driver compares Spark vs DuckDB at sf0.01, so the
+    # preconditions must hold exactly here (not just at sf0.001).
+    return sf01_dir
+
+
+def test_minhash_banding_recall_is_exactly_one_at_gate_threshold(spark, sf):
+    """PRECONDITION for the minhash_pairs / minhash_dedup /
+    leakage_split oracles: the banded candidate set must contain EVERY
+    pair with exact 5-shingle Jaccard >= 0.8 (recall exactly 1.0).
+    If this fails after a testdata refresh, those three oracles are no
+    longer valid as full hash-matches — re-measure before trusting
+    their CORRECTNESS rows."""
+    docs = entry_mod._perturbed_docs(spark, sf)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, all_pairs)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert exact, "corpus must contain exact J>=0.8 pairs (fixture vacuous)"
+    missed = exact - cands
+    assert not missed, (
+        "MinHash banding recall < 1.0 at J>=0.8 on this corpus: "
+        f"{len(missed)}/{len(exact)} exact pairs missed "
+        f"(e.g. {sorted(missed)[:5]}). The minhash_pairs, minhash_dedup "
+        "and leakage_split oracles assume recall == 1.0 and are now "
+        "invalid as full hash-matches."
+    )
+
+
+def test_rollup_hll_is_in_exact_mode_at_monthly_cardinality(spark, sf):
+    """PRECONDITION for the rollup_merge oracle: HLL distinct-user
+    estimates per month must equal the exact counts (the sketch stays
+    in exact mode at this cardinality). If a testdata refresh raises
+    per-month cardinality past the exact-mode boundary, rollup_merge's
+    est_distinct column stops hash-matching DuckDB's exact count."""
+    rows = entry_mod.q_rollup_merge(spark, sf).collect()
+    ev = entry_mod._t(spark, sf, "events").withColumn(
+        "month", F.date_format(F.to_date("ts"), "yyyy-MM")
+    )
+    exact = {
+        r["month"]: r["n"]
+        for r in ev.groupBy("month")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rows and exact
+    for r in rows:
+        assert r["est_distinct"] == exact[r["month"]], (
+            f"HLL left exact mode for month {r['month']}: estimate "
+            f"{r['est_distinct']} != exact {exact[r['month']]}. The "
+            "rollup_merge oracle assumes 0 HLL error and is now invalid."
+        )
+
+
+def test_approx_top_terms_has_no_tie_at_rank_boundary(spark, sf):
+    """PRECONDITION for the approx_top_terms oracle: the exact word
+    counts at rank 20 and rank 21 must differ, otherwise 'the top-20'
+    is not a unique set and the Spark-vs-DuckDB hash comparison is
+    comparing two equally-valid answers."""
+    from gbif_filter_python_spark.operators.dedup import words_array
+
+    docs = entry_mod._t(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(words_array(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(25)
+        .collect()
+    )
+    assert len(counts) >= 21, "corpus has fewer than 21 distinct words"
+    c20, c21 = counts[19]["count"], counts[20]["count"]
+    assert c20 > c21, (
+        f"count tie at the rank-20 boundary ({c20} == {c21}): the "
+        "approx_top_terms top-20 set is not unique and its oracle is "
+        "no longer a valid hash-match."
+    )

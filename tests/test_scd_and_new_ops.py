@@ -308,6 +308,41 @@ class TestCdcApply:
         got = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"]).collect()}
         assert got == {1: "v3", 2: "back", 3: "c", 4: "kept"}
 
+    def test_identical_key_ts_op_resolves_by_payload_hash(self, spark):
+        """ADVICE r3: rows with identical (key, ts, op) but different
+        payloads have no semantic winner — the tiebreak must be the
+        payload hash, so the SAME row wins regardless of input order
+        or partitioning (not whichever row the shuffle delivers)."""
+        from pyspark.sql import functions as F
+
+        from gbif_filter_python_spark.operators.scd import cdc_apply
+
+        snap = self._snapshot(spark)
+        dup_rows = [
+            (5, "amb1", "U", _d(1)),
+            (5, "amb2", "U", _d(1)),
+            (5, "amb3", "U", _d(1)),
+        ]
+        schema = "k long, v string, op string, change_ts timestamp"
+        winners = set()
+        for perm in (dup_rows, dup_rows[::-1],
+                     [dup_rows[1], dup_rows[2], dup_rows[0]]):
+            changes = spark.createDataFrame(perm, schema).repartition(3)
+            got = {
+                r["k"]: r["v"]
+                for r in cdc_apply(snap, changes, ["k"]).collect()
+            }
+            winners.add(got[5])
+        assert len(winners) == 1, winners
+        # and the winner is the hash-maximal payload, not positional
+        expected = (
+            spark.createDataFrame(dup_rows, schema)
+            .select("v", F.xxhash64("v").alias("h"))
+            .orderBy(F.desc("h"))
+            .first()["v"]
+        )
+        assert winners == {expected}
+
     def test_snapshot_side_never_shuffles(self, spark):
         from gbif_filter_python_spark.operators.scd import cdc_apply
 

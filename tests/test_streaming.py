@@ -494,6 +494,22 @@ def test_cdc_snapshot_writer_matches_batch_merge(spark, tmp_path):
     }
     assert v0 == {1: "a", 2: "b", 3: "c"}
 
+    # ADVICE r3: a version directory without _SUCCESS is a write in
+    # flight (or a crash) — "latest" must skip it, and asking for it
+    # explicitly must fail, or a reader racing the stream sees a
+    # partially-written snapshot.
+    import pytest
+
+    os.makedirs(f"{snap}/version=99", exist_ok=True)
+    with open(f"{snap}/version=99/part-phantom.parquet", "wb") as fh:
+        fh.write(b"not a committed file")
+    latest_after = {
+        r["k"]: r["v"] for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    assert latest_after == want
+    with pytest.raises(FileNotFoundError):
+        read_cdc_snapshot(spark, snap, version=99)
+
 
 def test_stream_stream_interval_join_left_outer_emits_nulls(spark, tmp_path):
     """LEFT OUTER stream-stream interval join: an unmatched left row
