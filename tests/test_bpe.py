@@ -106,6 +106,43 @@ class TestLearnBpeMerges:
         b = learn_bpe_merges(docs.repartition(7), n_merges=8)
         assert a == b
 
+    def test_sample_target_at_or_above_corpus_is_identity(self, spark, docs):
+        """The scale path must be a no-op when the corpus is already at
+        or under the target — gate-scale results cannot change."""
+        full = learn_bpe_merges(docs, n_merges=8)
+        assert learn_bpe_merges(docs, n_merges=8,
+                                sample_target_docs=len(TEXTS)) == full
+        assert learn_bpe_merges(docs, n_merges=8,
+                                sample_target_docs=10_000) == full
+
+    def test_sampled_training_equals_training_on_the_hash_sample(
+        self, spark, docs
+    ):
+        """Differential: sample_target_docs=k must train on EXACTLY the
+        deterministic md5 hash-sample (sample_by_hash, salt
+        'bpe-train') — same merges as handing the trainer that sample
+        directly, and deterministic across partitionings."""
+        from gbif_filter_python_spark.operators.corpus import sample_by_hash
+
+        target = 3
+        explicit = sample_by_hash(
+            docs, "doc_id", target / len(TEXTS), seed_salt="bpe-train"
+        )
+        n_kept = explicit.count()
+        assert 0 < n_kept < len(TEXTS), n_kept  # sample is proper
+        got = learn_bpe_merges(docs, n_merges=8, sample_target_docs=target)
+        want = learn_bpe_merges(explicit, n_merges=8)
+        assert got == want
+        assert got == learn_bpe_merges(
+            docs.repartition(5), n_merges=8, sample_target_docs=target
+        )
+        # and the sampled merges match the pure-Python reference run
+        # on the sampled texts (parity holds through the scale path)
+        kept_texts = [
+            TEXTS[r["doc_id"]] for r in explicit.select("doc_id").collect()
+        ]
+        assert got == _ref_learn(kept_texts, n_merges=8)
+
 
 class TestBpeTokenCounts:
     def test_counts_match_reference_encoding(self, spark):
