@@ -745,10 +745,29 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Full MinHash dedup: candidates → exact Jaccard ≥ 0.8 verify →
-    drop near-copies. Oracle: survivors = docs minus the id_b side of
-    the exact J≥0.8 pair set (valid because banding recall is 1.0 at
-    θ=0.8 on this corpus — see q_minhash_pairs)."""
+    """MinHash dedup, explicit GREEDY representative selection
+    (candidates → exact Jaccard ≥ 0.8 verify → drop the id_b side of
+    every pair — the cheap single-pass option). Oracle: survivors =
+    docs minus the id_b side of the exact J≥0.8 pair set (valid
+    because banding recall is 1.0 at θ=0.8 on this corpus — see
+    q_minhash_pairs and tests/test_oracle_preconditions.py). The
+    BLESSED default is method="components" — see
+    q_minhash_dedup_components."""
+    from gbif_filter_python_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _perturbed_docs(spark, sf), threshold=0.8, method="greedy"
+    ).select("doc_id")
+
+
+def q_minhash_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash dedup via the DEFAULT chain-correct path (VERDICT r3
+    item 3): verified pairs → connected components → keep each
+    component's minimum-id member (graph.dedup_by_components). Oracle:
+    DuckDB rebuilds the exact J≥0.8 pair graph and takes the same
+    min-id representative per component with a recursive CTE (valid
+    because banding recall is 1.0 at θ=0.8 — the verified pair set IS
+    the exact pair set; asserted in tests/test_oracle_preconditions.py)."""
     from gbif_filter_python_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_perturbed_docs(spark, sf), threshold=0.8).select(
@@ -2174,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covered by tools/check_correctness.py and the pytest suite."""
     return {
         # -- oracles new this round (previously rows-only) ----------
+        "minhash_dedup_components": q_minhash_dedup_components,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -3259,6 +3279,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8) "
             "SELECT doc_id FROM pert "
             "WHERE doc_id NOT IN (SELECT id_b FROM losers)"
+        ),
+        "minhash_dedup_components": (
+            f"WITH pert AS ({_PERT_DOCS}), "
+            f"nrm AS (SELECT doc_id, {_NORM} AS t FROM pert), "
+            "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+            "FROM nrm), "
+            f"g AS ({_SHINGLES_SQL}), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM g a JOIN g b ON a.sh = b.sh "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = inter.id_a "
+            "JOIN sz sb ON sb.doc_id = inter.id_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8), "
+            "sym AS (SELECT id_a AS a, id_b AS b FROM j "
+            "UNION SELECT id_b, id_a FROM j), "
+            "rec AS (WITH RECURSIVE reach(a, b) AS ("
+            "SELECT a, b FROM sym UNION "
+            "SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+            "SELECT a AS id, least(a, min(b)) AS comp FROM reach "
+            "GROUP BY a) "
+            "SELECT d.doc_id FROM pert d "
+            "LEFT JOIN rec ON rec.id = d.doc_id "
+            "WHERE rec.id IS NULL OR rec.comp = d.doc_id"
         ),
         "simhash_pairs": (
             "SELECT count(*) AS n_planted, true AS recall_ok "

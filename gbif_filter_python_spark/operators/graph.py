@@ -2,11 +2,12 @@
 
 Near-duplicate detection produces PAIRS (minhash/simhash/embedding LSH,
 operators/dedup.py); turning pairs into dedup GROUPS is a connected-
-components problem — the greedy "drop id_b of every pair" in
-``minhash_dedup`` over-drops when duplicates chain (a~b, b~c: greedy
-drops b and c even if a~c was never verified). This module provides the
-label-propagation fixpoint the standard large-scale dedup pipelines
-use.
+components problem — ``minhash_dedup``'s explicit ``method="greedy"``
+("drop id_b of every pair") over-drops when duplicates chain (a~b,
+b~c: greedy drops b and c even if a~c was never verified). This module
+provides the label-propagation fixpoint the standard large-scale dedup
+pipelines use; it backs ``minhash_dedup``'s default
+``method="components"``.
 
 Scale design: each iteration is ONE equi-join (labels against the
 symmetric edge list) + a map-side-combined min-aggregate — no driver

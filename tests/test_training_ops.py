@@ -78,6 +78,25 @@ class TestDedup:
         )
         assert ids_strict == [1, 2, 3, 5]
 
+    def test_dedup_methods_agree_on_direct_pairs_and_validate(self, docs):
+        """Both representative selections keep the same survivors when
+        every duplicate is directly paired with the component minimum
+        (this fixture); the chain case where they differ is pinned at
+        graph level (test_graph.py chain tests). Unknown methods fail
+        eagerly."""
+        import pytest
+
+        for method in ("components", "greedy"):
+            ids = sorted(
+                r.doc_id
+                for r in minhash_dedup(
+                    docs, threshold=0.7, method=method
+                ).collect()
+            )
+            assert ids == [1, 3, 5], (method, ids)
+        with pytest.raises(ValueError, match="components|greedy"):
+            minhash_dedup(docs, method="union-find")
+
     def test_jaccard_values(self, spark, docs):
         pairs = spark.createDataFrame(
             [(1, 4), (1, 2), (1, 3)], "id_a long, id_b long"
