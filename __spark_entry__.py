@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf annotations resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1313,40 +1314,69 @@ def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """Image pipeline with a resize stage: decode (8x8 stub) →
-    block-mean resize to 4x4 (real NumPy pooling) → scalar rows.
-    Rows-only: the hash-seeded fake decode is not SQL-expressible."""
+    """Image pipeline over a REAL codec (r4): per-doc deterministic
+    8x8 content is encoded to genuine uncompressed 24-bit BMP bytes,
+    decoded back by the pure-NumPy BMP parser inside mapInPandas
+    (codec="bmp" — header parse, bottom-up rows, padding, luma), then
+    block-mean resized to 4x4. The decode stage now parses real bytes,
+    not a hash stub. Rows-only: content generation + codec round-trip
+    is not SQL-expressible; content-hash stability is pinned in
+    tests/test_training_ops.py."""
     from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
         decode_images,
+        encode_bmp,
         resize_pixels,
     )
+
+    @F.pandas_udf("binary")
+    def _to_bmp(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_bmp(_fake_pixels(t.encode("utf-8"), 8))
+        )
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        _to_bmp(F.col("text")).alias("payload"),
     )
-    resized = resize_pixels(decode_images(media, side=8), out_side=4)
+    resized = resize_pixels(
+        decode_images(media, codec="bmp"), out_side=4
+    )
     return resized.select(
         "media_id", F.posexplode("pixels").alias("pos", "value")
     ).select("media_id", "pos", F.round(F.col("value"), 6).alias("value"))
 
 
 def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio pipeline: stub decode (Arrow-batched mapInPandas) →
-    JVM-side waveform features (RMS / zero-crossing rate / peak).
-    Rows-only: the hash-seeded fake decode is not SQL-expressible."""
+    """Audio pipeline over a REAL codec (r4): per-doc deterministic
+    waveforms are encoded to genuine 16-bit PCM WAV bytes and decoded
+    back by the pure-NumPy RIFF parser (codec="wav" — chunk walk,
+    PCM scaling, header sample rate), then JVM-side waveform features
+    (RMS / zero-crossing rate / peak). Rows-only: the codec round-trip
+    is not SQL-expressible; analytic feature values are pinned in
+    tests/test_training_ops.py."""
     from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_waveform,
         audio_features,
         decode_audio,
+        encode_wav,
     )
+
+    @F.pandas_udf("binary")
+    def _to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav(
+                _fake_waveform(t.encode("utf-8"), 256), 16_000
+            )
+        )
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        _to_wav(F.col("text")).alias("payload"),
     )
-    feats = audio_features(decode_audio(media))
+    feats = audio_features(decode_audio(media, codec="wav"))
     return feats.select(
         "media_id", "rms", F.round(F.col("zcr"), 6).alias("zcr"), "peak"
     )

@@ -1,12 +1,16 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 Beyond-reference block (SURVEY.md §2 final row). The container has no
-image/audio codecs, so the DECODE step is stubbed (deterministic fake
-behind ``fake=True``, ``NotImplementedError`` otherwise) — but the
-Spark-side plumbing is real and tested: schemas, ``mapInPandas``
-batching, Arrow-friendly dtypes, and partition-size control, which is
-what actually matters at 100 TB (codec CPU is pluggable; the data
-motion pattern is not).
+image/audio codec LIBRARIES, but uncompressed formats need none:
+``codec="bmp"`` / ``codec="wav"`` decode real BMP/PCM-WAV payloads
+with pure struct/NumPy parsers (encoders included for fixtures and
+round-trip proofs). Compressed formats (jpeg/png/mp3/mp4) remain
+stubbed (deterministic fake behind ``fake=True``,
+``NotImplementedError`` otherwise). Either way the Spark-side plumbing
+is identical and tested: schemas, ``mapInPandas`` batching,
+Arrow-friendly dtypes, and partition-size control, which is what
+actually matters at 100 TB (codec CPU is pluggable; the data motion
+pattern is not).
 
 Design for scale:
 * media bytes stay in ONE binary column; metadata is a separate struct
@@ -69,6 +73,165 @@ def attach_media_meta(
     )
 
 
+# --------------------------------------------------------------------------
+# Real pure-NumPy codecs for uncompressed formats (VERDICT r3 item 4).
+# No PIL/ffmpeg exists in this container, but uncompressed BMP and PCM
+# WAV are just headers + raw arrays — parseable with struct/NumPy alone.
+# These make the decode stage REAL for the formats that need no codec
+# library; compressed formats (jpeg/png/mp3/mp4) still raise unless
+# fake=True.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Grayscale float array in [0, 1] → uncompressed 24-bit BI_RGB
+    BMP bytes (bottom-up, 4-byte-padded rows — the classic layout).
+
+    The encoder exists so tests and pipelines can fabricate REAL image
+    payloads without any codec library; :func:`decode_images` with
+    ``codec="bmp"`` round-trips it to within 1/255 quantization.
+    """
+    import struct
+
+    a = np.asarray(gray, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError(f"expected (h, w) gray array, got shape {a.shape}")
+    h, w = a.shape
+    v = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+    row_size = (3 * w + 3) // 4 * 4
+    img = np.zeros((h, row_size), dtype=np.uint8)
+    # bottom-up rows; B = G = R = v
+    bgr = np.repeat(v[::-1], 3, axis=1)
+    img[:, : 3 * w] = bgr
+    pixel_bytes = img.tobytes()
+    offset = 14 + 40
+    file_size = offset + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + pixel_bytes
+
+
+def decode_bmp_bytes(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP bytes → (h, w) grayscale float32 in [0, 1].
+
+    Pure struct/NumPy parse: BITMAPFILEHEADER + BITMAPINFOHEADER
+    (any DIB header >= 40 bytes), BI_RGB only, 8-bit palette / 24-bit
+    BGR / 32-bit BGRx pixels, bottom-up or top-down (negative height),
+    4-byte row padding. Color collapses via the Rec.601 luma weights.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(
+            f"compressed BMP (method {compression}) needs a codec "
+            "library; only BI_RGB is supported"
+        )
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h_signed}")
+    row_size = (bpp // 8 * w + 3) // 4 * 4
+    need = offset + row_size * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: dib_size bytes after header start, 4-byte BGRx entries
+        pal_off = 14 + dib_size
+        n_pal = (offset - pal_off) // 4
+        if n_pal <= 0:
+            raise ValueError("8-bit BMP without a palette")
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3]  # B, G, R
+        idx = rows[:, :w]
+        bgr = pal[idx].astype(np.float64)
+    else:
+        step = bpp // 8
+        px = rows[:, : step * w].reshape(h, w, step)
+        bgr = px[:, :, :3].astype(np.float64)
+    gray = (
+        bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+    ) / 255.0
+    return gray.astype(np.float32)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono float waveform in [-1, 1] → 16-bit PCM WAV bytes (RIFF /
+    fmt / data). Round-trips through ``codec="wav"`` decode to within
+    1/32768 quantization."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64).ravel()
+    pcm = np.clip(np.rint(s * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono float32 waveform in [-1, 1], sample_rate).
+
+    Chunk-walking RIFF parse (skips LIST/INFO etc.): PCM (format 1) at
+    8/16/32 bits or IEEE float (format 3) at 32 bits; multi-channel
+    downmixes by mean. Pure struct/NumPy.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt_info, raw = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_info = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None or raw is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt_info
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV encoding (format {audio_fmt}, {bits}-bit); "
+            "PCM 8/16/32 or float32 only"
+        )
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32), int(rate)
+
+
 def _fake_pixels(payload: bytes, side: int) -> np.ndarray:
     """Deterministic stand-in decoder: payload hash → pseudo-pixels.
 
@@ -86,16 +249,29 @@ def decode_images(
     id_col: str = "media_id",
     side: int = 8,
     fake: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Decode → resize to (side, side) grayscale → flat float array.
+    """Decode image payloads → grayscale flat float array (+ width /
+    height columns).
 
-    mapInPandas: one Arrow batch of payloads per invocation; output
-    schema is fixed so downstream plans bind statically.
+    ``codec="bmp"`` is a REAL pure-NumPy decode of uncompressed BMP
+    payloads (:func:`decode_bmp_bytes`) — native dimensions per row,
+    ``side`` ignored. ``codec=None`` keeps the legacy contract:
+    deterministic ``(side, side)`` stub when ``fake=True``, else
+    ``NotImplementedError`` (compressed formats need PIL/libvips,
+    absent in this container).
+
+    mapInPandas either way: one Arrow batch of payloads per
+    invocation; output schema is fixed so downstream plans bind
+    statically.
     """
-    if not fake:
+    if codec not in (None, "bmp"):
+        raise ValueError(f"codec must be None or 'bmp', got {codec!r}")
+    if codec is None and not fake:
         raise NotImplementedError(
-            "real image decoding needs PIL/libvips, not present in this "
-            "container; call with fake=True for the deterministic stub"
+            "real decoding of compressed images needs PIL/libvips, not "
+            "present in this container; use codec='bmp' for real "
+            "uncompressed-BMP payloads or fake=True for the stub"
         )
     out_schema = StructType(
         [
@@ -109,6 +285,17 @@ def decode_images(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "bmp":
+                grays = [decode_bmp_bytes(p) for p in pdf[payload_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].astype("int64"),
+                        "pixels": [g.ravel().tolist() for g in grays],
+                        "width": [g.shape[1] for g in grays],
+                        "height": [g.shape[0] for g in grays],
+                    }
+                )
+                continue
             pixels = [
                 _fake_pixels(p, side).ravel().tolist() for p in pdf[payload_col]
             ]
@@ -213,17 +400,25 @@ def decode_audio(
     sample_rate: int = 16_000,
     n_samples: int = 256,
     fake: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
     """Audio payloads → (id, samples array<float>, sample_rate).
 
-    Same contract as ``decode_images``: the codec is stubbed
-    (deterministic fake), the Arrow-batched mapInPandas plumbing and
-    fixed output schema are real.
+    ``codec="wav"`` is a REAL pure-NumPy decode of PCM WAV payloads
+    (:func:`decode_wav_bytes`) — actual samples and header sample
+    rate, ``sample_rate``/``n_samples`` ignored. ``codec=None`` keeps
+    the legacy contract: deterministic fake waveform when
+    ``fake=True``, else ``NotImplementedError`` (compressed audio
+    needs soundfile/ffmpeg, absent in this container). Arrow-batched
+    mapInPandas with a fixed output schema either way.
     """
-    if not fake:
+    if codec not in (None, "wav"):
+        raise ValueError(f"codec must be None or 'wav', got {codec!r}")
+    if codec is None and not fake:
         raise NotImplementedError(
-            "real audio decoding needs soundfile/ffmpeg, not present in "
-            "this container; call with fake=True for the deterministic stub"
+            "real decoding of compressed audio needs soundfile/ffmpeg, "
+            "not present in this container; use codec='wav' for real "
+            "PCM-WAV payloads or fake=True for the stub"
         )
     out_schema = StructType(
         [
@@ -235,6 +430,16 @@ def decode_audio(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "wav":
+                decoded = [decode_wav_bytes(p) for p in pdf[payload_col]]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].astype("int64"),
+                        "samples": [w.tolist() for w, _ in decoded],
+                        "sample_rate": [r for _, r in decoded],
+                    }
+                )
+                continue
             samples = [
                 _fake_waveform(p, n_samples).tolist()
                 for p in pdf[payload_col]
