@@ -761,6 +761,49 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_interaction_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Legacy InteractionSource ABC (§2 op 40, closed r4): a synthetic
+    interaction edge fact derived from orders (source = customer,
+    target = orderkey mod 1000, alternating type ids) is queried
+    through the set-at-a-time get_interactions — distinct source keys
+    broadcast-semi-join the edge fact, and the type filter arrives as
+    the SYNONYM name 'preysOn', resolved through the broadcast
+    interaction-name dimension to canonical 'eats'
+    (sources/providers.py:get_interactions/resolve_interaction_name).
+    Full oracle: every step is relational."""
+    from gbif_filter_python_spark.sources.providers import get_interactions
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    edges = orders.select(
+        F.col("o_custkey").alias("source_taxon_key"),
+        (F.col("o_orderkey") % 1000).alias("target_taxon_key"),
+        (F.col("o_orderkey") % 2 + 1).alias("interaction_type_id"),
+    )
+    names = spark.createDataFrame(
+        [
+            (1, "pollinates", False),
+            (1, "visitsFlowersOf", True),
+            (2, "eats", False),
+            (2, "preysOn", True),
+        ],
+        "interaction_type_id long, interaction_name string, "
+        "is_synonym boolean",
+    )
+
+    class _Source:
+        def interactions(self) -> DataFrame:
+            return edges
+
+        def interaction_names(self) -> DataFrame:
+            return names
+
+    keys = customer.filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("taxon_key")
+    )
+    return get_interactions(_Source(), keys, interaction_name="preysOn")
+
+
 def q_minhash_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash dedup via the DEFAULT chain-correct path (VERDICT r3
     item 3): verified pairs → connected components → keep each
@@ -2223,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covered by tools/check_correctness.py and the pytest suite."""
     return {
         # -- oracles new this round (previously rows-only) ----------
+        "interaction_edges": q_interaction_edges,
         "minhash_dedup_components": q_minhash_dedup_components,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
@@ -3309,6 +3353,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8) "
             "SELECT doc_id FROM pert "
             "WHERE doc_id NOT IN (SELECT id_b FROM losers)"
+        ),
+        "interaction_edges": (
+            "WITH edges AS (SELECT o_custkey AS source_taxon_key, "
+            "o_orderkey % 1000 AS target_taxon_key, "
+            "o_orderkey % 2 + 1 AS interaction_type_id FROM orders), "
+            "k AS (SELECT DISTINCT c_custkey FROM customer "
+            "WHERE c_custkey < 100) "
+            "SELECT e.source_taxon_key, e.target_taxon_key, "
+            "e.interaction_type_id, 'eats' AS interaction_name "
+            "FROM edges e JOIN k ON e.source_taxon_key = k.c_custkey "
+            "WHERE e.interaction_type_id = 2"
         ),
         "minhash_dedup_components": (
             f"WITH pert AS ({_PERT_DOCS}), "

@@ -56,6 +56,33 @@ OCCURRENCE_SCHEMA = StructType(
     ]
 )
 
+#: Species-interaction edge table (legacy ``InteractionSource.
+#: get_interactions``, /root/reference/util/__pycache__/
+#: data_source.cpython-37.pyc, SURVEY.md §1.4) re-expressed as a
+#: set-oriented edge list: one row per (source taxon, target taxon,
+#: interaction type) — the GloBI-style shape an ecology pipeline
+#: materializes. At scale this is a fact table keyed by
+#: source_taxon_key; existence probes and expansions reuse the same
+#: broadcast-distinct-keys shape as occurrences.
+INTERACTION_SCHEMA = StructType(
+    [
+        StructField("source_taxon_key", LongType(), nullable=False),
+        StructField("target_taxon_key", LongType(), nullable=False),
+        StructField("interaction_type_id", LongType(), nullable=False),
+    ]
+)
+
+#: Interaction-type dimension backing the legacy
+#: ``resolve_interaction_name``: canonical name + synonyms per type id
+#: (tiny — always broadcast).
+INTERACTION_NAME_SCHEMA = StructType(
+    [
+        StructField("interaction_type_id", LongType(), nullable=False),
+        StructField("interaction_name", StringType(), nullable=False),
+        StructField("is_synonym", BooleanType(), nullable=False),
+    ]
+)
+
 #: Valid taxonomic ranks, from the config validation enum
 #: (/root/reference/apply_gbif_filter.py:58-70).
 RANKS = ("KINGDOM", "PHYLUM", "CLASS", "ORDER", "FAMILY", "GENUS", "SPECIES")
