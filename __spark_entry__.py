@@ -761,6 +761,44 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_skew_hot_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted-skew stress (VERDICT r3 item 6): ~31% of event rows are
+    remapped onto ONE mega-hot user (uid 7), then flow through BOTH
+    skew-sensitive shapes — the existence probe (distinct uids with
+    any value > 250, broadcast against the fact: the fact never
+    shuffles on the hot key, so the hot key cannot create a hot
+    reducer) and a salted fact⋈dim join (salt=8 splits the hot key
+    across 8 reducers before the final re-aggregation). Oracle: the
+    same remap + EXISTS + join + aggregate in plain SQL — salting must
+    be invisible in the result. The bounded-max-partition property is
+    pinned structurally in tests/test_skew.py (salt spread + AQE
+    skew-split plan assertions)."""
+    from gbif_filter_python_spark.operators.skew import salted_join
+    from gbif_filter_python_spark.operators.tagging import tag_existence
+
+    ev = _t(spark, sf, "events").withColumn(
+        "uid",
+        F.when(F.col("user_id") % 10 < 3, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    probe = ev.filter(F.col("value") > 250).select(
+        F.col("uid").alias("taxon_key")
+    )
+    users = ev.select(F.col("uid").alias("gbif_key")).distinct()
+    tagged = tag_existence(users, probe)
+    dim = tagged.select(
+        F.col("gbif_key").alias("u2"),
+        F.col("gbif_filter_tag").alias("has_high_value"),
+    )
+    joined = salted_join(ev, dim, "uid", "u2", salt=8)
+    return joined.groupBy("has_high_value").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+
+
 def q_interaction_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Legacy InteractionSource ABC (§2 op 40, closed r4): a synthetic
     interaction edge fact derived from orders (source = customer,
@@ -2266,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covered by tools/check_correctness.py and the pytest suite."""
     return {
         # -- oracles new this round (previously rows-only) ----------
+        "skew_hot_key": q_skew_hot_key,
         "interaction_edges": q_interaction_edges,
         "minhash_dedup_components": q_minhash_dedup_components,
         "minhash_pairs": q_minhash_pairs,
@@ -3353,6 +3392,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8) "
             "SELECT doc_id FROM pert "
             "WHERE doc_id NOT IN (SELECT id_b FROM losers)"
+        ),
+        "skew_hot_key": (
+            "WITH h AS (SELECT CASE WHEN user_id % 10 < 3 THEN 7 "
+            "ELSE user_id END AS uid, value FROM events), "
+            "t AS (SELECT uid, max(CASE WHEN value > 250 THEN 1 "
+            "ELSE 0 END) = 1 AS has_high_value FROM h GROUP BY uid) "
+            "SELECT t.has_high_value, count(*) AS n_events, "
+            "round(sum(h.value), 4) AS sum_value, "
+            "count(DISTINCT h.uid) AS n_users "
+            "FROM h JOIN t ON h.uid = t.uid "
+            "GROUP BY t.has_high_value"
         ),
         "interaction_edges": (
             "WITH edges AS (SELECT o_custkey AS source_taxon_key, "

@@ -121,3 +121,90 @@ class TestBloomPrefilterJoin:
         df = spark.range(1).select(F.col("id").alias("k"))
         with pytest.raises(ValueError, match="inner/left_semi"):
             bloom_prefilter_join(df, df, "k", "k", how="left")
+
+
+class TestPlantedSkewStress:
+    """VERDICT r3 item 6: a mega-hot key (>=30% of rows) must not
+    create an unbounded reducer — structurally (the shuffle key
+    includes the salt) and at runtime (AQE splits the skewed
+    partition). The result-level oracle is the skew_hot_key driver
+    query."""
+
+    def test_salted_shuffle_key_includes_salt(self, spark, skewed, dim):
+        """With broadcast off, the salted join must shuffle on
+        (key, _salt) — the hot key's rows hash to `salt` different
+        reducers instead of one."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = salted_join(skewed, dim, "k", "k2", salt=4)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning" in plan
+            # the partitioning expression carries the salt column
+            import re
+
+            parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+            assert any("_salt" in p for p in parts), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_salt_spreads_hot_key_across_buckets(self, spark):
+        """The routing rand: 3 000 hot-key rows over salt=8 land in
+        every bucket, max bucket <= 2x the even share — the bounded
+        max-partition property salting exists to provide."""
+        n_hot, salt = 3000, 8
+        hot = spark.range(n_hot).select(
+            F.lit(7).alias("k"), (F.rand(seed=5) * salt).cast("int").alias("_s")
+        )
+        sizes = [r["n"] for r in hot.groupBy("_s").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        assert len(sizes) == salt
+        assert max(sizes) <= 2 * (n_hot // salt), sizes
+
+    def test_aqe_splits_planted_skew_partition(self, spark):
+        """End-to-end AQE proof: one key carrying 2/3 of a fact whose
+        hot reducer partition (~1.5 MB) exceeds the lowered skew
+        thresholds must be marked skew=true in the final sort-merge
+        join plan — the runtime counterpart of explicit salting."""
+        confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        old = {}
+        for k in confs:
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            n_hot, n_rest = 20_000, 10_000
+            fact = spark.range(n_hot + n_rest).select(
+                F.when(F.col("id") < n_hot, F.lit(7))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                    "payload"
+                ),
+            )
+            dim = spark.range(n_hot + n_rest).select(
+                F.col("id").alias("k2"), (F.col("id") * 2).alias("attr")
+            )
+            joined = fact.join(dim, fact["k"] == dim["k2"])
+            assert joined.count() == n_hot + n_rest
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan[:4000]
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
