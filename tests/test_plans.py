@@ -297,3 +297,35 @@ def test_dynamic_partition_pruning_on_snapshot(spark, occurrence, tmp_path):
     text = explain_str(joined, "formatted")
     assert "dynamicpruning" in text.lower(), text
     assert joined.count() == 7  # the NO partition only
+
+
+def test_polygon_bbox_conjuncts_push_to_snapshot_scan(
+    spark, occurrence, tmp_path
+):
+    """VERDICT r3 item 7: the polygon predicate's bbox prefilter must
+    reach the parquet scan as PushedFilters on decimal_lon/decimal_lat
+    (all four range conjuncts), so at 100 TB the row-group min/max
+    stats prune BEFORE the ray-cast pandas UDF ever sees a row — the
+    UDF runs only on bbox survivors."""
+    from gbif_filter_python_spark.config import Polygon
+    from gbif_filter_python_spark.operators.spatial import polygon_filter
+    from tests.conftest import NORWAY_ISH_WKT
+
+    path = str(tmp_path / "occ_poly_snapshot")
+    occurrence.write.parquet(path)
+    snap = spark.read.parquet(path)
+    out = polygon_filter(snap, Polygon(NORWAY_ISH_WKT))
+    pushed = pushed_filters(out)
+    for col in ("decimal_lon", "decimal_lat"):
+        assert any(
+            col in p and "GreaterThanOrEqual" in p for p in pushed
+        ), (col, pushed)
+        assert any(
+            col in p and "LessThanOrEqual" in p for p in pushed
+        ), (col, pushed)
+    # and the exact ray-cast still applies above the scan: result is
+    # the true polygon membership, not just the bbox
+    assert out.count() == occurrence.filter(
+        F.col("decimal_lon").between(5.0, 12.0)
+        & F.col("decimal_lat").between(58.0, 62.0)
+    ).count()

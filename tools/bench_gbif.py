@@ -30,7 +30,10 @@ from gbif_filter_python_spark.config import Country, FilterConfig, Polygon
 from gbif_filter_python_spark.engine import OccurrenceEngine
 from gbif_filter_python_spark.schemas import BACKBONE_DATASET_KEY
 from gbif_filter_python_spark.session import get_spark
-from gbif_filter_python_spark.sources.io import write_occurrence_snapshot
+from gbif_filter_python_spark.sources.io import (
+    write_occurrence_snapshot,
+    write_spatial_snapshot,
+)
 
 N_FAMILIES = 500
 GENERA_PER_FAMILY = 10
@@ -178,11 +181,40 @@ def run(spark, rows: int = 2_000_000, keep: bool = False) -> dict:
             ).count()
             timings[name] = round(time.perf_counter() - t0, 3)
             counts[name] = n_true
+
+        # VERDICT r3 item 7: quantify the Morton-clustered spatial
+        # layout against the taxon-sorted default ON THE PIPELINE
+        # QUERY (tests/test_zorder.py quantifies raw row-group
+        # pruning; this times tag_polygon end-to-end on both layouts).
+        t0 = time.perf_counter()
+        zocc_path = f"{workdir}/occurrence_zorder"
+        write_spatial_snapshot(spark.read.parquet(occ_path), zocc_path)
+        timings["build_zorder_snapshot"] = round(time.perf_counter() - t0, 3)
+        zengine = OccurrenceEngine(
+            taxonomy, spark.read.parquet(zocc_path)
+        )
+        t0 = time.perf_counter()
+        zout = zengine.run_filter(
+            taxa, scenarios["tag_polygon"], tag_mode=True
+        )
+        n_true_z = zout.filter(
+            F.col("gbif_filter_tag").eqNullSafe(F.lit(True))
+        ).count()
+        timings["tag_polygon_zorder"] = round(time.perf_counter() - t0, 3)
+        assert n_true_z == counts["tag_polygon"], (
+            "layout changed query results",
+            n_true_z,
+            counts["tag_polygon"],
+        )
         taxa.unpersist()
         return {
             "metric": "gbif_pipeline",
+            # value tracks the three core scenarios only, so the
+            # headline number stays comparable across rounds; the
+            # zorder-layout timing is reported alongside.
             "value": round(sum(
-                v for k, v in timings.items() if k != "build_snapshot"
+                timings[k]
+                for k in ("tag_country", "tag_polygon", "tag_expand")
             ), 3),
             "unit": "sec",
             "queries": timings,
