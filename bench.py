@@ -127,7 +127,8 @@ def main() -> None:
     # gets its own tracked block alongside the operator queries.
     from tools.bench_gbif import run as run_gbif
 
-    gbif_block = run_gbif(spark, rows=2_000_000)
+    gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
+    gbif_block = run_gbif(spark, rows=gbif_rows)
 
     print(
         json.dumps(
