@@ -2301,6 +2301,63 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nb_lang_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed multinomial Naive Bayes (operators/classify.py) — the
+    fastText-style corpus quality/domain classifier. Trains on the
+    doc_id%5!=0 slice (labels = ``lang``), emits per-(doc, label)
+    log-posteriors for the held-out slice, rounded 4dp for
+    cross-engine fp stability (argmax prediction is covered by
+    tests/test_classify.py on planted-signal data — the sf corpus
+    shares vocabulary across langs, so argmax there would hinge on
+    sub-1e-4 noise). The model is dense 64x|labels| rows — bounded,
+    broadcast; the corpus shuffles only partial-aggregated
+    (doc, label) sums."""
+    from gbif_filter_python_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = nb_train(train, num_buckets=64)
+    return nb_score(test, model, num_buckets=64)
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023;
+    operators/classify.py): hashed-unigram LMs of target (source =
+    'src18') vs the raw pool, per-doc log importance weight, Gumbel
+    top-50 without replacement. The Gumbel draw is md5-seeded from
+    doc_id — deterministic across engines and cluster re-runs — so
+    the selected set is exactly reproducible in the DuckDB oracle."""
+    from gbif_filter_python_spark.operators.classify import dsir_resample
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source") == "src18")
+    return dsir_resample(docs, target, 50, num_buckets=64)
+
+
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style interpolated bigram-LM perplexity filter
+    (operators/classify.py): trains a hashed bigram+unigram LM on the
+    doc_id%5!=0 slice, scores held-out docs with
+    ``logppl = -avg ln(0.7*p_bi + (1-0.7)*p_uni)``. The bigram model
+    is sparse (observed pairs only); unseen pairs reconstruct the
+    smoothing floor from broadcast context counts. Docs with < 2
+    tokens keep ``n_scored = 0`` and NULL logppl."""
+    from gbif_filter_python_spark.operators.classify import (
+        lm_perplexity,
+        lm_train_bigram,
+    )
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    uni, big = lm_train_bigram(train, num_buckets=64, id_col="doc_id")
+    return lm_perplexity(test, uni, big, num_buckets=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's harness checks the
     FIRST 50 entries, so the window leads with the queries newest to
@@ -2316,6 +2373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fully covered by tools/check_correctness.py
     (CORRECTNESS_LOCAL_r04.json) and the pytest suite."""
     return {
+        # -- new this round: model-based data selection -------------
+        "nb_lang_scores": q_nb_lang_scores,
+        "dsir_select": q_dsir_select,
+        "lm_perplexity": q_lm_perplexity,
         # -- oracles new this round (previously rows-only) ----------
         "skew_hot_key": q_skew_hot_key,
         "interaction_edges": q_interaction_edges,
@@ -2575,6 +2636,102 @@ def _quality_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nb_lang_scores": (
+            f"WITH tokb AS (SELECT doc_id, lang, CAST(('0x' || "
+            "substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket "
+            "FROM (SELECT doc_id, lang, "
+            "unnest(regexp_split_to_array(t, ' ')) AS w FROM "
+            f"(SELECT doc_id, lang, {_NORM} AS t FROM documents) "
+            "WHERE t <> '')), "
+            "tr AS (SELECT lang, bucket FROM tokb WHERE doc_id % 5 <> 0), "
+            "cnt AS (SELECT lang, bucket, count(*) AS cnt FROM tr "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT lang, count(*) AS tok_tot FROM tr GROUP BY 1), "
+            "dc AS (SELECT lang, count(*) AS n_docs FROM documents "
+            "WHERE doc_id % 5 <> 0 GROUP BY 1), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents "
+            "WHERE doc_id % 5 <> 0), "
+            "bk AS (SELECT CAST(unnest(range(64)) AS INT) AS bucket), "
+            "model AS (SELECT dc.lang, bk.bucket, "
+            "ln((coalesce(cnt.cnt, 0) + 1.0) / (tot.tok_tot + 64.0)) "
+            "AS log_cond, ln(dc.n_docs / nt.n) AS log_prior "
+            "FROM dc JOIN tot ON dc.lang = tot.lang CROSS JOIN bk "
+            "CROSS JOIN nt LEFT JOIN cnt ON cnt.lang = dc.lang "
+            "AND cnt.bucket = bk.bucket), "
+            "te AS (SELECT doc_id, bucket FROM tokb WHERE doc_id % 5 = 0) "
+            "SELECT te.doc_id, m.lang AS label, "
+            "round(sum(m.log_cond) + any_value(m.log_prior), 4) AS score "
+            "FROM te JOIN model m ON te.bucket = m.bucket "
+            "GROUP BY te.doc_id, m.lang"
+        ),
+        "dsir_select": (
+            f"WITH tokb AS (SELECT doc_id, source, CAST(('0x' || "
+            "substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket "
+            "FROM (SELECT doc_id, source, "
+            "unnest(regexp_split_to_array(t, ' ')) AS w FROM "
+            f"(SELECT doc_id, source, {_NORM} AS t FROM documents) "
+            "WHERE t <> '')), "
+            "tc AS (SELECT bucket, count(*) AS cnt FROM tokb "
+            "WHERE source = 'src18' GROUP BY 1), "
+            "tt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM tokb "
+            "WHERE source = 'src18'), "
+            "rc AS (SELECT bucket, count(*) AS cnt FROM tokb GROUP BY 1), "
+            "rt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM tokb), "
+            "bk AS (SELECT CAST(unnest(range(64)) AS INT) AS bucket), "
+            "model AS (SELECT bk.bucket, "
+            "ln((coalesce(tc.cnt, 0) + 1.0) / (tt.tot + 64.0)) AS lp_t, "
+            "ln((coalesce(rc.cnt, 0) + 1.0) / (rt.tot + 64.0)) AS lp_r "
+            "FROM bk LEFT JOIN tc ON tc.bucket = bk.bucket "
+            "LEFT JOIN rc ON rc.bucket = bk.bucket CROSS JOIN tt "
+            "CROSS JOIN rt), "
+            "w AS (SELECT t.doc_id, round(sum(m.lp_t - m.lp_r), 4) AS "
+            "weight FROM tokb t JOIN model m ON t.bucket = m.bucket "
+            "GROUP BY t.doc_id), "
+            "s AS (SELECT doc_id, weight, round(weight - ln(-ln(("
+            "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 1000003) + 0.5) / 1000003.0)), 4) AS sc FROM w) "
+            "SELECT doc_id, weight FROM s ORDER BY sc DESC, doc_id "
+            "LIMIT 50"
+        ),
+        "lm_perplexity": (
+            f"WITH ws AS (SELECT doc_id, CASE WHEN t = '' THEN [] ELSE "
+            "regexp_split_to_array(t, ' ') END AS w FROM "
+            f"(SELECT doc_id, {_NORM} AS t FROM documents)), "
+            "bs AS (SELECT doc_id, list_transform(w, x -> CAST(('0x' || "
+            "substring(md5(x), 1, 8))::BIGINT % 64 AS INT)) AS b FROM ws), "
+            "st AS (SELECT doc_id, s['b1'] AS b1, s['b2'] AS b2 FROM ("
+            "SELECT doc_id, unnest(CASE WHEN len(b) >= 2 THEN "
+            "list_transform(range(1, len(b)), "
+            "i -> {'b1': b[i], 'b2': b[i+1]}) "
+            "ELSE [] END) AS s FROM bs)), "
+            "tr AS (SELECT b1, b2 FROM st WHERE doc_id % 5 <> 0), "
+            "c12 AS (SELECT b1, b2, count(*) AS c12 FROM tr GROUP BY 1, 2), "
+            "c1 AS (SELECT b1, count(*) AS c1 FROM tr GROUP BY 1), "
+            "trtok AS (SELECT unnest(b) AS bkt FROM bs "
+            "WHERE doc_id % 5 <> 0), "
+            "uc AS (SELECT bkt AS bucket, count(*) AS cnt FROM trtok "
+            "GROUP BY 1), "
+            "ut AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM trtok), "
+            "bk AS (SELECT CAST(unnest(range(64)) AS INT) AS bucket), "
+            "uni AS (SELECT bk.bucket, "
+            "ln((coalesce(uc.cnt, 0) + 1.0) / (ut.tot + 64.0)) AS lp_uni "
+            "FROM bk LEFT JOIN uc ON uc.bucket = bk.bucket CROSS JOIN ut), "
+            "big AS (SELECT c12.b1, c12.b2, "
+            "ln((c12.c12 + 1.0) / (c1.c1 + 64.0)) AS lp_big "
+            "FROM c12 JOIN c1 ON c12.b1 = c1.b1), "
+            "te AS (SELECT doc_id, b1, b2 FROM st WHERE doc_id % 5 = 0), "
+            "sc AS (SELECT te.doc_id, ln(0.7 * exp(coalesce(big.lp_big, "
+            "ln(1.0 / (coalesce(c1.c1, 0) + 64.0)))) + "
+            "(1.0 - 0.7) * exp(uni.lp_uni)) AS lp "
+            "FROM te LEFT JOIN big ON te.b1 = big.b1 AND te.b2 = big.b2 "
+            "LEFT JOIN c1 ON te.b1 = c1.b1 "
+            "JOIN uni ON te.b2 = uni.bucket), "
+            "pd AS (SELECT doc_id, count(*) AS n_scored, "
+            "round(-avg(lp), 4) AS logppl FROM sc GROUP BY 1) "
+            "SELECT d.doc_id, CAST(coalesce(pd.n_scored, 0) AS BIGINT) "
+            "AS n_scored, pd.logppl FROM (SELECT doc_id FROM documents "
+            "WHERE doc_id % 5 = 0) d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+        ),
         "existence_semijoin": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"

@@ -1,0 +1,503 @@
+"""Model-based data-selection operators for training-data pipelines.
+
+Beyond-reference block (SURVEY.md §2 final row): the three classic
+*model-in-the-loop* curation steps every large-scale LLM corpus
+pipeline runs after the heuristic filters in functions/text.py:
+
+* **Naive Bayes classifier** (``nb_train`` / ``nb_score`` /
+  ``nb_predict``) — the fastText-style linear quality/domain
+  classifier (hashed bag-of-words multinomial NB). Training is ONE
+  groupBy over (bucket, label) token counts; the model is dense
+  ``num_buckets x n_labels`` rows — bounded by construction, always
+  broadcastable, so scoring never shuffles the corpus on anything
+  but (doc, label) partial-aggregated sums.
+* **DSIR importance resampling** (``dsir_weights`` /
+  ``dsir_resample``) — Data Selection with Importance Resampling
+  (Xie et al., NeurIPS 2023): hashed-unigram bag-of-words language
+  models over a target corpus vs the raw pool, per-document
+  log-importance weight, Gumbel top-k resample. The standard
+  "select web data that looks like Wikipedia" step.
+* **Bigram LM perplexity filter** (``lm_train_bigram`` /
+  ``lm_perplexity``) — the CCNet-style perplexity quality filter:
+  interpolated bigram/unigram LM trained on a reference slice,
+  per-document perplexity, filter by band.
+
+All three are pure Column/DataFrame pipelines — no Python UDF
+anywhere. Hashing uses the md5-bucket idiom shared with
+``functions.vectors.hashed_embedding`` so every step is reproducible
+in the DuckDB oracles (`__spark_entry__.oracle_sql`).
+
+Determinism contract (cross-engine hash-matching): every score in an
+oracle-checked output is a sum of ~O(tokens) doubles rounded to 4 dp.
+libm ulp differences accumulate to ~1e-13 at these magnitudes, nine
+orders below the rounding quantum, so Spark and DuckDB agree.
+Argmax/top-k boundaries always tie-break on the ROUNDED score then a
+total-order key (label / doc id), never the raw double.
+
+Scale design (100 TB corpus, bounded model state):
+
+* token explode is map-side; the only wide exchanges are
+  (bucket, label)-keyed count aggregations whose output cardinality
+  is <= num_buckets x n_labels regardless of corpus size;
+* models join back via broadcast (Catalyst auto-broadcasts the
+  <=65k-row model frames; scoring adds x n_labels rows map-side
+  which partial aggregation collapses before the shuffle);
+* nothing ever ``collect()``s more than the model itself.
+
+Reference parity: the reference repo has no classifier (it is a
+REST-filter script, SURVEY.md §2 rows 1-40); this module is part of
+the beyond-reference LLM-pipeline block the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Shared tokenization + hashing (the vectors.hashed_embedding idiom)
+# --------------------------------------------------------------------------
+
+
+def md5_bucket(col: Column, num_buckets: int) -> Column:
+    """Engine-portable stable hash bucket: first 8 hex chars of md5,
+    mod ``num_buckets``. Identical in Spark (`conv`) and DuckDB
+    (``('0x' || substring(md5(w), 1, 8))::BIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    ).cast("int")
+
+
+def _norm_words(text_col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, split — the same
+    normalization as vectors.hashed_embedding / corpus._words."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _tokens(
+    df: DataFrame, text_col: str, id_cols: list[str], num_buckets: int
+) -> DataFrame:
+    """(id_cols..., bucket) one row per token occurrence (map-side)."""
+    return df.select(
+        *id_cols,
+        F.explode(_norm_words(F.col(text_col))).alias("_w"),
+    ).select(*id_cols, md5_bucket(F.col("_w"), num_buckets).alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Hashed multinomial Naive Bayes
+# --------------------------------------------------------------------------
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train a hashed multinomial Naive Bayes model.
+
+    Returns the DENSE model: one row per (label, bucket) —
+    ``(label, bucket, log_cond, log_prior)`` with add-``smoothing``
+    Laplace estimates:
+
+        log_cond  = ln((count(bucket,label) + a) / (tokens(label) + a*B))
+        log_prior = ln(docs(label) / docs_total)
+
+    Dense (every bucket present for every label, zero-count buckets
+    carry the smoothing floor) so scoring is a plain inner join — no
+    per-label missing-token fallback logic. Model cardinality is
+    ``num_buckets x n_labels`` rows, independent of corpus size: the
+    one groupBy shuffle in training emits at most that many rows
+    after map-side partial aggregation, and the result always fits a
+    broadcast.
+    """
+    a = float(smoothing)
+    b = int(num_buckets)
+
+    toks = _tokens(df, text_col, [label_col], b)
+    counts = toks.groupBy(label_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    label_tot = toks.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("tok_tot")
+    )
+    doc_counts = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = df.count()
+
+    spark = df.sparkSession
+    all_buckets = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        doc_counts.join(label_tot, label_col)
+        .crossJoin(F.broadcast(all_buckets))
+        .join(counts, [label_col, "bucket"], "left")
+        .select(
+            label_col,
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + a)
+                / (F.col("tok_tot") + a * b)
+            ).alias("log_cond"),
+            F.log(F.col("n_docs") / F.lit(float(n_total))).alias(
+                "log_prior"
+            ),
+        )
+    )
+    return dense
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    num_buckets: int = 256,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-(doc, label) log-posterior: ``(id_col, label, score)``.
+
+    The corpus explodes to token rows map-side, broadcast-joins the
+    dense model (x n_labels rows, collapsed by partial aggregation
+    before the shuffle), then adds the prior. ``score`` rounds to
+    ``round_dp`` so downstream hashing is fp-stable cross-engine (see
+    module docstring determinism contract).
+    """
+    b = int(num_buckets)
+    toks = _tokens(df, text_col, [id_col], b)
+    scored = (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, label_col)
+        .agg(
+            (F.sum("log_cond") + F.first("log_prior")).alias("_raw")
+        )
+        .select(
+            id_col,
+            F.col(label_col).alias("label"),
+            F.round(F.col("_raw"), round_dp).alias("score"),
+        )
+    )
+    return scored
+
+
+def nb_predict(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Argmax label per document: ``(id_col, pred_label)``.
+
+    Ranks on the ROUNDED score with the label as total-order
+    tie-break, so near-ties (< 1e-4 apart — common when the classes
+    share vocabulary) resolve identically on any engine.
+    """
+    scores = nb_score(df, model, text_col, id_col, label_col, num_buckets)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("label").alias("pred_label"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document log importance weight of ``raw`` docs under a
+    hashed-unigram LM of ``target`` vs ``raw``:
+
+        w(doc) = sum_tokens [ ln p_target(bucket) - ln p_raw(bucket) ]
+
+    with Laplace-``smoothing`` estimates over ``num_buckets`` hashed
+    features — the DSIR recipe (hashed n-gram features; unigrams
+    here, the generalization to n-grams is ``corpus.word_ngrams`` on
+    the way in). Returns ``(id_col, weight)``, weight rounded.
+
+    Both LMs are one (bucket)-keyed count aggregation with output
+    cardinality ``num_buckets`` — broadcast, corpus never reshuffles.
+    """
+    b = int(num_buckets)
+    a = float(smoothing)
+
+    def _lm(df: DataFrame, out: str) -> DataFrame:
+        t = _tokens(df, text_col, [], b)
+        cnt = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        tot = t.count()
+        spark = df.sparkSession
+        dense = (
+            spark.range(b)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .join(F.broadcast(cnt), "bucket", "left")
+            .select(
+                "bucket",
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + a)
+                    / F.lit(float(tot) + a * b)
+                ).alias(out),
+            )
+        )
+        return dense
+
+    lm_t = _lm(target, "lp_t")
+    lm_r = _lm(raw, "lp_r")
+    model = lm_t.join(lm_r, "bucket")
+
+    toks = _tokens(raw, text_col, [id_col], b)
+    return (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("lp_t") - F.col("lp_r")).alias("_raw"))
+        .select(id_col, F.round("_raw", round_dp).alias("weight"))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+    gumbel: bool = True,
+    seed_buckets: int = 1_000_003,
+) -> DataFrame:
+    """Select ``k`` docs from ``raw`` by importance weight:
+    ``(id_col, weight)`` for the selected set.
+
+    ``gumbel=True`` (default) is the paper's sampling-without-
+    replacement trick: add a Gumbel(0,1) perturbation to each log
+    weight and take the top-k. The uniform driving each Gumbel is
+    DETERMINISTIC — ``(md5_bucket(id) + 0.5) / seed_buckets`` — so
+    the draw is reproducible across engines and retries (a cluster
+    re-run selects the same documents; no ``rand()`` in the path).
+    ``gumbel=False`` is plain top-k by weight.
+
+    Ranking orders on the rounded perturbed score with ``id_col`` as
+    final tie-break; top-k is a TopK sort (no global sort of the
+    corpus — Spark plans ``limit`` over rank as partial top-k per
+    partition, then a single reduced exchange).
+    """
+    w = dsir_weights(
+        raw, target, text_col, id_col, num_buckets, smoothing
+    )
+    if gumbel:
+        u = (
+            md5_bucket(F.col(id_col).cast("string"), seed_buckets).cast(
+                "double"
+            )
+            + 0.5
+        ) / float(seed_buckets)
+        score = F.round(
+            F.col("weight") - F.log(-F.log(u)), 4
+        ).alias("_s")
+    else:
+        score = F.col("weight").alias("_s")
+    return (
+        w.select(id_col, "weight", score)
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, "weight")
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity filter
+# --------------------------------------------------------------------------
+
+
+def lm_train_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+    id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train an interpolation-ready hashed bigram LM on a reference
+    corpus. Returns ``(unigram, bigram)`` frames:
+
+    * unigram: ``(bucket, lp_uni)`` — dense, ``num_buckets`` rows;
+    * bigram:  ``(b1, b2, lp_big)`` — SPARSE (observed pairs only;
+      the smoothing floor for unseen pairs is reconstructed at score
+      time from the unigram context count, so the model stays
+      ``O(observed bigrams) <= num_buckets^2`` rows, broadcastable
+      for the default 256 buckets).
+
+    The bigram estimate is add-``smoothing`` over the bucket
+    alphabet: ``p(b2|b1) = (c(b1,b2)+a) / (c1(b1)+a*B)`` where
+    ``c1`` counts b1 as a bigram CONTEXT (tokens - 1 per doc).
+    """
+    b = int(num_buckets)
+    a = float(smoothing)
+    spark = df.sparkSession
+
+    # Prefer a caller-supplied stable doc key: monotonically_increasing_id
+    # is assignment-stable only within one job, and a stage retry at
+    # cluster scale may recompute it — the pair join below needs the SAME
+    # key on both sides of the self-join.
+    doc_key = (
+        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    )
+    words = df.select(
+        doc_key.alias("_d"),
+        _norm_words(F.col(text_col)).alias("_ws"),
+    )
+    toks = words.select(
+        "_d", F.posexplode("_ws").alias("pos", "_w")
+    ).select("_d", "pos", md5_bucket(F.col("_w"), b).alias("bucket"))
+
+    uni_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.count()
+    unigram = (
+        spark.range(b)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(F.broadcast(uni_cnt), "bucket", "left")
+        .select(
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + a)
+                / F.lit(float(tot) + a * b)
+            ).alias("lp_uni"),
+        )
+    )
+
+    nxt = toks.select(
+        "_d", (F.col("pos") + 1).alias("pos"), F.col("bucket").alias("b1")
+    )
+    pairs = nxt.join(
+        toks.select("_d", "pos", F.col("bucket").alias("b2")),
+        ["_d", "pos"],
+    )
+    ctx_cnt = pairs.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
+    bigram = (
+        pairs.groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(F.broadcast(ctx_cnt), "b1")
+        .select(
+            "b1",
+            "b2",
+            F.log((F.col("c12") + a) / (F.col("c1") + a * b)).alias(
+                "lp_big"
+            ),
+            "c1",
+        )
+    )
+    return unigram, bigram
+
+
+def lm_perplexity(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+    lam: float = 0.7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document interpolated-bigram log-perplexity:
+    ``(id_col, n_scored, logppl)`` where
+
+        p(w_i|w_{i-1}) = lam * p_bigram + (1-lam) * p_unigram
+        logppl = -avg_i ln p(w_i|w_{i-1})
+
+    over positions i >= 1 (docs with < 2 tokens score NULL and are
+    kept with ``n_scored = 0``). Unseen bigrams fall back to the
+    smoothing floor ``a / (c1 + a*B)`` (or ``a / (a*B)`` for an
+    unseen CONTEXT) — reconstructed from the broadcast context-count
+    table, so the sparse bigram model stays small.
+
+    This is the CCNet quality gate: low perplexity ≈ looks like the
+    reference corpus. Filter with e.g.
+    ``result.filter("logppl < threshold")`` or band into
+    head/middle/tail by percentile (`corpus.trim_by_percentile`).
+    """
+    b = int(num_buckets)
+    a = float(smoothing)
+
+    words = df.select(
+        F.col(id_col), _norm_words(F.col(text_col)).alias("_ws")
+    )
+    toks = words.select(
+        id_col, F.posexplode("_ws").alias("pos", "_w")
+    ).select(id_col, "pos", md5_bucket(F.col("_w"), b).alias("bucket"))
+
+    prev = toks.select(
+        id_col, (F.col("pos") + 1).alias("pos"), F.col("bucket").alias("b1")
+    )
+    steps = prev.join(
+        toks.select(id_col, "pos", F.col("bucket").alias("b2")),
+        [id_col, "pos"],
+    )
+
+    ctx = bigram.select("b1", "c1").distinct()
+    scored = (
+        steps.join(F.broadcast(bigram.select("b1", "b2", "lp_big")),
+                   ["b1", "b2"], "left")
+        .join(F.broadcast(ctx), "b1", "left")
+        .join(
+            F.broadcast(unigram.withColumnRenamed("bucket", "b2")),
+            "b2",
+        )
+        .withColumn(
+            "_lp_big_eff",
+            F.coalesce(
+                F.col("lp_big"),
+                F.log(
+                    F.lit(a)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + a * b)
+                ),
+            ),
+        )
+        .withColumn(
+            "_lp",
+            F.log(
+                lam * F.exp(F.col("_lp_big_eff"))
+                + (1.0 - lam) * F.exp(F.col("lp_uni"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(-F.avg("_lp"), round_dp).alias("logppl"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            "logppl",
+        )
+    )

@@ -1,0 +1,236 @@
+"""Model-based data-selection operators (operators/classify.py).
+
+Planted-signal tests: the sf* documents tables share vocabulary
+across langs (argmax there would be noise), so these fixtures plant
+genuinely class-separated vocabularies and assert the models recover
+them — prediction accuracy for NB, selection bias for DSIR, and
+perplexity ordering for the bigram LM. Plus determinism and
+model-shape invariants that back the oracle queries'
+cross-engine-stability contract (rounded sums, total-order
+tie-breaks).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.classify import (
+    dsir_resample,
+    dsir_weights,
+    lm_perplexity,
+    lm_train_bigram,
+    md5_bucket,
+    nb_predict,
+    nb_score,
+    nb_train,
+)
+
+B = 64  # hash buckets used throughout
+
+
+def _planted_docs(spark, n_per_label: int = 30):
+    """Two classes with disjoint planted vocabularies plus shared
+    filler — NB separates them perfectly."""
+    rows = []
+    for i in range(n_per_label):
+        rows.append(
+            (i, "alpha wolf den pack howl common word filler", "A")
+        )
+        rows.append(
+            (
+                1000 + i,
+                "beta reef coral tide wave common word filler",
+                "B",
+            )
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestNaiveBayes:
+    def test_model_is_dense_and_normalized(self, spark):
+        docs = _planted_docs(spark)
+        model = nb_train(docs, num_buckets=B)
+        rows = model.collect()
+        assert len(rows) == B * 2  # dense: every (bucket, label)
+        # per-label conditional probabilities sum to 1 (Laplace est.)
+        import math
+
+        for lab in ("A", "B"):
+            s = sum(math.exp(r.log_cond) for r in rows if r.lang == lab)
+            assert s == pytest.approx(1.0, abs=1e-9)
+        # priors: equal classes -> ln(0.5)
+        assert rows[0].log_prior == pytest.approx(math.log(0.5), abs=1e-12)
+
+    def test_planted_signal_perfect_accuracy(self, spark):
+        docs = _planted_docs(spark)
+        train = docs.filter(F.col("doc_id") % 3 != 0)
+        test = docs.filter(F.col("doc_id") % 3 == 0)
+        model = nb_train(train, num_buckets=B)
+        pred = nb_predict(test, model, num_buckets=B)
+        joined = pred.join(docs, "doc_id")
+        n = joined.count()
+        n_right = joined.filter(
+            F.col("pred_label") == F.col("lang")
+        ).count()
+        assert n > 0 and n_right == n
+
+    def test_score_shape_and_rounding(self, spark):
+        docs = _planted_docs(spark)
+        model = nb_train(docs, num_buckets=B)
+        s = nb_score(docs.limit(4), model, num_buckets=B)
+        out = s.collect()
+        # every doc gets a score for every label
+        assert len(out) == 4 * 2
+        for r in out:
+            assert r.score == round(r.score, 4)
+
+    def test_predict_tie_break_is_label_order(self, spark):
+        # one doc, a model where both labels give IDENTICAL scores:
+        # train on the same text under both labels
+        rows = [(1, "same text here", "A"), (2, "same text here", "B")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        model = nb_train(docs, num_buckets=B)
+        probe = spark.createDataFrame(
+            [(9, "same text here")], "doc_id long, text string"
+        )
+        pred = nb_predict(probe, model, num_buckets=B).collect()
+        assert pred[0].pred_label == "A"  # rounded tie -> label asc
+
+
+class TestDSIR:
+    def test_weights_prefer_target_like_docs(self, spark):
+        rows = []
+        for i in range(40):
+            rows.append((i, "quantum flux entangle qubit gate"))
+        for i in range(40, 200):
+            rows.append((i, "market stock bond yield trade"))
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = raw.filter(F.col("doc_id") < 20)  # quantum-y slice
+        w = dsir_weights(raw, target, num_buckets=B)
+        avg = (
+            w.withColumn("is_q", F.col("doc_id") < 40)
+            .groupBy("is_q")
+            .agg(F.avg("weight").alias("aw"))
+            .collect()
+        )
+        by = {r.is_q: r.aw for r in avg}
+        assert by[True] > 0 > by[False]
+
+    def test_resample_is_deterministic_and_biased(self, spark):
+        rows = [(i, "quantum flux entangle qubit gate") for i in range(40)]
+        rows += [
+            (i, "market stock bond yield trade") for i in range(40, 200)
+        ]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = raw.filter(F.col("doc_id") < 20)
+        s1 = sorted(
+            r.doc_id for r in dsir_resample(raw, target, 30, num_buckets=B).collect()
+        )
+        s2 = sorted(
+            r.doc_id for r in dsir_resample(raw, target, 30, num_buckets=B).collect()
+        )
+        assert s1 == s2  # md5-seeded Gumbel, no rand() anywhere
+        n_q = sum(1 for d in s1 if d < 40)
+        # 40/200 = 20% of pool is target-like; selection should
+        # overwhelmingly prefer it
+        assert n_q >= 25
+
+    def test_plain_topk_matches_weight_order(self, spark):
+        rows = [(i, "quantum flux entangle qubit gate") for i in range(10)]
+        rows += [(i, "market stock bond yield") for i in range(10, 30)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = raw.filter(F.col("doc_id") < 5)
+        sel = dsir_resample(
+            raw, target, 10, num_buckets=B, gumbel=False
+        ).collect()
+        assert sorted(r.doc_id for r in sel) == list(range(10))
+
+
+class TestBigramLM:
+    def _corpus(self, spark):
+        # reference style: strongly ordered bigrams
+        ref = [
+            (i, "the quick brown fox jumps over the lazy dog")
+            for i in range(30)
+        ]
+        return spark.createDataFrame(ref, "doc_id long, text string")
+
+    def test_reference_text_scores_lower_than_scrambled(self, spark):
+        train = self._corpus(spark)
+        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        test = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "dog the over fox quick lazy jumps brown the"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.logppl
+            for r in lm_perplexity(
+                test, uni, big, num_buckets=B
+            ).collect()
+        }
+        assert out[1] < out[2]
+
+    def test_short_docs_kept_with_null_ppl(self, spark):
+        train = self._corpus(spark)
+        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        test = spark.createDataFrame(
+            [(1, "fox"), (2, ""), (3, "the quick brown fox")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in lm_perplexity(
+                test, uni, big, num_buckets=B
+            ).collect()
+        }
+        assert rows[1].n_scored == 0 and rows[1].logppl is None
+        assert rows[2].n_scored == 0 and rows[2].logppl is None
+        assert rows[3].n_scored == 3 and rows[3].logppl is not None
+
+    def test_bigram_model_is_sparse_and_context_consistent(self, spark):
+        train = self._corpus(spark)
+        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        assert uni.count() == B  # dense unigram
+        brows = big.collect()
+        assert 0 < len(brows) <= B * B  # sparse bigram
+        # c1 = total bigram contexts per b1 = sum of c12 over b2:
+        # exp(lp_big)*(c1+64) - 1 recovers c12; verify sum == c1
+        import math
+        from collections import defaultdict
+
+        per_b1 = defaultdict(float)
+        c1_of = {}
+        for r in brows:
+            c12 = math.exp(r.lp_big) * (r.c1 + B) - 1.0
+            per_b1[r.b1] += c12
+            c1_of[r.b1] = r.c1
+        for b1, tot in per_b1.items():
+            assert tot == pytest.approx(c1_of[b1], abs=1e-6)
+
+
+class TestMd5Bucket:
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        words = ["alpha", "beta", "gamma", "Zebra", "123"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {
+            r.w: r.b
+            for r in df.select(
+                "w", md5_bucket(F.col("w"), 64).alias("b")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for w in words:
+            exp = con.execute(
+                "SELECT CAST(('0x' || substring(md5(?), 1, 8))::BIGINT "
+                "% 64 AS INT)",
+                [w],
+            ).fetchone()[0]
+            assert got[w] == exp
