@@ -2301,6 +2301,85 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py): train m=8,
+    ksub=16 codebooks (deterministic — hash-ordered seeds, 9dp-rounded
+    Lloyd updates), encode the corpus to 8-byte codes + true norm,
+    ADC-shortlist 10×k per query over the compressed index, exact
+    cosine rerank of shortlist rows only. Reduced to one deterministic
+    row per query: ``ok`` = structural validity (≤10 rows, contiguous
+    ranks, distinct neighbors, no self-match) AND recall@10 vs brute
+    force ≥ 0.3 (measured min 0.8 at sf0.01, 0.5 at sf0.1 — the floor
+    asserts the index works without pinning dataset-specific recall;
+    failure direction is a safe false alarm). Oracle: one true row per
+    query id."""
+    from gbif_filter_python_spark.operators.similarity import (
+        brute_force_topk,
+        pq_search,
+        pq_train,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books, _hist = pq_train(emb, m=8, ksub=16, max_iter=6)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = (
+        pq_search(emb, queries, books, k=11, shortlist_mult=10)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .select("query_id", "vec_id", F.col("_rk").alias("rank"))
+    )
+    truth = (
+        brute_force_topk(emb, queries, k=11)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .select("query_id", F.col("vec_id").alias("_tv"))
+    )
+    hits = (
+        got.join(
+            truth,
+            (got["query_id"] == truth["query_id"])
+            & (got["vec_id"] == truth["_tv"]),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    return (
+        got.groupBy("query_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) <= 10)
+                & (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.count_distinct(F.col("vec_id")) == F.count(F.lit(1)))
+            ).alias("_structural_ok"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.col("_structural_ok")
+                & (F.coalesce(F.col("_nh"), F.lit(0)) >= F.lit(10) * 0.3)
+            ).alias("ok"),
+        )
+    )
+
+
 def q_nb_lang_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Hashed multinomial Naive Bayes (operators/classify.py) — the
     fastText-style corpus quality/domain classifier. Trains on the
@@ -2373,7 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fully covered by tools/check_correctness.py
     (CORRECTNESS_LOCAL_r04.json) and the pytest suite."""
     return {
-        # -- new this round: model-based data selection -------------
+        # -- new this round: model-based data selection + PQ ANN ----
+        "pq_search": q_pq_search,
         "nb_lang_scores": q_nb_lang_scores,
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
@@ -2636,6 +2716,10 @@ def _quality_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pq_search": (
+            "SELECT vec_id AS query_id, true AS ok FROM embeddings "
+            "WHERE vec_id < 3"
+        ),
         "nb_lang_scores": (
             f"WITH tokb AS (SELECT doc_id, lang, CAST(('0x' || "
             "substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket "

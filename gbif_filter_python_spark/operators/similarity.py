@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -445,4 +446,302 @@ def kmeans_assign(
     """Attach the trained k-means cluster id (map-only, vectorized)."""
     return corpus.withColumn(
         out_col, _nearest_centroid(F.col(vec_col), np.asarray(centroids))
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 8,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[list[float]]], list[float]]:
+    """Train product-quantization codebooks (Jégou et al., TPAMI
+    2011): split ``dim`` into ``m`` subspaces of ``dim/m`` and run
+    Euclidean k-means with ``ksub`` codes in EACH subspace. Returns
+    ``(codebooks[m][ksub][dsub], distortion_history)``.
+
+    The memory story is the point at 100 TB: a float32 dim-64 vector
+    is 256 bytes; its PQ code is ``m`` bytes (8 here) — a 32× smaller
+    index that fits clusters' RAM where raw embeddings cannot, scored
+    without ever touching the original vectors (`pq_topk`).
+
+    Distributed shape mirrors :func:`kmeans_fit` — ONE corpus scan
+    per Lloyd iteration covering ALL m subspaces at once:
+
+    * assignment: one pandas UDF (all m codebooks in the closure, one
+      argmin-distance matmul per subspace per Arrow batch) returning
+      ``struct(codes: array<int>, dist: double)``;
+    * update: posexplode the vector, key by (subspace, code, pos) —
+      map-side partials make the shuffle ``ksub × dim`` rows total,
+      independent of corpus size; the per-row squared distance folds
+      onto the pos==0 row exactly like kmeans_fit's inertia;
+    * only the ``m × ksub × dsub`` codebook tensor (the model) ever
+      reaches the driver.
+
+    Determinism: seeds are the ``ksub`` hash-ordered rows' sub-vectors
+    (partitioning-independent), updates round to 9dp, distance ties
+    break toward the lower code id — a re-run on any cluster layout
+    yields the identical model.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(first[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"ksub={ksub} but corpus has only {len(seed_rows)} rows"
+        )
+    seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    # codebooks[s] = ksub × dsub matrix for subspace s
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    history: list[float] = []
+    for _ in range(max_iter):
+        a = _pq_assign(F.col(vec_col), books)
+        assigned = corpus.select(
+            F.col(vec_col), a["codes"].alias("_codes"), a["dist"].alias("_d")
+        )
+        stats = (
+            assigned.select(
+                "_codes",
+                "_d",
+                F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+            )
+            .select(
+                (F.col("_pos") / dsub).cast("int").alias("_sub"),
+                F.col("_pos"),
+                F.col("_v"),
+                F.col("_d"),
+                F.element_at(
+                    F.col("_codes"), (F.col("_pos") / dsub).cast("int") + 1
+                ).alias("_code"),
+            )
+            .groupBy("_sub", "_code", "_pos")
+            .agg(
+                F.sum("_v").alias("_s"),
+                F.count("*").alias("_n"),
+                F.sum(
+                    F.when(F.col("_pos") == 0, F.col("_d"))
+                ).alias("_i"),
+            )
+            .collect()
+        )
+        sums = np.zeros((m, ksub, dsub))
+        counts = np.zeros((m, ksub))
+        distortion = 0.0
+        for r in stats:
+            sums[r["_sub"], r["_code"], r["_pos"] - r["_sub"] * dsub] = r["_s"]
+            counts[r["_sub"], r["_code"]] = r["_n"]
+            if r["_i"] is not None:
+                distortion += r["_i"]
+        new_books = books.copy()
+        nonempty = counts > 0
+        new_books[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty][:, None], 9
+        )
+        history.append(round(float(distortion), 6))
+        shift = float(np.abs(new_books - books).max())
+        books = new_books
+        if shift < tol or (
+            len(history) >= 2
+            and abs(history[-2] - history[-1])
+            <= tol * max(history[-2], 1e-12)
+        ):
+            break
+    return books.tolist(), history
+
+
+def _pq_assign(vec, books: np.ndarray):
+    """``struct(codes: array<int>, dist: double)`` — per-subspace
+    argmin-Euclidean code AND the total squared reconstruction
+    distance, one NumPy pass per Arrow batch (codebook tensor in the
+    closure — O(1) plan size, the same pattern as
+    :func:`_nearest_centroid_sim`)."""
+    b = np.asarray(books, dtype=np.float64)  # m × ksub × dsub
+    m, ksub, dsub = b.shape
+    out_t = StructType(
+        [
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"codes": [], "dist": []})
+        x = np.array(v.tolist(), dtype=np.float64).reshape(len(v), m, dsub)
+        codes = np.empty((len(v), m), dtype="int32")
+        dist = np.zeros(len(v))
+        for s in range(m):
+            # ||x - c||² = ||x||² - 2x·c + ||c||² ; argmin over codes.
+            d2 = (
+                (x[:, s, :] ** 2).sum(1)[:, None]
+                - 2.0 * x[:, s, :] @ b[s].T
+                + (b[s] ** 2).sum(1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+            dist += d2[np.arange(len(v)), codes[:, s]]
+        return pd.DataFrame(
+            {"codes": list(codes), "dist": np.maximum(dist, 0.0)}
+        )
+
+    return _assign(vec)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, codes, norm)`` — the compressed index (map-only).
+
+    ``codes`` is the m-byte PQ code; ``norm`` is the TRUE vector L2
+    norm captured at encode time (one cheap exact pass) so cosine
+    ranking at query time divides by the real norm instead of the
+    reconstruction's — the standard norm-augmented PQ index.
+    """
+    from gbif_filter_python_spark.functions.vectors import l2_norm
+
+    a = _pq_assign(F.col(vec_col), np.asarray(books))
+    return corpus.select(
+        F.col(id_col),
+        a["codes"].alias("codes"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) cosine top-k over the PQ index:
+    ``(query_id, vec_id, score, rank)``.
+
+    score ≈ cosine(q, x) = <q/||q||, recon(x)> / ||x|| — the query
+    stays exact, the document is looked up subspace-by-subspace from
+    the codebooks: per Arrow batch ONE einsum against the broadcast
+    (m × ksub × dsub) tensor, never touching raw corpus vectors. The
+    index the scan reads is m bytes + 8 per document (32× less I/O
+    than raw float32 at dim 64), and the only shuffle is the final
+    per-query top-k (WindowGroupLimit — partial top-k per partition
+    before the exchange).
+    """
+    b = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+
+    @F.pandas_udf(DoubleType())
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.array(codes.tolist(), dtype="int64")  # N × m
+        q = np.array(qv.tolist(), dtype=np.float64)  # N × dim
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        q = (q / qn).reshape(len(c), m, dsub)
+        s = np.zeros(len(c))
+        for sub in range(m):
+            # lookup: reconstructed sub-vector per row, dot with q_sub
+            s += np.einsum("nd,nd->n", q[:, sub, :], b[sub][c[:, sub]])
+        return pd.Series(s)
+
+    scored = encoded.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _adc(F.col("codes"), F.col(query_vec_col))
+            / F.when(F.col("norm") > 0, F.col("norm")).otherwise(F.lit(1.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist_mult: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ search — the production ANN shape: ADC over the
+    compressed index to a ``shortlist_mult × k`` shortlist, then
+    EXACT cosine rerank of only those rows: ``(query_id, vec_id,
+    cosine, rank)``.
+
+    Stage 1 scans m-byte codes (32× less I/O than raw vectors at
+    dim 64, float32) and reduces per query to a tiny shortlist;
+    stage 2's semi-join touches raw vectors for shortlist rows ONLY —
+    at 100 TB the full-width corpus is read back by a
+    broadcast-semi-join of shortlist ids (id-sorted parquet/z-order
+    makes that row-group-prunable), so exact math happens on
+    ``queries × shortlist_mult × k`` rows, not the corpus. Pass a
+    pre-built ``encoded`` index to skip re-encoding (the index is
+    built once, queried many times).
+    """
+    if encoded is None:
+        encoded = pq_encode(corpus, books, vec_col, id_col)
+    shortlist = pq_topk(
+        encoded,
+        queries,
+        books,
+        k=k * shortlist_mult,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    cand = corpus.join(
+        F.broadcast(shortlist.select(id_col).distinct()), id_col, "left_semi"
+    )
+    rescored = cand.join(F.broadcast(queries), how="cross").join(
+        F.broadcast(shortlist),
+        [query_id_col, id_col],
+        "left_semi",
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -1,0 +1,155 @@
+"""Product quantization (operators/similarity.py PQ block).
+
+Invariant/differential tests backing the rows-reduced pq_search
+oracle: deterministic training, monotone Lloyd distortion, code-shape
+contracts, ADC-vs-exact agreement on planted structure, and the
+rerank stage recovering exact order on its shortlist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.similarity import (
+    brute_force_topk,
+    pq_encode,
+    pq_search,
+    pq_topk,
+    pq_train,
+)
+
+
+def _vectors(spark, n=120, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # two well-separated gaussian blobs + noise dims
+    rows = []
+    for i in range(n):
+        center = 1.0 if i % 2 == 0 else -1.0
+        v = rng.normal(center, 0.3, dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestPQTrain:
+    def test_deterministic_across_runs(self, spark):
+        df = _vectors(spark)
+        b1, h1 = pq_train(df, m=4, ksub=8, max_iter=4)
+        b2, h2 = pq_train(df, m=4, ksub=8, max_iter=4)
+        assert b1 == b2 and h1 == h2
+
+    def test_distortion_monotone_nonincreasing(self, spark):
+        df = _vectors(spark)
+        _, hist = pq_train(df, m=4, ksub=8, max_iter=6)
+        assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+
+    def test_shape_and_validation(self, spark):
+        df = _vectors(spark, dim=16)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=2)
+        arr = np.asarray(books)
+        assert arr.shape == (4, 8, 4)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, m=5, ksub=8)
+        with pytest.raises(ValueError, match="only"):
+            pq_train(df.limit(3), m=4, ksub=8)
+
+
+class TestPQEncode:
+    def test_codes_in_range_and_true_norm(self, spark):
+        df = _vectors(spark)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=3)
+        enc = pq_encode(df, books).collect()
+        assert len(enc) == df.count()
+        raw = {r.vec_id: r.embedding for r in df.collect()}
+        for r in enc:
+            assert len(r.codes) == 4
+            assert all(0 <= c < 8 for c in r.codes)
+            assert r.norm == pytest.approx(
+                float(np.linalg.norm(raw[r.vec_id])), rel=1e-9
+            )
+
+    def test_reconstruction_separates_planted_blobs(self, spark):
+        # docs from blob A must decode closer to A's centroid region
+        df = _vectors(spark)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=6)
+        b = np.asarray(books)
+        enc = {r.vec_id: r.codes for r in pq_encode(df, books).collect()}
+        raw = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+        errs = []
+        for vid, codes in enc.items():
+            recon = np.concatenate([b[s][codes[s]] for s in range(4)])
+            errs.append(
+                np.linalg.norm(recon - raw[vid])
+                / max(np.linalg.norm(raw[vid]), 1e-12)
+            )
+        # quantization error well below the blob separation
+        assert float(np.mean(errs)) < 0.5
+
+
+class TestPQSearch:
+    def test_adc_topk_matches_blob_structure(self, spark):
+        df = _vectors(spark)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=6)
+        enc = pq_encode(df, books)
+        q = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = pq_topk(enc, q, books, k=11).filter(
+            "vec_id != query_id"
+        ).collect()
+        # query 0 is blob-even, query 1 blob-odd: neighbors must share
+        # the blob (same parity) overwhelmingly
+        for qid in (0, 1):
+            neigh = [r.vec_id for r in got if r.query_id == qid][:10]
+            same = sum(1 for v in neigh if v % 2 == qid % 2)
+            assert same >= 9
+
+    def test_rerank_recall_beats_pure_adc(self, spark):
+        df = _vectors(spark)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=6)
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(df, q, k=11)
+            .filter("vec_id != query_id")
+            .collect()
+        }
+
+        def recall(res):
+            hits = sum(1 for r in res if (r.query_id, r.vec_id) in truth)
+            return hits / len(truth)
+
+        adc = (
+            pq_topk(pq_encode(df, books), q, books, k=11)
+            .filter("vec_id != query_id")
+            .collect()
+        )
+        rr = (
+            pq_search(df, q, books, k=11, shortlist_mult=5)
+            .filter("vec_id != query_id")
+            .collect()
+        )
+        assert recall(rr) >= recall(adc)
+        assert recall(rr) >= 0.8
+
+    def test_rerank_scores_are_exact_cosine(self, spark):
+        df = _vectors(spark)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=4)
+        q = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = pq_search(df, q, books, k=5, shortlist_mult=5).collect()
+        raw = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+        qv = raw[0]
+        for r in got:
+            exact = float(
+                np.dot(qv, raw[r.vec_id])
+                / (np.linalg.norm(qv) * np.linalg.norm(raw[r.vec_id]))
+            )
+            assert r.cosine == pytest.approx(exact, abs=1e-9)
