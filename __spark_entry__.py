@@ -2301,6 +2301,57 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    synthetic supplier hierarchy (src = s_suppkey, dst = s_suppkey
+    DIV 10) — the Pregel-style iterative operator pattern: one
+    equi-join + one sum-aggregate per round, localCheckpoint lineage
+    truncation, dangling mass as the only driver scalar. 3 power
+    iterations, damping 0.85, ranks rounded 4dp at the end only; the
+    oracle unrolls the same three iterations as chained SQL CTEs."""
+    from gbif_filter_python_spark.operators.graph import pagerank
+
+    sup = _t(spark, sf, "supplier")
+    edges = sup.filter(F.col("s_suppkey") >= 10).select(
+        F.col("s_suppkey").alias("src"),
+        F.expr("s_suppkey DIV 10").alias("dst"),
+    )
+    return pagerank(edges, n_iter=3)
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration SQL twin of graph.pagerank on the supplier
+    hierarchy (a recursive CTE can't aggregate over its own recursive
+    reference, so fixed iterations unroll as chained CTEs)."""
+    parts = [
+        "WITH edges AS (SELECT s_suppkey AS src, s_suppkey // 10 AS dst "
+        "FROM supplier WHERE s_suppkey >= 10), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges "
+        "UNION ALL SELECT dst FROM edges)), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)"
+    ]
+    d = damping
+    for i in range(n_iter):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS m FROM {p} "
+            f"WHERE id NOT IN (SELECT src FROM deg)), "
+            f"c{i} AS (SELECT e.dst, sum({p}.rank / deg.deg) AS cin "
+            f"FROM edges e JOIN {p} ON e.src = {p}.id "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            f"{q} AS (SELECT nodes.id, (1.0 - {d}) / nn.n + {d} * "
+            f"(coalesce(c{i}.cin, 0.0) + dang{i}.m / nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN dang{i} "
+            f"LEFT JOIN c{i} ON nodes.id = c{i}.dst)"
+        )
+        body = ", ".join(parts)
+    return (
+        f"{body} SELECT id, round(rank, 4) AS rank FROM r{n_iter}"
+    )
+
+
 def q_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py): train m=8,
     ksub=16 codebooks (deterministic — hash-ordered seeds, 9dp-rounded
@@ -2453,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_LOCAL_r04.json) and the pytest suite."""
     return {
         # -- new this round: model-based data selection + PQ ANN ----
+        "pagerank": q_pagerank,
         "pq_search": q_pq_search,
         "nb_lang_scores": q_nb_lang_scores,
         "dsir_select": q_dsir_select,
@@ -2720,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, true AS ok FROM embeddings "
             "WHERE vec_id < 3"
         ),
+        "pagerank": _pagerank_oracle(),
         "nb_lang_scores": (
             f"WITH tokb AS (SELECT doc_id, lang, CAST(('0x' || "
             "substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket "

@@ -200,3 +200,88 @@ def leakage_safe_split(
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     ).drop("_comp")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``(id, rank)`` after exactly ``n_iter`` power-iteration steps —
+    the importance score large corpus pipelines use to weight web
+    documents by link authority (e.g. the Common-Crawl-graph rank
+    feature in quality classifiers).
+
+    Semantics (uniform init, dangling mass redistributed uniformly):
+
+        rank_0(v)   = 1 / N
+        rank_i+1(v) = (1-d)/N + d * (sum_{u->v} rank_i(u)/deg(u)
+                                     + dangling_i / N)
+
+    Fixed ``n_iter`` (not convergence-tested) keeps the result
+    closed-form enough for a cross-engine SQL oracle; ranks round to
+    ``round_dp`` at the END only (intermediate iterations stay full
+    precision — the sums are small per node, so cross-engine float
+    drift stays ~1e-13, far below the rounding quantum).
+
+    Scale shape per iteration: one equi-join of the rank vector
+    against the out-degree-annotated edge list + one map-side-combined
+    sum aggregate — identical to the connected_components round; the
+    dangling-mass term is a one-scalar driver reduction.
+    ``localCheckpoint`` truncates lineage each round. At 1000
+    executors the join key is the graph's natural partitioning: edges
+    pre-partitioned by ``dst`` re-use the same exchange every
+    iteration.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree-annotated edges: contribution factor per edge
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", round_dp).alias("rank"))

@@ -166,3 +166,53 @@ def test_recursive_cte_matches_iterative_closure(spark):
         for r in entry_mod.q_closure_chain(spark, sf).collect()
     }
     assert a == b and len(a) > 0
+
+
+class TestPageRank:
+    def _pr(self, spark, edges, **kw):
+        from gbif_filter_python_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.id: r.rank for r in pagerank(df, **kw).collect()}
+
+    def test_mass_conserved(self, spark):
+        # ring + a dangling sink: total rank stays 1 regardless of
+        # dangling redistribution
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4)]  # 4 is dangling
+        ranks = self._pr(spark, edges, n_iter=5)
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-3)
+
+    def test_cycle_is_uniform(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        ranks = self._pr(spark, edges, n_iter=5)
+        assert all(r == pytest.approx(0.25, abs=1e-4) for r in ranks.values())
+
+    def test_star_center_dominates(self, spark):
+        edges = [(i, 0) for i in range(1, 6)]
+        ranks = self._pr(spark, edges, n_iter=3)
+        assert ranks[0] == max(ranks.values())
+        assert ranks[0] > 3 * min(ranks.values())
+
+    def test_deterministic(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+        assert self._pr(spark, edges) == self._pr(spark, edges)
+
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)]
+        nodes = sorted({u for e in edges for u in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(3):
+            dang = sum(r[idx[v]] for v in nodes if deg.get(v, 0) == 0)
+            nr = np.full(n, (1.0 - d) / n) + d * dang / n
+            for a, b in edges:
+                nr[idx[b]] += d * r[idx[a]] / deg[a]
+            r = nr
+        got = self._pr(spark, edges, n_iter=3)
+        for v in nodes:
+            assert got[v] == pytest.approx(r[idx[v]], abs=1e-4)
