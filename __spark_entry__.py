@@ -2301,6 +2301,41 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (operators/scd.py): classify every key across
+    two table versions as added/removed/changed/unchanged — ONE full
+    outer join on the key over map-side xxhash64 fingerprints (wide
+    rows never cross the shuffle; only key + 8 bytes move). The new
+    version mutates segment for custkey%7==0, drops custkey%11==0,
+    and appends 10 fresh keys; the oracle recomputes with direct
+    IS NOT DISTINCT FROM column comparison (hash equality ≡ value
+    equality modulo 2^-64 collisions)."""
+    from gbif_filter_python_spark.operators.scd import snapshot_diff
+
+    cust = _t(spark, sf, "customer")
+    old = cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("UPDATED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 10).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_name"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py) over the
     synthetic supplier hierarchy (src = s_suppkey, dst = s_suppkey
@@ -2504,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_LOCAL_r04.json) and the pytest suite."""
     return {
         # -- new this round: model-based data selection + PQ ANN ----
+        "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
         "nb_lang_scores": q_nb_lang_scores,
@@ -2773,6 +2809,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id < 3"
         ),
         "pagerank": _pagerank_oracle(),
+        "snapshot_diff": (
+            "WITH o AS (SELECT c_custkey, c_name, c_mktsegment, "
+            "c_acctbal FROM customer), "
+            "n AS (SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
+            "THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment, "
+            "c_acctbal FROM customer WHERE c_custkey % 11 <> 0 "
+            "UNION ALL SELECT c_custkey + 2000000, 'NEW', 'NEWSEG', 0.0 "
+            "FROM customer WHERE c_custkey < 10) "
+            "SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey, "
+            "CASE WHEN o.c_custkey IS NULL THEN 'added' "
+            "WHEN n.c_custkey IS NULL THEN 'removed' "
+            "WHEN (o.c_name IS NOT DISTINCT FROM n.c_name) "
+            "AND (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment) "
+            "AND (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal) "
+            "THEN 'unchanged' ELSE 'changed' END AS change "
+            "FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey"
+        ),
         "nb_lang_scores": (
             f"WITH tokb AS (SELECT doc_id, lang, CAST(('0x' || "
             "substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket "

@@ -97,6 +97,14 @@ BENCH_QUERIES = [
     "hashed_embedding",
     "recursive_cte",
     "event_sequences",
+    # Round 4: model-based data selection (NB classifier, DSIR
+    # resampling, bigram-LM perplexity), compressed-index PQ ANN with
+    # exact rerank, and fixed-iteration PageRank.
+    "nb_lang_scores",
+    "dsir_select",
+    "lm_perplexity",
+    "pq_search",
+    "pagerank",
 ]
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_merge", "latest_per_key"]
+__all__ = ["scd2_merge", "latest_per_key", "cdc_apply", "snapshot_diff"]
 
 
 def latest_per_key(
@@ -213,3 +213,57 @@ def cdc_apply(
     )
     upserts = latest.filter(F.col(op_col) != "D").select(*data_cols)
     return untouched.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots:
+    ``(key_cols..., change)`` with change ∈ ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the audit step pipelines run between
+    daily corpus or dimension versions before promoting one (how many
+    docs entered, left, or mutated?).
+
+    ``compare_cols`` defaults to all non-key columns both sides share.
+    Comparison is null-safe (``<=>``): a NULL→NULL column is
+    unchanged, NULL→value is changed.
+
+    Scale: ONE full outer join on the key — both snapshots shuffle
+    once on the same key (co-partitioned if both are bucketed by it),
+    and the change classification is a pure projection. Comparison
+    hashes are computed map-side BEFORE the join (``xxhash64`` over
+    the compare columns), so wide rows never cross the shuffle twice —
+    only key + 8-byte fingerprint move for the unchanged majority.
+    NULLs are disambiguated from empty strings by hashing a
+    per-column null flag alongside the value.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+
+    def _fp(df: DataFrame, side: str) -> DataFrame:
+        cols = []
+        for c in compare_cols:
+            cols.append(F.col(c).isNull().cast("int").cast("string"))
+            cols.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        fp = (
+            F.xxhash64(*cols) if cols else F.lit(0).cast("long")
+        )
+        return df.select(
+            *[F.col(k) for k in key_cols], fp.alias(f"_fp_{side}")
+        )
+
+    o = _fp(old, "o").withColumn("_in_o", F.lit(True))
+    n = _fp(new, "n").withColumn("_in_n", F.lit(True))
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(F.col("_fp_o") == F.col("_fp_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )

@@ -356,3 +356,67 @@ class TestCdcApply:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestSnapshotDiff:
+    def _diff(self, spark, old_rows, new_rows, schema, **kw):
+        from gbif_filter_python_spark.operators.scd import snapshot_diff
+
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        return {
+            r.k: r.change
+            for r in snapshot_diff(old, new, ["k"], **kw).collect()
+        }
+
+    def test_all_four_classes(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "a"), (2, "b"), (3, "c")],
+            [(1, "a"), (2, "B"), (4, "d")],
+            "k long, v string",
+        )
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "added",
+        }
+
+    def test_null_safe_comparison(self, spark):
+        got = self._diff(
+            spark,
+            [(1, None), (2, None), (3, "x")],
+            [(1, None), (2, "y"), (3, None)],
+            "k long, v string",
+        )
+        assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+    def test_null_vs_empty_string_distinct(self, spark):
+        got = self._diff(
+            spark,
+            [(1, None), (2, "")],
+            [(1, ""), (2, None)],
+            "k long, v string",
+        )
+        assert got == {1: "changed", 2: "changed"}
+
+    def test_compare_cols_subset_ignores_rest(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "a", 10.0)],
+            [(1, "a", 99.0)],
+            "k long, v string, w double",
+            compare_cols=["v"],
+        )
+        assert got == {1: "unchanged"}
+
+    def test_no_compare_cols_keys_only(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "a")],
+            [(1, "zzz"), (2, "b")],
+            "k long, v string",
+            compare_cols=[],
+        )
+        assert got == {1: "unchanged", 2: "added"}
