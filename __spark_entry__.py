@@ -2301,6 +2301,54 @@ def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup detection over REAL BMP payloads
+    (multimodal/binary_ops.py): 32×32 deterministic content encodes to
+    genuine BMP bytes; doc_id ∈ [50,100) re-encodes doc_id-50's
+    content through an affine brightness/contrast shift (0.8x + 0.1).
+    Decode (pure-NumPy BMP parse) → dHash (area-resize 8×9, gradient
+    sign bits — affine-invariant up to uint8 quantization) → banded
+    Hamming join. The ONLY pairs at hamming ≤ 8 are the 50 planted
+    (i, i+50) ones (measured max hamming 2 from quantization; random
+    dHash pairs sit near 32, and a band+verify accidental pass is
+    ~1e-16), so the oracle enumerates the construction. Failure
+    direction on a testdata refresh is a safe false alarm (hamming
+    could exceed the 4-band ≤3-flip catch guarantee, never a false
+    pair)."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_images,
+        dhash_images,
+        encode_bmp,
+        phash_near_dups,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_bmp(rows: pd.Series) -> pd.Series:
+        def make(s: str) -> bytes:
+            did, text = s.split("|", 1)
+            px = _fake_pixels(text.encode("utf-8"), 32)
+            if int(did) >= 50:
+                px = px * 0.8 + 0.1
+            return encode_bmp(px)
+
+        return rows.map(make)
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    shifted = base.select(
+        (F.col("doc_id") + 50).alias("doc_id"), "text"
+    )
+    media = base.unionByName(shifted).select(
+        F.col("doc_id").alias("media_id"),
+        _to_bmp(
+            F.concat_ws("|", F.col("doc_id"), F.col("text"))
+        ).alias("payload"),
+    )
+    sigs = dhash_images(decode_images(media, codec="bmp"))
+    return phash_near_dups(sigs, max_hamming=8).select("id_a", "id_b")
+
+
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (operators/scd.py): classify every key across
     two table versions as added/removed/changed/unchanged — ONE full
@@ -2539,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_LOCAL_r04.json) and the pytest suite."""
     return {
         # -- new this round: model-based data selection + PQ ANN ----
+        "image_near_dups": q_image_near_dups,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
@@ -2809,6 +2858,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id < 3"
         ),
         "pagerank": _pagerank_oracle(),
+        "image_near_dups": (
+            "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
+            "WHERE doc_id < 50"
+        ),
         "snapshot_diff": (
             "WITH o AS (SELECT c_custkey, c_name, c_mktsegment, "
             "c_acctbal FROM customer), "

@@ -532,3 +532,132 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (image near-duplicate detection)
+# --------------------------------------------------------------------------
+
+
+def _area_means(a: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Exact area-mean resample of a 2-D array to (oh, ow) via an
+    integral image — arbitrary input sizes, no divisibility
+    constraint, fully vectorized (the general-geometry sibling of
+    resize_pixels' block-mean)."""
+    h, w = a.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = a.cumsum(0).cumsum(1)
+    ys = np.rint(np.linspace(0, h, oh + 1)).astype(int)
+    xs = np.rint(np.linspace(0, w, ow + 1)).astype(int)
+    s = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return s / np.maximum(areas, 1)
+
+
+def dhash_images(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    hash_side: int = 8,
+) -> DataFrame:
+    """Difference hash (dHash) per decoded image: ``(id, dhash)`` —
+    the standard perceptual fingerprint for image near-dup detection
+    (area-resize to ``hash_side x (hash_side+1)``, one bit per
+    horizontal gradient sign). Robust to uniform brightness/contrast
+    shifts (an affine pixel transform preserves every gradient sign)
+    and to resizing; 64 bits at the default side=8.
+
+    One NumPy pass per Arrow batch over the already-decoded pixel
+    arrays; output is an 8-byte signed long per image, so the
+    downstream near-dup join shuffles 16 bytes per row, never pixels.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+    hs = int(hash_side)
+    if hs * hs > 64:  # hs rows × hs gradient bits per row
+        raise ValueError(f"hash_side={hs} needs {hs * hs} > 64 bits")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                a = np.asarray(px, dtype=np.float64).reshape(h, w)
+                g = _area_means(a, hs, hs + 1)
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:  # two's-complement into a JVM long
+                    v -= 1 << 64
+                sigs.append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return decoded.select(id_col, "pixels", "width", "height").mapInPandas(
+        _hash, schema=out_schema
+    )
+
+
+def phash_near_dups(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Same banded-LSH shape as dedup.simhash_candidates: a pair is a
+    candidate iff ≥1 of the ``64/band_bits`` bands matches exactly
+    (guaranteed catch for hamming < 64/band_bits; probabilistic
+    above), then the full 64-bit ``bit_count(xor)`` verifies the
+    threshold. The join key is a small int — the corpus' pixels never
+    shuffle, only (band_hash, id, sig) rows.
+    """
+    from gbif_filter_python_spark.operators.dedup import _hamming64
+
+    bands = 64 // band_bits
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bh") == F.col("r._bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            _hamming64(F.col("l._sig"), F.col("r._sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -590,3 +590,127 @@ class TestHashedEmbedding:
         # content twin ranks above the unrelated doc (self included)
         got = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
         assert set(got) == {1, 3}
+
+
+class TestPerceptualHash:
+    """dHash + banded Hamming near-dup (multimodal/binary_ops.py)."""
+
+    def _decoded(self, spark, imgs):
+        # imgs: list[(id, np 2-D array)] -> decoded-shape frame
+        rows = [
+            (
+                i,
+                [float(x) for x in a.ravel()],
+                int(a.shape[1]),
+                int(a.shape[0]),
+            )
+            for i, a in imgs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, pixels array<float>, width int, height int",
+        )
+
+    def test_affine_brightness_invariance_exact(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            dhash_images,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.random((32, 32))
+        # pure float affine transform (no quantization): identical hash
+        shifted = base * 0.5 + 0.2
+        sigs = {
+            r.media_id: r.dhash
+            for r in dhash_images(
+                self._decoded(spark, [(1, base), (2, shifted)])
+            ).collect()
+        }
+        assert sigs[1] == sigs[2]
+
+    def test_resize_robustness(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            _area_means,
+            dhash_images,
+        )
+
+        rng = np.random.default_rng(5)
+        big = rng.random((64, 64))
+        small = _area_means(big, 32, 32)  # downsampled version
+        sigs = {
+            r.media_id: r.dhash
+            for r in dhash_images(
+                self._decoded(spark, [(1, big), (2, small)])
+            ).collect()
+        }
+        # Noise is the worst case for resize robustness: the rounded
+        # 9-bin column boundaries land on slightly different source
+        # pixels at 64 vs 32 wide, and uncorrelated pixels make every
+        # boundary shift count (measured h=12 here). Still far below
+        # the ~32 expected for unrelated hashes (P[h<=16] ~ 6e-5).
+        h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        assert h <= 16
+
+    def test_unrelated_images_far(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            dhash_images,
+        )
+
+        a = np.random.default_rng(1).random((32, 32))
+        b = np.random.default_rng(2).random((32, 32))
+        sigs = {
+            r.media_id: r.dhash
+            for r in dhash_images(
+                self._decoded(spark, [(1, a), (2, b)])
+            ).collect()
+        }
+        h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        assert h > 16
+
+    def test_near_dup_pairs_planted_only(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            dhash_images,
+            phash_near_dups,
+        )
+
+        rng = np.random.default_rng(9)
+        imgs = []
+        for i in range(10):
+            base = rng.random((32, 32))
+            imgs.append((i, base))
+            imgs.append((100 + i, base * 0.9 + 0.05))  # planted dup
+        sigs = dhash_images(self._decoded(spark, imgs))
+        pairs = phash_near_dups(sigs, max_hamming=8).collect()
+        assert sorted((p.id_a, p.id_b) for p in pairs) == [
+            (i, 100 + i) for i in range(10)
+        ]
+        assert all(p.hamming == 0 for p in pairs)  # float affine: exact
+
+    def test_bmp_roundtrip_hash_stability(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_bmp_bytes,
+            dhash_images,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.random((32, 32))
+        decoded = decode_bmp_bytes(encode_bmp(base))  # uint8 quantized
+        sigs = {
+            r.media_id: r.dhash
+            for r in dhash_images(
+                self._decoded(spark, [(1, base), (2, decoded)])
+            ).collect()
+        }
+        h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        assert h <= 4  # quantization flips only near-tied gradients
