@@ -2349,6 +2349,51 @@ def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return phash_near_dups(sigs, max_hamming=8).select("id_a", "id_b")
 
 
+def q_audio_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup detection over REAL PCM-WAV payloads
+    (multimodal/binary_ops.py): 2048-sample deterministic waveforms
+    encode to genuine 16-bit WAV bytes; doc_id ∈ [50,100) re-encodes
+    doc_id-50's waveform at 0.5× gain (volume-normalized re-encode —
+    the classic audio dup class). Decode (RIFF chunk-walk parse) →
+    gain-invariant energy-delta fingerprint (per-frame RMS contour
+    sign bits) → banded Hamming join. Positive gain scales every
+    frame energy identically, so the planted pairs hash EXACTLY equal
+    (measured hamming 0 through the PCM round trip) and are the only
+    pairs at hamming ≤ 8 — the oracle enumerates the construction."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_waveform,
+        audio_fingerprint,
+        decode_audio,
+        encode_wav,
+        phash_near_dups,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_wav(rows: pd.Series) -> pd.Series:
+        def make(s: str) -> bytes:
+            did, text = s.split("|", 1)
+            w = _fake_waveform(text.encode("utf-8"), 2048)
+            if int(did) >= 50:
+                w = w * 0.5
+            return encode_wav(w)
+
+        return rows.map(make)
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 50).alias("doc_id"), "text")
+    media = base.unionByName(dup).select(
+        F.col("doc_id").alias("media_id"),
+        _to_wav(
+            F.concat_ws("|", F.col("doc_id"), F.col("text"))
+        ).alias("payload"),
+    )
+    sigs = audio_fingerprint(decode_audio(media, codec="wav"))
+    return phash_near_dups(
+        sigs, sig_col="afp", max_hamming=8
+    ).select("id_a", "id_b")
+
+
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (operators/scd.py): classify every key across
     two table versions as added/removed/changed/unchanged — ONE full
@@ -2588,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
@@ -2859,6 +2905,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(),
         "image_near_dups": (
+            "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
+            "WHERE doc_id < 50"
+        ),
+        "audio_near_dups": (
             "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
             "WHERE doc_id < 50"
         ),

@@ -661,3 +661,60 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_fingerprint(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    n_frames: int = 65,
+) -> DataFrame:
+    """64-bit gain-invariant audio fingerprint per decoded waveform:
+    ``(id, afp)`` — frame the signal into ``n_frames`` equal windows,
+    take per-frame RMS energy, one bit per consecutive-energy
+    comparison (``E[i+1] > E[i]``) — the energy-delta sign profile, a
+    chromaprint-style contour hash. Scaling the waveform by any
+    positive gain scales every frame energy identically, so gain
+    variants (volume-normalized re-encodes, the common audio dup
+    class) hash EXACTLY equal up to PCM quantization.
+
+    One NumPy pass per Arrow batch; 8-byte signature out, so the
+    near-dup join (:func:`phash_near_dups` with ``sig_col="afp"``,
+    ``id-col`` rebind) shuffles signatures, never samples.
+    """
+    if n_frames - 1 > 64:
+        raise ValueError(f"n_frames={n_frames} needs {n_frames - 1} > 64 bits")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("afp", LongType()),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for s in pdf["samples"]:
+                x = np.asarray(s, dtype=np.float64)
+                if len(x) < n_frames:  # pad tiny clips
+                    x = np.pad(x, (0, n_frames - len(x)))
+                cut = len(x) // n_frames * n_frames
+                frames = x[:cut].reshape(n_frames, -1)
+                e = np.sqrt((frames**2).mean(axis=1))
+                bits = e[1:] > e[:-1]
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                sigs.append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "afp": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return decoded.select(id_col, "samples").mapInPandas(
+        _fp, schema=out_schema
+    )

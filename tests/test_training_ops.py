@@ -714,3 +714,79 @@ class TestPerceptualHash:
         }
         h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
         assert h <= 4  # quantization flips only near-tied gradients
+
+
+class TestAudioFingerprint:
+    def _decoded(self, spark, clips):
+        rows = [
+            (i, [float(x) for x in s], 16000) for i, s in clips
+        ]
+        return spark.createDataFrame(
+            rows, "media_id long, samples array<float>, sample_rate int"
+        )
+
+    def test_gain_invariance_exact(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            audio_fingerprint,
+        )
+
+        rng = np.random.default_rng(4)
+        w = rng.standard_normal(2048) * 0.1
+        sigs = {
+            r.media_id: r.afp
+            for r in audio_fingerprint(
+                self._decoded(spark, [(1, w), (2, w * 0.25), (3, w * 3.0)])
+            ).collect()
+        }
+        assert sigs[1] == sigs[2] == sigs[3]
+
+    def test_unrelated_clips_far(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            audio_fingerprint,
+        )
+
+        a = np.random.default_rng(1).standard_normal(2048) * 0.1
+        b = np.random.default_rng(2).standard_normal(2048) * 0.1
+        sigs = {
+            r.media_id: r.afp
+            for r in audio_fingerprint(
+                self._decoded(spark, [(1, a), (2, b)])
+            ).collect()
+        }
+        h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        assert h > 16
+
+    def test_wav_roundtrip_stability(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            audio_fingerprint,
+            decode_wav_bytes,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(6)
+        w = rng.standard_normal(2048) * 0.1
+        w2, _ = decode_wav_bytes(encode_wav(w))  # 16-bit quantized
+        sigs = {
+            r.media_id: r.afp
+            for r in audio_fingerprint(
+                self._decoded(spark, [(1, w), (2, w2)])
+            ).collect()
+        }
+        h = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        assert h <= 2
+
+    def test_short_clip_padded_not_crashing(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            audio_fingerprint,
+        )
+
+        out = audio_fingerprint(
+            self._decoded(spark, [(1, [0.5] * 10)])
+        ).collect()
+        assert len(out) == 1
