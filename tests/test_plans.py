@@ -329,3 +329,100 @@ def test_polygon_bbox_conjuncts_push_to_snapshot_scan(
         F.col("decimal_lon").between(5.0, 12.0)
         & F.col("decimal_lat").between(58.0, 62.0)
     ).count()
+
+
+def test_nb_scoring_broadcasts_model_corpus_never_wide_shuffles(
+    spark, sf001_dir
+):
+    """classify.nb_score: the dense bounded model must broadcast; the
+    corpus token stream's only exchange is the partial-aggregated
+    (doc, label) sum — no sort-merge join anywhere."""
+    from gbif_filter_python_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    model = nb_train(docs, num_buckets=64)
+    scored = nb_score(docs, model, num_buckets=64)
+    plan = explain_str(scored, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_fingerprints_before_the_join(spark, sf001_dir):
+    """scd.snapshot_diff: the xxhash64 fingerprint must be computed in
+    a projection BELOW the single join (wide columns never cross the
+    shuffle), and the join must be the only one in the plan."""
+    from gbif_filter_python_spark.operators.scd import snapshot_diff
+
+    cust = spark.read.parquet(f"{sf001_dir}/customer.parquet")
+    old = cust.select("c_custkey", "c_name", "c_mktsegment")
+    new = cust.select(
+        "c_custkey", "c_name", F.upper("c_mktsegment").alias("c_mktsegment")
+    )
+    diff = snapshot_diff(old, new, ["c_custkey"])
+    plan = explain_str(diff, "simple")
+    # exactly one join operator of any kind ("simple" mode: each
+    # physical operator appears once, unlike "formatted"'s tree+details)
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    plan = explain_str(diff, "formatted")
+    # the shuffle carries only key + fingerprint (+ presence flag):
+    # no c_name / c_mktsegment above the scan projections
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for ex in exchanges:
+        assert "c_name" not in ex and "c_mktsegment" not in ex
+
+
+def test_phash_near_dup_shuffle_excludes_pixels(spark):
+    """phash_near_dups: the band join must move (band, hash, id, sig)
+    rows only — pixel arrays must not appear in any exchange."""
+    import numpy as np
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        dhash_images,
+        phash_near_dups,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, [float(x) for x in rng.random(64)], 8, 8) for i in range(4)
+    ]
+    decoded = spark.createDataFrame(
+        rows, "media_id long, pixels array<float>, width int, height int"
+    )
+    pairs = phash_near_dups(dhash_images(decoded))
+    plan = explain_str(pairs, "formatted")
+    import re
+
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "pixels" not in ex, ex
+
+
+def test_pq_adc_scoring_is_single_scan_no_shuffle_before_topk(
+    spark, sf001_dir
+):
+    """pq_topk: scoring the compressed index is map-only (UDF + scalar
+    math); the first exchange in the plan is the per-query top-k
+    window partitioning, nothing before it."""
+    from gbif_filter_python_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    books, _ = pq_train(emb, m=8, ksub=16, max_iter=1)
+    enc = pq_encode(emb, books).localCheckpoint(eager=True)
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = pq_topk(enc, q, books, k=5)
+    plan = explain_str(res, "simple")
+    # exactly one hash-partitioning exchange: the window's query_id one
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan  # queries side is broadcast
