@@ -137,6 +137,33 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the columnar interchange format of the Hive/Trino
+    world (a reference user exporting to a Hive warehouse needs it).
+    Same pushdown/pruning properties as parquet under Spark's native
+    vectorized ORC reader; snappy-compressed by default. Partitioned
+    directories when ``partition_by`` is given — the same
+    partition-pruning layout write_occurrence_snapshot uses for
+    parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source; explicit schema skips footer-sampling on wide
+    directories (cheap for ORC, but still one listing+read round)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_occurrence_snapshot(
     df: DataFrame,
     path: str,

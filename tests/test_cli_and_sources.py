@@ -444,3 +444,39 @@ class TestInteractionSource:
             ParquetSnapshotProvider(spark).interactions()
         with pytest.raises(ValueError, match="interaction_name_path"):
             ParquetSnapshotProvider(spark).interaction_names()
+
+
+class TestOrcIo:
+    def test_roundtrip_with_arrays_and_timestamps(self, spark, tmp_path):
+        import datetime
+
+        from gbif_filter_python_spark.sources.io import read_orc, write_orc
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", [1.0, 2.0], datetime.datetime(2024, 1, 2, 3, 4, 5)),
+                (2, None, [], None),
+            ],
+            "k long, s string, v array<double>, ts timestamp",
+        )
+        path = str(tmp_path / "orc_roundtrip")
+        write_orc(df, path)
+        back = read_orc(spark, path)
+        assert back.schema == df.schema
+        a = sorted(df.collect(), key=lambda r: r.k)
+        b = sorted(back.collect(), key=lambda r: r.k)
+        assert a == b
+
+    def test_partitioned_layout_prunes(self, spark, tmp_path):
+        from gbif_filter_python_spark.plans.inspect import explain_str
+        from gbif_filter_python_spark.sources.io import read_orc, write_orc
+
+        df = spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 4 AS STRING) AS part"
+        )
+        path = str(tmp_path / "orc_part")
+        write_orc(df, path, partition_by=["part"])
+        back = read_orc(spark, path).filter(F.col("part") == "2")
+        assert back.count() == 25
+        plan = explain_str(back, "formatted")
+        assert "PartitionFilters" in plan and "part" in plan
