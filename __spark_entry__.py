@@ -2349,6 +2349,69 @@ def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return phash_near_dups(sigs, max_hamming=8).select("id_a", "id_b")
 
 
+def q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling over a REAL parseable container
+    (multimodal/binary_ops.py): 6-frame MBMP payloads (concatenated
+    genuine BMPs) per doc, evenly-spaced 3-frame sample (src 0,2,4 —
+    ffmpeg fps-thinning pattern), then each sampled frame decodes
+    through the pure-NumPy BMP parser. Output (doc_id, frame_idx,
+    src_idx, width, height): the selection arithmetic and decoded
+    dimensions are the SQL-enumerable contract; pixel-content
+    fidelity (sampled frame ≡ directly-encoded frame, dHash-equal) is
+    pinned in TestVideoMbmp."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_images,
+        encode_mbmp,
+        sample_frames_mbmp,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_mbmp(rows: pd.Series) -> pd.Series:
+        def make(s: str) -> bytes:
+            frames = [
+                _fake_pixels(f"{s}#frame{i}".encode("utf-8"), 16)
+                for i in range(6)
+            ]
+            return encode_mbmp(frames)
+
+        return rows.map(make)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_mbmp(F.col("text")).alias("payload"),
+    )
+    sampled = sample_frames_mbmp(media, n_frames=3)
+    decoded = decode_images(
+        sampled.select(
+            # one row per (video, frame): composite key for decode
+            (F.col("media_id") * 100 + F.col("frame_idx")).alias(
+                "media_id"
+            ),
+            F.col("frame_payload").alias("payload"),
+        ),
+        codec="bmp",
+    )
+    return (
+        decoded.select(
+            (F.col("media_id") / 100).cast("long").alias("doc_id"),
+            (F.col("media_id") % 100).cast("int").alias("frame_idx"),
+            "width",
+            "height",
+        )
+        .join(
+            sampled.select(
+                F.col("media_id").alias("doc_id"),
+                "frame_idx",
+                "src_idx",
+            ),
+            ["doc_id", "frame_idx"],
+        )
+        .select("doc_id", "frame_idx", "src_idx", "width", "height")
+    )
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -2668,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "ppl_bands": q_ppl_bands,
+        "video_frames": q_video_frames,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
@@ -2986,6 +3050,13 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": (
             "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
             "WHERE doc_id < 50"
+        ),
+        "video_frames": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(i * 2 AS INT) AS src_idx, "
+            "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height "
+            "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) "
+            "WHERE doc_id < 40"
         ),
         "snapshot_diff": (
             "WITH o AS (SELECT c_custkey, c_name, c_mktsegment, "

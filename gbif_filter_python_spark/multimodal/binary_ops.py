@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -717,4 +718,101 @@ def audio_fingerprint(
 
     return decoded.select(id_col, "samples").mapInPandas(
         _fp, schema=out_schema
+    )
+
+
+# --------------------------------------------------------------------------
+# Video: MBMP container (concatenated BMP frames) — a real, library-free
+# uncompressed video format so frame sampling can parse actual bytes.
+# --------------------------------------------------------------------------
+
+_MBMP_MAGIC = b"MBMP"
+
+
+def encode_mbmp(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-BMP video container: ``MBMP | u32 n | (u32 len,
+    BMP bytes) * n``. The moving-picture sibling of encode_bmp — real
+    parseable video payloads for fixtures without ffmpeg."""
+    import struct
+
+    parts = [_MBMP_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_mbmp_bytes(payload: bytes) -> list[bytes]:
+    """MBMP container → list of per-frame BMP byte strings (frames
+    decode individually via :func:`decode_bmp_bytes`)."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] != _MBMP_MAGIC:
+        raise ValueError("not an MBMP payload (missing magic)")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MBMP frame table")
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("truncated MBMP frame body")
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def sample_frames_mbmp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+) -> DataFrame:
+    """REAL frame sampling over MBMP video payloads: parse the
+    container, pick ``n_frames`` evenly-spaced frames (ffmpeg's
+    ``fps=`` thinning pattern), emit ``(id, frame_idx, frame_payload
+    binary)`` — each frame is a genuine BMP, so the rows pipe straight
+    into :func:`decode_images` with ``codec="bmp"`` and from there
+    into resize / features / dHash near-dup.
+
+    Evenly-spaced selection: source frame ``floor(i * n_src /
+    n_frames)`` for i in [0, n_frames) (clips shorter than n_frames
+    emit one row per real frame). Only the SELECTED frames' bytes
+    leave the task — the container body never shuffles.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("src_idx", IntegerType()),
+            StructField("frame_payload", BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, srcs, frames = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                fs = decode_mbmp_bytes(bytes(p))
+                n_src = len(fs)
+                take = min(n_frames, n_src)
+                for i in range(take):
+                    src = i * n_src // max(take, 1)
+                    ids.append(mid)
+                    idxs.append(i)
+                    srcs.append(src)
+                    frames.append(fs[src])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "src_idx": pd.Series(srcs, dtype="int32"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sample, schema=out_schema
     )

@@ -790,3 +790,83 @@ class TestAudioFingerprint:
             self._decoded(spark, [(1, [0.5] * 10)])
         ).collect()
         assert len(out) == 1
+
+
+class TestVideoMbmp:
+    def test_container_roundtrip(self):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_bmp_bytes,
+            decode_mbmp_bytes,
+            encode_mbmp,
+        )
+
+        rng = np.random.default_rng(2)
+        frames = [rng.random((8, 8)) for _ in range(5)]
+        payload = encode_mbmp(frames)
+        back = decode_mbmp_bytes(payload)
+        assert len(back) == 5
+        for orig, bmp in zip(frames, back):
+            dec = decode_bmp_bytes(bmp)
+            assert dec.shape == (8, 8)
+            assert float(abs(dec - orig).max()) <= 1.0 / 255
+
+    def test_truncated_container_raises(self):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_mbmp_bytes,
+            encode_mbmp,
+        )
+        import numpy as np
+
+        payload = encode_mbmp([np.zeros((4, 4))])
+        with _pytest.raises(ValueError, match="truncated|magic"):
+            decode_mbmp_bytes(payload[:-10])
+        with _pytest.raises(ValueError, match="magic"):
+            decode_mbmp_bytes(b"nope" + payload)
+
+    def test_sampled_frames_content_exact(self, spark):
+        """The sampled frame rows carry the IDENTICAL bytes of the
+        source frames (ffmpeg-thinning parity): dHash of a sampled
+        frame equals dHash of the directly-encoded frame."""
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            decode_images,
+            dhash_images,
+            encode_bmp,
+            encode_mbmp,
+            sample_frames_mbmp,
+        )
+
+        rng = np.random.default_rng(8)
+        frames = [rng.random((16, 16)) for _ in range(6)]
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_mbmp(frames)))],
+            "media_id long, payload binary",
+        )
+        sampled = sample_frames_mbmp(media, n_frames=3).collect()
+        assert [(r.frame_idx, r.src_idx) for r in sampled] == [
+            (0, 0),
+            (1, 2),
+            (2, 4),
+        ]
+        for r in sampled:
+            assert bytes(r.frame_payload) == encode_bmp(frames[r.src_idx])
+
+    def test_short_clip_emits_available_frames(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            encode_mbmp,
+            sample_frames_mbmp,
+        )
+
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_mbmp([np.zeros((4, 4)), np.ones((4, 4))])))],
+            "media_id long, payload binary",
+        )
+        rows = sample_frames_mbmp(media, n_frames=4).collect()
+        assert [(r.frame_idx, r.src_idx) for r in rows] == [(0, 0), (1, 1)]
