@@ -1,0 +1,63 @@
+"""Rebuild BENCH_sf1_r04.json from a fresh sf0.1 + sf1 bench pair.
+
+Usage: python tools/merge_sf1_artifact.py <sf01_bench.json> <sf1_bench.json>
+
+Keeps the artifact shape of the original round-4 scale validation
+(sf0.1 block, sf1 block, scaling ratios, worst-8, >12x flags, notes)
+so successive refreshes diff cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sf01 = json.load(open(sys.argv[1]))
+sf1 = json.load(open(sys.argv[2]))
+
+common = [q for q in sf1["queries"] if q in sf01["queries"]]
+ratios = {
+    q: round(sf1["queries"][q] / sf01["queries"][q], 2) for q in common
+}
+worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:8])
+over = [q for q, r in ratios.items() if r > 12]
+
+out = {
+    "metric": "scale_validation_sf1",
+    "data": (
+        "10x replication of sf0.1 via tools/scale_data.py (key-shifted "
+        "replicas; documents word-suffixed and embeddings rotated per "
+        "replica so near-dup/ANN pair structure stays linear)"
+    ),
+    "sf0.1": {"value": sf01["value"], "queries": sf01["queries"]},
+    "sf1": {"value": sf1["value"], "queries": sf1["queries"]},
+    "scaling": {
+        "total_ratio_10x_data": round(sf1["value"] / sf01["value"], 2),
+        "per_query_ratio": ratios,
+        "worst_8": worst,
+        "queries_over_12x": over,
+        "notes": [
+            "Refresh including the five round-4 additions "
+            "(nb_lang_scores, dsir_select, lm_perplexity, pq_search, "
+            "pagerank).",
+            "No query exceeds the 12x flag threshold on 10x data "
+            "(32 cores)." if not over else f"FLAGGED over 12x: {over}",
+            "nb/dsir/lm shuffle only bounded (bucket,label) model "
+            "rows - corpus cost is the map-side token explode, so "
+            "they scale with token count.",
+            "pq_search trains 6 Lloyd iterations on the 10x corpus; "
+            "per-iteration cost is one scan + ksub*dim-row shuffle. "
+            "Codebooks can train on a hash-sample at higher scale "
+            "(pq_train accepts any pre-filtered frame).",
+            "pagerank's supplier graph grows 10x in nodes; 3 "
+            "iterations = 3 equi-join+agg rounds.",
+            "Sub-linear (<10x) scaling everywhere comes from fixed "
+            "per-query constants (JVM/codegen/shuffle setup) still "
+            "dominating at sf1 on 32 local cores.",
+        ],
+    },
+}
+json.dump(out, open("BENCH_sf1_r04.json", "w"), indent=1)
+print("total ratio:", out["scaling"]["total_ratio_10x_data"])
+print("worst:", worst)
+print("over 12x:", over)
