@@ -1718,9 +1718,14 @@ def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Spherical k-means (Lloyd, 5 iterations) over the embeddings —
-    per-cluster sizes. Rows-only: the iterative refit is not
-    SQL-expressible; invariants (monotone inertia, argmax assignment)
-    are pytest-checked in tests/test_training_ops.py."""
+    per-cluster sizes. FULL oracle since r4: the deterministic fit
+    (hash-ordered seeds, 9dp-rounded updates) is replayed in SQL by
+    unrolling the 5 Lloyd iterations as materialized CTEs
+    (_kmeans_oracle — the _pagerank_oracle move). The per-iteration
+    9dp centroid rounding re-syncs both engines every round, so the
+    only cross-engine risk is a sub-1e-15 argmax tie (safe-direction
+    false alarm). Invariants (monotone inertia, argmax assignment)
+    remain pytest-checked in tests/test_training_ops.py."""
     from gbif_filter_python_spark.operators.similarity import (
         kmeans_assign,
         kmeans_fit,
@@ -2541,6 +2546,68 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, n_iter=3)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """Unrolled-Lloyd SQL twin of q_kmeans_clusters (k-means IS
+    SQL-expressible for a fixed iteration count — same move as
+    _pagerank_oracle): hash-ordered seeds, per-iteration argmax
+    assignment (sim division by the vector norm is dropped — it is
+    per-vector constant, so the argmax is identical) and normalized
+    9dp-rounded centroid means, empty clusters carrying forward, then
+    a final assignment for the size counts. CTEs are MATERIALIZED:
+    each c{i} is referenced three times, and without materialization
+    DuckDB inlines the whole chain ~3^iters times (measured 306 s;
+    materialized: 0.7 s). Preconditions (asserted in
+    tests/test_oracle_preconditions.py): the Spark fit runs all
+    ``iters`` iterations (no tol early-stop) — a testdata refresh
+    that converges early breaks this oracle loudly, not silently."""
+    parts = [
+        "WITH ev AS MATERIALIZED (SELECT vec_id, "
+        "CAST(unnest(range(len(embedding))) AS INT) AS pos, "
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+        "seed_ids AS MATERIALIZED (SELECT vec_id, "
+        "CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        "vec_id) - 1 AS INT) AS cluster FROM embeddings "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}), "
+        "sn AS MATERIALIZED (SELECT s.cluster, e.pos, e.v, "
+        "sqrt(sum(e.v * e.v) OVER (PARTITION BY s.cluster)) AS nrm "
+        "FROM seed_ids s JOIN ev e ON s.vec_id = e.vec_id), "
+        "c0 AS MATERIALIZED (SELECT cluster, pos, "
+        "v / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS val FROM sn)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            "SELECT e.vec_id, c.cluster, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY sum(e.v * c.val) DESC, "
+            "c.cluster) AS rk "
+            f"FROM ev e JOIN c{i} c ON e.pos = c.pos "
+            "GROUP BY e.vec_id, c.cluster) WHERE rk = 1), "
+            f"m{i} AS MATERIALIZED (SELECT a.cluster, e.pos, "
+            f"avg(e.v) AS mv FROM a{i} a JOIN ev e "
+            "ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+            f"mn{i} AS MATERIALIZED (SELECT cluster, "
+            f"sqrt(sum(mv * mv)) AS nn FROM m{i} GROUP BY 1), "
+            f"c{i + 1} AS MATERIALIZED (SELECT m.cluster, m.pos, "
+            "round(m.mv / (CASE WHEN n.nn = 0 THEN 1.0 ELSE n.nn END), 9) "
+            f"AS val FROM m{i} m JOIN mn{i} n ON m.cluster = n.cluster "
+            f"UNION ALL SELECT c.cluster, c.pos, c.val FROM c{i} c "
+            f"WHERE c.cluster NOT IN (SELECT cluster FROM m{i}))"
+        )
+    parts.append(
+        "af AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+        "SELECT e.vec_id, c.cluster, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY sum(e.v * c.val) DESC, "
+        "c.cluster) AS rk "
+        f"FROM ev e JOIN c{iters} c ON e.pos = c.pos "
+        "GROUP BY e.vec_id, c.cluster) WHERE rk = 1)"
+    )
+    body = ", ".join(parts)
+    return (
+        f"{body} SELECT cluster, count(*) AS n_vecs FROM af "
+        "GROUP BY cluster"
+    )
+
+
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     """Unrolled-iteration SQL twin of graph.pagerank on the supplier
     hierarchy (a recursive CTE can't aggregate over its own recursive
@@ -2732,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "ppl_bands": q_ppl_bands,
         "video_frames": q_video_frames,
+        "kmeans_clusters": q_kmeans_clusters,  # oracled in r4 (unrolled)
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
@@ -2803,7 +2871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup are rows-only with pytest invariants.)
         "trailing_window": q_trailing_window,
         "cogroup_asof": q_cogroup_asof,
-        "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "media_resize": q_media_resize,
         "audio_stats": q_audio_stats,
@@ -3043,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id < 3"
         ),
         "pagerank": _pagerank_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
         "image_near_dups": (
             "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
             "WHERE doc_id < 50"

@@ -122,3 +122,21 @@ def test_approx_top_terms_has_no_tie_at_rank_boundary(spark, sf):
         "approx_top_terms top-20 set is not unique and its oracle is "
         "no longer a valid hash-match."
     )
+
+
+def test_kmeans_runs_all_five_iterations_no_early_stop(spark, sf):
+    """PRECONDITION for the kmeans_clusters oracle: _kmeans_oracle
+    unrolls exactly 5 Lloyd iterations, so the Spark fit must not
+    tol-converge earlier (history length == max_iter proves no early
+    stop fired). A testdata refresh that converges in fewer rounds
+    must fail HERE with this message, not as a bare hash mismatch."""
+    from gbif_filter_python_spark.operators.similarity import kmeans_fit
+
+    emb = entry_mod._t(spark, sf, "embeddings")
+    _, history = kmeans_fit(emb, k=8, max_iter=5)
+    assert len(history) == 5, (
+        f"k-means converged after {len(history)} iterations; the "
+        "unrolled 5-iteration SQL oracle no longer replays the same "
+        "fit — regenerate _kmeans_oracle with iters="
+        f"{len(history)}."
+    )
