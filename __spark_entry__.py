@@ -2235,10 +2235,14 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup over the perturbed embeddings: k-means clusters then
     within-cluster cosine >= 0.99 prune (keep-lowest-id) — each
     planted near-copy shares a cluster with its source and is the
-    higher id, so the originals survive. Rows-only (Lloyd iteration
-    is not SQL-expressible); planted-duplicate semantics pinned in
-    TestSemanticDedup and the kept-set invariant in
-    tests/test_rows_only_invariants.py.
+    higher id, so the originals survive. FULL oracle since r4: the
+    4-iteration k=16 Lloyd fit unrolls as materialized SQL CTEs
+    (_kmeans_oracle with src=perturbed union) and the prune is a
+    within-cluster dot >= θ·‖a‖·‖b‖ anti-filter. Threshold margin is
+    enormous (max non-planted pair sim 0.493, min planted 0.99997 —
+    asserted in tests/test_oracle_preconditions.py), so no float
+    ambiguity at 0.99. Planted-duplicate semantics remain pinned in
+    TestSemanticDedup and tests/test_rows_only_invariants.py.
 
     k scales with the corpus (the paper's k ∝ n regime — SemDeDup's
     per-cluster quadratic only stays bounded if cluster size does):
@@ -2546,7 +2550,13 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, n_iter=3)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    iters: int = 5,
+    src: str = "embeddings",
+    prelude: str = "",
+    final: str | None = None,
+) -> str:
     """Unrolled-Lloyd SQL twin of q_kmeans_clusters (k-means IS
     SQL-expressible for a fixed iteration count — same move as
     _pagerank_oracle): hash-ordered seeds, per-iteration argmax
@@ -2563,10 +2573,10 @@ def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
     parts = [
         "WITH ev AS MATERIALIZED (SELECT vec_id, "
         "CAST(unnest(range(len(embedding))) AS INT) AS pos, "
-        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM {src}), "
         "seed_ids AS MATERIALIZED (SELECT vec_id, "
         "CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
-        "vec_id) - 1 AS INT) AS cluster FROM embeddings "
+        "vec_id) - 1 AS INT) AS cluster FROM {src} "
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}), "
         "sn AS MATERIALIZED (SELECT s.cluster, e.pos, e.v, "
         "sqrt(sum(e.v * e.v) OVER (PARTITION BY s.cluster)) AS nrm "
@@ -2601,11 +2611,13 @@ def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
         f"FROM ev e JOIN c{iters} c ON e.pos = c.pos "
         "GROUP BY e.vec_id, c.cluster) WHERE rk = 1)"
     )
-    body = ", ".join(parts)
-    return (
-        f"{body} SELECT cluster, count(*) AS n_vecs FROM af "
-        "GROUP BY cluster"
+    body = ", ".join(parts).replace("{src}", src)
+    if prelude:
+        body = body.replace("WITH ", "WITH " + prelude, 1)
+    tail = final or (
+        "SELECT cluster, count(*) AS n_vecs FROM af GROUP BY cluster"
     )
+    return f"{body} {tail}"
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
@@ -3111,6 +3123,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        "semantic_dedup": _kmeans_oracle(
+            k=16,
+            iters=4,
+            src="pe",
+            prelude=(
+                "pe AS MATERIALIZED (SELECT vec_id, embedding FROM "
+                "embeddings UNION ALL SELECT vec_id + 100000, "
+                "list_transform(embedding, x -> x * 1.02 + 0.001) "
+                "FROM embeddings WHERE vec_id % 5 = 0), "
+            ),
+            final=(
+                ", nrmv AS MATERIALIZED (SELECT vec_id, "
+                "sqrt(sum(v * v)) AS n FROM ev GROUP BY 1), "
+                "dots AS MATERIALIZED (SELECT a.vec_id AS ida, "
+                "b.vec_id AS idb, sum(ea.v * eb.v) AS d "
+                "FROM af a JOIN af b ON a.cluster = b.cluster "
+                "AND b.vec_id < a.vec_id "
+                "JOIN ev ea ON ea.vec_id = a.vec_id "
+                "JOIN ev eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos "
+                "GROUP BY 1, 2), "
+                "dropped AS MATERIALIZED (SELECT DISTINCT d.ida FROM "
+                "dots d JOIN nrmv na ON na.vec_id = d.ida "
+                "JOIN nrmv nb ON nb.vec_id = d.idb "
+                "WHERE d.d >= 0.99 * na.n * nb.n) "
+                "SELECT vec_id, cluster FROM af "
+                "WHERE vec_id NOT IN (SELECT ida FROM dropped)"
+            ),
+        ),
         "image_near_dups": (
             "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
             "WHERE doc_id < 50"

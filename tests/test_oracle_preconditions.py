@@ -140,3 +140,47 @@ def test_kmeans_runs_all_five_iterations_no_early_stop(spark, sf):
         "fit — regenerate _kmeans_oracle with iters="
         f"{len(history)}."
     )
+
+
+def test_semantic_dedup_oracle_preconditions(spark, sf):
+    """PRECONDITIONS for the semantic_dedup oracle: (1) the k=16
+    4-iteration fit on the perturbed set must not early-stop (the SQL
+    unrolls exactly 4 rounds); (2) no within-cluster pair may sit
+    near the 0.99 threshold (the float band where Spark and DuckDB
+    could disagree) — planted pairs must be far above, everything
+    else far below."""
+    from gbif_filter_python_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from gbif_filter_python_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    pe = entry_mod._perturbed_embeddings(spark, sf)
+    centroids, history = kmeans_fit(pe, k=16, max_iter=4)
+    assert len(history) == 4, (
+        f"perturbed-set k-means converged after {len(history)} "
+        "iterations; regenerate the semantic_dedup oracle with iters="
+        f"{len(history)}."
+    )
+    a = kmeans_assign(pe, centroids, out_col="cluster").select(
+        "cluster", F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    pairs = a.alias("l").join(
+        a.alias("r"),
+        (F.col("l.cluster") == F.col("r.cluster"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    sim = dot_product(F.col("l.v"), F.col("r.v")) / (
+        l2_norm(F.col("l.v")) * l2_norm(F.col("r.v"))
+    )
+    n_danger = pairs.select(sim.alias("s")).filter(
+        "s >= 0.985 AND s < 0.995"
+    ).count()
+    assert n_danger == 0, (
+        f"{n_danger} within-cluster pairs sit within ±0.005 of the "
+        "0.99 threshold — the semantic_dedup oracle's cross-engine "
+        "float-determinism margin is gone."
+    )
