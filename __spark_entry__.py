@@ -2812,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_bands": q_ppl_bands,
         "video_frames": q_video_frames,
         "kmeans_clusters": q_kmeans_clusters,  # oracled in r4 (unrolled)
+        "semantic_dedup": q_semantic_dedup,  # oracled in r4 (unrolled)
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "pq_search": q_pq_search,
@@ -2883,7 +2884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup are rows-only with pytest invariants.)
         "trailing_window": q_trailing_window,
         "cogroup_asof": q_cogroup_asof,
-        "semantic_dedup": q_semantic_dedup,
         "media_resize": q_media_resize,
         "audio_stats": q_audio_stats,
         "bpe_learn": q_bpe_learn,
