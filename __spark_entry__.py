@@ -2452,6 +2452,44 @@ def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seasonal_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal anomaly detection (operators/analytics.py): hourly
+    event volumes per event_type vs that type's hour-of-day baseline
+    (mean/stddev of the slot's daily counts), z-scored and flagged at
+    |z| > 3. Two partial-aggregated hash aggs + one broadcast join of
+    the bounded |keys|×24 baseline; z rounds 4dp."""
+    from gbif_filter_python_spark.operators.analytics import (
+        seasonal_outliers,
+    )
+
+    events = _t(spark, sf, "events")
+    # day as string: dates cross the pandas/arrow boundary as
+    # datetime.date on the Spark side but datetime64 from DuckDB —
+    # the string form is the established cross-engine contract.
+    return seasonal_outliers(events).withColumn(
+        "day", F.col("day").cast("string")
+    )
+
+
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (corpus.py): the
+    positive set is distinct (user, props.k) pairs from events for
+    user_id < 30; three md5-arithmetic negatives per anchor from the
+    0..99 item space, anti-joined against the user's positives —
+    integer/hash math only, so the oracle replays the draw exactly
+    (no float contract needed)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        negative_samples,
+    )
+
+    events = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    pos = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    ).distinct()
+    return negative_samples(pos, n_items=100, k=3)
+
+
 def q_audio_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Audio near-dup detection over REAL PCM-WAV payloads
     (multimodal/binary_ops.py): 2048-sample deterministic waveforms
@@ -2811,6 +2849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "ppl_bands": q_ppl_bands,
         "video_frames": q_video_frames,
+        "seasonal_outliers": q_seasonal_outliers,
+        "negative_samples": q_negative_samples,
         "kmeans_clusters": q_kmeans_clusters,  # oracled in r4 (unrolled)
         "semantic_dedup": q_semantic_dedup,  # oracled in r4 (unrolled)
         "snapshot_diff": q_snapshot_diff,
@@ -3158,6 +3198,43 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": (
             "SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents "
             "WHERE doc_id < 50"
+        ),
+        "seasonal_outliers": (
+            "WITH hourly AS (SELECT event_type AS key, "
+            "CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS n "
+            "FROM events GROUP BY 1, 2, 3), "
+            "base AS (SELECT key, hour, avg(n) AS mu, "
+            "stddev_samp(n) AS sd FROM hourly GROUP BY 1, 2) "
+            "SELECT h.key, h.day, h.hour, h.n, "
+            "CASE WHEN b.sd IS NOT NULL AND b.sd > 0 THEN "
+            "round((h.n - b.mu) / b.sd, 4) END AS z, "
+            "coalesce(abs(CASE WHEN b.sd IS NOT NULL AND b.sd > 0 THEN "
+            "round((h.n - b.mu) / b.sd, 4) END) > 3.0, false) "
+            "AS is_outlier "
+            "FROM hourly h JOIN base b ON h.key = b.key "
+            "AND h.hour = b.hour"
+        ),
+        "negative_samples": (
+            "WITH pos AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract_string(props, '$.k') AS INT) AS item "
+            "FROM events WHERE user_id < 30), "
+            "cand AS (SELECT user_id, item, CAST(j AS INT) AS j, "
+            "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || "
+            "'|' || CAST(item AS VARCHAR) || '|' || "
+            "CAST(j AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) "
+            "AS neg_item FROM pos "
+            "CROSS JOIN (SELECT unnest(range(11)) AS j)), "
+            "neg AS (SELECT c.* FROM cand c WHERE NOT EXISTS ("
+            "SELECT 1 FROM pos p WHERE p.user_id = c.user_id "
+            "AND p.item = c.neg_item)), "
+            "d AS (SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "item, neg_item ORDER BY j) AS dup FROM neg), "
+            "r AS (SELECT user_id, item, neg_item, "
+            "CAST(row_number() OVER (PARTITION BY user_id, item "
+            "ORDER BY j) AS INT) AS neg_rank FROM d WHERE dup = 1) "
+            "SELECT user_id, item, neg_item, neg_rank FROM r "
+            "WHERE neg_rank <= 3"
         ),
         "video_frames": (
             "SELECT doc_id, CAST(i AS INT) AS frame_idx, "

@@ -232,3 +232,58 @@ def user_event_sequences(
             F.size("items").alias("n_items"),
         )
     )
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Seasonal anomaly detection over event volumes: flag
+    (key, hour-bucket) counts that deviate from the key's
+    hour-of-day baseline — ``(key, day, hour, n, z, is_outlier)``.
+
+    The model is the classic ops one: for each key and hour-of-day
+    slot (0-23), the baseline is the mean/stddev of that slot's
+    DAILY counts across the observed period; z = (n - mean) / std.
+    Slots with zero variance (constant traffic) are never outliers.
+
+    Two hash aggregations — hourly counts (shuffle keyed by
+    (key, day, hour), partial-aggregated map-side), then the 24-row-
+    per-key baseline — and one broadcast join back. The baseline
+    frame is |keys| x 24 rows, bounded; the fact shuffles once.
+    z rounds to ``round_dp`` (sum-of-squares magnitudes are small;
+    the usual cross-engine contract).
+    """
+    hourly = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("day"),
+            F.hour(ts_col).alias("hour"),
+        )
+        .groupBy("key", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = hourly.groupBy("key", "hour").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+    )
+    z = F.when(
+        F.col("sd").isNotNull() & (F.col("sd") > 0),
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), round_dp),
+    )
+    return (
+        hourly.join(F.broadcast(baseline), ["key", "hour"])
+        .select(
+            "key",
+            "day",
+            "hour",
+            "n",
+            z.alias("z"),
+            F.coalesce(
+                F.abs(z) > z_threshold, F.lit(False)
+            ).alias("is_outlier"),
+        )
+    )

@@ -956,3 +956,82 @@ def decontaminate(
         .select(F.col("doc_id").alias(doc_id_col))
     )
     return train.join(offenders, doc_id_col, "left_anti")
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    n_items: int = 100,
+    k: int = 3,
+    slack: int = 8,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    ``(user, item, neg_item, neg_rank)`` — k negatives per positive
+    anchor, drawn from the item space, guaranteed NOT to be a
+    positive of that user.
+
+    The draw is md5 arithmetic (``md5(user|item|j) % n_items`` for
+    j = 0..k+slack-1), so like every sampler in this module it is
+    reproducible across runs, engines, and partitionings — a retried
+    task regenerates identical negatives, and the DuckDB oracle
+    replays it exactly (no floats anywhere). Candidates that collide
+    with the user's positive set are anti-joined away; duplicate
+    buckets keep their first j; the first k survivors by j win. With
+    ``slack`` extra draws the chance a dense user exhausts candidates
+    is negligible (a user holding p of n items misses all k+slack
+    draws with probability ~p^(k+slack)); short rows surface in the
+    output with fewer than k rows rather than silently resampling.
+
+    Shape: candidate explode is map-only (k+slack rows per anchor);
+    the anti-join is keyed (user, neg_item) against the distinct
+    positive set — co-partitioned with the anchors at scale; two
+    WindowGroupLimit passes bound the output map-side.
+    """
+    j = F.explode(
+        F.sequence(F.lit(0), F.lit(int(k + slack - 1)))
+    ).alias("_j")
+    cand = positives.select(
+        F.col(user_col), F.col(item_col), j
+    ).withColumn(
+        "neg_item",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(user_col).cast("string"),
+                            F.col(item_col).cast("string"),
+                            F.col("_j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % int(n_items)
+        ).cast("int"),
+    )
+    user_pos = positives.select(
+        F.col(user_col).alias("_pu"), F.col(item_col).alias("_pi")
+    ).distinct()
+    neg = cand.join(
+        user_pos,
+        (F.col(user_col) == F.col("_pu"))
+        & (F.col("neg_item") == F.col("_pi")),
+        "left_anti",
+    )
+    dedup_w = Window.partitionBy(user_col, item_col, "neg_item").orderBy(
+        "_j"
+    )
+    rank_w = Window.partitionBy(user_col, item_col).orderBy("_j")
+    return (
+        neg.withColumn("_dup", F.row_number().over(dedup_w))
+        .filter(F.col("_dup") == 1)
+        .withColumn("neg_rank", F.row_number().over(rank_w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select(user_col, item_col, "neg_item", "neg_rank")
+    )

@@ -129,3 +129,107 @@ class TestUserEventSequences:
             df.repartition(5), max_len=4, stride=4
         ).collect()
         assert list(a[0]["items"]) == list(b[0]["items"]) == [3, 5, 7]
+
+
+class TestSeasonalOutliers:
+    def _events(self, spark, rows):
+        import datetime
+
+        data = [
+            (i, datetime.datetime(2024, 1, d, h, 30), "t")
+            for i, (d, h) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, "event_id long, ts timestamp, event_type string"
+        )
+
+    def test_spike_is_flagged(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            seasonal_outliers,
+        )
+
+        # hour 9 baseline: 1 event/day for 30 days, then a 20-event
+        # spike on day 31 (the spike inflates its own baseline's
+        # stddev, so the background must be long enough: z ~ 5.4 here)
+        rows = [(d, 9) for d in range(1, 31)]
+        rows += [(31, 9)] * 20
+        out = {
+            (r.day, r.hour): r
+            for r in seasonal_outliers(
+                self._events(spark, rows), key_col="event_type"
+            ).collect()
+        }
+        import datetime as _dt
+
+        spike = out[(_dt.date(2024, 1, 31), 9)]
+        assert spike.n == 20 and spike.is_outlier
+        normal = out[(_dt.date(2024, 1, 5), 9)]
+        assert not normal.is_outlier
+
+    def test_constant_traffic_never_outlier(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            seasonal_outliers,
+        )
+
+        rows = [(d, 12) for d in range(1, 8)]  # 1/day, zero variance
+        out = seasonal_outliers(
+            self._events(spark, rows), key_col="event_type"
+        ).collect()
+        assert all(not r.is_outlier for r in out)
+        assert all(r.z is None for r in out)  # sd == 0 -> NULL z
+
+
+class TestNegativeSamples:
+    def _pos(self, spark, pairs):
+        return spark.createDataFrame(pairs, "user_id long, item int")
+
+    def test_negatives_never_positive_and_deterministic(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            negative_samples,
+        )
+
+        pairs = [(u, i) for u in range(5) for i in (u, u + 10, u + 20)]
+        pos = self._pos(spark, pairs)
+        got1 = sorted(
+            (r.user_id, r.item, r.neg_item, r.neg_rank)
+            for r in negative_samples(pos, n_items=50, k=3).collect()
+        )
+        got2 = sorted(
+            (r.user_id, r.item, r.neg_item, r.neg_rank)
+            for r in negative_samples(pos, n_items=50, k=3).collect()
+        )
+        assert got1 == got2  # md5 arithmetic: no rand()
+        pos_set = {(u, i) for u, i in pairs}
+        for u, i, n, rk in got1:
+            assert (u, n) not in pos_set
+            assert 0 <= n < 50 and 1 <= rk <= 3
+        # every anchor got its full k (item space is sparse)
+        from collections import Counter
+
+        per_anchor = Counter((u, i) for u, i, _, _ in got1)
+        assert all(v == 3 for v in per_anchor.values())
+
+    def test_no_duplicate_negatives_per_anchor(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            negative_samples,
+        )
+
+        pos = self._pos(spark, [(1, 1), (1, 2)])
+        got = negative_samples(pos, n_items=8, k=3).collect()
+        seen = {}
+        for r in got:
+            key = (r.user_id, r.item)
+            seen.setdefault(key, set())
+            assert r.neg_item not in seen[key]
+            seen[key].add(r.neg_item)
+
+    def test_dense_user_degrades_gracefully(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            negative_samples,
+        )
+
+        # user holds 7 of 8 items: negatives can only be the one
+        # free item, and rows may be fewer than k — never a positive
+        pos = self._pos(spark, [(1, i) for i in range(7)])
+        got = negative_samples(pos, n_items=8, k=3, slack=8).collect()
+        assert all(r.neg_item == 7 for r in got)
