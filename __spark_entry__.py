@@ -2827,6 +2827,76 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return lm_perplexity(test, uni, big, num_buckets=64)
 
 
+def q_bm25_top_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (operators/ranking.py): docs
+    doc_id < 3 act as queries over the full corpus; Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf, k1=1.2, b=0.75. Per-term
+    contributions round 6dp before the (query, doc) sum (cross-engine
+    sum-of-identical-values contract); top-10 per query ordered by
+    (rounded bm25 desc, doc_id asc)."""
+    from gbif_filter_python_spark.operators.ranking import bm25_top_docs
+
+    docs = _t(spark, sf, "documents")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_top_docs(docs, probes, k=10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid keyword+vector retrieval fused with reciprocal-rank
+    fusion (operators/ranking.py, Cormack 2009): BM25 top-20 over
+    documents and brute-force cosine top-20 over embeddings (probe
+    ids 0-2, self excluded on both sides — doc_id and vec_id share
+    the id space), fused by sum(1/(60+rank)) and re-ranked to a
+    top-10. RRF needs no score calibration, which is exactly why it
+    is the standard hybrid combiner; contributions are reciprocals of
+    small integers (bit-identical cross-engine), summed pairwise and
+    rounded 9dp."""
+    from gbif_filter_python_spark.operators.ranking import (
+        bm25_top_docs,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf, "documents")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    kw = bm25_top_docs(docs, probes, k=20).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    # Re-rank after the self-exclusion so ranks stay 1..dense (the
+    # exclusion would otherwise leave a hole at rank 1).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    kw = (
+        kw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), 6
+    ).alias("cosine")
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), sim)
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([kw, vec], k=60, top=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's harness checks the
     FIRST 50 entries, so the window leads with the queries newest to
@@ -2844,6 +2914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_correctness.py (CORRECTNESS_LOCAL_r04.json) and the
     pytest suite."""
     return {
+        # -- new this round: retrieval ranking ----------------------
+        "bm25_top_docs": q_bm25_top_docs,
+        "hybrid_rrf": q_hybrid_rrf,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3155,8 +3228,73 @@ _LM_PPL_ORACLE = (
         )
 
 
+# Shared BM25 CTE chain (documents; probes = doc_id < 3). Inexact
+# literals (2.2, 1.2) are CAST AS DOUBLE so DuckDB's exact-DECIMAL
+# arithmetic can't drift a last bit from Spark's double literals;
+# per-term contributions round 6dp BEFORE the sum (the ranking.py
+# determinism contract).
+def _bm25_ctes() -> str:
+    return (
+        f"norm AS (SELECT doc_id, {_NORM} AS t FROM documents), "
+        f"words AS (SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) "
+        f"AS term FROM norm WHERE t <> ''), "
+        f"tf AS (SELECT doc_id, term, count(*) AS tf FROM words "
+        f"GROUP BY 1, 2), "
+        f"dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), "
+        f"dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf "
+        f"GROUP BY 1), "
+        f"stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        f"avg(dl) AS avgdl FROM dl), "
+        f"qt AS (SELECT DISTINCT doc_id AS query_id, term FROM words "
+        f"WHERE doc_id < 3), "
+        f"contrib AS (SELECT qt.query_id, tf.doc_id, "
+        f"round(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5)) * "
+        f"(tf.tf * CAST(2.2 AS DOUBLE)) / "
+        f"(tf.tf + CAST(1.2 AS DOUBLE) * "
+        f"(0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS c "
+        f"FROM tf JOIN qt USING (term) JOIN dfc USING (term) "
+        f"JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s), "
+        f"kwscored AS (SELECT query_id, doc_id, round(sum(c), 6) AS bm25 "
+        f"FROM contrib GROUP BY 1, 2)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_top_docs": (
+            f"WITH {_bm25_ctes()} "
+            f"SELECT query_id, doc_id, bm25, rank FROM ("
+            f"SELECT query_id, doc_id, bm25, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) "
+            f"AS rank FROM kwscored) WHERE rank <= 10"
+        ),
+        "hybrid_rrf": (
+            f"WITH {_bm25_ctes()}, "
+            f"kw0 AS (SELECT query_id, doc_id, bm25, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) "
+            f"AS r0 FROM kwscored), "
+            f"kw AS (SELECT query_id, doc_id, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) "
+            f"AS rank FROM kw0 WHERE r0 <= 20 AND doc_id != query_id), "
+            f"vec0 AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id, "
+            f"row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            f"round(list_cosine_similarity(c.embedding, q.embedding), 6) "
+            f"DESC, c.vec_id ASC) AS rank "
+            f"FROM embeddings c CROSS JOIN embeddings q "
+            f"WHERE q.vec_id < 3 AND c.vec_id != q.vec_id), "
+            f"vec AS (SELECT query_id, doc_id, rank FROM vec0 "
+            f"WHERE rank <= 20), "
+            f"u AS (SELECT query_id, doc_id, "
+            f"CAST(1 AS DOUBLE) / (60 + rank) AS c FROM kw "
+            f"UNION ALL SELECT query_id, doc_id, "
+            f"CAST(1 AS DOUBLE) / (60 + rank) AS c FROM vec), "
+            f"f AS (SELECT query_id, doc_id, round(sum(c), 9) AS rrf, "
+            f"CAST(count(*) AS INT) AS n_lists FROM u GROUP BY 1, 2) "
+            f"SELECT query_id, doc_id, rrf, n_lists, rank FROM ("
+            f"SELECT query_id, doc_id, rrf, n_lists, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) "
+            f"AS rank FROM f) WHERE rank <= 10"
+        ),
         "pq_search": (
             "SELECT vec_id AS query_id, true AS ok FROM embeddings "
             "WHERE vec_id < 3"

@@ -1,0 +1,238 @@
+"""Keyword + hybrid retrieval ranking operators.
+
+Beyond-reference block: the retrieval stack a training-data pipeline
+uses to mine, dedupe against, or decontaminate with *query-shaped*
+workloads — completing the keyword half that the ANN operators in
+``operators/similarity.py`` leave open:
+
+* **BM25 scoring** (``bm25_scores`` / ``bm25_top_docs``) — Okapi
+  BM25 (Robertson & Spärck Jones; the Lucene ``k1``/``b``
+  formulation with the +1 idf floor so scores are never negative).
+  The inverted-index statistics are TWO hash aggregations over the
+  exploded word stream — term frequency per (doc, term) and document
+  frequency per term — exactly the ``tfidf_top_terms`` plan shape,
+  plus a 1-row (N, avgdl) aggregate crossJoined in (no driver
+  ``.count()`` during plan construction).
+* **Reciprocal-rank fusion** (``rrf_fuse``) — Cormack, Clarke &
+  Buettcher (SIGIR 2009): fuse any number of per-query rankings by
+  ``sum(1 / (k + rank))``. The standard hybrid-search combiner for
+  keyword + vector retrieval (it needs no score calibration, only
+  ranks, which is why it survives heterogeneous scorers).
+
+Scale design (100 TB corpus, 1000 executors):
+
+* the corpus-side shuffles carry ``(doc_id, term, count)`` rows —
+  never the text; document length rides the same first aggregation;
+* the query set is assumed bounded (retrieval batches are thousands
+  of queries, not billions) and is **broadcast** to the term
+  statistics — the corpus-side tf table never reshuffles on terms;
+* rank fusion unions the candidate lists and runs ONE
+  (query, doc)-keyed aggregation; each input list is already top-k
+  truncated, so fusion state is O(queries x k x lists).
+
+Determinism contract (cross-engine hash-matching, see
+``__spark_entry__`` float policy): per-term BM25 contributions are
+rounded to 6 dp BEFORE the per-(query, doc) sum so both engines sum
+identical values; the final score re-rounds to 6 dp, nine orders
+above accumulated fp noise. RRF contributions are exact reciprocals
+of small integers summed per (query, doc) — commutative for the
+two-to-four-list case — rounded to 9 dp. Rankings order by the
+ROUNDED score desc then doc id asc, never the raw double.
+
+Reference parity: the reference (SURVEY.md §2 rows 1-40) has no
+retrieval scorer; this module belongs to the beyond-reference
+LLM-pipeline block the build brief mandates (similarity search /
+hybrid retrieval).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: Column) -> Column:
+    """Normalized word array — the corpus.py tokenizer contract.
+
+    Re-declared (two lines) rather than imported to keep this module
+    importable without the corpus module's pandas dependencies; the
+    expression is byte-identical to ``operators.corpus._words`` and
+    covered by the same cross-engine oracles.
+    """
+    return F.array_remove(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "),
+                    "\\s+",
+                    " ",
+                )
+            ),
+            " ",
+        ),
+        "",
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against every query.
+
+    ``score(q, d) = sum over t in distinct_terms(q) of
+    idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))``
+    with the Lucene idf ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (the
+    +1 inside the log keeps idf positive for ultra-common terms).
+
+    Returns ``(query_id, doc_id, bm25)`` for every (query, doc) pair
+    sharing at least one term; ``bm25`` is rounded to 6 dp (per-term
+    contributions are themselves rounded to 6 dp before the sum — the
+    cross-engine determinism contract, see module docstring).
+
+    Plan shape: words explode → tf hash agg (doc length rides along
+    via a window-free second agg on doc_id) → df hash agg → distinct
+    query terms **broadcast** onto tf → one (query, doc) sum agg.
+    The corpus text never shuffles; at 100 TB the only wide exchanges
+    carry (doc, term, count) integers.
+    """
+    words = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Document length from the tf table (sum of term counts) — reuses
+    # the first shuffle's output instead of re-scanning the corpus.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfc = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_words(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    per_term = contrib.select(
+        "query_id",
+        "doc_id",
+        F.round(idf * tf_part, 6).alias("_c"),
+    )
+    return per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_c"), 6).alias("bm25")
+    )
+
+
+def bm25_top_docs(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    Ordering is (rounded bm25 desc, doc_id asc) — a total order, so
+    the cut is deterministic across partitionings and engines. The
+    per-query limit runs as a WindowGroupLimit (map-side top-k before
+    the final rank shuffle).
+    """
+    scored = bm25_scores(
+        docs,
+        queries,
+        k1=k1,
+        b=b,
+        doc_id_col=doc_id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings (Cormack 2009).
+
+    Each input frame carries ``(query_col, id_col, rank_col)`` with
+    rank starting at 1. A candidate's fused score is
+    ``sum over lists containing it of 1 / (k + rank)`` — absent lists
+    contribute nothing (the union-all + one-aggregation formulation;
+    no N-way full outer join). Returns
+    ``(query_id, doc_id, rrf, n_lists, rank)`` rounded to 9 dp and
+    re-ranked by (rrf desc, doc_id asc); ``top`` truncates per query.
+
+    Scale: inputs are top-k truncated lists, so the single
+    (query, doc) aggregation holds O(queries x k x lists) rows
+    regardless of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_c"), 9).alias("rrf"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out.select("query_id", "doc_id", "rrf", "n_lists", "rank")

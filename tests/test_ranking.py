@@ -1,0 +1,130 @@
+"""BM25 + reciprocal-rank-fusion retrieval (operators/ranking.py).
+
+Known-value BM25 math against an independent pure-Python computation,
+ranking semantics (rare terms dominate, self-retrieval wins), and RRF
+fusion arithmetic including single-list membership.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.ranking import (
+    bm25_scores,
+    bm25_top_docs,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, "cherry cherry cherry durian"),
+    (3, "apple durian"),
+]
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent reference computation over DOCS."""
+    toks = {d: t.split() for d, t in DOCS}
+    n = float(len(toks))
+    dl = {d: len(w) for d, w in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df: dict[str, int] = {}
+    for w in toks.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    out: dict[int, float] = {}
+    for d, w in toks.items():
+        s = 0.0
+        for t in set(query_terms):
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            c = idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl[d] / avgdl)
+            )
+            s += round(c, 6)
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestBm25:
+    def test_known_values_match_reference(self, spark, docs_df):
+        probes = spark.createDataFrame(
+            [(100, "apple cherry")], ["query_id", "text"]
+        )
+        got = {
+            r.doc_id: r.bm25
+            for r in bm25_scores(docs_df, probes).collect()
+        }
+        want = _py_bm25(["apple", "cherry"])
+        assert got == pytest.approx(want, abs=2e-6)
+
+    def test_self_retrieval_ranks_first(self, spark, docs_df):
+        probes = docs_df.select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        top1 = (
+            bm25_top_docs(docs_df, probes, k=1)
+            .select("query_id", "doc_id")
+            .collect()
+        )
+        # Every doc is its own best match on this corpus (no doc is a
+        # strict superset of another's term profile).
+        assert {r.query_id: r.doc_id for r in top1} == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_rare_term_outweighs_common(self, spark, docs_df):
+        # 'durian' (df=2) should pull docs 2,3 above docs lacking it
+        # for a pure-durian query; docs without the term score nothing.
+        probes = spark.createDataFrame([(9, "durian")], ["query_id", "text"])
+        rows = bm25_scores(docs_df, probes).collect()
+        assert {r.doc_id for r in rows} == {2, 3}
+
+    def test_blank_and_unknown_query_terms_score_nothing(self, spark, docs_df):
+        probes = spark.createDataFrame(
+            [(1, "zzz qqq"), (2, "   ")], ["query_id", "text"]
+        )
+        assert bm25_scores(docs_df, probes).count() == 0
+
+
+class TestRrf:
+    def test_fusion_math_and_membership(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], ["query_id", "doc_id", "rank"]
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], ["query_id", "doc_id", "rank"]
+        )
+        rows = {
+            r.doc_id: r
+            for r in rrf_fuse([a, b], k=60).collect()
+        }
+        assert rows[11].rrf == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)
+        assert rows[10].rrf == pytest.approx(1 / 61, abs=1e-9)
+        assert rows[12].rrf == pytest.approx(1 / 62, abs=1e-9)
+        assert (rows[11].n_lists, rows[10].n_lists, rows[12].n_lists) == (
+            2,
+            1,
+            1,
+        )
+        # Both-lists doc leads; the two single-list docs order by the
+        # reciprocal of their rank, tie-broken by id.
+        assert [rows[d].rank for d in (11, 10, 12)] == [1, 2, 3]
+
+    def test_top_truncation_and_empty_input(self, spark):
+        a = spark.createDataFrame(
+            [(1, i, i) for i in range(1, 6)], ["query_id", "doc_id", "rank"]
+        )
+        assert rrf_fuse([a], top=2).count() == 2
+        with pytest.raises(ValueError):
+            rrf_fuse([])
