@@ -2827,6 +2827,62 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return lm_perplexity(test, uni, big, num_buckets=64)
 
 
+def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection 64→16
+    (functions/vectors.py, Achlioptas 2001): the sign matrix is
+    md5-derived driver-side model state embedded as codegen literals
+    — map-only, no shuffle, no per-row hashing. FULL oracle: DuckDB
+    replays the identical md5 sign matrix and the identical
+    left-to-right fold, so every rounded component hash-matches.
+    Output exploded to (vec_id, pos, val) scalars."""
+    from gbif_filter_python_spark.functions.vectors import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        random_projection(F.col("embedding"), 64, 16).alias("_p"),
+    )
+    return proj.select(
+        "vec_id", F.posexplode("_p").alias("pos", "val")
+    )
+
+
+def q_cms_term_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketches.py):
+    depth=4 × width=256 sketch over all document words (narrow enough
+    that the hot terms genuinely collide), probed for the exact top-15
+    terms. FULL oracle: the md5 bucket layout is engine-reproducible,
+    so (term, exact_n, est_n) hash-match cell for cell; ``ok`` pins
+    the CMS one-sided guarantee est ≥ exact."""
+    from gbif_filter_python_spark.operators.dedup import words_array
+    from gbif_filter_python_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(words_array(F.col("text"))).alias("term")
+    )
+    sk = cms_build(words, "term", depth=4, width=256)
+    exact = words.groupBy("term").agg(F.count("*").alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("term"))
+    probes = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("term", "exact_n")
+    )
+    est = cms_estimate(sk, probes, "term", width=256)
+    return probes.join(est, "term").select(
+        "term",
+        "exact_n",
+        F.col("est_count").alias("est_n"),
+        (F.col("est_count") >= F.col("exact_n")).alias("ok"),
+    )
+
+
 def q_bm25_top_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 keyword retrieval (operators/ranking.py): docs
     doc_id < 3 act as queries over the full corpus; Lucene
@@ -2914,9 +2970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_correctness.py (CORRECTNESS_LOCAL_r04.json) and the
     pytest suite."""
     return {
-        # -- new this round: retrieval ranking ----------------------
+        # -- new this round: retrieval ranking + CMS ----------------
         "bm25_top_docs": q_bm25_top_docs,
         "hybrid_rrf": q_hybrid_rrf,
+        "cms_term_counts": q_cms_term_counts,
+        "random_projection": q_random_projection,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3261,6 +3319,41 @@ def _bm25_ctes() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "random_projection": (
+            "WITH idx AS (SELECT CAST(unnest(range(16)) AS INT) AS pos) "
+            "SELECT vec_id, pos, round(list_sum(list_transform("
+            "embedding, (x, j) -> CAST(x AS DOUBLE) * ("
+            "CASE WHEN ('0x' || substr(md5('rp:0:' || "
+            "CAST(pos AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), "
+            "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
+            "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
+            "FROM embeddings CROSS JOIN idx"
+        ),
+        "cms_term_counts": (
+            f"WITH t AS (SELECT {_NORM} AS t FROM documents), "
+            f"w AS (SELECT unnest(regexp_split_to_array(t, ' ')) AS term "
+            f"FROM t WHERE t <> ''), "
+            f"c AS (SELECT term, count(*) AS exact_n FROM w "
+            f"WHERE term <> '' GROUP BY 1), "
+            f"p AS (SELECT term, exact_n FROM ("
+            f"SELECT term, exact_n, row_number() OVER ("
+            f"ORDER BY exact_n DESC, term ASC) AS rk FROM c) "
+            f"WHERE rk <= 15), "
+            f"dd AS (SELECT CAST(unnest(range(4)) AS INT) AS d), "
+            f"cells AS (SELECT d, "
+            f"('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), "
+            f"1, 12))::BIGINT % 256 AS bucket, count(*) AS cnt "
+            f"FROM w CROSS JOIN dd WHERE term <> '' GROUP BY 1, 2), "
+            f"probe AS (SELECT p.term, p.exact_n, "
+            f"min(coalesce(cells.cnt, 0)) AS est_n "
+            f"FROM p CROSS JOIN dd "
+            f"LEFT JOIN cells ON cells.d = dd.d AND cells.bucket = "
+            f"('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || "
+            f"p.term), 1, 12))::BIGINT % 256 "
+            f"GROUP BY 1, 2) "
+            f"SELECT term, exact_n, est_n, est_n >= exact_n AS ok "
+            f"FROM probe"
+        ),
         "bm25_top_docs": (
             f"WITH {_bm25_ctes()} "
             f"SELECT query_id, doc_id, bm25, rank FROM ("

@@ -101,3 +101,76 @@ def hashed_embedding(text: Column, dim: int = 64) -> Column:
         counts,
         lambda v: F.when(norm > 0, F.round(v / norm, 6)).otherwise(0.0),
     )
+
+
+def projection_signs(
+    in_dim: int, out_dim: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`.
+
+    ``sign[i][j] = +1`` iff the first 8 hex chars of
+    ``md5("rp:{seed}:{i}:{j}")`` are even — the same md5-arithmetic
+    idiom as ``corpus.split_bucket``, so ANY engine (the DuckDB
+    oracle included) reproduces the matrix bit-for-bit. Computed once
+    driver-side with hashlib (identical to SQL md5) — this is MODEL
+    STATE, like a k-means centroid table: out_dim × in_dim floats
+    (~a few KB), embedded as literals so executors never hash.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    vec: Column, in_dim: int, out_dim: int, seed: int = 0
+) -> Column:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims.
+
+    Achlioptas (2001) database-friendly ±1 projection:
+    ``out[i] = round(sum_j sign(i,j) * v[j] / sqrt(out_dim), 6)`` —
+    pairwise distances are preserved within (1 ± ε) for
+    ``out_dim = O(ln n / ε²)``, which is what makes 64→16 (or
+    1536→128 in production) a safe pre-step for the ANN / semantic
+    dedup operators: 4× less shuffle bytes per vector.
+
+    Scale design: the sign matrix is driver-computed literals
+    (:func:`projection_signs`) compiled into whole-stage codegen —
+    the projection is MAP-ONLY, no shuffle, no UDF, no per-row
+    hashing. The fold is a strict left-to-right ``F.aggregate``, so
+    the sum order (hence the rounded double) is engine-reproducible.
+
+    Pick ``out_dim`` a power of four and the scale ``1/sqrt(out_dim)``
+    is an exact binary double, keeping cross-engine parity trivially.
+    """
+    signs = projection_signs(in_dim, out_dim, seed)
+    scale = 1.0 / (out_dim**0.5)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in signs[i]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for i in range(out_dim)
+    ]
+    return F.array(*comps)

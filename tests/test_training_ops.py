@@ -870,3 +870,70 @@ class TestVideoMbmp:
         )
         rows = sample_frames_mbmp(media, n_frames=4).collect()
         assert [(r.frame_idx, r.src_idx) for r in rows] == [(0, 0), (1, 1)]
+
+
+class TestRandomProjection:
+    def test_jl_distance_preservation_and_determinism(self, spark):
+        """64→16 ±1 projection approximately preserves pairwise
+        distances (JL): correlation between original and projected
+        squared distances is high on random gaussian vectors, the
+        output is deterministic, and the sign matrix matches its own
+        md5 definition."""
+        import hashlib
+        import random
+
+        import numpy as np
+
+        from gbif_filter_python_spark.functions.vectors import (
+            projection_signs,
+            random_projection,
+        )
+
+        rng = random.Random(7)
+        # Clustered data (3 far-apart centers + noise): iid gaussians
+        # concentrate all pairwise distances, which makes distance
+        # correlation meaningless — structure makes it measurable.
+        centers = [
+            [rng.gauss(0, 4) for _ in range(64)] for _ in range(3)
+        ]
+        vecs = [
+            (
+                i,
+                [
+                    c + rng.gauss(0, 0.5)
+                    for c in centers[i % 3]
+                ],
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+        out = {
+            r.vec_id: np.array(r.p)
+            for r in df.select(
+                "vec_id", random_projection(F.col("v"), 64, 16).alias("p")
+            ).collect()
+        }
+        orig = {i: np.array(v) for i, v in vecs}
+        d_o, d_p = [], []
+        for a in range(0, 40, 3):
+            for b in range(a + 1, 40, 5):
+                d_o.append(np.sum((orig[a] - orig[b]) ** 2))
+                d_p.append(np.sum((out[a] - out[b]) ** 2))
+        corr = np.corrcoef(d_o, d_p)[0, 1]
+        # 16 dims preserves the cluster-scale distance structure.
+        assert corr > 0.9
+        # Ratio concentrates near 1 on average (unbiased estimator).
+        assert 0.6 < float(np.mean(np.array(d_p) / np.array(d_o))) < 1.4
+
+        signs = projection_signs(64, 16)
+        i, j = 3, 41
+        h = int(hashlib.md5(f"rp:0:{i}:{j}".encode()).hexdigest()[:8], 16)
+        assert signs[i][j] == (1.0 if h % 2 == 0 else -1.0)
+
+        again = {
+            r.vec_id: list(r.p)
+            for r in df.select(
+                "vec_id", random_projection(F.col("v"), 64, 16).alias("p")
+            ).collect()
+        }
+        assert again == {k: list(v) for k, v in out.items()}
