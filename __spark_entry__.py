@@ -2827,6 +2827,49 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return lm_perplexity(test, uni, big, num_buckets=64)
 
 
+def _near_dup_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The exact cosine ≥ 0.35 pair graph (same edge set and rounding
+    contract as q_near_dup_exact) — the shared input of the graph
+    operators below."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return pairs.select("id_a", "id_b").where(cos >= 0.35)
+
+
+def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py) over the exact
+    near-dup pair graph — triangle density distinguishes verified
+    dup CLIQUES from unverified chains. Degree-ordered orientation
+    (O(m^1.5) wedge bound, skew-proof); the oracle replays the naive
+    a<b<c enumeration, which provably yields identical counts."""
+    from gbif_filter_python_spark.operators.graph import triangle_count
+
+    return triangle_count(
+        _near_dup_edges(spark, sf), src_col="id_a", dst_col="id_b"
+    )
+
+
+def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py, Raghavan
+    2007), 4 fixed rounds over the near-dup pair graph: majority
+    neighbor label, ties to the smallest label — fully deterministic,
+    so the oracle unrolls the identical rounds as CTEs."""
+    from gbif_filter_python_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(
+        _near_dup_edges(spark, sf), n_iter=4, src_col="id_a", dst_col="id_b"
+    )
+
+
 def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16
     (functions/vectors.py, Achlioptas 2001): the sign matrix is
@@ -2975,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "cms_term_counts": q_cms_term_counts,
         "random_projection": q_random_projection,
+        "triangle_counts": q_triangle_counts,
+        "label_prop": q_label_prop,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3317,6 +3362,40 @@ def _bm25_ctes() -> str:
     )
 
 
+
+_NDE_SQL = (
+    "e AS (SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+    "JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) "
+    ">= 0.35)"
+)
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled synchronous label-propagation CTE chain over the
+    near-dup edge graph — one (votes, winner, labels) triple per
+    round, exactly the graph.label_propagation recurrence."""
+    parts = [
+        f"WITH {_NDE_SQL}, ",
+        "sym AS (SELECT a, b FROM e UNION ALL "
+        "SELECT b AS a, a AS b FROM e), ",
+        "nodes AS (SELECT DISTINCT a AS id FROM sym), ",
+        "l0 AS (SELECT id, id AS label FROM nodes), ",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"v{i} AS (SELECT s.b AS id, l.label, count(*) AS c "
+            f"FROM sym s JOIN l{i-1} l ON l.id = s.a GROUP BY 1, 2), "
+            f"w{i} AS (SELECT id, label FROM (SELECT id, label, "
+            f"row_number() OVER (PARTITION BY id ORDER BY c DESC, "
+            f"label ASC) AS rk FROM v{i}) WHERE rk = 1), "
+            f"l{i} AS (SELECT n.id, coalesce(w.label, n.label) AS label "
+            f"FROM l{i-1} n LEFT JOIN w{i} w USING (id)), "
+        )
+    parts.append(f"fin AS (SELECT 1) SELECT id, label FROM l{n_iter}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "random_projection": (
@@ -3329,6 +3408,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
         ),
+        "triangle_counts": (
+            f"WITH {_NDE_SQL}, "
+            "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "pern AS (SELECT id, count(*) AS triangles FROM ("
+            "SELECT unnest([x, y, z]) AS id FROM t) GROUP BY 1), "
+            "nodes AS (SELECT DISTINCT id FROM ("
+            "SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)) "
+            "SELECT n.id, coalesce(p.triangles, 0) AS triangles "
+            "FROM nodes n LEFT JOIN pern p USING (id)"
+        ),
+        "label_prop": _lpa_oracle(4),
         "cms_term_counts": (
             f"WITH t AS (SELECT {_NORM} AS t FROM documents), "
             f"w AS (SELECT unnest(regexp_split_to_array(t, ' ')) AS term "

@@ -285,3 +285,141 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.round("rank", round_dp).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list:
+    ``(id, triangles)`` for every node incident to an edge.
+
+    Triangle density is the classic cohesion signal over a
+    near-duplicate pair graph (operators/dedup.py produces the
+    edges): a dup cluster whose pairs triangulate is a true clique
+    (every member verified against every other), while a chain
+    a~b~c with no a~c edge — exactly the case ``dedup_by_components``
+    handles conservatively — has triangles = 0.
+
+    Scale design — degree-ordered orientation (the O(m^1.5) wedge
+    bound): every undirected edge is directed from its lower
+    (degree, id) endpoint to its higher one, so each wedge is
+    enumerated at its lowest-degree apex and each triangle exactly
+    once. This is the standard skew armor: a celebrity node of degree
+    d contributes ~0 wedges as apex because nearly all its edges
+    point INTO it. The orientation changes only the join sizes —
+    counts are identical to the naive a<b<c enumeration, which is
+    what the DuckDB oracle replays. Three equi-joins + one explode
+    aggregate; node ids only on the shuffle.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    both = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # Orient each edge low→high by (degree, id); ties on degree break
+    # by id, so the orientation is a strict total order (acyclic).
+    d = (
+        both.join(deg.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u"))
+        .withColumnRenamed("deg", "dega")
+        .join(
+            deg.select(F.col("a").alias("_v"), F.col("deg").alias("degb")),
+            F.col("b") == F.col("_v"),
+        )
+        .filter(
+            (F.col("dega") < F.col("degb"))
+            | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    w1 = d.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = d.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    # The closing edge between v and w is oriented one way or the
+    # other; check both directions against the oriented edge list.
+    closing = d.select(
+        F.least("a", "b").alias("v"), F.greatest("a", "b").alias("w")
+    ).distinct()
+    tris = wedges.join(closing, ["v", "w"]).select(
+        F.explode(F.array("u", "v", "w")).alias("id")
+    )
+    counts = tris.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    nodes = both.select(F.col("a").alias("id")).distinct()
+    return nodes.join(counts, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) for community
+    detection: ``(id, label)`` after exactly ``n_iter`` rounds.
+
+    label_0(v) = v; each round every node adopts the MAJORITY label
+    among its neighbors (ties broken by smallest label; isolated
+    nodes keep their label). Fully deterministic — the asynchronous
+    textbook variant is order-dependent, so this fixed-round
+    synchronous form is what a reproducible data pipeline (and the
+    unrolled-CTE DuckDB oracle) needs. Against the near-dup pair
+    graph this yields dedup communities without running components
+    to convergence first.
+
+    Scale shape per round (identical to the pagerank round): one
+    equi-join of the label vector against the symmetric edge list,
+    one (node, label) count aggregate, one WindowGroupLimit argmax,
+    one join back; ``localCheckpoint`` truncates lineage. Shuffles
+    carry (id, label, count) integers only.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    both = (
+        sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = both.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("_c"), F.asc("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            both.join(labels, both["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        winner = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.select("id", "label")
+            .join(winner, "id", "left")
+            .select(
+                "id", F.coalesce("_new", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

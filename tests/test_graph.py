@@ -216,3 +216,68 @@ class TestPageRank:
         got = self._pr(spark, edges, n_iter=3)
         for v in nodes:
             assert got[v] == pytest.approx(r[idx[v]], abs=1e-4)
+
+
+class TestTriangleCount:
+    def _tc(self, spark, edges):
+        from gbif_filter_python_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.id: r.triangles for r in triangle_count(df).collect()}
+
+    def test_k4_chain_and_star(self, spark):
+        # K4: every node sits on C(3,2)=3 triangles.
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._tc(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+        # Chain has no triangles; every node reported with 0.
+        assert self._tc(spark, [(0, 1), (1, 2), (2, 3)]) == {
+            0: 0,
+            1: 0,
+            2: 0,
+            3: 0,
+        }
+        # Star (hub 0): no triangles despite hub degree 5 — and the
+        # degree orientation enumerates ZERO wedges at the hub.
+        assert self._tc(spark, [(0, i) for i in range(1, 6)]) == {
+            i: 0 for i in range(6)
+        }
+
+    def test_direction_duplicates_and_self_loops_ignored(self, spark):
+        # Triangle given with mixed directions, a duplicate edge and a
+        # self loop — still one triangle per node.
+        edges = [(0, 1), (1, 0), (2, 1), (0, 2), (2, 2)]
+        assert self._tc(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+class TestLabelPropagation:
+    def _lp(self, spark, edges, n_iter=4):
+        from gbif_filter_python_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.id: r.label
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+
+    def test_two_cliques_bridge(self, spark):
+        # Two triangles joined by one bridge edge: each triangle
+        # converges to its own min label (majority within the clique
+        # outvotes the bridge).
+        tri_a = [(0, 1), (1, 2), (0, 2)]
+        tri_b = [(10, 11), (11, 12), (10, 12)]
+        got = self._lp(spark, tri_a + tri_b + [(2, 10)])
+        assert got[0] == got[1] == got[2]
+        assert got[10] == got[11] == got[12]
+        assert got[0] != got[10]
+
+    def test_deterministic_across_runs(self, spark):
+        import random
+
+        rng = random.Random(3)
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert self._lp(spark, edges) == self._lp(spark, edges)
