@@ -147,3 +147,72 @@ def sessionize_stateful(
             "processing": GroupStateTimeout.ProcessingTimeTimeout,
         }[timeout],
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API, RocksDB-backed)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user RUNNING totals across micro-batches via Spark 4's
+    ``transformWithStateInPandas`` — the successor of
+    ``applyInPandasWithState`` (SPARK-46815, state-v2): typed state
+    handles (ValueState/ListState/MapState), per-state TTL, and the
+    RocksDB state-store backend with changelog checkpointing, which
+    is what makes very large keyspaces (billions of users) viable —
+    state lives off-heap per key-range, not in executor heap.
+
+    Emits one ``(user_id, n_events, sum_value)`` row per user per
+    micro-batch that touched the user — cumulative totals since the
+    stream started (Update output mode). The batch twin is a plain
+    ``groupBy(user).agg(count, sum)`` over everything ingested so
+    far; `tests/test_streaming.py` pins stream ≡ batch.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (transformWithState rejects the
+    HDFS-backed default) and the ``protobuf`` package (the state-v2
+    Python protocol wire format; bundled with pyspark on real
+    clusters, absent in this container — the differential test
+    ``importorskip``s it, mirroring the multimodal codec gating).
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, s double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, s = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -605,3 +605,74 @@ def test_stream_stream_interval_join_left_outer_emits_nulls(spark, tmp_path):
     assert (2, 3) in got          # matched pair emits
     assert (1, None) in got       # unmatched left emits null-padded
     assert (2, None) not in got   # matched left never also emits null
+
+
+def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas (state-v2, RocksDB): the
+    LAST emitted running total per user over a file stream must equal
+    the batch groupBy totals. maxFilesPerTrigger=1 forces multiple
+    micro-batches, so state genuinely carries across batches."""
+    import pyspark.sql.functions as F
+
+    # The state-v2 Python protocol serializes over protobuf; without
+    # it the TWS driver worker crashes on startup (verified in this
+    # container). Real-cluster images ship protobuf with pyspark.
+    pytest.importorskip("google.protobuf")
+
+    from gbif_filter_python_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    events = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        out = running_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM tws_totals"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    # Update mode appends one row per (user, micro-batch); the final
+    # cumulative row per user is the one with the max n_events.
+    got: dict = {}
+    for r in rows:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    assert got == expected
