@@ -2827,38 +2827,66 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return lm_perplexity(test, uni, big, num_buckets=64)
 
 
-def _near_dup_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """The exact cosine ≥ 0.35 pair graph (same edge set and rounding
-    contract as q_near_dup_exact) — the shared input of the graph
-    operators below."""
-    emb = _t(spark, sf, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+def _item_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-similarity graph — the shared input of the graph
+    operators below: nodes are the 50 event items (props.k % 50),
+    edges where user-set Jaccard ≥ 0.6 (rounded 6dp; exact integer
+    co-occurrence counts, so the oracle replays the edge set
+    bit-for-bit). The user-keyed self-join is the standard item-CF
+    co-occurrence shape: per-user pair fan-out is bounded by the
+    catalog cap (≤ C(50,2)), so the edge build stays O(users × 1225)
+    regardless of event volume — unlike an all-pairs cosine join,
+    this scales to the 100 TB event log."""
+    ev = _t(spark, sf, "events")
+    ui = ev.select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("int") % 50).alias("item"),
+    ).distinct()
+    n = ui.groupBy("item").agg(F.count("*").alias("nu"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(F.count("*").alias("cu"))
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")
+    na = n.select(F.col("item").alias("ia"), F.col("nu").alias("na"))
+    nb = n.select(F.col("item").alias("ib"), F.col("nu").alias("nb"))
+    jac = F.round(
+        F.col("cu").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("cu")),
+        6,
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
-    return pairs.select("id_a", "id_b").where(cos >= 0.35)
+    return (
+        co.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .where(jac >= 0.6)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
 
 
 def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-node triangle counts (operators/graph.py) over the exact
-    near-dup pair graph — triangle density distinguishes verified
-    dup CLIQUES from unverified chains. Degree-ordered orientation
-    (O(m^1.5) wedge bound, skew-proof); the oracle replays the naive
-    a<b<c enumeration, which provably yields identical counts."""
+    """Per-node triangle counts (operators/graph.py) over the
+    item-similarity Jaccard graph — triangle density distinguishes
+    genuinely cohesive item communities from incidental pairs.
+    Degree-ordered orientation (O(m^1.5) wedge bound, skew-proof);
+    the oracle replays the naive a<b<c enumeration, which provably
+    yields identical counts."""
     from gbif_filter_python_spark.operators.graph import triangle_count
 
     return triangle_count(
-        _near_dup_edges(spark, sf), src_col="id_a", dst_col="id_b"
+        _item_graph_edges(spark, sf), src_col="id_a", dst_col="id_b"
     )
 
 
 def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     """Synchronous label propagation (operators/graph.py, Raghavan
-    2007), 4 fixed rounds over the near-dup pair graph: majority
+    2007), 4 fixed rounds over the item-similarity graph: majority
     neighbor label, ties to the smallest label — fully deterministic,
     so the oracle unrolls the identical rounds as CTEs."""
     from gbif_filter_python_spark.operators.graph import (
@@ -2866,7 +2894,10 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return label_propagation(
-        _near_dup_edges(spark, sf), n_iter=4, src_col="id_a", dst_col="id_b"
+        _item_graph_edges(spark, sf),
+        n_iter=4,
+        src_col="id_a",
+        dst_col="id_b",
     )
 
 
@@ -3363,11 +3394,17 @@ def _bm25_ctes() -> str:
 
 
 
-_NDE_SQL = (
-    "e AS (SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
-    "JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) "
-    ">= 0.35)"
+_ITEM_GRAPH_SQL = (
+    "ui AS (SELECT DISTINCT user_id, "
+    "CAST(json_extract_string(props, '$.k') AS INT) % 50 AS item "
+    "FROM events), "
+    "nn AS (SELECT item, count(*) AS nu FROM ui GROUP BY 1), "
+    "co AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cu "
+    "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+    "AND a.item < b.item GROUP BY 1, 2), "
+    "e AS (SELECT ia AS a, ib AS b FROM co "
+    "JOIN nn na ON na.item = co.ia JOIN nn nb ON nb.item = co.ib "
+    "WHERE round(CAST(cu AS DOUBLE) / (na.nu + nb.nu - cu), 6) >= 0.6)"
 )
 
 
@@ -3376,7 +3413,7 @@ def _lpa_oracle(n_iter: int = 4) -> str:
     near-dup edge graph — one (votes, winner, labels) triple per
     round, exactly the graph.label_propagation recurrence."""
     parts = [
-        f"WITH {_NDE_SQL}, ",
+        f"WITH {_ITEM_GRAPH_SQL}, ",
         "sym AS (SELECT a, b FROM e UNION ALL "
         "SELECT b AS a, a AS b FROM e), ",
         "nodes AS (SELECT DISTINCT a AS id FROM sym), ",
@@ -3409,7 +3446,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings CROSS JOIN idx"
         ),
         "triangle_counts": (
-            f"WITH {_NDE_SQL}, "
+            f"WITH {_ITEM_GRAPH_SQL}, "
             "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
             "FROM e e1 JOIN e e2 ON e1.b = e2.a "
             "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "

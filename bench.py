@@ -105,6 +105,16 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "pq_search",
     "pagerank",
+    # Round 4 continuation: BM25 keyword retrieval + RRF hybrid
+    # fusion, count-min frequency sketch, JL random projection, and
+    # the per-node triangle / label-propagation graph passes over the
+    # near-dup pair graph.
+    "bm25_top_docs",
+    "hybrid_rrf",
+    "cms_term_counts",
+    "random_projection",
+    "triangle_counts",
+    "label_prop",
 ]
 
 
