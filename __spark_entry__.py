@@ -2901,6 +2901,26 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user coverage merge (operators/temporal.py): each event
+    spans [ts, ts + value minutes] in epoch seconds (all integer
+    arithmetic — exact cross-engine); overlapping-or-touching spans
+    union into coverage intervals. One shuffle on user_id, one sort;
+    the chain logic is a running-max + flag-cumsum window pass."""
+    from gbif_filter_python_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    ev = _t(spark, sf, "events")
+    s = F.col("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        s.alias("start"),
+        (s + (F.col("value") * 60).cast("long")).alias("end"),
+    )
+    return merge_intervals(iv, "user_id", "start", "end")
+
+
 def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16
     (functions/vectors.py, Achlioptas 2001): the sign matrix is
@@ -3051,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "triangle_counts": q_triangle_counts,
         "label_prop": q_label_prop,
+        "merge_intervals": q_merge_intervals,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3444,6 +3465,25 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "merge_intervals": (
+            "WITH iv AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "CAST(floor(epoch(ts)) AS BIGINT) + "
+            "CAST(floor(value * 60) AS BIGINT) AS e FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER ("
+            "PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme "
+            "FROM iv), "
+            "f AS (SELECT user_id, s, e, CASE WHEN pme IS NULL "
+            "OR s > pme THEN 1 ELSE 0 END AS nf FROM m), "
+            "g AS (SELECT user_id, s, e, sum(nf) OVER ("
+            "PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+            "FROM f) "
+            "SELECT user_id, min(s) AS start, max(e) AS \"end\", "
+            "CAST(count(*) AS INT) AS n_merged "
+            "FROM g GROUP BY user_id, grp"
         ),
         "triangle_counts": (
             f"WITH {_ITEM_GRAPH_SQL}, "

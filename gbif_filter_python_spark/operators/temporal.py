@@ -385,3 +385,48 @@ def rolling_stats(
     )
 
 
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Union of overlapping-or-touching intervals per key:
+    ``(key, start, end, n_merged)`` — the classic coverage-merge
+    (uptime stitching, audio/video segment coverage, validity-range
+    consolidation after an SCD merge).
+
+    Closed-interval semantics: ``[1, 5]`` and ``[5, 9]`` touch and
+    merge. An interval nested inside an earlier one extends nothing
+    but still merges (the running-max-of-ends guard, not plain
+    ``lag(end)`` — the textbook off-by-one that splits coverage at
+    an enclosed interval's early end).
+
+    Plan shape: ONE shuffle on the key, one in-partition sort —
+    chain-building is the prefix running max + flag cumsum, both
+    computed in the same window frame pass, then a hash agg on the
+    derived group id. No self-join, no iteration; at 100 TB the cost
+    is exactly one repartition of (key, start, end) triples.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    grp = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_grp", grp)
+        .groupBy(key_col, "_grp")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).cast("int").alias("n_merged"),
+        )
+        .drop("_grp")
+    )

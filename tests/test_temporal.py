@@ -446,3 +446,50 @@ class TestCheckConstraints:
         }
         assert rep["completeness(v)>=1.0"] == (1.0, False)
         assert rep["predicate(v_set)"] == (1.0, False)
+
+
+class TestMergeIntervals:
+    def _mi(self, spark, rows):
+        from gbif_filter_python_spark.operators.temporal import (
+            merge_intervals,
+        )
+
+        df = spark.createDataFrame(
+            rows, "key string, start long, end long"
+        )
+        return sorted(
+            (r.key, r.start, r.end, r.n_merged)
+            for r in merge_intervals(df, "key", "start", "end").collect()
+        )
+
+    def test_overlap_touch_nested_disjoint(self, spark):
+        rows = [
+            # overlap + touch chain → one [0, 12]
+            ("a", 0, 5),
+            ("a", 3, 8),
+            ("a", 8, 12),
+            # disjoint
+            ("a", 20, 25),
+            # nested inside an earlier long interval: the enclosed
+            # early end must NOT split the chain (running-max guard)
+            ("b", 0, 100),
+            ("b", 10, 20),
+            ("b", 50, 120),
+        ]
+        assert self._mi(spark, rows) == [
+            ("a", 0, 12, 3),
+            ("a", 20, 25, 1),
+            ("b", 0, 120, 3),
+        ]
+
+    def test_gap_of_one_splits(self, spark):
+        # [0,5] and [6,9] do not touch under closed-interval semantics.
+        assert self._mi(spark, [("k", 0, 5), ("k", 6, 9)]) == [
+            ("k", 0, 5, 1),
+            ("k", 6, 9, 1),
+        ]
+
+    def test_duplicate_intervals_merge(self, spark):
+        assert self._mi(spark, [("k", 1, 4), ("k", 1, 4)]) == [
+            ("k", 1, 4, 2)
+        ]
