@@ -2901,6 +2901,22 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py, Hernández &
+    Stolfo 1995): rank documents by normalized text via the scalable
+    range-shuffle global index, pair each with its 2 successors —
+    exactly 2n candidate pairs, no hashing, no hot buckets. FULL
+    oracle: DuckDB replays the total order and the rank-shift join."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", normalized_text(F.col("text")).alias("_key")
+    )
+    return sorted_neighborhood_pairs(docs, ["_key"], window=3)
+
+
 def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user coverage merge (operators/temporal.py): each event
     spans [ts, ts + value minutes] in epoch seconds (all integer
@@ -3072,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "label_prop": q_label_prop,
         "merge_intervals": q_merge_intervals,
+        "sorted_neighborhood": q_sorted_neighborhood,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3465,6 +3482,15 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "sorted_neighborhood": (
+            f"WITH n AS (SELECT doc_id, {_NORM} AS k FROM documents), "
+            f"r AS (SELECT doc_id, row_number() OVER ("
+            f"ORDER BY k, doc_id) - 1 AS rk FROM n), "
+            f"d AS (SELECT CAST(unnest(range(1, 3)) AS BIGINT) AS dist) "
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"CAST(d.dist AS INT) AS dist "
+            f"FROM r a CROSS JOIN d JOIN r b ON b.rk = a.rk + d.dist"
         ),
         "merge_intervals": (
             "WITH iv AS (SELECT user_id, "

@@ -937,3 +937,47 @@ class TestRandomProjection:
             ).collect()
         }
         assert again == {k: list(v) for k, v in out.items()}
+
+
+class TestSortedNeighborhood:
+    def _pairs(self, spark, rows, window=3):
+        from gbif_filter_python_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        return sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in sorted_neighborhood_pairs(
+                df, ["k"], window=window
+            ).collect()
+        )
+
+    def test_pairs_follow_sort_order_not_id_order(self, spark):
+        # sort by key: c(3) < m(1) < x(2) → neighbors (3,1),(1,2) at
+        # dist 1 and (3,2) at dist 2.
+        rows = [(1, "m"), (2, "x"), (3, "c")]
+        assert self._pairs(spark, rows) == [
+            (1, 2, 1),
+            (3, 1, 1),
+            (3, 2, 2),
+        ]
+
+    def test_candidate_count_is_linear(self, spark):
+        rows = [(i, f"k{i:03d}") for i in range(40)]
+        got = self._pairs(spark, rows, window=4)
+        # exactly (window-1)*n - (1+2+...+(window-1)) edge-truncated
+        assert len(got) == 3 * 40 - 6
+        # adjacent duplicates of a key still pair deterministically
+        assert (0, 1, 1) in got
+
+    def test_window_validation(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+        with _pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, ["k"], window=1)
