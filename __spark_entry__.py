@@ -2901,6 +2901,22 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD robust outlier scoring (operators/profile.py):
+    per-event-type robust z over event values, returning only the
+    flagged rows (|rz| > 3.5). Exact interpolated percentiles on both
+    engines; the bounded (med, mad) model broadcasts back so the fact
+    never shuffles."""
+    from gbif_filter_python_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    ev = _t(spark, sf, "events")
+    return robust_outliers(
+        ev, "event_type", "value", "event_id"
+    ).filter(F.col("is_outlier"))
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.py, Hernández &
     Stolfo 1995): rank documents by normalized text via the scalable
@@ -3089,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "merge_intervals": q_merge_intervals,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "robust_outliers": q_robust_outliers,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3482,6 +3499,20 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "robust_outliers": (
+            "WITH med AS (SELECT event_type, "
+            "quantile_cont(value, 0.5) AS m FROM events GROUP BY 1), "
+            "mad AS (SELECT e.event_type, "
+            "quantile_cont(abs(e.value - md.m), 0.5) AS d "
+            "FROM events e JOIN med md USING (event_type) GROUP BY 1), "
+            "sc AS (SELECT e.event_id, e.event_type, e.value, "
+            "CASE WHEN d > 0 THEN "
+            "round(0.6745 * (e.value - m) / d, 4) END AS rz "
+            "FROM events e JOIN med USING (event_type) "
+            "JOIN mad USING (event_type)) "
+            "SELECT event_id, event_type, value, rz, "
+            "true AS is_outlier FROM sc WHERE abs(rz) > 3.5"
         ),
         "sorted_neighborhood": (
             f"WITH n AS (SELECT doc_id, {_NORM} AS k FROM documents), "

@@ -205,3 +205,54 @@ def quantile_bins(
         ),
     )
     return binned.drop("_th")
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z_thresh: float = 3.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Median/MAD robust outlier scoring per group (Iglewicz &
+    Hoaglin 1993): ``rz = 0.6745 * (x - median) / MAD``, flagged at
+    ``|rz| > z_thresh`` — the robust twin of the window z-score
+    (`outlier_zscore` query): a single wild value inflates a stddev
+    enough to hide itself, but moves a median/MAD not at all.
+
+    Returns ``(id, key, value, rz, is_outlier)``; groups with
+    ``MAD = 0`` (over half the group identical) yield NULL ``rz`` and
+    ``is_outlier = false`` — a constant group has no outliers, not
+    all-outliers.
+
+    Plan shape: two grouped EXACT percentile aggregations (median,
+    then median of absolute deviations — the second needs the first
+    joined back, so two passes is the floor), each map-side partial;
+    the per-key model (med, mad) is bounded by |keys| and broadcast
+    back, so the fact rows never shuffle. Exact percentile holds the
+    group's values per aggregation cell — for groups too large for
+    that at 100 TB, swap ``F.percentile`` for ``percentile_approx``
+    (same call shape, KLL-bounded state) at the cost of the
+    cross-engine exactness this function's oracle relies on.
+    """
+    k, v = F.col(key_col), F.col(value_col)
+    med = df.groupBy(key_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), key_col)
+    mad = with_med.groupBy(key_col).agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    scored = with_med.join(F.broadcast(mad), key_col)
+    rz = F.when(
+        F.col("_mad") > 0,
+        F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), round_dp),
+    )
+    return scored.select(
+        F.col(id_col),
+        k.alias(key_col),
+        v.alias(value_col),
+        rz.alias("rz"),
+        F.coalesce(F.abs(rz) > z_thresh, F.lit(False)).alias("is_outlier"),
+    )

@@ -627,3 +627,42 @@ class TestRepeatedSpans:
         assert out[2] == (4, 1)
         assert out[3] == (3, 0)  # 7 words -> 3 spans, none shared
         assert 4 not in out
+
+
+class TestRobustOutliers:
+    def _ro(self, spark, rows, z=3.5):
+        from gbif_filter_python_spark.operators.profile import (
+            robust_outliers,
+        )
+
+        df = spark.createDataFrame(rows, "id long, k string, v double")
+        return {
+            r.id: (r.rz, r.is_outlier)
+            for r in robust_outliers(df, "k", "v", "id", z_thresh=z).collect()
+        }
+
+    def test_wild_value_flagged_median_unmoved(self, spark):
+        rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1000])]
+        got = self._ro(spark, rows)
+        assert got[7][1] is True
+        assert all(not got[i][1] for i in range(7))
+        # the wild value does not drag its own score down: rz is huge
+        assert abs(got[7][0]) > 100
+
+    def test_stddev_masking_case(self, spark):
+        """The classic failure of plain z-scores: one extreme value
+        inflates stddev enough that its z stays < 3.5 — MAD still
+        flags it."""
+        import statistics
+
+        vals = [10.0, 11.0, 9.0, 10.0, 12.0, 10.0, 11.0, 9.0, 60.0]
+        mu = statistics.mean(vals)
+        sd = statistics.pstdev(vals)
+        assert abs((60.0 - mu) / sd) < 3.5  # plain z misses it
+        rows = [(i, "a", v) for i, v in enumerate(vals)]
+        assert self._ro(spark, rows)[8][1] is True  # MAD catches it
+
+    def test_constant_group_has_no_outliers(self, spark):
+        rows = [(i, "c", 5.0) for i in range(6)] + [(99, "c", 5.0)]
+        got = self._ro(spark, rows)
+        assert all(rz is None and not flag for rz, flag in got.values())
