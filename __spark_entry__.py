@@ -2901,6 +2901,44 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_temporal_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment (operators/scd.py): orders join
+    the customer-segment dimension version valid AT the order date —
+    keys %10==0 carry a LEGACY version before 1995-01-01, everyone
+    has the current version from 1995-01-01; pre-1995 orders of other
+    keys match NO version and keep NULL segment (left semantics —
+    the range predicate rides the join condition, not a post-filter).
+    One key-hash shuffle, same co-partitioning as a plain equi-join."""
+    from gbif_filter_python_spark.operators.scd import temporal_dim_join
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    d0 = F.to_date(F.lit("1995-01-01"))
+    dim = cust.select(
+        "custkey",
+        "segment",
+        d0.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    ).unionByName(
+        cust.filter(F.col("custkey") % 10 == 0).select(
+            "custkey",
+            F.lit("LEGACY").alias("segment"),
+            F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+            d0.alias("valid_to"),
+        )
+    )
+    fact = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = temporal_dim_join(fact, dim, ["custkey"], "ts", how="left")
+    # date → string: the established cross-engine date contract.
+    return out.withColumn("ts", F.col("ts").cast("string"))
+
+
 def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD robust outlier scoring (operators/profile.py):
     per-event-type robust z over event values, returning only the
@@ -3108,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "sorted_neighborhood": q_sorted_neighborhood,
         "robust_outliers": q_robust_outliers,
+        "temporal_dim_join": q_temporal_dim_join,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3501,6 +3540,19 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "temporal_dim_join": (
+            "WITH cust AS (SELECT c_custkey AS custkey, "
+            "c_mktsegment AS segment FROM customer), "
+            "dim AS (SELECT custkey, segment, "
+            "DATE '1995-01-01' AS vf, CAST(NULL AS DATE) AS vt FROM cust "
+            "UNION ALL SELECT custkey, 'LEGACY', DATE '1992-01-01', "
+            "DATE '1995-01-01' FROM cust WHERE custkey % 10 = 0) "
+            "SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, "
+            "CAST(o.o_orderdate AS VARCHAR) AS ts, d.segment "
+            "FROM orders o LEFT JOIN dim d ON d.custkey = o.o_custkey "
+            "AND d.vf <= o.o_orderdate "
+            "AND (d.vt IS NULL OR o.o_orderdate < d.vt)"
         ),
         "robust_outliers": (
             "WITH med AS (SELECT event_type, "

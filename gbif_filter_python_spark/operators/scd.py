@@ -267,3 +267,55 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+def temporal_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment of a fact against an SCD2 dimension:
+    each fact row picks the dimension version whose
+    ``[valid_from, valid_to)`` range covers its event time (open
+    versions have NULL ``valid_to``) — "what segment was this
+    customer in WHEN the order was placed", the query SCD2 history
+    exists to answer.
+
+    An equi-join on the business key carries the range predicate as
+    the join condition (NOT a post-filter: with ``how='left'`` a
+    post-filter would also drop facts that matched no version —
+    losing the left semantics). Versions for a key are disjoint by
+    the :func:`scd2_merge` invariant, so each fact row matches at
+    most one version; no dedup pass is needed.
+
+    Scale shape: ONE key-hash shuffle (the same co-partitioning as
+    any fact-dim equi-join — range predicates on the same key add no
+    extra exchange); dim sides small enough to broadcast skip even
+    that. This is the set-at-a-time replacement for per-row dimension
+    lookups with an "as of" parameter.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"temporal_dim_join: how must be left|inner, got {how!r}")
+    f, d = fact.alias("_f"), dim.alias("_d")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_f.{k}") == F.col(f"_d.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"_f.{ts_col}")
+    cond = (
+        cond
+        & (F.col(f"_d.{valid_from}") <= ts)
+        & (F.col(f"_d.{valid_to}").isNull() | (ts < F.col(f"_d.{valid_to}")))
+    )
+    dim_attrs = [
+        c for c in dim.columns
+        if c not in key_cols and c not in (valid_from, valid_to)
+    ]
+    return f.join(d, cond, how).select(
+        *[F.col(f"_f.{c}") for c in fact.columns],
+        *[F.col(f"_d.{c}") for c in dim_attrs],
+    )

@@ -420,3 +420,71 @@ class TestSnapshotDiff:
             compare_cols=[],
         )
         assert got == {1: "unchanged", 2: "added"}
+
+
+class TestTemporalDimJoin:
+    @pytest.fixture(scope="class")
+    def dim(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "OLD", "2020-01-01", "2021-01-01"),
+                (1, "NEW", "2021-01-01", None),
+                (2, "ONLY", "2021-06-01", None),
+            ],
+            "k long, seg string, valid_from string, valid_to string",
+        ).select(
+            "k",
+            "seg",
+            F.to_date("valid_from").alias("valid_from"),
+            F.to_date("valid_to").alias("valid_to"),
+        )
+
+    def _join(self, spark, dim, facts, how="left"):
+        from gbif_filter_python_spark.operators.scd import (
+            temporal_dim_join,
+        )
+
+        f = spark.createDataFrame(facts, "fid long, k long, ts string").select(
+            "fid", "k", F.to_date("ts").alias("ts")
+        )
+        return {
+            r.fid: r.seg
+            for r in temporal_dim_join(f, dim, ["k"], "ts", how=how).collect()
+        }
+
+    def test_version_boundaries_are_from_inclusive_to_exclusive(
+        self, spark, dim
+    ):
+        got = self._join(
+            spark,
+            dim,
+            [
+                (1, 1, "2020-06-01"),  # inside OLD
+                (2, 1, "2021-01-01"),  # boundary: valid_to exclusive → NEW
+                (3, 1, "2025-01-01"),  # open version
+                (4, 1, "2019-01-01"),  # before history → NULL
+                (5, 2, "2021-05-31"),  # day before ONLY starts → NULL
+                (6, 9, "2021-01-01"),  # unknown key → NULL
+            ],
+        )
+        assert got == {
+            1: "OLD",
+            2: "NEW",
+            3: "NEW",
+            4: None,
+            5: None,
+            6: None,
+        }
+
+    def test_inner_drops_unmatched_and_how_validated(self, spark, dim):
+        got = self._join(
+            spark, dim, [(1, 1, "2020-06-01"), (4, 1, "2019-01-01")], how="inner"
+        )
+        assert got == {1: "OLD"}
+        from gbif_filter_python_spark.operators.scd import (
+            temporal_dim_join,
+        )
+
+        f = spark.createDataFrame([(1, 1, "2020-06-01")], "fid long, k long, ts string")
+        with pytest.raises(ValueError):
+            temporal_dim_join(f, dim, ["k"], "ts", how="full")
