@@ -2901,6 +2901,25 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise association rules (operators/analytics.py): baskets =
+    users, items = props.k % 50, joint support ≥ 0.55. The apriori
+    prune (infrequent items never enter the per-basket pair join) is
+    the scale/skew armor; ratios divide exact integer counts (6dp
+    round — identical across engines)."""
+    from gbif_filter_python_spark.operators.analytics import (
+        association_rules,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("int") % 50).alias("item"),
+    )
+    return association_rules(
+        ev, "user_id", "item", min_support=0.55
+    )
+
+
 def q_temporal_dim_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time SCD2 enrichment (operators/scd.py): orders join
     the customer-segment dimension version valid AT the order date —
@@ -3147,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "robust_outliers": q_robust_outliers,
         "temporal_dim_join": q_temporal_dim_join,
+        "association_rules": q_association_rules,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3540,6 +3560,34 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "association_rules": (
+            "WITH bi AS (SELECT DISTINCT user_id AS basket, "
+            "CAST(json_extract_string(props, '$.k') AS INT) % 50 AS item "
+            "FROM events), "
+            "nb AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n "
+            "FROM bi), "
+            "itn AS (SELECT item, count(*) AS inn FROM bi GROUP BY 1), "
+            "freq AS (SELECT item, inn FROM itn CROSS JOIN nb "
+            "WHERE inn / nb.n >= 0.55), "
+            "fbi AS (SELECT bi.basket, bi.item FROM bi "
+            "JOIN freq USING (item)), "
+            "pn AS (SELECT a.item AS ia, b.item AS ib, count(*) AS pn "
+            "FROM fbi a JOIN fbi b ON a.basket = b.basket "
+            "AND a.item < b.item GROUP BY 1, 2), "
+            "dir AS (SELECT ia AS antecedent, ib AS consequent, pn "
+            "FROM pn UNION ALL "
+            "SELECT ib AS antecedent, ia AS consequent, pn FROM pn), "
+            "sc AS (SELECT d.antecedent, d.consequent, d.pn, "
+            "na.inn AS na, nc.inn AS nc FROM dir d "
+            "JOIN freq na ON na.item = d.antecedent "
+            "JOIN freq nc ON nc.item = d.consequent) "
+            "SELECT antecedent, consequent, "
+            "round(pn / (SELECT n FROM nb), 6) AS support, "
+            "round(CAST(pn AS DOUBLE) / na, 6) AS confidence, "
+            "round((CAST(pn AS DOUBLE) / na) / "
+            "(nc / (SELECT n FROM nb)), 6) AS lift "
+            "FROM sc WHERE pn / (SELECT n FROM nb) >= 0.55"
         ),
         "temporal_dim_join": (
             "WITH cust AS (SELECT c_custkey AS custkey, "

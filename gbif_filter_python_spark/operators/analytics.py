@@ -287,3 +287,94 @@ def seasonal_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) —
+    the market-basket analysis classic (Agrawal & Srikant 1994,
+    pruned to 2-itemsets):
+
+    ``(antecedent, consequent, support, confidence, lift)`` for every
+    ordered pair whose JOINT support ≥ ``min_support`` (both
+    directions emitted — confidence is asymmetric).
+
+    * support(a→b)    = |baskets with a and b| / |baskets|
+    * confidence(a→b) = support(a,b) / support(a)
+    * lift(a→b)       = confidence(a→b) / support(b)
+
+    Scale design — the apriori pruning IS the skew armor: items below
+    ``min_support`` are filtered BEFORE the per-basket pair
+    self-join (a subset of a frequent pair is frequent, so this
+    drops no qualifying rule — the apriori property), which bounds
+    the pair fan-out to frequent items only; the long tail that
+    dominates a raw catalog never enters the quadratic step. The
+    basket-keyed self-join then shuffles (basket, item) integer pairs
+    once. Ratios divide exact integer counts and round to
+    ``round_dp`` — the cross-engine contract.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = bi.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    item_n = bi.groupBy("item").agg(F.count(F.lit(1)).alias("_in"))
+    # apriori prune: only items that can still reach min_support pair
+    # support participate in the pair join.
+    frequent = (
+        item_n.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("_in") / F.col("_n") >= min_support)
+        .select("item", "_in")
+    )
+    fbi = bi.join(F.broadcast(frequent.select("item")), "item")
+    a, b = fbi.alias("a"), fbi.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    directed = pair_n.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "_pn",
+    ).unionByName(
+        pair_n.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "_pn",
+        )
+    )
+    na = frequent.select(
+        F.col("item").alias("antecedent"), F.col("_in").alias("_na")
+    )
+    nc = frequent.select(
+        F.col("item").alias("consequent"), F.col("_in").alias("_nc")
+    )
+    scored = (
+        directed.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("_pn") / F.col("_n") >= min_support)
+    )
+    supp = F.col("_pn") / F.col("_n")
+    conf = F.col("_pn").cast("double") / F.col("_na")
+    lift = conf / (F.col("_nc") / F.col("_n"))
+    return scored.select(
+        "antecedent",
+        "consequent",
+        F.round(supp, round_dp).alias("support"),
+        F.round(conf, round_dp).alias("confidence"),
+        F.round(lift, round_dp).alias("lift"),
+    )

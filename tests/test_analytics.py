@@ -233,3 +233,59 @@ class TestNegativeSamples:
         pos = self._pos(spark, [(1, i) for i in range(7)])
         got = negative_samples(pos, n_items=8, k=3, slack=8).collect()
         assert all(r.neg_item == 7 for r in got)
+
+
+class TestAssociationRules:
+    def _rules(self, spark, baskets, min_support=0.1):
+        from gbif_filter_python_spark.operators.analytics import (
+            association_rules,
+        )
+
+        rows = [
+            (b, i) for b, items in baskets.items() for i in items
+        ]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        return {
+            (r.antecedent, r.consequent): (
+                r.support,
+                r.confidence,
+                r.lift,
+            )
+            for r in association_rules(
+                df, "basket", "item", min_support=min_support
+            ).collect()
+        }
+
+    def test_textbook_values(self, spark):
+        # 4 baskets: {A,B}, {A,B}, {A,C}, {C}
+        baskets = {
+            1: ["A", "B"],
+            2: ["A", "B"],
+            3: ["A", "C"],
+            4: ["C"],
+        }
+        got = self._rules(spark, baskets, min_support=0.25)
+        # supp(A,B)=0.5; conf(A→B)=2/3; lift=conf/supp(B)= (2/3)/0.5
+        assert got[("A", "B")] == (0.5, round(2 / 3, 6), round(4 / 3, 6))
+        # asymmetric: conf(B→A)=1.0, lift = 1.0/0.75
+        assert got[("B", "A")] == (0.5, 1.0, round(1 / 0.75, 6))
+        # A,C co-occur once: support 0.25 passes; C→A conf 0.5
+        assert got[("C", "A")][1] == 0.5
+        # duplicates of items within a basket must not inflate counts
+        baskets[1] = ["A", "A", "B"]
+        assert self._rules(spark, baskets, min_support=0.25)[("A", "B")][0] == 0.5
+
+    def test_apriori_prune_drops_no_qualifying_rule(self, spark):
+        # item D appears in 1 of 10 baskets (support 0.1 < 0.3): no
+        # pair containing D can reach 0.3, so pruning it is lossless —
+        # and the frequent pair (X, Y) survives with exact values.
+        baskets = {i: ["X", "Y"] for i in range(9)}
+        baskets[9] = ["X", "D"]
+        got = self._rules(spark, baskets, min_support=0.3)
+        assert ("X", "D") not in got and ("D", "X") not in got
+        assert got[("X", "Y")] == (0.9, 0.9, 1.0)
+
+    def test_min_support_filters_pairs(self, spark):
+        baskets = {1: ["A", "B"], 2: ["A", "C"], 3: ["A", "C"], 4: ["A", "C"]}
+        got = self._rules(spark, baskets, min_support=0.5)
+        assert set(got) == {("A", "C"), ("C", "A")}
