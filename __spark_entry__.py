@@ -2901,6 +2901,18 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (corpus.py,
+    Efraimidis & Spirakis 2006): 50 docs ∝ n_chars via deterministic
+    exponential clocks — the md5 uniform makes the selected set
+    identical across engines, retries, and the DuckDB oracle. TopK
+    sort, no global corpus sort."""
+    from gbif_filter_python_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", 50, id_col="doc_id")
+
+
 def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise association rules (operators/analytics.py): baskets =
     users, items = props.k % 50, joint support ≥ 0.55. The apriori
@@ -3167,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "temporal_dim_join": q_temporal_dim_join,
         "association_rules": q_association_rules,
+        "weighted_sample": q_weighted_sample,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3560,6 +3573,15 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "weighted_sample": (
+            "WITH w AS (SELECT doc_id, n_chars, "
+            "round(ln(((('0x' || substring(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000003) + 0.5) "
+            "/ 1000003.0) / n_chars, 6) AS k FROM documents "
+            "WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars FROM w "
+            "ORDER BY k DESC, doc_id ASC LIMIT 50"
         ),
         "association_rules": (
             "WITH bi AS (SELECT DISTINCT user_id AS basket, "

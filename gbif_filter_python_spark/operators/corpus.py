@@ -1035,3 +1035,51 @@ def negative_samples(
         .filter(F.col("neg_rank") <= int(k))
         .select(user_col, item_col, "neg_item", "neg_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    seed_buckets: int = 1_000_003,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k``
+    rows — Efraimidis & Spirakis (2006) A-ES via the exponential-
+    clocks form: each row draws ``key = ln(u) / w`` with a
+    reproducible uniform ``u`` and wins if its key ranks in the
+    top-k. Inclusion probability is proportional to weight at every
+    prefix, which is what quality-weighted corpus subsampling
+    ("sample 10M docs ∝ quality score") actually needs — a plain
+    ``ORDER BY weight LIMIT k`` takes only the head and a Bernoulli
+    ``rand() < p`` can't hit an exact k.
+
+    The uniform is ``(md5_bucket(id || salt) + 0.5) / seed_buckets``
+    — the same no-``rand()`` idiom as :func:`classify.dsir_resample`:
+    cluster re-runs and the DuckDB oracle reproduce the identical
+    selected set. Rows with weight <= 0 are excluded (they'd get
+    ``-inf`` clocks anyway); ordering uses the 6dp-rounded key with
+    ``id_col`` as total-order tie-break.
+
+    Scale shape: one map-only projection + a TopK sort (per-partition
+    partial top-k, single reduced exchange) — the corpus never
+    globally sorts.
+    """
+    from gbif_filter_python_spark.operators.classify import md5_bucket
+
+    u = (
+        md5_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt)),
+            seed_buckets,
+        ).cast("double")
+        + 0.5
+    ) / float(seed_buckets)
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.desc("_aes_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_aes_key")
+    )

@@ -666,3 +666,44 @@ class TestRobustOutliers:
         rows = [(i, "c", 5.0) for i in range(6)] + [(99, "c", 5.0)]
         got = self._ro(spark, rows)
         assert all(rz is None and not flag for rz, flag in got.values())
+
+
+class TestWeightedSample:
+    def test_proportional_inclusion_and_determinism(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        rows = [(i, 1.0 if i else 50.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        # doc 0 carries 50/89 of the mass: across salts it should be
+        # selected (k=5 of 40) far more often than a unit-weight doc.
+        hits0 = hits1 = 0
+        for salt in map(str, range(12)):
+            ids = {
+                r.doc_id
+                for r in weighted_sample(
+                    df, "w", 5, id_col="doc_id", salt=salt
+                ).collect()
+            }
+            assert len(ids) == 5
+            hits0 += 0 in ids
+            hits1 += 1 in ids
+        assert hits0 >= 10
+        assert hits1 <= hits0 - 5
+        # same salt → identical set (no rand() anywhere)
+        a = {r.doc_id for r in weighted_sample(df, "w", 5, salt="x").collect()}
+        b = {r.doc_id for r in weighted_sample(df, "w", 5, salt="x").collect()}
+        assert a == b
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double"
+        )
+        assert [
+            r.doc_id for r in weighted_sample(df, "w", 10).collect()
+        ] == [3]
