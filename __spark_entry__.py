@@ -2901,6 +2901,35 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (operators/temporal.py,
+    Page 1954) over each user's value series (user_id < 20, ordered
+    by ts/event_id): the clamped recursion is computed via its
+    prefix-min CLOSED FORM — running sum + running min in one sorted
+    window pass, whole-stage codegen, no stateful recursion — so the
+    oracle is plain (non-recursive) window SQL."""
+    from gbif_filter_python_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "user_id", "value")
+    )
+    out = cusum_changepoints(
+        ev,
+        key_col="user_id",
+        ts_col="event_id",
+        value_col="value",
+        slack=20.0,
+        threshold=200.0,
+    )
+    return out.select(
+        "event_id", "user_id", "value", "cusum_hi", "cusum_lo", "is_change"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """A-ES weighted sampling without replacement (corpus.py,
     Efraimidis & Spirakis 2006): 50 docs ∝ n_chars via deterministic
@@ -3180,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_dim_join": q_temporal_dim_join,
         "association_rules": q_association_rules,
         "weighted_sample": q_weighted_sample,
+        "cusum_changepoints": q_cusum_changepoints,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3573,6 +3603,28 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "cusum_changepoints": (
+            "WITH base AS (SELECT event_id, user_id, value, "
+            "round(avg(value) OVER (PARTITION BY user_id), 6) AS mu "
+            "FROM events WHERE user_id < 20), "
+            "d AS (SELECT event_id, user_id, value, "
+            "value - mu - 20.0 AS dhi, -(value - mu) - 20.0 AS dlo "
+            "FROM base), "
+            "s AS (SELECT event_id, user_id, value, "
+            "sum(dhi) OVER w AS shi, sum(dlo) OVER w AS slo FROM d "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "m AS (SELECT event_id, user_id, value, shi, slo, "
+            "least(0.0, min(shi) OVER w) AS mhi, "
+            "least(0.0, min(slo) OVER w) AS mlo FROM s "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, user_id, value, "
+            "round(shi - mhi, 6) AS cusum_hi, "
+            "round(slo - mlo, 6) AS cusum_lo, "
+            "(round(shi - mhi, 6) > 200.0 OR round(slo - mlo, 6) > 200.0) "
+            "AS is_change FROM m"
         ),
         "weighted_sample": (
             "WITH w AS (SELECT doc_id, n_chars, "

@@ -430,3 +430,82 @@ def merge_intervals(
         )
         .drop("_grp")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    tiebreak_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) per key:
+    ``(…, cusum_hi, cusum_lo, is_change)`` where
+
+        hi_i = max(0, hi_{i-1} + (x_i - mu - slack))
+        lo_i = max(0, lo_{i-1} - (x_i - mu + slack))
+
+    against the key's baseline mean ``mu``, flagged when either side
+    crosses ``threshold``. ``slack`` and ``threshold`` are in VALUE
+    units — pass ``slack = 0.5σ, threshold = 5σ`` style scalings for
+    the textbook parameterization.
+
+    The Spark-first trick: the clamped recursion has a prefix-min
+    closed form — with ``S_i = Σ_{j≤i} d_j``,
+
+        max(0, prev + d_i)  ≡  S_i - min(0, min_{j≤i} S_j)
+
+    (induction on i), so BOTH sides compute in one window pass each
+    (running sum + running min over the same sorted frame) — fully
+    JVM-side whole-stage codegen, no ``applyInPandas`` recursion, no
+    recursive CTE, and an exact non-recursive SQL oracle. One shuffle
+    on the key, one in-partition sort — identical cost to a plain
+    running total, regardless of series length.
+
+    Determinism: the order (``ts_col`` + ``tiebreak_cols``) must be
+    total per key; sums run in frame order, so cross-engine doubles
+    are identical before the final ``round_dp`` rounding.
+    """
+    tb = tiebreak_cols or []
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col, *tb)
+    frame = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Staged projections — window expressions cannot nest, and the
+    # three stages share one (key, order) sort so Catalyst plans a
+    # single Exchange + Sort for all of them.
+    staged = (
+        df.withColumn(
+            # baseline rounds to round_dp: ONE value per key, so the
+            # rounding quantum (not accumulated libm drift) defines
+            # every downstream difference — the cross-engine contract.
+            "_mu",
+            F.round(
+                F.avg(value_col).over(Window.partitionBy(key_col)),
+                round_dp,
+            ),
+        )
+        .withColumn(
+            "_dhi", F.col(value_col) - F.col("_mu") - F.lit(slack)
+        )
+        .withColumn(
+            "_dlo", -(F.col(value_col) - F.col("_mu")) - F.lit(slack)
+        )
+        .withColumn("_shi", F.sum("_dhi").over(frame))
+        .withColumn("_slo", F.sum("_dlo").over(frame))
+        .withColumn(
+            "_mhi", F.least(F.lit(0.0), F.min("_shi").over(frame))
+        )
+        .withColumn(
+            "_mlo", F.least(F.lit(0.0), F.min("_slo").over(frame))
+        )
+    )
+    hi = F.round(F.col("_shi") - F.col("_mhi"), round_dp)
+    lo = F.round(F.col("_slo") - F.col("_mlo"), round_dp)
+    return staged.select(
+        *df.columns,
+        hi.alias("cusum_hi"),
+        lo.alias("cusum_lo"),
+        ((hi > threshold) | (lo > threshold)).alias("is_change"),
+    )

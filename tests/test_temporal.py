@@ -493,3 +493,56 @@ class TestMergeIntervals:
         assert self._mi(spark, [("k", 1, 4), ("k", 1, 4)]) == [
             ("k", 1, 4, 2)
         ]
+
+
+class TestCusum:
+    def test_closed_form_equals_naive_recursion(self, spark):
+        """The prefix-min closed form must reproduce the textbook
+        clamped recursion exactly (pre-rounding differences are pure
+        fp ordering, bounded far below the 6dp quantum)."""
+        import random
+
+        from gbif_filter_python_spark.operators.temporal import (
+            cusum_changepoints,
+        )
+
+        rng = random.Random(11)
+        vals = [rng.uniform(0, 10) for _ in range(60)]
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {
+            r.ts: (r.cusum_hi, r.cusum_lo)
+            for r in cusum_changepoints(
+                df, "key", "ts", "value", slack=1.0, threshold=5.0
+            ).collect()
+        }
+        mu = round(sum(vals) / len(vals), 6)
+        hi = lo = 0.0
+        for i, v in enumerate(vals):
+            hi = max(0.0, hi + (v - mu - 1.0))
+            lo = max(0.0, lo - (v - mu) - 1.0)
+            assert got[i][0] == pytest.approx(round(hi, 6), abs=1e-9)
+            assert got[i][1] == pytest.approx(round(lo, 6), abs=1e-9)
+
+    def test_mean_shift_flagged_only_after_shift(self, spark):
+        from gbif_filter_python_spark.operators.temporal import (
+            cusum_changepoints,
+        )
+
+        # upward shift at i=30; baseline mu = 12 (global mean), so
+        # the BELOW-baseline first segment accumulates on the low
+        # side and the ABOVE-baseline tail on the high side — each
+        # side fires only in its own regime.
+        vals = [10.0] * 30 + [14.0] * 30
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, ts long, value double")
+        got = {
+            r.ts: (r.cusum_hi, r.cusum_lo)
+            for r in cusum_changepoints(
+                df, "key", "ts", "value", slack=1.0, threshold=8.0
+            ).collect()
+        }
+        assert all(got[i][0] == 0.0 for i in range(30))  # hi flat early
+        assert got[59][0] > 8.0  # hi fires after the shift
+        assert got[20][1] > 8.0  # lo fires in the low regime
+        assert got[59][1] == 0.0  # lo fully drained by the tail
