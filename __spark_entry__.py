@@ -2901,6 +2901,45 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivm_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a join+aggregate view
+    (operators/ivm.py): the monthly (qty, line-count) view over
+    orders ⋈ lineitem absorbs an insert batch (orders %10==0, line
+    items with l_suppkey %7==0) as three delta joins + a cell-wise
+    merge — the stored A ⋈ B join never re-executes. The oracle IS
+    the full recompute over the complete tables, so the hash-match
+    proves maintained ≡ recomputed."""
+    from gbif_filter_python_spark.operators.ivm import (
+        join_delta,
+        merge_agg_view,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.month("o_orderdate").alias("o_month")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_suppkey", "l_quantity"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    a_new = orders.filter(F.col("o_orderkey") % 10 == 0)
+    b_old = li.filter(F.col("l_suppkey") % 7 != 0)
+    b_new = li.filter(F.col("l_suppkey") % 7 == 0)
+
+    def view(j: DataFrame) -> DataFrame:
+        return j.groupBy("o_month").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    base = view(a_old.join(b_old, "o_orderkey"))
+    delta = view(join_delta(a_old, a_new, b_old, b_new, ["o_orderkey"]))
+    return merge_agg_view(base, delta, ["o_month"]).select(
+        "o_month",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sided CUSUM changepoint detection (operators/temporal.py,
     Page 1954) over each user's value series (user_id < 20, ordered
@@ -3210,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "weighted_sample": q_weighted_sample,
         "cusum_changepoints": q_cusum_changepoints,
+        "ivm_join_view": q_ivm_join_view,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3603,6 +3643,13 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "ivm_join_view": (
+            "SELECT extract(month FROM o.o_orderdate) AS o_month, "
+            "round(sum(l.l_quantity), 2) AS sum_qty, "
+            "count(*) AS n_lines "
+            "FROM orders o JOIN lineitem l "
+            "ON l.l_orderkey = o.o_orderkey GROUP BY 1"
         ),
         "cusum_changepoints": (
             "WITH base AS (SELECT event_id, user_id, value, "

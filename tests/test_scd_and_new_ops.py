@@ -488,3 +488,41 @@ class TestTemporalDimJoin:
         f = spark.createDataFrame([(1, 1, "2020-06-01")], "fid long, k long, ts string")
         with pytest.raises(ValueError):
             temporal_dim_join(f, dim, ["k"], "ts", how="full")
+
+
+class TestIncrementalViewMaintenance:
+    def test_delta_join_plus_base_equals_full_join(self, spark):
+        from gbif_filter_python_spark.operators.ivm import join_delta
+
+        a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+        a_new = spark.createDataFrame([(3, "a3"), (2, "a2x")], "k long, av string")
+        b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+        b_new = spark.createDataFrame([(2, "b2"), (3, "b3x")], "k long, bv string")
+
+        full = (
+            a_old.unionByName(a_new)
+            .join(b_old.unionByName(b_new), "k")
+        )
+        maintained = a_old.join(b_old, "k").unionByName(
+            join_delta(a_old, a_new, b_old, b_new, ["k"])
+        )
+        f = sorted(map(tuple, full.collect()))
+        m = sorted(map(tuple, maintained.collect()))
+        assert f == m
+        # k=1: a1×b1 · k=2: {a2,a2x}×b2 · k=3: a3×{b3,b3x} → 5 rows,
+        # and every one of the three delta terms contributes.
+        assert len(m) == 5
+
+    def test_merge_agg_view_adds_cells_and_validates_schema(self, spark):
+        from gbif_filter_python_spark.operators.ivm import merge_agg_view
+
+        v = spark.createDataFrame([(1, 10.0, 2), (2, 5.0, 1)], "k long, s double, n long")
+        d = spark.createDataFrame([(1, 3.0, 1), (3, 7.0, 4)], "k long, s double, n long")
+        got = {
+            r.k: (r.s, r.n)
+            for r in merge_agg_view(v, d, ["k"]).collect()
+        }
+        assert got == {1: (13.0, 3), 2: (5.0, 1), 3: (7.0, 4)}
+        bad = d.withColumnRenamed("n", "m")
+        with pytest.raises(ValueError):
+            merge_agg_view(v, bad, ["k"])
