@@ -115,6 +115,18 @@ BENCH_QUERIES = [
     "random_projection",
     "triangle_counts",
     "label_prop",
+    # Round 4 continuation (second batch): coverage-interval merge,
+    # sorted-neighborhood blocking, MAD robust outliers, point-in-time
+    # SCD2 join, association rules, weighted sampling, CUSUM, and
+    # incremental join-view maintenance.
+    "merge_intervals",
+    "sorted_neighborhood",
+    "robust_outliers",
+    "temporal_dim_join",
+    "association_rules",
+    "weighted_sample",
+    "cusum_changepoints",
+    "ivm_join_view",
 ]
 
 
