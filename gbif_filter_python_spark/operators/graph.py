@@ -321,9 +321,13 @@ def triangle_count(
         )
         .distinct()
     )
+    # Materialize the symmetric edge list ONCE: degree, orientation,
+    # wedge and node subtrees all re-reference it, and an expensive
+    # upstream edge derivation (a similarity join, say) would
+    # otherwise re-execute per reference — measured 7× at sf1.
     both = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # Orient each edge low→high by (degree, id); ties on degree break
     # by id, so the orientation is a strict total order (acyclic).

@@ -37,9 +37,15 @@ out = {
         "worst_8": worst,
         "queries_over_12x": over,
         "notes": [
-            "Refresh including the five round-4 additions "
-            "(nb_lang_scores, dsir_select, lm_perplexity, pq_search, "
-            "pagerank).",
+            "Refresh including the round-4 continuation cohort "
+            "(bm25/rrf retrieval, cms, random projection, triangle/"
+            "label-prop graph passes, interval merge, sorted "
+            "neighborhood, robust outliers, temporal dim join, "
+            "association rules, weighted sample, cusum, ivm).",
+            "triangle_counts was 12.7x before materializing the "
+            "symmetric edge list once (graph.py localCheckpoint) - "
+            "the 7 downstream references re-executed the edge "
+            "derivation; now 1.8x.",
             "No query exceeds the 12x flag threshold on 10x data "
             "(32 cores)." if not over else f"FLAGGED over 12x: {over}",
             "nb/dsir/lm shuffle only bounded (bucket,label) model "
