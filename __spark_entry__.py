@@ -2901,6 +2901,31 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset-tracked text segmentation via a Python UDTF
+    (operators/corpus.py, the Spark 4 LATERAL table-function shape):
+    documents with 'e' → '.' (a deterministic sentence-izer for the
+    punctuation-free corpus) split on the literal '. ', each segment
+    carrying its original character offsets. FULL oracle: DuckDB
+    replays the literal split with ordinality and reconstructs the
+    offsets as a prefix sum of sibling lengths + separator widths."""
+    from gbif_filter_python_spark.operators.corpus import (
+        segment_documents,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.translate("text", "e", ".").alias("text")
+    )
+    segs = segment_documents(docs, sep=". ")
+    return segs.select(
+        "doc_id",
+        "sent_idx",
+        "s_off",
+        "e_off",
+        F.md5("segment").alias("seg_md5"),
+    )
+
+
 def q_ivm_join_view(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental maintenance of a join+aggregate view
     (operators/ivm.py): the monthly (qty, line-count) view over
@@ -3250,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cusum_changepoints": q_cusum_changepoints,
         "ivm_join_view": q_ivm_join_view,
+        "text_segments": q_text_segments,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3643,6 +3669,22 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "text_segments": (
+            "WITH t AS (SELECT doc_id, translate(text, 'e', '.') AS t "
+            "FROM documents), "
+            "parts AS (SELECT doc_id, "
+            "unnest(string_split(t, '. ')) AS p, "
+            "CAST(generate_subscripts(string_split(t, '. '), 1) - 1 "
+            "AS INT) AS sent_idx FROM t), "
+            "offs AS (SELECT doc_id, sent_idx, p, "
+            "CAST(coalesce(sum(length(p) + 2) OVER ("
+            "PARTITION BY doc_id ORDER BY sent_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS INT) AS s_off FROM parts) "
+            "SELECT doc_id, sent_idx, s_off, "
+            "CAST(s_off + length(p) AS INT) AS e_off, "
+            "md5(p) AS seg_md5 FROM offs"
         ),
         "ivm_join_view": (
             "SELECT extract(month FROM o.o_orderdate) AS o_month, "

@@ -707,3 +707,31 @@ class TestWeightedSample:
         assert [
             r.doc_id for r in weighted_sample(df, "w", 10).collect()
         ] == [3]
+
+
+class TestSegmentDocumentsUdtf:
+    def test_offsets_slice_the_original_text(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            segment_documents,
+        )
+
+        rows = [
+            (1, "alpha. beta gamma. delta"),
+            (2, "no separator here"),
+            (3, ""),
+            (4, ". leading"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        texts = dict(rows)
+        segs = segment_documents(df).collect()
+        by_doc: dict = {}
+        for r in segs:
+            assert texts[r.doc_id][r.s_off : r.e_off] == r.segment
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # segments joined with the separator reconstruct each text
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r.sent_idx)
+            assert ". ".join(r.segment for r in rs) == texts[d]
+        assert len(by_doc[1]) == 3  # two ". " separators → 3 segments
+        assert len(by_doc[3]) == 1 and by_doc[3][0].segment == ""
+        assert by_doc[4][0].segment == "" and by_doc[4][1].segment == "leading"
