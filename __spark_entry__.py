@@ -2901,6 +2901,20 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chi2_lang_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/profile.py)
+    between document lang and source — one (chi2, dof, n, cramers_v)
+    row. Expected counts cross the margins (empty cells included —
+    the textbook bug is dropping them); exact integer counts, 4dp
+    statistic."""
+    from gbif_filter_python_spark.operators.profile import (
+        chi2_independence,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return chi2_independence(docs, "lang", "source")
+
+
 def q_text_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Offset-tracked text segmentation via a Python UDTF
     (operators/corpus.py, the Spark 4 LATERAL table-function shape):
@@ -3276,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "ivm_join_view": q_ivm_join_view,
         "text_segments": q_text_segments,
+        "chi2_lang_source": q_chi2_lang_source,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3669,6 +3684,27 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "chi2_lang_source": (
+            "WITH c AS (SELECT lang, source, count(*) AS o "
+            "FROM documents GROUP BY 1, 2), "
+            "ra AS (SELECT lang, sum(o) AS rn FROM c GROUP BY 1), "
+            "cb AS (SELECT source, sum(o) AS cn FROM c GROUP BY 1), "
+            "nn AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c), "
+            "cells AS (SELECT coalesce(c.o, 0) AS o, "
+            "ra.rn * cb.cn / (SELECT n FROM nn) AS e "
+            "FROM ra CROSS JOIN cb "
+            "LEFT JOIN c ON c.lang = ra.lang AND c.source = cb.source), "
+            "stat AS (SELECT round(sum((o - e) * (o - e) / e), 4) "
+            "AS chi2 FROM cells), "
+            "dims AS (SELECT (SELECT count(*) FROM ra) AS ran, "
+            "(SELECT count(*) FROM cb) AS cbn) "
+            "SELECT s.chi2, "
+            "CAST((dims.ran - 1) * (dims.cbn - 1) AS INT) AS dof, "
+            "CAST((SELECT n FROM nn) AS BIGINT) AS n, "
+            "round(sqrt(s.chi2 / ((SELECT n FROM nn) * "
+            "least(dims.ran - 1, dims.cbn - 1))), 4) AS cramers_v "
+            "FROM stat s CROSS JOIN dims"
         ),
         "text_segments": (
             "WITH t AS (SELECT doc_id, translate(text, 'e', '.') AS t "

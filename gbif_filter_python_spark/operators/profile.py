@@ -256,3 +256,72 @@ def robust_outliers(
         rz.alias("rz"),
         F.coalesce(F.abs(rz) > z_thresh, F.lit(False)).alias("is_outlier"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns: one row ``(chi2, dof, n, cramers_v)`` —
+    the profiling primitive behind "is corpus language independent
+    of source domain?" drift checks.
+
+    The contingency table is ONE (a, b) hash aggregation; expected
+    counts come from the two margin aggregates CROSSED (every
+    (row-category, col-category) combination, including pairs never
+    observed — dropping empty cells is the textbook chi-square bug,
+    they contribute ``E`` each), with the observed counts left-joined
+    on. All counts are exact integers; the statistic sums
+    ``(O-E)²/E`` over ≤ |A|×|B| cells and rounds to ``round_dp``.
+    Cramér's V normalizes by ``n·min(|A|-1, |B|-1)`` for an
+    effect-size in [0, 1].
+
+    Scale shape: the fact scans once into the (a, b) aggregation;
+    margins reduce THAT table (≤ |A|×|B| rows), so everything after
+    the first agg is driver-trivial and broadcast-joined.
+    """
+    c = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_o"))
+    ra = c.groupBy(col_a).agg(F.sum("_o").alias("_rn"))
+    cb = c.groupBy(col_b).agg(F.sum("_o").alias("_cn"))
+    n = c.agg(F.sum("_o").cast("double").alias("_n"))
+    cells = (
+        ra.crossJoin(cb)
+        .join(c, [col_a, col_b], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+            (F.col("_rn") * F.col("_cn") / F.col("_n")).alias("_e"),
+            "_n",
+        )
+    )
+    # explicit d*d (not pow(d, 2)): libm pow is not guaranteed to be
+    # the exact product, and the oracle multiplies.
+    d = F.col("_o") - F.col("_e")
+    contrib = d * d / F.col("_e")
+    agg = cells.agg(
+        F.round(F.sum(contrib), round_dp).alias("chi2"),
+        F.first("_n").alias("_n"),
+    )
+    dims = ra.agg(F.count(F.lit(1)).alias("_ra_n")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("_cb_n"))
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "chi2",
+        ((F.col("_ra_n") - 1) * (F.col("_cb_n") - 1))
+        .cast("int")
+        .alias("dof"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("_n")
+                    * F.least(F.col("_ra_n") - 1, F.col("_cb_n") - 1)
+                )
+            ),
+            round_dp,
+        ).alias("cramers_v"),
+    )

@@ -735,3 +735,51 @@ class TestSegmentDocumentsUdtf:
         assert len(by_doc[1]) == 3  # two ". " separators → 3 segments
         assert len(by_doc[3]) == 1 and by_doc[3][0].segment == ""
         assert by_doc[4][0].segment == "" and by_doc[4][1].segment == "leading"
+
+
+class TestChi2Independence:
+    def test_independent_and_dependent_cases(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            chi2_independence,
+        )
+
+        # perfectly proportional table → chi2 = 0
+        rows = []
+        for a in ("x", "y"):
+            for b, k in (("p", 10), ("q", 30)):
+                rows += [(a, b)] * k
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert (r.chi2, r.dof, r.n, r.cramers_v) == (0.0, 1, 80, 0.0)
+
+        # perfect association (x↔p, y↔q): chi2 = n, V = 1
+        rows = [("x", "p")] * 25 + [("y", "q")] * 15
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert r.chi2 == 40.0 and r.cramers_v == 1.0
+
+    def test_matches_scipy_style_hand_computation(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            chi2_independence,
+        )
+
+        # classic 2x2: O = [[10, 20], [30, 5]]
+        rows = (
+            [("a", "p")] * 10
+            + [("a", "q")] * 20
+            + [("b", "p")] * 30
+            + [("b", "q")] * 5
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = chi2_independence(df, "a", "b").collect()[0]
+        o = [[10, 20], [30, 5]]
+        n = 65
+        rt = [30, 35]
+        ct = [40, 25]
+        chi2 = sum(
+            (o[i][j] - rt[i] * ct[j] / n) ** 2 / (rt[i] * ct[j] / n)
+            for i in range(2)
+            for j in range(2)
+        )
+        assert got.chi2 == round(chi2, 4)
+        assert got.dof == 1
