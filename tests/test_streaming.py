@@ -676,3 +676,63 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
         if cur is None or r["n_events"] > cur[0]:
             got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
     assert got == expected
+
+
+def test_cms_sketch_writer_stream_equals_batch(spark, events_dir, tmp_path):
+    """The streamed count-min sketch (per-batch build + merge of the
+    prior version) must equal cms_build over the full batch data —
+    cell for cell — and estimates must agree."""
+    import pyspark.sql.functions as F
+
+    from gbif_filter_python_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from gbif_filter_python_spark.streaming.sketches import (
+        cms_sketch_writer,
+        read_cms_sketch,
+    )
+
+    events = spark.read.parquet(events_dir)
+    terms_batch = events.select(F.col("event_type").alias("term"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .select(F.col("event_type").alias("term"))
+    )
+    q = cms_sketch_writer(
+        stream,
+        str(tmp_path / "cms_sketch"),
+        str(tmp_path / "cms_ckpt"),
+        depth=4,
+        width=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = read_cms_sketch(spark, str(tmp_path / "cms_sketch"))
+    direct = cms_build(terms_batch, "term", depth=4, width=64)
+    s = {(r["depth"], r["bucket"]): r["cnt"] for r in streamed.collect()}
+    d = {(r["depth"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert s == d
+
+    probes = terms_batch.distinct()
+    est_s = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(streamed, probes, "term", width=64).collect()
+    }
+    est_d = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(direct, probes, "term", width=64).collect()
+    }
+    assert est_s == est_d
+    # time travel: version 0 is the first file's sketch only (a strict
+    # cell-wise prefix of the final sketch)
+    v0 = read_cms_sketch(spark, str(tmp_path / "cms_sketch"), version=0)
+    v0_cells = {(r["depth"], r["bucket"]): r["cnt"] for r in v0.collect()}
+    assert sum(v0_cells.values()) < sum(s.values())
+    assert all(s[k] >= v for k, v in v0_cells.items())
