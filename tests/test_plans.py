@@ -426,3 +426,92 @@ def test_pq_adc_scoring_is_single_scan_no_shuffle_before_topk(
     # exactly one hash-partitioning exchange: the window's query_id one
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan  # queries side is broadcast
+
+
+def test_merge_intervals_single_exchange(spark, sf001_dir):
+    """Coverage merge is one key shuffle + one sort: the running-max,
+    flag-cumsum, and final aggregation all reuse the same
+    (key)-partitioning — a second Exchange would mean the window
+    chain broke partitioning reuse."""
+    from gbif_filter_python_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    ev = spark.read.parquet(f"{sf001_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("start"),
+        (F.col("o_orderkey") + 5).alias("end"),
+    )
+    plan = explain_str(
+        merge_intervals(ev, "k", "start", "end"), mode="simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_broadcasts_query_terms_not_corpus(spark, sf001_dir):
+    """The query-term and df tables broadcast onto the corpus tf
+    table; the corpus side must NOT be the broadcast side (it is the
+    100 TB side)."""
+    from gbif_filter_python_spark.operators.ranking import bm25_top_docs
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    plan = explain_str(bm25_top_docs(docs, probes, k=10))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cusum_windows_share_one_sort(spark, sf001_dir):
+    """The three staged window projections (baseline avg, cumsum,
+    running min) must share one Exchange+Sort on the key — the
+    closed-form CUSUM's whole cost claim."""
+    from gbif_filter_python_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    out = cusum_changepoints(
+        ev, "user_id", "event_id", "value", slack=1.0, threshold=5.0
+    )
+    plan = explain_str(out, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_association_rules_apriori_prune_broadcasts(spark, sf001_dir):
+    """The frequent-item filter joins the (basket, item) stream via
+    broadcast (the frequent set is bounded by the catalog), and no
+    cartesian sneaks in besides the 1-row n_baskets scalar."""
+    from gbif_filter_python_spark.operators.analytics import (
+        association_rules,
+    )
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet").select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("int") % 50).alias("item"),
+    )
+    plan = explain_str(
+        association_rules(ev, "user_id", "item", min_support=0.5)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sorted_neighborhood_rank_join_carries_integers(spark, sf001_dir):
+    """The neighbor join keys on the integer rank — the sort key
+    (potentially the whole normalized text) must not appear in the
+    join output columns that shuffle."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from gbif_filter_python_spark.functions.text import normalized_text
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").select(
+        "doc_id", normalized_text(F.col("text")).alias("_key")
+    )
+    out = sorted_neighborhood_pairs(docs, ["_key"], window=3)
+    plan = explain_str(out)
+    # the final join is an equi-join on _sn_rank
+    assert "_sn_rank" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
