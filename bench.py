@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "cusum_changepoints",
     "ivm_join_view",
+    "text_segments",
+    "chi2_lang_source",
 ]
 
 
