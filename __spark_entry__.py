@@ -2901,6 +2901,22 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index drift report
+    (operators/profile.py): event values of even vs odd users, binned
+    by the REFERENCE side's exact quantile thresholds (6dp contract);
+    per-bin counts, proportions, and the floored PSI contribution.
+    Map-only binning — neither side ever shuffles rows."""
+    from gbif_filter_python_spark.operators.profile import (
+        population_stability,
+    )
+
+    ev = _t(spark, sf, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("user_id") % 2 == 1).select("value")
+    return population_stability(ref, cur, "value", n_bins=5)
+
+
 def q_chi2_lang_source(spark: SparkSession, sf: str) -> DataFrame:
     """Pearson chi-square independence test (operators/profile.py)
     between document lang and source — one (chi2, dof, n, cramers_v)
@@ -3291,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_view": q_ivm_join_view,
         "text_segments": q_text_segments,
         "chi2_lang_source": q_chi2_lang_source,
+        "psi_drift": q_psi_drift,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3684,6 +3701,29 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "psi_drift": (
+            "WITH ref AS (SELECT value FROM events WHERE user_id % 2 = 0), "
+            "cur AS (SELECT value FROM events WHERE user_id % 2 = 1), "
+            "th AS (SELECT round(quantile_cont(value, 0.2), 6) AS t1, "
+            "round(quantile_cont(value, 0.4), 6) AS t2, "
+            "round(quantile_cont(value, 0.6), 6) AS t3, "
+            "round(quantile_cont(value, 0.8), 6) AS t4 FROM ref), "
+            "rb AS (SELECT (CAST(value > t1 AS INT) + CAST(value > t2 AS INT) + CAST(value > t3 AS INT) + CAST(value > t4 AS INT)) AS bin FROM ref CROSS JOIN th), "
+            "cb2 AS (SELECT (CAST(value > t1 AS INT) + CAST(value > t2 AS INT) + CAST(value > t3 AS INT) + CAST(value > t4 AS INT)) AS bin FROM cur CROSS JOIN th), "
+            "rc AS (SELECT bin, count(*) AS ref_n FROM rb GROUP BY 1), "
+            "cc AS (SELECT bin, count(*) AS cur_n FROM cb2 GROUP BY 1), "
+            "bins AS (SELECT CAST(unnest(range(5)) AS INT) AS bin), "
+            "rt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ref), "
+            "ct AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cur), "
+            "j AS (SELECT b.bin, coalesce(rc.ref_n, 0) AS ref_n, "
+            "coalesce(cc.cur_n, 0) AS cur_n FROM bins b "
+            "LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)) "
+            "SELECT bin, ref_n, cur_n, "
+            "round(j.ref_n / (SELECT t FROM rt), 6) AS ref_pct, "
+            "round(j.cur_n / (SELECT t FROM ct), 6) AS cur_pct, "
+            "round((greatest(j.cur_n / (SELECT t FROM ct), 0.0001) - greatest(j.ref_n / (SELECT t FROM rt), 0.0001)) * ln(greatest(j.cur_n / (SELECT t FROM ct), 0.0001) / greatest(j.ref_n / (SELECT t FROM rt), 0.0001)), 6) AS psi_contrib "
+            "FROM j"
         ),
         "chi2_lang_source": (
             "WITH c AS (SELECT lang, source, count(*) AS o "

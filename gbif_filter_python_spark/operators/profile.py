@@ -325,3 +325,80 @@ def chi2_independence(
             round_dp,
         ).alias("cramers_v"),
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 5,
+    floor: float = 1e-4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``col`` — the standard drift monitor between a
+    model's training snapshot and live data (rule of thumb:
+    PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Bins are the REFERENCE distribution's equi-depth quantile bins
+    (interior exact percentiles, 6dp-rounded — the
+    :func:`quantile_bins` threshold contract), so the reference lands
+    ~uniformly and drift shows up as current-side mass imbalance.
+    Returns one row per bin:
+    ``(bin, ref_n, cur_n, ref_pct, cur_pct, psi_contrib)`` with
+    ``psi = sum(psi_contrib)``; proportions are floored at ``floor``
+    before the log so an empty current bin contributes finitely (the
+    standard PSI convention).
+
+    Scale shape: one exact-percentile aggregation on the reference
+    (1-row threshold table, broadcast), map-only bin assignment on
+    both sides, two ≤ n_bins-row count aggregations. Neither input
+    ever shuffles rows.
+    """
+    probs = ", ".join(f"{i / n_bins}D" for i in range(1, n_bins))
+    th = ref.agg(
+        F.expr(f"percentile({col}, array({probs}))").alias("_th")
+    )
+
+    def _binned_counts(df: DataFrame, out: str) -> DataFrame:
+        b = df.crossJoin(F.broadcast(th)).select(
+            F.aggregate(
+                F.col("_th"),
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.col(col) > F.round(t, 6), 1).otherwise(0),
+            ).alias("bin")
+        )
+        return b.groupBy("bin").agg(F.count(F.lit(1)).alias(out))
+
+    r = _binned_counts(ref, "ref_n")
+    c = _binned_counts(cur, "cur_n")
+    # all bins 0..n_bins-1 present even when one side leaves a hole
+    bins = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    rn = ref.agg(F.count(F.lit(1)).cast("double").alias("_rt"))
+    cn = cur.agg(F.count(F.lit(1)).cast("double").alias("_ct"))
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+            (F.coalesce("ref_n", F.lit(0)) / F.col("_rt")).alias("_rp"),
+            (F.coalesce("cur_n", F.lit(0)) / F.col("_ct")).alias("_cp"),
+        )
+    )
+    rp = F.greatest(F.col("_rp"), F.lit(floor))
+    cp = F.greatest(F.col("_cp"), F.lit(floor))
+    return joined.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round("_rp", round_dp).alias("ref_pct"),
+        F.round("_cp", round_dp).alias("cur_pct"),
+        F.round((cp - rp) * F.log(cp / rp), round_dp).alias("psi_contrib"),
+    )

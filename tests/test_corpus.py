@@ -783,3 +783,50 @@ class TestChi2Independence:
         )
         assert got.chi2 == round(chi2, 4)
         assert got.dof == 1
+
+
+class TestPopulationStability:
+    def test_identical_distributions_near_zero_and_shifted_large(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.profile import (
+            population_stability,
+        )
+
+        rng = random.Random(5)
+        base = [rng.gauss(50, 10) for _ in range(2000)]
+        ref = spark.createDataFrame([(v,) for v in base], "value double")
+        same = spark.createDataFrame(
+            [(v,) for v in base[::-1]], "value double"
+        )
+        psi_same = sum(
+            r.psi_contrib
+            for r in population_stability(ref, same, "value").collect()
+        )
+        assert psi_same < 0.01  # identical sample → PSI ~ 0
+
+        shifted = spark.createDataFrame(
+            [(v + 15,) for v in base], "value double"
+        )
+        rows = population_stability(ref, shifted, "value").collect()
+        psi_shift = sum(r.psi_contrib for r in rows)
+        assert psi_shift > 0.25  # 1.5σ shift is a major drift
+        # reference lands ~uniformly in its own quantile bins
+        for r in rows:
+            assert 0.15 < r.ref_pct < 0.25
+
+    def test_empty_current_bin_contributes_finitely(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            population_stability,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(i),) for i in range(100)], "value double"
+        )
+        cur = spark.createDataFrame(
+            [(95.0,)] * 50, "value double"
+        )  # all mass in the top bin
+        rows = population_stability(ref, cur, "value").collect()
+        assert all(abs(r.psi_contrib) < 100 for r in rows)
+        top = [r for r in rows if r.cur_pct > 0.9]
+        assert len(top) == 1
