@@ -2901,6 +2901,27 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_small_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part CORRELATED scalar subquery ("line
+    items below 20% of their part's average quantity") — Catalyst
+    decorrelates it into an aggregate + join, the classic optimizer
+    transformation a hand-written per-row lookup loop cannot match at
+    scale. Written in ANSI SQL so both engines plan from the same
+    text; revenue/7 rounds 2dp (magnitudes keep fp drift nine orders
+    below the quantum)."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        "SELECT p_size, round(sum(l_extendedprice) / 7.0, 2) "
+        "AS avg_yearly "
+        "FROM v_lineitem JOIN v_part ON p_partkey = l_partkey "
+        "WHERE p_size <= 5 AND l_quantity < ("
+        "SELECT 0.2 * avg(l2.l_quantity) FROM v_lineitem l2 "
+        "WHERE l2.l_partkey = p_partkey) "
+        "GROUP BY p_size"
+    )
+
+
 def q_media_augment(spark: SparkSession, sf: str) -> DataFrame:
     """Image augmentation over the REAL BMP codec path
     (multimodal/binary_ops.py::augment_pixels): 16×16 deterministic
@@ -3382,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_lang_source": q_chi2_lang_source,
         "psi_drift": q_psi_drift,
         "media_augment": q_media_augment,
+        "small_order_revenue": q_small_order_revenue,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3775,6 +3797,15 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "small_order_revenue": (
+            "SELECT p_size, round(sum(l_extendedprice) / 7.0, 2) "
+            "AS avg_yearly "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_size <= 5 AND l_quantity < ("
+            "SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 "
+            "WHERE l2.l_partkey = p_partkey) "
+            "GROUP BY p_size"
         ),
         "media_augment": (
             "SELECT doc_id AS media_id, op AS aug_op, true AS ok "

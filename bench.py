@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "ivm_join_view",
     "text_segments",
     "chi2_lang_source",
+    "psi_drift",
+    "media_augment",
+    "small_order_revenue",
 ]
 
 
