@@ -2901,6 +2901,24 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``DataFrame.unpivot`` (melt): part (size, retailprice)
+    wide→long — the inverse of the pivot query and the shape feature
+    stores ingest. Map-only Expand node, no shuffle; values cast to a
+    common double."""
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_small_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape: per-part CORRELATED scalar subquery ("line
     items below 20% of their part's average quantity") — Catalyst
@@ -3404,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "media_augment": q_media_augment,
         "small_order_revenue": q_small_order_revenue,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3797,6 +3816,12 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "unpivot_part_metrics": (
+            "SELECT p_partkey, 'size' AS metric, "
+            "CAST(p_size AS DOUBLE) AS value FROM part "
+            "UNION ALL SELECT p_partkey, 'retailprice' AS metric, "
+            "CAST(p_retailprice AS DOUBLE) AS value FROM part"
         ),
         "small_order_revenue": (
             "SELECT p_size, round(sum(l_extendedprice) / 7.0, 2) "

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "media_augment",
     "small_order_revenue",
+    "unpivot_part_metrics",
 ]
 
 

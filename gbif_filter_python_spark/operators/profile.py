@@ -402,3 +402,33 @@ def population_stability(
         F.round("_cp", round_dp).alias("cur_pct"),
         F.round((cp - rp) * F.log(cp / rp), round_dp).alias("psi_contrib"),
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-evolution audit between two table versions: one row per
+    column — ``(column, status, old_type, new_type)`` with status in
+    {added, removed, type_changed, unchanged} — the check a pipeline
+    runs before promoting a snapshot whose upstream may have evolved
+    (pairs with :func:`~gbif_filter_python_spark.operators.scd
+    .snapshot_diff`, which audits the DATA of the versions).
+
+    Purely metadata: schemas live on the driver, no job runs. Types
+    compare by Catalyst simpleString (so decimal(10,2) → decimal(12,2)
+    is a type change, nullability is not — Spark relaxes nullability
+    freely through unions and outer joins).
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

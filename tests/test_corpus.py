@@ -830,3 +830,23 @@ class TestPopulationStability:
         assert all(abs(r.psi_contrib) < 100 for r in rows)
         top = [r for r in rows if r.cur_pct > 0.9]
         assert len(top) == 1
+
+
+class TestSchemaDiff:
+    def test_all_four_statuses(self, spark):
+        from gbif_filter_python_spark.operators.profile import schema_diff
+
+        old = spark.createDataFrame(
+            [], "id long, name string, price double, legacy int"
+        )
+        new = spark.createDataFrame(
+            [], "id long, name string, price decimal(12,2), extra date"
+        )
+        got = {
+            r.column: (r.status, r.old_type, r.new_type)
+            for r in schema_diff(old, new).collect()
+        }
+        assert got["id"] == ("unchanged", "bigint", "bigint")
+        assert got["legacy"] == ("removed", "int", None)
+        assert got["extra"] == ("added", None, "date")
+        assert got["price"][0] == "type_changed"
