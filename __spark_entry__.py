@@ -2901,6 +2901,54 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_impute_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-median imputation (operators/profile.py): values are
+    deterministically knocked out (event_id % 7 == 0) and refilled
+    with the per-event-type exact median of the surviving values
+    (6dp rounding — the estimate-reproducibility contract); the
+    bounded per-group model broadcasts back, the fact never
+    shuffles."""
+    from gbif_filter_python_spark.operators.profile import (
+        impute_by_group,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value"),
+    )
+    out = impute_by_group(ev, ["event_type"], ["value"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "value_imputed",
+    )
+
+
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution (operators/analytics.py): every
+    purchase credits the user's latest click/view within the
+    preceding hour — the as-of union+window scan (ONE user shuffle,
+    no per-conversion join); organic conversions keep NULL credit.
+    Timestamps emit as epoch seconds (the cross-engine contract)."""
+    from gbif_filter_python_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    ev = _t(spark, sf, "events")
+    out = last_touch_attribution(ev, window_seconds=3600)
+    return out.select(
+        "conversion_id",
+        "user_id",
+        F.col("conv_ts").cast("long").alias("conv_ts_s"),
+        "value",
+        "touch_id",
+        "touch_type",
+        F.col("touch_ts").cast("long").alias("touch_ts_s"),
+    )
+
+
 def q_unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Native ``DataFrame.unpivot`` (melt): part (size, retailprice)
     wide→long — the inverse of the pivot query and the shape feature
@@ -3423,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_augment": q_media_augment,
         "small_order_revenue": q_small_order_revenue,
         "unpivot_part_metrics": q_unpivot_part_metrics,
+        "attribution": q_attribution,
+        "impute_values": q_impute_values,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3816,6 +3866,41 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "impute_values": (
+            "WITH base AS (SELECT event_id, event_type, "
+            "CASE WHEN event_id % 7 != 0 THEN value END AS value "
+            "FROM events), "
+            "fills AS (SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS f FROM base "
+            "GROUP BY 1) "
+            "SELECT b.event_id, b.event_type, "
+            "round(coalesce(b.value, fills.f), 6) AS value, "
+            "b.value IS NULL AS value_imputed "
+            "FROM base b JOIN fills USING (event_type)"
+        ),
+        "attribution": (
+            "WITH touches AS (SELECT user_id, ts, event_id, event_type "
+            "FROM events WHERE event_type IN ('click', 'view')), "
+            "conv AS (SELECT user_id, ts, event_id, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "paired AS (SELECT c.event_id AS conversion_id, c.user_id, "
+            "c.ts AS cts, c.value, t.event_id AS tid, "
+            "t.event_type AS ttype, t.ts AS tts "
+            "FROM conv c LEFT JOIN LATERAL ("
+            "SELECT event_id, event_type, ts FROM touches t "
+            "WHERE t.user_id = c.user_id AND t.ts <= c.ts "
+            "ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) t ON true) "
+            "SELECT conversion_id, user_id, "
+            "CAST(floor(epoch(cts)) AS BIGINT) AS conv_ts_s, value, "
+            "CASE WHEN tts IS NOT NULL AND floor(epoch(cts)) - "
+            "floor(epoch(tts)) <= 3600 THEN tid END AS touch_id, "
+            "CASE WHEN tts IS NOT NULL AND floor(epoch(cts)) - "
+            "floor(epoch(tts)) <= 3600 THEN ttype END AS touch_type, "
+            "CASE WHEN tts IS NOT NULL AND floor(epoch(cts)) - "
+            "floor(epoch(tts)) <= 3600 THEN "
+            "CAST(floor(epoch(tts)) AS BIGINT) END AS touch_ts_s "
+            "FROM paired"
         ),
         "unpivot_part_metrics": (
             "SELECT p_partkey, 'size' AS metric, "

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "media_augment",
     "small_order_revenue",
     "unpivot_part_metrics",
+    "attribution",
+    "impute_values",
 ]
 
 

@@ -378,3 +378,87 @@ def association_rules(
         F.round(conf, round_dp).alias("confidence"),
         F.round(lift, round_dp).alias("lift"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion credits the
+    LATEST qualifying touch event (click/view) by the same user
+    within the preceding ``window_seconds`` —
+    ``(conversion_id, user_id, conv_ts, value, touch_id, touch_type,
+    touch_ts)``, NULL touch columns for organic conversions.
+
+    This is the as-of-join shape (operators/temporal.py) specialized
+    to the attribution asymmetry: the union + sorted-window scan
+    pairs each conversion with its running latest touch in ONE
+    shuffle on the user key + one sort — no per-conversion self-join,
+    no range theta-join. The window cutoff is applied AFTER the scan
+    (a touch older than the window yields NULL credit, exactly like
+    an as-of miss).
+
+    Determinism: the scan orders by (ts, is-conversion, event id) so
+    a touch and conversion at the SAME timestamp attribute (touch
+    sorts first), and equal-ts touches resolve to the higher event
+    id (latest-wins tie-break).
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+    )
+    touches = base.filter(F.col("event_type").isin(*touch_types)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("_is_conv"),
+    )
+    convs = base.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(1).alias("_is_conv"),
+    )
+    u = touches.unionByName(convs)
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "_is_conv", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    touch_struct = F.when(
+        F.col("_is_conv") == 0,
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    scanned = u.withColumn("_last_touch", F.max(touch_struct).over(w))
+    out = scanned.filter(F.col("_is_conv") == 1)
+    in_window = F.col("_last_touch").isNotNull() & (
+        F.col("ts").cast("long") - F.col("_last_touch.t_ts").cast("long")
+        <= window_seconds
+    )
+    return out.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        "value",
+        F.when(in_window, F.col("_last_touch.t_id")).alias("touch_id"),
+        F.when(in_window, F.col("_last_touch.t_type")).alias("touch_type"),
+        F.when(in_window, F.col("_last_touch.t_ts")).alias("touch_ts"),
+    )

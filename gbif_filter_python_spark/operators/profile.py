@@ -432,3 +432,48 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return old.sparkSession.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def impute_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    strategy: str = "median",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Group-conditional missing-value imputation: NULLs in each
+    ``value_cols`` fill with the column's per-group statistic
+    (``median`` — exact interpolated percentile — or ``mean``),
+    leaving non-null values untouched. Adds ``<col>_imputed``
+    boolean flags. Groups that are entirely NULL stay NULL (there is
+    nothing defensible to fill with — flag stays true for visibility).
+
+    The fill value rounds to ``round_dp`` — imputed cells are
+    estimates, and the rounding is what keeps them reproducible
+    across engines and re-runs.
+
+    Scale shape: ONE grouped aggregation produces the per-group model
+    (|groups| × |cols| numbers), broadcast back onto the fact — the
+    fact rows never shuffle. Exact percentile holds group values in
+    the aggregation cell; swap to ``percentile_approx`` for
+    million-row single groups.
+    """
+    if strategy not in ("median", "mean"):
+        raise ValueError(
+            f"impute_by_group: strategy must be median|mean, got {strategy!r}"
+        )
+    aggs = []
+    for c in value_cols:
+        stat = (
+            F.percentile(F.col(c), F.lit(0.5))
+            if strategy == "median"
+            else F.avg(c)
+        )
+        aggs.append(F.round(stat, round_dp).alias(f"_fill_{c}"))
+    stats = df.groupBy(*group_cols).agg(*aggs)
+    out = df.join(F.broadcast(stats), group_cols, "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_imputed", F.col(c).isNull()
+        ).withColumn(c, F.coalesce(F.col(c), F.col(f"_fill_{c}")))
+    return out.drop(*[f"_fill_{c}" for c in value_cols])

@@ -289,3 +289,65 @@ class TestAssociationRules:
         baskets = {1: ["A", "B"], 2: ["A", "C"], 3: ["A", "C"], 4: ["A", "C"]}
         got = self._rules(spark, baskets, min_support=0.5)
         assert set(got) == {("A", "C"), ("C", "A")}
+
+
+class TestLastTouchAttribution:
+    def _attr(self, spark, rows, window_seconds=3600):
+        import datetime
+
+        from gbif_filter_python_spark.operators.analytics import (
+            last_touch_attribution,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        data = [
+            (
+                uid,
+                t0 + datetime.timedelta(seconds=s),
+                et,
+                eid,
+                float(v),
+            )
+            for uid, s, et, eid, v in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "user_id long, ts timestamp, event_type string, "
+            "event_id long, value double",
+        )
+        return {
+            r.conversion_id: (r.touch_id, r.touch_type)
+            for r in last_touch_attribution(
+                df, window_seconds=window_seconds
+            ).collect()
+        }
+
+    def test_latest_touch_wins_window_and_organic(self, spark):
+        rows = [
+            (1, 0, "view", 10, 0),
+            (1, 100, "click", 11, 0),
+            (1, 200, "purchase", 12, 9.99),  # → click 11 (latest)
+            (1, 5000, "purchase", 13, 5.0),  # 4800s after click → organic
+            (2, 50, "purchase", 20, 1.0),  # no touches at all → organic
+            (2, 60, "click", 21, 0),  # touch AFTER conversion: no credit
+        ]
+        got = self._attr(spark, rows)
+        assert got[12] == (11, "click")
+        assert got[13] == (None, None)
+        assert got[20] == (None, None)
+
+    def test_same_timestamp_touch_credits_and_tie_breaks(self, spark):
+        rows = [
+            (1, 100, "click", 5, 0),
+            (1, 100, "view", 6, 0),  # same ts: higher event id wins
+            (1, 100, "purchase", 7, 3.0),
+        ]
+        assert self._attr(spark, rows)[7] == (6, "view")
+
+    def test_signup_and_error_events_never_credit(self, spark):
+        rows = [
+            (1, 0, "signup", 1, 0),
+            (1, 10, "error", 2, 0),
+            (1, 20, "purchase", 3, 2.0),
+        ]
+        assert self._attr(spark, rows)[3] == (None, None)

@@ -850,3 +850,39 @@ class TestSchemaDiff:
         assert got["legacy"] == ("removed", "int", None)
         assert got["extra"] == ("added", None, "date")
         assert got["price"][0] == "type_changed"
+
+
+class TestImputeByGroup:
+    def test_median_mean_flags_and_all_null_group(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            impute_by_group,
+        )
+
+        rows = [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "a", 40.0),
+            (4, "a", None),
+            (5, "b", None),  # group b entirely null
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, value double")
+        got = {
+            r.id: (r.value, r.value_imputed)
+            for r in impute_by_group(df, ["g"], ["value"]).collect()
+        }
+        assert got[4] == (20.0, True)  # median of {10,20,40}
+        assert got[1] == (10.0, False)
+        assert got[5] == (None, True)  # nothing defensible to fill
+
+        got_mean = {
+            r.id: r.value
+            for r in impute_by_group(
+                df, ["g"], ["value"], strategy="mean"
+            ).collect()
+        }
+        assert got_mean[4] == pytest.approx(70.0 / 3, abs=1e-6)
+
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            impute_by_group(df, ["g"], ["value"], strategy="mode")
