@@ -2901,6 +2901,38 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py, Broder):
+    every 7th doc's first-half words join the corpus as planted
+    subset-duplicates — their shingles all sit inside the original,
+    so containment ≈ 1.0 while symmetric Jaccard ~0.5 (below any
+    dedup cut: exactly what this measure catches). Exact inverted-
+    index self-join on 64-bit shingle hashes; FULL oracle computes
+    the same containment on shingle STRINGS (the minhash_pairs
+    hash≡string equivalence)."""
+    from gbif_filter_python_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(normalized_text(F.col("text")), " ")
+    half = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                w,
+                1,
+                F.greatest(
+                    (F.size(w) / 2).cast("int"), F.lit(5)
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(half)
+    return containment_pairs(corpus, theta=0.9, k=5)
+
+
 def q_impute_values(spark: SparkSession, sf: str) -> DataFrame:
     """Group-median imputation (operators/profile.py): values are
     deterministically knocked out (event_id % 7 == 0) and refilled
@@ -3473,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "attribution": q_attribution,
         "impute_values": q_impute_values,
+        "containment_pairs": q_containment_pairs,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3866,6 +3899,31 @@ def oracle_sql() -> dict[str, str]:
             "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
             "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
             "FROM embeddings CROSS JOIN idx"
+        ),
+        "containment_pairs": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents), "
+            f"halfd AS (SELECT doc_id + 200000 AS doc_id, "
+            f"array_to_string(list_slice(ws, 1, "
+            f"greatest(CAST(len(ws) / 2 AS INT), 5)), ' ') AS t "
+            f"FROM (SELECT doc_id, regexp_split_to_array(t, ' ') AS ws "
+            f"FROM norm) WHERE doc_id % 7 = 0), "
+            f"corpus AS (SELECT doc_id, t FROM norm "
+            f"UNION ALL SELECT doc_id, t FROM halfd), "
+            f"w2 AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+            f"FROM corpus), "
+            f"g AS (SELECT DISTINCT doc_id, gram FROM ("
+            f"SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN "
+            f"list_transform(range(1, len(w) - 3), "
+            f"i -> array_to_string(list_slice(w, i, i + 4), ' ')) "
+            f"ELSE [array_to_string(w, ' ')] END) AS gram FROM w2)), "
+            f"sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+            f"sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"count(*) AS s FROM g a JOIN g b ON a.gram = b.gram "
+            f"AND a.doc_id != b.doc_id GROUP BY 1, 2) "
+            f"SELECT id_a, id_b, "
+            f"round(CAST(s AS DOUBLE) / sz.n, 6) AS containment "
+            f"FROM sh JOIN sz ON sz.doc_id = sh.id_a "
+            f"WHERE round(CAST(s AS DOUBLE) / sz.n, 6) >= 0.9"
         ),
         "impute_values": (
             "WITH base AS (SELECT event_id, event_type, "

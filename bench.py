@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "unpivot_part_metrics",
     "attribution",
     "impute_values",
+    "containment_pairs",
 ]
 
 

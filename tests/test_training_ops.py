@@ -1061,3 +1061,54 @@ class TestAugmentPixels:
 
         with pytest.raises(ValueError):
             augment_pixels(decoded, ["sharpen"])
+
+
+class TestContainmentPairs:
+    def test_subset_scores_one_direction_only(self, spark):
+        from gbif_filter_python_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        short_doc = " ".join(f"w{i}" for i in range(10, 22))  # inside
+        other = " ".join(f"z{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, short_doc), (3, other)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(df, theta=0.9).collect()
+        }
+        assert got[(2, 1)] == 1.0  # short fully contained in long
+        assert (1, 2) not in got  # asymmetric: long not inside short
+        assert not any(3 in p for p in got)
+
+        # symmetric Jaccard on the same pair sits far below 0.9 —
+        # the case this operator exists for.
+        from gbif_filter_python_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        j = ngram_jaccard_pairs(df, pairs).collect()[0].jaccard
+        assert j < 0.3
+
+    def test_max_df_prunes_boilerplate_not_signal(self, spark):
+        from gbif_filter_python_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        boiler = "same five words appear here "
+        rows = [(i, boiler + f"unique tail {i} alpha beta") for i in range(6)]
+        rows.append((100, " ".join(f"q{i}" for i in range(20))))
+        rows.append((101, " ".join(f"q{i}" for i in range(20))))  # exact twin
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pruned = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(df, theta=0.9, max_df=3).collect()
+        }
+        # the twin pair survives pruning (its grams are rare)...
+        assert (100, 101) in pruned and (101, 100) in pruned
+        # ...while boilerplate-only overlap cannot qualify
+        assert not any(a < 100 and b < 100 for a, b in pruned)
