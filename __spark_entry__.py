@@ -2933,6 +2933,22 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return containment_pairs(corpus, theta=0.9, k=5)
 
 
+def q_regr_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend line (operators/profile.py): per
+    event_type, regress value on day-of-month index — the
+    metric-drift primitive next to psi_drift's distribution view.
+    ONE hash aggregation emits the sufficient statistics; the
+    textbook closed forms (spelled out, not regr_slope natives,
+    so the FP op order is pinned cross-engine) produce
+    slope/intercept/r2 at 6dp."""
+    from gbif_filter_python_spark.operators.profile import linear_trend
+
+    ev = _t(spark, sf, "events").withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    )
+    return linear_trend(ev, ["event_type"], "day", "value")
+
+
 def q_impute_values(spark: SparkSession, sf: str) -> DataFrame:
     """Group-median imputation (operators/profile.py): values are
     deterministically knocked out (event_id % 7 == 0) and refilled
@@ -3506,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "impute_values": q_impute_values,
         "containment_pairs": q_containment_pairs,
+        "regr_trend": q_regr_trend,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3936,6 +3953,27 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(b.value, fills.f), 6) AS value, "
             "b.value IS NULL AS value_imputed "
             "FROM base b JOIN fills USING (event_type)"
+        ),
+        "regr_trend": (
+            "WITH p AS (SELECT event_type, "
+            "CAST(date_diff('day', DATE '2024-01-01', "
+            "CAST(ts AS DATE)) AS DOUBLE) AS x, value AS y "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "a AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) AS nd, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM p GROUP BY 1) "
+            "SELECT event_type, n, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(nd*sxy - sx*sy) / (nd*sxx - sx*sx) END, 6) AS slope, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd "
+            "END, 6) AS intercept, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 "
+            "AND nd*syy - sy*sy != 0 THEN "
+            "(nd*sxy - sx*sy) * (nd*sxy - sx*sy) / "
+            "((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END, 6) AS r2 "
+            "FROM a"
         ),
         "attribution": (
             "WITH touches AS (SELECT user_id, ts, event_id, event_type "

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "attribution",
     "impute_values",
     "containment_pairs",
+    "regr_trend",
 ]
 
 

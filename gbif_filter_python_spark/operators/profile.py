@@ -477,3 +477,74 @@ def impute_by_group(
             f"{c}_imputed", F.col(c).isNull()
         ).withColumn(c, F.coalesce(F.col(c), F.col(f"_fill_{c}")))
     return out.drop(*[f"_fill_{c}" for c in value_cols])
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line: (group...,
+    n, slope, intercept, r2) — the metric-drift primitive ("is
+    latency / volume / quality trending, and how fast") that pairs
+    with :func:`population_stability`'s distribution-drift view.
+
+    Beyond-reference block (SURVEY.md §2 final row): the reference has
+    no statistics at all.
+
+    The five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) come out
+    of ONE hash aggregation — map-side partial aggregates, |groups|
+    result rows, nothing else shuffles — and the closed forms
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        r²    = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    are plain Column arithmetic on the aggregated row. Spark 4 ships
+    ``regr_slope``/``regr_r2`` natives, but their streaming-update
+    internals order floating-point ops differently from other engines;
+    spelling out the textbook sums keeps the result bit-reproducible
+    against any SQL engine at ``round_dp`` digits (the cross-engine
+    oracle contract used across this package). Zero-variance x (all
+    points at one x) yields NULL slope/intercept/r2, not a division
+    blowup; zero-variance y yields slope 0 and NULL r2 (r² is
+    undefined when there is no variance to explain).
+
+    Scale shape: identical to any single-pass aggregation — linear
+    scan, constant state per group. NULL x or y rows are excluded
+    pairwise (both engines' regr_* semantics).
+    """
+    x = F.col("_x")
+    y = F.col("_y")
+    pairs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("_x", F.col(x_col).cast("double"))
+        .withColumn("_y", F.col(y_col).cast("double"))
+    )
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x != 0, cov_n / var_x)
+    intercept = F.when(
+        var_x != 0, (F.col("_sy") - slope * F.col("_sx")) / n
+    )
+    r2 = F.when(
+        (var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"),
+    )

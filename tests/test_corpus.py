@@ -886,3 +886,55 @@ class TestImputeByGroup:
 
         with _p.raises(ValueError):
             impute_by_group(df, ["g"], ["value"], strategy="mode")
+
+
+class TestLinearTrend:
+    def test_exact_line_and_noise(self, spark):
+        from gbif_filter_python_spark.operators.profile import linear_trend
+
+        rows = [("a", float(x), 2.0 * x + 5.0) for x in range(10)]
+        rows += [("b", 0.0, 1.0), ("b", 1.0, 3.0), ("b", 2.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {
+            r["g"]: r
+            for r in linear_trend(df, ["g"], "x", "y").collect()
+        }
+        assert out["a"]["slope"] == 2.0
+        assert out["a"]["intercept"] == 5.0
+        assert out["a"]["r2"] == 1.0
+        assert out["a"]["n"] == 10
+        # b: x=[0,1,2], y=[1,3,2] -> slope 0.5, r2 = 0.25/0.5/2... compute
+        # slope = cov/var = ((0-1)(1-2)+(0)(1)+(1)(0))/2 = 0.5
+        assert out["b"]["slope"] == 0.5
+        assert 0.0 < out["b"]["r2"] < 1.0
+
+    def test_degenerate_variance_null_not_blowup(self, spark):
+        from gbif_filter_python_spark.operators.profile import linear_trend
+
+        df = spark.createDataFrame(
+            [
+                ("constx", 1.0, 1.0),
+                ("constx", 1.0, 5.0),
+                ("consty", 0.0, 7.0),
+                ("consty", 4.0, 7.0),
+            ],
+            "g string, x double, y double",
+        )
+        out = {r["g"]: r for r in linear_trend(df, ["g"], "x", "y").collect()}
+        assert out["constx"]["slope"] is None
+        assert out["constx"]["intercept"] is None
+        assert out["constx"]["r2"] is None
+        assert out["consty"]["slope"] == 0.0
+        assert out["consty"]["intercept"] == 7.0
+        assert out["consty"]["r2"] is None  # no variance to explain
+
+    def test_null_pairs_excluded(self, spark):
+        from gbif_filter_python_spark.operators.profile import linear_trend
+
+        df = spark.createDataFrame(
+            [("g", 0.0, 0.0), ("g", 1.0, 2.0), ("g", None, 9.0), ("g", 3.0, None)],
+            "g string, x double, y double",
+        )
+        row = linear_trend(df, ["g"], "x", "y").collect()[0]
+        assert row["n"] == 2
+        assert row["slope"] == 2.0
