@@ -2949,6 +2949,34 @@ def q_regr_trend(spark: SparkSession, sf: str) -> DataFrame:
     return linear_trend(ev, ["event_type"], "day", "value")
 
 
+def q_geo_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-cell proximity join (operators/spatial.py): all order
+    "collection sites" (md5-derived lon/lat — reproducible across
+    engines) within 5 km of each other. Spark runs the 3×3
+    neighbor-cell equi-join (the spatial band join — never O(n²));
+    the oracle independently builds candidates with a DuckDB bbox
+    IEJoin and the identical haversine text, so a grid cell bug
+    (missed boundary pair) hash-fails rather than being replayed."""
+    from gbif_filter_python_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    o = _t(spark, sf, "orders")
+
+    def bucket(tag: str, mod: int) -> F.Column:
+        h = F.md5(
+            F.concat(F.lit(tag), F.col("o_orderkey").cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
+
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        (bucket("lon:", 3600) / 100.0 - 8.0).alias("lon"),
+        (bucket("lat:", 1600) / 100.0 + 42.0).alias("lat"),
+    )
+    return proximity_pairs(pts, 5.0, max_abs_lat=58.0)
+
+
 def q_impute_values(spark: SparkSession, sf: str) -> DataFrame:
     """Group-median imputation (operators/profile.py): values are
     deterministically knocked out (event_id % 7 == 0) and refilled
@@ -3523,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_values": q_impute_values,
         "containment_pairs": q_containment_pairs,
         "regr_trend": q_regr_trend,
+        "geo_near_pairs": q_geo_near_pairs,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3953,6 +3982,25 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(b.value, fills.f), 6) AS value, "
             "b.value IS NULL AS value_imputed "
             "FROM base b JOIN fills USING (event_type)"
+        ),
+        "geo_near_pairs": (
+            "WITH pts AS (SELECT o_orderkey AS id, "
+            "('0x' || substr(md5('lon:' || CAST(o_orderkey AS VARCHAR)"
+            "), 1, 8))::BIGINT % 3600 / 100.0 - 8.0 AS lon, "
+            "('0x' || substr(md5('lat:' || CAST(o_orderkey AS VARCHAR)"
+            "), 1, 8))::BIGINT % 1600 / 100.0 + 42.0 AS lat "
+            "FROM orders), "
+            "cand AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "a.lon AS lon1, a.lat AS lat1, b.lon AS lon2, "
+            "b.lat AS lat2 FROM pts a JOIN pts b ON a.id < b.id "
+            "AND b.lat BETWEEN a.lat - 0.046 AND a.lat + 0.046 "
+            "AND b.lon BETWEEN a.lon - 0.086 AND a.lon + 0.086), "
+            "d AS (SELECT id_a, id_b, round(2 * 6371.0088 * asin(sqrt("
+            "sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) "
+            "/ 2) + cos(radians(lat1)) * cos(radians(lat2)) * "
+            "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
+            "/ 2))), 6) AS dist_km FROM cand) "
+            "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
         ),
         "regr_trend": (
             "WITH p AS (SELECT event_type, "

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "impute_values",
     "containment_pairs",
     "regr_trend",
+    "geo_near_pairs",
 ]
 
 

@@ -154,3 +154,119 @@ def zone_filter(
     if isinstance(zone, Country):
         return occurrences.filter(country_predicate(F.col(country_col), zone))
     return polygon_filter(occurrences, zone, lon_col=lon_col, lat_col=lat_col)
+
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_DEG_LAT = 110.574
+KM_PER_DEG_LON_EQUATOR = 111.320
+
+
+def haversine_km(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in km — pure Column trig (radians/sin/
+    cos/asin/sqrt are all JVM intrinsics inside whole-stage codegen;
+    no UDF). The formula text is mirrored verbatim by the DuckDB
+    oracle so both engines order the FP ops identically."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def proximity_pairs(
+    points: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_abs_lat: float = 85.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """All point pairs within ``radius_km`` great-circle distance:
+    (id_a, id_b, dist_km), id_a < id_b, each pair exactly once.
+
+    The reference's spatial story ends at server-side zone filters
+    (gbif_helper.py:86-88); proximity search — "which occurrences sit
+    within r km of each other" (duplicate collection events, spatial
+    co-occurrence) — is the classic quadratic trap this grid join
+    removes.
+
+    Scale design — the spatial analogue of the minhash band join: a
+    naive distance join is an O(n²) cross join. Instead each point
+    gets an integer grid cell of side ``cell_deg`` chosen so that any
+    two points within the radius differ by at most one cell in each
+    axis (lat: radius/110.574 km/°; lon: the same divided by
+    cos(max_abs_lat) — the WORST-case shrink of a longitude degree
+    over the data's latitude range, so the guarantee is uniform).
+    One side keeps its cell, the other explodes to its 3×3 neighbor
+    cells, and an EQUI-join on (cx, cy) meets every qualifying pair
+    exactly once (same cell → the (0,0) offset; adjacent cells → one
+    offset). The exact haversine then prunes the candidate ring.
+    Pair fan-out is bounded by local density (cells hold ~radius²
+    worth of points), the join shuffles on integer cell keys, and
+    nothing is ever quadratic in n.
+
+    Longitude wraparound at ±180° is NOT stitched (cells on either
+    side of the antimeridian never equi-join); pre-rotate longitudes
+    if your data crosses it. |lat| must stay ≤ ``max_abs_lat`` for
+    the one-cell guarantee — values above it raise at plan build.
+    """
+    import math
+
+    if not 0 < max_abs_lat <= 85.0:
+        raise ValueError("max_abs_lat must be in (0, 85]")
+    cell_deg = max(
+        radius_km / KM_PER_DEG_LAT,
+        radius_km
+        / (KM_PER_DEG_LON_EQUATOR * math.cos(math.radians(max_abs_lat))),
+    )
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).alias("_plon"),
+        F.col(lat_col).alias("_plat"),
+        F.floor((F.col(lon_col) + 180.0) / cell_deg).alias("_cx"),
+        F.floor((F.col(lat_col) + 90.0) / cell_deg).alias("_cy"),
+    )
+    right = (
+        pts.select(
+            F.col("_pid").alias("_qid"),
+            F.col("_plon").alias("_qlon"),
+            F.col("_plat").alias("_qlat"),
+            "_cx",
+            "_cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dx"),
+        )
+        .withColumn(
+            "_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .select(
+            "_qid",
+            "_qlon",
+            "_qlat",
+            (F.col("_cx") + F.col("_dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("_plon"), F.col("_plat"), F.col("_qlon"), F.col("_qlat")
+        ),
+        round_dp,
+    )
+    return (
+        pts.join(right, ["_cx", "_cy"])
+        .filter(F.col("_pid") < F.col("_qid"))
+        .select(
+            F.col("_pid").alias("id_a"),
+            F.col("_qid").alias("id_b"),
+            dist.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )

@@ -315,3 +315,88 @@ class TestLineage:
             per_key.setdefault(r["key"], []).append(r)
         assert 1 not in per_key
         assert len(per_key[3000]) == 5
+
+
+class TestProximityPairs:
+    """Grid-cell proximity join (operators/spatial.py::proximity_pairs)."""
+
+    def test_matches_brute_force(self, spark):
+        import math
+        import random
+
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        random.seed(11)
+        pts = [
+            (i, -8 + random.random() * 10, 42 + random.random() * 6)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(pts, "id long, lon double, lat double")
+        got = {
+            (r.id_a, r.id_b)
+            for r in proximity_pairs(df, 30.0, max_abs_lat=48.0).collect()
+        }
+
+        def hav(lon1, lat1, lon2, lat2):
+            dlat = math.radians(lat2 - lat1) / 2
+            dlon = math.radians(lon2 - lon1) / 2
+            a = (
+                math.sin(dlat) ** 2
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(dlon) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+        brute = {
+            (pts[i][0], pts[j][0])
+            for i in range(len(pts))
+            for j in range(i + 1, len(pts))
+            if round(hav(pts[i][1], pts[i][2], pts[j][1], pts[j][2]), 6)
+            <= 30.0
+        }
+        assert got == brute and len(brute) > 0
+
+    def test_boundary_pair_across_cells(self, spark):
+        """Two points straddling a grid-cell boundary but within the
+        radius must still pair (the 3x3 neighbor explode)."""
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        # cell_deg for r=5, max_abs_lat=50 is ~0.0699 deg; put two
+        # points ~0.02 deg apart so they can land in adjacent cells.
+        df = spark.createDataFrame(
+            [(1, 10.0699, 45.0), (2, 10.0701, 45.0), (3, 11.0, 45.0)],
+            "id long, lon double, lat double",
+        )
+        rows = proximity_pairs(df, 5.0, max_abs_lat=50.0).collect()
+        assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+        assert rows[0].dist_km < 0.1
+
+    def test_each_pair_once_same_cell(self, spark):
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 45.0), (2, 10.0001, 45.0001)],
+            "id long, lon double, lat double",
+        )
+        rows = proximity_pairs(df, 5.0, max_abs_lat=50.0).collect()
+        assert len(rows) == 1
+
+    def test_max_abs_lat_validation(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "id long, lon double, lat double"
+        )
+        with _pytest.raises(ValueError):
+            proximity_pairs(df, 5.0, max_abs_lat=89.9)
