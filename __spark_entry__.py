@@ -2949,6 +2949,22 @@ def q_regr_trend(spark: SparkSession, sf: str) -> DataFrame:
     return linear_trend(ev, ["event_type"], "day", "value")
 
 
+def q_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed event-transition mining (operators/analytics.py):
+    immediate A→B transitions within 1h per user stream, with
+    P(next=B | A) — the sequential counterpart of
+    association_rules. One user-key window pass + one (A,B) hash
+    agg; per-A totals come from a window over the aggregated
+    |types|² rows, never a second fact scan."""
+    from gbif_filter_python_spark.operators.analytics import (
+        sequential_pairs,
+    )
+
+    return sequential_pairs(
+        _t(spark, sf, "events"), max_gap_seconds=3600
+    )
+
+
 def q_geo_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Grid-cell proximity join (operators/spatial.py): all order
     "collection sites" (md5-derived lon/lat — reproducible across
@@ -3552,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "regr_trend": q_regr_trend,
         "geo_near_pairs": q_geo_near_pairs,
+        "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -3982,6 +3999,22 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(b.value, fills.f), 6) AS value, "
             "b.value IS NULL AS value_imputed "
             "FROM base b JOIN fills USING (event_type)"
+        ),
+        "seq_patterns": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "lead(event_type) OVER w AS type_b, "
+            "epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "p AS (SELECT user_id, event_type AS type_a, type_b "
+            "FROM s WHERE type_b IS NOT NULL "
+            "AND gap_us <= 3600000000), "
+            "a AS (SELECT type_a, type_b, COUNT(*) AS n_pairs, "
+            "COUNT(DISTINCT user_id) AS n_users FROM p GROUP BY 1, 2) "
+            "SELECT type_a, type_b, n_pairs, n_users, "
+            "round(CAST(n_pairs AS DOUBLE) / "
+            "SUM(n_pairs) OVER (PARTITION BY type_a), 6) AS p_next "
+            "FROM a"
         ),
         "geo_near_pairs": (
             "WITH pts AS (SELECT o_orderkey AS id, "

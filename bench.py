@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "regr_trend",
     "geo_near_pairs",
+    "seq_patterns",
 ]
 
 

@@ -462,3 +462,64 @@ def last_touch_attribution(
         F.when(in_window, F.col("_last_touch.t_type")).alias("touch_type"),
         F.when(in_window, F.col("_last_touch.t_ts")).alias("touch_ts"),
     )
+
+
+def sequential_pairs(
+    events: DataFrame,
+    max_gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Directed event-transition mining: for every user's time-ordered
+    stream, count immediate A→B transitions whose gap is at most
+    ``max_gap_seconds``, with the transition probability
+    P(next = B | current = A, a transition happened) — the sequential
+    counterpart of :func:`association_rules`' unordered co-occurrence
+    (which direction do users actually flow?).
+
+    One window pass per user (``lead`` over the (ts, id)-sorted
+    stream — the total order makes equal-timestamp streams
+    deterministic, the ewma/attribution contract), then ONE hash
+    aggregation on the (A, B) pair: a single user-key shuffle plus a
+    shuffle of |types|² aggregate rows. The per-A totals for the
+    probability come from a window over the AGGREGATED table —
+    |types|² rows, map-side trivial — never a second scan of the
+    fact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(
+        F.col(ts_col)
+    )
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("type_a"),
+            F.lead(type_col).over(w).alias("type_b"),
+            gap_us.alias("_gap_us"),
+        )
+        .filter(
+            F.col("type_b").isNotNull()
+            & (F.col("_gap_us") <= max_gap_seconds * 1_000_000)
+        )
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("_u").alias("n_users"),
+    )
+    wa = Window.partitionBy("type_a")
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_pairs",
+        "n_users",
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(wa), round_dp
+        ).alias("p_next"),
+    )

@@ -351,3 +351,83 @@ class TestLastTouchAttribution:
             (1, 20, "purchase", 3, 2.0),
         ]
         assert self._attr(spark, rows)[3] == (None, None)
+
+
+class TestSequentialPairs:
+    def _df(self, spark, rows):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (
+                    eid,
+                    base + datetime.timedelta(seconds=sec),
+                    uid,
+                    et,
+                )
+                for eid, sec, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+
+    def test_transitions_and_probability(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            sequential_pairs,
+        )
+
+        df = self._df(
+            spark,
+            [
+                (1, 0, 1, "view"),
+                (2, 10, 1, "click"),
+                (3, 20, 1, "purchase"),
+                (4, 0, 2, "view"),
+                (5, 10, 2, "click"),
+                (6, 0, 3, "view"),
+                (7, 10, 3, "view"),
+            ],
+        )
+        out = {
+            (r.type_a, r.type_b): r
+        for r in sequential_pairs(df, 3600).collect()
+        }
+        assert out[("view", "click")].n_pairs == 2
+        assert out[("view", "click")].n_users == 2
+        assert out[("click", "purchase")].n_pairs == 1
+        assert out[("view", "view")].n_pairs == 1
+        # view has 3 outgoing transitions: 2 to click, 1 to view
+        assert out[("view", "click")].p_next == round(2 / 3, 6)
+        # click's only outgoing transition (user 2's click is terminal)
+        assert out[("click", "purchase")].p_next == 1.0
+
+    def test_gap_cutoff_and_user_isolation(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            sequential_pairs,
+        )
+
+        df = self._df(
+            spark,
+            [
+                (1, 0, 1, "view"),
+                (2, 7200, 1, "click"),  # beyond 1h gap: no transition
+                (3, 0, 2, "click"),  # last event of user 2 at t=0
+                (4, 5, 3, "purchase"),  # different user: no cross-pair
+            ],
+        )
+        assert sequential_pairs(df, 3600).count() == 0
+
+    def test_equal_ts_ordered_by_id(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            sequential_pairs,
+        )
+
+        df = self._df(
+            spark,
+            [(2, 0, 1, "b"), (1, 0, 1, "a"), (3, 0, 1, "c")],
+        )
+        out = {
+            (r.type_a, r.type_b)
+            for r in sequential_pairs(df, 10).collect()
+        }
+        assert out == {("a", "b"), ("b", "c")}
