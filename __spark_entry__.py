@@ -3523,6 +3523,27 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return rrf_fuse([kw, vec], k=60, top=10)
 
 
+def q_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery (operators/profile.py): verify
+    candidate FDs over orders — the PK candidates (o_orderkey →
+    custkey/orderdate) hold, the denormalization candidates
+    (o_custkey → status/clerk) violate, and the constant-column
+    candidate (o_orderpriority → o_shippriority) holds trivially.
+    ONE shuffle per distinct lhs (all rhs distinct-counts share the
+    groupBy); support weights violations by group size."""
+    from gbif_filter_python_spark.operators.profile import fd_candidates
+
+    o = _t(spark, sf, "orders")
+    return fd_candidates(
+        o,
+        {
+            "o_orderkey": ["o_custkey", "o_orderdate"],
+            "o_custkey": ["o_orderstatus", "o_orderpriority"],
+            "o_orderdate": ["o_orderstatus"],
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's harness checks the
     FIRST 50 entries, so the window leads with the queries newest to
@@ -3567,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_values": q_impute_values,
         "containment_pairs": q_containment_pairs,
         "regr_trend": q_regr_trend,
+        "fd_discovery": q_fd_discovery,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4034,6 +4056,44 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "fd_discovery": (
+            "WITH u AS ("
+            "SELECT 'o_orderkey' AS lhs, g, cnt, rhs, nd, hn FROM ("
+            "SELECT CAST(o_orderkey AS VARCHAR) AS g, COUNT(*) AS cnt, "
+            "COUNT(DISTINCT o_custkey) AS nd1, "
+            "MAX(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS hn1, "
+            "COUNT(DISTINCT o_orderdate) AS nd2, "
+            "MAX(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS hn2 "
+            "FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1) "
+            "UNPIVOT ((nd, hn) FOR rhs IN "
+            "((nd1, hn1) AS 'o_custkey', (nd2, hn2) AS 'o_orderdate')) "
+            "UNION ALL "
+            "SELECT 'o_custkey', g, cnt, rhs, nd, hn FROM ("
+            "SELECT CAST(o_custkey AS VARCHAR) AS g, COUNT(*) AS cnt, "
+            "COUNT(DISTINCT o_orderstatus) AS nd1, "
+            "MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS hn1, "
+            "COUNT(DISTINCT o_orderpriority) AS nd2, "
+            "MAX(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS hn2 "
+            "FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) "
+            "UNPIVOT ((nd, hn) FOR rhs IN "
+            "((nd1, hn1) AS 'o_orderstatus', (nd2, hn2) AS 'o_orderpriority')) "
+            "UNION ALL "
+            "SELECT 'o_orderdate', g, cnt, rhs, nd, hn FROM ("
+            "SELECT CAST(o_orderdate AS VARCHAR) AS g, COUNT(*) AS cnt, "
+            "COUNT(DISTINCT o_orderstatus) AS nd1, "
+            "MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS hn1 "
+            "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) "
+            "UNPIVOT ((nd, hn) FOR rhs IN ((nd1, hn1) AS 'o_orderstatus'))"
+            "), v AS (SELECT lhs, rhs, g, cnt, "
+            "CASE WHEN nd > 1 OR (nd >= 1 AND hn = 1) THEN 1 ELSE 0 END "
+            "AS viol FROM u) "
+            "SELECT lhs, rhs, COUNT(*) AS n_groups, "
+            "CAST(SUM(viol) AS BIGINT) AS n_violating, "
+            "round(SUM(CASE WHEN viol = 0 THEN cnt ELSE 0 END) "
+            "/ CAST(SUM(cnt) AS DOUBLE), 6) AS support, "
+            "SUM(viol) = 0 AS holds "
+            "FROM v GROUP BY 1, 2"
         ),
         "regr_trend": (
             "WITH p AS (SELECT event_type, "

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "regr_trend",
     "geo_near_pairs",
     "seq_patterns",
+    "fd_discovery",
 ]
 
 

@@ -548,3 +548,106 @@ def linear_trend(
         F.round(intercept, round_dp).alias("intercept"),
         F.round(r2, round_dp).alias("r2"),
     )
+
+
+def fd_candidates(
+    df: DataFrame,
+    candidates: dict[str, list[str]],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs:
+    one row ``(lhs, rhs, n_groups, n_violating, support, holds)`` per
+    candidate ``lhs -> rhs``, where ``holds`` means every lhs value
+    maps to exactly one rhs value (NULL rhs counts as a value — an
+    lhs group mixing NULL and non-NULL rhs is a violation). This is
+    the key-inference / denormalization-audit primitive a pipeline
+    runs before trusting "this column determines that one" (the
+    check-side complement of :func:`check_constraints`' declared
+    rules; candidate generation is the caller's, as in the classical
+    FD miners — TANE/Metanome profile, then verify).
+
+    ``support`` is the fraction of ROWS living in non-violating lhs
+    groups — "how close to holding" (1.0 iff holds), weighted by
+    group size so one mixed mega-group can't hide behind thousands
+    of clean singletons.
+
+    Scale shape: ONE shuffle per distinct lhs key, not per candidate
+    pair — all rhs columns sharing an lhs are distinct-counted in a
+    single ``groupBy(lhs)`` aggregation (Spark plans the multi-
+    distinct as one Expand — |rhs| projected copies of the grouped
+    input, the documented multi-count-distinct cost — but the fact
+    is scanned once and shuffled once per lhs). The per-pair summary
+    then aggregates the |lhs-groups|-row table with ``stack``, never
+    rescanning the fact. NULL lhs rows are excluded (SQL GROUP BY
+    would keep a NULL group; FD semantics over a nullable candidate
+    key are undefined, so they are out of scope by contract).
+    """
+    outs = []
+    for lhs, rhs_cols in candidates.items():
+        grouped = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(F.col(lhs).alias("_g"))
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                *[
+                    F.count_distinct(F.col(r)).alias(f"_nd_{r}")
+                    for r in rhs_cols
+                ],
+                *[
+                    F.max(
+                        F.col(r).isNull().cast("int")
+                    ).alias(f"_hasnull_{r}")
+                    for r in rhs_cols
+                ],
+            )
+        )
+        # a group violates lhs->rhs iff it maps to >1 distinct rhs
+        # value, counting NULL as a value: nd>1, or nd>=1 with a
+        # NULL also present (count_distinct skips NULLs).
+        viol = {
+            r: (
+                (F.col(f"_nd_{r}") > 1)
+                | ((F.col(f"_nd_{r}") >= 1) & (F.col(f"_hasnull_{r}") == 1))
+            ).cast("int")
+            for r in rhs_cols
+        }
+        aggs = []
+        for r in rhs_cols:
+            aggs += [
+                F.sum(viol[r]).alias(f"_nv_{r}"),
+                F.sum(
+                    F.when(viol[r] == 0, F.col("_cnt")).otherwise(0)
+                ).alias(f"_ok_{r}"),
+            ]
+        row = grouped.agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum("_cnt").alias("_nr"),
+            *aggs,
+        )
+        stack_args = ", ".join(
+            f"'{r}', _nv_{r}, _ok_{r}" for r in rhs_cols
+        )
+        outs.append(
+            row.select(
+                F.lit(lhs).alias("lhs"),
+                F.col("_ng").alias("n_groups"),
+                F.col("_nr").alias("_nr"),
+                F.expr(
+                    f"stack({len(rhs_cols)}, {stack_args}) AS "
+                    "(rhs, n_violating, _ok_rows)"
+                ),
+            ).select(
+                "lhs",
+                "rhs",
+                "n_groups",
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.round(
+                    F.col("_ok_rows") / F.col("_nr"), round_dp
+                ).alias("support"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

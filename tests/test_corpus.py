@@ -938,3 +938,86 @@ class TestLinearTrend:
         row = linear_trend(df, ["g"], "x", "y").collect()[0]
         assert row["n"] == 2
         assert row["slope"] == 2.0
+
+
+class TestFdCandidates:
+    def _df(self, spark):
+        rows = [
+            # k -> v holds; k -> w violated by k=2 (two w values);
+            # k=3 mixes NULL and non-NULL w (violation: NULL counts
+            # as a value); k=4 is all-NULL w (nd=0, holds).
+            (1, "a", "x"),
+            (1, "a", "x"),
+            (2, "b", "y"),
+            (2, "b", "z"),
+            (3, "c", "y"),
+            (3, "c", None),
+            (4, "d", None),
+            (None, "e", "q"),  # NULL lhs rows are excluded
+        ]
+        return spark.createDataFrame(rows, "k int, v string, w string")
+
+    def test_holds_violations_support(self, spark):
+        from gbif_filter_python_spark.operators.profile import fd_candidates
+
+        out = {
+            (r["lhs"], r["rhs"]): r
+            for r in fd_candidates(self._df(spark), {"k": ["v", "w"]}).collect()
+        }
+        kv = out[("k", "v")]
+        assert kv["holds"] and kv["n_violating"] == 0
+        assert kv["n_groups"] == 4 and kv["support"] == 1.0
+        kw = out[("k", "w")]
+        assert not kw["holds"] and kw["n_violating"] == 2
+        # non-violating groups: k=1 (2 rows) + k=4 (1 row) of 7 rows
+        assert abs(kw["support"] - 3 / 7) < 1e-6
+
+    def test_multiple_lhs_single_pass_each(self, spark):
+        from gbif_filter_python_spark.operators.profile import fd_candidates
+
+        out = fd_candidates(
+            self._df(spark), {"k": ["v"], "v": ["k"]}
+        ).collect()
+        assert len(out) == 2
+        by = {(r["lhs"], r["rhs"]): r for r in out}
+        assert by[("k", "v")]["holds"]
+        # v -> k also holds on this data (v values are unique per k)
+        assert by[("v", "k")]["holds"]
+
+
+class TestScaleDataSuffix:
+    def test_replica_suffix_survives_normalization(self, spark):
+        """Generator invariant (tools/scale_data.py): the replica word
+        suffix must remain PART of each token after normalized_text,
+        not become a standalone interleaved token — otherwise k-gram
+        shingles dilute to ceil(k/2) content words and within-replica
+        df explodes (the 22.7x containment_pairs scaling regression
+        this test pins against)."""
+        from pyspark.sql import functions as F
+
+        from gbif_filter_python_spark.functions.text import (
+            normalized_text,
+            token_count,
+        )
+
+        df = spark.createDataFrame(
+            [("The cat, the CAT — sat; on 42 mats.",)], "text string"
+        )
+        suffixed = df.select(
+            F.regexp_replace(
+                F.col("text"), r"([A-Za-z0-9]+)", r"$1q3x"
+            ).alias("text")
+        )
+        base_n, suf_n = (
+            df.select(token_count(normalized_text(F.col("text")))).first()[0],
+            suffixed.select(
+                token_count(normalized_text(F.col("text")))
+            ).first()[0],
+        )
+        # token count unchanged: the suffix rides inside each word
+        assert base_n == suf_n
+        norm = suffixed.select(normalized_text(F.col("text"))).first()[0]
+        assert "theq3x catq3x" in norm
+        # every token is replica-tagged -> zero cross-replica shingle
+        # collisions with any other replica index
+        assert all(t.endswith("q3x") for t in norm.split())

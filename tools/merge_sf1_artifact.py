@@ -37,15 +37,20 @@ out = {
         "worst_8": worst,
         "queries_over_12x": over,
         "notes": [
-            "Refresh including the round-4 continuation cohort "
-            "(bm25/rrf retrieval, cms, random projection, triangle/"
-            "label-prop graph passes, interval merge, sorted "
-            "neighborhood, robust outliers, temporal dim join, "
-            "association rules, weighted sample, cusum, ivm).",
+            "Refresh after fixing tools/scale_data.py's replica word "
+            "suffix: the old '~r{i}' suffix normalized to a STANDALONE "
+            "token interleaved between every word, doubling tokens and "
+            "diluting k=5 shingles to 3 content words - within-replica "
+            "shingle df exploded (max_df 5 -> 362, sum(df^2) x2288) and "
+            "containment_pairs measured 22.7x on 10x data. The suffix "
+            "now appends inside each alphanumeric run ('wordq3x'), "
+            "surviving normalized_text; measured sf1 shingle inventory "
+            "is exactly 10x with max_df 4, and containment_pairs "
+            "scales 5.1x (32 cores).",
             "triangle_counts was 12.7x before materializing the "
             "symmetric edge list once (graph.py localCheckpoint) - "
             "the 7 downstream references re-executed the edge "
-            "derivation; now 1.8x.",
+            "derivation; now ~2x.",
             "No query exceeds the 12x flag threshold on 10x data "
             "(32 cores)." if not over else f"FLAGGED over 12x: {over}",
             "nb/dsir/lm shuffle only bounded (bucket,label) model "

@@ -120,7 +120,16 @@ def scale_dir(spark, src: str, out: str, copies: int) -> dict:
         text = (
             F.col("text")
             if i == 0
-            else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~r{i}")
+            # The suffix must SURVIVE normalized_text (lowercase,
+            # [^a-z0-9]+ -> space) as part of the word it decorates:
+            # a separator-attached suffix ("word~r3") normalizes to a
+            # standalone token interleaved between every word, which
+            # both doubles the token count and dilutes a k-shingle to
+            # ceil(k/2) content words — within-replica shingle df
+            # explodes ~100x and the "linear pair structure" claim
+            # below silently breaks. Append to each alphanumeric run
+            # with no separator instead ("wordq3x").
+            else F.regexp_replace(F.col("text"), r"([A-Za-z0-9]+)", rf"$1q{i}x")
         )
         out_cols = []
         for c in d.columns:
