@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "geo_near_pairs",
     "seq_patterns",
     "fd_discovery",
+    "skyline_pareto",
 ]
 
 

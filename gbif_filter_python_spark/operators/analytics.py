@@ -523,3 +523,134 @@ def sequential_pairs(
             F.col("n_pairs") / F.sum("n_pairs").over(wa), round_dp
         ).alias("p_next"),
     )
+
+
+def skyline(
+    df: DataFrame,
+    prefs: dict[str, str],
+) -> DataFrame:
+    """n-dimensional skyline (Pareto front): keep exactly the rows no
+    other row dominates, where ``prefs`` maps each measure column to
+    ``"min"`` or ``"max"`` and row b dominates row a iff b is at
+    least as good on EVERY measure and strictly better on at least
+    one (Börzsönyi et al., ICDE 2001 — "The Skyline Operator").
+    Duplicate measure vectors never dominate each other (no strict
+    edge), so tied rows all survive — the NOT EXISTS semantics of
+    the SQL formulation, row for row. Rows with a NULL in any
+    measure are excluded by contract (dominance is undefined there).
+
+    Scale shape — the classic two-phase distributed skyline:
+
+    1. LOCAL prune: each partition computes its own skyline with a
+       vectorized numpy pass (points sorted lexicographically, so a
+       dominator always precedes its victims; each point checks only
+       the current skyline set). Any globally non-dominated point is
+       non-dominated in its partition, so phase 1 never drops a
+       skyline member — it only shrinks the candidate set, typically
+       by orders of magnitude (correlated data keeps skylines tiny).
+    2. GLOBAL pass: the surviving candidates coalesce to one
+       partition for the exact pass. Skyline size is bounded by the
+       product of per-dimension distinct counts in the worst case
+       but is tiny on real (correlated) measures; for adversarial
+       anti-correlated data, raise parallelism upstream and/or
+       pre-aggregate — the operator itself stays exact regardless.
+
+    The measure columns are cast to double and sign-oriented so
+    smaller-is-better uniformly; payload columns ride along
+    untouched.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = list(prefs)
+    for c, p in prefs.items():
+        if p not in ("min", "max"):
+            raise ValueError(f"prefs[{c!r}] must be min|max, got {p!r}")
+    keep = df.na.drop(subset=cols)
+    oriented = [
+        (F.col(c) * (1 if prefs[c] == "min" else -1))
+        .cast("double")
+        .alias(f"_m_{i}")
+        for i, c in enumerate(cols)
+    ]
+    work = keep.select("*", *oriented)
+    mcols = [f"_m_{i}" for i in range(len(cols))]
+    out_schema = keep.schema
+
+    def _local_pareto(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[mcols].to_numpy(dtype="float64")
+        n = len(vals)
+        if n == 0:
+            return pdf.drop(columns=mcols)
+        order = np.lexsort(vals.T[::-1])
+        sky_rows: list[int] = []
+        sky_vals = np.empty((0, vals.shape[1]))
+        for idx in order:
+            p = vals[idx]
+            if len(sky_rows):
+                dominated = (
+                    (sky_vals <= p).all(axis=1) & (sky_vals < p).any(axis=1)
+                ).any()
+                if dominated:
+                    continue
+            sky_rows.append(idx)
+            sky_vals = np.vstack([sky_vals, p])
+        return pdf.iloc[sorted(sky_rows)].drop(columns=mcols)
+
+    def _phase(it):
+        for pdf in it:
+            yield _local_pareto(pdf)
+
+    local = work.mapInPandas(_phase, schema=out_schema)
+    # re-attach orientation for the global pass (the local output
+    # dropped the working columns so its schema is the user schema)
+    global_work = local.select("*", *oriented).coalesce(1)
+    return global_work.mapInPandas(_phase, schema=out_schema)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_pref: str = "min",
+    y_pref: str = "max",
+) -> DataFrame:
+    """Exact 2-D skyline in PURE window/join SQL — no Python in the
+    plan. Identical semantics to :func:`skyline` (ties all survive,
+    NULL-measure rows excluded); exists because the 2-D case — the
+    overwhelmingly common one (price/quality, cost/throughput) — has
+    a sort-based closed form:
+
+    orient to (min x, max y); group to per-distinct-x ``max(y)``;
+    then a point is dominated iff a strictly smaller x reached >= its
+    y (prefix running max over the x-sorted DISTINCT-x aggregate) or
+    its own x reached a strictly larger y. One shuffle to the
+    |distinct x|-row aggregate, a window over THAT (never the fact),
+    and one equi-join back — the fact is scanned twice and never
+    windowed. The unpartitioned window runs on the aggregate only;
+    at extreme |distinct x|, range-partition the prefix max the
+    assign_global_index way.
+    """
+    sx = 1 if x_pref == "min" else -1
+    sy = 1 if y_pref == "max" else -1
+    if x_pref not in ("min", "max") or y_pref not in ("min", "max"):
+        raise ValueError("prefs must be min|max")
+    from pyspark.sql import Window
+
+    keep = df.na.drop(subset=[x_col, y_col])
+    work = keep.select(
+        "*",
+        (F.col(x_col) * sx).cast("double").alias("_sx"),
+        (F.col(y_col) * sy).cast("double").alias("_sy"),
+    )
+    agg = work.groupBy("_sx").agg(F.max("_sy").alias("_ymax"))
+    w = Window.orderBy(F.col("_sx").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    stats = agg.withColumn("_prev", F.max("_ymax").over(w))
+    joined = work.join(stats, "_sx")
+    survives = (
+        (F.col("_prev").isNull() | (F.col("_prev") < F.col("_sy")))
+        & (F.col("_sy") == F.col("_ymax"))
+    )
+    return joined.filter(survives).select(*[F.col(c) for c in keep.columns])

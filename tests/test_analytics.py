@@ -431,3 +431,92 @@ class TestSequentialPairs:
             for r in sequential_pairs(df, 10).collect()
         }
         assert out == {("a", "b"), ("b", "c")}
+
+
+class TestSkyline:
+    def _brute(self, pts, prefs):
+        def better(b, a):
+            ge = all(
+                (bv <= av if p == "min" else bv >= av)
+                for (bv, av, p) in zip(b, a, prefs)
+            )
+            strict = any(
+                (bv < av if p == "min" else bv > av)
+                for (bv, av, p) in zip(b, a, prefs)
+            )
+            return ge and strict
+
+        return sorted(
+            p for p in pts if not any(better(q, p) for q in pts if q != p)
+        )
+
+    def test_matches_brute_force_3d(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.analytics import skyline
+
+        rng = random.Random(7)
+        pts = [
+            (rng.randint(0, 30), rng.randint(0, 30), rng.randint(0, 30))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(pts, "a int, b int, c int").repartition(8)
+        out = sorted(
+            tuple(r) for r in skyline(
+                df, {"a": "min", "b": "max", "c": "min"}
+            ).collect()
+        )
+        assert out == self._brute(pts, ["min", "max", "min"])
+
+    def test_ties_all_survive_and_nulls_dropped(self, spark):
+        from gbif_filter_python_spark.operators.analytics import skyline
+
+        rows = [
+            ("p1", 1, 10),
+            ("p2", 1, 10),   # duplicate measures: both survive
+            ("p3", 2, 10),   # dominated by p1/p2 (worse a, equal b)
+            ("p4", 0, None),  # NULL measure: excluded
+        ]
+        df = spark.createDataFrame(rows, "id string, a int, b int")
+        out = sorted(
+            r["id"] for r in skyline(df, {"a": "min", "b": "max"}).collect()
+        )
+        assert out == ["p1", "p2"]
+
+    def test_2d_window_path_parity(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.analytics import (
+            skyline,
+            skyline_2d,
+        )
+
+        rng = random.Random(11)
+        pts = [
+            (i, rng.randint(0, 50), rng.randint(0, 50)) for i in range(300)
+        ]
+        # planted exact ties on both axes
+        pts += [(1000, pts[0][1], pts[0][2]), (1001, pts[5][1], 51)]
+        df = spark.createDataFrame(pts, "id int, x int, y int").repartition(5)
+        a = sorted(
+            r["id"] for r in skyline(df, {"x": "min", "y": "max"}).collect()
+        )
+        b = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+        assert a == b
+        c = sorted(
+            r["id"]
+            for r in skyline_2d(df, "x", "y", "max", "min").collect()
+        )
+        d = sorted(
+            r["id"] for r in skyline(df, {"x": "max", "y": "min"}).collect()
+        )
+        assert c == d
+
+    def test_rejects_bad_pref(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.analytics import skyline
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with _p.raises(ValueError):
+            skyline(df, {"a": "best"})
