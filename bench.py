@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "seq_patterns",
     "fd_discovery",
     "skyline_pareto",
+    "k_core",
 ]
 
 

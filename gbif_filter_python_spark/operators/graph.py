@@ -427,3 +427,75 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """k-core decomposition for a fixed ``k``: the maximal subgraph in
+    which every node has degree ≥ k (Seidman 1983 — the standard
+    "cohesive community vs incidental fringe" cut above the
+    similarity-graph operators here: a node in the 3-core has three
+    mutually-well-connected neighbors; a pendant chain never does).
+    Returns ``(id, core_degree)`` for surviving nodes — degree counted
+    WITHIN the core (all ≥ k by the fixpoint). Simple-graph
+    semantics: parallel input edges collapse via distinct; self-loops
+    are dropped (a self-loop is not cohesion).
+
+    The peel loop is degree-prune iterated to fixpoint: per round, ONE
+    map-side-combined degree aggregation over the surviving symmetric
+    edge list + two semi-joins pruning edges whose either endpoint
+    fell under k. No driver data movement — the only driver value is
+    the per-round surviving-edge count (a scalar, which doubles as the
+    convergence test); ``localCheckpoint`` truncates lineage per round
+    (the connected_components contract). Round count is bounded by
+    the degeneracy ordering depth — small for similarity graphs; the
+    cap raises rather than silently returning a non-core.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        pruned = (
+            sym.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_next = pruned.count()
+        sym = pruned
+        if n_next == n_edges:
+            return sym.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+        n_edges = n_next
+    if n_edges == 0:
+        return sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_iterations} rounds"
+    )

@@ -281,3 +281,48 @@ class TestLabelPropagation:
         ]
         edges = [(a, b) for a, b in edges if a != b]
         assert self._lp(spark, edges) == self._lp(spark, edges)
+
+
+class TestKCore:
+    def test_clique_with_pendant_chain(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_core
+
+        # 4-clique {1,2,3,4} + chain 4-5-6 + pendant 7 on the clique
+        edges = [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (5, 6), (4, 7),
+        ]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        core3 = {
+            r["id"]: r["core_degree"]
+            for r in k_core(df, k=3).collect()
+        }
+        assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+        core2 = sorted(r["id"] for r in k_core(df, k=2).collect())
+        assert core2 == [1, 2, 3, 4]  # the chain/pendant peel off
+
+    def test_cascading_peel(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_core
+
+        # path graph: every 2-core peel cascades from both ends;
+        # result is empty (no cycle)
+        edges = [(i, i + 1) for i in range(12)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        assert k_core(df, k=2).count() == 0
+        # close it into a cycle: the whole ring is the 2-core
+        ring = df.unionByName(
+            spark.createDataFrame([(12, 0)], "id_a int, id_b int")
+        )
+        out = k_core(ring, k=2)
+        assert out.count() == 13
+        assert all(r["core_degree"] == 2 for r in out.collect())
+
+    def test_parallel_edges_and_self_loops_ignored(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_core
+
+        edges = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (3, 1)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        # simple-graph view is triangle 1-2-3: all in the 2-core,
+        # parallel/self edges add no degree
+        out = {r["id"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}

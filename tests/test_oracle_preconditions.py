@@ -184,3 +184,41 @@ def test_semantic_dedup_oracle_preconditions(spark, sf):
         "0.99 threshold — the semantic_dedup oracle's cross-engine "
         "float-determinism margin is gone."
     )
+
+
+def test_k_core_fixpoint_within_unrolled_oracle_rounds(spark, sf):
+    """The k_core oracle unrolls 7 peel rounds; the Spark fixpoint is
+    measured at 5 on this corpus. If a data refresh deepens the
+    cascade past 7, the oracle would report a not-yet-converged
+    (larger) core — safe direction, but this asserts the margin by
+    name first."""
+    edges = entry_mod._item_graph_edges(spark, sf)
+    sym = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = sym.count()
+    rounds = 0
+    while rounds < 20:
+        keep = (
+            sym.groupBy("src")
+            .count()
+            .filter(F.col("count") >= 10)
+            .select("src")
+        )
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.selectExpr("src AS dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        n2 = sym.count()
+        rounds += 1
+        if n2 == n or n2 == 0:
+            break
+        n = n2
+    assert rounds <= 7, (
+        f"k=10 peel needs {rounds} rounds; regenerate the k_core "
+        f"oracle with _kcore_oracle(10, {rounds + 2})."
+    )
