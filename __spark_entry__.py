@@ -3579,6 +3579,96 @@ def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sole_blame_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+    this schema: suppliers with a RETURNED line ('R') in a finalized
+    multi-supplier order where NO OTHER supplier's line was returned —
+    the correlated EXISTS + NOT EXISTS pair, expressed as one semi-
+    join and one anti-join on (orderkey, suppkey != suppkey). Catalyst
+    plans both against the same lineitem scan; the supplier dim
+    broadcasts; count per s_name with the deterministic (numwait
+    desc, s_name) top-100."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag quantity-weighted median price
+    (operators/profile.py): one group-key shuffle; the RANGE-frame
+    cumulative weight makes tied prices a single mass so cross-engine
+    row order cannot shift the crossing point; integral weights keep
+    the FP cumsum exact."""
+    from gbif_filter_python_spark.operators.profile import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    out = weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("total_weight").cast("double").alias("total_weight"),
+        "weighted_median",
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (operators/profile.py, Sweeney 2002) of the
+    customer table under the quasi-identifier (nation, market
+    segment, account-balance band): the one-row governance summary a
+    de-identified extract must pass before release. One hash agg to
+    the class table, scalar-state summary over class counts."""
+    from gbif_filter_python_spark.operators.profile import k_anonymity
+
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).alias("bal_band"),
+    )
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-core peel: round N keeps edges whose BOTH
     endpoints had degree >= k in round N-1's edge set. If ``rounds``
@@ -3650,6 +3740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "skyline_pareto": q_skyline_pareto,
         "k_core": q_k_core,
+        "sole_blame_supplier": q_sole_blame_supplier,
+        "weighted_median": q_weighted_median,
+        "k_anonymity": q_k_anonymity,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4117,6 +4210,49 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "k_anonymity": (
+            "WITH cls AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band, "
+            "COUNT(*) AS class_size FROM customer GROUP BY 1, 2, 3) "
+            "SELECT 5 AS k, CAST(SUM(class_size) AS BIGINT) AS n_rows, "
+            "COUNT(*) AS n_classes, "
+            "CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_violating_classes, "
+            "CAST(SUM(CASE WHEN class_size < 5 THEN class_size "
+            "ELSE 0 END) AS BIGINT) AS n_rows_at_risk, "
+            "MIN(class_size) AS min_class_size, "
+            "SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) = 0 "
+            "AS is_k_anonymous FROM cls"
+        ),
+        "weighted_median": (
+            "WITH c AS (SELECT l_returnflag, l_extendedprice AS v, "
+            "l_quantity AS w, "
+            "SUM(l_quantity) OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice) AS cumw, "
+            "SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot "
+            "FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity > 0) "
+            "SELECT l_returnflag, "
+            "CAST(MAX(tot) AS DOUBLE) AS total_weight, "
+            "MIN(CASE WHEN cumw * 2 >= tot THEN v END) "
+            "AS weighted_median FROM c GROUP BY 1"
+        ),
+        "sole_blame_supplier": (
+            "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM lineitem l1 "
+            "JOIN orders ON o_orderkey = l1.l_orderkey "
+            "JOIN supplier ON s_suppkey = l1.l_suppkey "
+            "WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey "
+            "AND l3.l_returnflag = 'R') "
+            "GROUP BY s_name "
+            "ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "k_core": _kcore_oracle(10, 7),
         "skyline_pareto": (

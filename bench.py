@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "fd_discovery",
     "skyline_pareto",
     "k_core",
+    "sole_blame_supplier",
+    "weighted_median",
+    "k_anonymity",
 ]
 
 

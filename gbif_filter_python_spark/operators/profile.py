@@ -651,3 +651,97 @@ def fd_candidates(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight reaches half the group's total weight
+    (P(X <= v) >= 1/2 with row weights) — the robust center for
+    size-weighted populations (median price weighted by quantity,
+    median latency weighted by call volume) where the unweighted
+    median over-counts small rows. ``(group..., total_weight,
+    weighted_median)``; non-positive and NULL weights are excluded
+    by contract, as are NULL values.
+
+    Pure window + aggregation: ONE group-key shuffle for the
+    cumulative-weight window — the default RANGE frame deliberately:
+    tied values accumulate as one mass, so the within-tie row order
+    (nondeterministic across engines) cannot change any row's
+    cumulative weight — then a map-side min-aggregate picks the
+    crossing value. No second scan: the group total rides the same
+    window partition (unbounded frame).
+    """
+    from pyspark.sql import Window
+
+    keep = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(F.col("_v"))
+    wt = Window.partitionBy(*group_cols)
+    cum = (
+        keep.select(
+            *group_cols,
+            F.col(value_col).alias("_v"),
+            F.col(weight_col).alias("_w"),
+        )
+        .withColumn("_cumw", F.sum("_w").over(wv))
+        .withColumn("_total", F.sum("_w").over(wt))
+    )
+    return cum.groupBy(*group_cols).agg(
+        F.max("_total").alias("total_weight"),
+        F.min(
+            F.when(F.col("_cumw") * 2 >= F.col("_total"), F.col("_v"))
+        ).alias("weighted_median"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    mode: str = "summary",
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002):
+    an equivalence class is the set of rows sharing the full
+    ``quasi_cols`` value vector (NULLs compare equal — a NULL
+    quasi-value still groups re-identifiable rows); the table is
+    k-anonymous iff every class has at least k rows. The governance
+    gate a training-data pipeline runs BEFORE shipping a de-identified
+    extract — pii_scrub removes direct identifiers, this measures
+    whether the remaining quasi-identifiers still single people out.
+
+    ``mode="summary"`` → ONE row: (k, n_rows, n_classes,
+    n_violating_classes, n_rows_at_risk, min_class_size,
+    is_k_anonymous). ``mode="classes"`` → the violating classes
+    themselves (quasi..., class_size) for remediation (suppress or
+    generalize those rows).
+
+    Scale shape: one hash aggregation to the class table (map-side
+    combined), then either a scalar-state aggregation over class
+    counts (summary) or a filter (classes). The fact is scanned once;
+    nothing but (class, count) rows shuffle.
+    """
+    if mode not in ("summary", "classes"):
+        raise ValueError(f"mode must be summary|classes, got {mode!r}")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    if mode == "classes":
+        return classes.filter(F.col("class_size") < k)
+    viol = F.col("class_size") < k
+    return classes.agg(
+        F.lit(k).alias("k"),
+        F.sum("class_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(viol.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("class_size")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("class_size").alias("min_class_size"),
+        (F.sum(viol.cast("long")) == 0).alias("is_k_anonymous"),
+    )

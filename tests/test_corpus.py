@@ -1021,3 +1021,89 @@ class TestScaleDataSuffix:
         # every token is replica-tagged -> zero cross-replica shingle
         # collisions with any other replica index
         assert all(t.endswith("q3x") for t in norm.split())
+
+
+class TestWeightedMedian:
+    def test_known_masses_and_tie_handling(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            weighted_median,
+        )
+
+        rows = [
+            # group a: masses 1@1, 1@2, 3@3 -> total 5, half 2.5;
+            # cum at v=2 is 2 (<2.5), at v=3 is 5 -> median 3
+            ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 3.0),
+            # group b: tied values split across rows — 2@5 as (1+1),
+            # 2@7: cum at 5 must be 2 (RANGE frame), half=2 -> median 5
+            ("b", 5.0, 1.0), ("b", 5.0, 1.0), ("b", 7.0, 2.0),
+            # group c: zero/negative/NULL weights are excluded
+            ("c", 1.0, 0.0), ("c", 2.0, -3.0), ("c", 4.0, None),
+            ("c", 9.0, 2.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        out = {
+            r["g"]: r
+            for r in weighted_median(df, ["g"], "v", "w").collect()
+        }
+        assert out["a"]["weighted_median"] == 3.0
+        assert out["a"]["total_weight"] == 5.0
+        assert out["b"]["weighted_median"] == 5.0
+        assert out["c"]["weighted_median"] == 9.0
+        assert out["c"]["total_weight"] == 2.0
+
+    def test_matches_unweighted_median_on_unit_weights(self, spark):
+        import statistics
+
+        from gbif_filter_python_spark.operators.profile import (
+            weighted_median,
+        )
+
+        vals = [3.0, 1.0, 7.0, 9.0, 5.0]
+        df = spark.createDataFrame(
+            [("g", v, 1.0) for v in vals], "g string, v double, w double"
+        )
+        out = weighted_median(df, ["g"], "v", "w").first()
+        assert out["weighted_median"] == statistics.median(vals)
+
+
+class TestKAnonymity:
+    def test_summary_and_classes(self, spark):
+        from gbif_filter_python_spark.operators.profile import k_anonymity
+
+        rows = (
+            [("US", "a")] * 5
+            + [("US", "b")] * 2
+            + [("DE", None)] * 3
+            + [(None, None)] * 1
+        )
+        df = spark.createDataFrame(rows, "country string, seg string")
+        s = k_anonymity(df, ["country", "seg"], k=3).first()
+        assert s["n_rows"] == 11 and s["n_classes"] == 4
+        assert s["n_violating_classes"] == 2  # (US,b)=2 and (None,None)=1
+        assert s["n_rows_at_risk"] == 3
+        assert s["min_class_size"] == 1
+        assert not s["is_k_anonymous"]
+        cls = k_anonymity(df, ["country", "seg"], k=3, mode="classes")
+        got = {
+            (r["country"], r["seg"]): r["class_size"] for r in cls.collect()
+        }
+        # NULL quasi-values group together (still a re-identifiable class)
+        assert got == {("US", "b"): 2, (None, None): 1}
+
+    def test_anonymous_table_passes(self, spark):
+        from gbif_filter_python_spark.operators.profile import k_anonymity
+
+        df = spark.createDataFrame(
+            [("x",)] * 4 + [("y",)] * 4, "qi string"
+        )
+        s = k_anonymity(df, ["qi"], k=4).first()
+        assert s["is_k_anonymous"] and s["n_rows_at_risk"] == 0
+
+    def test_rejects_bad_mode(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.profile import k_anonymity
+
+        df = spark.createDataFrame([("x",)], "qi string")
+        with _p.raises(ValueError):
+            k_anonymity(df, ["qi"], mode="report")
