@@ -3669,6 +3669,50 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_k_truss(spark: SparkSession, sf: str) -> DataFrame:
+    """k-truss decomposition (operators/graph.py, Cohen 2008) of the
+    item-similarity graph at k=8: every surviving edge sits in >= 6
+    triangles of the truss. Measured fixpoint depth 7 at sf0.01; the
+    unrolled oracle carries 9 rounds and
+    tests/test_oracle_preconditions.py asserts the margin."""
+    from gbif_filter_python_spark.operators.graph import k_truss
+
+    return k_truss(
+        _item_graph_edges(spark, sf), k=8, src_col="id_a", dst_col="id_b"
+    )
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
+    triangle support over round i-1's surviving edges and keeps
+    support >= k-2; at the fixpoint t_R == t_{R-1}, so sup_{R-1} IS
+    the support within the final truss and the last join emits it.
+    Under-unrolling reports a larger truss than Spark's fixpoint —
+    hash mismatch, false alarm, never false pass."""
+    parts = [
+        f"WITH {_ITEM_GRAPH_SQL}, ",
+        "t0 AS MATERIALIZED (SELECT a, b FROM e), ",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, "
+            f"e2.b AS z FROM t{i} e1 JOIN t{i} e2 ON e1.b = e2.a "
+            f"JOIN t{i} e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            f"sup{i} AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup "
+            f"FROM (SELECT x AS a, y AS b FROM tri{i} "
+            f"UNION ALL SELECT y, z FROM tri{i} "
+            f"UNION ALL SELECT x, z FROM tri{i}) GROUP BY 1, 2), "
+            f"t{i + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t{i} t "
+            f"JOIN sup{i} s ON s.a = t.a AND s.b = t.b "
+            f"WHERE s.sup >= {k - 2}), "
+        )
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT t.a AS id_a, t.b AS id_b, s.sup AS support "
+        f"FROM t{rounds} t JOIN sup{rounds - 1} s "
+        f"ON s.a = t.a AND s.b = t.b"
+    )
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-core peel: round N keeps edges whose BOTH
     endpoints had degree >= k in round N-1's edge set. If ``rounds``
@@ -3743,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_blame_supplier": q_sole_blame_supplier,
         "weighted_median": q_weighted_median,
         "k_anonymity": q_k_anonymity,
+        "k_truss": q_k_truss,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4255,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "k_core": _kcore_oracle(10, 7),
+        "k_truss": _ktruss_oracle(8, 9),
         "skyline_pareto": (
             "WITH p AS (SELECT l_partkey, "
             "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "

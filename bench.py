@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "sole_blame_supplier",
     "weighted_median",
     "k_anonymity",
+    "k_truss",
 ]
 
 

@@ -326,3 +326,41 @@ class TestKCore:
         # parallel/self edges add no degree
         out = {r["id"]: r["core_degree"] for r in k_core(df, k=2).collect()}
         assert out == {1: 2, 2: 2, 3: 2}
+
+
+class TestKTruss:
+    def test_clique_survives_bridge_peels(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_truss
+
+        # two 4-cliques joined by one bridge edge (4,5): in the
+        # 4-truss every clique edge has support 2; the bridge has 0
+        c1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        c2 = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+        edges = c1 + c2 + [(4, 5)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        out = k_truss(df, k=4)
+        got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+        assert got == sorted(c1 + c2)
+        assert all(r["support"] == 2 for r in out.collect())
+        # 5-truss (support >= 3) kills everything: 4-cliques max out at 2
+        assert k_truss(df, k=5).count() == 0
+
+    def test_cascade_via_shared_triangle(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_truss
+
+        # triangle 1-2-3 with pendant triangle 3-4-5 sharing node 3:
+        # both triangles have per-edge support 1 -> 3-truss keeps both;
+        # adding edge (2,4) doesn't create support>=2 edges either
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        out = k_truss(df, k=3)
+        assert out.count() == 6
+        assert all(r["support"] == 1 for r in out.collect())
+
+    def test_canonicalization_and_self_loops(self, spark):
+        from gbif_filter_python_spark.operators.graph import k_truss
+
+        edges = [(2, 1), (3, 2), (1, 3), (1, 1), (3, 2)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = sorted(tuple(r) for r in k_truss(df, k=3).collect())
+        assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]

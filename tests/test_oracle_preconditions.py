@@ -222,3 +222,48 @@ def test_k_core_fixpoint_within_unrolled_oracle_rounds(spark, sf):
         f"k=10 peel needs {rounds} rounds; regenerate the k_core "
         f"oracle with _kcore_oracle(10, {rounds + 2})."
     )
+
+
+def test_k_truss_fixpoint_within_unrolled_oracle_rounds(spark, sf):
+    """The k_truss oracle unrolls 9 peel rounds; the Spark fixpoint is
+    measured at 7 on this corpus (k=8). Asserts the margin by name
+    before a data refresh shows up as a bare hash mismatch."""
+    from gbif_filter_python_spark.operators.graph import k_truss
+
+    edges = entry_mod._item_graph_edges(spark, sf)
+    cur = (
+        edges.selectExpr(
+            "least(id_a, id_b) AS a", "greatest(id_a, id_b) AS b"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n = cur.count()
+    rounds = 0
+    while rounds < 20:
+        e1 = cur.selectExpr("a AS x", "b AS y")
+        e2 = cur.selectExpr("a AS y", "b AS z")
+        e3 = cur.selectExpr("a AS x", "b AS z")
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sup = (
+            tri.selectExpr("x AS a", "y AS b")
+            .unionAll(tri.selectExpr("y AS a", "z AS b"))
+            .unionAll(tri.selectExpr("x AS a", "z AS b"))
+            .groupBy("a", "b")
+            .count()
+        )
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("count"), F.lit(0)) >= 6)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n2 = cur.count()
+        rounds += 1
+        if n2 == n or n2 == 0:
+            break
+        n = n2
+    assert rounds <= 9, (
+        f"k=8 truss peel needs {rounds} rounds; regenerate the "
+        f"k_truss oracle with _ktruss_oracle(8, {rounds + 2})."
+    )
