@@ -3682,6 +3682,40 @@ def q_k_truss(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_prefix_route(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest-prefix rule lookup (operators/resolution.py): documents
+    routed by a nested path-prefix policy table (tier rules at /src
+    and /src/lang granularity plus a catch-all) — the zero-shuffle
+    literal-map path: one pure-Column coalesce over prefix lengths,
+    the fact never moves."""
+    from gbif_filter_python_spark.operators.resolution import (
+        longest_prefix_match,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("/src1/", "tier_a"),
+            ("/src1/en", "tier_a_en"),
+            ("/src0/", "tier_b"),
+            ("/src1", "tier_a_bare"),
+            ("/src12/", "tier_c"),
+        ],
+        "prefix string, rule_id string",
+    )
+    return longest_prefix_match(docs, rules, "path")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3788,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "k_anonymity": q_k_anonymity,
         "k_truss": q_k_truss,
+        "prefix_route": q_prefix_route,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4255,6 +4290,17 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "prefix_route": (
+            "WITH f AS (SELECT doc_id, '/' || source || '/' || lang "
+            "|| '/d' || CAST(doc_id AS VARCHAR) AS path FROM documents), "
+            "r(prefix, rule_id) AS (VALUES "
+            "('/src1/', 'tier_a'), ('/src1/en', 'tier_a_en'), "
+            "('/src0/', 'tier_b'), ('/src1', 'tier_a_bare'), "
+            "('/src12/', 'tier_c')) "
+            "SELECT doc_id, path, "
+            "(SELECT rule_id FROM r WHERE starts_with(f.path, r.prefix) "
+            "ORDER BY length(r.prefix) DESC LIMIT 1) AS rule_id FROM f"
         ),
         "k_anonymity": (
             "WITH cls AS (SELECT c_nationkey, c_mktsegment, "

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "weighted_median",
     "k_anonymity",
     "k_truss",
+    "prefix_route",
 ]
 
 

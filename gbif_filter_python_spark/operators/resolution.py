@@ -219,3 +219,121 @@ def resolve_names(
         F.col("_resolved_key").alias(KEY_COL),
         F.col("_resolved_rank").alias(RANK_COL),
     )
+
+
+def longest_prefix_match(
+    facts: DataFrame,
+    rules: DataFrame,
+    key_col: str,
+    prefix_col: str = "prefix",
+    rule_cols: list[str] | None = None,
+    method: str = "map",
+    max_map_rules: int = 100_000,
+) -> DataFrame:
+    """Longest-prefix rule lookup: attach to every fact row the rule
+    whose ``prefix`` is the LONGEST prefix of ``key_col`` (URL/path
+    policy tables, domain allowlists, IP-prefix-style routing — the
+    lookup where an exact-match join is wrong because rules nest:
+    '/data/raw/' and '/data/' both match '/data/raw/x' and only the
+    longest may win). Non-matching rows keep NULL rule columns.
+    Prefixes must be unique in ``rules`` (nested is fine, duplicate
+    is a config error → ValueError).
+
+    Two scale shapes, chosen by ``method``:
+
+    * ``"map"`` (default): rules are a CONFIG-scale table, so embed
+      them as a literal map and resolve with ONE pure-Column
+      ``coalesce(map[substr(key, 1, L)] for L in lengths desc)`` —
+      zero shuffle, zero explode, whole-stage codegen, the fact is
+      scanned once and never moves. The distinct prefix LENGTHS
+      (driver-side, bounded by max prefix length) set the probe
+      count. Guarded by ``max_map_rules`` — a rule table past that
+      belongs in the join path.
+    * ``"join"``: per-row candidate prefixes (one per distinct
+      length) explode, equi-join the BROADCAST rules, and a
+      max-length ``row_number`` keeps the winner; the regroup
+      shuffles only (row key, rule, length) triples. For rule tables
+      too big to literal-encode but still broadcastable.
+
+    Reference parity note: the reference's lookup is exact-match
+    name resolution (gbif_helper.py:17-24 name_backbone EXACT); this
+    is the ordered generalization of that lookup for hierarchical
+    keys, absent in the reference.
+    """
+    if method not in ("map", "join"):
+        raise ValueError(f"method must be map|join, got {method!r}")
+    rule_cols = rule_cols or [
+        c for c in rules.columns if c != prefix_col
+    ]
+    rrows = None
+    if method == "map":
+        rrows = rules.select(prefix_col, *rule_cols).collect()
+        if len(rrows) > max_map_rules:
+            raise ValueError(
+                f"{len(rrows)} rules exceed max_map_rules="
+                f"{max_map_rules}; use method='join'"
+            )
+        prefixes = [r[prefix_col] for r in rrows]
+    else:
+        prefixes = [
+            r[prefix_col]
+            for r in rules.select(prefix_col).distinct().collect()
+        ]
+    if len(set(prefixes)) != len(prefixes):
+        raise ValueError("duplicate prefixes in rule table")
+    lengths = sorted({len(p) for p in prefixes}, reverse=True)
+    if method == "map":
+        out = facts
+        for rc in rule_cols:
+            m = F.create_map(
+                *[
+                    x
+                    for r in rrows
+                    for x in (F.lit(r[prefix_col]), F.lit(r[rc]))
+                ]
+            )
+            out = out.withColumn(
+                rc,
+                F.coalesce(
+                    *[
+                        m[F.substring(F.col(key_col), 1, L)]
+                        for L in lengths
+                    ]
+                )
+                if lengths
+                else F.lit(None),
+            )
+        return out
+    from pyspark.sql import Window
+
+    fact_cols = facts.columns
+    with_id = facts.withColumn(
+        "_rowid", F.monotonically_increasing_id()
+    )
+    cand = with_id.select(
+        "_rowid",
+        F.explode(
+            F.array(
+                *[F.substring(F.col(key_col), 1, L) for L in lengths]
+            )
+        ).alias("_cand"),
+    )
+    matched = cand.join(
+        F.broadcast(
+            rules.select(
+                F.col(prefix_col).alias("_cand"),
+                F.length(prefix_col).alias("_plen"),
+                *rule_cols,
+            )
+        ),
+        "_cand",
+    )
+    w = Window.partitionBy("_rowid").orderBy(F.desc("_plen"))
+    best = (
+        matched.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_rowid", *rule_cols)
+    )
+    return with_id.join(best, "_rowid", "left").select(
+        *fact_cols, *rule_cols
+    )

@@ -70,3 +70,96 @@ class TestFuzzyResolveCandidates:
         # the SYNONYM row "Lumbricus oldname" is > distance 2 → absent;
         # no candidate maps to a raw synonym key
         assert all(key != 4003 for (_, key) in got)
+
+
+class TestLongestPrefixMatch:
+    def _rules(self, spark):
+        return spark.createDataFrame(
+            [
+                ("/a/", "ra", 1),
+                ("/a/b/", "rab", 2),
+                ("/a/bc", "rabc", 3),
+                ("/z/", "rz", 4),
+            ],
+            "prefix string, rule_id string, quota int",
+        )
+
+    def _facts(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "/a/b/file"),    # /a/b/ (5) beats /a/ (3)
+                (2, "/a/bcd"),       # /a/bc (5) beats /a/
+                (3, "/a/x"),         # only /a/
+                (4, "/q/unmatched"), # NULL rule
+                (5, "/z/"),          # exact boundary: /z/ matches
+            ],
+            "id int, path string",
+        )
+
+    def test_map_and_join_paths_agree(self, spark):
+        from gbif_filter_python_spark.operators.resolution import (
+            longest_prefix_match,
+        )
+
+        expect = {
+            1: ("rab", 2),
+            2: ("rabc", 3),
+            3: ("ra", 1),
+            4: (None, None),
+            5: ("rz", 4),
+        }
+        for method in ("map", "join"):
+            out = {
+                r["id"]: (r["rule_id"], r["quota"])
+                for r in longest_prefix_match(
+                    self._facts(spark),
+                    self._rules(spark),
+                    "path",
+                    method=method,
+                ).collect()
+            }
+            assert out == expect, method
+
+    def test_duplicate_prefix_rejected(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.resolution import (
+            longest_prefix_match,
+        )
+
+        dup = spark.createDataFrame(
+            [("/a/", "x"), ("/a/", "y")], "prefix string, rule_id string"
+        )
+        with _p.raises(ValueError, match="duplicate"):
+            longest_prefix_match(self._facts(spark), dup, "path")
+
+    def test_map_guard_and_bad_method(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.resolution import (
+            longest_prefix_match,
+        )
+
+        with _p.raises(ValueError, match="max_map_rules"):
+            longest_prefix_match(
+                self._facts(spark),
+                self._rules(spark),
+                "path",
+                max_map_rules=2,
+            )
+        with _p.raises(ValueError, match="method"):
+            longest_prefix_match(
+                self._facts(spark), self._rules(spark), "path", method="x"
+            )
+
+    def test_map_path_plan_has_no_shuffle(self, spark):
+        from gbif_filter_python_spark.operators.resolution import (
+            longest_prefix_match,
+        )
+        from gbif_filter_python_spark.plans.inspect import explain_str
+
+        out = longest_prefix_match(
+            self._facts(spark), self._rules(spark), "path", method="map"
+        )
+        plan = explain_str(out, "simple")
+        assert "Exchange" not in plan, plan

@@ -515,3 +515,73 @@ def test_sorted_neighborhood_rank_join_carries_integers(spark, sf001_dir):
     # the final join is an equi-join on _sn_rank
     assert "_sn_rank" in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q21_shape_broadcasts_dim_and_reuses_fact_scan(spark, sf001_dir):
+    """sole_blame_supplier: the supplier dim must broadcast; the
+    semi/anti probes must not go cartesian; and the plan must contain
+    no more than the three lineitem scans the query declares (l1, the
+    EXISTS probe, the NOT EXISTS probe) — a regression that expands
+    correlated probes into per-row subplans would blow this up."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_sole_blame_supplier(spark, sf001_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    n_li_scans = sum(
+        1 for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    assert 1 <= n_li_scans <= 3, plan
+
+
+def test_weighted_median_single_exchange(spark, sf001_dir):
+    """weighted_median: the window and both aggregates share the
+    group key, so the whole query needs exactly ONE shuffle of the
+    fact (plus AQE reads) — a second Exchange means the agg stopped
+    reusing the window's partitioning."""
+    from gbif_filter_python_spark.operators.profile import weighted_median
+
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    df = weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") <= 2, plan  # 1 hash + optional final
+
+
+def test_fd_candidates_one_shuffle_per_lhs(spark, sf001_dir):
+    """fd_candidates: all rhs distinct-counts for one lhs share a
+    single groupBy — the plan for a 2-rhs candidate set on one lhs
+    must contain one Expand (the documented multi-distinct cost) and
+    scan orders exactly once."""
+    from gbif_filter_python_spark.operators.profile import fd_candidates
+
+    o = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    df = fd_candidates(o, {"o_custkey": ["o_orderstatus", "o_orderpriority"]})
+    plan = explain_str(df, "simple")
+    n_scans = sum(
+        1 for l in plan.splitlines() if "FileScan" in l and "orders" in l
+    )
+    assert n_scans == 1, plan
+    assert plan.count("Expand") == 1, plan
+
+
+def test_skyline_local_prune_runs_before_any_exchange(spark, sf001_dir):
+    """skyline phase 1 must be map-side: the first mapInPandas
+    (local prune) has to sit below the single-partition Exchange of
+    the global pass, so each input partition shrinks to its local
+    Pareto set BEFORE anything moves."""
+    from gbif_filter_python_spark.operators.analytics import skyline
+
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    pts = li.select("l_orderkey", "l_quantity", "l_extendedprice")
+    df = skyline(pts, {"l_quantity": "max", "l_extendedprice": "min"})
+    plan = explain_str(df, "simple")
+    # two python runners (local + global), and the coalesce(1) must
+    # appear between them, not before the first
+    assert plan.count("MapInPandas") == 2, plan
+    first_map = plan.index("MapInPandas")
+    coal = plan.index("Coalesce")
+    # simple-mode explain prints top-down: global pass (after
+    # coalesce) prints first, local prune last
+    assert coal > plan.index("MapInPandas"), plan
+    assert plan.rindex("MapInPandas") > coal > first_map, plan
