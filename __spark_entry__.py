@@ -3716,6 +3716,35 @@ def q_prefix_route(spark: SparkSession, sf: str) -> DataFrame:
     return longest_prefix_match(docs, rules, "path")
 
 
+def q_cuped_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (operators/analytics.py, Deng
+    WSDM'13): users split into arms by user_id parity; X = the
+    user's first-half-of-January value sum (pre-period), Y = the
+    second-half sum. Per-user fold is one shuffle; CUPED itself
+    windows over the 2-row arm aggregate. Spelled-out sums pin the
+    FP op order cross-engine at 6dp."""
+    from gbif_filter_python_spark.operators.analytics import (
+        cuped_adjusted_means,
+    )
+
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(0.0)
+        ).alias("x_pre"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(0.0)
+        ).alias("y_post"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("ctrl"))
+        .otherwise(F.lit("treat"))
+        .alias("arm"),
+        "x_pre",
+        "y_post",
+    )
+    return cuped_adjusted_means(per_user, "arm", "y_post", "x_pre")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3823,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "k_truss": q_k_truss,
         "prefix_route": q_prefix_route,
+        "cuped_lift": q_cuped_lift,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4290,6 +4320,27 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "cuped_lift": (
+            "WITH pu AS (SELECT user_id, "
+            "SUM(CASE WHEN date_part('day', ts) <= 15 THEN value "
+            "ELSE 0.0 END) AS x, "
+            "SUM(CASE WHEN date_part('day', ts) > 15 THEN value "
+            "ELSE 0.0 END) AS y FROM events GROUP BY 1), "
+            "arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'ctrl' "
+            "ELSE 'treat' END AS arm, x, y FROM pu), "
+            "pa AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+            "FROM arms GROUP BY 1), "
+            "g AS (SELECT arm, n, sx, sy, sxy, sxx, "
+            "CAST(SUM(n) OVER () AS DOUBLE) AS nt, "
+            "SUM(sx) OVER () AS tsx, SUM(sy) OVER () AS tsy, "
+            "SUM(sxy) OVER () AS tsxy, SUM(sxx) OVER () AS tsxx "
+            "FROM pa) "
+            "SELECT arm, n, round(sy / n, 6) AS mean_raw, "
+            "round(sy / n - (CASE WHEN nt*tsxx - tsx*tsx != 0 THEN "
+            "(nt*tsxy - tsx*tsy) / (nt*tsxx - tsx*tsx) ELSE 0.0 END) "
+            "* (sx / n - tsx / nt), 6) AS mean_adjusted FROM g"
         ),
         "prefix_route": (
             "WITH f AS (SELECT doc_id, '/' || source || '/' || lang "

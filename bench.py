@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "k_truss",
     "prefix_route",
+    "cuped_lift",
 ]
 
 

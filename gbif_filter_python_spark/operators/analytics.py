@@ -654,3 +654,63 @@ def skyline_2d(
         & (F.col("_sy") == F.col("_ymax"))
     )
     return joined.filter(survives).select(*[F.col(c) for c in keep.columns])
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al., WSDM 2013):
+    per arm ``(arm, n, mean_raw, mean_adjusted)`` where
+    ``mean_adjusted = mean(Y) - theta * (mean(X) - mean_all(X))``
+    with the POOLED ``theta = cov(X, Y) / var(X)`` — the standard
+    variance-reduction step every experimentation platform applies
+    before the t-test (the pre-period covariate X soaks up
+    between-user variance the treatment can't explain). Rows with
+    NULL metric or covariate are excluded pairwise.
+
+    One fact scan to per-arm sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — a |arms|-row aggregate; the pooled moments then come from
+    an unpartitioned window over THAT tiny table (never a second
+    scan), and theta/adjustment are plain Column arithmetic, the
+    linear_trend closed-form contract: textbook sums spelled out so
+    the FP op order pins cross-engine at ``round_dp``. Zero-variance
+    X degenerates to theta = 0 (adjusted == raw), not a division
+    blowup.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    keep = df.filter(x.isNotNull() & y.isNotNull())
+    per_arm = keep.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    w = Window.partitionBy()
+    tot = lambda c: F.sum(c).over(w)  # noqa: E731
+    nt = tot(F.col("n")).cast("double")
+    sx, sy = tot(F.col("_sx")), tot(F.col("_sy"))
+    sxy, sxx = tot(F.col("_sxy")), tot(F.col("_sxx"))
+    var_x = nt * sxx - sx * sx
+    theta = F.when(var_x != 0, (nt * sxy - sx * sy) / var_x).otherwise(
+        F.lit(0.0)
+    )
+    mean_all_x = sx / nt
+    nd = F.col("n").cast("double")
+    mean_y = F.col("_sy") / nd
+    mean_x = F.col("_sx") / nd
+    return per_arm.select(
+        arm_col,
+        "n",
+        F.round(mean_y, round_dp).alias("mean_raw"),
+        F.round(
+            mean_y - theta * (mean_x - mean_all_x), round_dp
+        ).alias("mean_adjusted"),
+    )

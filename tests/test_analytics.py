@@ -520,3 +520,61 @@ class TestSkyline:
         df = spark.createDataFrame([(1, 2)], "a int, b int")
         with _p.raises(ValueError):
             skyline(df, {"a": "best"})
+
+
+class TestCuped:
+    def test_matches_numpy_closed_form(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.operators.analytics import (
+            cuped_adjusted_means,
+        )
+
+        rng = np.random.RandomState(3)
+        x = rng.rand(400) * 10
+        noise = rng.rand(400)
+        y = 2.0 * x + noise
+        arms = ["a" if i % 2 == 0 else "b" for i in range(400)]
+        y[1::2] += 1.5  # treatment effect on arm b
+        rows = [(a, float(xv), float(yv)) for a, xv, yv in zip(arms, x, y)]
+        df = spark.createDataFrame(rows, "arm string, x double, y double")
+        out = {
+            r["arm"]: r
+            for r in cuped_adjusted_means(df, "arm", "y", "x").collect()
+        }
+        theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+        for arm in ("a", "b"):
+            m = np.array(arms) == arm
+            adj = y[m].mean() - theta * (x[m].mean() - x.mean())
+            assert abs(out[arm]["mean_adjusted"] - adj) < 1e-5
+            assert abs(out[arm]["mean_raw"] - y[m].mean()) < 1e-5
+        # the adjustment must tighten the arm gap toward the true
+        # effect (raw gap includes covariate imbalance noise)
+        raw_gap = out["b"]["mean_raw"] - out["a"]["mean_raw"]
+        adj_gap = out["b"]["mean_adjusted"] - out["a"]["mean_adjusted"]
+        assert abs(adj_gap - 1.5) <= abs(raw_gap - 1.5) + 1e-9
+
+    def test_zero_variance_covariate_degrades_to_raw(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            cuped_adjusted_means,
+        )
+
+        rows = [("a", 5.0, 1.0), ("a", 5.0, 3.0), ("b", 5.0, 7.0)]
+        df = spark.createDataFrame(rows, "arm string, x double, y double")
+        for r in cuped_adjusted_means(df, "arm", "y", "x").collect():
+            assert r["mean_adjusted"] == r["mean_raw"]
+
+    def test_null_rows_excluded_pairwise(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            cuped_adjusted_means,
+        )
+
+        rows = [
+            ("a", 1.0, 2.0),
+            ("a", None, 9.0),
+            ("a", 3.0, None),
+            ("a", 3.0, 4.0),
+        ]
+        df = spark.createDataFrame(rows, "arm string, x double, y double")
+        out = cuped_adjusted_means(df, "arm", "y", "x").first()
+        assert out["n"] == 2 and out["mean_raw"] == 3.0
