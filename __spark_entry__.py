@@ -3745,6 +3745,23 @@ def q_cuped_lift(spark: SparkSession, sf: str) -> DataFrame:
     return cuped_adjusted_means(per_user, "arm", "y_post", "x_pre")
 
 
+def q_quantile_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization (operators/profile.py, Bolstad 2003):
+    align the n_chars distribution across four equal-size document
+    cohorts (doc_id % 4) — rank within cohort, cross-cohort mean at
+    each rank. One window + one rank agg + one rank join."""
+    from gbif_filter_python_spark.operators.profile import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("cohort"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return quantile_normalize(docs, "cohort", "n_chars", "doc_id")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3853,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "prefix_route": q_prefix_route,
         "cuped_lift": q_cuped_lift,
+        "quantile_norm": q_quantile_norm,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4320,6 +4338,16 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "quantile_norm": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS cohort, "
+            "CAST(n_chars AS DOUBLE) AS n_chars FROM documents), "
+            "r AS (SELECT doc_id, cohort, n_chars, row_number() OVER ("
+            "PARTITION BY cohort ORDER BY n_chars, doc_id) AS rk FROM d), "
+            "t AS (SELECT rk, round(AVG(n_chars), 6) AS normalized "
+            "FROM r GROUP BY 1) "
+            "SELECT doc_id, cohort, n_chars, normalized "
+            "FROM r JOIN t USING (rk)"
         ),
         "cuped_lift": (
             "WITH pu AS (SELECT user_id, "

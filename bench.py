@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "k_truss",
     "prefix_route",
     "cuped_lift",
+    "quantile_norm",
 ]
 
 

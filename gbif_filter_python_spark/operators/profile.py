@@ -745,3 +745,58 @@ def k_anonymity(
         F.min("class_size").alias("min_class_size"),
         (F.sum(viol.cast("long")) == 0).alias("is_k_anonymous"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quantile normalization across groups (Bolstad 2003, the
+    microarray/batch-effect standard, equally the corpus-prep move
+    that aligns quality-score distributions across SOURCES before a
+    single global threshold is applied): rank values within each
+    group (ties broken by ``id_col`` — a total order, the ewma
+    contract), then replace each value with the cross-group MEAN of
+    the values at that rank. After it, every group has literally the
+    same value distribution. Returns (id, group, value, normalized).
+
+    Groups must be equal-sized — the exact rank-alignment form; a
+    ValueError (eager, one count job) names the violation rather
+    than silently interpolating. For unequal groups, pre-sample to
+    the minimum size (``sample_by_hash``) or bucket into quantile
+    bins first (``quantile_bins``).
+
+    Scale shape: one group-key window (rank), one rank-key
+    aggregation (|rows|/|groups| result rows), one equi-join back on
+    rank. Shuffles carry (rank, value) pairs; nothing driver-side
+    but the size-check scalar.
+    """
+    from pyspark.sql import Window
+
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_n")
+        .distinct()
+        .collect()
+    )
+    if len(sizes) != 1:
+        raise ValueError(
+            f"quantile_normalize needs equal-sized groups; got sizes "
+            f"{sorted(r['_n'] for r in sizes)}"
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        id_col, group_col, value_col
+    ).withColumn("_rk", F.row_number().over(w))
+    target = ranked.groupBy("_rk").agg(
+        F.round(F.avg(value_col), round_dp).alias("normalized")
+    )
+    return ranked.join(target, "_rk").select(
+        id_col, group_col, value_col, "normalized"
+    )

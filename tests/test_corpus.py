@@ -1107,3 +1107,52 @@ class TestKAnonymity:
         df = spark.createDataFrame([("x",)], "qi string")
         with _p.raises(ValueError):
             k_anonymity(df, ["qi"], mode="report")
+
+
+class TestQuantileNormalize:
+    def test_distributions_become_identical(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            quantile_normalize,
+        )
+
+        rows = [
+            ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+            ("b", 4, 100.0), ("b", 5, 200.0), ("b", 6, 300.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, id int, v double")
+        out = quantile_normalize(df, "g", "v", "id").collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["normalized"])
+        assert sorted(by_g["a"]) == sorted(by_g["b"]) == [55.0, 110.0, 165.0]
+        # rank alignment: smallest of a (10) and smallest of b (100)
+        # both map to mean(10, 100) = 55
+        m = {(r["g"], r["v"]): r["normalized"] for r in out}
+        assert m[("a", 10.0)] == m[("b", 100.0)] == 55.0
+
+    def test_tie_break_is_total_and_deterministic(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            quantile_normalize,
+        )
+
+        rows = [("a", 1, 5.0), ("a", 2, 5.0), ("b", 3, 1.0), ("b", 4, 9.0)]
+        df = spark.createDataFrame(rows, "g string, id int, v double")
+        out = {r["id"]: r["normalized"] for r in quantile_normalize(
+            df, "g", "v", "id"
+        ).collect()}
+        # id 1 ranks before id 2 on the tie: rank1 mean(5,1)=3, rank2 mean(5,9)=7
+        assert out == {1: 3.0, 2: 7.0, 3: 3.0, 4: 7.0}
+
+    def test_unequal_groups_rejected_by_name(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.profile import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+            "g string, id int, v double",
+        )
+        with _p.raises(ValueError, match="equal-sized"):
+            quantile_normalize(df, "g", "v", "id")
