@@ -3762,6 +3762,50 @@ def q_quantile_norm(spark: SparkSession, sf: str) -> DataFrame:
     return quantile_normalize(docs, "cohort", "n_chars", "doc_id")
 
 
+def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation (operators/ranking.py): score the BM25
+    retriever (probes doc_id < 3, self excluded, re-ranked) against
+    binary qrels defined as "shares >= 3 distinct normalized words
+    with the query doc" — per-query precision/recall/MRR@10. The
+    join is k-bounded per query; reciprocals of small integers pin
+    cross-engine at 6dp."""
+    from gbif_filter_python_spark.functions.text import normalized_text
+    from gbif_filter_python_spark.operators.ranking import (
+        bm25_top_docs,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf, "documents")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    kw = bm25_top_docs(docs, probes, k=11).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    res = kw.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "").distinct()
+    qw = words.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    qrels = (
+        qw.join(words, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= 3)
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(res, qrels, k=10)
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3871,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_route": q_prefix_route,
         "cuped_lift": q_cuped_lift,
         "quantile_norm": q_quantile_norm,
+        "retrieval_eval": q_retrieval_eval,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4338,6 +4383,35 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "retrieval_eval": (
+            f"WITH {_bm25_ctes()}, "
+            "res AS (SELECT query_id, doc_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY rank0) AS rank FROM ("
+            "SELECT query_id, doc_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank0 "
+            "FROM kwscored) WHERE doc_id != query_id AND rank0 <= 11), "
+            "topk AS (SELECT * FROM res WHERE rank <= 10), "
+            "dw AS (SELECT DISTINCT doc_id, term FROM words), "
+            "qrels AS (SELECT q.doc_id AS query_id, d.doc_id "
+            "FROM (SELECT DISTINCT doc_id, term FROM words "
+            "WHERE doc_id < 3) q JOIN dw d USING (term) "
+            "WHERE d.doc_id != q.doc_id GROUP BY 1, 2 "
+            "HAVING COUNT(*) >= 3), "
+            "nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels "
+            "GROUP BY 1), "
+            "hits AS (SELECT t.query_id, COUNT(*) AS n_hits, "
+            "MIN(t.rank) AS first_rel FROM topk t "
+            "JOIN qrels r ON r.query_id = t.query_id "
+            "AND r.doc_id = t.doc_id GROUP BY 1) "
+            "SELECT n.query_id, n.n_rel, "
+            "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "round(coalesce(h.n_hits, 0) / 10.0, 6) AS precision_at_k, "
+            "round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_rel, 6) "
+            "AS recall_at_k, "
+            "round(CASE WHEN h.first_rel IS NOT NULL "
+            "THEN 1.0 / h.first_rel ELSE 0.0 END, 6) AS rr_at_k "
+            "FROM nrel n LEFT JOIN hits h USING (query_id)"
         ),
         "quantile_norm": (
             "WITH d AS (SELECT doc_id, doc_id % 4 AS cohort, "

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "prefix_route",
     "cuped_lift",
     "quantile_norm",
+    "retrieval_eval",
 ]
 
 

@@ -236,3 +236,54 @@ def rrf_fuse(
     if top is not None:
         out = out.filter(F.col("rank") <= top)
     return out.select("query_id", "doc_id", "rrf", "n_lists", "rank")
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Retrieval evaluation at cutoff k — the score card for every
+    retriever in this module (bm25_top_docs, rrf_fuse, the ANN
+    searchers): per query ``(query, n_rel, n_hits, precision_at_k,
+    recall_at_k, rr_at_k)`` against a binary relevance table
+    ``qrels(query, doc)``. ``rr_at_k`` is the reciprocal rank of the
+    FIRST relevant hit within the cutoff (0.0 if none — the MRR@k
+    convention); recall divides by the query's total relevant count,
+    precision by k. Queries absent from ``qrels`` are out of scope
+    (metrics undefined with zero relevant), queries with relevant
+    docs but zero hits report 0.0 across the board.
+
+    Scale shape: one equi-join of the top-k slice against qrels on
+    (query, doc) — both sides are k-bounded per query, so this is
+    |queries|×k rows, never the corpus — plus two query-key
+    aggregations. Reciprocals of small integers round identically
+    cross-engine at 6dp.
+    """
+    topk = results.filter(F.col(rank_col) <= k)
+    hits = topk.join(qrels, [query_col, doc_col]).groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min(rank_col).alias("_first"),
+    )
+    nrel = qrels.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    out = nrel.join(hits, query_col, "left")
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return out.select(
+        query_col,
+        "n_rel",
+        nh.alias("n_hits"),
+        F.round(nh / F.lit(float(k)), round_dp).alias("precision_at_k"),
+        F.round(nh / F.col("n_rel"), round_dp).alias("recall_at_k"),
+        F.round(
+            F.when(
+                F.col("_first").isNotNull(), 1.0 / F.col("_first")
+            ).otherwise(0.0),
+            round_dp,
+        ).alias("rr_at_k"),
+    )

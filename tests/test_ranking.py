@@ -128,3 +128,55 @@ class TestRrf:
         assert rrf_fuse([a], top=2).count() == 2
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+class TestRetrievalMetrics:
+    def test_known_metrics(self, spark):
+        from gbif_filter_python_spark.operators.ranking import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [
+                # q1: relevant docs at ranks 2 and 5
+                (1, 101, 1), (1, 102, 2), (1, 103, 3), (1, 104, 4),
+                (1, 105, 5),
+                # q2: no relevant in top-k
+                (2, 201, 1), (2, 202, 2),
+                # q3: relevant at rank 1, but more rel docs exist
+                (3, 301, 1), (3, 302, 2),
+            ],
+            "query_id int, doc_id int, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 102), (1, 105), (1, 999), (2, 999), (3, 301), (3, 888),
+             (3, 777)],
+            "query_id int, doc_id int",
+        )
+        out = {
+            r["query_id"]: r
+            for r in retrieval_metrics(results, qrels, k=5).collect()
+        }
+        q1 = out[1]
+        assert q1["n_rel"] == 3 and q1["n_hits"] == 2
+        assert q1["precision_at_k"] == 0.4
+        assert abs(q1["recall_at_k"] - 2 / 3) < 1e-6
+        assert q1["rr_at_k"] == 0.5
+        q2 = out[2]
+        assert q2["n_hits"] == 0 and q2["rr_at_k"] == 0.0
+        assert q2["recall_at_k"] == 0.0
+        q3 = out[3]
+        assert q3["rr_at_k"] == 1.0
+        assert abs(q3["recall_at_k"] - 1 / 3) < 1e-6
+
+    def test_cutoff_excludes_deeper_hits(self, spark):
+        from gbif_filter_python_spark.operators.ranking import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [(1, 11, 1), (1, 22, 7)], "query_id int, doc_id int, rank int"
+        )
+        qrels = spark.createDataFrame([(1, 22)], "query_id int, doc_id int")
+        out = retrieval_metrics(results, qrels, k=5).first()
+        assert out["n_hits"] == 0 and out["rr_at_k"] == 0.0
