@@ -3806,6 +3806,19 @@ def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(res, qrels, k=10)
 
 
+def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized/trimmed means (operators/profile.py): per
+    returnflag, l_extendedprice robust location at p=0.05. Exact
+    percentiles in one grouped agg, 6dp-rounded before the clamp so
+    membership pins cross-engine; broadcast threshold model."""
+    from gbif_filter_python_spark.operators.profile import (
+        winsorized_stats,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return winsorized_stats(li, ["l_returnflag"], "l_extendedprice")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3916,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_lift": q_cuped_lift,
         "quantile_norm": q_quantile_norm,
         "retrieval_eval": q_retrieval_eval,
+        "winsorized_stats": q_winsorized_stats,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -4383,6 +4397,23 @@ def oracle_sql() -> dict[str, str]:
             "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
+        "winsorized_stats": (
+            "WITH th AS (SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.05), 6) AS lo, "
+            "round(quantile_cont(l_extendedprice, 0.95), 6) AS hi "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "GROUP BY 1) "
+            "SELECT l.l_returnflag, COUNT(*) AS n, "
+            "MAX(lo) AS lo, MAX(hi) AS hi, "
+            "round(AVG(l_extendedprice), 6) AS mean_raw, "
+            "round(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 6) "
+            "AS mean_winsorized, "
+            "round(AVG(CASE WHEN l_extendedprice >= lo "
+            "AND l_extendedprice <= hi THEN l_extendedprice END), 6) "
+            "AS mean_trimmed "
+            "FROM lineitem l JOIN th ON th.l_returnflag = l.l_returnflag "
+            "WHERE l.l_extendedprice IS NOT NULL GROUP BY 1"
         ),
         "retrieval_eval": (
             f"WITH {_bm25_ctes()}, "

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "cuped_lift",
     "quantile_norm",
     "retrieval_eval",
+    "winsorized_stats",
 ]
 
 

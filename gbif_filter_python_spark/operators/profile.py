@@ -800,3 +800,56 @@ def quantile_normalize(
     return ranked.join(target, "_rk").select(
         id_col, group_col, value_col, "normalized"
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorized and trimmed means: clamp values to the
+    group's exact [p, 1-p] percentiles (winsorize) or drop values
+    outside them (trim), and report ``(group..., n, lo, hi, mean_raw,
+    mean_winsorized, mean_trimmed)`` — the robust-location pair every
+    metrics pipeline needs when a handful of whale rows drag the
+    plain mean (the additive complement of robust_outliers' MAD
+    flagging: measure robustly instead of flagging).
+
+    Both exact interior percentiles come out of ONE grouped
+    aggregation (the quantile_bins percentile pattern) and are
+    6dp-rounded BEFORE the clamp so membership decisions pin
+    cross-engine; the bounded per-group threshold model joins back
+    (broadcast — |groups| rows) and one more aggregation produces
+    all three means. The fact is scanned twice (threshold pass +
+    measure pass), the impute_by_group contract; NULL values are
+    excluded.
+    """
+    if not 0 < p < 0.5:
+        raise ValueError(f"p must be in (0, 0.5), got {p}")
+    keep = df.filter(F.col(value_col).isNotNull())
+    th = keep.groupBy(*group_cols).agg(
+        F.round(
+            F.expr(f"percentile({value_col}, {p}D)"), round_dp
+        ).alias("lo"),
+        F.round(
+            F.expr(f"percentile({value_col}, {1 - p}D)"), round_dp
+        ).alias("hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    joined = keep.join(F.broadcast(th), group_cols)
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.round(F.avg(v), round_dp).alias("mean_raw"),
+        F.round(F.avg(clamped), round_dp).alias("mean_winsorized"),
+        F.round(
+            F.avg(
+                F.when((v >= F.col("lo")) & (v <= F.col("hi")), v)
+            ),
+            round_dp,
+        ).alias("mean_trimmed"),
+    )

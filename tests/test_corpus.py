@@ -1156,3 +1156,36 @@ class TestQuantileNormalize:
         )
         with _p.raises(ValueError, match="equal-sized"):
             quantile_normalize(df, "g", "v", "id")
+
+
+class TestWinsorizedStats:
+    def test_whale_rows_tamed(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            winsorized_stats,
+        )
+
+        # 18 unit values + two whales; p=0.1 clamps the whales to the
+        # 90th percentile and the zero to the 10th
+        vals = [1.0] * 18 + [1000.0, 0.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+        out = winsorized_stats(df, ["g"], "v", p=0.1).first()
+        assert out["n"] == 20
+        assert out["mean_raw"] == 50.9  # (18*1 + 1000 + 0) / 20
+        # winsorized: whales clamped to hi=1.0, zero clamped to lo ~> mean ~1
+        assert out["hi"] == 1.0
+        assert abs(out["mean_winsorized"] - (18 * 1.0 + 1.0 + out["lo"]) / 20) < 1e-6
+        # trimmed drops the whale and keeps in-range rows only
+        assert out["mean_trimmed"] <= 1.0
+
+    def test_rejects_bad_p(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.profile import (
+            winsorized_stats,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with _p.raises(ValueError):
+            winsorized_stats(df, ["g"], "v", p=0.5)
