@@ -604,14 +604,11 @@ def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dup_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Connected components (operators/graph.py) over CHAIN edges of
-    the exact-duplicate groups: consecutive (id_i, id_i+1) pairs per
-    group force the label-propagation fixpoint to actually propagate,
-    and the result must equal each md5-group's minimum id — which is
-    what the SQL oracle computes directly."""
-    from gbif_filter_python_spark.operators.graph import connected_components
-
+def _dup_chain_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """CHAIN edges of the exact-duplicate groups: consecutive
+    (id_i, id_i+1) pairs per md5 group, so a components algorithm
+    must actually propagate (shared by q_dup_components and
+    q_dup_components_star — both gated against the same oracle)."""
     docs = _augmented_docs(spark, sf)
     h = F.md5(normalized_text(F.col("text")))
     groups = (
@@ -627,10 +624,18 @@ def q_dup_components(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.col("_ids"), i + 1).alias("id_b"),
         ),
     )
-    edges = groups.select(F.explode(chain).alias("e")).select(
+    return groups.select(F.explode(chain).alias("e")).select(
         "e.id_a", "e.id_b"
     )
-    comps = connected_components(edges)
+
+
+def q_dup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (operators/graph.py) over the duplicate
+    chain edges; the result must equal each md5-group's minimum id —
+    which is what the SQL oracle computes directly."""
+    from gbif_filter_python_spark.operators.graph import connected_components
+
+    comps = connected_components(_dup_chain_edges(spark, sf))
     return comps.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -3819,6 +3824,22 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     return winsorized_stats(li, ["l_returnflag"], "l_extendedprice")
 
 
+def q_dup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components via large-star/small-star contraction
+    (operators/graph.py, Kiveris SoCC'14) over the SAME chain edges
+    as dup_components — O(log n) rounds instead of O(diameter); the
+    oracle is identical, so the two algorithms are held to the same
+    answer by the gate."""
+    from gbif_filter_python_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = _dup_chain_edges(spark, sf)
+    return connected_components_star(edges).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3930,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm": q_quantile_norm,
         "retrieval_eval": q_retrieval_eval,
         "winsorized_stats": q_winsorized_stats,
+        "dup_components_star": q_dup_components_star,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5320,6 +5342,12 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "dup_components_star": (
+            f"WITH aug AS ({_AUG_DOCS}), "
+            f"g AS (SELECT doc_id, md5({_NORM}) AS h FROM aug) "
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS component "
+            "FROM g QUALIFY count(*) OVER (PARTITION BY h) > 1"
         ),
         "dup_components": (
             f"WITH aug AS ({_AUG_DOCS}), "

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "quantile_norm",
     "retrieval_eval",
     "winsorized_stats",
+    "dup_components_star",
 ]
 
 

@@ -364,3 +364,51 @@ class TestKTruss:
         df = spark.createDataFrame(edges, "id_a int, id_b int")
         got = sorted(tuple(r) for r in k_truss(df, k=3).collect())
         assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+
+
+class TestConnectedComponentsStar:
+    def test_matches_label_propagation_on_random_graphs(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            edges = [
+                (rng.randint(0, 60), rng.randint(0, 60)) for _ in range(40)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "id_a int, id_b int")
+            a = sorted(tuple(r) for r in connected_components(df).collect())
+            b = sorted(
+                tuple(r) for r in connected_components_star(df).collect()
+            )
+            assert a == b, seed
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        # diameter-200 path: label propagation would need ~200 rounds;
+        # star contraction must finish inside 15
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a int, id_b int"
+        )
+        out = connected_components_star(chain, max_iterations=15).collect()
+        assert len(out) == 201
+        assert all(r["comp"] == 0 for r in out)
+
+    def test_two_components_and_self_loops(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = [(5, 3), (3, 9), (20, 21), (7, 7)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {r["id"]: r["comp"] for r in
+               connected_components_star(df).collect()}
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
