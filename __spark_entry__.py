@@ -3840,6 +3840,18 @@ def q_dup_components_star(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocations (operators/corpus.py, Church & Hanks 1990):
+    top-20 bigrams by ln(p(ab)/(p(a)p(b))), min_count=5 against the
+    hapax pathology; integer-count ratio into ln, 6dp-rounded rank
+    (the bm25 ordering contract)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf, "documents"))
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3952,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "winsorized_stats": q_winsorized_stats,
         "dup_components_star": q_dup_components_star,
+        "pmi_collocations": q_pmi_collocations,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5342,6 +5355,30 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "pmi_collocations": (
+            f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w FROM "
+            f"(SELECT {_NORM} AS t FROM documents) WHERE t <> ''), "
+            f"g AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+            f"list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+            f"ELSE [] END) AS bigram FROM w), "
+            f"u AS (SELECT unnest(w) AS term FROM w), "
+            f"c2 AS (SELECT bigram, count(*) AS n_ab FROM g GROUP BY 1 "
+            f"HAVING count(*) >= 5), "
+            f"c1 AS (SELECT term, count(*) AS n_t FROM u GROUP BY 1), "
+            f"tot AS (SELECT (SELECT SUM(n_t) FROM c1) AS nu, "
+            f"(SELECT COUNT(*) FROM g) AS nb), "
+            f"j AS (SELECT c2.bigram, c2.n_ab, a.n_t AS n_a, "
+            f"b.n_t AS n_b, tot.nu, tot.nb FROM c2 "
+            f"JOIN c1 a ON a.term = string_split(c2.bigram, ' ')[1] "
+            f"JOIN c1 b ON b.term = string_split(c2.bigram, ' ')[2] "
+            f"CROSS JOIN tot), "
+            f"s AS (SELECT bigram, n_ab, n_a, n_b, "
+            f"round(ln((CAST(n_ab AS DOUBLE) * nu * nu) / "
+            f"(CAST(nb AS DOUBLE) * n_a * n_b)), 6) AS pmi FROM j) "
+            f"SELECT bigram, n_ab, n_a, n_b, pmi, rank FROM ("
+            f"SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) "
+            f"AS rank FROM s) WHERE rank <= 20"
         ),
         "dup_components_star": (
             f"WITH aug AS ({_AUG_DOCS}), "

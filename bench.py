@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "winsorized_stats",
     "dup_components_star",
+    "pmi_collocations",
 ]
 
 

@@ -1136,3 +1136,79 @@ def segment_documents(
         "LATERAL _segment_documents_udtf(_t) AS s"
     )
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks 1990): bigrams whose adjacency is most surprising given the
+    unigram frequencies — PMI = ln(p(ab) / (p(a) p(b))) with p(ab)
+    over the bigram total and p over the unigram total. The
+    collocation detector a tokenizer/phrase pipeline runs ahead of
+    vocabulary decisions (``bpe_pairs`` counts raw adjacency;
+    PMI normalizes away "both words are just common").
+    ``min_count`` kills the classic PMI pathology (hapax pairs
+    scoring highest); output is the deterministic top-``top`` by
+    (rounded pmi desc, bigram asc).
+
+    One corpus scan per gram order (the staged two-projection ngram
+    shape), counts aggregate map-side, the two scalar totals ride a
+    1-row broadcast crossJoin, and the unigram joins touch only the
+    ``min_count``-surviving bigram table. PMI's argument is a ratio
+    of INTEGER counts (c_ab·NU²)/(NB·c_a·c_b), so both engines feed
+    ln() the identical double; 6dp rounding before the rank makes
+    the ordering the bm25 cross-engine contract.
+    """
+    bi = _staged_ngrams(docs, doc_id_col, text_col, 2)
+    uni = _staged_ngrams(docs, doc_id_col, text_col, 1)
+    c2 = (
+        bi.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .select(
+            F.col("ngram").alias("bigram"),
+            F.split(F.col("ngram"), " ").getItem(0).alias("_ta"),
+            F.split(F.col("ngram"), " ").getItem(1).alias("_tb"),
+            "n_ab",
+        )
+    )
+    c1 = uni.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = c1.agg(
+        F.sum("n_t").alias("_nu")
+    ).crossJoin(bi.agg(F.count(F.lit(1)).alias("_nb")))
+    joined = (
+        c2.join(
+            c1.select(F.col("ngram").alias("_ta"), F.col("n_t").alias("n_a")),
+            "_ta",
+        )
+        .join(
+            c1.select(F.col("ngram").alias("_tb"), F.col("n_t").alias("n_b")),
+            "_tb",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # doubles, not longs: NU² overflows int64 past ~3e9 tokens (ANSI
+    # mode would throw); products of counts stay exact in double to
+    # 2^53 and round identically cross-engine beyond (same
+    # left-associated op order as the oracle text).
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("_nu") * F.col("_nu"))
+            / (F.col("_nb").cast("double") * F.col("n_a") * F.col("n_b"))
+        ),
+        round_dp,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return (
+        joined.select("bigram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )

@@ -1189,3 +1189,43 @@ class TestWinsorizedStats:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with _p.raises(ValueError):
             winsorized_stats(df, ["g"], "v", p=0.5)
+
+
+class TestPmiCollocations:
+    def test_collocation_beats_common_pair(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            pmi_collocations,
+        )
+
+        # "kuala lumpur" always adjacent and rare; "the cat" frequent
+        # words whose adjacency is unremarkable
+        docs = [
+            "kuala lumpur is far the cat sat",
+            "the cat saw kuala lumpur today",
+            "the dog and the cat and kuala lumpur",
+            "kuala lumpur kuala lumpur the cat",
+            "the cat the dog kuala lumpur",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+        )
+        out = pmi_collocations(df, min_count=3, top=5).collect()
+        by = {r["bigram"]: r for r in out}
+        assert "kuala lumpur" in by
+        top1 = min(out, key=lambda r: r["rank"])
+        assert top1["bigram"] == "kuala lumpur"
+        if "the cat" in by:
+            assert by["kuala lumpur"]["pmi"] > by["the cat"]["pmi"]
+
+    def test_min_count_kills_hapax(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            pmi_collocations,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "unique hapax appears once only the the the the")],
+            "doc_id int, text string",
+        )
+        out = pmi_collocations(df, min_count=2, top=10).collect()
+        assert all(r["bigram"] != "unique hapax" for r in out)
+        assert all(r["n_ab"] >= 2 for r in out)
