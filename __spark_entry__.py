@@ -3910,10 +3910,15 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's harness checks the
     FIRST 50 entries, so the window leads with the queries newest to
-    the gate — the round-4 continuation cohort (BM25 retrieval, RRF
-    hybrid fusion, count-min sketch, JL random projection, triangle
-    counting, label propagation, interval coverage merge,
-    sorted-neighborhood blocking, MAD robust outliers), then round
+    the gate — the round-4 third-session cohort (functional-dependency
+    discovery, two-phase skyline, k-core and k-truss peels, TPC-H Q21
+    shape, weighted median, k-anonymity, longest-prefix routing,
+    CUPED, quantile normalization, retrieval eval, winsorized means,
+    star-contraction components, PMI collocations), the continuation
+    cohort (BM25 retrieval, RRF hybrid fusion, count-min sketch, JL
+    random projection, triangle counting, label propagation, interval
+    coverage merge, sorted-neighborhood blocking, MAD robust
+    outliers), then round
     4's earlier families (image/audio perceptual-hash near-dup over
     the real BMP/WAV codecs, snapshot diff, PageRank, PQ ANN, Naive
     Bayes, DSIR, bigram-LM perplexity) and the r3 cohort. The first
