@@ -3852,6 +3852,29 @@ def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return pmi_collocations(_t(spark, sf, "documents"))
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Native GROUPING SETS (the arbitrary-set member of the
+    cube/rollup family already covered by cube_counts/rollup_counts):
+    quantity totals at ((returnflag, linestatus), (returnflag), ())
+    — exactly the three report granularities, not cube's 4 or
+    rollup's 3-with-different-middle. Explicit grouping() flags
+    disambiguate aggregated NULLs from data NULLs cross-engine."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3970,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "dup_components_star": q_dup_components_star,
         "pmi_collocations": q_pmi_collocations,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5360,6 +5384,15 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "grouping_sets_revenue": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(grouping(l_returnflag) AS INT) AS g_rf, "
+            "CAST(grouping(l_linestatus) AS INT) AS g_ls, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_returnflag), ())"
         ),
         "pmi_collocations": (
             f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w FROM "

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "winsorized_stats",
     "dup_components_star",
     "pmi_collocations",
+    "grouping_sets_revenue",
 ]
 
 
