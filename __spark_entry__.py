@@ -3875,6 +3875,17 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rank_sum_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney rank-sum test (operators/profile.py): purchase
+    vs click event values — the robust two-sample readout next to
+    cuped_lift's mean-based one. Ranks from the distinct-value
+    aggregate; tie-corrected z at 6dp."""
+    from gbif_filter_python_spark.operators.profile import rank_sum_test
+
+    ev = _t(spark, sf, "events")
+    return rank_sum_test(ev, "event_type", "value", "purchase", "click")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -3994,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_star": q_dup_components_star,
         "pmi_collocations": q_pmi_collocations,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "rank_sum_test": q_rank_sum_test,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5384,6 +5396,34 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "rank_sum_test": (
+            "WITH two AS (SELECT event_type AS g, "
+            "CAST(value AS DOUBLE) AS v FROM events "
+            "WHERE event_type IN ('purchase', 'click') "
+            "AND value IS NOT NULL), "
+            "pv AS (SELECT v, COUNT(*) AS t, "
+            "SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ta "
+            "FROM two GROUP BY 1), "
+            "r AS (SELECT v, t, ta, "
+            "coalesce(SUM(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS before_ FROM pv), "
+            "a AS (SELECT CAST(SUM(ta) AS BIGINT) AS n_a, "
+            "CAST(SUM(t - ta) AS BIGINT) AS n_b, "
+            "SUM(ta * (before_ + (t + 1) / 2.0)) AS rank_sum_a, "
+            "SUM(CAST(t AS DOUBLE) * t * t - t) AS ties FROM r) "
+            "SELECT n_a, n_b, round(rank_sum_a, 6) AS rank_sum_a, "
+            "round(rank_sum_a - n_a * (n_a + 1) / 2.0, 6) AS u_a, "
+            "round(CASE WHEN n_a * CAST(n_b AS DOUBLE) / 12.0 * "
+            "((n_a + n_b + 1) - ties / "
+            "(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) > 0 THEN "
+            "(rank_sum_a - n_a * (n_a + 1) / 2.0 - "
+            "n_a * CAST(n_b AS DOUBLE) / 2.0) / "
+            "sqrt(n_a * CAST(n_b AS DOUBLE) / 12.0 * "
+            "((n_a + n_b + 1) - ties / "
+            "(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))) END, 6) "
+            "AS z FROM a"
         ),
         "grouping_sets_revenue": (
             "SELECT l_returnflag, l_linestatus, "

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "dup_components_star",
     "pmi_collocations",
     "grouping_sets_revenue",
+    "rank_sum_test",
 ]
 
 

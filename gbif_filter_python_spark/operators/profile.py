@@ -853,3 +853,76 @@ def winsorized_stats(
             round_dp,
         ).alias("mean_trimmed"),
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann-Whitney-Wilcoxon rank-sum test between two groups: ONE
+    row ``(n_a, n_b, rank_sum_a, u_a, z)`` — the nonparametric
+    complement of :func:`~.analytics.cuped_adjusted_means`' mean
+    readout (rank-based, so whale rows can't fake or mask a shift;
+    the robust two-sample decision the same pipelines run when the
+    metric is heavy-tailed). Average ranks for ties and the standard
+    tie-corrected normal approximation
+
+        z = (U_a - n_a n_b / 2) /
+            sqrt(n_a n_b / 12 · ((N+1) - Σ(t³-t) / (N(N-1))))
+
+    (report |z| against the usual 1.96/2.58 lines; the normal CDF is
+    deliberately out of scope — neither engine ships erf, and the
+    z-line decision is what the report needs). NULL values excluded.
+
+    Scale shape: ranks come from the DISTINCT-VALUE aggregate (cnt
+    per value + prefix cumsum over that |distinct|-row table), joined
+    back value-equi — the fact itself is never globally sorted, the
+    weighted_median/global-index contract. Average ranks are exact
+    half-integers and the rank sums exact in double far past any
+    realistic N; only z itself rounds.
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_val = two.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ta"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ).withColumn(
+        "_avgrank", F.col("_before") + (F.col("_t") + 1) / 2.0
+    )
+    agg = ranked.agg(
+        F.sum("_ta").alias("n_a"),
+        F.sum(F.col("_t") - F.col("_ta")).alias("n_b"),
+        F.sum(F.col("_ta") * F.col("_avgrank")).alias("rank_sum_a"),
+        F.sum(
+            F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("rank_sum_a") - na * (na + 1) / 2.0
+    sigma2 = na * nb / 12.0 * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    z = F.when(sigma2 > 0, (u_a - na * nb / 2.0) / F.sqrt(sigma2))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("rank_sum_a", round_dp).alias("rank_sum_a"),
+        F.round(u_a, round_dp).alias("u_a"),
+        F.round(z, round_dp).alias("z"),
+    )

@@ -1229,3 +1229,43 @@ class TestPmiCollocations:
         out = pmi_collocations(df, min_count=2, top=10).collect()
         assert all(r["bigram"] != "unique hapax" for r in out)
         assert all(r["n_ab"] >= 2 for r in out)
+
+
+class TestRankSumTest:
+    def test_matches_scipy_formula_hand_computed(self, spark):
+        from gbif_filter_python_spark.operators.profile import rank_sum_test
+
+        # a = {1, 2, 3}, b = {4, 5, 6}: complete separation.
+        # ranks a = 1+2+3 = 6, U_a = 0, z = -sqrt(...)
+        rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+            ("b", v) for v in (4.0, 5.0, 6.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = rank_sum_test(df, "g", "v", "a", "b").first()
+        assert out["n_a"] == 3 and out["n_b"] == 3
+        assert out["rank_sum_a"] == 6.0 and out["u_a"] == 0.0
+        # sigma = sqrt(9*7/12) = sqrt(5.25); z = (0 - 4.5)/sigma
+        import math
+
+        assert abs(out["z"] - (-4.5 / math.sqrt(5.25))) < 1e-6
+
+    def test_ties_average_ranks(self, spark):
+        from gbif_filter_python_spark.operators.profile import rank_sum_test
+
+        # all six values equal: rank sums 3*(3.5), U_a = n_a n_b / 2,
+        # sigma2 = 0 (full tie) -> z NULL
+        rows = [("a", 1.0)] * 3 + [("b", 1.0)] * 3
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = rank_sum_test(df, "g", "v", "a", "b").first()
+        assert out["rank_sum_a"] == 10.5
+        assert out["z"] is None
+
+    def test_symmetric_data_z_near_zero(self, spark):
+        from gbif_filter_python_spark.operators.profile import rank_sum_test
+
+        rows = [("a", float(i)) for i in range(50)] + [
+            ("b", float(i) + 0.5) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = rank_sum_test(df, "g", "v", "a", "b").first()
+        assert abs(out["z"]) < 0.2
