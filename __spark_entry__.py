@@ -3886,6 +3886,27 @@ def q_rank_sum_test(spark: SparkSession, sf: str) -> DataFrame:
     return rank_sum_test(ev, "event_type", "value", "purchase", "click")
 
 
+def q_fdr_correction(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR (operators/profile.py) over a
+    deterministic per-part pseudo p-value table (md5 bucket / 4000 —
+    the op corrects ANY p column, it does not compute p-values; the
+    synthetic table exercises clip, step-up and the discovery
+    boundary). Windows run over the hypothesis table only."""
+    from gbif_filter_python_spark.operators.profile import fdr_bh
+
+    part = _t(spark, sf, "part")
+    hyp = part.select(
+        F.col("p_name").alias("hypothesis"),
+        (
+            F.conv(F.substring(F.md5(F.col("p_name")), 1, 6), 16, 10)
+            .cast("bigint")
+            % 4000
+            / 4000.0
+        ).alias("p_value"),
+    )
+    return fdr_bh(hyp, "p_value", ["hypothesis"])
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -4006,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "rank_sum_test": q_rank_sum_test,
+        "fdr_correction": q_fdr_correction,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5396,6 +5418,21 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "fdr_correction": (
+            "WITH h AS (SELECT p_name AS hypothesis, "
+            "(('0x' || substr(md5(p_name), 1, 6))::BIGINT % 4000) "
+            "/ 4000.0 AS p_value FROM part), "
+            "r AS (SELECT hypothesis, p_value, "
+            "COUNT(*) OVER () AS m, row_number() OVER ("
+            "ORDER BY p_value, hypothesis) AS rank FROM h), "
+            "s AS (SELECT hypothesis, p_value, rank, "
+            "round(LEAST(MIN(p_value * m / rank) OVER ("
+            "ORDER BY rank DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "1.0), 6) AS p_adjusted FROM r) "
+            "SELECT hypothesis, p_value, rank, p_adjusted, "
+            "p_adjusted <= 0.05 AS discovery FROM s"
         ),
         "rank_sum_test": (
             "WITH two AS (SELECT event_type AS g, "

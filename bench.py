@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "grouping_sets_revenue",
     "rank_sum_test",
+    "fdr_correction",
 ]
 
 

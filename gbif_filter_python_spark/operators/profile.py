@@ -926,3 +926,62 @@ def rank_sum_test(
         F.round(u_a, round_dp).alias("u_a"),
         F.round(z, round_dp).alias("z"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a p-value table: adds
+    ``(rank, p_adjusted, discovery)`` where ``p_adjusted`` is the
+    step-up adjusted value ``min_{j >= i} (m · p_(j) / j)`` clipped
+    at 1 and ``discovery`` marks ``p_adjusted <= alpha`` — the
+    multiple-testing gate that belongs after any per-segment battery
+    of tests (``chi2_independence`` per segment, ``rank_sum_test``
+    per metric, drift checks per column): at 10k segments, 500 of
+    them clear p<0.05 by chance alone and BH is the standard control.
+    Works on ANY p-value column; it does not compute p-values.
+
+    Exact step-up via two windows over the HYPOTHESIS table (which
+    is test-count-sized — thousands of rows, never the fact): rank
+    by (p, key...) — the deterministic total order; ties share the
+    correct adjusted value because the reverse running-min flows the
+    smallest m·p/j back across them — then the reverse cumulative
+    min. NULL p-values are excluded by contract (they are absent
+    tests, not evidence).
+    """
+    from pyspark.sql import Window
+
+    keep = df.filter(F.col(p_col).isNotNull())
+    # m via unpartitioned-window count over the hypothesis table
+    wall = Window.partitionBy()
+    asc = Window.orderBy(
+        F.col(p_col).asc(), *[F.col(k).asc() for k in key_cols]
+    )
+    ranked = keep.withColumn("_m", F.count(F.lit(1)).over(wall)).withColumn(
+        "rank", F.row_number().over(asc)
+    )
+    # the reverse pass MUST order by the unique rank, not by
+    # (p desc, key desc): exact-duplicate (p, key) rows make that
+    # order non-total and the two engines' arbitrary intra-tie visit
+    # orders produce different running minima (measured: dup part
+    # names flipped p_adjusted at the same rank). rank is the total
+    # order the step-up is defined on.
+    desc = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    raw = F.col(p_col) * F.col("_m") / F.col("rank")
+    stepped = ranked.withColumn("_raw", raw).withColumn(
+        "p_adjusted",
+        F.round(F.least(F.min("_raw").over(desc), F.lit(1.0)), round_dp),
+    )
+    return stepped.select(
+        *key_cols,
+        p_col,
+        "rank",
+        "p_adjusted",
+        (F.col("p_adjusted") <= alpha).alias("discovery"),
+    )

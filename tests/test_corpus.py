@@ -1269,3 +1269,45 @@ class TestRankSumTest:
         df = spark.createDataFrame(rows, "g string, v double")
         out = rank_sum_test(df, "g", "v", "a", "b").first()
         assert abs(out["z"]) < 0.2
+
+
+class TestFdrBh:
+    def test_matches_statsmodels_reference_vector(self, spark):
+        from gbif_filter_python_spark.operators.profile import fdr_bh
+
+        # classic worked example: p = (.01, .02, .03, .04, .05) m=5
+        # adjusted = (.05, .05, .05, .05, .05)
+        rows = [(f"h{i}", p) for i, p in enumerate(
+            (0.01, 0.02, 0.03, 0.04, 0.05)
+        )]
+        df = spark.createDataFrame(rows, "h string, p double")
+        out = {r["h"]: r for r in fdr_bh(df, "p", ["h"]).collect()}
+        for i in range(5):
+            assert out[f"h{i}"]["p_adjusted"] == 0.05
+            assert out[f"h{i}"]["discovery"]
+
+    def test_step_up_monotone_and_clipped(self, spark):
+        from gbif_filter_python_spark.operators.profile import fdr_bh
+
+        rows = [("a", 0.001), ("b", 0.1), ("c", 0.9), ("d", 0.95)]
+        df = spark.createDataFrame(rows, "h string, p double")
+        out = {r["h"]: r for r in fdr_bh(df, "p", ["h"]).collect()}
+        # adj_a = min(4*.001/1, 4*.1/2, 4*.9/3, .95) = .004
+        assert out["a"]["p_adjusted"] == 0.004
+        assert out["b"]["p_adjusted"] == 0.2
+        assert out["c"]["p_adjusted"] == 0.95  # min(1.2->clip, .95)
+        assert out["d"]["p_adjusted"] == 0.95
+        assert out["a"]["discovery"] and not out["b"]["discovery"]
+        # adjusted values are monotone in rank
+        ranks = sorted(out.values(), key=lambda r: r["rank"])
+        adj = [r["p_adjusted"] for r in ranks]
+        assert adj == sorted(adj)
+
+    def test_null_p_excluded(self, spark):
+        from gbif_filter_python_spark.operators.profile import fdr_bh
+
+        df = spark.createDataFrame(
+            [("a", 0.04), ("b", None)], "h string, p double"
+        )
+        out = fdr_bh(df, "p", ["h"]).collect()
+        assert len(out) == 1 and out[0]["p_adjusted"] == 0.04
