@@ -3907,6 +3907,19 @@ def q_fdr_correction(spark: SparkSession, sf: str) -> DataFrame:
     return fdr_bh(hyp, "p_value", ["hypothesis"])
 
 
+def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation (operators/profile.py): monotone
+    association of event value with hour-of-day — rank maps from
+    distinct-value aggregates, Pearson closed form on exact
+    half-integer ranks, 6dp."""
+    from gbif_filter_python_spark.operators.profile import spearman_corr
+
+    ev = _t(spark, sf, "events").select(
+        F.hour("ts").cast("double").alias("hour"), "value"
+    )
+    return spearman_corr(ev, "hour", "value")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -4028,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "rank_sum_test": q_rank_sum_test,
         "fdr_correction": q_fdr_correction,
+        "spearman_corr": q_spearman_corr,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5418,6 +5432,28 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "spearman_corr": (
+            "WITH p AS (SELECT CAST(date_part('hour', ts) AS DOUBLE) "
+            "AS x, CAST(value AS DOUBLE) AS y FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "mx AS (SELECT x, before_ + (t + 1) / 2.0 AS rx FROM ("
+            "SELECT x, COUNT(*) AS t, coalesce(SUM(COUNT(*)) OVER ("
+            "ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS before_ FROM p GROUP BY 1)), "
+            "my AS (SELECT y, before_ + (t + 1) / 2.0 AS ry FROM ("
+            "SELECT y, COUNT(*) AS t, coalesce(SUM(COUNT(*)) OVER ("
+            "ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS before_ FROM p GROUP BY 1)), "
+            "r AS (SELECT rx, ry FROM p JOIN mx USING (x) "
+            "JOIN my USING (y)), "
+            "a AS (SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd, "
+            "SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx*ry) AS sxy, "
+            "SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy FROM r) "
+            "SELECT n, round(CASE WHEN nd*sxx - sx*sx > 0 "
+            "AND nd*syy - sy*sy > 0 THEN "
+            "(nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * "
+            "(nd*syy - sy*sy)) END, 6) AS rho FROM a"
         ),
         "fdr_correction": (
             "WITH h AS (SELECT p_name AS hypothesis, "

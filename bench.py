@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "rank_sum_test",
     "fdr_correction",
+    "spearman_corr",
 ]
 
 

@@ -985,3 +985,62 @@ def fdr_bh(
         "p_adjusted",
         (F.col("p_adjusted") <= alpha).alias("discovery"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two columns: ONE row
+    ``(n, rho)`` — Pearson on the average-rank transforms (the exact
+    tie-aware definition), the monotone-association complement of
+    ``stats_corr``'s linear Pearson: a clean monotone-but-curved
+    relationship scores rho ~ 1 while Pearson underreports it, and
+    whale rows can't dominate. Pairwise NULL exclusion.
+
+    Scale shape: each column's average ranks come from its
+    DISTINCT-VALUE aggregate (per-value count + prefix cumsum over
+    the |distinct|-row table, the rank_sum_test contract) joined
+    back value-equi — the fact is never globally sorted; then one
+    sufficient-statistics aggregation and the spelled-out Pearson
+    closed form (the linear_trend cross-engine FP contract).
+    Average ranks are exact half-integers, so everything before the
+    final division is exact in double.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+
+    def _rank_map(col: str) -> DataFrame:
+        per = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.withColumn(
+            "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
+        ).select(
+            col,
+            (F.col("_before") + (F.col("_t") + 1) / 2.0).alias(f"_r{col}"),
+        )
+
+    ranked = pairs.join(_rank_map("_x"), "_x").join(_rank_map("_y"), "_y")
+    rx, ry = F.col("_r_x"), F.col("_r_y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * ry).alias("_sxy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select("n", F.round(rho, round_dp).alias("rho"))

@@ -1311,3 +1311,35 @@ class TestFdrBh:
         )
         out = fdr_bh(df, "p", ["h"]).collect()
         assert len(out) == 1 and out[0]["p_adjusted"] == 0.04
+
+
+class TestSpearmanCorr:
+    def test_monotone_curved_scores_one(self, spark):
+        from gbif_filter_python_spark.operators.profile import spearman_corr
+
+        # y = x^3 is monotone but nonlinear: Spearman 1.0 exactly
+        rows = [(float(x), float(x) ** 3) for x in range(-10, 11)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = spearman_corr(df, "x", "y").first()
+        assert out["rho"] == 1.0
+        anti = spark.createDataFrame(
+            [(x, -y) for x, y in rows], "x double, y double"
+        )
+        assert spearman_corr(anti, "x", "y").first()["rho"] == -1.0
+
+    def test_matches_scipy_style_tie_handling(self, spark):
+        from gbif_filter_python_spark.operators.profile import spearman_corr
+
+        # hand-checkable tie case: x = (1,2,2,3), y = (10,20,20,40)
+        # average ranks x = (1, 2.5, 2.5, 4), y = (1, 2.5, 2.5, 4)
+        # identical rank vectors -> rho = 1
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)],
+            "x double, y double",
+        )
+        assert spearman_corr(df, "x", "y").first()["rho"] == 1.0
+        # constant y: zero rank variance -> NULL, not a blowup
+        const = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+        )
+        assert spearman_corr(const, "x", "y").first()["rho"] is None
