@@ -585,3 +585,47 @@ def test_skyline_local_prune_runs_before_any_exchange(spark, sf001_dir):
     # coalesce) prints first, local prune last
     assert coal > plan.index("MapInPandas"), plan
     assert plan.rindex("MapInPandas") > coal > first_map, plan
+
+
+def test_rank_stats_never_globally_sort_the_fact(spark, sf001_dir):
+    """rank_sum_test / spearman_corr build ranks from DISTINCT-VALUE
+    aggregates: the plan's unpartitioned window (the only global
+    Sort) must consume the |distinct|-row aggregate, never the fact —
+    i.e. every Sort sits ABOVE an Aggregate in the tree, so the scan
+    feeds an aggregation, not a sort."""
+    from gbif_filter_python_spark.operators.profile import (
+        rank_sum_test,
+        spearman_corr,
+    )
+
+    ev = spark.read.parquet(f"{sf001_dir}/orders.parquet").select(
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    for df in (
+        rank_sum_test(ev, "g", "v", "O", "F"),
+        spearman_corr(ev.select(F.col("v").alias("x"),
+                                (F.col("v") % 97).alias("y")), "x", "y"),
+    ):
+        plan = explain_str(df, "simple")
+        lines = plan.splitlines()
+        # walk each Sort node: everything printed below it at deeper
+        # indentation until the indent pops back is its subtree — a
+        # HashAggregate must appear in there before any scan leaf,
+        # otherwise the Sort is consuming raw fact rows.
+        def indent(l):
+            return len(l) - len(l.lstrip(" +-:"))
+
+        for i, l in enumerate(lines):
+            if " Sort " not in f" {l.strip()} ":
+                continue
+            base = indent(l)
+            subtree = []
+            for nxt in lines[i + 1:]:
+                if nxt.strip() and indent(nxt) <= base:
+                    break
+                subtree.append(nxt)
+            sub = "\n".join(subtree)
+            assert "HashAggregate" in sub, (
+                "Sort consumes unaggregated input:\n" + plan
+            )
