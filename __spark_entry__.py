@@ -3920,6 +3920,28 @@ def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
     return spearman_corr(ev, "hour", "value")
 
 
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic calibration (operators/classify.py, Zadrozny & Elkan
+    KDD'02): 20-bucket md5 score vs is-English label; the fit must
+    satisfy the minimax characterization, which the oracle evaluates
+    directly (max_j<=i min_k>=i weighted mean). Corpus work is one
+    hash agg; PAV runs over the 20-row score table."""
+    from gbif_filter_python_spark.operators.classify import (
+        isotonic_calibrate,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        (
+            F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10)
+            .cast("bigint")
+            % 20
+            / 20.0
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return isotonic_calibrate(docs, "score", "label")
+
+
 def _ktruss_oracle(k: int, rounds: int) -> str:
     """Fixpoint-unrolled k-truss peel. Round i recomputes per-edge
     triangle support over round i-1's surviving edges and keeps
@@ -4042,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_test": q_rank_sum_test,
         "fdr_correction": q_fdr_correction,
         "spearman_corr": q_spearman_corr,
+        "isotonic_calibration": q_isotonic_calibration,
         "geo_near_pairs": q_geo_near_pairs,
         "seq_patterns": q_seq_patterns,
         # -- new this round: model-based data selection + PQ ANN ----
@@ -5432,6 +5455,30 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(v), 6) AS std_v, count(*) AS n FROM ("
             "SELECT generate_subscripts(embedding, 1) - 1 AS pos, "
             "unnest(embedding) AS v FROM embeddings) GROUP BY pos"
+        ),
+        "isotonic_calibration": (
+            "WITH d AS (SELECT (('0x' || substr(md5(text), 1, 6))"
+            "::BIGINT % 20) / 20.0 AS score, "
+            "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y "
+            "FROM documents), "
+            "a AS (SELECT score, COUNT(*) AS n, SUM(y) AS pos "
+            "FROM d GROUP BY 1), "
+            "o AS (SELECT score, n, pos, "
+            "row_number() OVER (ORDER BY score) AS i, "
+            "SUM(n) OVER (ORDER BY score) AS cn, "
+            "SUM(pos) OVER (ORDER BY score) AS cp FROM a), "
+            "jk AS (SELECT j.i AS j, k.i AS k, "
+            "(k.cp - coalesce(jp.cp, 0)) / (k.cn - coalesce(jp.cn, 0)) "
+            "AS m FROM o j JOIN o k ON k.i >= j.i "
+            "LEFT JOIN o jp ON jp.i = j.i - 1), "
+            "inner_ AS (SELECT o.i AS i, jk.j AS j, MIN(jk.m) AS mn "
+            "FROM o JOIN jk ON jk.j <= o.i AND jk.k >= o.i "
+            "GROUP BY 1, 2), "
+            "fit AS (SELECT i, MAX(mn) AS calibrated FROM inner_ "
+            "GROUP BY 1) "
+            "SELECT o.score, o.n, round(o.pos / o.n, 6) AS rate, "
+            "round(fit.calibrated, 6) AS calibrated "
+            "FROM o JOIN fit USING (i)"
         ),
         "spearman_corr": (
             "WITH p AS (SELECT CAST(date_part('hour', ts) AS DOUBLE) "

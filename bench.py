@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "rank_sum_test",
     "fdr_correction",
     "spearman_corr",
+    "isotonic_calibration",
 ]
 
 

@@ -501,3 +501,68 @@ def lm_perplexity(
             "logppl",
         )
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Isotonic-regression calibration (pool-adjacent-violators) of a
+    score against a binary label: ``(score, n, rate, calibrated)``
+    per DISTINCT score, where ``calibrated`` is the monotone
+    non-decreasing fit minimizing weighted squared error — the
+    standard step after training any quality/relevance classifier
+    (nb_score, lm_perplexity bands): raw scores rank documents but
+    lie about probabilities; the isotonic fit is the
+    distribution-free recalibration (Zadrozny & Elkan, KDD 2002).
+
+    Scale shape: the CORPUS-sized work is one hash aggregation to
+    the distinct-score table (n, positives per score) — calibration
+    tables are score-resolution-sized (bin scores upstream if they
+    are raw floats). The sequential PAV pass then runs in ONE
+    ``applyInPandas`` group over that bounded table (the k-means /
+    BPE model-state contract: model fitting is allowed to be
+    sequential once the data is aggregate-sized). The fit satisfies
+    the exact minimax characterization
+    ``fit_i = max_{j<=i} min_{k>=i} wmean(rate, j..k)`` — which is
+    what the DuckDB oracle evaluates directly.
+    """
+    import pandas as pd
+
+    agg = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("double")).alias("_pos"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # blocks of (weight, weighted-sum) pooled until monotone
+        blocks: list[list[float]] = []  # [w, s, count_rows]
+        for w, s in zip(pdf["n"], pdf["_pos"]):
+            blocks.append([float(w), float(s), 1])
+            while len(blocks) > 1 and (
+                blocks[-2][1] / blocks[-2][0]
+                > blocks[-1][1] / blocks[-1][0]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        fit = []
+        for w, s, c in blocks:
+            fit.extend([s / w] * c)
+        out = pdf[["score", "n"]].copy()
+        out["rate"] = (pdf["_pos"] / pdf["n"]).round(round_dp)
+        out["calibrated"] = pd.Series(fit).round(round_dp)
+        return out
+
+    return agg.groupBy("_one").applyInPandas(
+        _pav, schema="score double, n long, rate double, calibrated double"
+    )

@@ -234,3 +234,64 @@ class TestMd5Bucket:
                 [w],
             ).fetchone()[0]
             assert got[w] == exp
+
+
+class TestIsotonicCalibrate:
+    def test_worked_pav_example(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            isotonic_calibrate,
+        )
+
+        # scores .1/.2/.3 with rates 1.0, 0.0, 0.5 (violation at .2):
+        # PAV pools (.1,.2) -> 0.5, then (0.5, 0.5) is monotone.
+        rows = (
+            [(0.1, 1), (0.1, 1)]
+            + [(0.2, 0), (0.2, 0)]
+            + [(0.3, 1), (0.3, 0)]
+        )
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = {r["score"]: r for r in isotonic_calibrate(
+            df, "score", "label"
+        ).collect()}
+        assert out[0.1]["rate"] == 1.0 and out[0.2]["rate"] == 0.0
+        assert out[0.1]["calibrated"] == 0.5
+        assert out[0.2]["calibrated"] == 0.5
+        assert out[0.3]["calibrated"] == 0.5
+
+    def test_monotone_and_weighted(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.classify import (
+            isotonic_calibrate,
+        )
+
+        rng = random.Random(5)
+        rows = []
+        for b in range(10):
+            p = b / 10 + rng.uniform(-0.3, 0.3)
+            for _ in range(rng.randint(5, 40)):
+                rows.append((b / 10.0, 1 if rng.random() < p else 0))
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = sorted(
+            isotonic_calibrate(df, "score", "label").collect(),
+            key=lambda r: r["score"],
+        )
+        fit = [r["calibrated"] for r in out]
+        assert fit == sorted(fit)  # non-decreasing
+        # weighted mean preserved (PAV conserves total mass)
+        tot_pred = sum(r["calibrated"] * r["n"] for r in out)
+        tot_true = sum(r["rate"] * r["n"] for r in out)
+        assert abs(tot_pred - tot_true) < 1e-3
+
+    def test_already_monotone_untouched(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            isotonic_calibrate,
+        )
+
+        rows = [(0.1, 0), (0.2, 0), (0.2, 1), (0.9, 1)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = {r["score"]: r for r in isotonic_calibrate(
+            df, "score", "label"
+        ).collect()}
+        for s in (0.1, 0.2, 0.9):
+            assert out[s]["calibrated"] == out[s]["rate"]
