@@ -564,7 +564,16 @@ def k_truss(
         kept = (
             cur.join(support, ["a", "b"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= min_sup)
-            .select("a", "b", F.col("support"))
+            # coalesce in the PROJECTION too: with k<=2 (min_sup<=0)
+            # triangle-free edges survive the filter and their support
+            # must read 0 — a count — not NULL (ADVICE r4).
+            .select(
+                "a",
+                "b",
+                F.coalesce(F.col("support"), F.lit(0).cast("long")).alias(
+                    "support"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         n_next = kept.count()
@@ -629,14 +638,20 @@ def connected_components_star(
             .distinct()
         )
 
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     cur = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node universe from the RAW endpoints — BEFORE the self-loop
+    # filter — so a node whose only edge is a self-loop still gets its
+    # (id, comp=id) row, exactly as connected_components labels it
+    # (ADVICE r4: the contract is "every node of ``edges`` labeled").
     all_nodes = (
-        _sym(cur).select(F.col("a").alias("id")).distinct()
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):

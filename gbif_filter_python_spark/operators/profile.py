@@ -582,6 +582,13 @@ def fd_candidates(
     would keep a NULL group; FD semantics over a nullable candidate
     key are undefined, so they are out of scope by contract).
     """
+    if not candidates:
+        raise ValueError("candidates must be non-empty")
+    for lhs, rhs_cols in candidates.items():
+        if not rhs_cols:
+            raise ValueError(
+                f"candidates[{lhs!r}] must list at least one rhs column"
+            )
     outs = []
     for lhs, rhs_cols in candidates.items():
         grouped = (

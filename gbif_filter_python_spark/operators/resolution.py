@@ -275,10 +275,21 @@ def longest_prefix_match(
             )
         prefixes = [r[prefix_col] for r in rrows]
     else:
-        prefixes = [
-            r[prefix_col]
-            for r in rules.select(prefix_col).distinct().collect()
-        ]
+        # The dup check must run BEFORE distinct() collapses repeats —
+        # a set-vs-list length compare over distinct prefixes can never
+        # fire (ADVICE r4). One grouped count over the (broadcastable)
+        # rule table finds duplicates distributedly.
+        pref_counts = (
+            rules.groupBy(prefix_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        dups = sorted(r[prefix_col] for r in pref_counts if r["_n"] > 1)
+        if dups:
+            raise ValueError(
+                f"duplicate prefixes in rule table: {dups[:5]}"
+            )
+        prefixes = [r[prefix_col] for r in pref_counts]
     if len(set(prefixes)) != len(prefixes):
         raise ValueError("duplicate prefixes in rule table")
     lengths = sorted({len(p) for p in prefixes}, reverse=True)

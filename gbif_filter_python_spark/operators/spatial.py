@@ -46,9 +46,14 @@ def _point_in_ring(
     for i in range(n):
         x1, y1 = ring[i]
         x2, y2 = ring[i + 1]
+        if y1 == y2:
+            # Horizontal edge: ``(y1 > lat) != (y2 > lat)`` is
+            # identically False, so the edge can never toggle
+            # membership — skip it BEFORE the crossing-x division,
+            # whose denominator (y2 - y1) would be zero.
+            continue
         crosses = (y1 > lat) != (y2 > lat)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            x_at = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        x_at = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
         inside ^= crosses & (lon < x_at)
     return inside
 

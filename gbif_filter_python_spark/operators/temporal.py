@@ -226,7 +226,7 @@ def ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     alpha: float = 0.2,
-    adjust: bool = True,
+    adjust: bool | None = None,
     out_col: str = "ewma",
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -238,9 +238,10 @@ def ewma(
        ``ewma`` twice and Python's last-def-wins resolved callers to
        the ``adjust=False`` recursion; the merged function defaults to
        ``adjust=True`` (the pandas default). Any caller that relied on
-       the implicit old default gets different values — pass
-       ``adjust=False`` explicitly to recover the recursive form. Pin
-       ``adjust=`` at every call site.
+       the implicit old default gets different values, so omitting
+       ``adjust=`` now emits a ``FutureWarning`` (then uses the pandas
+       default ``True``) — pass ``adjust=`` explicitly at every call
+       site; ``adjust=False`` recovers the recursive form.
 
     ``adjust=True`` (default) — the weighted-mean form
 
@@ -270,6 +271,18 @@ def ewma(
     tiebreak_cols`` is ever sorted on — never arbitrary payload
     columns, which may be non-orderable (arrays/maps/structs).
     """
+    if adjust is None:
+        import warnings
+
+        warnings.warn(
+            "ewma() called without explicit adjust=; defaulting to "
+            "adjust=True (pandas weighted-mean semantics). The "
+            "pre-merge implicit default was adjust=False — pass "
+            "adjust= explicitly to pin the variant you mean.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        adjust = True
     tiebreak_cols = list(tiebreak_cols or [])
     if adjust:
         r = 1.0 - alpha

@@ -984,6 +984,19 @@ class TestFdCandidates:
         # v -> k also holds on this data (v values are unique per k)
         assert by[("v", "k")]["holds"]
 
+    def test_empty_candidates_raise_named_error(self, spark):
+        """ADVICE r4: an empty candidates dict must raise a named
+        ValueError, not a bare IndexError from outs[0]; an empty rhs
+        list likewise names its key instead of emitting stack(0,)."""
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.profile import fd_candidates
+
+        with _p.raises(ValueError, match="non-empty"):
+            fd_candidates(self._df(spark), {})
+        with _p.raises(ValueError, match="'k'"):
+            fd_candidates(self._df(spark), {"k": []})
+
 
 class TestScaleDataSuffix:
     def test_replica_suffix_survives_normalization(self, spark):

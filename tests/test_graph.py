@@ -365,6 +365,21 @@ class TestKTruss:
         got = sorted(tuple(r) for r in k_truss(df, k=3).collect())
         assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
 
+    def test_k2_keeps_triangle_free_edges_with_zero_support(self, spark):
+        """ADVICE r4: with k<=2 (min_sup<=0) triangle-free edges
+        survive, and their support must project as 0, never NULL —
+        the (id_a, id_b, support) contract says support is a count."""
+        from gbif_filter_python_spark.operators.graph import k_truss
+
+        # a path (no triangles) plus one triangle
+        edges = [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {(r["id_a"], r["id_b"]): r["support"]
+               for r in k_truss(df, k=2).collect()}
+        assert got == {(1, 2): 0, (2, 3): 0,
+                       (10, 11): 1, (10, 12): 1, (11, 12): 1}
+        assert all(v is not None for v in got.values())
+
 
 class TestConnectedComponentsStar:
     def test_matches_label_propagation_on_random_graphs(self, spark):
@@ -411,4 +426,19 @@ class TestConnectedComponentsStar:
         df = spark.createDataFrame(edges, "id_a int, id_b int")
         got = {r["id"]: r["comp"] for r in
                connected_components_star(df).collect()}
-        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+        # Node 7's only edge is a self-loop: it must still be labeled
+        # (id, comp=id), matching connected_components (ADVICE r4).
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7}
+
+    def test_self_loop_only_graph(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame([(4, 4), (8, 8)], "id_a int, id_b int")
+        star = {(r["id"], r["comp"])
+                for r in connected_components_star(df).collect()}
+        prop = {(r["id"], r["comp"])
+                for r in connected_components(df).collect()}
+        assert star == {(4, 4), (8, 8)} == prop

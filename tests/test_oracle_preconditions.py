@@ -267,3 +267,26 @@ def test_k_truss_fixpoint_within_unrolled_oracle_rounds(spark, sf):
         f"k=8 truss peel needs {rounds} rounds; regenerate the "
         f"k_truss oracle with _ktruss_oracle(8, {rounds + 2})."
     )
+
+
+def test_quantile_norm_cohorts_are_equal_sized(spark, sf):
+    """PRECONDITION for the quantile_norm oracle (ADVICE r4):
+    q_quantile_norm derives its four cohorts as doc_id % 4, and
+    quantile_normalize raises unless the cohorts are EXACTLY equal —
+    which holds iff count(documents) % 4 == 0 AND doc_ids are dense
+    (each residue class equally populated). Assert both directly so a
+    data refresh names this assumption instead of surfacing as a
+    runtime ValueError inside a gated query."""
+    docs = entry_mod._t(spark, sf, "documents")
+    sizes = [
+        r["n"]
+        for r in docs.groupBy((F.col("doc_id") % 4).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 4 and len(set(sizes)) == 1, (
+        f"doc_id % 4 cohort sizes {sorted(sizes)} are unequal; "
+        "q_quantile_norm's equal-size precondition no longer holds — "
+        "re-derive cohorts (or re-truncate) before trusting the "
+        "quantile_norm CORRECTNESS row."
+    )

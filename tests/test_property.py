@@ -72,6 +72,24 @@ def test_wkt_roundtrip_and_bbox(ring):
     assert not _point_in_ring(probe[0], probe[1], parsed)[0]
 
 
+def test_horizontal_edges_warning_free():
+    """Axis-aligned rectangles (all-horizontal top/bottom edges) must
+    classify correctly with NO numpy floating-point warnings — the
+    crossing-x division is skipped for y1 == y2 edges rather than
+    evaluated-and-masked (VERDICT r4 item 3)."""
+    rect = [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0), (0.0, 0.0)]
+    lon = np.array([5.0, 5.0, -1.0, 11.0, 5.0, 5.0])
+    lat = np.array([2.5, 5.0, 2.5, 2.5, -1.0, 6.0])
+    with np.errstate(all="raise"):
+        got = _point_in_ring(lon, lat, rect)
+    assert list(got) == [True, False, False, False, False, False]
+    # Degenerate all-horizontal "ring" (zero area): nothing is inside,
+    # and it must not raise or warn either.
+    flat = [(0.0, 1.0), (5.0, 1.0), (9.0, 1.0), (0.0, 1.0)]
+    with np.errstate(all="raise"):
+        assert not _point_in_ring(lon, lat, flat).any()
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=12))
 def test_country_codes_validate(code):

@@ -152,7 +152,7 @@ class TestEwma:
             [(1, _d(i + 1), v) for i, v in enumerate(vals)],
             "user_id long, ts timestamp, value double",
         )
-        got = [r.ewma for r in ewma(df, alpha=0.3).orderBy("ts").collect()]
+        got = [r.ewma for r in ewma(df, alpha=0.3, adjust=True).orderBy("ts").collect()]
         import pandas as pd
 
         want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean().tolist()
@@ -162,7 +162,7 @@ class TestEwma:
         rows = [(u, _d(i + 1), float((u * 7 + i * 3) % 11))
                 for u in (1, 2) for i in range(20)]
         df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
-        a = {(r.user_id, r.ts): r.ewma for r in ewma(df, alpha=0.2).collect()}
+        a = {(r.user_id, r.ts): r.ewma for r in ewma(df, alpha=0.2, adjust=True).collect()}
         b = {(r.user_id, r.ts): r.ewma
              for r in ewma_stateful(df, alpha=0.2).collect()}
         assert set(a) == set(b)

@@ -376,6 +376,31 @@ class TestEwma:
         assert out[(2, 5.0)] == 5.0
 
 
+class TestEwmaAdjustMigration:
+    def test_omitting_adjust_warns_and_uses_pandas_default(self, spark):
+        """ADVICE r4: the merged ewma changed the implicit default —
+        omitting adjust= must warn (FutureWarning) and compute the
+        adjust=True weighted-mean form."""
+        import warnings
+
+        from gbif_filter_python_spark.operators.temporal import ewma
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2020, 1, 1, h), float(h)) for h in range(3)],
+            "user_id long, ts timestamp, value double",
+        )
+        with pytest.warns(FutureWarning, match="adjust"):
+            implicit = ewma(df, "user_id", "ts", "value", alpha=0.5)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            explicit = ewma(
+                df, "user_id", "ts", "value", alpha=0.5, adjust=True
+            )
+        got = sorted(r.ewma for r in implicit.collect())
+        want = sorted(r.ewma for r in explicit.collect())
+        assert got == pytest.approx(want, rel=1e-12)
+
+
 class TestCheckConstraints:
     def test_all_constraint_kinds(self, spark):
         from gbif_filter_python_spark.operators.profile import (
