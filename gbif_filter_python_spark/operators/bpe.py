@@ -88,6 +88,89 @@ def _merge_pair_in_syms(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+def bpe_training_sample(
+    docs: DataFrame,
+    sample_target_docs: int | None,
+    sample_key_col: str = "doc_id",
+) -> DataFrame:
+    """The trainer's deterministic corpus sample, exposed so callers
+    (the differential oracle queries, tests) can reproduce EXACTLY the
+    documents :func:`learn_bpe_merges` trains on: md5-of-key hash
+    sample with salt ``'bpe-train'`` at fraction target/corpus-count;
+    identity when the corpus is already at or under the target."""
+    if sample_target_docs is None:
+        return docs
+    from gbif_filter_python_spark.operators.corpus import sample_by_hash
+
+    n_docs = docs.count()
+    if n_docs <= sample_target_docs:
+        return docs
+    return sample_by_hash(
+        docs,
+        sample_key_col,
+        sample_target_docs / n_docs,
+        seed_salt="bpe-train",
+    )
+
+
+def ref_words(text: str) -> list[str]:
+    """Pure-Python twin of ``corpus._words`` normalization (lowercase,
+    non-alnum → space, collapse) — the tokenizer the reference trainer
+    shares with the engine so merge parity is over identical words."""
+    import re
+
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def ref_learn_bpe(
+    texts: list[str], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Independent pure-Python BPE trainer (Sennrich-style dict-of-
+    word-counts loop, same (count desc, left asc, right asc)
+    tie-break) — the DIFFERENTIAL REFERENCE the distributed trainer is
+    gated against, both in tests/test_bpe.py and in the bpe_learn /
+    bpe_token_counts oracle queries (__spark_entry__). Driver-side
+    only; never call on an unsampled large corpus."""
+    import collections
+
+    counts: collections.Counter = collections.Counter(
+        w for t in texts for w in ref_words(t)
+    )
+    segs = {w: list(w) for w in counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: collections.Counter = collections.Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += counts[w]
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        (a, b), n = best
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        for w, syms in segs.items():
+            out: list[str] = []
+            prev = None
+            for x in syms:
+                if prev == a and x == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            segs[w] = out
+    return merges
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 32,
@@ -135,17 +218,7 @@ def learn_bpe_merges(
     5.1 s / 4.0 s / 3.7 s at every=1/2/4 — 4 is the default, past
     which returns diminish while expression nesting deepens.
     """
-    if sample_target_docs is not None:
-        from gbif_filter_python_spark.operators.corpus import sample_by_hash
-
-        n_docs = docs.count()
-        if n_docs > sample_target_docs:
-            docs = sample_by_hash(
-                docs,
-                sample_key_col,
-                sample_target_docs / n_docs,
-                seed_salt="bpe-train",
-            )
+    docs = bpe_training_sample(docs, sample_target_docs, sample_key_col)
     segs = _distinct_words(docs, text_col).select(
         "_n", F.array_remove(F.split(F.col("word"), ""), "").alias("_syms")
     )

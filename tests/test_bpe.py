@@ -1,12 +1,10 @@
-"""BPE trainer/encoder tests: exact differential parity against an
+"""BPE trainer/encoder tests: exact differential parity against the
 independent pure-Python reference implementation (the standard
-Sennrich-style trainer over a word-count dict), plus scale-shape and
-determinism checks."""
+Sennrich-style trainer over a word-count dict, now shared with the
+bpe_learn/bpe_token_counts oracle queries as operators.bpe.ref_learn_bpe),
+plus scale-shape and determinism checks."""
 
 from __future__ import annotations
-
-import collections
-import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -15,51 +13,9 @@ from gbif_filter_python_spark.operators.bpe import (
     _encode_word_py,
     bpe_token_counts,
     learn_bpe_merges,
+    ref_learn_bpe as _ref_learn,
+    ref_words as _ref_words,
 )
-
-
-def _ref_words(text: str) -> list[str]:
-    t = re.sub(r"[^a-z0-9]+", " ", text.lower())
-    t = re.sub(r"\s+", " ", t).strip()
-    return [w for w in t.split(" ") if w]
-
-
-def _ref_learn(texts: list[str], n_merges: int, min_count: int = 2):
-    """Independent reference: dict-of-word-counts BPE trainer with the
-    same (count desc, left asc, right asc) tie-break."""
-    counts = collections.Counter(
-        w for t in texts for w in _ref_words(t)
-    )
-    segs = {w: list(w) for w in counts}
-    merges = []
-    for _ in range(n_merges):
-        pair_counts: collections.Counter = collections.Counter()
-        for w, syms in segs.items():
-            for i in range(len(syms) - 1):
-                pair_counts[(syms[i], syms[i + 1])] += counts[w]
-        if not pair_counts:
-            break
-        best = min(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        (a, b), n = best
-        if n < min_count:
-            break
-        merges.append((a, b, n))
-        for w, syms in segs.items():
-            out, prev = [], None
-            for x in syms:
-                if prev == a and x == b:
-                    out.append(a + b)
-                    prev = None
-                else:
-                    if prev is not None:
-                        out.append(prev)
-                    prev = x
-            if prev is not None:
-                out.append(prev)
-            segs[w] = out
-    return merges
 
 
 TEXTS = [
