@@ -3140,6 +3140,43 @@ def q_geo_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return proximity_pairs(pts, 5.0, max_abs_lat=58.0)
 
 
+def q_geo_hot_cell_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Density-capped proximity join over a PLANTED mega-dense cell
+    (VERDICT r4 item 4): every 50th order relocates to one coordinate
+    (a "default GPS value" pathology — 2% of a 100 TB fact in one
+    cell), and ``max_cell_points=64`` bounds that cell's pair fan-out
+    to C(64,2) instead of quadratic-in-density. The oracle replays
+    the IDENTICAL cell assignment (same cell_deg double via
+    proximity_cell_deg), the same lowest-id-per-cell retention rank,
+    and the same haversine text — so the cap semantics themselves are
+    hash-witnessed cross-engine, not just bounded."""
+    from gbif_filter_python_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    o = _t(spark, sf, "orders")
+
+    def bucket(tag: str, mod: int) -> F.Column:
+        h = F.md5(
+            F.concat(F.lit(tag), F.col("o_orderkey").cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
+
+    hot = F.col("o_orderkey") % 50 == 0
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            hot, 10.0 + (F.col("o_orderkey") % 7) * 0.00001
+        ).otherwise(bucket("lon:", 3600) / 100.0 - 8.0).alias("lon"),
+        F.when(hot, F.lit(45.0))
+        .otherwise(bucket("lat:", 1600) / 100.0 + 42.0)
+        .alias("lat"),
+    )
+    return proximity_pairs(
+        pts, 5.0, max_abs_lat=58.0, max_cell_points=64
+    )
+
+
 def q_impute_values(spark: SparkSession, sf: str) -> DataFrame:
     """Group-median imputation (operators/profile.py): values are
     deterministically knocked out (event_id % 7 == 0) and refilled
@@ -4169,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         # -- scale-shape changed this round -------------------------
         "geo_near_pairs": q_geo_near_pairs,
+        "geo_hot_cell_capped": q_geo_hot_cell_capped,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -4576,7 +4614,46 @@ def _lpa_oracle(n_iter: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gbif_filter_python_spark.operators.spatial import (
+        proximity_cell_deg,
+    )
+
+    # The capped proximity oracle replays the ENGINE's cell assignment:
+    # same double constant, full repr precision, same floor division.
+    _cd = repr(proximity_cell_deg(5.0, 58.0))
+    _geo_pts_capped = (
+        "SELECT o_orderkey AS id, "
+        "CASE WHEN o_orderkey % 50 = 0 THEN "
+        "10.0 + (o_orderkey % 7) * 0.00001 ELSE "
+        "('0x' || substr(md5('lon:' || CAST(o_orderkey AS VARCHAR)"
+        "), 1, 8))::BIGINT % 3600 / 100.0 - 8.0 END AS lon, "
+        "CASE WHEN o_orderkey % 50 = 0 THEN 45.0 ELSE "
+        "('0x' || substr(md5('lat:' || CAST(o_orderkey AS VARCHAR)"
+        "), 1, 8))::BIGINT % 1600 / 100.0 + 42.0 END AS lat "
+        "FROM orders"
+    )
     return {
+        "geo_hot_cell_capped": (
+            f"WITH pts AS ({_geo_pts_capped}), "
+            "cells AS (SELECT id, lon, lat, "
+            f"floor((lon + 180.0) / {_cd}) AS cx, "
+            f"floor((lat + 90.0) / {_cd}) AS cy FROM pts), "
+            "kept AS (SELECT id, lon, lat FROM ("
+            "SELECT id, lon, lat, row_number() OVER ("
+            "PARTITION BY cx, cy ORDER BY id) AS rn FROM cells) "
+            "WHERE rn <= 64), "
+            "cand AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "a.lon AS lon1, a.lat AS lat1, b.lon AS lon2, "
+            "b.lat AS lat2 FROM kept a JOIN kept b ON a.id < b.id "
+            "AND b.lat BETWEEN a.lat - 0.046 AND a.lat + 0.046 "
+            "AND b.lon BETWEEN a.lon - 0.086 AND a.lon + 0.086), "
+            "d AS (SELECT id_a, id_b, round(2 * 6371.0088 * asin(sqrt("
+            "sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) "
+            "/ 2) + cos(radians(lat1)) * cos(radians(lat2)) * "
+            "sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) "
+            "/ 2))), 6) AS dist_km FROM cand) "
+            "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
+        ),
         "random_projection": (
             "WITH idx AS (SELECT CAST(unnest(range(16)) AS INT) AS pos) "
             "SELECT vec_id, pos, round(list_sum(list_transform("

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "regr_trend",
     "geo_near_pairs",
+    "geo_hot_cell_capped",
     "seq_patterns",
     "fd_discovery",
     "skyline_pareto",

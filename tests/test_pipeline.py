@@ -400,3 +400,51 @@ class TestProximityPairs:
         )
         with _pytest.raises(ValueError):
             proximity_pairs(df, 5.0, max_abs_lat=89.9)
+
+    def test_density_cap_bounds_mega_dense_cell(self, spark):
+        """VERDICT r4 item 4: a planted mega-dense cell (300 points at
+        one coordinate) must truncate to the cap's deterministic
+        lowest-id retained set — pair count C(k,2) instead of
+        C(300,2) — while sparse cells elsewhere are untouched and
+        retained-point pairs stay exact."""
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        hot = [(i, 10.0 + (i % 7) * 1e-5, 45.0) for i in range(300)]
+        sparse = [(1000, -5.0, 44.0), (1001, -5.001, 44.0),
+                  (1002, 3.0, 47.0)]
+        df = spark.createDataFrame(
+            hot + sparse, "id long, lon double, lat double"
+        )
+        capped = proximity_pairs(
+            df, 5.0, max_abs_lat=50.0, max_cell_points=20
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in capped}
+        # hot cell: exactly the 20 lowest ids survive -> C(20,2) pairs
+        hot_pairs = {(a, b) for a, b in got if a < 300}
+        assert hot_pairs == {(a, b) for a in range(20)
+                             for b in range(a + 1, 20)}
+        # sparse neighbors unaffected by the cap
+        assert (1000, 1001) in got
+        assert not any(1002 in p for p in got)
+        # uncapped blows up quadratically on the same input
+        n_uncapped = proximity_pairs(df, 5.0, max_abs_lat=50.0).count()
+        assert n_uncapped == 300 * 299 // 2 + 1
+
+    def test_density_cap_noop_when_above_occupancy(self, spark):
+        from gbif_filter_python_spark.operators.spatial import (
+            proximity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 45.0), (2, 10.0001, 45.0001), (3, 11.0, 45.0)],
+            "id long, lon double, lat double",
+        )
+        exact = {(r.id_a, r.id_b) for r in
+                 proximity_pairs(df, 5.0, max_abs_lat=50.0).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in proximity_pairs(
+                      df, 5.0, max_abs_lat=50.0, max_cell_points=100
+                  ).collect()}
+        assert exact == capped == {(1, 2)}
