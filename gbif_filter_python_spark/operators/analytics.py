@@ -528,6 +528,8 @@ def sequential_pairs(
 def skyline(
     df: DataFrame,
     prefs: dict[str, str],
+    candidate_budget: int = 100_000,
+    max_rounds: int = 8,
 ) -> DataFrame:
     """n-dimensional skyline (Pareto front): keep exactly the rows no
     other row dominates, where ``prefs`` maps each measure column to
@@ -548,16 +550,30 @@ def skyline(
        non-dominated in its partition, so phase 1 never drops a
        skyline member — it only shrinks the candidate set, typically
        by orders of magnitude (correlated data keeps skylines tiny).
-    2. GLOBAL pass: the surviving candidates coalesce to one
-       partition for the exact pass. Skyline size is bounded by the
-       product of per-dimension distinct counts in the worst case
-       but is tiny on real (correlated) measures; for adversarial
-       anti-correlated data, raise parallelism upstream and/or
-       pre-aggregate — the operator itself stays exact regardless.
+    2. CANDIDATE-FUNNEL rounds (VERDICT r4 item 7): while the
+       candidate set still exceeds ``candidate_budget``, candidates
+       are repartitioned into ~8× fewer partitions and locally pruned
+       again — each round mixes survivors from different earlier
+       partitions, so cross-partition dominance (what phase 1 cannot
+       see) eliminates them before anything funnels to one task. The
+       loop stops on budget, on ``max_rounds``, on reaching one
+       partition, or when a round stops shrinking the set (a
+       fixpoint means the remainder is mutually non-dominated — it IS
+       the skyline, and the final pass just confirms it).
+    3. GLOBAL pass: the (now budget-bounded) candidates coalesce to
+       one partition for the exact pass. The single-partition input
+       can exceed the budget only when the TRUE skyline does — an
+       output-size lower bound no algorithm avoids; adversarial fully
+       anti-correlated data is exactly that case, and the funnel
+       rounds then terminate early via the fixpoint check (a
+       non-shrinking round) instead of burning shuffles; the exact
+       final pass — not the fixpoint heuristic — guarantees the
+       result either way.
 
-    The measure columns are cast to double and sign-oriented so
-    smaller-is-better uniformly; payload columns ride along
-    untouched.
+    Every prune only ever drops dominated rows, so the result is
+    EXACT for any budget/round setting. The measure columns are cast
+    to double and sign-oriented so smaller-is-better uniformly;
+    payload columns ride along untouched.
     """
     import numpy as np
     import pandas as pd
@@ -601,7 +617,27 @@ def skyline(
         for pdf in it:
             yield _local_pareto(pdf)
 
-    local = work.mapInPandas(_phase, schema=out_schema)
+    if candidate_budget < 1:
+        raise ValueError("candidate_budget must be >= 1")
+    local = work.mapInPandas(_phase, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    n = local.count()
+    nparts = max(1, local.rdd.getNumPartitions())
+    rounds = 0
+    while n > candidate_budget and nparts > 1 and rounds < max_rounds:
+        nparts = max(1, nparts // 8)
+        local = (
+            local.repartition(nparts)
+            .select("*", *oriented)
+            .mapInPandas(_phase, schema=out_schema)
+            .localCheckpoint(eager=True)
+        )
+        n_next = local.count()
+        rounds += 1
+        if n_next == n:
+            break  # fixpoint: likely all-skyline; exact pass settles it
+        n = n_next
     # re-attach orientation for the global pass (the local output
     # dropped the working columns so its schema is the user schema)
     global_work = local.select("*", *oriented).coalesce(1)

@@ -512,6 +512,42 @@ class TestSkyline:
         )
         assert c == d
 
+    def test_anti_correlated_funnel_rounds_stay_exact(self, spark):
+        """VERDICT r4 item 7: adversarial anti-correlated data (large
+        mutually-non-dominated front + per-point near-duplicates that
+        only a CROSS-partition prune can kill). A tiny candidate
+        budget forces the funnel rounds to run; the result must still
+        equal brute force, for several budgets and partitionings."""
+        from gbif_filter_python_spark.operators.analytics import skyline
+
+        # front: x + y = 600 (all 300 mutually non-dominated);
+        # shadows: each front point shifted (+1, +1) — dominated ONLY
+        # by its own front point, which a per-partition prune misses
+        # when the two land apart.
+        front = [(2 * i, 600 - 2 * i) for i in range(300)]
+        shadows = [(x + 1, y + 1) for x, y in front]
+        pts = front + shadows
+        df = spark.createDataFrame(pts, "x int, y int").repartition(16)
+        want = self._brute(pts, ["min", "min"])
+        for budget in (10, 150, 100_000):
+            got = sorted(
+                tuple(r)
+                for r in skyline(
+                    df, {"x": "min", "y": "min"}, candidate_budget=budget
+                ).collect()
+            )
+            assert got == want, budget
+        assert want == sorted(front)
+
+    def test_budget_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.analytics import skyline
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with _p.raises(ValueError, match="candidate_budget"):
+            skyline(df, {"a": "min"}, candidate_budget=0)
+
     def test_rejects_bad_pref(self, spark):
         import pytest as _p
 
