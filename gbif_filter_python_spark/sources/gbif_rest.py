@@ -1,0 +1,210 @@
+"""Default HTTP fetch callables for :class:`RestBatchProvider`
+(VERDICT r4 item 5 — the last reference entry point).
+
+The reference actually calls three live GBIF endpoints through pygbif
+(/root/reference/gbif_helper.py:17-19, 35-42, 86-88):
+
+* ``species.name_backbone(name, rank, kingdom, strict=True)``
+  → ``GET /v1/species/match``
+* ``species.name_lookup(higherTaxonKey, type, datasetKey, rank,
+  habitat, limit=1000)`` → ``GET /v1/species/search``
+* ``occurrences.search(taxonKey, geometry, country, limit=1)``
+  → ``GET /v1/occurrence/search``
+
+:class:`GbifRestClient` implements those three as plain ``requests``
+GETs with the signatures ``RestBatchProvider`` expects, so pointing
+the engine at the live API is ONE constructor call::
+
+    provider = GbifRestClient().provider()
+    resolved = provider.resolve_names_online(distinct_names)
+
+Design constraints honored:
+
+* **Offline-first stays the default.** Nothing imports this module
+  unless the user asks for the online path; tests keep injecting
+  fakes (the whole test suite runs with no network). ``requests`` is
+  imported lazily with a clear error if absent.
+* **Rate-limited.** A per-process min-interval throttle (default
+  10 req/s per task) plus exponential backoff on 429/5xx, honoring
+  ``Retry-After``. The throttle is PER EXECUTOR TASK — a
+  1000-partition distinct-names frame would still multiply it, so
+  online helpers should be fed a coalesced frame
+  (``names.coalesce(n_tasks)``) sized to the rate the service
+  tolerates; the reference is fully serial (one request per taxon,
+  ~1 RTT each), so even ``coalesce(4)`` is a 4× parity speedup.
+* **Picklable.** The client ships to executors inside the
+  ``mapInPandas`` closure; the ``requests.Session`` and throttle
+  clock are per-process lazies excluded from pickling.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+#: GBIF Backbone Taxonomy dataset key — the reference pins children
+#: listings to the backbone (gbif_helper.py:38 "Look in GBIF Backbone
+#: only"). Public constant from the GBIF registry.
+BACKBONE_DATASET_KEY = "d7dddbf4-2cf0-4f39-9b2a-bb099caae36c"
+
+DEFAULT_BASE_URL = "https://api.gbif.org/v1"
+
+
+class GbifRestClient:
+    """Rate-limited GBIF REST client providing the three fetch
+    callables (``BackboneFetch`` / ``ChildrenFetch`` /
+    ``OccurrenceFetch``) for :class:`~gbif_filter_python_spark.
+    sources.providers.RestBatchProvider`."""
+
+    def __init__(
+        self,
+        base_url: str = DEFAULT_BASE_URL,
+        min_interval_s: float = 0.1,
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        user_agent: str = "gbif-filter-python-spark",
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.min_interval_s = min_interval_s
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.user_agent = user_agent
+        self._session = None
+        self._last_request = 0.0
+
+    # -- pickling: sessions/clocks are per-process ---------------------
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state["_session"] = None
+        state["_last_request"] = 0.0
+        return state
+
+    def _http(self):
+        if self._session is None:
+            try:
+                import requests
+            except ImportError as exc:  # pragma: no cover - env guard
+                raise ImportError(
+                    "GbifRestClient needs the 'requests' package for the "
+                    "online path; install it or inject your own fetch "
+                    "callables into RestBatchProvider"
+                ) from exc
+            self._session = requests.Session()
+            self._session.headers["User-Agent"] = self.user_agent
+        return self._session
+
+    def _get(self, path: str, params: dict[str, Any]) -> dict:
+        """One throttled, retried GET returning the parsed JSON body.
+
+        Retries connection errors, 429 and 5xx with exponential
+        backoff (honoring ``Retry-After`` when present); other HTTP
+        errors raise immediately — the batched callers in
+        RestBatchProvider already map per-row exceptions to
+        no-match/empty, matching the reference's behavior when pygbif
+        raises.
+        """
+        clean = {k: v for k, v in params.items() if v is not None}
+        url = f"{self.base_url}/{path.lstrip('/')}"
+        last_exc: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            wait = self.min_interval_s - (time.monotonic() - self._last_request)
+            if wait > 0:
+                time.sleep(wait)
+            self._last_request = time.monotonic()
+            try:
+                resp = self._http().get(
+                    url, params=clean, timeout=self.timeout_s
+                )
+            except Exception as exc:  # connection-level: retry
+                last_exc = exc
+                time.sleep(self.backoff_s * (2**attempt))
+                continue
+            if resp.status_code == 429 or resp.status_code >= 500:
+                retry_after = resp.headers.get("Retry-After")
+                try:
+                    delay = float(retry_after) if retry_after else (
+                        self.backoff_s * (2**attempt)
+                    )
+                except ValueError:
+                    delay = self.backoff_s * (2**attempt)
+                last_exc = RuntimeError(
+                    f"GBIF API {resp.status_code} for {path}"
+                )
+                time.sleep(delay)
+                continue
+            resp.raise_for_status()
+            return resp.json()
+        raise RuntimeError(
+            f"GBIF API request failed after {self.max_retries + 1} "
+            f"attempts: {url}"
+        ) from last_exc
+
+    # -- the three reference endpoints ---------------------------------
+    def name_backbone(
+        self, name: str, rank: str | None, kingdom: str | None
+    ) -> dict:
+        """``species.name_backbone(..., strict=True, verbose=False)``
+        (gbif_helper.py:17-19) → the match dict RestBatchProvider's
+        EXACT/synonym logic consumes."""
+        return self._get(
+            "species/match",
+            {
+                "name": name,
+                "rank": rank,
+                "kingdom": kingdom,
+                "strict": "true",
+                "verbose": "false",
+            },
+        )
+
+    def name_lookup_children(
+        self, parent_key: int, rank: str | None, habitat: str | None
+    ) -> list:
+        """``species.name_lookup(higherTaxonKey=..., type='occurrence',
+        datasetKey=<backbone>, rank=..., habitat=..., limit=1000)``
+        (gbif_helper.py:35-42) → the first result page (the
+        reference reads only page one)."""
+        body = self._get(
+            "species/search",
+            {
+                "higherTaxonKey": parent_key,
+                "type": "occurrence",
+                "datasetKey": BACKBONE_DATASET_KEY,
+                "rank": rank.upper() if rank else None,
+                "habitat": habitat,
+                "limit": 1000,
+            },
+        )
+        return body.get("results", [])
+
+    def occurrence_search(
+        self, taxon_key: int, geometry: str | None, country: str | None
+    ) -> list:
+        """``occurrences.search(taxonKey, geometry, country, limit=1)``
+        (gbif_helper.py:86-88) → the results page; existence is
+        ``len(results) > 0`` exactly as the reference computes it."""
+        body = self._get(
+            "occurrence/search",
+            {
+                "taxonKey": taxon_key,
+                "geometry": geometry,
+                "country": country,
+                "limit": 1,
+            },
+        )
+        return body.get("results", [])
+
+    def provider(self):
+        """A ready-to-use :class:`RestBatchProvider` wired to all three
+        live endpoints."""
+        from gbif_filter_python_spark.sources.providers import (
+            RestBatchProvider,
+        )
+
+        return RestBatchProvider(
+            fetch=self.name_backbone,
+            fetch_children=self.name_lookup_children,
+            fetch_occurrences=self.occurrence_search,
+        )

