@@ -2568,6 +2568,102 @@ def q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_video_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling over REAL uncompressed RIFF-AVI payloads
+    (VERDICT r4 item 10 — the codec replacing the last video
+    NotImplementedError): 6-frame standards-layout AVI per doc
+    (hdrl/avih/strh/strf + movi 00db DIB chunks), evenly-spaced
+    3-frame sample re-emitted as genuine BMPs, then decoded by the
+    pure-NumPy BMP parser. ``match`` checks every decoded pixel
+    against a straight-line driver replay of the identical
+    encode→parse→re-encode→decode chain (no Spark in the reference
+    path); selection arithmetic and dimensions are the SQL-knowable
+    columns."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_avi_frames,
+        decode_bmp_bytes,
+        decode_images,
+        encode_avi,
+        encode_bmp,
+        sample_frames_avi,
+    )
+
+    def make_avi(s: str) -> bytes:
+        return encode_avi(
+            [
+                _fake_pixels(f"{s}#avi{i}".encode("utf-8"), 16)
+                for i in range(6)
+            ],
+            fps=6,
+        )
+
+    @F.pandas_udf("binary")
+    def _to_avi(rows: pd.Series) -> pd.Series:
+        return rows.map(make_avi)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_avi(F.col("text")).alias("payload"),
+    )
+    sampled = sample_frames_avi(media, n_frames=3)
+    decoded = decode_images(
+        sampled.select(
+            (F.col("media_id") * 100 + F.col("frame_idx")).alias(
+                "media_id"
+            ),
+            F.col("frame_payload").alias("payload"),
+        ),
+        codec="bmp",
+    )
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        frames = decode_avi_frames(make_avi(r["text"]))
+        for i in range(3):
+            src = i * len(frames) // 3
+            g = decode_bmp_bytes(encode_bmp(frames[src]))
+            ref_rows.append(
+                (r["doc_id"], i, [float(v) for v in g.ravel()])
+            )
+    ref_df = spark.createDataFrame(
+        ref_rows, "doc_id long, frame_idx int, ref array<float>"
+    )
+    return (
+        decoded.select(
+            (F.col("media_id") / 100).cast("long").alias("doc_id"),
+            (F.col("media_id") % 100).cast("int").alias("frame_idx"),
+            "width",
+            "height",
+            "pixels",
+        )
+        .join(
+            sampled.select(
+                F.col("media_id").alias("doc_id"), "frame_idx", "src_idx"
+            ),
+            ["doc_id", "frame_idx"],
+        )
+        .join(F.broadcast(ref_df), ["doc_id", "frame_idx"])
+        .select(
+            "doc_id",
+            "frame_idx",
+            "src_idx",
+            "width",
+            "height",
+            (
+                (F.size("pixels") == F.size("ref"))
+                & F.forall(
+                    F.zip_with(
+                        "pixels", "ref", lambda a, b: F.abs(a - b) < 1e-9
+                    ),
+                    lambda x: x,
+                )
+            ).alias("match"),
+        )
+    )
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4207,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scale-shape changed this round -------------------------
         "geo_near_pairs": q_geo_near_pairs,
         "geo_hot_cell_capped": q_geo_hot_cell_capped,
+        "video_avi_frames": q_video_avi_frames,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -5321,6 +5418,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
             "CAST(i * 2 AS INT) AS src_idx, "
             "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height "
+            "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) "
+            "WHERE doc_id < 40"
+        ),
+        "video_avi_frames": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(i * 2 AS INT) AS src_idx, "
+            "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+            "true AS match "
             "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) "
             "WHERE doc_id < 40"
         ),
