@@ -2664,6 +2664,28 @@ def q_video_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossless set-similarity join (operators/dedup.py::
+    prefix_filter_jaccard_pairs, the PPJoin prefix filter, Xiao
+    WWW'08) over the perturbed corpus at word-set Jaccard >= 0.6 —
+    the recall-1.0 complement to minhash banding for near-dup gold
+    sets. The generator's shared templates make the FULL corpus emit
+    ~1M organic >= 0.9 pairs at sf0.1 — an output-size property, not
+    a plan one — so the query runs the standard eval-subset move: a
+    deterministic 1/10 residue sample (doc_id % 10 == 0, which keeps
+    every planted (d, d+100000) near-copy pair intact since both ids
+    share d's residue). Rare-token
+    prefixes are the only join keys; the exact rank-array
+    intersection is the accept test, so the DuckDB oracle is simply
+    the exact all-pairs word-set Jaccard."""
+    from gbif_filter_python_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _perturbed_docs(spark, sf).filter(F.col("doc_id") % 10 == 0)
+    return prefix_filter_jaccard_pairs(docs, 0.9)
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4304,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_near_pairs": q_geo_near_pairs,
         "geo_hot_cell_capped": q_geo_hot_cell_capped,
         "video_avi_frames": q_video_avi_frames,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6544,6 +6567,24 @@ def oracle_sql() -> dict[str, str]:
         #    distributed-vs-straight-line differential and emits only
         #    SQL-knowable ids plus booleans; the oracle states the
         #    expected frame. Conventions of simhash_pairs/ann_lsh_topk.
+        "ppjoin_pairs": (
+            f"WITH pert AS (SELECT * FROM ({_PERT_DOCS}) "
+            "WHERE doc_id % 10 = 0), "
+            f"nrm AS (SELECT doc_id, {_NORM} AS t FROM pert), "
+            "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+            "FROM nrm), "
+            "g AS (SELECT DISTINCT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(w) AS tok FROM w) WHERE tok <> ''), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM g a JOIN g b ON a.tok = b.tok "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.9"
+        ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "
             "true AS match FROM documents WHERE doc_id < 500"

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "cosine_topk",
     "minhash_pairs",
+    "ppjoin_pairs",
     "sliding_window",
     "json_extract",
     "salted_join_agg",

@@ -319,3 +319,90 @@ class TestBpePairStats:
         assert out["b a"] == 3
         # single-char word 'x' contributes nothing
         assert len(out) == 2
+
+
+class TestPrefixFilterJaccard:
+    """Lossless set-similarity join (PPJoin-style prefix filter)."""
+
+    TEXTS = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox leaps over the lazy dog today"),
+        (3, "entirely different words about spark engines"),
+        (4, "spark about engines words different entirely"),  # perm of 3
+        (5, ""),
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+    ]
+
+    @staticmethod
+    def _brute(rows, t):
+        def toks(s):
+            import re
+
+            s = re.sub(r"[^a-z0-9]+", " ", s.lower())
+            return {w for w in s.split() if w}
+
+        out = {}
+        for i, (ia, ta) in enumerate(rows):
+            for ib, tb in rows[i + 1:]:
+                a, b = toks(ta), toks(tb)
+                if not a or not b:
+                    continue
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    out[(ia, ib)] = round(j, 6)
+        return out
+
+    def test_matches_brute_force_all_thresholds(self, spark):
+        from gbif_filter_python_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        for t in (0.5, 0.7, 0.9):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in prefix_filter_jaccard_pairs(df, t).collect()
+            }
+            assert got == self._brute(self.TEXTS, t), t
+        # permutation pair (3,4): identical token SETS -> jaccard 1.0
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(df, 0.99).collect()
+        }
+        assert got[(3, 4)] == 1.0 and got[(0, 6)] == 1.0
+
+    def test_random_corpus_lossless_vs_brute_force(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = [
+            (i, " ".join(rng.sample(vocab, rng.randint(3, 12))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(7)
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(df, 0.6).collect()
+        }
+        want = self._brute(rows, 0.6)
+        assert got == want and len(want) > 0
+
+    def test_threshold_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for bad in (0.0, 1.0, -0.2, 1.5):
+            with _p.raises(ValueError, match="threshold"):
+                prefix_filter_jaccard_pairs(df, bad)
