@@ -566,25 +566,30 @@ def test_fd_candidates_one_shuffle_per_lhs(spark, sf001_dir):
 
 
 def test_skyline_local_prune_runs_before_any_exchange(spark, sf001_dir):
-    """skyline phase 1 must be map-side: the first mapInPandas
-    (local prune) has to sit below the single-partition Exchange of
-    the global pass, so each input partition shrinks to its local
-    Pareto set BEFORE anything moves."""
+    """skyline phase 1 must be map-side: the local prune runs (and is
+    materialized by the candidate-funnel's localCheckpoint) BEFORE the
+    single-partition Coalesce of the global pass. Since r5 the funnel
+    checkpoints the pruned candidates, so the final plan shows ONE
+    MapInPandas (the global exact pass) sitting above Coalesce(1)
+    above the checkpointed candidate scan — the fact itself never
+    reaches the single partition. The local prune's map-side-ness is
+    additionally pinned semantically: the checkpointed candidate
+    count is far below the fact row count."""
     from gbif_filter_python_spark.operators.analytics import skyline
 
     li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
     pts = li.select("l_orderkey", "l_quantity", "l_extendedprice")
     df = skyline(pts, {"l_quantity": "max", "l_extendedprice": "min"})
     plan = explain_str(df, "simple")
-    # two python runners (local + global), and the coalesce(1) must
-    # appear between them, not before the first
-    assert plan.count("MapInPandas") == 2, plan
-    first_map = plan.index("MapInPandas")
+    assert plan.count("MapInPandas") == 1, plan
     coal = plan.index("Coalesce")
-    # simple-mode explain prints top-down: global pass (after
-    # coalesce) prints first, local prune last
-    assert coal > plan.index("MapInPandas"), plan
-    assert plan.rindex("MapInPandas") > coal > first_map, plan
+    # top-down print: global MapInPandas first, then Coalesce, then
+    # the checkpointed (already-pruned) candidate scan — never a
+    # parquet scan below the Coalesce.
+    assert plan.index("MapInPandas") < coal, plan
+    ckpt = plan.index("Scan ExistingRDD")
+    assert coal < ckpt, plan
+    assert "parquet" not in plan[coal:].lower(), plan
 
 
 def test_rank_stats_never_globally_sort_the_fact(spark, sf001_dir):
