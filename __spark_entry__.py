@@ -2686,6 +2686,24 @@ def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(docs, 0.9)
 
 
+def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-overlap detection via MOSS winnowing fingerprints
+    (operators/dedup.py::winnow_overlap_pairs, Schleimer SIGMOD'03):
+    k=8 char-gram md5 hashes, window-4 minimum selection, pair
+    overlap counts over the fingerprint equi-join (>= 5 shared).
+    Runs on the same 1/10 residue sample as ppjoin_pairs (planted
+    (d, d+100000) near-copies survive intact). The oracle replays
+    gram hashing, window minima, and the pair join verbatim in
+    DuckDB list functions — a full hash-match on the selection
+    semantics, not just counts."""
+    from gbif_filter_python_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    docs = _perturbed_docs(spark, sf).filter(F.col("doc_id") % 10 == 0)
+    return winnow_overlap_pairs(docs, min_shared=5, k=8, window=4)
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4327,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hot_cell_capped": q_geo_hot_cell_capped,
         "video_avi_frames": q_video_avi_frames,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "winnow_overlap": q_winnow_overlap,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6584,6 +6603,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = id_a "
             "JOIN sz sb ON sb.doc_id = id_b "
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.9"
+        ),
+        "winnow_overlap": (
+            f"WITH pert AS (SELECT * FROM ({_PERT_DOCS}) "
+            "WHERE doc_id % 10 = 0), "
+            f"nrm AS (SELECT doc_id, {_NORM} AS t FROM pert), "
+            "g AS (SELECT doc_id, CASE WHEN length(t) >= 8 THEN "
+            "list_transform(range(1, length(t) - 8 + 2), i -> "
+            "('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8))"
+            "::BIGINT) ELSE []::BIGINT[] END AS gh FROM nrm), "
+            "sel AS (SELECT doc_id, CASE WHEN len(gh) >= 1 THEN "
+            "list_transform(range(1, greatest(len(gh) - 4 + 1, 1) + 1), "
+            "j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])) "
+            "ELSE []::BIGINT[] END AS fps FROM g), "
+            "f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_shared "
+            "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 5"
         ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "minhash_pairs",
     "ppjoin_pairs",
+    "winnow_overlap",
     "sliding_window",
     "json_extract",
     "salted_join_agg",

@@ -406,3 +406,100 @@ class TestPrefixFilterJaccard:
         for bad in (0.0, 1.0, -0.2, 1.5):
             with _p.raises(ValueError, match="threshold"):
                 prefix_filter_jaccard_pairs(df, bad)
+
+
+class TestWinnowing:
+    """MOSS winnowing fingerprints (Schleimer SIGMOD'03)."""
+
+    @staticmethod
+    def _ref(text, k=8, w=4):
+        import hashlib
+        import re
+
+        t = re.sub(r"[^a-z0-9]+", " ", text.lower())
+        t = re.sub(r"\s+", " ", t).strip()
+        if len(t) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        return {
+            min(hs[j:j + w]) for j in range(max(len(hs) - w + 1, 1))
+        }
+
+    def test_matches_pure_python_reference(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        rng = random.Random(9)
+        rows = [
+            (i, " ".join(
+                rng.choice(["alpha", "beta", "gamma", "delta", "x"])
+                for _ in range(rng.randint(0, 30))
+            ))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got: dict[int, set] = {}
+        for r in winnow_fingerprints(df, k=8, window=4).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        for i, t in rows:
+            assert got.get(i, set()) == self._ref(t), (i, t)
+
+    def test_shared_substring_guarantee(self, spark):
+        """Any shared substring of length >= k + window - 1 must yield
+        >= 1 shared fingerprint — the winnowing theorem, checked on a
+        planted common passage inside otherwise-different docs."""
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        passage = "this exact licence paragraph is shared verbatim"
+        rows = [
+            (0, "unrelated preamble aaa " + passage + " trailing xxx"),
+            (1, "different opening bbb " + passage + " other ending"),
+            (2, "no shared passage at all zebra quokka"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ov = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in winnow_overlap_pairs(df, min_shared=1).collect()
+        }
+        assert (0, 1) in ov and ov[(0, 1)] >= 1
+        assert not any(2 in p for p in ov)
+
+    def test_single_evaluation_staging(self, spark):
+        """The staging discipline: normalization regexes and the gram
+        md5 must each appear exactly once in the physical plan (the
+        let-binding via single-element transform) — a CollapseProject
+        regression would multiply them."""
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        plan = (
+            winnow_fingerprints(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("regexp_replace") == 2, plan
+        assert plan.count("md5") == 1, plan
+
+    def test_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        with _p.raises(ValueError, match="k and window"):
+            winnow_fingerprints(df, k=0)
+        with _p.raises(ValueError, match="k and window"):
+            winnow_fingerprints(df, window=0)
