@@ -2704,6 +2704,61 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_overlap_pairs(docs, min_shared=5, k=8, window=4)
 
 
+def q_er_match_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic record linkage end to end (operators/fuzzy.py::
+    er_match_scores, Fellegi-Sunter 1969) over customers with planted
+    duplicate records (every 20th customer re-entered with a name
+    typo and a 0.005 balance drift): sorted-neighborhood blocking on
+    name (2 successors — linear candidates), then four weighted
+    comparators (edit<=2 on name, exact nation/segment, balance
+    within 0.01) summed into a score and thresholded match/possible/
+    nonmatch. All weights are binary-exact literals, so the DuckDB
+    oracle replays the identical comparator and threshold arithmetic
+    to a full hash match."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from gbif_filter_python_spark.operators.fuzzy import er_match_scores
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    variants = cust.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+        "nation",
+        "segment",
+        (F.col("balance") + 0.005).alias("balance"),
+    )
+    recs = cust.unionByName(variants)
+    pairs = sorted_neighborhood_pairs(
+        recs.select("id", F.col("name").alias("_key")),
+        ["_key"],
+        window=3,
+        id_col="id",
+    ).select("id_a", "id_b")
+    return er_match_scores(
+        recs,
+        pairs,
+        [
+            {"col": "name", "kind": "edit", "param": 2,
+             "w_agree": 4.0, "w_disagree": -2.0},
+            {"col": "nation", "kind": "exact",
+             "w_agree": 1.5, "w_disagree": -1.5},
+            {"col": "segment", "kind": "exact",
+             "w_agree": 1.0, "w_disagree": -1.0},
+            {"col": "balance", "kind": "abs_tol", "param": 0.01,
+             "w_agree": 2.0, "w_disagree": -1.0},
+        ],
+        match_threshold=6.0,
+        possible_threshold=0.0,
+    )
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4346,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_avi_frames": q_video_avi_frames,
         "ppjoin_pairs": q_ppjoin_pairs,
         "winnow_overlap": q_winnow_overlap,
+        "er_match_scores": q_er_match_scores,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6621,6 +6677,40 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_shared "
             "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
             "GROUP BY 1, 2 HAVING count(*) >= 5"
+        ),
+        "er_match_scores": (
+            "WITH recs AS ("
+            "SELECT c_custkey AS id, c_name AS name, "
+            "c_nationkey AS nation, c_mktsegment AS segment, "
+            "c_acctbal AS balance FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey + 1000000 AS id, c_name || 'x' AS name, "
+            "c_nationkey AS nation, c_mktsegment AS segment, "
+            "c_acctbal + 0.005 AS balance FROM customer "
+            "WHERE c_custkey % 20 = 0), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY name, id) AS rk "
+            "FROM recs), "
+            "d AS (SELECT unnest(range(1, 3)) AS dist), "
+            "p AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "a.name AS na, b.name AS nb, a.nation AS ta, b.nation AS tb, "
+            "a.segment AS sa, b.segment AS sb, "
+            "a.balance AS ba, b.balance AS bb "
+            "FROM r a CROSS JOIN d JOIN r b ON b.rk = a.rk + d.dist), "
+            "sc AS (SELECT id_a, id_b, "
+            "levenshtein(na, nb) <= 2 AS name_edit_agree, "
+            "ta = tb AS nation_exact_agree, "
+            "sa = sb AS segment_exact_agree, "
+            "abs(ba - bb) <= 0.01 AS balance_abs_tol_agree, "
+            "(CASE WHEN levenshtein(na, nb) <= 2 THEN 4.0 ELSE -2.0 END "
+            "+ CASE WHEN ta = tb THEN 1.5 ELSE -1.5 END "
+            "+ CASE WHEN sa = sb THEN 1.0 ELSE -1.0 END "
+            "+ CASE WHEN abs(ba - bb) <= 0.01 THEN 2.0 ELSE -1.0 END) "
+            "AS score FROM p) "
+            "SELECT id_a, id_b, name_edit_agree, nation_exact_agree, "
+            "segment_exact_agree, balance_abs_tol_agree, score, "
+            "CASE WHEN score >= 6.0 THEN 'match' "
+            "WHEN score >= 0.0 THEN 'possible' "
+            "ELSE 'nonmatch' END AS decision FROM sc"
         ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     # incremental join-view maintenance.
     "merge_intervals",
     "sorted_neighborhood",
+    "er_match_scores",
     "robust_outliers",
     "temporal_dim_join",
     "association_rules",

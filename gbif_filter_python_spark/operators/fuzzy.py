@@ -92,3 +92,88 @@ def fuzzy_resolve_candidates(
     return fuzzy_join(
         names, dim, name_col, "_cand_name", max_distance=max_distance
     )
+
+
+def er_match_scores(
+    records: DataFrame,
+    pairs: DataFrame,
+    comparators: list[dict],
+    id_col: str = "id",
+    match_threshold: float = 6.0,
+    possible_threshold: float = 0.0,
+) -> DataFrame:
+    """Fellegi-Sunter-style entity-resolution scoring over blocked
+    candidate pairs: per-field agreement weights summed into a match
+    score, thresholded into ``match`` / ``possible`` / ``nonmatch``
+    (Fellegi & Sunter 1969, the probabilistic record-linkage
+    standard; weights are log-likelihood ratios in the classical
+    setup — here caller-supplied constants, trainable offline).
+
+    ``comparators`` is a list of field specs::
+
+        {"col": "name",    "kind": "edit",    "param": 2,
+         "w_agree": 4.0, "w_disagree": -2.0}
+        {"col": "nation",  "kind": "exact",
+         "w_agree": 1.5, "w_disagree": -1.5}
+        {"col": "balance", "kind": "abs_tol", "param": 0.01, ...}
+        {"col": "name",    "kind": "prefix",  "param": 8, ...}
+
+    A field where EITHER side is NULL contributes weight 0 (the
+    missing-comparison convention). Returns ``(id_a, id_b, <col>_agree
+    flags, score, decision)``.
+
+    Scale shape: pure Column expressions over the candidate-pair join
+    — records join in twice by id (broadcast when the dimension side
+    is small; sort-merge otherwise), no UDFs; the expensive comparator
+    (edit distance) runs only on BLOCKED candidates, never n². Weights
+    should be binary-exact literals (multiples of 0.25) so the score
+    sum is bit-identical across engines and replay runs.
+    """
+    kinds = {"exact", "prefix", "abs_tol", "edit"}
+    for c in comparators:
+        if c.get("kind") not in kinds:
+            raise ValueError(
+                f"comparator kind must be one of {sorted(kinds)}, "
+                f"got {c.get('kind')!r}"
+            )
+    cols = sorted({c["col"] for c in comparators})
+    a = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+    out_cols = [F.col("id_a"), F.col("id_b")]
+    score = F.lit(0.0)
+    for spec in comparators:
+        col, kind = spec["col"], spec["kind"]
+        av, bv = F.col(f"_a_{col}"), F.col(f"_b_{col}")
+        if kind == "exact":
+            agree = av == bv
+        elif kind == "prefix":
+            p = int(spec["param"])
+            agree = F.substring(av, 1, p) == F.substring(bv, 1, p)
+        elif kind == "abs_tol":
+            agree = F.abs(av - bv) <= F.lit(float(spec["param"]))
+        else:  # edit
+            agree = F.levenshtein(av, bv) <= int(spec["param"])
+        known = av.isNotNull() & bv.isNotNull()
+        tri = F.when(~known, F.lit(None).cast("boolean")).otherwise(agree)
+        out_cols.append(tri.alias(f"{col}_{kind}_agree"))
+        score = score + (
+            F.when(~known, F.lit(0.0))
+            .when(agree, F.lit(float(spec["w_agree"])))
+            .otherwise(F.lit(float(spec["w_disagree"])))
+        )
+    decision = (
+        F.when(score >= match_threshold, F.lit("match"))
+        .when(score >= possible_threshold, F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+    )
+    return joined.select(
+        *out_cols, score.alias("score"), decision.alias("decision")
+    )

@@ -163,3 +163,88 @@ class TestLongestPrefixMatch:
         )
         plan = explain_str(out, "simple")
         assert "Exchange" not in plan, plan
+
+
+class TestErMatchScores:
+    """Fellegi-Sunter weighted record-linkage scoring."""
+
+    COMPS = [
+        {"col": "name", "kind": "edit", "param": 1,
+         "w_agree": 4.0, "w_disagree": -2.0},
+        {"col": "city", "kind": "exact",
+         "w_agree": 1.5, "w_disagree": -1.5},
+        {"col": "bal", "kind": "abs_tol", "param": 0.01,
+         "w_agree": 2.0, "w_disagree": -1.0},
+    ]
+
+    def _recs(self, spark):
+        rows = [
+            (1, "smith", "oslo", 10.0),
+            (2, "smithx", "oslo", 10.005),   # dup of 1: all agree
+            (3, "smithx", "bergen", 99.0),   # name agrees only
+            (4, None, "oslo", 10.0),         # null name
+        ]
+        return spark.createDataFrame(
+            rows, "id long, name string, city string, bal double"
+        )
+
+    def _score(self, spark, pairs):
+        from gbif_filter_python_spark.operators.fuzzy import (
+            er_match_scores,
+        )
+
+        p = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            (r.id_a, r.id_b): r
+            for r in er_match_scores(
+                self._recs(spark), p, self.COMPS, id_col="id",
+                match_threshold=6.0, possible_threshold=0.0,
+            ).collect()
+        }
+
+    def test_planted_duplicate_scores_match(self, spark):
+        out = self._score(spark, [(1, 2), (1, 3), (2, 3)])
+        assert out[(1, 2)].score == 7.5
+        assert out[(1, 2)].decision == "match"
+        # (1,3): name edit 1 agrees (+4), city disagrees (-1.5),
+        # balance |10-99| fails (-1) -> 1.5 possible
+        assert out[(1, 3)].score == 1.5
+        assert out[(1, 3)].decision == "possible"
+        # (2,3): name exact (+4), city (-1.5), bal (-1) -> 1.5
+        assert out[(2, 3)].score == 1.5
+
+    def test_null_field_contributes_zero_and_null_flag(self, spark):
+        out = self._score(spark, [(1, 4)])
+        r = out[(1, 4)]
+        assert r.name_edit_agree is None
+        # city agrees (+1.5), bal agrees (+2.0), name contributes 0
+        assert r.score == 3.5
+        assert r.decision == "possible"
+
+    def test_nonmatch_below_possible_threshold(self, spark):
+        recs = self._recs(spark)
+        from gbif_filter_python_spark.operators.fuzzy import (
+            er_match_scores,
+        )
+
+        p = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+        r = er_match_scores(
+            recs, p, self.COMPS, id_col="id"
+        ).collect()[0]
+        # name null -> 0; city disagree -1.5; bal disagree -1 -> -2.5
+        assert r.score == -2.5 and r.decision == "nonmatch"
+
+    def test_bad_kind_rejected(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.fuzzy import (
+            er_match_scores,
+        )
+
+        with _p.raises(ValueError, match="comparator kind"):
+            er_match_scores(
+                self._recs(spark),
+                spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+                [{"col": "name", "kind": "soundex"}],
+                id_col="id",
+            )
