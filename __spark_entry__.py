@@ -2759,6 +2759,28 @@ def q_er_match_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (operators/classify.py::
+    target_encode, Micci-Barreca 2001): o_orderpriority encoded
+    against an integer-cast order value, md5 folds (k=5), smoothing
+    20 toward the out-of-fold global mean — so no row's label reaches
+    its own feature, not even through the prior. Integer label sums
+    keep the grid exact; the oracle replays folds, grid, roll-ups and
+    the single double division verbatim."""
+    from gbif_filter_python_spark.operators.classify import target_encode
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("bigint").alias("y"),
+    )
+    out = target_encode(
+        orders, "o_orderpriority", "y", "o_orderkey",
+        n_folds=5, smoothing=20.0,
+    )
+    return out.select("o_orderkey", "_fold", "target_enc")
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4402,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "winnow_overlap": q_winnow_overlap,
         "er_match_scores": q_er_match_scores,
+        "target_encode": q_target_encode,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6711,6 +6734,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN score >= 6.0 THEN 'match' "
             "WHEN score >= 0.0 THEN 'possible' "
             "ELSE 'nonmatch' END AS decision FROM sc"
+        ),
+        "target_encode": (
+            "WITH r AS (SELECT o_orderkey AS k, o_orderpriority AS cat, "
+            "CAST(floor(o_totalprice) AS BIGINT) AS y, "
+            "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)"
+            ")::BIGINT % 5 AS INT) AS f FROM orders), "
+            "grid AS (SELECT cat, f, sum(y) AS s, count(*) AS c "
+            "FROM r GROUP BY 1, 2), "
+            "ct AS (SELECT cat, sum(s) AS cs, sum(c) AS cc "
+            "FROM grid GROUP BY 1), "
+            "ft AS (SELECT f, sum(s) AS fs, sum(c) AS fc "
+            "FROM grid GROUP BY 1), "
+            "g AS (SELECT sum(s) AS gs, sum(c) AS gc FROM grid), "
+            "e AS (SELECT grid.cat, grid.f, round((CAST(cs - s AS DOUBLE) "
+            "+ (CASE WHEN gc > fc THEN CAST(gs - fs AS DOUBLE) "
+            "/ CAST(gc - fc AS DOUBLE) ELSE CAST(gs AS DOUBLE) "
+            "/ CAST(gc AS DOUBLE) END) * 20.0) "
+            "/ (CAST(cc - c AS DOUBLE) + 20.0), 6) AS target_enc "
+            "FROM grid JOIN ct USING (cat) JOIN ft USING (f) "
+            "CROSS JOIN g) "
+            "SELECT r.k AS o_orderkey, r.f AS _fold, e.target_enc "
+            "FROM r JOIN e ON r.cat = e.cat AND r.f = e.f"
         ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "merge_intervals",
     "sorted_neighborhood",
     "er_match_scores",
+    "target_encode",
     "robust_outliers",
     "temporal_dim_join",
     "association_rules",

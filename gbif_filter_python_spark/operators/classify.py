@@ -566,3 +566,95 @@ def isotonic_calibrate(
     return agg.groupBy("_one").applyInPandas(
         _pav, schema="score double, n long, rate double, calibrated double"
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    smoothing: float = 20.0,
+    out_col: str = "target_enc",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Leakage-safe K-fold target (mean) encoding — the standard
+    categorical feature for tabular models (Micci-Barreca, SIGKDD
+    Explorations 2001): each row's category is replaced by the mean
+    label of OTHER folds' rows in that category, shrunk toward the
+    out-of-fold global mean by ``smoothing`` pseudo-observations::
+
+        enc = (oof_cat_sum + prior * smoothing)
+              / (oof_cat_count + smoothing)
+
+    where ``prior`` is the global mean excluding the row's own fold —
+    so a row's own label NEVER reaches its feature, not even through
+    the prior (the leak that silently inflates offline metrics).
+
+    Folds are ``md5(key) % n_folds`` (engine-portable, deterministic
+    under any partitioning — the same discipline as
+    ``corpus.sample_by_hash``). Scale shape: ONE aggregation to the
+    |categories × folds| grid, a tiny per-category/per-fold/global
+    roll-up joined back BROADCAST, then one map-side join on
+    (category, fold) — the fact shuffles once for the grid agg and
+    never again. A category seen only inside a row's own fold gets
+    pure prior (smoothing > 0 keeps the denominator alive).
+
+    For cross-engine exactness pass an INTEGER-valued label (sums
+    stay exact; the final division is one double op both engines
+    evaluate identically).
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (guards empty folds)")
+    fold = md5_bucket(F.col(key_col).cast("string"), n_folds)
+    rows = df.withColumn("_fold", fold)
+    grid = rows.groupBy(
+        F.col(category_col).alias("_cat"), F.col("_fold")
+    ).agg(
+        F.sum(F.col(label_col)).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    cat_tot = grid.groupBy("_cat").agg(
+        F.sum("_s").alias("_cs"), F.sum("_c").alias("_cc")
+    )
+    fold_tot = grid.groupBy("_fold").agg(
+        F.sum("_s").alias("_fs"), F.sum("_c").alias("_fc")
+    )
+    glob = grid.agg(
+        F.sum("_s").alias("_gs"), F.sum("_c").alias("_gc")
+    )
+    enc_grid = (
+        grid.join(F.broadcast(cat_tot), "_cat")
+        .join(F.broadcast(fold_tot), "_fold")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "_cat",
+            "_fold",
+            F.round(
+                (
+                    (F.col("_cs") - F.col("_s"))
+                    + F.when(
+                        F.col("_gc") > F.col("_fc"),
+                        (F.col("_gs") - F.col("_fs"))
+                        / (F.col("_gc") - F.col("_fc")),
+                    )
+                    # degenerate single-populated-fold input: fall
+                    # back to the full global mean rather than 0/0
+                    .otherwise(F.col("_gs") / F.col("_gc"))
+                    * smoothing
+                )
+                / ((F.col("_cc") - F.col("_c")) + smoothing),
+                round_dp,
+            ).alias(out_col),
+        )
+    )
+    enc = enc_grid.withColumnRenamed("_fold", "_efold").withColumnRenamed(
+        "_cat", "_ecat"
+    )
+    return rows.join(
+        F.broadcast(enc),
+        (rows["_fold"] == enc["_efold"])
+        & (rows[category_col] == enc["_ecat"]),
+    ).select(*df.columns, rows["_fold"], out_col)

@@ -295,3 +295,122 @@ class TestIsotonicCalibrate:
         ).collect()}
         for s in (0.1, 0.2, 0.9):
             assert out[s]["calibrated"] == out[s]["rate"]
+
+
+class TestTargetEncode:
+    """Leakage-safe K-fold mean encoding (Micci-Barreca 2001)."""
+
+    @staticmethod
+    def _ref(rows, n_folds, smoothing):
+        """Independent dict-based reference with the same md5 folds."""
+        import hashlib
+        from collections import defaultdict
+
+        def fold(k):
+            return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) \
+                % n_folds
+
+        cs = defaultdict(float)
+        cc = defaultdict(int)
+        gs_f = defaultdict(float)
+        gc_f = defaultdict(int)
+        grid_s = defaultdict(float)
+        grid_c = defaultdict(int)
+        gs = gc = 0
+        for k, cat, y in rows:
+            f = fold(k)
+            cs[cat] += y
+            cc[cat] += 1
+            gs_f[f] += y
+            gc_f[f] += 1
+            grid_s[(cat, f)] += y
+            grid_c[(cat, f)] += 1
+            gs += y
+            gc += 1
+        out = {}
+        for k, cat, y in rows:
+            f = fold(k)
+            oof_s = cs[cat] - grid_s[(cat, f)]
+            oof_c = cc[cat] - grid_c[(cat, f)]
+            prior = (gs - gs_f[f]) / (gc - gc_f[f]) if gc > gc_f[f] \
+                else gs / gc
+            out[k] = round(
+                (oof_s + prior * smoothing) / (oof_c + smoothing), 6
+            )
+        return out
+
+    def _rows(self):
+        import random
+
+        rng = random.Random(3)
+        cats = ["a", "b", "c", "rare"]
+        return [
+            (i, rng.choice(cats if i % 17 else ["rare"]),
+             float(rng.randint(0, 100)))
+            for i in range(300)
+        ]
+
+    def test_matches_reference(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            target_encode,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(
+            rows, "key long, cat string, y double"
+        ).repartition(5)
+        got = {
+            r.key: r.target_enc
+            for r in target_encode(
+                df, "cat", "y", "key", n_folds=5, smoothing=20.0
+            ).collect()
+        }
+        assert got == self._ref(rows, 5, 20.0)
+
+    def test_own_label_never_leaks(self, spark):
+        """Perturbing ONE row's label must not change that row's own
+        encoding (it only reaches other folds' rows)."""
+        from gbif_filter_python_spark.operators.classify import (
+            target_encode,
+        )
+
+        rows = self._rows()
+        df1 = spark.createDataFrame(rows, "key long, cat string, y double")
+        bumped = [
+            (k, c, y + 1000.0) if k == 7 else (k, c, y)
+            for k, c, y in rows
+        ]
+        df2 = spark.createDataFrame(bumped, "key long, cat string, y double")
+        e1 = {r.key: r.target_enc
+              for r in target_encode(df1, "cat", "y", "key").collect()}
+        e2 = {r.key: r.target_enc
+              for r in target_encode(df2, "cat", "y", "key").collect()}
+        assert e1[7] == e2[7]
+        assert e1 != e2  # other rows in the category do move
+
+    def test_category_only_in_own_fold_gets_prior(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            target_encode,
+        )
+
+        rows = [(1, "solo", 99.0), (2, "x", 1.0), (3, "x", 3.0),
+                (4, "x", 5.0), (5, "x", 7.0)]
+        df = spark.createDataFrame(rows, "key long, cat string, y double")
+        got = {r.key: r.target_enc
+               for r in target_encode(df, "cat", "y", "key",
+                                      n_folds=2, smoothing=10.0).collect()}
+        assert got == self._ref(rows, 2, 10.0)
+
+    def test_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.classify import (
+            target_encode,
+        )
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "key long, cat string, y double")
+        with _p.raises(ValueError, match="n_folds"):
+            target_encode(df, "cat", "y", "key", n_folds=1)
+        with _p.raises(ValueError, match="smoothing"):
+            target_encode(df, "cat", "y", "key", smoothing=0.0)
