@@ -2781,6 +2781,59 @@ def q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "_fold", "target_enc")
 
 
+def q_rolling_hll_actives(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rolling actives (operators/sketches.py::
+    rolling_hll_actives): daily HLL sketches built in ONE fact pass,
+    exploded and union-merged over the |days|-row rollup — the window
+    cost never touches the fact, and the persisted daily rollup
+    answers any window length. Oracle states the exact rolling
+    distinct (the rolling_actives twin) plus the within-tolerance
+    boolean; at this cardinality (<= ~2k users/window, lgk=12 => 4096
+    registers) the sketch runs in exact mode, so the estimate equals
+    the exact count and the row hash-matches deterministically."""
+    from gbif_filter_python_spark.operators.analytics import (
+        rolling_active_users,
+    )
+    from gbif_filter_python_spark.operators.sketches import (
+        rolling_hll_actives,
+    )
+
+    ev = _t(spark, sf, "events")
+    est = rolling_hll_actives(ev, window_days=7, lgk=12)
+    exact = rolling_active_users(ev, window_days=7)
+    return exact.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").alias("n_exact"),
+        (
+            F.abs(F.col("est_active") - F.col("n_active"))
+            <= F.greatest(
+                F.lit(1.0), F.col("n_active").cast("double") * 0.05
+            )
+        ).alias("within_tol"),
+    )
+
+
+def q_upsample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-replicated recipe mixing (operators/corpus.py::
+    upsample_mixture): hit a fixed 1M-token budget at lang weights
+    en:4 de:3 fr:2 es:1, repeating under-represented languages whole
+    epochs and hash-sampling the fractional remainder — pure integer
+    targets/epochs/thresholds, so the oracle replays the arithmetic
+    (totals, div/mod, md5 remainder buckets) verbatim and the kept
+    (doc, epoch) set hash-matches bit for bit."""
+    from gbif_filter_python_spark.operators.corpus import upsample_mixture
+
+    docs = _t(spark, sf, "documents")
+    out = upsample_mixture(
+        docs,
+        {"en": 4, "de": 3, "fr": 2, "es": 1},
+        1_000_000,
+        "lang",
+        "doc_id",
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4425,6 +4478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "er_match_scores": q_er_match_scores,
         "target_encode": q_target_encode,
+        "rolling_hll_actives": q_rolling_hll_actives,
+        "upsample_mixture": q_upsample_mixture,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6756,6 +6811,35 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN g) "
             "SELECT r.k AS o_orderkey, r.f AS _fold, e.target_enc "
             "FROM r JOIN e ON r.cat = e.cat AND r.f = e.f"
+        ),
+        "rolling_hll_actives": (
+            "WITH pairs AS (SELECT DISTINCT user_id AS u, "
+            "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+            "contrib AS (SELECT u, unnest(generate_series(d, "
+            "d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM pairs) "
+            "SELECT strftime(day, '%Y-%m-%d') AS day, "
+            "count(DISTINCT u) AS n_exact, true AS within_tol "
+            "FROM contrib GROUP BY 1"
+        ),
+        "upsample_mixture": (
+            f"WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS tk "
+            "FROM documents), "
+            "tot AS (SELECT lang, SUM(tk) AS t FROM tok GROUP BY 1), "
+            "w AS (SELECT * FROM (VALUES ('en', 4), ('de', 3), "
+            "('fr', 2), ('es', 1)) AS v(lang, wt)), "
+            "active AS (SELECT tot.lang, t, wt FROM tot "
+            "JOIN w USING (lang) WHERE wt > 0 AND t > 0), "
+            "ws AS (SELECT SUM(wt) AS sw FROM active), "
+            "pe AS (SELECT lang, (1000000 * wt) // sw // t AS e, "
+            "(10000 * (((1000000 * wt) // sw) % t)) // t AS th "
+            "FROM active CROSS JOIN ws), "
+            "eps AS (SELECT lang, e, th, "
+            "unnest(range(CAST(e + 1 AS BIGINT))) AS ep FROM pe) "
+            "SELECT doc_id, d.lang, CAST(ep AS INT) AS epoch "
+            "FROM documents d JOIN eps USING (lang) "
+            "WHERE ep < e OR ('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || 'epochs'), 1, 8))::BIGINT "
+            "% 10000 < th"
         ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "

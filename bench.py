@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "bloom_join",
     "cdc_apply",
     "mixture_sample",
+    "upsample_mixture",
+    "rolling_hll_actives",
     "hashed_embedding",
     "recursive_cte",
     "event_sequences",

@@ -1212,3 +1212,93 @@ def pmi_collocations(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    domain_col: str,
+    key_col: str,
+    token_col: Column | None = None,
+    salt: str = "epochs",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-replicated corpus recipe — :func:`mixture_sample` with
+    UPSAMPLING: hit a ``total_tokens`` budget split by integer
+    ``weights``, repeating small domains whole epochs and hash-
+    sampling the fractional remainder (the Llama-style "Wikipedia ×4
+    epochs" move; temperature mixing is this with
+    ``w_d ∝ T_d^alpha``). Each output row carries ``epoch_col``
+    (0-based): epoch 0..e_d-1 are full passes over domain d, epoch
+    e_d is the deterministic fractional remainder.
+
+    Determinism contract (same as mixture_sample): per-domain targets
+    ``target_d = total_tokens·w_d div Σw``, full epochs
+    ``e_d = target_d div T_d``, and the remainder threshold
+    ``BUCKETS·(target_d mod T_d) div T_d`` are all pure integer
+    arithmetic; the remainder keeps keys with
+    ``md5(key||salt) bucket < threshold`` — bit-identical across
+    engines, runs, partitionings. Domains absent from ``weights`` (or
+    weighted 0, or empty) are dropped.
+
+    Scale shape: one aggregation for per-domain token totals (k rows
+    of model state), then ONE map-side ``explode(sequence(0, e_d))``
+    + threshold filter — no shuffle, no join; output size is the
+    recipe's, not the input's. Downstream training order should
+    decorrelate epochs via :func:`shuffle_corpus` (salt by epoch).
+    """
+    if any(int(w) != w or w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    tok = token_col if token_col is not None else token_count(F.col("text"))
+    totals = {
+        r["_dom"]: int(r["_t"])
+        for r in df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.sum(tok).alias("_t"))
+        .collect()
+    }
+    doms = sorted(
+        d for d, w in weights.items() if w > 0 and totals.get(d, 0) > 0
+    )
+    if not doms:
+        raise ValueError("no overlap between weights and present domains")
+    w_sum = sum(weights[d] for d in doms)
+    epochs: dict[str, int] = {}
+    thresholds: dict[str, int] = {}
+    for d in doms:
+        target = (total_tokens * weights[d]) // w_sum
+        epochs[d] = target // totals[d]
+        thresholds[d] = (
+            SAMPLE_BUCKETS * (target % totals[d])
+        ) // totals[d]
+
+    e_col: Column = F.lit(None).cast("int")
+    t_col: Column = F.lit(None).cast("long")
+    for d in doms:
+        e_col = F.when(F.col(domain_col) == d, F.lit(epochs[d])).otherwise(
+            e_col
+        )
+        t_col = F.when(
+            F.col(domain_col) == d, F.lit(thresholds[d])
+        ).otherwise(t_col)
+    bucket = split_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)),
+        SAMPLE_BUCKETS,
+    )
+    out = (
+        df.withColumn("_e", e_col)
+        .filter(F.col("_e").isNotNull())
+        .withColumn("_th", t_col)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_e"))).alias(epoch_col),
+            F.col("_e"),
+            F.col("_th"),
+        )
+        .filter(
+            (F.col(epoch_col) < F.col("_e")) | (bucket < F.col("_th"))
+        )
+    )
+    return out.drop("_e", "_th")

@@ -1356,3 +1356,89 @@ class TestSpearmanCorr:
             [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
         )
         assert spearman_corr(const, "x", "y").first()["rho"] is None
+
+
+class TestUpsampleMixture:
+    """Epoch-replicated recipe mixing (upsampling + fractional hash)."""
+
+    def _docs(self, spark):
+        rows = []
+        for i in range(40):
+            rows.append((i, "en", "one two three four five"))  # 5 tok
+        for i in range(40, 50):
+            rows.append((i, "de", "eins zwei drei"))  # 3 tok
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_targets_epochs_and_fraction(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            upsample_mixture,
+        )
+
+        docs = self._docs(spark)
+        # totals: en=200, de=30. weights en:1 de:1, total 500 ->
+        # target 250 each: en -> 1 full epoch + 50/200 fraction;
+        # de -> 8 full epochs + 10/30 fraction.
+        out = upsample_mixture(
+            docs, {"en": 1, "de": 1}, 500, "lang", "doc_id"
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault((r.lang, r.epoch), set()).add(r.doc_id)
+        assert by[("en", 0)] == set(range(40))
+        assert set(e for (l, e) in by if l == "de") == set(range(9))
+        for e in range(8):
+            assert by[("de", e)] == set(range(40, 50))
+        # fractional epochs are proper nonempty subsets
+        assert 0 < len(by[("en", 1)]) < 40
+        assert 0 < len(by[("de", 8)]) < 10
+        # fractional token mass lands near the integer target
+        en_extra = len(by[("en", 1)]) * 5
+        assert abs(en_extra - 50) <= 25  # 10k-bucket granularity
+
+    def test_deterministic_across_partitionings(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            upsample_mixture,
+        )
+
+        docs = self._docs(spark)
+        a = sorted(
+            (r.doc_id, r.epoch)
+            for r in upsample_mixture(
+                docs, {"en": 2, "de": 3}, 700, "lang", "doc_id"
+            ).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.epoch)
+            for r in upsample_mixture(
+                docs.repartition(7), {"en": 2, "de": 3}, 700, "lang",
+                "doc_id",
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_pure_downsampling_case(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            upsample_mixture,
+        )
+
+        docs = self._docs(spark)
+        out = upsample_mixture(
+            docs, {"en": 1}, 100, "lang", "doc_id"
+        ).collect()
+        assert all(r.epoch == 0 and r.lang == "en" for r in out)
+        assert 0 < len(out) < 40
+
+    def test_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.corpus import (
+            upsample_mixture,
+        )
+
+        docs = self._docs(spark)
+        with _p.raises(ValueError, match="non-negative integers"):
+            upsample_mixture(docs, {"en": 1.5}, 100, "lang", "doc_id")
+        with _p.raises(ValueError, match="total_tokens"):
+            upsample_mixture(docs, {"en": 1}, 0, "lang", "doc_id")
+        with _p.raises(ValueError, match="no overlap"):
+            upsample_mixture(docs, {"zz": 1}, 100, "lang", "doc_id")
