@@ -2690,18 +2690,32 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-overlap detection via MOSS winnowing fingerprints
     (operators/dedup.py::winnow_overlap_pairs, Schleimer SIGMOD'03):
     k=8 char-gram md5 hashes, window-4 minimum selection, pair
-    overlap counts over the fingerprint equi-join (>= 5 shared).
-    Runs on the same 1/10 residue sample as ppjoin_pairs (planted
-    (d, d+100000) near-copies survive intact). The oracle replays
-    gram hashing, window minima, and the pair join verbatim in
-    DuckDB list functions — a full hash-match on the selection
-    semantics, not just counts."""
+    overlap counts over the fingerprint equi-join (>= 5 shared),
+    with the HOT-FINGERPRINT CAP engaged (max_fp_df=10 — template
+    boilerplate shared corpus-wide would otherwise make the pair set
+    quadratic: 357k pairs at sf0.1 ballooned to 317M at sf3 uncapped;
+    the cap keeps only discriminating fingerprints and the planted
+    near-copy pairs). Runs on the same 1/10 residue sample as
+    ppjoin_pairs. The oracle replays gram hashing, window minima,
+    the df cap, and the pair join verbatim in DuckDB list
+    functions — a full hash-match on the selection semantics.
+
+    Generator caveat: the synthetic corpus draws from a ~40-word
+    vocabulary, so char-gram document frequencies are enormous
+    (median df 62 in a 1000-doc sample) and the replica word-suffix
+    at sf>=1 pushes suffixed replicas' grams entirely above the cap —
+    pair yield at scale is dominated by the unsuffixed replica, an
+    artifact of the fixture's tiny vocabulary, not of the plan (the
+    capped pair output stays BOUNDED at 30x data: 457 rows, ~flat
+    seconds, vs 317M rows uncapped)."""
     from gbif_filter_python_spark.operators.dedup import (
         winnow_overlap_pairs,
     )
 
     docs = _perturbed_docs(spark, sf).filter(F.col("doc_id") % 10 == 0)
-    return winnow_overlap_pairs(docs, min_shared=5, k=8, window=4)
+    return winnow_overlap_pairs(
+        docs, min_shared=5, k=8, window=4, max_fp_df=10
+    )
 
 
 def q_er_match_scores(spark: SparkSession, sf: str) -> DataFrame:
@@ -6750,7 +6764,10 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, greatest(len(gh) - 4 + 1, 1) + 1), "
             "j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])) "
             "ELSE []::BIGINT[] END AS fps FROM g), "
-            "f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel) "
+            "f0 AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel), "
+            "rare AS (SELECT fp FROM f0 GROUP BY fp "
+            "HAVING count(*) <= 10), "
+            "f AS (SELECT f0.* FROM f0 JOIN rare USING (fp)) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "count(*) AS n_shared "
             "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "

@@ -503,3 +503,53 @@ class TestWinnowing:
             winnow_fingerprints(df, k=0)
         with _p.raises(ValueError, match="k and window"):
             winnow_fingerprints(df, window=0)
+
+
+class TestWinnowOverlapCap:
+    def test_boilerplate_fingerprints_pruned_by_df_cap(self, spark):
+        """A passage shared by MANY docs (boilerplate) must stop
+        producing pairs under max_fp_df, while a passage shared by
+        exactly two docs survives."""
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        import hashlib
+
+        boiler = "standard footer text repeated in every document body"
+
+        def opening(i):
+            # fully distinct per-doc opening; the final word uses a
+            # per-doc UNIQUE letter so even grams bridging the
+            # opening→boilerplate boundary are doc-unique (df=1) —
+            # every cross-doc shared gram is then pure boilerplate
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            tail = chr(97 + i) * 4
+            return f"{h[:10]} {h[10:20]} {tail}"
+
+        rows = [(i, opening(i) + " " + boiler) for i in range(20)]
+        rows += [
+            (100, "a very specific shared secret passage right here xyz"),
+            (101, "b very specific shared secret passage right here abc"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # min_shared=2 tolerates singleton 32-bit fp collisions
+        # (distinct grams can hash-collide; one accidental shared fp
+        # must not count as overlap)
+        uncapped = winnow_overlap_pairs(df, min_shared=2)
+        capped = winnow_overlap_pairs(df, min_shared=2, max_fp_df=3)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert (100, 101) in got
+        assert not any(a < 100 and b < 100 for a, b in got)
+        assert uncapped.count() > capped.count()
+
+    def test_cap_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        df = spark.createDataFrame([(0, "abc def")], "doc_id long, text string")
+        with _p.raises(ValueError, match="max_fp_df"):
+            winnow_overlap_pairs(df, max_fp_df=1)
