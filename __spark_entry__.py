@@ -2848,6 +2848,23 @@ def q_upsample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "epoch")
 
 
+def q_mlm_targets(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic MLM example generation (operators/corpus.py::
+    mlm_mask, BERT 15% masking): per-position md5 mask decisions over
+    the normalized word sequence, exploded to (doc_id, pos, word)
+    prediction targets — map-only, shuffle-free, replayable. The
+    oracle replays the split, the per-position hash, and the
+    threshold verbatim."""
+    from gbif_filter_python_spark.operators.corpus import mlm_mask
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    out = mlm_mask(docs, mask_prob=0.15)
+    return out.select(
+        "doc_id", F.explode("targets").alias("t")
+    ).select("doc_id", F.col("t.pos").alias("pos"),
+             F.col("t.word").alias("word"))
+
+
 def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet head/middle/tail quality banding, end to end:
     bigram-LM perplexity (classify.py) composed with the equi-depth
@@ -4494,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "rolling_hll_actives": q_rolling_hll_actives,
         "upsample_mixture": q_upsample_mixture,
+        "mlm_targets": q_mlm_targets,
         "skyline_pareto": q_skyline_pareto,
         # -- round-4 cohorts (newest first) --------------------------
         "bm25_top_docs": q_bm25_top_docs,
@@ -6857,6 +6875,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ep < e OR ('0x' || substr(md5("
             "CAST(doc_id AS VARCHAR) || 'epochs'), 1, 8))::BIGINT "
             "% 10000 < th"
+        ),
+        "mlm_targets": (
+            f"WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents "
+            "WHERE doc_id < 500), "
+            "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS ws "
+            "FROM nrm), "
+            "px AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "ws, (x, i) -> struct_pack(pos := i - 1, word := x)), "
+            "s -> s.word <> '' AND ('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(s.pos AS VARCHAR) "
+            "|| ':mlm'), 1, 8))::BIGINT % 10000 < 1500)) AS s FROM w) "
+            "SELECT doc_id, CAST(s.pos AS INT) AS pos, s.word AS word "
+            "FROM px"
         ),
         "multimodal_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "

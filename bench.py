@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "mixture_sample",
     "upsample_mixture",
+    "mlm_targets",
     "rolling_hll_actives",
     "hashed_embedding",
     "recursive_cte",

@@ -1302,3 +1302,71 @@ def upsample_mixture(
         )
     )
     return out.drop("_e", "_th")
+
+
+def mlm_mask(
+    df: DataFrame,
+    mask_prob: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mlm",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """Deterministic masked-language-model example generator (the
+    BERT-style 15% token masking, Devlin et al. 2019) — the map-only
+    step that turns a curated corpus into MLM training rows: returns
+    ``(id, masked_text, n_masked, targets array<struct<pos, word>>)``
+    where position i of the normalized word sequence is masked iff
+    ``md5(id:pos:salt)`` falls under ``mask_prob`` of the bucket
+    space.
+
+    Hash-derived masking instead of RNG for the same reason as
+    :func:`sample_by_hash`: the same doc masks the same positions in
+    every run, on any partitioning, in any engine — replayable
+    ablations and a cross-engine SQL twin. (The 80/10/10
+    mask/random/keep split of the original recipe is a trivial second
+    bucket on the same key; this operator emits the mask decision and
+    the targets — the part that must be exactly reproducible.)
+
+    Scale shape: pure Column expressions (split → transform with a
+    per-position hash → filter), zero shuffle, zero UDF; output rides
+    the input partitioning straight into a writer.
+    """
+    if not 0.0 < mask_prob < 1.0:
+        raise ValueError(f"mask_prob must be in (0, 1), got {mask_prob}")
+    threshold = int(mask_prob * SAMPLE_BUCKETS)
+    words = _words(F.col(text_col))
+
+    def bucket(pos0):
+        # pos0 is the 0-based word position (Spark transform's index
+        # lambda is 0-based already)
+        return split_bucket(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                pos0.cast("string"),
+                F.lit(":"),
+                F.lit(salt),
+            ),
+            SAMPLE_BUCKETS,
+        )
+
+    masked_words = F.transform(
+        words, lambda w, i: F.when(bucket(i) < threshold,
+                                   F.lit(mask_token)).otherwise(w)
+    )
+    targets = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.struct(
+                i.cast("int").alias("pos"), w.alias("word")
+            ),
+        ),
+        lambda s: bucket(s["pos"]) < threshold,
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(masked_words, " ").alias("masked_text"),
+        F.size(targets).cast("int").alias("n_masked"),
+        targets.alias("targets"),
+    )

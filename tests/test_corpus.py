@@ -1442,3 +1442,71 @@ class TestUpsampleMixture:
             upsample_mixture(docs, {"en": 1}, 0, "lang", "doc_id")
         with _p.raises(ValueError, match="no overlap"):
             upsample_mixture(docs, {"zz": 1}, 100, "lang", "doc_id")
+
+
+class TestMlmMask:
+    """Deterministic BERT-style MLM masking."""
+
+    @staticmethod
+    def _ref(doc_id, text, p=0.15, salt="mlm"):
+        import hashlib
+        import re
+
+        t = re.sub(r"[^a-z0-9]+", " ", text.lower())
+        t = re.sub(r"\s+", " ", t).strip()
+        words = [w for w in t.split(" ") if w]
+        th = int(p * 10000)
+
+        def b(i):
+            key = f"{doc_id}:{i}:{salt}"
+            return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 10000
+
+        masked = ["[MASK]" if b(i) < th else w
+                  for i, w in enumerate(words)]
+        targets = [(i, w) for i, w in enumerate(words) if b(i) < th]
+        return " ".join(masked), targets
+
+    def test_matches_reference_and_is_deterministic(self, spark):
+        from gbif_filter_python_spark.operators.corpus import mlm_mask
+
+        rows = [
+            (i, f"some document number {i} with enough words to mask "
+                f"alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in mlm_mask(df, 0.15).collect()}
+        n_masked_total = 0
+        for i, text in rows:
+            want_text, want_t = self._ref(i, text)
+            r = out[i]
+            assert r.masked_text == want_text, i
+            assert [(t["pos"], t["word"]) for t in r.targets] == want_t
+            assert r.n_masked == len(want_t)
+            n_masked_total += r.n_masked
+        assert n_masked_total > 0
+        # partitioning-invariant
+        again = {r.doc_id: r.masked_text
+                 for r in mlm_mask(df.repartition(7), 0.15).collect()}
+        assert again == {i: out[i].masked_text for i, _ in rows}
+
+    def test_rate_approaches_prob(self, spark):
+        from gbif_filter_python_spark.operators.corpus import mlm_mask
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{j}" for j in range(4000)))],
+            "doc_id long, text string",
+        )
+        r = mlm_mask(df, 0.15).collect()[0]
+        assert 0.12 <= r.n_masked / 4000 <= 0.18
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.corpus import mlm_mask
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = mlm_mask(df, 0.15).collect()[0]
+        assert r.n_masked == 0 and r.masked_text == ""
+        with _p.raises(ValueError, match="mask_prob"):
+            mlm_mask(df, 0.0)
