@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+import warnings
 from dataclasses import dataclass
 
 from gbif_filter_python_spark.schemas import HABITATS, RANKS
@@ -193,13 +194,8 @@ class FilterConfig:
         """Build from a parsed YAML mapping (current generation only)."""
         if not isinstance(raw, dict):
             raise ConfigError(f"config root must be a mapping, got {type(raw)}")
-        legacy = _LEGACY_KEYS & raw.keys()
-        if legacy:
-            raise ConfigError(
-                f"legacy config keys {sorted(legacy)} are not supported; "
-                "migrate to name_column/taxid_column/rank_column "
-                "(see reference example/config.yml)"
-            )
+        if _LEGACY_KEYS & raw.keys():
+            raw = cls._migrate_legacy(raw)
         known = (
             {f.name for f in dataclasses.fields(cls)}
             | {"country", "geometry"}
@@ -213,6 +209,44 @@ class FilterConfig:
         dropped = ("country", "geometry", "taxonomy_path", "occurrence_path")
         kwargs = {k: v for k, v in raw.items() if k not in dropped}
         return cls(zone=zone, **kwargs)
+
+    @classmethod
+    def _migrate_legacy(cls, raw: dict) -> dict:
+        """Map the previous-generation keys (``taxa_column`` +
+        ``taxa_field``, /root/reference/test/config.yml:2-4) onto the
+        current role-column keys with a deprecation warning, so an
+        old config file runs unchanged: ``taxa_field: name`` binds
+        ``taxa_column`` as ``name_column``; ``taxa_field: taxid``
+        binds it as ``taxid_column``. (``taxa_rank`` is still a
+        current key and needs no mapping.) The reference's own
+        current code also no longer reads these keys — this shim is
+        strictly friendlier than both."""
+        raw = dict(raw)
+        col = raw.pop("taxa_column", None)
+        field = raw.pop("taxa_field", "name")
+        if col is None:
+            raise ConfigError(
+                "legacy key taxa_field requires taxa_column; migrate to "
+                "name_column/taxid_column/rank_column"
+            )
+        if field not in ("name", "taxid"):
+            raise ConfigError(
+                f"legacy taxa_field must be 'name' or 'taxid', got {field!r}"
+            )
+        target = "name_column" if field == "name" else "taxid_column"
+        if raw.get(target) is not None:
+            raise ConfigError(
+                f"both legacy taxa_column and {target} are set; "
+                "remove the legacy keys"
+            )
+        warnings.warn(
+            f"legacy config keys taxa_column/taxa_field are deprecated; "
+            f"use {target}: {col!r}",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+        raw[target] = col
+        return raw
 
     @classmethod
     def from_yaml(cls, path: str) -> "FilterConfig":

@@ -603,6 +603,14 @@ def target_encode(
     For cross-engine exactness pass an INTEGER-valued label (sums
     stay exact; the final division is one double op both engines
     evaluate identically).
+
+    NULL handling (explicit, not accidental): a NULL category is its
+    own category — the join-back is null-safe, so NULL-category rows
+    get the NULL-group's out-of-fold encoding instead of silently
+    vanishing. NULL labels are EXCLUDED from both the counts and the
+    sums (``F.count(label)`` skips nulls exactly like ``F.sum``), so
+    they contribute nothing to any encoding but the rows themselves
+    still come out the other side with their category's statistic.
     """
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
@@ -613,8 +621,14 @@ def target_encode(
     grid = rows.groupBy(
         F.col(category_col).alias("_cat"), F.col("_fold")
     ).agg(
-        F.sum(F.col(label_col)).alias("_s"),
-        F.count(F.lit(1)).alias("_c"),
+        # coalesce: a cell whose labels are ALL NULL sums to NULL,
+        # which would poison every ``_cs - _s`` downstream — it
+        # contributes 0, not NULL
+        F.coalesce(F.sum(F.col(label_col)), F.lit(0)).alias("_s"),
+        # count NON-NULL labels only, the same rows F.sum covers — a
+        # count(*) here would bias encodings toward 0 under nullable
+        # labels (counted in the denominator, absent from the sum)
+        F.count(F.col(label_col)).alias("_c"),
     )
     cat_tot = grid.groupBy("_cat").agg(
         F.sum("_s").alias("_cs"), F.sum("_c").alias("_cc")
@@ -625,8 +639,15 @@ def target_encode(
     glob = grid.agg(
         F.sum("_s").alias("_gs"), F.sum("_c").alias("_gc")
     )
+    # null-safe: the NULL category's grid rows must reach their own
+    # per-category totals, not fall out of an equality join
+    cat_tot = cat_tot.withColumnRenamed("_cat", "_tcat")
     enc_grid = (
-        grid.join(F.broadcast(cat_tot), "_cat")
+        grid.join(
+            F.broadcast(cat_tot),
+            F.col("_cat").eqNullSafe(F.col("_tcat")),
+        )
+        .drop("_tcat")
         .join(F.broadcast(fold_tot), "_fold")
         .crossJoin(F.broadcast(glob))
         .select(
@@ -656,5 +677,7 @@ def target_encode(
     return rows.join(
         F.broadcast(enc),
         (rows["_fold"] == enc["_efold"])
-        & (rows[category_col] == enc["_ecat"]),
+        # null-safe: NULL categories match their own grid row instead
+        # of dropping out of the inner join
+        & rows[category_col].eqNullSafe(enc["_ecat"]),
     ).select(*df.columns, rows["_fold"], out_col)

@@ -1328,9 +1328,15 @@ def mlm_mask(
     bucket on the same key; this operator emits the mask decision and
     the targets — the part that must be exactly reproducible.)
 
-    Scale shape: pure Column expressions (split → transform with a
-    per-position hash → filter), zero shuffle, zero UDF; output rides
-    the input partitioning straight into a writer.
+    Scale shape: pure Column expressions (split → ONE transform
+    computing each position's hash decision → two cheap consumers),
+    zero shuffle, zero UDF; output rides the input partitioning
+    straight into a writer. The decision array is materialized in its
+    own projection and referenced multiple times downstream — exactly
+    the multi-reference shape Catalyst's CollapseProject refuses to
+    inline — so every position's md5 evaluates ONCE, not once per
+    consumer (the dedup.py ``_staged_shingle_hashes`` discipline;
+    Catalyst does no CSE inside higher-order-function lambdas).
     """
     if not 0.0 < mask_prob < 1.0:
         raise ValueError(f"mask_prob must be in (0, 1), got {mask_prob}")
@@ -1351,22 +1357,32 @@ def mlm_mask(
             SAMPLE_BUCKETS,
         )
 
-    masked_words = F.transform(
-        words, lambda w, i: F.when(bucket(i) < threshold,
-                                   F.lit(mask_token)).otherwise(w)
-    )
-    targets = F.filter(
+    decided = df.select(
+        F.col(id_col),
         F.transform(
             words,
             lambda w, i: F.struct(
-                i.cast("int").alias("pos"), w.alias("word")
+                i.cast("int").alias("pos"),
+                w.alias("word"),
+                (bucket(i) < threshold).alias("masked"),
             ),
-        ),
-        lambda s: bucket(s["pos"]) < threshold,
+        ).alias("_dec"),
     )
-    return df.select(
+    targets = F.transform(
+        F.filter(F.col("_dec"), lambda s: s["masked"]),
+        lambda s: F.struct(s["pos"].alias("pos"), s["word"].alias("word")),
+    )
+    return decided.select(
         F.col(id_col),
-        F.array_join(masked_words, " ").alias("masked_text"),
+        F.array_join(
+            F.transform(
+                F.col("_dec"),
+                lambda s: F.when(s["masked"], F.lit(mask_token)).otherwise(
+                    s["word"]
+                ),
+            ),
+            " ",
+        ).alias("masked_text"),
         F.size(targets).cast("int").alias("n_masked"),
         targets.alias("targets"),
     )

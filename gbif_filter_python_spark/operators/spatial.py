@@ -53,7 +53,20 @@ def _point_in_ring(
             # whose denominator (y2 - y1) would be zero.
             continue
         crosses = (y1 > lat) != (y2 > lat)
-        x_at = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        # Divide ONLY the crossing lanes (``where=crosses``): on a
+        # NON-crossing lane a near-horizontal edge (tiny y2 - y1) with
+        # a far-away lat overflows the divide — those lanes are never
+        # evaluated, keeping the suite clean under
+        # ``-W error::RuntimeWarning``. The numerator is formed FIRST
+        # so the op order matches classic scalar PNPOLY bit-for-bit
+        # ((x2-x1)*(y-y1) then /(y2-y1)); a ratio-first formulation
+        # rounds differently and flips points sitting exactly on an
+        # edge (hypothesis finds them).
+        num = (x2 - x1) * (lat - y1)
+        x_at = (
+            np.divide(num, y2 - y1, out=np.zeros_like(lat), where=crosses)
+            + x1
+        )
         inside ^= crosses & (lon < x_at)
     return inside
 

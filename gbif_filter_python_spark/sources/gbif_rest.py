@@ -39,8 +39,11 @@ Design constraints honored:
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any
+
+logger = logging.getLogger(__name__)
 
 #: GBIF Backbone Taxonomy dataset key — the reference pins children
 #: listings to the backbone (gbif_helper.py:38 "Look in GBIF Backbone
@@ -177,7 +180,17 @@ class GbifRestClient:
                 "limit": 1000,
             },
         )
-        return body.get("results", [])
+        results = body.get("results", [])
+        if len(results) >= 1000:
+            # gbif_helper.py:45-48 parity: the reference logs when the
+            # single page it reads is full; a silent client would make
+            # incomplete child listings undetectable.
+            logger.warning(
+                "children listing for %s returned a full page (1000 "
+                "records); results may be incomplete",
+                parent_key,
+            )
+        return results
 
     def occurrence_search(
         self, taxon_key: int, geometry: str | None, country: str | None
@@ -196,9 +209,63 @@ class GbifRestClient:
         )
         return body.get("results", [])
 
+    def occurrence_search_all(
+        self,
+        taxon_key: int,
+        geometry: str | None = None,
+        country: str | None = None,
+        page_size: int = 300,
+        max_records: int | None = 100_000,
+    ) -> list:
+        """Paginated full occurrence fetch — the online twin of the
+        reference's ``get_all_occurrences`` offset loop
+        (gbif_helper.py:71-83, live there only as a comment whose TODO
+        is "manage limit and offset"; this manages both): fetch a
+        page, then keep offsetting by the records received until the
+        reported ``count`` is reached or the service flags
+        ``endOfRecords``.
+
+        ``max_records`` bounds the walk (the public API caps
+        limit+offset at 100 000 anyway); hitting the cap logs a
+        truncation warning — same discipline as the full-page warning
+        in :meth:`name_lookup_children`. Offline this endpoint is
+        replaced wholesale by the partitioned parquet occurrence scan
+        (sources/io.py); the online path exists for parity, fed by
+        DISTINCT keys through ``RestBatchProvider.occurrences_online``.
+        """
+        results: list = []
+        total: int | None = None
+        while True:
+            body = self._get(
+                "occurrence/search",
+                {
+                    "taxonKey": taxon_key,
+                    "geometry": geometry,
+                    "country": country,
+                    "limit": page_size,
+                    "offset": len(results),
+                },
+            )
+            page = body.get("results", [])
+            if total is None:
+                total = int(body.get("count", len(page)))
+            results.extend(page)
+            logger.debug("%d/%d", len(results), total)
+            if not page or body.get("endOfRecords") or len(results) >= total:
+                break
+            if max_records is not None and len(results) >= max_records:
+                logger.warning(
+                    "occurrence fetch for %s truncated at %d of %d "
+                    "records (max_records cap)",
+                    taxon_key, len(results), total,
+                )
+                break
+        return results
+
     def provider(self):
-        """A ready-to-use :class:`RestBatchProvider` wired to all three
-        live endpoints."""
+        """A ready-to-use :class:`RestBatchProvider` wired to all four
+        live endpoints (match / children / limit-1 existence /
+        paginated full fetch)."""
         from gbif_filter_python_spark.sources.providers import (
             RestBatchProvider,
         )
@@ -207,4 +274,5 @@ class GbifRestClient:
             fetch=self.name_backbone,
             fetch_children=self.name_lookup_children,
             fetch_occurrences=self.occurrence_search,
+            fetch_all_occurrences=self.occurrence_search_all,
         )

@@ -91,18 +91,48 @@ def read_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in CORPUS_TABLES}
 
 
-def write_csv(df: DataFrame, path: str, sep: str = ",", single_file: bool = True) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    single_file: bool = True,
+    legacy_array_format: bool = False,
+) -> None:
     """op 3: CSV sink with NA fill and delimiter parity.
 
     ``single_file`` coalesces to one partition for small edge outputs
     (parity with the reference's one-file contract); large outputs
     should keep it False and write partitioned.
+
+    ``legacy_array_format`` (SURVEY.md §2-H): the reference's pandas
+    ``to_csv`` serializes list cells as Python ``repr`` —
+    ``"['Euglypha rotunda']"`` (/root/reference/test/filtered.csv
+    species_list column) — while this engine's default is JSON arrays
+    (``'["Euglypha rotunda"]'``, parseable by every downstream
+    engine). Opting in applies byte-exact ``repr`` via a vectorized
+    UDF so golden diffs against reference outputs pass; it is the
+    slow path by design and exists for the single-file edge-export
+    contract, not 100 TB writes.
     """
     out = df
     # CSV cannot hold arrays — serialize them (SURVEY.md §2-H).
+    if legacy_array_format:
+        import pandas as pd  # local: only the legacy path needs it
+
+        @F.pandas_udf("string", F.PandasUDFType.SCALAR)
+        def _pyrepr(s):
+            return s.map(
+                lambda v: None if v is None else repr(
+                    [x if x is None else str(x) for x in v]
+                )
+            )
+
     for field in df.schema.fields:
         if field.dataType.typeName() == "array":
-            out = out.withColumn(field.name, F.to_json(F.col(field.name)))
+            serializer = (
+                _pyrepr if legacy_array_format else F.to_json
+            )
+            out = out.withColumn(field.name, serializer(F.col(field.name)))
     if single_file:
         out = out.coalesce(1)
     (

@@ -269,6 +269,14 @@ ChildrenFetch = Callable[[int, str | None, str | None], list]
 #: ``len(results) > 0`` (gbif_helper.py:92). A limit-1 page suffices.
 OccurrenceFetch = Callable[[int, str | None, str | None], list]
 
+#: fetch_all_occurrences(taxon_key, geometry, country) -> ALL
+#: occurrence result dicts for the taxon, paginated client-side — the
+#: online twin of the reference's commented ``get_all_occurrences``
+#: offset loop (gbif_helper.py:71-83). Each dict carries the fields
+#: ``format_results`` reads (gbif_helper.py:100-105): taxonKey,
+#: taxonRank.
+AllOccurrencesFetch = Callable[[int, str | None, str | None], list]
+
 
 class RestBatchProvider:
     """Online name resolution via batched mapInPandas (op 4 parity).
@@ -286,10 +294,12 @@ class RestBatchProvider:
         fetch: BackboneFetch,
         fetch_children: ChildrenFetch | None = None,
         fetch_occurrences: OccurrenceFetch | None = None,
+        fetch_all_occurrences: AllOccurrencesFetch | None = None,
     ) -> None:
         self.fetch = fetch
         self.fetch_children = fetch_children
         self.fetch_occurrences = fetch_occurrences
+        self.fetch_all_occurrences = fetch_all_occurrences
 
     def resolve_names_online(self, names: DataFrame) -> DataFrame:
         fetch = self.fetch
@@ -415,6 +425,68 @@ class RestBatchProvider:
                 )
 
         return keys.mapInPandas(_exists, schema="taxon_key long, occurs boolean")
+
+    def occurrences_online(
+        self, keys: DataFrame, zone: Zone | None = None,
+        ranks: list[str] | None = None,
+    ) -> DataFrame:
+        """Online paginated full occurrence fetch — the batched twin of
+        the reference's ``get_occurrences`` → ``get_all_occurrences`` →
+        ``format_results`` path (gbif_helper.py:60-69, 71-83, 94-109):
+        for each DISTINCT taxon key, every occurrence record is fetched
+        (the injected callable paginates), optionally filtered to
+        ``result["taxonRank"] in ranks`` exactly as ``format_results``
+        does, and emitted as one row per occurrence. Returns
+        ``(taxon_key, occ_taxon_key, occ_taxon_rank)`` — the
+        reference's returned taxonKey list, keyed by the query taxon.
+
+        Offline the partitioned parquet occurrence scan replaces this
+        wholesale; the online path exists for entry-point parity and
+        must be fed a SMALL distinct-keys frame (each key is a full
+        paginated walk against the service).
+        """
+        if self.fetch_all_occurrences is None:
+            raise ValueError("no fetch_all_occurrences callable configured")
+        fetch_all = self.fetch_all_occurrences
+        geometry = country = None
+        if isinstance(zone, Country):
+            country = zone.code
+        elif isinstance(zone, Polygon):
+            geometry = zone.wkt
+        rank_set = set(ranks) if ranks is not None else None
+
+        def _occ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_key: list[int] = []
+                out_tk: list[int | None] = []
+                out_rank: list[str | None] = []
+                for key in pdf["taxon_key"]:
+                    try:
+                        results = fetch_all(int(key), geometry, country) or []
+                    except Exception:
+                        results = []
+                    for rec in results:
+                        rank = rec.get("taxonRank")
+                        # format_results (gbif_helper.py:102-105):
+                        # ranks=None keeps everything, else membership
+                        if rank_set is not None and rank not in rank_set:
+                            continue
+                        out_key.append(int(key))
+                        out_tk.append(rec.get("taxonKey"))
+                        out_rank.append(rank)
+                yield pd.DataFrame(
+                    {
+                        "taxon_key": pd.array(out_key, dtype="int64"),
+                        "occ_taxon_key": pd.array(out_tk, dtype="Int64"),
+                        "occ_taxon_rank": out_rank,
+                    }
+                )
+
+        return keys.mapInPandas(
+            _occ,
+            schema="taxon_key long, occ_taxon_key long, "
+                   "occ_taxon_rank string",
+        )
 
 
 def tag_existence_online(

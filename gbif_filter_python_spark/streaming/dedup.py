@@ -18,8 +18,13 @@ pipeline definition runs identically in backfill and streaming mode
 
 from __future__ import annotations
 
+import logging
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from gbif_filter_python_spark.functions.text import normalized_text
 
@@ -96,8 +101,15 @@ def incremental_corpus_writer(
                 .select("_h")
             )
             fresh = fresh.join(seen, "_h", "left_anti")
-        except Exception:
-            pass  # first batch: store does not exist yet
+        except AnalysisException as exc:
+            # First batch: the store path does not exist yet. ONLY the
+            # missing-path analysis error is absorbed — a corrupt store
+            # or permission failure must surface, not silently re-admit
+            # duplicates.
+            logger.info(
+                "dedup store %s unreadable (%s); batch %d starts fresh",
+                store_path, exc, batch_id,
+            )
         fresh.write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )

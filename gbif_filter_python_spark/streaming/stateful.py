@@ -208,7 +208,9 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            """Required StatefulProcessor hook; this processor holds
+            no resources outside the state store, so there is nothing
+            to release."""
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningTotals(),

@@ -414,3 +414,35 @@ class TestTargetEncode:
             target_encode(df, "cat", "y", "key", n_folds=1)
         with _p.raises(ValueError, match="smoothing"):
             target_encode(df, "cat", "y", "key", smoothing=0.0)
+
+    def test_null_category_and_null_label(self, spark):
+        """NULL categories are their own category (null-safe join-back,
+        no dropped rows); NULL labels contribute to NEITHER counts nor
+        sums, so deleting a NULL-label row leaves every other encoding
+        bit-identical."""
+        from gbif_filter_python_spark.operators.classify import (
+            target_encode,
+        )
+
+        schema = "key long, cat string, y double"
+        base = [(1, "a", 1.0), (2, "a", 3.0), (3, "a", 5.0),
+                (4, "a", 7.0), (5, None, 10.0), (6, None, 20.0),
+                (8, None, None)]
+        with_null_label = base + [(7, "a", None)]
+        got = target_encode(
+            spark.createDataFrame(with_null_label, schema),
+            "cat", "y", "key", n_folds=2, smoothing=5.0,
+        ).collect()
+        # no row vanished: NULL categories and NULL labels both survive
+        assert sorted(r.key for r in got) == [1, 2, 3, 4, 5, 6, 7, 8]
+        # every row got a real encoding, including the NULL-category ones
+        assert all(r.target_enc is not None for r in got)
+        # NULL-label rows are statistically inert: removing them moves
+        # no other row's encoding
+        without = target_encode(
+            spark.createDataFrame(base[:-1], schema),
+            "cat", "y", "key", n_folds=2, smoothing=5.0,
+        ).collect()
+        enc_with = {r.key: r.target_enc for r in got}
+        enc_without = {r.key: r.target_enc for r in without}
+        assert all(enc_with[k] == enc_without[k] for k in enc_without)

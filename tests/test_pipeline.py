@@ -250,9 +250,43 @@ class TestExpansion:
 
 
 class TestConfig:
-    def test_legacy_config_fails_loudly(self):
-        with pytest.raises(ConfigError, match="legacy"):
-            FilterConfig.from_dict({"taxa_column": "x", "taxa_field": "name"})
+    def test_legacy_config_migrates_with_deprecation(self):
+        """VERDICT r5 item 8: previous-generation keys
+        (taxa_column/taxa_field, /root/reference/test/config.yml:2-4)
+        map onto the current role columns with a DeprecationWarning
+        instead of a generic rejection."""
+        with pytest.warns(DeprecationWarning, match="name_column"):
+            cfg = FilterConfig.from_dict(
+                {"taxa_column": "x", "taxa_field": "name"}
+            )
+        assert cfg.name_column == "x" and cfg.taxid_column is None
+        with pytest.warns(DeprecationWarning, match="taxid_column"):
+            cfg = FilterConfig.from_dict(
+                {"taxa_column": "t", "taxa_field": "taxid"}
+            )
+        assert cfg.taxid_column == "t" and cfg.name_column is None
+        with pytest.raises(ConfigError, match="both legacy"):
+            FilterConfig.from_dict(
+                {"taxa_column": "x", "taxa_field": "name",
+                 "name_column": "y"}
+            )
+        with pytest.raises(ConfigError, match="'name' or 'taxid'"):
+            FilterConfig.from_dict(
+                {"taxa_column": "x", "taxa_field": "wat"}
+            )
+
+    def test_reference_legacy_config_file_loads(self):
+        """The reference's own shipped config
+        (/root/reference/test/config.yml) must parse end-to-end:
+        legacy keys migrate, country NO wins over the geometry per the
+        file's own comment, tab separator preserved."""
+        from gbif_filter_python_spark.config import Country
+
+        with pytest.warns(DeprecationWarning):
+            cfg = FilterConfig.from_yaml("/root/reference/test/config.yml")
+        assert cfg.name_column == "genus_silva"
+        assert cfg.sep == "\t"
+        assert isinstance(cfg.zone, Country) and cfg.zone.code == "NO"
 
     def test_requires_a_role_column(self):
         with pytest.raises(ConfigError, match="name_column or taxid_column"):
