@@ -3436,7 +3436,12 @@ def q_geo_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
         (bucket("lon:", 3600) / 100.0 - 8.0).alias("lon"),
         (bucket("lat:", 1600) / 100.0 + 42.0).alias("lat"),
     )
-    return proximity_pairs(pts, 5.0, max_abs_lat=58.0)
+    # Explicit opt-out: exact all-pairs semantics for the small-sf
+    # oracle replay. The operator's DEFAULT is now the density cap
+    # (DEFAULT_MAX_CELL_POINTS); scale users who call with defaults
+    # get the bounded plan, and this exact variant must say so.
+    return proximity_pairs(pts, 5.0, max_abs_lat=58.0,
+                           max_cell_points=None)
 
 
 def q_geo_hot_cell_capped(spark: SparkSession, sf: str) -> DataFrame:
@@ -4475,21 +4480,63 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     )
 
 
+#: The round whose planned window ``queries()`` currently serves.
+#: Bumped once per build round (in the same commit that adds any new
+#: query) so the rotation below keeps advancing.
+CURRENT_ROUND = 6
+
+#: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
+#: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
+#: head EVERY round's window and never rotate out.
+CANARY = [
+    "existence_semijoin",
+    "ternary_tag",
+    "resolution_join",
+    "expansion_collect",
+    "filter_mode",
+]
+
+#: The driver externally witnesses only the FIRST this-many entries
+#: of ``queries()`` each round (CORRECTNESS_r{N}.json).
+DRIVER_WINDOW = 50
+
+
+def planned_window(round_no: int) -> list[str]:
+    """The 50 registry names scheduled for the driver window in
+    ``round_no`` (VERDICT r5 item 10 — the rotation schedule, in code
+    rather than prose): the 5-query canary is pinned first; the
+    remaining 45 slots take consecutive 45-name slices of the
+    non-canary registry in insertion order, advancing one slice per
+    round and wrapping modulo the registry size. Anchoring: round 5
+    witnessed slice 0 (the literal head of the registry), so round
+    ``r`` serves the slice starting at ``45 * (r - 5) % n``. Every
+    registry name therefore provably transits the externally-witnessed
+    window within ``ceil(n / 45)`` rounds (4 rounds at n = 174) of any
+    anchor round, and a test pins that invariant
+    (tests/test_rows_only_invariants.py)."""
+    reg = [n for n in _registry() if n not in CANARY]
+    k = DRIVER_WINDOW - len(CANARY)
+    start = (k * (round_no - 5)) % len(reg)
+    return CANARY + [reg[(start + i) % len(reg)] for i in range(k)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: the driver's harness checks the
-    FIRST 50 entries. The window now leads with a PERMANENT 5-query
-    gbif canary (VERDICT r4 item 2) — existence_semijoin, ternary_tag,
-    resolution_join, expansion_collect, filter_mode are the
-    reference's actual semantics (apply_gbif_filter.py:114-192) and
-    never rotate out again — followed by the five formerly-rows-only
-    entries converted to full differential oracles this round
-    (multimodal features/resize/audio stats, BPE trainer/encoder),
-    the two operators whose scale shape changed this round
-    (geo_near_pairs density cap, skyline iterative prune), and the
-    round-4 cohorts. Everything behind the window was driver-green in
-    r01-r04 artifacts and remains fully covered by
-    tools/check_correctness.py (CORRECTNESS_LOCAL_r05.json) and the
-    pytest suite."""
+    """Registry ordered by the rotation schedule: the first
+    ``DRIVER_WINDOW`` entries are ``planned_window(CURRENT_ROUND)``
+    (pinned canary + this round's 45-name slice), the remainder keep
+    insertion order. Everything outside the window stays covered by
+    tools/check_correctness.py (CORRECTNESS_LOCAL_r{N}.json, full
+    registry every round) and the pytest suite."""
+    reg = _registry()
+    ordered = {name: reg[name] for name in planned_window(CURRENT_ROUND)}
+    for name, fn in reg.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Insertion-ordered master registry (rotation source order)."""
     return {
         # -- permanent gbif canary (reference semantics; pinned) --
         "existence_semijoin": q_existence_semijoin,
@@ -4554,7 +4601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_star": q_dup_components_star,
         "pmi_collocations": q_pmi_collocations,
         "grouping_sets_revenue": q_grouping_sets_revenue,
-        # ---- 50-entry driver window ends here ---------------------
+        # NOTE: the driver window is NOT this literal's head anymore —
+        # queries() reorders by planned_window(CURRENT_ROUND); this
+        # dict is only the rotation's source order.
         "rank_sum_test": q_rank_sum_test,
         "fdr_correction": q_fdr_correction,
         "spearman_corr": q_spearman_corr,

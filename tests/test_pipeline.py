@@ -462,9 +462,39 @@ class TestProximityPairs:
         # sparse neighbors unaffected by the cap
         assert (1000, 1001) in got
         assert not any(1002 in p for p in got)
-        # uncapped blows up quadratically on the same input
-        n_uncapped = proximity_pairs(df, 5.0, max_abs_lat=50.0).count()
+        # explicit uncapped opt-out blows up quadratically on the same
+        # input (the default is now DEFAULT_MAX_CELL_POINTS — exact
+        # semantics require saying max_cell_points=None out loud)
+        n_uncapped = proximity_pairs(
+            df, 5.0, max_abs_lat=50.0, max_cell_points=None
+        ).count()
         assert n_uncapped == 300 * 299 // 2 + 1
+
+    def test_density_cap_is_the_default(self, spark):
+        """VERDICT r5 item 4: uncapped-by-accident impossible — the
+        signature default must be a finite cap, and a degenerate cell
+        denser than it must truncate without any caller opt-in."""
+        import inspect
+
+        from gbif_filter_python_spark.operators.spatial import (
+            DEFAULT_MAX_CELL_POINTS,
+            proximity_pairs,
+        )
+
+        sig = inspect.signature(proximity_pairs)
+        assert (
+            sig.parameters["max_cell_points"].default
+            == DEFAULT_MAX_CELL_POINTS
+        )
+        assert DEFAULT_MAX_CELL_POINTS is not None
+        n = DEFAULT_MAX_CELL_POINTS + 50
+        df = spark.createDataFrame(
+            [(i, 10.0 + (i % 7) * 1e-5, 45.0) for i in range(n)],
+            "id long, lon double, lat double",
+        )
+        got = proximity_pairs(df, 5.0, max_abs_lat=50.0).count()
+        k = DEFAULT_MAX_CELL_POINTS
+        assert got == k * (k - 1) // 2
 
     def test_density_cap_noop_when_above_occupancy(self, spark):
         from gbif_filter_python_spark.operators.spatial import (

@@ -230,3 +230,34 @@ def test_semantic_dedup_kept_set_properties(spark, sf):
         .count()
     )
     assert survivors == 0
+
+
+def test_rotation_schedule_covers_every_query():
+    """VERDICT r5 item 10: the driver externally witnesses only the
+    first DRIVER_WINDOW queries() entries per round; the rotation
+    schedule must (a) pin the gbif canary at the head of every round's
+    window, (b) put planned_window(CURRENT_ROUND) exactly at the head
+    of queries(), and (c) cycle EVERY registry name through some
+    round's window within ceil(n/45) rounds — no query can hide from
+    external witnessing forever."""
+    import math
+
+    reg = list(entry_mod.queries())
+    n_rot = len(reg) - len(entry_mod.CANARY)
+    horizon = math.ceil(n_rot / (entry_mod.DRIVER_WINDOW - len(entry_mod.CANARY)))
+    # (a) + (b): current round's plan is the literal head of queries()
+    plan = entry_mod.planned_window(entry_mod.CURRENT_ROUND)
+    assert plan[: len(entry_mod.CANARY)] == entry_mod.CANARY
+    assert reg[: entry_mod.DRIVER_WINDOW] == plan
+    # windows are well-formed every round (50 distinct registry names)
+    all_names = set(reg)
+    for r in range(entry_mod.CURRENT_ROUND, entry_mod.CURRENT_ROUND + horizon):
+        w = entry_mod.planned_window(r)
+        assert len(w) == entry_mod.DRIVER_WINDOW == len(set(w))
+        assert set(w) <= all_names
+        assert w[: len(entry_mod.CANARY)] == entry_mod.CANARY
+    # (c) full transit within the horizon, from ANY anchor round
+    covered = set()
+    for r in range(entry_mod.CURRENT_ROUND, entry_mod.CURRENT_ROUND + horizon):
+        covered |= set(entry_mod.planned_window(r))
+    assert covered == all_names
