@@ -4480,6 +4480,92 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/profile.py::l_diversity,
+    Machanavajjhala TKDD 2007) of the customer table: quasi-identifier
+    (nation, market segment), sensitive attribute = account-balance
+    kilo-band. The homogeneity-attack gate k-anonymity misses — a
+    class can have >= k rows that all share one sensitive value. Same
+    scale shape as k_anonymity: one hash agg to the class table (the
+    count-distinct adds a partial dedup), scalar-state summary."""
+    from gbif_filter_python_spark.operators.profile import l_diversity
+
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    return l_diversity(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", l=4
+    )
+
+
+def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (operators/ranking.py::rbo_overlap, Webber
+    TOIS 2010) between two per-brand part rankings — by retail price
+    vs by size (p_partkey tiebreak), p=0.9, depth 10: the retriever
+    change-detection metric (how top-weighted-similar are two ranked
+    lists). The closed-form tail-weight table is driver-computed and
+    embedded as identical literals in BOTH engines; one equi-join of
+    two depth-truncated lists, one per-query sum."""
+    from gbif_filter_python_spark.operators.ranking import rbo_overlap
+
+    p = _t(spark, sf, "part")
+    w_price = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    w_size = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_size"), F.asc("p_partkey")
+    )
+    by_price = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("doc_id"),
+        F.row_number().over(w_price).alias("rank"),
+    )
+    by_size = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("doc_id"),
+        F.row_number().over(w_size).alias("rank"),
+    )
+    return rbo_overlap(by_price, by_size, p=0.9, depth=10).select(
+        F.col("query_id").alias("p_brand"), "n_common", "rbo"
+    )
+
+
+def q_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators/similarity.py::
+    kcenter_coreset, Gonzalez 1985 farthest-first) over the first
+    2 000 embedding vectors, k=8, as a FULL DIFFERENTIAL ORACLE ROW:
+    the distributed trainer (k argmax jobs, centers as broadcast
+    literals, ONE row collected per step) runs against the
+    independent pure-Python replay (ref_kcenter — same left-to-right
+    summation order, so every radius double matches BIT-EXACTLY).
+    The id cap bounds the replay, not the operator; the Spark side is
+    k full-scan aggregations at any corpus size. Oracle states the
+    SQL-knowable frame: 8 (step, true) rows."""
+    from gbif_filter_python_spark.operators.similarity import (
+        kcenter_coreset,
+        ref_kcenter,
+    )
+
+    k = 8
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+    got = [
+        (r["step"], r["vec_id"], r["radius"])
+        for r in kcenter_coreset(emb, k=k).orderBy("step").collect()
+    ]
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    want = ref_kcenter(rows, k)
+    ok_len = len(got) == len(want) == k
+    return spark.createDataFrame(
+        [(i, bool(ok_len and got[i] == want[i])) for i in range(k)],
+        "step int, match boolean",
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4724,6 +4810,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "cosine_topk": q_cosine_topk,
         "near_dup_exact": q_near_dup_exact,
+        # -- round-6 additions --------------------------------------
+        "l_diversity": q_l_diversity,
+        "rbo_rankings": q_rbo_rankings,
+        "kcenter_coreset": q_kcenter_coreset,
     }
 
 
@@ -4969,6 +5059,41 @@ def _lpa_oracle(n_iter: int = 4) -> str:
     return "".join(parts)
 
 
+def _rbo_oracle_sql(p: float = 0.9, depth: int = 10) -> str:
+    """DuckDB twin of q_rbo_rankings: same row_number rankings, full
+    outer join of the depth-truncated lists, and the SAME driver-
+    computed tail-weight doubles embedded via CAST('…' AS DOUBLE)
+    (string→double parse is exact, and a bare decimal literal would
+    bind as DECIMAL and change the arithmetic)."""
+    from gbif_filter_python_spark.operators.ranking import rbo_weights
+
+    ws = rbo_weights(p, depth)
+    cases = " ".join(
+        f"WHEN {m} THEN CAST('{w!r}' AS DOUBLE)"
+        for m, w in enumerate(ws, 1)
+    )
+    one_minus_p = repr(1.0 - p)
+    return (
+        "WITH pr AS (SELECT p_brand, p_partkey, row_number() OVER "
+        "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey "
+        "ASC) AS ra FROM part), "
+        "sz AS (SELECT p_brand, p_partkey, row_number() OVER "
+        "(PARTITION BY p_brand ORDER BY p_size DESC, p_partkey ASC) "
+        "AS rb FROM part), "
+        f"a AS (SELECT * FROM pr WHERE ra <= {depth}), "
+        f"b AS (SELECT * FROM sz WHERE rb <= {depth}), "
+        "j AS (SELECT COALESCE(a.p_brand, b.p_brand) AS p_brand, "
+        "a.ra AS ra, b.rb AS rb FROM a FULL JOIN b ON "
+        "a.p_brand = b.p_brand AND a.p_partkey = b.p_partkey) "
+        "SELECT p_brand, CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS "
+        "NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_common, "
+        f"round(CAST('{one_minus_p}' AS DOUBLE) * SUM(CASE WHEN ra IS "
+        "NOT NULL AND rb IS NOT NULL THEN CASE GREATEST(ra, rb) "
+        f"{cases} END ELSE CAST(0.0 AS DOUBLE) END), 6) AS rbo "
+        "FROM j GROUP BY 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from gbif_filter_python_spark.operators.spatial import (
         proximity_cell_deg,
@@ -5179,6 +5304,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, path, "
             "(SELECT rule_id FROM r WHERE starts_with(f.path, r.prefix) "
             "ORDER BY length(r.prefix) DESC LIMIT 1) AS rule_id FROM f"
+        ),
+        "l_diversity": (
+            "WITH cls AS (SELECT c_nationkey, c_mktsegment, "
+            "COUNT(*) AS class_size, "
+            "COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) "
+            "AS n_sensitive FROM customer GROUP BY 1, 2) "
+            "SELECT 4 AS l, CAST(SUM(class_size) AS BIGINT) AS n_rows, "
+            "COUNT(*) AS n_classes, "
+            "CAST(SUM(CASE WHEN n_sensitive < 4 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_violating_classes, "
+            "CAST(SUM(CASE WHEN n_sensitive < 4 THEN class_size "
+            "ELSE 0 END) AS BIGINT) AS n_rows_at_risk, "
+            "MIN(n_sensitive) AS min_diversity, "
+            "SUM(CASE WHEN n_sensitive < 4 THEN 1 ELSE 0 END) = 0 "
+            "AS is_l_diverse FROM cls"
+        ),
+        "rbo_rankings": _rbo_oracle_sql(),
+        "kcenter_coreset": (
+            "SELECT CAST(range AS INT) AS step, true AS match "
+            "FROM range(8)"
         ),
         "k_anonymity": (
             "WITH cls AS (SELECT c_nationkey, c_mktsegment, "

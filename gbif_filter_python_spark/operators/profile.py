@@ -754,6 +754,63 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    mode: str = "summary",
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al., TKDD 2007)
+    — the companion gate to :func:`k_anonymity`: a table can be
+    k-anonymous and still leak (every row of a class sharing the SAME
+    sensitive value is a homogeneity attack); each equivalence class
+    over ``quasi_cols`` must contain at least ``l`` DISTINCT non-null
+    values of ``sensitive_col``. The reference has no governance
+    surface at all (its outputs are raw GBIF occurrence dumps); a
+    training-data pipeline shipping de-identified extracts needs both
+    gates.
+
+    NULL semantics, explicit: NULL quasi-values group together (same
+    as k_anonymity — a NULL quasi-tuple still identifies its rows);
+    a NULL sensitive value is NOT a value (``count(distinct x)``
+    skips nulls in both engines), so an all-null class has diversity
+    0 and always violates.
+
+    ``mode="summary"`` → ONE row: (l, n_rows, n_classes,
+    n_violating_classes, n_rows_at_risk, min_diversity,
+    is_l_diverse). ``mode="classes"`` → the violating classes
+    (quasi..., class_size, n_sensitive) for remediation.
+
+    Scale shape: identical to k_anonymity — one hash aggregation
+    (count-distinct adds a partial-dedup pass under AQE) to the class
+    table, then a scalar-state summary; only (class, counts) rows
+    ever shuffle.
+    """
+    if mode not in ("summary", "classes"):
+        raise ValueError(f"mode must be summary|classes, got {mode!r}")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    viol = F.col("n_sensitive") < l
+    if mode == "classes":
+        return classes.filter(viol)
+    return classes.agg(
+        F.lit(l).alias("l"),
+        F.sum("class_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(viol.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("class_size")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n_sensitive").alias("min_diversity"),
+        (F.sum(viol.cast("long")) == 0).alias("is_l_diverse"),
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

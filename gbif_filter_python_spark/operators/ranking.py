@@ -287,3 +287,72 @@ def retrieval_metrics(
             round_dp,
         ).alias("rr_at_k"),
     )
+
+
+def rbo_weights(p: float, depth: int) -> list[float]:
+    """The per-first-agreement-depth weight table RBO reduces to (see
+    :func:`rbo_overlap`): a doc whose worse rank across the two lists
+    is ``m`` contributes ``sum_{d=m}^{depth} p^(d-1)/d`` to the
+    pre-(1-p) sum. Driver-computed once (``depth`` doubles) and
+    embedded as literals in BOTH engines, so cross-engine replay is
+    exact at the bit level."""
+    return [
+        sum(p ** (d - 1) / d for d in range(m, depth + 1))
+        for m in range(1, depth + 1)
+    ]
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    p: float = 0.9,
+    depth: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap between two per-query rankings (Webber,
+    Moffat & Zobel, TOIS 2010) truncated at ``depth`` — the standard
+    top-weighted similarity for comparing retrievers (how much did
+    the ranking change when we swapped BM25 for the hybrid fuser?),
+    indefinite on ties and robust to non-conjoint lists.
+
+    Definition: ``RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |A_d ∩ B_d| / d``
+    with ``A_d`` the depth-d prefix. Set-at-a-time reformulation
+    (no per-depth pass): a doc appearing in BOTH prefixes first does
+    so at depth ``m = max(rank_a, rank_b)``, after which it is in
+    every deeper intersection — so it contributes the closed-form
+    tail weight ``W[m] = sum_{d=m..D} p^(d-1)/d`` and
+    ``RBO@D = (1-p) * sum over joined docs of W[max(ra, rb)]``.
+    One equi-join of two depth-truncated lists on (query, doc), one
+    ``element_at`` lookup into the literal weight array, one per-query
+    sum — |queries|×depth rows end to end, never the corpus.
+
+    Returns ``(query_id, n_common, rbo)``; queries present in either
+    input always appear (RBO 0.0 with no common docs — the
+    full-disagreement score, not a dropped row).
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    weights = F.array(*[F.lit(w) for w in rbo_weights(p, depth)])
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.filter(F.col(rank_col) <= depth).select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias(f"_r{tag}"),
+        )
+
+    joined = side(a, "a").join(side(b, "b"), ["query_id", "doc_id"], "full")
+    contrib = F.when(
+        F.col("_ra").isNotNull() & F.col("_rb").isNotNull(),
+        F.element_at(weights, F.greatest("_ra", "_rb")),
+    ).otherwise(F.lit(0.0))
+    both = F.col("_ra").isNotNull() & F.col("_rb").isNotNull()
+    return joined.groupBy("query_id").agg(
+        F.sum(both.cast("int")).cast("int").alias("n_common"),
+        F.round((1.0 - p) * F.sum(contrib), round_dp).alias("rbo"),
+    )

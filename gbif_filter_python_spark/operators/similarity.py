@@ -745,3 +745,102 @@ def pq_search(
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-first traversal,
+    Gonzalez 1985; the diversity-sampling backbone of coreset-based
+    data selection for training runs — pick the k most
+    mutually-distant examples so a budgeted fine-tuning set covers
+    the embedding space, a 2-approximation of the optimal k-center
+    cover): seed with the lowest-id vector, then repeatedly add the
+    point whose distance to its NEAREST chosen center is largest
+    (ties by lowest id).
+
+    Returns ``(step, vec_id, radius)`` — step 0 is the seed (radius
+    0.0); step i's radius is the selected point's min squared L2
+    distance over the i previously-chosen centers, i.e. the covering
+    radius trace (monotone non-increasing from step 2 on for exact
+    arithmetic over a fixed set).
+
+    Scale shape: k bounded-size jobs. Each iteration broadcasts the
+    chosen centers as LITERALS into one full-scan argmax (per-row min
+    over k center distances is a k×dim expression tree — all JVM
+    arithmetic inside codegen, no UDF), and collects exactly ONE row.
+    Model state is k×dim driver doubles — the kmeans_fit/BPE-merge
+    collect discipline, never data rows. Each job re-reads the scan
+    independently; lineage does not grow.
+
+    Determinism: squared distance folds left-to-right over the vector
+    (``F.aggregate``), so a pure-Python replay adding terms in the
+    same order reproduces every double BIT-EXACTLY — the
+    differential-oracle contract (same discipline as bpe.ref_learn_bpe).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pts = df.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).alias("_kv")
+    )
+
+    def sqdist_to(center: list[float]):
+        lit = F.array(*[F.lit(float(c)) for c in center])
+        return F.aggregate(
+            F.zip_with(F.col("_kv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed = pts.orderBy(F.asc("_kid")).limit(1).collect()[0]
+    centers: list[tuple] = [(0, seed["_kid"], 0.0)]
+    center_vecs: list[list[float]] = [list(seed["_kv"])]
+    for step in range(1, k):
+        min_dist = F.least(*[sqdist_to(c) for c in center_vecs]) if len(
+            center_vecs
+        ) > 1 else sqdist_to(center_vecs[0])
+        far = (
+            pts.select("_kid", "_kv", min_dist.alias("_d"))
+            .orderBy(F.desc("_d"), F.asc("_kid"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((step, far["_kid"], float(far["_d"])))
+        center_vecs.append(list(far["_kv"]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        centers, "step int, vec_id long, radius double"
+    )
+
+
+def ref_kcenter(
+    rows: list[tuple[int, list[float]]], k: int
+) -> list[tuple[int, int, float]]:
+    """Straight-line pure-Python replay of :func:`kcenter_coreset`
+    (the differential oracle): same seed, same left-to-right
+    summation order, same (max dist, min id) tie-break — every
+    returned double must equal the Spark result bit-for-bit."""
+    rows = sorted(rows)
+    seed_id, seed_v = rows[0]
+    out = [(0, seed_id, 0.0)]
+    centers = [seed_v]
+    for step in range(1, k):
+        best_id, best_d = None, -1.0
+        for rid, v in rows:
+            dmin = None
+            for c in centers:
+                s = 0.0
+                for a, b in zip(v, c):
+                    s += (a - b) * (a - b)
+                if dmin is None or s < dmin:
+                    dmin = s
+            if dmin > best_d or (dmin == best_d and (
+                best_id is None or rid < best_id
+            )):
+                best_id, best_d = rid, dmin
+        out.append((step, best_id, best_d))
+        centers.append(dict(rows)[best_id])
+    return out

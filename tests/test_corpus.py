@@ -1510,3 +1510,45 @@ class TestMlmMask:
         assert r.n_masked == 0 and r.masked_text == ""
         with _p.raises(ValueError, match="mask_prob"):
             mlm_mask(df, 0.0)
+
+
+class TestLDiversity:
+    def test_summary_and_classes(self, spark):
+        from gbif_filter_python_spark.operators.profile import l_diversity
+
+        rows = (
+            # diverse class: 3 distinct diagnoses
+            [("US", "flu"), ("US", "cold"), ("US", "ok")]
+            # homogeneous class: k-anonymous (3 rows) but 1 value —
+            # the homogeneity attack l-diversity exists to catch
+            + [("DE", "flu")] * 3
+            # all-null sensitive: diversity 0 (NULL is not a value)
+            + [("FR", None)] * 2
+        )
+        df = spark.createDataFrame(rows, "country string, dx string")
+        s = l_diversity(df, ["country"], "dx", l=2).first()
+        assert s["n_rows"] == 8 and s["n_classes"] == 3
+        assert s["n_violating_classes"] == 2  # DE (1 value), FR (0)
+        assert s["n_rows_at_risk"] == 5
+        assert s["min_diversity"] == 0
+        assert not s["is_l_diverse"]
+        cls = l_diversity(df, ["country"], "dx", l=2, mode="classes")
+        got = {r["country"]: (r["class_size"], r["n_sensitive"])
+               for r in cls.collect()}
+        assert got == {"DE": (3, 1), "FR": (2, 0)}
+
+    def test_diverse_table_passes_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.profile import l_diversity
+
+        df = spark.createDataFrame(
+            [("x", "a"), ("x", "b"), ("y", "a"), ("y", "c")],
+            "qi string, sens string",
+        )
+        s = l_diversity(df, ["qi"], "sens", l=2).first()
+        assert s["is_l_diverse"] and s["min_diversity"] == 2
+        with _p.raises(ValueError, match="mode"):
+            l_diversity(df, ["qi"], "sens", mode="wat")
+        with _p.raises(ValueError, match="l must"):
+            l_diversity(df, ["qi"], "sens", l=0)

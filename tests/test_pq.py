@@ -153,3 +153,53 @@ class TestPQSearch:
                 / (np.linalg.norm(qv) * np.linalg.norm(raw[r.vec_id]))
             )
             assert r.cosine == pytest.approx(exact, abs=1e-9)
+
+
+class TestKcenterCoreset:
+    def _vecs(self, n=40, dim=6):
+        # deterministic spread-out vectors with one far outlier
+        rows = []
+        for i in range(n):
+            v = [((i * 31 + j * 17) % 97) / 97.0 for j in range(dim)]
+            rows.append((i, v))
+        rows.append((n, [50.0] * dim))  # the obvious first pick
+        return rows
+
+    def test_bit_exact_vs_replay(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            kcenter_coreset,
+            ref_kcenter,
+        )
+
+        rows = self._vecs()
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = [
+            (r["step"], r["vec_id"], r["radius"])
+            for r in kcenter_coreset(df, k=6).orderBy("step").collect()
+        ]
+        assert got == ref_kcenter(rows, 6)
+        # seed is the lowest id; the outlier is picked first after it
+        assert got[0] == (0, 0, 0.0)
+        assert got[1][1] == rows[-1][0]
+        # covering-radius trace is non-increasing after the first pick
+        radii = [g[2] for g in got[1:]]
+        assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+    def test_k_one_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.similarity import (
+            kcenter_coreset,
+        )
+
+        df = spark.createDataFrame(
+            [(3, [1.0]), (7, [2.0])], "vec_id long, embedding array<double>"
+        )
+        out = kcenter_coreset(df, k=1).collect()
+        assert [(r["step"], r["vec_id"], r["radius"]) for r in out] == [
+            (0, 3, 0.0)
+        ]
+        with _p.raises(ValueError, match="k must"):
+            kcenter_coreset(df, k=0)

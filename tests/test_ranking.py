@@ -180,3 +180,69 @@ class TestRetrievalMetrics:
         qrels = spark.createDataFrame([(1, 22)], "query_id int, doc_id int")
         out = retrieval_metrics(results, qrels, k=5).first()
         assert out["n_hits"] == 0 and out["rr_at_k"] == 0.0
+
+
+class TestRbo:
+    def _rank_df(self, spark, data):
+        return spark.createDataFrame(
+            data, "query_id long, doc_id long, rank int"
+        )
+
+    def test_identical_rankings_closed_form(self, spark):
+        """Conjoint identical lists truncated at depth D score
+        (1-p)*sum p^(d-1) = 1 - p^D exactly."""
+        from gbif_filter_python_spark.operators.ranking import rbo_overlap
+
+        a = self._rank_df(
+            spark, [(1, d, r) for r, d in enumerate(range(100, 110), 1)]
+        )
+        got = rbo_overlap(a, a, p=0.9, depth=10).first()
+        assert got["n_common"] == 10
+        assert got["rbo"] == round(1 - 0.9 ** 10, 6)
+
+    def test_disjoint_rankings_zero_not_dropped(self, spark):
+        from gbif_filter_python_spark.operators.ranking import rbo_overlap
+
+        a = self._rank_df(spark, [(1, 1, 1), (1, 2, 2)])
+        b = self._rank_df(spark, [(1, 8, 1), (1, 9, 2)])
+        got = rbo_overlap(a, b, p=0.9, depth=10).first()
+        assert got["n_common"] == 0 and got["rbo"] == 0.0
+
+    def test_matches_per_depth_brute_force(self, spark):
+        """The closed-form tail-weight reformulation must equal the
+        definitional per-depth prefix-intersection sum."""
+        from gbif_filter_python_spark.operators.ranking import rbo_overlap
+
+        ra = {1: [5, 3, 9, 7, 1], 2: [10, 11, 12]}
+        rb = {1: [3, 5, 7, 2, 9], 2: [12, 13, 10]}
+        p, depth = 0.8, 4
+        a = self._rank_df(
+            spark,
+            [(q, d, r) for q, ds in ra.items()
+             for r, d in enumerate(ds, 1)],
+        )
+        b = self._rank_df(
+            spark,
+            [(q, d, r) for q, ds in rb.items()
+             for r, d in enumerate(ds, 1)],
+        )
+        got = {r["query_id"]: r["rbo"]
+               for r in rbo_overlap(a, b, p=p, depth=depth).collect()}
+        for q in ra:
+            brute = (1 - p) * sum(
+                p ** (d - 1)
+                * len(set(ra[q][:d]) & set(rb[q][:d])) / d
+                for d in range(1, depth + 1)
+            )
+            assert got[q] == round(brute, 6)
+
+    def test_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.ranking import rbo_overlap
+
+        a = self._rank_df(spark, [(1, 1, 1)])
+        with _p.raises(ValueError, match="p must"):
+            rbo_overlap(a, a, p=1.0)
+        with _p.raises(ValueError, match="depth"):
+            rbo_overlap(a, a, depth=0)
