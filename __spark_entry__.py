@@ -4566,6 +4566,19 @@ def q_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/corpus.py::zipf_fit) over
+    the top-500 vocabulary head: one-row (n, slope, intercept, r2)
+    log-log OLS — the corpus health check (natural text ≈ slope −1;
+    template/generated corpora bend it). Scale-honest: global top-k
+    is a TakeOrderedAndProject merge (no vocabulary sort), the rank
+    window spans only the 500-row head, and the fit reuses
+    linear_trend's spelled-out sufficient-statistic closed form."""
+    from gbif_filter_python_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_k=500)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4814,6 +4827,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "rbo_rankings": q_rbo_rankings,
         "kcenter_coreset": q_kcenter_coreset,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -5321,6 +5335,31 @@ def oracle_sql() -> dict[str, str]:
             "AS is_l_diverse FROM cls"
         ),
         "rbo_rankings": _rbo_oracle_sql(),
+        "zipf_fit": (
+            f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w "
+            f"FROM (SELECT {_NORM} AS t FROM documents) WHERE t <> ''), "
+            "u AS (SELECT unnest(w) AS term FROM w), "
+            "v AS (SELECT term, count(*) AS freq FROM u GROUP BY 1), "
+            "h AS (SELECT term, freq FROM v "
+            "ORDER BY freq DESC, term ASC LIMIT 500), "
+            "p AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq "
+            "DESC, term ASC) AS DOUBLE)) AS x, "
+            "ln(CAST(freq AS DOUBLE)) AS y FROM h), "
+            "a AS (SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS "
+            "nd, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, "
+            "SUM(x*x) AS sxx, SUM(y*y) AS syy FROM p) "
+            "SELECT n, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(nd*sxy - sx*sy) / (nd*sxx - sx*sx) END, 6) AS slope, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd "
+            "END, 6) AS intercept, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 "
+            "AND nd*syy - sy*sy != 0 THEN "
+            "((nd*sxy - sx*sy) * (nd*sxy - sx*sy)) / "
+            "((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END, 6) AS r2 "
+            "FROM a"
+        ),
         "kcenter_coreset": (
             "SELECT CAST(range AS INT) AS step, true AS match "
             "FROM range(8)"

@@ -1386,3 +1386,53 @@ def mlm_mask(
         F.size(targets).cast("int").alias("n_masked"),
         targets.alias("targets"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary head — the
+    one-row corpus health check (a natural-language corpus shows
+    slope ≈ −1 on the log-log rank/frequency line, Zipf 1949;
+    machine-generated or template-heavy corpora bend it, which makes
+    the slope a cheap generated-text / corpus-shift detector next to
+    the per-doc quality heuristics).
+
+    Fit is over the TOP ``top_k`` ranks only — the head is where
+    Zipf's law holds (the hapax tail always deviates), and it is what
+    keeps the operator scale-honest: the global (freq desc, term asc)
+    top-k runs as per-partition partial top-k merged on the driver
+    plan side (Spark's TakeOrderedAndProject — no global sort, no
+    single-task vocabulary shuffle), and the only unpartitioned
+    window (the rank row_number) runs over the k-row head, bounded
+    model state by construction.
+
+    Returns ONE row ``(n, slope, intercept, r2)`` via
+    :func:`~gbif_filter_python_spark.operators.profile.linear_trend`
+    on (ln rank, ln freq) — same spelled-out OLS sufficient-statistic
+    closed form, same 6dp cross-engine contract.
+
+    Scale shape: one staged words projection + explode, one hash
+    aggregation to the vocabulary, top-k merge, then arithmetic over
+    k rows.
+    """
+    from gbif_filter_python_spark.operators.profile import linear_trend
+
+    if top_k < 3:
+        raise ValueError(f"top_k must be >= 3 to fit a line, got {top_k}")
+    terms = docs.select(F.explode(_words(F.col(text_col))).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    head = vocab.orderBy(F.desc("freq"), F.asc("term")).limit(top_k)
+    rank_w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    pts = (
+        head.withColumn("rank", F.row_number().over(rank_w))
+        .select(
+            F.lit(1).alias("_g"),
+            F.log(F.col("rank").cast("double")).alias("_lx"),
+            F.log(F.col("freq").cast("double")).alias("_ly"),
+        )
+    )
+    return linear_trend(pts, ["_g"], "_lx", "_ly", round_dp).drop("_g")

@@ -15,6 +15,7 @@ Reference contracts:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,10 +118,9 @@ def write_csv(
     out = df
     # CSV cannot hold arrays — serialize them (SURVEY.md §2-H).
     if legacy_array_format:
-        import pandas as pd  # local: only the legacy path needs it
 
-        @F.pandas_udf("string", F.PandasUDFType.SCALAR)
-        def _pyrepr(s):
+        @F.pandas_udf("string")
+        def _pyrepr(s: pd.Series) -> pd.Series:
             return s.map(
                 lambda v: None if v is None else repr(
                     [x if x is None else str(x) for x in v]

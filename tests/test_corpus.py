@@ -1552,3 +1552,47 @@ class TestLDiversity:
             l_diversity(df, ["qi"], "sens", mode="wat")
         with _p.raises(ValueError, match="l must"):
             l_diversity(df, ["qi"], "sens", l=0)
+
+
+class TestZipfFit:
+    def test_matches_manual_ols(self, spark):
+        """Slope/intercept/r2 equal the textbook OLS over
+        (ln rank, ln freq) computed independently in the test."""
+        import math
+
+        from gbif_filter_python_spark.operators.corpus import zipf_fit
+
+        # freq: a=4, b=3, c=2, d=1 (ranks 1..4 by freq desc, term asc)
+        docs = spark.createDataFrame(
+            [(1, "a a b c"), (2, "a b d"), (3, "a b c")],
+            "doc_id long, text string",
+        )
+        got = zipf_fit(docs, top_k=10).first()
+        pts = [(math.log(r), math.log(f))
+               for r, f in [(1, 4.0), (2, 3.0), (3, 2.0), (4, 1.0)]]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r2 = ((n * sxy - sx * sy) ** 2
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        assert got["n"] == 4
+        assert got["slope"] == round(slope, 6)
+        assert got["intercept"] == round(intercept, 6)
+        assert got["r2"] == round(r2, 6)
+        assert got["slope"] < 0  # frequency falls with rank
+
+    def test_top_k_truncation_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.corpus import zipf_fit
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c d e f")], "doc_id long, text string"
+        )
+        got = zipf_fit(docs, top_k=3).first()
+        assert got["n"] == 3  # head only: a, b, then tie broken by term
+        with _p.raises(ValueError, match="top_k"):
+            zipf_fit(docs, top_k=2)

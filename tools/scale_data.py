@@ -147,16 +147,26 @@ def scale_dir(spark, src: str, out: str, copies: int) -> dict:
 
     # embeddings: cyclic rotation decorrelates cross-replica cosine
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb_dim = len(emb.select("embedding").first()["embedding"])
 
     def emb_exprs(d, i):
         v = F.col("embedding")
+        # Rotation wraps at the vector dim (a replica count above dim
+        # would ask slice() for a negative length); each full wrap
+        # flips sign so replica `dim` is the NEGATION of replica 0
+        # (cosine -1), never an exact twin — near-dup structure stays
+        # linear in corpus size at any copy count.
+        dim = emb_dim
+        r = i % dim
         rot = (
             v
-            if i == 0
+            if r == 0
             else F.concat(
-                F.slice(v, i + 1, F.size(v) - i), F.slice(v, 1, i)
+                F.slice(v, r + 1, F.size(v) - r), F.slice(v, 1, r)
             )
         )
+        if (i // dim) % 2 == 1:
+            rot = F.transform(rot, lambda x: -x)
         out_cols = []
         for c in d.columns:
             if c == "vec_id":
