@@ -4579,6 +4579,48 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_fit(_t(spark, sf, "documents"), top_k=500)
 
 
+def q_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators/corpus.py::
+    heaps_fit) over document-count prefixes [64, 128, 256, 500]:
+    one-row (n, slope, intercept, r2) log-log OLS where slope is the
+    Heaps β — zipf_fit's companion corpus health check. The whole
+    cutoff ladder costs TWO aggregations (per-term first-appearance
+    doc, then one |vocab|-row pass summing first_doc < cutoff), never
+    one count-distinct per cutoff."""
+    from gbif_filter_python_spark.operators.corpus import heaps_fit
+
+    return heaps_fit(
+        _t(spark, sf, "documents"), cutoffs=[64, 128, 256, 500]
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram / ECE terms (operators/classify.py::
+    calibration_bins, Guo ICML'17): scores and labels are
+    CALIBRATED BY CONSTRUCTION from two independent md5 buckets —
+    score = bucket_s/10⁴, label = (bucket_y < bucket_s), an integer
+    compare so both engines replay it exactly — making the per-bin
+    rate track conf and the gaps small but nonzero (finite-sample
+    noise). One hash agg to ≤10 bin rows + a broadcast 1-row total."""
+    from gbif_filter_python_spark.operators.classify import (
+        calibration_bins,
+        md5_bucket,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    sb = md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":cal_s")), 10_000
+    )
+    yb = md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":cal_y")), 10_000
+    )
+    scored = d.select(
+        (sb / 10_000.0).alias("score"),
+        (yb < sb).cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4828,6 +4870,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rankings": q_rbo_rankings,
         "kcenter_coreset": q_kcenter_coreset,
         "zipf_fit": q_zipf_fit,
+        "heaps_fit": q_heaps_fit,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -5335,6 +5379,49 @@ def oracle_sql() -> dict[str, str]:
             "AS is_l_diverse FROM cls"
         ),
         "rbo_rankings": _rbo_oracle_sql(),
+        "calibration_bins": (
+            "WITH s AS (SELECT "
+            "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+            "':cal_s'), 1, 8))::BIGINT % 10000) AS sb, "
+            "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+            "':cal_y'), 1, 8))::BIGINT % 10000) AS yb FROM documents), "
+            "r AS (SELECT CAST(sb AS DOUBLE) / 10000.0 AS score, "
+            "CASE WHEN yb < sb THEN 1.0 ELSE 0.0 END AS y FROM s), "
+            "pb AS (SELECT LEAST(CAST(floor(score * 10) AS INT), 9) "
+            "AS bin, COUNT(*) AS n, SUM(score) AS ss, SUM(y) AS sy "
+            "FROM r GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM pb) "
+            "SELECT bin, n, round(ss / n, 6) AS conf, "
+            "round(sy / n, 6) AS rate, "
+            "round(abs(sy / n - ss / n), 6) AS gap, "
+            "round((n / nt) * abs(sy / n - ss / n), 6) AS weighted_gap "
+            "FROM pb, t"
+        ),
+        "heaps_fit": (
+            f"WITH w AS (SELECT doc_id, regexp_split_to_array(t, ' ') "
+            f"AS w FROM (SELECT doc_id, {_NORM} AS t FROM documents) "
+            "WHERE t <> ''), "
+            "u AS (SELECT doc_id, unnest(w) AS term FROM w), "
+            "fv AS (SELECT term, min(doc_id) AS fd FROM u GROUP BY 1), "
+            "lad AS (SELECT c, (SELECT count(*) FROM fv WHERE fd < c) "
+            "AS v FROM (SELECT unnest([64, 128, 256, 500]) AS c)), "
+            "p AS (SELECT ln(CAST(c AS DOUBLE)) AS x, "
+            "ln(CAST(v AS DOUBLE)) AS y FROM lad WHERE v > 0), "
+            "a AS (SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS "
+            "nd, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, "
+            "SUM(x*x) AS sxx, SUM(y*y) AS syy FROM p) "
+            "SELECT n, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(nd*sxy - sx*sy) / (nd*sxx - sx*sx) END, 6) AS slope, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 THEN "
+            "(sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd "
+            "END, 6) AS intercept, "
+            "round(CASE WHEN nd*sxx - sx*sx != 0 "
+            "AND nd*syy - sy*sy != 0 THEN "
+            "((nd*sxy - sx*sy) * (nd*sxy - sx*sy)) / "
+            "((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END, 6) AS r2 "
+            "FROM a"
+        ),
         "zipf_fit": (
             f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w "
             f"FROM (SELECT {_NORM} AS t FROM documents) WHERE t <> ''), "

@@ -681,3 +681,67 @@ def target_encode(
         # of dropping out of the inner join
         & rows[category_col].eqNullSafe(enc["_ecat"]),
     ).select(*df.columns, rows["_fold"], out_col)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error terms (Guo et
+    al., ICML 2017 formulation of ECE over equal-width confidence
+    bins) — the calibration check for any quality/relevance
+    classifier this package trains or imports (:func:`isotonic_
+    calibrate` is the FIX for miscalibration; this is the MEASURE).
+
+    Scores in [0, 1] bin by ``least(floor(s·B), B−1)`` (so s = 1.0
+    lands in the last bin, the standard convention); per bin:
+    ``(bin, n, conf, rate, gap, weighted_gap)`` where conf is the
+    mean score, rate the empirical positive rate, gap ``|rate −
+    conf|`` and weighted_gap ``n/N · gap`` — ECE is the sum of the
+    weighted_gap column (left to the caller/SQL so the per-bin frame
+    stays the oracle surface). NULL scores or labels are excluded
+    pairwise; empty bins are absent (they contribute 0 to ECE).
+
+    Scale shape: ONE hash aggregation to ≤ B rows (map-side
+    combined), then a broadcast of the 1-row total for the weights —
+    the fact is scanned once, nothing but bin partials shuffles.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            F.least(
+                F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+            ).alias("bin"),
+            s.alias("_s"),
+            y.alias("_y"),
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_y").alias("_sy"),
+    )
+    total = per_bin.agg(F.sum("n").alias("_nt"))
+    conf = F.col("_ss") / F.col("n")
+    rate = F.col("_sy") / F.col("n")
+    gap = F.abs(rate - conf)
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.round(conf, round_dp).alias("conf"),
+            F.round(rate, round_dp).alias("rate"),
+            F.round(gap, round_dp).alias("gap"),
+            F.round((F.col("n") / F.col("_nt")) * gap, round_dp).alias(
+                "weighted_gap"
+            ),
+        )
+    )

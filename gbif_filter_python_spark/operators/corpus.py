@@ -1436,3 +1436,72 @@ def zipf_fit(
         )
     )
     return linear_trend(pts, ["_g"], "_lx", "_ly", round_dp).drop("_g")
+
+
+def heaps_fit(
+    docs: DataFrame,
+    cutoffs: list[int],
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978) — the companion
+    corpus health check to :func:`zipf_fit`: distinct vocabulary V(N)
+    grows ~ K·N^β (β ≈ 0.4–0.6 for natural text) as the corpus
+    prefix N grows; a template-generated corpus saturates early and
+    bends the log-log line.
+
+    V(N) = |{terms first appearing in a doc with id < N}| — so the
+    WHOLE ladder of cutoffs costs TWO aggregations total, not one
+    count-distinct per cutoff: (1) explode words → per-term
+    ``min(doc_id)`` (the term's first appearance — one hash agg,
+    map-side combined); (2) one pass over the vocabulary table
+    computing every ladder count as ``sum(first_doc < cutoff)``.
+    The fit is :func:`~gbif_filter_python_spark.operators.profile.
+    linear_trend` over (ln N, ln V(N)) — β is the slope. Returns ONE
+    row ``(n, slope, intercept, r2)``.
+
+    Scale shape: the fact is scanned once; only (term, first_doc)
+    rows shuffle; the ladder aggregate is a single |vocab|-row pass
+    to a 1-row frame; the OLS runs over len(cutoffs) points driver-
+    free. Cutoffs are doc-id prefixes — with contiguous ids this is
+    "the first N documents" exactly.
+    """
+    from gbif_filter_python_spark.operators.profile import linear_trend
+
+    if len(cutoffs) < 3:
+        raise ValueError(
+            f"need >= 3 cutoffs to fit a line, got {len(cutoffs)}"
+        )
+    if sorted(set(cutoffs)) != sorted(cutoffs):
+        raise ValueError("cutoffs must be distinct")
+    first = (
+        docs.select(
+            F.col(doc_id_col).alias("_d"),
+            F.explode(_words(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("_d").alias("_first"))
+    )
+    ladder = first.agg(
+        *[
+            F.sum((F.col("_first") < c).cast("long")).alias(f"_v{i}")
+            for i, c in enumerate(cutoffs)
+        ]
+    )
+    pts_cols = []
+    for i, c in enumerate(cutoffs):
+        pts_cols.append(
+            F.struct(
+                F.log(F.lit(float(c))).alias("_lx"),
+                F.log(F.col(f"_v{i}").cast("double")).alias("_ly"),
+            )
+        )
+    pts = ladder.select(
+        F.explode(F.array(*pts_cols)).alias("_p")
+    ).select(
+        F.lit(1).alias("_g"),
+        F.col("_p._lx").alias("_lx"),
+        F.col("_p._ly").alias("_ly"),
+    )
+    return linear_trend(pts, ["_g"], "_lx", "_ly", round_dp).drop("_g")

@@ -446,3 +446,55 @@ class TestTargetEncode:
         enc_with = {r.key: r.target_enc for r in got}
         enc_without = {r.key: r.target_enc for r in without}
         assert all(enc_with[k] == enc_without[k] for k in enc_without)
+
+
+class TestCalibrationBins:
+    def test_bins_and_ece_terms(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            calibration_bins,
+        )
+
+        rows = [
+            # bin 0: scores 0.0, 0.05; labels 0, 1 -> conf .025 rate .5
+            (0.0, 0), (0.05, 1),
+            # bin 9 via the s=1.0 convention: 1.0 and 0.95, both 1
+            (1.0, 1), (0.95, 1),
+            # bin 5
+            (0.5, 0), (0.55, 1), (0.59, 0),
+        ]
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = {r["bin"]: r for r in
+               calibration_bins(df, "score", "label", 10).collect()}
+        assert set(got) == {0, 5, 9}
+        b0 = got[0]
+        assert b0["n"] == 2 and b0["conf"] == 0.025 and b0["rate"] == 0.5
+        assert b0["gap"] == 0.475
+        assert b0["weighted_gap"] == round(2 / 7 * 0.475, 6)
+        b9 = got[9]
+        assert b9["n"] == 2 and b9["rate"] == 1.0 and b9["conf"] == 0.975
+        # ECE = sum of weighted gaps; independently recomputed
+        ece = sum(r["weighted_gap"] for r in got.values())
+        want = sum(
+            (n / 7) * abs(rate - conf)
+            for n, conf, rate in [
+                (2, 0.025, 0.5), (2, 0.975, 1.0),
+                (3, (0.5 + 0.55 + 0.59) / 3, 1 / 3),
+            ]
+        )
+        assert abs(ece - want) < 2e-6
+
+    def test_null_exclusion_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.classify import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(0.5, 1), (None, 1), (0.5, None)],
+            "score double, label int",
+        )
+        got = calibration_bins(df, "score", "label", 10).collect()
+        assert len(got) == 1 and got[0]["n"] == 1
+        with _p.raises(ValueError, match="n_bins"):
+            calibration_bins(df, "score", "label", 0)

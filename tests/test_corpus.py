@@ -1596,3 +1596,54 @@ class TestZipfFit:
         assert got["n"] == 3  # head only: a, b, then tie broken by term
         with _p.raises(ValueError, match="top_k"):
             zipf_fit(docs, top_k=2)
+
+
+class TestHeapsFit:
+    def test_matches_manual_ols(self, spark):
+        """Ladder counts = |terms first seen below each cutoff|;
+        slope/intercept/r2 equal an independent manual OLS."""
+        import math
+
+        from gbif_filter_python_spark.operators.corpus import heaps_fit
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a c"), (2, "d"), (3, "a e f"),
+             (5, "g"), (7, "a b c")],
+            "doc_id long, text string",
+        )
+        cutoffs = [1, 2, 4, 8]
+        # V(1)={a,b}=2  V(2)={a,b,c}=3  V(4)={a..f}=6  V(8)={a..g}=7
+        vs = [2, 3, 6, 7]
+        got = heaps_fit(docs, cutoffs).first()
+        pts = [(math.log(float(c)), math.log(float(v)))
+               for c, v in zip(cutoffs, vs)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r2 = ((n * sxy - sx * sy) ** 2
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        assert got["n"] == 4
+        assert got["slope"] == round(slope, 6)
+        assert got["intercept"] == round(intercept, 6)
+        assert got["r2"] == round(r2, 6)
+        assert 0 < got["slope"] < 1  # vocabulary grows sublinearly
+
+    def test_zero_vocab_cutoff_excluded_and_validation(self, spark):
+        import pytest as _p
+
+        from gbif_filter_python_spark.operators.corpus import heaps_fit
+
+        docs = spark.createDataFrame(
+            [(10, "a b"), (11, "c"), (12, "d e")],
+            "doc_id long, text string",
+        )
+        # cutoff 5 is below every doc id -> V=0 -> ln NULL -> excluded
+        got = heaps_fit(docs, [5, 11, 12, 13]).first()
+        assert got["n"] == 3
+        with _p.raises(ValueError, match="cutoffs"):
+            heaps_fit(docs, [1, 2])
+        with _p.raises(ValueError, match="distinct"):
+            heaps_fit(docs, [1, 2, 2, 3])
