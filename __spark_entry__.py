@@ -4621,6 +4621,44 @@ def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
     return calibration_bins(scored, "score", "label", n_bins=10)
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaro-Winkler name similarity (operators/fuzzy.py::jaro_winkler,
+    Winkler 1990) over size-blocked part-name pairs. The oracle is
+    DuckDB's NATIVE jaro_winkler_similarity — a genuinely independent
+    second implementation (not a replay), so the greedy match-window /
+    transposition / prefix-bonus semantics are witnessed
+    cross-implementation at 6dp. Blocked equi-join only — the UDF
+    never sees a cross join."""
+    from gbif_filter_python_spark.operators.fuzzy import jaro_winkler
+
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_name", "p_size")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("_na"),
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("_nb"),
+        "p_size",
+    )
+    return (
+        a.join(b, "p_size")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                jaro_winkler(F.col("_na"), F.col("_nb")), 6
+            ).alias("jw"),
+        )
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4872,6 +4910,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "calibration_bins": q_calibration_bins,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
     }
 
 
@@ -5379,6 +5418,14 @@ def oracle_sql() -> dict[str, str]:
             "AS is_l_diverse FROM cls"
         ),
         "rbo_rankings": _rbo_oracle_sql(),
+        "jaro_winkler_pairs": (
+            "WITH p AS (SELECT p_partkey, p_name, p_size FROM part "
+            "WHERE p_partkey < 200) "
+            "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "round(jaro_winkler_similarity(a.p_name, b.p_name), 6) "
+            "AS jw FROM p a JOIN p b ON a.p_size = b.p_size "
+            "AND a.p_partkey < b.p_partkey"
+        ),
         "calibration_bins": (
             "WITH s AS (SELECT "
             "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "

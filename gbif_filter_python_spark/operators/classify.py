@@ -706,8 +706,10 @@ def calibration_bins(
     pairwise; empty bins are absent (they contribute 0 to ECE).
 
     Scale shape: ONE hash aggregation to ≤ B rows (map-side
-    combined), then a broadcast of the 1-row total for the weights —
-    the fact is scanned once, nothing but bin partials shuffles.
+    combined), then the total for the weights comes from a window
+    over those ≤ B aggregate rows — the fact is scanned ONCE (an
+    agg-then-join formulation would scan it twice), and nothing but
+    bin partials shuffles.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
@@ -728,20 +730,21 @@ def calibration_bins(
         F.sum("_s").alias("_ss"),
         F.sum("_y").alias("_sy"),
     )
-    total = per_bin.agg(F.sum("n").alias("_nt"))
+    # total over the ≤B aggregate rows — an unpartitioned window is a
+    # single task over B rows, bounded by construction; the
+    # alternative (per_bin.agg + crossJoin) re-scans the FACT for the
+    # second aggregation tree
+    total_w = Window.partitionBy()
     conf = F.col("_ss") / F.col("n")
     rate = F.col("_sy") / F.col("n")
     gap = F.abs(rate - conf)
-    return (
-        per_bin.crossJoin(F.broadcast(total))
-        .select(
-            "bin",
-            "n",
-            F.round(conf, round_dp).alias("conf"),
-            F.round(rate, round_dp).alias("rate"),
-            F.round(gap, round_dp).alias("gap"),
-            F.round((F.col("n") / F.col("_nt")) * gap, round_dp).alias(
-                "weighted_gap"
-            ),
-        )
+    return per_bin.select(
+        "bin",
+        "n",
+        F.round(conf, round_dp).alias("conf"),
+        F.round(rate, round_dp).alias("rate"),
+        F.round(gap, round_dp).alias("gap"),
+        F.round(
+            (F.col("n") / F.sum("n").over(total_w)) * gap, round_dp
+        ).alias("weighted_gap"),
     )

@@ -5,6 +5,7 @@ taxonomy fuzzy-candidate helper."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gbif_filter_python_spark.operators.fuzzy import (
     fuzzy_join,
@@ -248,3 +249,52 @@ class TestErMatchScores:
                 [{"col": "name", "kind": "soundex"}],
                 id_col="id",
             )
+
+
+class TestJaroWinkler:
+    def test_known_values(self):
+        from gbif_filter_python_spark.operators.fuzzy import (
+            jaro_winkler_py as jw,
+        )
+
+        assert abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12
+        assert abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12
+        assert abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12
+        assert abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-12
+        assert jw("ab", "ba") == 0.0  # window 0: no matches
+        assert jw("same", "same") == 1.0
+        assert jw("", "x") == 0.0 and jw("", "") == 0.0
+        assert jw(None, "x") is None and jw("x", None) is None
+        # strcmp95 conventions witnessed against DuckDB's native impl:
+        # boost threshold — jaro 2/3 <= 0.7, so the 4-char common
+        # prefix earns NO bonus
+        assert abs(jw("red bolt", "red gear") - 2 / 3) < 1e-12
+        # integer-halved transpositions: 3 differing matched positions
+        # count as t=1, not 1.5
+        assert abs(jw("large rod", "red gizmo") - 0.6370370370370371) < 1e-12
+
+    def test_prefix_bonus_capped_at_four(self):
+        from gbif_filter_python_spark.operators.fuzzy import (
+            jaro_winkler_py as jw,
+        )
+
+        # identical 6-char prefix: bonus must use l=4, not 6
+        a, b = "abcdefgh", "abcdefxy"
+        la = lb = 8
+        # independent jaro computation: 6 matches, 0 transpositions
+        jaro = (6 / la + 6 / lb + 1.0) / 3
+        assert abs(jw(a, b) - (jaro + 4 * 0.1 * (1 - jaro))) < 1e-12
+
+    def test_column_udf_matches_python(self, spark):
+        from gbif_filter_python_spark.operators.fuzzy import (
+            jaro_winkler,
+            jaro_winkler_py,
+        )
+
+        rows = [("martha", "marhta"), ("CRATE", "TRACE"),
+                ("abc", None), ("", "zz")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = df.select("a", "b", jaro_winkler(
+            F.col("a"), F.col("b")).alias("jw")).collect()
+        for r in got:
+            assert r["jw"] == jaro_winkler_py(r["a"], r["b"])

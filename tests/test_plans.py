@@ -634,3 +634,66 @@ def test_rank_stats_never_globally_sort_the_fact(spark, sf001_dir):
             assert "HashAggregate" in sub, (
                 "Sort consumes unaggregated input:\n" + plan
             )
+
+
+def test_mlm_mask_hashes_each_position_once(spark):
+    """ADVICE r5: Catalyst does no CSE inside higher-order-function
+    lambdas, so mlm_mask's per-position mask decision must be staged
+    into its own projection and referenced, not recomputed — exactly
+    ONE md5 in the physical plan (the old two-consumer form had 2,
+    doubling the dominant map-side cost)."""
+    from gbif_filter_python_spark.operators.corpus import mlm_mask
+
+    df = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    plan = explain_str(mlm_mask(df), "simple")
+    assert plan.count("md5") == 1
+
+
+def test_zipf_top_k_is_merge_not_global_sort(spark, sf001_dir):
+    """zipf_fit's vocabulary head must come from a per-partition
+    top-k merge (TakeOrderedAndProject), never a full vocabulary
+    Sort+Exchange — the difference between O(k) and O(|vocab|)
+    driver-side state at 100 TB."""
+    from gbif_filter_python_spark.operators.corpus import zipf_fit
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = explain_str(zipf_fit(docs, top_k=100), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_target_encode_grid_joins_broadcast(spark):
+    """target_encode's roll-ups and join-back must broadcast (the
+    grid is |cats x folds| — bounded model state); the fact shuffles
+    once for the grid aggregation and never again."""
+    from gbif_filter_python_spark.operators.classify import target_encode
+
+    df = spark.createDataFrame(
+        [(i, "c" + str(i % 3), float(i % 7)) for i in range(50)],
+        "key long, cat string, y double",
+    )
+    plan = explain_str(target_encode(df, "cat", "y", "key"), "simple")
+    assert has_broadcast_join(target_encode(df, "cat", "y", "key"))
+    # no sort-merge join anywhere in the encode plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_calibration_bins_single_scan_single_agg(spark):
+    """calibration_bins: one hash aggregation with map-side partial
+    combine, total from a window over the <=B aggregate rows — the
+    fact appears EXACTLY ONCE in the plan (the agg+crossJoin
+    formulation scanned it twice) and no join exists at all."""
+    from gbif_filter_python_spark.operators.classify import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(0.1 * i % 1.0, i % 2) for i in range(20)],
+        "score double, label int",
+    )
+    out = calibration_bins(df, "score", "label", 10)
+    plan = explain_str(out, "simple")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Join" not in plan
