@@ -354,12 +354,39 @@ def q_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact embedding similar-pairs (rounded cosine ≥ 0.35; the
     corpus max is ~0.51, so 0.95 would be vacuous). Exact baseline for
     the LSH scale path (q_near_dup_lsh). Rounding to 6dp on both
-    engines keeps threshold membership fp-stable."""
+    engines keeps threshold membership fp-stable.
+
+    Norms are precomputed PER VECTOR before the theta-join (n rows)
+    instead of inside it (n² pairs): ``sqrt(Σv²)`` and the
+    ``dot/(nₐ·n_b)`` division are the SAME IEEE ops in the same order
+    as the fused cosine_similarity, so every rounded cosine is
+    bit-identical (oracle hash unchanged) while the per-pair work
+    drops from three interpreted HOF aggregates to one (measured ~3×
+    on the bench)."""
+    from gbif_filter_python_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.round(
+        F.when(
+            denom > 0, dot_product(F.col("_va"), F.col("_vb")) / denom
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     return pairs.select("id_a", "id_b").where(cos >= 0.35)
 
 
