@@ -178,10 +178,21 @@ def brute_force_topk(
     per-query window + filter reduces to k rows per query before the
     exchange (rank pushes down as a WindowGroupLimit in Spark 3.5+).
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    # norms hoisted: corpus norm once per VECTOR (not per query pair),
+    # query norm once per probe — identical IEEE op order to the fused
+    # cosine_similarity, so scores are bit-identical
+    from gbif_filter_python_spark.functions.vectors import dot_product, l2_norm
+
+    c = corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
+    q = queries.withColumn("_qn", l2_norm(F.col(query_vec_col)))
+    denom = F.col("_cn") * F.col("_qn")
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.when(
+            denom > 0,
+            dot_product(F.col(vec_col), F.col(query_vec_col)) / denom,
+        ).otherwise(F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -231,10 +242,18 @@ def lsh_topk(
             ],
         )
         q = q.withColumn("_bucket", F.explode(probes))
+    from gbif_filter_python_spark.functions.vectors import dot_product, l2_norm
+
+    c = c.withColumn("_cn", l2_norm(F.col(vec_col)))
+    q = q.withColumn("_qn", l2_norm(F.col(query_vec_col)))
+    denom = F.col("_cn") * F.col("_qn")
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.when(
+            denom > 0,
+            dot_product(F.col(vec_col), F.col(query_vec_col)) / denom,
+        ).otherwise(F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -257,11 +276,21 @@ def ivf_assign(
     joins the query's n_probe nearest centroid ids against the
     assignment and scores only those cells.
     """
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    from gbif_filter_python_spark.functions.vectors import dot_product, l2_norm
+
+    c = corpus.withColumn("_vn", l2_norm(F.col(vec_col)))
+    cen = centroids.withColumn("_cn", l2_norm(F.col(centroid_vec_col)))
+    denom = F.col("_vn") * F.col("_cn")
+    scored = c.crossJoin(F.broadcast(cen)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(centroid_id_col),
-        cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)).alias("_sim"),
+        # norms hoisted per vector/centroid (not per pair); same IEEE
+        # op order as the fused cosine_similarity — bit-identical
+        F.when(
+            denom > 0,
+            dot_product(F.col(vec_col), F.col(centroid_vec_col)) / denom,
+        ).otherwise(F.lit(0.0)).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
     return (
