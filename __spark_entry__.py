@@ -4686,6 +4686,54 @@ def q_jaro_winkler_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_group_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type ROC-AUC (operators/profile.py::auc_by_group,
+    Mann-Whitney identity with tie-aware average ranks) of the value
+    column against a correlated-with-hash-noise label (positives at
+    80% above value 50, 20% below — AUC lands well off 0.5 so the
+    discrimination arithmetic is exercised, and both engines replay
+    the integer bucket compare exactly). Ranks from the
+    distinct-(group, score) aggregate — the fact is never globally
+    sorted."""
+    from gbif_filter_python_spark.operators.classify import md5_bucket
+    from gbif_filter_python_spark.operators.profile import auc_by_group
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    b = md5_bucket(
+        F.concat(F.col("event_id").cast("string"), F.lit(":auc")), 10_000
+    )
+    labeled = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.when(F.col("value") > 50, (b < 8000).cast("int"))
+        .otherwise((b < 2000).cast("int"))
+        .alias("label"),
+    )
+    return auc_by_group(labeled, "event_type", "value", "label")
+
+
+def q_kappa_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa (operators/profile.py::cohen_kappa) between two
+    deterministic pseudo-raters over documents: rater A bands
+    n_chars into 3 classes; rater B agrees except on a 20% hash
+    slice where it rotates the class — κ lands near 0.7 with exact
+    marginal arithmetic both engines replay. One scalar agg + two
+    marginal class tables; no |classes|² joint table."""
+    from gbif_filter_python_spark.operators.classify import md5_bucket
+    from gbif_filter_python_spark.operators.profile import cohen_kappa
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    a = (F.floor(F.col("n_chars") / 200) % 3).cast("long")
+    b = md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":kap")), 10_000
+    )
+    rated = d.select(
+        a.alias("rater_a"),
+        F.when(b < 2000, (a + 1) % 3).otherwise(a).alias("rater_b"),
+    )
+    return cohen_kappa(rated, "rater_a", "rater_b")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4938,6 +4986,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "calibration_bins": q_calibration_bins,
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "group_auc": q_group_auc,
+        "kappa_agreement": q_kappa_agreement,
     }
 
 
@@ -5445,6 +5495,47 @@ def oracle_sql() -> dict[str, str]:
             "AS is_l_diverse FROM cls"
         ),
         "rbo_rankings": _rbo_oracle_sql(),
+        "group_auc": (
+            "WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) "
+            "AS s, CASE WHEN value > 50 THEN (CASE WHEN bkt < 8000 "
+            "THEN 1 ELSE 0 END) ELSE (CASE WHEN bkt < 2000 THEN 1 "
+            "ELSE 0 END) END AS y FROM (SELECT event_type, value, "
+            "(('0x' || substring(md5(CAST(event_id AS VARCHAR) || "
+            "':auc'), 1, 8))::BIGINT % 10000) AS bkt FROM events "
+            "WHERE value IS NOT NULL)), "
+            "pv AS (SELECT g, s, COUNT(*) AS t, SUM(y) AS tp FROM r "
+            "GROUP BY 1, 2), "
+            "rk AS (SELECT g, t, tp, COALESCE(SUM(t) OVER ("
+            "PARTITION BY g ORDER BY s ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), "
+            "a AS (SELECT g, CAST(SUM(tp) AS BIGINT) AS n_pos, "
+            "CAST(SUM(t - tp) AS BIGINT) AS n_neg, "
+            "SUM(tp * (bef + (t + 1) / 2.0)) AS rs FROM rk GROUP BY 1) "
+            "SELECT g AS event_type, n_pos, n_neg, "
+            "round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) END, "
+            "6) AS auc FROM a"
+        ),
+        "kappa_agreement": (
+            "WITH r AS (SELECT CAST(a AS VARCHAR) AS a, "
+            "CAST(CASE WHEN bkt < 2000 THEN (a + 1) % 3 ELSE a END "
+            "AS VARCHAR) AS b FROM (SELECT "
+            "CAST(floor(n_chars / 200) AS BIGINT) % 3 AS a, "
+            "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+            "':kap'), 1, 8))::BIGINT % 10000) AS bkt FROM documents)), "
+            "b0 AS (SELECT COUNT(*) AS n, avg(CASE WHEN a = b THEN "
+            "1.0 ELSE 0.0 END) AS po FROM r), "
+            "ma AS (SELECT a AS c, COUNT(*) AS ca FROM r GROUP BY 1), "
+            "mb AS (SELECT b AS c, COUNT(*) AS cb FROM r GROUP BY 1), "
+            "p AS (SELECT SUM(CAST(COALESCE(ca, 0) AS DOUBLE) * "
+            "COALESCE(cb, 0)) AS pp FROM ma FULL JOIN mb USING (c)) "
+            "SELECT n, round(po, 6) AS po, "
+            "round(pp / (CAST(n AS DOUBLE) * n), 6) AS pe, "
+            "round(CASE WHEN pp / (CAST(n AS DOUBLE) * n) < 1.0 THEN "
+            "(po - pp / (CAST(n AS DOUBLE) * n)) / "
+            "(1.0 - pp / (CAST(n AS DOUBLE) * n)) END, 6) AS kappa "
+            "FROM b0, p"
+        ),
         "jaro_winkler_pairs": (
             "WITH p AS (SELECT p_partkey, p_name, p_size FROM part "
             "WHERE p_partkey < 200) "

@@ -1108,3 +1108,131 @@ def spearman_corr(
     vy = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
     rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     return agg.select("n", F.round(rho, round_dp).alias("rho"))
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group ROC-AUC via the Mann-Whitney identity (Hanley &
+    McNeil 1982) — the discrimination score card for every classifier
+    this package trains (nb_score, dsir_weights, quality models):
+
+        AUC = (rank_sum_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+    with tie-aware average ranks, which is exactly "ties count ½" in
+    the pairwise formulation. Returns ``(group, n_pos, n_neg, auc)``;
+    degenerate groups (no positives or no negatives) report NULL auc.
+    NULL scores/labels are excluded pairwise.
+
+    Scale shape: the :func:`rank_sum_test` discipline per group —
+    ranks come from the DISTINCT-(group, score) aggregate (count +
+    positives per value, prefix cumsum over the per-group value
+    table), so the fact is never globally sorted and the windows span
+    |distinct scores| rows per group, not the fact. Rank sums are
+    exact half-integers; only auc rounds.
+    """
+    from pyspark.sql import Window
+
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("double").alias("_s"),
+        (F.col(label_col).cast("double") != 0.0).cast("long").alias("_y"),
+    )
+    per_val = rows.groupBy("_g", "_s").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum("_y").alias("_tp"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.withColumn(
+        "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ).withColumn("_avgrank", F.col("_before") + (F.col("_t") + 1) / 2.0)
+    agg = ranked.groupBy("_g").agg(
+        F.sum("_tp").alias("n_pos"),
+        F.sum(F.col("_t") - F.col("_tp")).alias("n_neg"),
+        F.sum(F.col("_tp") * F.col("_avgrank")).alias("_rs"),
+    )
+    auc = (
+        F.col("_rs") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc),
+            round_dp,
+        ).alias("auc"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) — the
+    label-quality gate before any human- or model-annotated column is
+    trusted as a training target: observed agreement corrected for
+    the agreement two independent raters with these marginals would
+    reach by chance,
+
+        κ = (p_o − p_e) / (1 − p_e),  p_e = Σ_c p_a(c) · p_b(c).
+
+    ONE row ``(n, po, pe, kappa)``; rows where either rating is NULL
+    are excluded; a degenerate pair (p_e = 1: both raters constant
+    and identical) reports NULL kappa. Ratings compare null-safely as
+    plain equality on the string form so numeric and string label
+    schemes both work.
+
+    Scale shape: one hash aggregation to the |classes|² joint table
+    is avoided entirely — p_o needs only ``mean(a = b)`` (one scalar
+    agg over the fact) and p_e needs the two MARGINAL class tables
+    (two small aggs, full-outer-joined on class ≤ |classes| rows).
+    Nothing but class counts shuffles.
+    """
+    rated = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).cast("string").alias("_a"),
+        F.col(rater_b_col).cast("string").alias("_b"),
+    )
+    base = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("_a") == F.col("_b")).cast("double")).alias("_po"),
+    )
+    ma = rated.groupBy(F.col("_a").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    mb = rated.groupBy(F.col("_b").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    pe = (
+        ma.join(mb, "_c", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("_ca"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("_cb"), F.lit(0))
+            ).alias("_pp")
+        )
+    )
+    joined = base.crossJoin(F.broadcast(pe))
+    po = F.col("_po")
+    pe_c = F.col("_pp") / (F.col("n").cast("double") * F.col("n"))
+    kappa = F.when(pe_c < 1.0, (po - pe_c) / (1.0 - pe_c))
+    return joined.select(
+        "n",
+        F.round(po, round_dp).alias("po"),
+        F.round(pe_c, round_dp).alias("pe"),
+        F.round(kappa, round_dp).alias("kappa"),
+    )

@@ -1647,3 +1647,75 @@ class TestHeapsFit:
             heaps_fit(docs, [1, 2])
         with _p.raises(ValueError, match="distinct"):
             heaps_fit(docs, [1, 2, 2, 3])
+
+
+class TestAucByGroup:
+    def test_matches_sklearn_free_reference(self, spark):
+        """AUC equals the pairwise P(score_pos > score_neg) + ½ ties,
+        computed by brute force in the test."""
+        from gbif_filter_python_spark.operators.profile import auc_by_group
+
+        data = [("g", 0.9, 1), ("g", 0.8, 1), ("g", 0.8, 0),
+                ("g", 0.3, 0), ("g", 0.2, 1), ("g", 0.1, 0)]
+        df = spark.createDataFrame(data, "grp string, s double, y int")
+        got = auc_by_group(df, "grp", "s", "y").first()
+        pos = [s for _, s, y in data if y]
+        neg = [s for _, s, y in data if not y]
+        brute = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos for n in neg
+        ) / (len(pos) * len(neg))
+        assert got["n_pos"] == 3 and got["n_neg"] == 3
+        assert got["auc"] == round(brute, 6)
+
+    def test_perfect_degenerate_and_nulls(self, spark):
+        from gbif_filter_python_spark.operators.profile import auc_by_group
+
+        data = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 0.5, 0),
+                ("b", 3.0, 1), ("b", 4.0, 1),      # no negatives
+                ("c", None, 1), ("c", 1.0, None), ("c", 2.0, 1),
+                ("c", 1.0, 0)]
+        df = spark.createDataFrame(data, "grp string, s double, y int")
+        got = {r["grp"]: r for r in
+               auc_by_group(df, "grp", "s", "y").collect()}
+        assert got["a"]["auc"] == 1.0
+        assert got["b"]["auc"] is None  # degenerate: no negatives
+        # NULL score/label rows excluded pairwise
+        assert got["c"]["n_pos"] == 1 and got["c"]["n_neg"] == 1
+        assert got["c"]["auc"] == 1.0
+
+
+class TestCohenKappa:
+    def test_worked_example(self, spark):
+        """Classic 2-rater worked example: po=0.7, pe=0.5, κ=0.4
+        (20 items: raters agree on 14; marginals 10/10 and 12/8)."""
+        from gbif_filter_python_spark.operators.profile import cohen_kappa
+
+        # rater A: 10 yes, 10 no; rater B: agrees on 7 yes + 7 no,
+        # flips 3 yes->no and 3 no->yes => po = 14/20 = 0.7,
+        # marginals A: 10/10, B: 10/10 => pe = 0.5, kappa = 0.4
+        rows = ([("y", "y")] * 7 + [("y", "n")] * 3
+                + [("n", "n")] * 7 + [("n", "y")] * 3)
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = cohen_kappa(df, "a", "b").first()
+        assert got["n"] == 20
+        assert got["po"] == 0.7
+        assert got["pe"] == 0.5
+        assert got["kappa"] == round((0.7 - 0.5) / 0.5, 6)
+
+    def test_degenerate_and_nulls_and_numeric(self, spark):
+        from gbif_filter_python_spark.operators.profile import cohen_kappa
+
+        # both raters constant+identical: pe = 1 -> kappa NULL
+        df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+        got = cohen_kappa(df, "a", "b").first()
+        assert got["po"] == 1.0 and got["pe"] == 1.0
+        assert got["kappa"] is None
+        # NULL ratings excluded; numeric labels compare via string form
+        df2 = spark.createDataFrame(
+            [(1, 1), (2, 2), (1, 2), (None, 1), (2, None)],
+            "a int, b int",
+        )
+        got2 = cohen_kappa(df2, "a", "b").first()
+        assert got2["n"] == 3
+        assert got2["po"] == round(2 / 3, 6)
