@@ -4734,6 +4734,60 @@ def q_kappa_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return cohen_kappa(rated, "rater_a", "rater_b")
 
 
+def q_card_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn-validated payment-card detection (functions/text.py::
+    card_pii_report): every 20th doc gets a planted 16-digit number —
+    Luhn-VALID on the 40-multiples, one digit off otherwise — and the
+    report must flag exactly the valid plants as near-certain cards
+    while counting both as candidates. The corpus text itself
+    contains no digits (verified), so the oracle is the exact
+    doc_id-arithmetic expected frame; the Luhn fold itself is
+    unit-pinned in tests/test_corpus_quality.py. Pure Column
+    regexp + split/transform/aggregate — codegen, no UDF."""
+    from gbif_filter_python_spark.functions.text import card_pii_report
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 40 == 0,
+                F.lit(" card 4539 1488 0343 6467 end"),
+            )
+            .when(
+                F.col("doc_id") % 20 == 0,
+                F.lit(" card 4539 1488 0343 6468 end"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("_t"),
+    )
+    rep = planted.select(
+        "doc_id", card_pii_report(F.col("_t")).alias("_r")
+    )
+    return rep.select(
+        "doc_id",
+        F.col("_r.n_candidates").alias("n_candidates"),
+        F.col("_r.n_luhn_valid").alias("n_luhn_valid"),
+    )
+
+
+def q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit audit (operators/profile.py::
+    benford_first_digit) of lineitem extended prices: 9 rows of
+    observed vs log10(1+1/d) expectations with Pearson χ² terms —
+    the fabricated-feed detector. Digit from the STRING form (both
+    engines print the same double with the same leading digit; the
+    log10/floor formulation sits one ulp from flipping on powers of
+    ten). One ≤9-row aggregation; windows span the digit frame."""
+    from gbif_filter_python_spark.operators.profile import (
+        benford_first_digit,
+    )
+
+    li = _t(spark, sf, "lineitem").select("l_extendedprice")
+    return benford_first_digit(li, "l_extendedprice")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -4988,6 +5042,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "group_auc": q_group_auc,
         "kappa_agreement": q_kappa_agreement,
+        "card_pii": q_card_pii,
+        "benford_prices": q_benford_prices,
     }
 
 
@@ -5268,6 +5324,38 @@ def _rbo_oracle_sql(p: float = 0.9, depth: int = 10) -> str:
     )
 
 
+def _benford_oracle_sql() -> str:
+    """DuckDB twin of q_benford_prices: same string-form digit
+    extraction, the SAME driver-computed log10(1+1/d) doubles via
+    CAST('…' AS DOUBLE), same χ² op order."""
+    from gbif_filter_python_spark.operators.profile import BENFORD_P
+
+    cases = " ".join(
+        f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)"
+        for d, p in enumerate(BENFORD_P, 1)
+    )
+    return (
+        "WITH digits AS (SELECT CAST(range + 1 AS INT) AS digit "
+        "FROM range(9)), "
+        "c AS (SELECT CAST(regexp_extract(CAST(l_extendedprice AS "
+        "VARCHAR), '[1-9]') AS INT) AS digit, COUNT(*) AS n FROM "
+        "lineitem WHERE l_extendedprice IS NOT NULL AND "
+        "regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') "
+        "<> '' GROUP BY 1), "
+        "f AS (SELECT d.digit, COALESCE(c.n, 0) AS n FROM digits d "
+        "LEFT JOIN c USING (digit)), "
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM f), "
+        f"e AS (SELECT digit, n, nt, CASE digit {cases} END AS ep "
+        "FROM f, t), "
+        "g AS (SELECT digit, n, round(n / nt, 6) AS observed_p, "
+        "round(ep, 6) AS expected_p, "
+        "(n - nt * ep) * (n - nt * ep) / (nt * ep) AS raw FROM e) "
+        "SELECT digit, n, observed_p, expected_p, "
+        "round(raw, 6) AS chi2_term, "
+        "round(SUM(raw) OVER (), 6) AS chi2_total FROM g"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from gbif_filter_python_spark.operators.spatial import (
         proximity_cell_deg,
@@ -5495,6 +5583,17 @@ def oracle_sql() -> dict[str, str]:
             "AS is_l_diverse FROM cls"
         ),
         "rbo_rankings": _rbo_oracle_sql(),
+        "benford_prices": _benford_oracle_sql(),
+        "card_pii": (
+            # corpus text is digit-free (verified), so the planted
+            # structure IS the exact frame: every 20th doc carries one
+            # candidate; only the 40-multiples are Luhn-valid
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS INT) "
+            "AS n_candidates, "
+            "CAST(CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END AS INT) "
+            "AS n_luhn_valid FROM documents"
+        ),
         "group_auc": (
             "WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) "
             "AS s, CASE WHEN value > 50 THEN (CASE WHEN bkt < 8000 "

@@ -258,3 +258,56 @@ def strip_accents(col: Column) -> Column:
         )
 
     return _strip(col)
+
+
+#: Candidate payment-card pattern: 13-19 digits allowing single
+#: space/dash separators, bounded by non-digits. Deliberately loose —
+#: the Luhn checksum below is the precision filter.
+CARD_RE = r"(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digit-string Column — pure
+    Column arithmetic: reverse the digits, double every second one,
+    subtract 9 when the double exceeds 9, sum mod 10 == 0. The
+    validation step that turns a loose digit-run regex into a
+    credit-card DETECTOR: random phone/serial digit runs pass Luhn
+    only ~10% of the time, so checksum-gating cuts regex false
+    positives ~10× while keeping every real card number (all issued
+    PANs are Luhn-valid).
+
+    Implementation stays inside whole-stage codegen: split → reverse
+    → transform-with-index → aggregate; the same fold is expressible
+    verbatim in the DuckDB oracle (list_transform/list_sum).
+    """
+    ds = F.reverse(F.split(digits, ""))
+    terms = F.transform(
+        ds,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(
+                d.cast("int") * 2 > 9, d.cast("int") * 2 - 9
+            ).otherwise(d.cast("int") * 2),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) >= 13) & (total % 10 == 0)
+
+
+def card_pii_report(col: Column):
+    """Per-row payment-card PII signals as a struct Column:
+    ``(n_candidates, n_luhn_valid)`` — candidate digit runs matching
+    :data:`CARD_RE`, and how many survive the Luhn gate. A corpus
+    release pipeline blocks on ``n_luhn_valid > 0`` (near-certain
+    card numbers) and merely logs candidates (phones already covered
+    by scrub_pii).
+    """
+    cands = F.regexp_extract_all(col, F.lit(CARD_RE), 0)
+    cleaned = F.transform(
+        cands, lambda c: F.regexp_replace(c, "[ -]", "")
+    )
+    valid = F.filter(cleaned, luhn_valid)
+    return F.struct(
+        F.size(cands).cast("int").alias("n_candidates"),
+        F.size(valid).cast("int").alias("n_luhn_valid"),
+    )

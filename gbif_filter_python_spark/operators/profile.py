@@ -1236,3 +1236,76 @@ def cohen_kappa(
         F.round(pe_c, round_dp).alias("pe"),
         F.round(kappa, round_dp).alias("kappa"),
     )
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d=1..9,
+#: driver-computed once and embedded as literals in BOTH engines.
+import math as _math
+
+BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Newcomb 1881,
+    Benford 1938; the fabricated-data / anomalous-feed detector for
+    naturally-spanning numeric columns — a synthetic or truncated
+    feed bends the log-curve): per digit d ∈ 1..9,
+    ``(digit, n, observed_p, expected_p, chi2_term, chi2_total)``
+    with the Pearson χ² terms ``(n − N·e)²/(N·e)`` (compare
+    chi2_total against the χ²₈ lines: 15.5 at 5%, 20.1 at 1%).
+
+    The first significant digit comes from the STRING form
+    (``regexp_extract(cast(v as string), '[1-9]')``) — every engine
+    prints the same double with the same leading digit, whereas the
+    ``floor(v / 10^floor(log10 v))`` formulation sits one libm ulp
+    from flipping on exact powers of ten. Zero/NULL/no-digit values
+    are out of scope (Benford applies to nonzero magnitudes).
+
+    Scale shape: one hash aggregation to ≤ 9 rows, a broadcast-sized
+    left join against the literal digit frame (absent digits report
+    n = 0 — their χ² term N·e still counts), and windows over the
+    9-row frame only.
+    """
+    from pyspark.sql import Window
+
+    d = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(d.alias("_d"))
+        .filter(F.col("_d") != "")
+    )
+    counts = rows.groupBy(F.col("_d").cast("int").alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    n_total = F.sum("n").over(w).cast("double")
+    ne = n_total * expected
+    chi2_term = (F.col("n") - ne) * (F.col("n") - ne) / ne
+    enriched = full.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / n_total, round_dp).alias("observed_p"),
+        F.round(expected, round_dp).alias("expected_p"),
+        F.round(chi2_term, round_dp).alias("chi2_term"),
+        chi2_term.alias("_raw_term"),
+    )
+    return enriched.select(
+        "digit",
+        "n",
+        "observed_p",
+        "expected_p",
+        "chi2_term",
+        F.round(F.sum("_raw_term").over(w), round_dp).alias("chi2_total"),
+    )

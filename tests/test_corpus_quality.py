@@ -553,3 +553,87 @@ class TestWinnowOverlapCap:
         df = spark.createDataFrame([(0, "abc def")], "doc_id long, text string")
         with _p.raises(ValueError, match="max_fp_df"):
             winnow_overlap_pairs(df, max_fp_df=1)
+
+
+class TestLuhnCardPii:
+    def test_luhn_fold_known_numbers(self, spark):
+        from gbif_filter_python_spark.functions.text import luhn_valid
+
+        cases = [
+            ("4539148803436467", True),   # Visa test PAN
+            ("4539148803436468", False),  # one digit off
+            ("79927398713", False),       # Luhn-valid but < 13 digits
+            ("5555555555554444", True),   # Mastercard test PAN
+            ("1234567890123456", False),
+        ]
+        df = spark.createDataFrame([(d,) for d, _ in cases], "d string")
+        got = {r["d"]: r["ok"] for r in
+               df.select("d", luhn_valid(F.col("d")).alias("ok")).collect()}
+        assert got == {d: ok for d, ok in cases}
+
+    def test_report_counts_candidates_and_valid(self, spark):
+        from gbif_filter_python_spark.functions.text import card_pii_report
+
+        rows = [
+            (1, "pay 4539 1488 0343 6467 or 5555-5555-5555-4444 now"),
+            (2, "serial 4539 1488 0343 6468 is not a card"),
+            (3, "short 4111 1111 and nothing"),
+            (4, "clean text"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: (r["r"]["n_candidates"], r["r"]["n_luhn_valid"])
+               for r in df.select(
+                   "id", card_pii_report(F.col("text")).alias("r")
+               ).collect()}
+        assert got[1] == (2, 2)   # both real test PANs
+        assert got[2] == (1, 0)   # candidate shape, checksum fails
+        assert got[3] == (0, 0)   # too short to be a candidate
+        assert got[4] == (0, 0)
+
+
+class TestBenford:
+    def test_known_distribution_and_chi2(self, spark):
+        """A hand-built sample with known first-digit counts must
+        reproduce the manual χ² computation; absent digits still
+        contribute their N·e term."""
+        import math
+
+        from gbif_filter_python_spark.operators.profile import (
+            BENFORD_P,
+            benford_first_digit,
+        )
+
+        # 30 ones, 10 twos, 10 nines — digits 3..8 absent
+        vals = [1.5] * 30 + [234.0] * 10 + [0.09] * 10
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = {r["digit"]: r for r in
+                benford_first_digit(df, "v").collect()}
+        assert len(rows) == 9
+        assert rows[1]["n"] == 30 and rows[2]["n"] == 10
+        assert rows[9]["n"] == 10 and rows[5]["n"] == 0
+        n = 50.0
+        raw = [
+            ((cnt - n * p) ** 2) / (n * p)
+            for cnt, p in zip(
+                [30, 10, 0, 0, 0, 0, 0, 0, 10], BENFORD_P
+            )
+        ]
+        assert rows[1]["observed_p"] == 0.6
+        assert rows[1]["expected_p"] == round(BENFORD_P[0], 6)
+        assert rows[3]["chi2_term"] == round(raw[2], 6)
+        assert rows[1]["chi2_total"] == round(sum(raw), 6)
+
+    def test_zero_null_and_sci_notation_scope(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            benford_first_digit,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0,), (None,), (2e-7,), (9e15,), (-345.0,)], "v double"
+        )
+        rows = {r["digit"]: r["n"] for r in
+                benford_first_digit(df, "v").collect()}
+        # zero and NULL excluded; sci-notation strings and negatives
+        # still yield their first significant digit
+        assert rows[2] == 1 and rows[9] == 1 and rows[3] == 1
+        assert sum(rows.values()) == 3
