@@ -6773,12 +6773,13 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": (
             f"WITH t AS (SELECT doc_id, {_TOK_SQL} AS n_tokens "
             f"FROM documents), "
-            f"o AS (SELECT doc_id, n_tokens, "
-            f"CAST(sum(n_tokens) OVER (ORDER BY doc_id "
-            f"ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) "
-            f"AS start_offset FROM t) "
-            f"SELECT start_offset // 2048 AS pack_id, "
-            f"count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+            f"o AS (SELECT doc_id, n_tokens, doc_id % 256 AS shard, "
+            f"CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 256 "
+            f"ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens "
+            f"AS BIGINT) AS start_offset FROM t) "
+            f"SELECT shard * 1000000000 + start_offset // 2048 "
+            f"AS pack_id, count(*) AS n_docs, "
+            f"CAST(sum(n_tokens) AS BIGINT) "
             f"AS pack_tokens FROM o GROUP BY 1"
         ),
         "int8_quantize": (
@@ -6824,9 +6825,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {_BUCKET_SQL} < 10 THEN 'val' ELSE 'train' END AS split "
             f"FROM trimmed), "
             f"pk AS (SELECT split, n_tokens, "
+            f"(doc_id % 256) * 1000000000 + "
             f"(CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // 2048 "
-            f"AS pack_id FROM sp WINDOW w AS (PARTITION BY split "
-            f"ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) "
+            f"AS pack_id FROM sp WINDOW w AS (PARTITION BY split, "
+            f"doc_id % 256 ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) "
             f"SELECT split, count(DISTINCT pack_id) AS n_packs, "
             f"count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
             f"AS total_tokens FROM pk GROUP BY split"

@@ -53,6 +53,7 @@ def prepare_training_corpus(
     test_pct: int = 5,
     val_pct: int = 5,
     pack_budget: int = 2048,
+    pack_shards: int = 256,
 ) -> DataFrame:
     """The end-to-end corpus-prep chain, one declarative plan:
 
@@ -109,18 +110,27 @@ def prepare_training_corpus(
     split = deterministic_split(
         trimmed, doc_id_col, test_pct=test_pct, val_pct=val_pct
     )
-    # Pack WITHIN each split (a test doc must never share a pack with
-    # a train doc); same running-offset rule as pack_sequences.
+    # Pack WITHIN each (split, shard): a test doc must never share a
+    # pack with a train doc, and the running-offset cumsum must never
+    # serialize into |splits| tasks — the sf10-measured knee (43.7×
+    # wall at 100× data with split-only windows). Same shard-local
+    # rule and pack-id encoding as pack_sequences(shards=...).
     pw = (
-        Window.partitionBy("split")
+        Window.partitionBy("split", "_shard")
         .orderBy(doc_id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return split.withColumn(
-        "pack_id",
-        (
-            (F.sum("n_tokens").over(pw) - F.col("n_tokens")) / pack_budget
-        ).cast("long"),
+    return (
+        split.withColumn("_shard", F.col(doc_id_col) % pack_shards)
+        .withColumn(
+            "pack_id",
+            F.col("_shard") * PACK_SHARD_STRIDE
+            + (
+                (F.sum("n_tokens").over(pw) - F.col("n_tokens"))
+                / pack_budget
+            ).cast("long"),
+        )
+        .drop("_shard")
     )
 
 
@@ -475,39 +485,74 @@ def contamination_report(
     )
 
 
+#: pack_id stride between shards in sharded packing: local pack
+#: ordinals stay far below this at any shard size, so
+#: ``shard * STRIDE + local`` is collision-free and order-decodable.
+PACK_SHARD_STRIDE = 1_000_000_000
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    shards: int | None = 256,
 ) -> DataFrame:
     """Assign docs to fixed-token-budget packs (sequence packing).
 
     Orders documents by ``doc_id`` (the deterministic shard order a
     tokenizer run would use), takes a running token total, and assigns
-    ``pack_id = floor(start_offset / budget)`` — the pack in which the
-    document *starts*. One window over one ordering: a single range
-    shuffle; state per row is one long. Deterministic, so train runs
-    can be resumed/verified byte-for-byte.
+    ``pack_id`` from the offset the document *starts* at. A doc longer
+    than ``budget`` still gets exactly one pack — downstream
+    tokenizers split it; the assignment stays a pure function of the
+    ordering.
 
-    A doc longer than ``budget`` still gets exactly one pack (the one
-    its offset lands in) — downstream tokenizers split it; the pack
-    assignment stays a pure function of the ordering.
+    **Sharded by default (the measured sf10 knee).** A single global
+    running-offset window is ONE task regardless of cluster size —
+    q_corpus_prep measured 43.7× wall at 100× data from exactly this
+    (3 split-level windows serializing ~500 k rows each). With
+    ``shards=k`` the cumsum partitions by ``doc_id % k`` and
+    ``pack_id = shard * PACK_SHARD_STRIDE + local_pack`` — packs
+    never cross shards (standard shard-local packing; each shard
+    wastes at most one partial pack) and the window runs k-wide.
+    ``shards=None`` opts into the exact single-stream semantics for
+    bounded inputs and byte-stream-contiguity requirements — the
+    proximity_pairs ``max_cell_points=None`` convention: the scale
+    hazard must be chosen out loud, never defaulted into.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    if shards is None:
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        with_off = toks.withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        return with_off.withColumn(
+            "pack_id", (F.col("start_offset") / budget).cast("long")
+        )
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1 or None, got {shards}")
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_off = toks.withColumn(
+        "_shard", F.col("doc_id") % shards
+    ).withColumn(
         "start_offset",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
     )
     return with_off.withColumn(
-        "pack_id", (F.col("start_offset") / budget).cast("long")
-    )
+        "pack_id",
+        F.col("_shard") * PACK_SHARD_STRIDE
+        + (F.col("start_offset") / budget).cast("long"),
+    ).drop("_shard")
 
 
 def repetition_signals(

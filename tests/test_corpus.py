@@ -161,16 +161,50 @@ class TestDecontaminate:
 
 
 class TestPackSequences:
-    def test_offsets_and_packs(self, spark):
+    def test_offsets_and_packs_global_opt_out(self, spark):
+        """shards=None: the exact single-stream semantics (bounded
+        inputs / byte-contiguity) — running offsets over one global
+        doc_id order."""
         rows = [(i, " ".join(["w"] * 1000)) for i in range(5)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = {
-            r["doc_id"]: r for r in pack_sequences(docs, budget=2048).collect()
+            r["doc_id"]: r
+            for r in pack_sequences(docs, budget=2048, shards=None).collect()
         }
         assert out[0]["start_offset"] == 0 and out[0]["pack_id"] == 0
         assert out[2]["start_offset"] == 2000 and out[2]["pack_id"] == 0
         assert out[3]["start_offset"] == 3000 and out[3]["pack_id"] == 1
         assert out[4]["pack_id"] == 1
+
+    def test_sharded_default_packs_within_shard(self, spark):
+        """The DEFAULT is shard-local packing (the measured sf10
+        knee: a global cumsum is one task at any cluster size):
+        offsets restart per doc_id % shards and pack_id encodes
+        (shard, local pack) collision-free."""
+        from gbif_filter_python_spark.operators.corpus import (
+            PACK_SHARD_STRIDE,
+        )
+        import inspect
+
+        sig = inspect.signature(pack_sequences)
+        assert sig.parameters["shards"].default == 256
+
+        rows = [(i, " ".join(["w"] * 1000)) for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in pack_sequences(docs, budget=1500, shards=2).collect()
+        }
+        # shard 0 = docs 0,2,4 (offsets 0,1000,2000); shard 1 = 1,3
+        assert out[0]["start_offset"] == 0
+        assert out[2]["start_offset"] == 1000
+        assert out[4]["start_offset"] == 2000
+        assert out[1]["start_offset"] == 0
+        assert out[3]["start_offset"] == 1000
+        assert out[0]["pack_id"] == 0
+        assert out[4]["pack_id"] == 1  # 2000 // 1500
+        assert out[1]["pack_id"] == PACK_SHARD_STRIDE
+        assert out[3]["pack_id"] == PACK_SHARD_STRIDE
 
     def test_empty_doc_zero_tokens(self, spark):
         docs = spark.createDataFrame(
@@ -411,13 +445,20 @@ class TestPrepareTrainingCorpus:
             F.md5(normalized_text(F.col("text"))).alias("h")
         ).distinct().count()
         assert n_norm == len(rows)
-        # Every row has a split and packs are per-split contiguous
-        # from 0.
-        by_split = {}
+        # Every row has a split; pack ids decode as (shard, local)
+        # with local packs contiguous from 0 within each
+        # (split, shard) — the shard-local packing contract.
+        from gbif_filter_python_spark.operators.corpus import (
+            PACK_SHARD_STRIDE,
+        )
+
+        by_cell = {}
         for r in rows:
-            by_split.setdefault(r["split"], []).append(r["pack_id"])
-        for packs in by_split.values():
-            assert min(packs) == 0
+            shard, local = divmod(r["pack_id"], PACK_SHARD_STRIDE)
+            assert 0 <= shard < 256
+            by_cell.setdefault((r["split"], shard), []).append(local)
+        for locals_ in by_cell.values():
+            assert min(locals_) == 0
         # Determinism: a second build is identical.
         again = prepare_training_corpus(docs)
         assert out.exceptAll(again).count() == 0
