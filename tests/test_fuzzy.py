@@ -298,3 +298,34 @@ class TestJaroWinkler:
             F.col("a"), F.col("b")).alias("jw")).collect()
         for r in got:
             assert r["jw"] == jaro_winkler_py(r["a"], r["b"])
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_jaro_winkler_convention_pinned_to_duckdb(seed):
+    """Property fuzz: jaro_winkler_py must match DuckDB's native
+    jaro_winkler_similarity bit-for-bit on arbitrary strings — the
+    independent-second-implementation contract behind the
+    jaro_winkler_pairs oracle. Any drift in the greedy matching,
+    integer-halved transpositions, or 0.7 boost threshold fails here
+    before it can hash-fail the driver."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gbif_filter_python_spark.operators.fuzzy import jaro_winkler_py
+
+    con = duckdb.connect()
+    alpha = st.text(
+        alphabet="abcdefgh -", min_size=0, max_size=20
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=alpha, b=alpha)
+    def _check(a, b):
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = jaro_winkler_py(a, b)
+        assert got == want, (a, b, got, want)
+
+    _check()
