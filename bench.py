@@ -257,11 +257,24 @@ def main() -> None:
     gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
     gbif_block = run_gbif(spark, rows=gbif_rows)
 
+    # "value" is the CURATED-list subtotal so the headline metric is
+    # comparable across every round's artifact (r6 briefly summed all
+    # ~190 registry queries under the same metric name — ADVICE r6);
+    # the full-registry total rides along as its own field. The
+    # curated list deliberately excludes documented escape hatches
+    # (cogroup_asof — applyInPandas teaching twin of the production
+    # JVM asof_purchase) and O(n²) verification baselines
+    # (near_dup_exact), so the headline tracks production paths only.
+    headline_total = sum(
+        timings[n] for n in BENCH_QUERIES if n in timings
+    )
     payload = {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": round(headline_total, 3),
         "unit": "sec",
         "n_queries": len(timings),
+        "n_headline": sum(1 for n in BENCH_QUERIES if n in timings),
+        "all_queries_total": round(total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "gbif_pipeline": gbif_block,

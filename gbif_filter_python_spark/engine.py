@@ -34,6 +34,7 @@ from gbif_filter_python_spark.operators.tagging import (
     apply_tag_mode,
     filter_occurring,
     occurrence_keys,
+    quoted,
     tag_existence,
 )
 
@@ -182,4 +183,6 @@ class OccurrenceEngine:
 
         if tag_mode:
             return apply_tag_mode(tagged, input_cols, resolved_cols)
-        return apply_filter_mode(tagged).select(*input_cols, *resolved_cols)
+        return apply_filter_mode(tagged).select(
+            *[quoted(c) for c in (*input_cols, *resolved_cols)]
+        )

@@ -718,8 +718,15 @@ def calibration_bins(
     binned = (
         df.filter(s.isNotNull() & y.isNotNull())
         .select(
-            F.least(
-                F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+            # clamp BOTH ends: score==1.0 lands in the last bin (the
+            # standard convention) and an out-of-domain score < 0 lands
+            # in bin 0 instead of a silent negative bin that skews ECE
+            # (ADVICE r6); documented domain is [0, 1]
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+                ),
             ).alias("bin"),
             s.alias("_s"),
             y.alias("_y"),

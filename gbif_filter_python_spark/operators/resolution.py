@@ -214,8 +214,14 @@ def resolve_names(
         ],
         how="left",
     )
+    from gbif_filter_python_spark.operators.tagging import quoted
+
+    # passthrough columns quoted literally: the reference's own input
+    # (test/motu_table_sample.csv) has dotted names like
+    # best_identity.Euka02.DB that bare F.col would parse as struct
+    # field paths
     return out.select(
-        *taxa.columns,
+        *[quoted(c) for c in taxa.columns],
         F.col("_resolved_key").alias(KEY_COL),
         F.col("_resolved_rank").alias(RANK_COL),
     )

@@ -105,4 +105,14 @@ def apply_tag_mode(
     apply_gbif_filter.py:175,184-185; visible in test/filtered.csv:1).
     """
     ordered = list(input_columns) + [tag_col] + list(resolved_columns or [])
-    return tagged.select(*ordered)
+    return tagged.select(*[quoted(c) for c in ordered])
+
+
+def quoted(name: str):
+    """Column reference that treats ``name`` LITERALLY: backtick-quoted
+    (backticks doubled per Spark's escape rule) so passthrough columns
+    containing dots — e.g. ``best_identity.Euka02.DB`` in the
+    reference's own test/motu_table_sample.csv — don't get parsed as
+    struct-field paths by the analyzer. Bare ``F.col("a.b")`` resolves
+    field ``b`` of column ``a`` and fails on flat CSV schemas."""
+    return F.col("`" + name.replace("`", "``") + "`")

@@ -53,6 +53,94 @@ BACKBONE_DATASET_KEY = "d7dddbf4-2cf0-4f39-9b2a-bb099caae36c"
 DEFAULT_BASE_URL = "https://api.gbif.org/v1"
 
 
+class SqliteResponseCache:
+    """Cross-run GET-response cache — the engine counterpart of the
+    reference's transparent ``requests_cache.install_cache('gbif_cache',
+    backend='sqlite')`` (/root/reference/gbif_helper.py:9,
+    requirements.txt:5), which memoizes every API GET across *runs* so
+    a re-run of the same config issues zero HTTP requests.
+
+    Dict-shaped (``get`` / ``__setitem__`` / ``__contains__``) so
+    :class:`GbifRestClient` accepts either this or a plain ``dict``
+    (per-run memo) — the cache contract is just a mutable mapping from
+    request key to parsed JSON body. Values are stored as JSON text in
+    a single-table sqlite file; the connection is a per-process lazy
+    excluded from pickling, so the cache can ride to executors inside
+    a ``mapInPandas`` closure (each worker process opens its own
+    connection; sqlite serializes the writes).
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._conn = None
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state["_conn"] = None
+        return state
+
+    def _db(self):
+        if self._conn is None:
+            import sqlite3
+
+            self._conn = sqlite3.connect(self.path)
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS responses "
+                "(key TEXT PRIMARY KEY, body TEXT NOT NULL)"
+            )
+            self._conn.commit()
+        return self._conn
+
+    def get(self, key: str, default=None):
+        import json
+
+        row = self._db().execute(
+            "SELECT body FROM responses WHERE key = ?", (key,)
+        ).fetchone()
+        return default if row is None else json.loads(row[0])
+
+    def __getitem__(self, key: str):
+        hit = self.get(key, default=_MISSING)
+        if hit is _MISSING:
+            raise KeyError(key)
+        return hit
+
+    def __setitem__(self, key: str, body) -> None:
+        import json
+
+        db = self._db()
+        db.execute(
+            "INSERT OR REPLACE INTO responses (key, body) VALUES (?, ?)",
+            (key, json.dumps(body)),
+        )
+        db.commit()
+
+    def __contains__(self, key: str) -> bool:
+        return self.get(key, default=_MISSING) is not _MISSING
+
+    def __len__(self) -> int:
+        return self._db().execute(
+            "SELECT count(*) FROM responses"
+        ).fetchone()[0]
+
+    def clear(self) -> None:
+        db = self._db()
+        db.execute("DELETE FROM responses")
+        db.commit()
+
+
+_MISSING = object()
+
+
+def request_cache_key(path: str, params: dict[str, Any]) -> str:
+    """Canonical cache key for one GET: path + sorted non-None params
+    (the same normalization ``_get`` applies before the transport), so
+    logically-identical requests hit regardless of dict order."""
+    clean = {k: v for k, v in params.items() if v is not None}
+    qs = "&".join(f"{k}={clean[k]}" for k in sorted(clean))
+    return f"{path.lstrip('/')}?{qs}"
+
+
 class GbifRestClient:
     """Rate-limited GBIF REST client providing the three fetch
     callables (``BackboneFetch`` / ``ChildrenFetch`` /
@@ -67,6 +155,7 @@ class GbifRestClient:
         max_retries: int = 3,
         backoff_s: float = 1.0,
         user_agent: str = "gbif-filter-python-spark",
+        cache=None,
     ) -> None:
         self.base_url = base_url.rstrip("/")
         self.min_interval_s = min_interval_s
@@ -74,6 +163,14 @@ class GbifRestClient:
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.user_agent = user_agent
+        #: Optional response cache (OFF by default — online semantics
+        #: unchanged unless asked for): any dict-shaped mapping from
+        #: request key to parsed JSON body. Pass
+        #: ``SqliteResponseCache(path)`` for the reference's cross-run
+        #: requests-cache behavior (gbif_helper.py:9), or a plain
+        #: ``dict`` for a per-run memo. Hits skip throttle, retries
+        #: and transport entirely.
+        self.cache = cache
         self._session = None
         self._last_request = 0.0
 
@@ -110,6 +207,12 @@ class GbifRestClient:
         """
         clean = {k: v for k, v in params.items() if v is not None}
         url = f"{self.base_url}/{path.lstrip('/')}"
+        cache_key: str | None = None
+        if self.cache is not None:
+            cache_key = request_cache_key(path, clean)
+            hit = self.cache.get(cache_key)
+            if hit is not None:
+                return hit
         last_exc: Exception | None = None
         for attempt in range(self.max_retries + 1):
             wait = self.min_interval_s - (time.monotonic() - self._last_request)
@@ -138,7 +241,10 @@ class GbifRestClient:
                 time.sleep(delay)
                 continue
             resp.raise_for_status()
-            return resp.json()
+            body = resp.json()
+            if cache_key is not None:
+                self.cache[cache_key] = body
+            return body
         raise RuntimeError(
             f"GBIF API request failed after {self.max_retries + 1} "
             f"attempts: {url}"
@@ -251,14 +357,21 @@ class GbifRestClient:
                 total = int(body.get("count", len(page)))
             results.extend(page)
             logger.debug("%d/%d", len(results), total)
-            if not page or body.get("endOfRecords") or len(results) >= total:
-                break
             if max_records is not None and len(results) >= max_records:
-                logger.warning(
-                    "occurrence fetch for %s truncated at %d of %d "
-                    "records (max_records cap)",
-                    taxon_key, len(results), total,
-                )
+                # Trim BEFORE reporting: extending by a whole page and
+                # then breaking could return up to page_size-1 records
+                # over the cap, with the warning naming the untrimmed
+                # count (ADVICE r6). A cap that exactly equals the full
+                # result set is a complete fetch, not a truncation.
+                if len(results) > max_records or total > max_records:
+                    results = results[:max_records]
+                    logger.warning(
+                        "occurrence fetch for %s truncated at %d of %d "
+                        "records (max_records cap)",
+                        taxon_key, len(results), total,
+                    )
+                break
+            if not page or body.get("endOfRecords") or len(results) >= total:
                 break
         return results
 

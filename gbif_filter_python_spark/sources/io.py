@@ -145,6 +145,54 @@ def write_csv(
     )
 
 
+def write_csv_pandas_parity(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    na_rep: str = "NA",
+    max_rows: int = 1_000_000,
+) -> None:
+    """Byte-parity CSV sink: render EXACTLY what the reference's
+    ``df.to_csv(out, sep=..., na_rep=..., index=False)``
+    (apply_gbif_filter.py:187,192) would write, by letting pandas do
+    the final rendering on the driver.
+
+    This exists for golden-diff compatibility with pandas-produced
+    artifacts (e.g. /root/reference/test/filtered.csv): pandas
+    re-renders every inferred numeric on the round-trip (``'5989'`` in
+    a float column becomes ``'5989.0'``, ``'0.949494949495'`` becomes
+    the float64 shortest repr ``'0.9494949494949999'``), which a
+    distributed JVM-side writer can't reproduce cell-for-cell.
+    ``toPandas`` mirrors the same promotions (nullable ints → float64,
+    nullable bools → object), so writing the collected frame with
+    ``to_csv`` IS the reference pipeline's serialization.
+
+    DRIVER-SIDE BY DESIGN — guarded by ``max_rows`` (checked with one
+    distributed count, cheap next to the collect it prevents). The
+    scale path is :func:`write_csv`; this is the single-file
+    edge-export/golden-test shim, same tier as
+    ``legacy_array_format``. Writes one FILE at ``path`` (pandas
+    semantics), not a Spark output directory. List cells serialize as
+    Python ``repr`` of a list of strings — what pandas does to list
+    objects (SURVEY.md §2-H)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_csv_pandas_parity is a driver-side golden-diff "
+            f"shim; got {n} rows > max_rows={max_rows} — use write_csv "
+            "for distributed output"
+        )
+    pdf = df.toPandas()
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "array":
+            pdf[field.name] = pdf[field.name].map(
+                lambda v: v
+                if v is None
+                else repr([x if x is None else str(x) for x in v])
+            )
+    pdf.to_csv(path, sep=sep, na_rep=na_rep, index=False)
+
+
 def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
     """JSON-lines sink — the interchange format of most LLM-corpus
     tooling. Arrays and structs serialize natively (no CSV-style

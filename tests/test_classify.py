@@ -498,3 +498,21 @@ class TestCalibrationBins:
         assert len(got) == 1 and got[0]["n"] == 1
         with _p.raises(ValueError, match="n_bins"):
             calibration_bins(df, "score", "label", 0)
+
+    def test_out_of_domain_scores_clamp_to_edge_bins(self, spark):
+        """ADVICE r6: a score below 0 must land in bin 0 (mirroring
+        the score==1.0 → last-bin convention), never in a silent
+        negative bin that skews ECE."""
+        from gbif_filter_python_spark.operators.classify import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(-0.2, 0), (0.05, 1), (1.3, 1)],
+            "score double, label int",
+        )
+        got = {r["bin"]: r for r in
+               calibration_bins(df, "score", "label", 10).collect()}
+        assert set(got) == {0, 9}
+        assert got[0]["n"] == 2 and got[9]["n"] == 1
+        assert min(got) >= 0

@@ -121,9 +121,15 @@ def test_simhash_candidates_include_exact_duplicates(spark, sf):
 
 def test_exact_cosine_pairs_matches_jvm_form(spark, sf):
     """Differential: the blocked-matmul exact_cosine_pairs (Arrow/NumPy
-    path) must produce exactly the pair set of the JVM zip_with cosine
-    formulation (q_near_dup_exact) — same 6dp-rounded threshold
-    membership. Also pins the O(n²) refusal guard."""
+    path — since r7 also the q_near_dup_exact query body) must produce
+    exactly the pair set of the JVM theta-join + HOF cosine
+    formulation, built inline here now that the query itself runs on
+    the fast path — same 6dp-rounded threshold membership despite
+    different summation orders. Also pins the O(n²) refusal guard."""
+    from gbif_filter_python_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
     from gbif_filter_python_spark.operators.similarity import (
         exact_cosine_pairs,
     )
@@ -133,9 +139,32 @@ def test_exact_cosine_pairs_matches_jvm_form(spark, sf):
         (r["id_a"], r["id_b"])
         for r in exact_cosine_pairs(emb, threshold=0.35).collect()
     }
+    # the pre-r7 q_near_dup_exact body: hoisted norms, theta-join,
+    # interpreted HOF dot — correct but ~30 µs/pair (kept here as the
+    # cross-path witness, never as a shipped query)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.round(
+        F.when(
+            denom > 0, dot_product(F.col("_va"), F.col("_vb")) / denom
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     jvm = {
         (r["id_a"], r["id_b"])
-        for r in entry_mod.q_near_dup_exact(spark, sf).collect()
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.35)
+        .select("id_a", "id_b")
+        .collect()
     }
     assert fast == jvm and len(fast) > 0
     with pytest.raises(ValueError, match="max_rows"):

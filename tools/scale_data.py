@@ -148,6 +148,16 @@ def scale_dir(spark, src: str, out: str, copies: int) -> dict:
     # embeddings: cyclic rotation decorrelates cross-replica cosine
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     emb_dim = len(emb.select("embedding").first()["embedding"])
+    # The rotation+sign-flip scheme has period 2*dim: replica 2*dim
+    # would be bit-identical to replica 0, silently reintroducing
+    # superlinear near-dup structure (ADVICE r6) — fail loudly instead.
+    if copies > 2 * emb_dim:
+        raise ValueError(
+            f"copies={copies} exceeds the rotation+sign-flip period "
+            f"2*emb_dim={2 * emb_dim}: replica {2 * emb_dim} would be "
+            "an exact twin of replica 0 (quadratic near-dup blowup); "
+            "use a wider source or add a per-wrap element offset"
+        )
 
     def emb_exprs(d, i):
         v = F.col("embedding")
