@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     # NOT near_dup_exact: the O(n²) exact baseline is a correctness
     # oracle (sf0.01), not a headline query — the LSH variant is the
     # scale path.
+    # NOT cogroup_asof: the applyInPandas per-key merge_asof is the
+    # documented Python escape hatch; its JVM twin asof_purchase
+    # (union + window scan, one shuffle) is the production path and
+    # is the headline entry (differentially tested against it).
     "near_dup_lsh",
     # Corpus-prep additions (round 2): split/scrub/TF-IDF/leak-check/
     # quantization — the LLM-pipeline ops a 100 TB corpus runs nightly.
@@ -233,6 +237,18 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
+    # The flagship domain pipeline (resolution → zone probe → ternary
+    # tag, three scenarios over a 2M-row synthetic occurrence snapshot)
+    # is timed FIRST, right after warmup: when it ran after the
+    # registry sweep it absorbed 190 co-resident queries' GC/codegen
+    # debris, drifting 1.2× round-over-round with zero code change
+    # (BENCH_GBIF_ISOLATED_r07.json pins the bisect) — the flagship
+    # number must track the engine, not the harness.
+    from tools.bench_gbif import run as run_gbif
+
+    gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
+    gbif_block = run_gbif(spark, rows=gbif_rows)
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -248,14 +264,6 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-
-    # The flagship domain pipeline (resolution → zone probe → ternary
-    # tag, three scenarios over a 2M-row synthetic occurrence snapshot)
-    # gets its own tracked block alongside the operator queries.
-    from tools.bench_gbif import run as run_gbif
-
-    gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
-    gbif_block = run_gbif(spark, rows=gbif_rows)
 
     # "value" is the CURATED-list subtotal so the headline metric is
     # comparable across every round's artifact (r6 briefly summed all
