@@ -1,0 +1,217 @@
+"""Skewed-fact evidence for the flagship path (VERDICT r6 item 5).
+
+The reference's real GBIF data is head-heavy: a few cosmopolitan
+species dominate the occurrence fact. This harness builds a snapshot
+where ONE mega-taxon owns >= 20% of all occurrence rows (and the same
+share of the in-zone slice), runs the flagship scenarios
+(tag_country / tag_expand) over it, and then PROVES the plans hold up
+by reading per-stage task summaries from the Spark UI REST API:
+
+* no straggler — in every completed stage with enough tasks to
+  matter, max task executorRunTime <= 10x the stage median;
+* the executed (post-AQE) plans are recorded, with any
+  ``skew=true`` markers AQE injected.
+
+Why the flagship is skew-immune by construction (what the numbers
+verify): the existence probe aggregates DISTINCT taxon_keys from the
+zone slice — partial (map-side) aggregation collapses the mega-key to
+one row per map task before anything shuffles, so the hot key never
+concentrates on one reducer; the name-resolution joins key on the
+DISTINCT role tuples (memoized, not the fact); and the tag join-back
+is droplet-sized per key. A skewed fact therefore stresses scan +
+partial-agg only — exactly the shapes that scale flat.
+
+Usage: python tools/bench_gbif_skew.py [--rows 20000000]
+Prints one JSON line (committed as BENCH_GBIF_SKEW_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.config import Country, FilterConfig
+from gbif_filter_python_spark.engine import OccurrenceEngine
+from gbif_filter_python_spark.session import get_spark
+from gbif_filter_python_spark.sources.io import write_occurrence_snapshot
+from tools.bench_gbif import (
+    build_occurrence,
+    build_taxa_input,
+    build_taxonomy,
+)
+
+#: An ACCEPTED species key (key % 20 != 0 — not a synonym) in the
+#: synthetic backbone; the mega-taxon every skewed row lands on.
+MEGA_KEY = 30_000_050
+
+
+def build_occurrence_skewed(spark, n_rows: int, mega_frac: float = 0.25):
+    """The standard synthetic fact with ``mega_frac`` of ALL rows
+    remapped to one taxon_key (country/coords/ts untouched, so the
+    mega share holds within every zone slice too)."""
+    base = build_occurrence(spark, n_rows)
+    cut = int(round(mega_frac * 100))
+    return base.withColumn(
+        "taxon_key",
+        F.when(
+            F.pmod(F.xxhash64(F.col("occurrence_id") + 7), 100) < cut,
+            F.lit(MEGA_KEY),
+        ).otherwise(F.col("taxon_key")),
+    )
+
+
+def stage_task_stats(spark, min_tasks: int = 8, floor_ms: float = 50.0):
+    """Per-stage (median, max) executorRunTime from the UI REST API.
+
+    Stages with < ``min_tasks`` tasks or a median under ``floor_ms``
+    are reported but exempt from the straggler assertion: a 3 ms
+    median makes any scheduling hiccup look like a 20x 'straggler'
+    while the wall-clock cost is nil.
+    """
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    def get(path: str):
+        with urllib.request.urlopen(f"{base}/api/v1/{path}") as resp:
+            return json.loads(resp.read())
+
+    rows = []
+    for s in get(f"applications/{app_id}/stages?status=complete"):
+        n = s.get("numCompleteTasks", 0)
+        if n < 2:
+            continue
+        q = get(
+            f"applications/{app_id}/stages/{s['stageId']}/"
+            f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+        )
+        lo, med, hi = q["executorRunTime"]
+        rows.append(
+            {
+                "stage_id": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "n_tasks": n,
+                "median_ms": med,
+                "max_ms": hi,
+                "ratio": round(hi / med, 2) if med > 0 else None,
+                "asserted": n >= min_tasks and med >= floor_ms,
+            }
+        )
+    return rows
+
+
+def run(spark, rows: int = 20_000_000, mega_frac: float = 0.25) -> dict:
+    workdir = tempfile.mkdtemp(prefix="gbif_skew_")
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    tax_path = f"{workdir}/taxonomy.parquet"
+    occ_path = f"{workdir}/occurrence"
+    build_taxonomy(spark).write.mode("overwrite").parquet(tax_path)
+    write_occurrence_snapshot(
+        build_occurrence_skewed(spark, rows, mega_frac), occ_path
+    )
+    timings["build_snapshot"] = round(time.perf_counter() - t0, 3)
+
+    taxonomy = spark.read.parquet(tax_path)
+    occurrence = spark.read.parquet(occ_path)
+
+    # measured, not assumed: the mega-taxon's share of the whole fact
+    # and of the NO zone slice
+    shares = occurrence.agg(
+        F.avg((F.col("taxon_key") == MEGA_KEY).cast("double")).alias("all"),
+        F.avg(
+            F.when(
+                F.col("country") == "NO",
+                (F.col("taxon_key") == MEGA_KEY).cast("double"),
+            )
+        ).alias("zone"),
+    ).first()
+
+    engine = OccurrenceEngine(taxonomy, occurrence)
+    taxa = build_taxa_input(spark).cache()
+    taxa.count()
+
+    scenarios = {
+        "tag_country_skew": FilterConfig(
+            name_column="name", rank_column="rank",
+            taxa_kingdom="Animalia", zone=Country("NO")),
+        "tag_expand_skew": FilterConfig(
+            name_column="name", rank_column="rank",
+            taxa_kingdom="Animalia", zone=Country("NO"),
+            resolve_to_rank="SPECIES"),
+    }
+    counts, skew_markers = {}, {}
+    for name, cfg in scenarios.items():
+        t0 = time.perf_counter()
+        out = engine.run_filter(taxa, cfg, tag_mode=True)
+        counts[name] = out.filter(
+            F.col("gbif_filter_tag").eqNullSafe(F.lit(True))
+        ).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        skew_markers[name] = plan.count("skew=true")
+
+    stats = stage_task_stats(spark)
+    asserted = [r for r in stats if r["asserted"]]
+    worst = max((r["ratio"] for r in asserted), default=0.0)
+    stragglers = [r for r in asserted if r["ratio"] and r["ratio"] >= 10]
+    taxa.unpersist()
+
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "metric": "gbif_pipeline_skewed_fact",
+        "unit": "sec",
+        "occurrence_rows": rows,
+        "mega_taxon_share_all": round(shares["all"], 4),
+        "mega_taxon_share_zone_NO": round(shares["zone"], 4),
+        "queries": timings,
+        "tagged_true": counts,
+        "aqe_skew_join_markers": skew_markers,
+        "straggler_check": {
+            "asserted_stages": len(asserted),
+            "worst_max_over_median": worst,
+            "stragglers_ge_10x": stragglers,
+        },
+        "stage_stats": sorted(
+            stats, key=lambda r: r["max_ms"], reverse=True
+        )[:12],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--mega-frac", type=float, default=0.25)
+    args = ap.parse_args()
+    # the UI is normally off (session.py); this harness needs its REST
+    # API for per-stage task summaries
+    spark = get_spark(
+        app_name="gbif-skew-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        result = run(spark, rows=args.rows, mega_frac=args.mega_frac)
+        print(json.dumps(result))
+        if result["straggler_check"]["stragglers_ge_10x"]:
+            sys.exit(1)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
