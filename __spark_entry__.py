@@ -4774,6 +4774,57 @@ def q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
     return benford_first_digit(li, "l_extendedprice")
 
 
+def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (operators/profile.py::ks_test)
+    between click and view event values: the binning-free whole-CDF
+    drift statistic complementing psi_drift (binned) and
+    rank_sum_test (location-only). Distinct-value aggregate + windows
+    over the |distinct|-row table — the fact is never globally
+    sorted."""
+    from gbif_filter_python_spark.operators.profile import ks_test
+
+    ev = _t(spark, sf, "events")
+    return ks_test(ev, "event_type", "value", "click", "view")
+
+
+def q_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment revenue concentration (operators/profile.py::
+    concentration_metrics): Gini / HHI / top-1 / CR4 of per-customer
+    order totals within each market segment — the inequality readout
+    a corpus pipeline runs over per-domain token shares before fixing
+    the training mixture. Member totals first (one hash agg), then
+    windows within segment partitions (member-count-sized, never the
+    fact)."""
+    from gbif_filter_python_spark.operators.profile import (
+        concentration_metrics,
+    )
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    member = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    return concentration_metrics(
+        member, "c_mktsegment", "revenue"
+    ).withColumnRenamed("group", "segment")
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 3-gram novelty vs all earlier docs
+    (operators/corpus.py::ngram_novelty): first-occurrence fraction of
+    the doc's distinct word 3-grams — the ordered-ingest dedup signal
+    between exact dedup and MinHash. Distinct (doc, md5-gram) pairs →
+    min-doc per gram → gram-keyed join back."""
+    from gbif_filter_python_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"), n=3)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5030,6 +5081,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_agreement": q_kappa_agreement,
         "card_pii": q_card_pii,
         "benford_prices": q_benford_prices,
+        # -- round 7: distribution drift, revenue concentration,
+        # ordered-ingest novelty --
+        "ks_test": q_ks_test,
+        "revenue_concentration": q_concentration,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -5570,6 +5626,63 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rbo_rankings": _rbo_oracle_sql(),
         "benford_prices": _benford_oracle_sql(),
+        "ks_test": (
+            "WITH two AS (SELECT event_type AS g, value AS v "
+            "FROM events WHERE event_type IN ('click', 'view') "
+            "AND value IS NOT NULL), "
+            "pv AS (SELECT v, "
+            "SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb "
+            "FROM two GROUP BY 1), "
+            "c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma, "
+            "SUM(cb) OVER (ORDER BY v) AS cumb, "
+            "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM pv), "
+            "d AS (SELECT CAST(na AS BIGINT) AS n_a, "
+            "CAST(nb AS BIGINT) AS n_b, "
+            "MAX(ABS(cuma / CAST(na AS DOUBLE) "
+            "- cumb / CAST(nb AS DOUBLE))) AS dd "
+            "FROM c GROUP BY na, nb) "
+            "SELECT n_a, n_b, round(dd, 6) AS d_stat, "
+            "round(sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * dd, 6)"
+            " AS ks_stat FROM d"
+        ),
+        "revenue_concentration": (
+            "WITH member AS (SELECT c.c_mktsegment AS seg, o.o_custkey, "
+            "SUM(o.o_totalprice) AS x FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2), "
+            "r AS (SELECT seg, x, "
+            "row_number() OVER (PARTITION BY seg ORDER BY x ASC) AS i, "
+            "row_number() OVER (PARTITION BY seg ORDER BY x DESC) AS j "
+            "FROM member) "
+            "SELECT seg AS segment, COUNT(*) AS n, "
+            "round(SUM(x), 2) AS total, "
+            "round(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) "
+            "- (COUNT(*) + 1.0) / COUNT(*), 6) AS gini, "
+            "round(SUM(x * x) / (SUM(x) * SUM(x)), 6) AS hhi, "
+            "round(MAX(CASE WHEN j = 1 THEN x END) / SUM(x), 6) "
+            "AS top1_share, "
+            "round(SUM(CASE WHEN j <= 4 THEN x END) / SUM(x), 6) AS cr4 "
+            "FROM r GROUP BY 1"
+        ),
+        "ngram_novelty": (
+            f"WITH w AS (SELECT doc_id, regexp_split_to_array(t, ' ') "
+            f"AS w FROM (SELECT doc_id, {_NORM} AS t FROM documents) "
+            "WHERE t <> ''), "
+            "g AS (SELECT DISTINCT doc_id, md5(ng) AS g FROM ("
+            "SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN "
+            "list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+            "ELSE [] END) AS ng FROM w)), "
+            "fst AS (SELECT g, MIN(doc_id) AS first_doc FROM g "
+            "GROUP BY 1), "
+            "pd AS (SELECT g.doc_id, COUNT(*) AS n_grams, "
+            "AVG(CASE WHEN fst.first_doc = g.doc_id THEN 1.0 ELSE 0.0 "
+            "END) AS nf FROM g JOIN fst USING (g) GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams, "
+            "round(pd.nf, 6) AS novel_frac "
+            "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+        ),
         "card_pii": (
             # corpus text is digit-free (verified), so the planted
             # structure IS the exact frame: every 20th doc carries one

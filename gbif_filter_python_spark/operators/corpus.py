@@ -418,6 +418,67 @@ def word_ngrams(text_col: Column, n: int = 3) -> Column:
     return ngrams_from_words(_words(text_col), n)
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document novelty against everything BEFORE it:
+    ``(doc_id, n_grams, novel_frac)`` where ``n_grams`` is the
+    document's distinct word-``n``-gram count and ``novel_frac`` the
+    fraction of those grams whose corpus-wide FIRST occurrence
+    (min doc_id) is this document. The streaming-ingest dedup signal:
+    a crawl re-serving yesterday's pages scores ≈0, genuinely new
+    text ≈1 — sits between exact dedup (whole-doc) and MinHash
+    (pairwise) at a fraction of either's cost, and doubles as the
+    ordered-corpus contamination probe. Docs with < n words report
+    ``n_grams = 0`` and NULL novel_frac.
+
+    Scale shape: the text is tokenized ONCE — staged word array
+    (single evaluation, ``ngrams_from_words``' contract) → explode to
+    DISTINCT (doc, md5-gram) pairs (one map-side-combined
+    aggregation) → ``min(doc_id)`` as an unordered window over each
+    gram partition (no per-gram table, no self-join re-scanning the
+    corpus) → per-doc aggregation. Shuffles carry fixed-width
+    (md5-gram, doc_id) rows only; no driver state.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        _words(F.col(text_col)).alias("_w"),
+    )
+    pairs = (
+        staged.select(
+            "doc_id",
+            F.explode(ngrams_from_words(F.col("_w"), n)).alias("_g"),
+        )
+        # md5 keeps the shuffle key fixed-width (grams are unbounded
+        # strings) and is identical cross-engine for the oracle
+        .select("doc_id", F.md5(F.col("_g")).alias("_g"))
+        .distinct()
+    )
+    first = F.min("doc_id").over(Window.partitionBy("_g"))
+    per_doc = (
+        pairs.withColumn("_first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(
+                (F.col("_first") == F.col("doc_id")).cast("double")
+            ).alias("_nf"),
+        )
+    )
+    spine = docs.select(F.col(doc_id_col).alias("doc_id"))
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.round(F.col("_nf"), round_dp).alias("novel_frac"),
+    )
+
+
 def _staged_ngrams(
     docs: DataFrame,
     doc_id_col: str,

@@ -992,6 +992,142 @@ def rank_sum_test(
     )
 
 
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two groups: ONE row
+    ``(n_a, n_b, d_stat, ks_stat)`` where ``d_stat = sup_x |F_a(x) −
+    F_b(x)|`` over the pooled empirical CDFs and ``ks_stat =
+    sqrt(n_a·n_b/(n_a+n_b)) · D`` is the asymptotically
+    distribution-free statistic (compare against the usual 1.36/1.63
+    lines for α=0.05/0.01; the Kolmogorov CDF itself is out of scope —
+    same contract as :func:`rank_sum_test`'s z). The
+    whole-distribution complement of PSI/rank-sum: PSI needs binning
+    choices and rank-sum only sees location shift; D reacts to ANY
+    CDF divergence with a binning-free statistic.
+
+    Scale shape: the rank_sum_test contract — per-DISTINCT-value
+    counts via one map-side-combined hash aggregation, then the CDF
+    prefix sums and the sup run as windows over that |distinct|-row
+    table; the fact is never globally sorted. Both CDFs step at
+    pooled values (ties included), so the sup is exact, not
+    grid-sampled. NULL values excluded pairwise.
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_val = two.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cdfs = per_val.withColumn("_cuma", F.sum("_ca").over(w)).withColumn(
+        "_cumb", F.sum("_cb").over(w)
+    ).withColumn("n_a", F.sum("_ca").over(wall)).withColumn(
+        "n_b", F.sum("_cb").over(wall)
+    )
+    gap = F.abs(
+        F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
+    )
+    agg = cdfs.groupBy("n_a", "n_b").agg(F.max(gap).alias("_d"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("_d", round_dp).alias("d_stat"),
+        F.round(
+            F.sqrt(na * nb / (na + nb)) * F.col("_d"), round_dp
+        ).alias("ks_stat"),
+    )
+
+
+def concentration_metrics(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group concentration of a nonnegative measure over its
+    member rows: ``(group, n, total, gini, hhi, top1_share,
+    cr4)`` — the inequality readout a corpus pipeline runs over
+    source/domain token shares (is one domain 40% of the training
+    mix?) and a marketplace runs over supplier revenue.
+
+    * ``gini`` — ``2·Σ i·x_(i) / (n·Σx) − (n+1)/n`` with ``x_(i)``
+      ascending; invariant to intra-tie order (equal values make the
+      Σ i·x term independent of how row_number breaks the tie), so
+      the statistic is deterministic cross-engine with no tiebreak
+      convention needed.
+    * ``hhi`` — Σ share² (Herfindahl-Hirschman, 1/n..1).
+    * ``top1_share`` / ``cr4`` — the largest member's share and the
+      4-member concentration ratio.
+
+    Scale shape: one shuffle by group, windows within each group's
+    partition (groups are member-count-sized — suppliers per nation,
+    sources per corpus — not fact-sized; pre-aggregate member totals
+    first when feeding raw facts). Zero/negative-total groups return
+    NULL ratios rather than dividing by zero. NULL values excluded.
+    """
+    from pyspark.sql import Window
+
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    asc = Window.partitionBy("group").orderBy(F.col("_x").asc())
+    desc_rank = Window.partitionBy("group").orderBy(F.col("_x").desc())
+    ranked = rows.withColumn("_i", F.row_number().over(asc)).withColumn(
+        "_j", F.row_number().over(desc_rank)
+    )
+    agg = ranked.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_tot"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_iwx"),
+        F.max(F.when(F.col("_j") == 1, F.col("_x"))).alias("_top1"),
+        F.sum(F.when(F.col("_j") <= 4, F.col("_x"))).alias("_top4"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sq"),
+    )
+    n = F.col("n").cast("double")
+    tot = F.col("_tot")
+    ok = tot > 0
+    return agg.select(
+        "group",
+        "n",
+        # total rounds at 2dp, not round_dp: it is the one RAW-SCALE
+        # output (~1e9 for revenue), where double summation order
+        # moves the 1e-7 digit — 6dp would be false precision that
+        # flips on association order; the ratio columns are O(1) and
+        # keep full round_dp
+        F.round(tot, 2).alias("total"),
+        F.round(
+            F.when(ok, 2.0 * F.col("_iwx") / (n * tot) - (n + 1) / n),
+            round_dp,
+        ).alias("gini"),
+        F.round(
+            F.when(ok, F.col("_sq") / (tot * tot)), round_dp
+        ).alias("hhi"),
+        F.round(F.when(ok, F.col("_top1") / tot), round_dp).alias(
+            "top1_share"
+        ),
+        F.round(F.when(ok, F.col("_top4") / tot), round_dp).alias("cr4"),
+    )
+
+
 def fdr_bh(
     df: DataFrame,
     p_col: str,

@@ -1760,3 +1760,151 @@ class TestCohenKappa:
         got2 = cohen_kappa(df2, "a", "b").first()
         assert got2["n"] == 3
         assert got2["po"] == round(2 / 3, 6)
+
+
+class TestKsTest:
+    def test_complete_separation_d_is_one(self, spark):
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+            ("b", v) for v in (4.0, 5.0, 6.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ks_test(df, "g", "v", "a", "b").first()
+        assert out["n_a"] == 3 and out["n_b"] == 3
+        assert out["d_stat"] == 1.0
+        import math
+
+        assert abs(out["ks_stat"] - math.sqrt(1.5)) < 1e-6
+
+    def test_identical_samples_d_zero(self, spark):
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ks_test(df, "g", "v", "a", "b").first()
+        assert out["d_stat"] == 0.0 and out["ks_stat"] == 0.0
+
+    def test_hand_computed_partial_overlap_with_ties(self, spark):
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: pooled CDF gaps peak at 0.5
+        # (values 2-4); ties at 3 and 4 step BOTH CDFs at once
+        rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+            ("b", v) for v in (3.0, 4.0, 5.0, 6.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ks_test(df, "g", "v", "a", "b").first()
+        assert out["d_stat"] == 0.5
+        import math
+
+        assert abs(out["ks_stat"] - math.sqrt(2.0) / 2) < 1e-6
+
+    def test_nulls_and_other_groups_excluded(self, spark):
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        rows = [("a", 1.0), ("a", None), ("b", 2.0), ("c", 99.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ks_test(df, "g", "v", "a", "b").first()
+        assert out["n_a"] == 1 and out["n_b"] == 1
+        assert out["d_stat"] == 1.0
+
+
+class TestConcentrationMetrics:
+    def test_equal_shares_gini_zero(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            concentration_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 2.0)] * 5, "grp string, x double"
+        )
+        out = concentration_metrics(df, "grp", "x").first()
+        assert out["n"] == 5 and out["total"] == 10.0
+        assert out["gini"] == 0.0
+        assert out["hhi"] == 0.2  # 1/n
+        assert out["top1_share"] == 0.2 and out["cr4"] == 0.8
+
+    def test_total_concentration(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            concentration_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 10.0)],
+            "grp string, x double",
+        )
+        out = concentration_metrics(df, "grp", "x").first()
+        # one member owns everything: gini = (n-1)/n
+        assert out["gini"] == 0.75
+        assert out["hhi"] == 1.0
+        assert out["top1_share"] == 1.0 and out["cr4"] == 1.0
+
+    def test_tie_invariance_hand_value(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            concentration_metrics,
+        )
+
+        # [1, 1, 2]: sum i*x = 1+2+6 = 9 regardless of intra-tie
+        # order; gini = 2*9/(3*4) - 4/3 = 1/6
+        for order in ([1.0, 1.0, 2.0], [2.0, 1.0, 1.0]):
+            df = spark.createDataFrame(
+                [("g", v) for v in order], "grp string, x double"
+            )
+            out = concentration_metrics(df, "grp", "x").first()
+            assert out["gini"] == 0.166667, order
+
+    def test_zero_total_group_null_ratios_and_grouping(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            concentration_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("z", 0.0), ("z", 0.0), ("g", 1.0), ("g", 3.0)],
+            "grp string, x double",
+        )
+        rows = {r["group"]: r for r in
+                concentration_metrics(df, "grp", "x").collect()}
+        assert rows["z"]["gini"] is None and rows["z"]["hhi"] is None
+        assert rows["g"]["top1_share"] == 0.75
+
+
+class TestNgramNovelty:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_first_seen_counts_as_novel(self, spark):
+        from gbif_filter_python_spark.operators.corpus import ngram_novelty
+
+        docs = self._docs(spark, [
+            "a b c d",      # grams abc, bcd -> both first here
+            "b c d e",      # bcd seen in doc0, cde new -> 0.5
+            "a b c d",      # exact dup of doc0 -> 0.0
+            "x y",          # < 3 words -> no grams
+        ])
+        rows = {r["doc_id"]: r for r in
+                ngram_novelty(docs, n=3).collect()}
+        assert rows[0]["n_grams"] == 2 and rows[0]["novel_frac"] == 1.0
+        assert rows[1]["n_grams"] == 2 and rows[1]["novel_frac"] == 0.5
+        assert rows[2]["n_grams"] == 2 and rows[2]["novel_frac"] == 0.0
+        assert rows[3]["n_grams"] == 0 and rows[3]["novel_frac"] is None
+
+    def test_grams_distinct_within_doc(self, spark):
+        from gbif_filter_python_spark.operators.corpus import ngram_novelty
+
+        # words [a b c a b c] -> grams abc, bca, cab, abc: 3 distinct
+        docs = self._docs(spark, ["a b c a b c"])
+        out = ngram_novelty(docs, n=3).first()
+        assert out["n_grams"] == 3 and out["novel_frac"] == 1.0
+
+    def test_normalization_applies(self, spark):
+        from gbif_filter_python_spark.operators.corpus import ngram_novelty
+
+        # case/punct-folded text produces the same grams
+        docs = self._docs(spark, ["A, b! C", "a b c"])
+        rows = {r["doc_id"]: r for r in
+                ngram_novelty(docs, n=3).collect()}
+        assert rows[0]["novel_frac"] == 1.0
+        assert rows[1]["novel_frac"] == 0.0

@@ -139,11 +139,23 @@ def build_taxa_input(spark, n: int = 20000):
     )
 
 
-def run(spark, rows: int = 2_000_000, keep: bool = False) -> dict:
+def run(
+    spark, rows: int = 2_000_000, keep: bool = False, warmup: bool = True
+) -> dict:
     """Build the synthetic snapshot and time the three run_filter
     scenarios. Returns the gbif_pipeline result block (also embedded
     into bench.py's JSON line so the flagship domain pipeline has a
-    tracked per-round number, not just the operator queries)."""
+    tracked per-round number, not just the operator queries).
+
+    ``warmup`` runs each scenario once UNTIMED first: the timed pass
+    then measures steady-state executor cost — what a long-running
+    cluster pays per job — instead of whole-stage-codegen JIT
+    compilation, which dominated earlier rounds' numbers and made
+    them a function of the block's position in the bench process
+    (r5's 6.0 s ran mid-sweep, r6's 7.2 s after 190 queries, a fresh
+    JVM pays 12.5 s for identical code — BENCH_GBIF_ISOLATED_r07.json
+    pins this). Since r7 the block runs first in bench.py with
+    warmup, so the metric is position-independent."""
     workdir = tempfile.mkdtemp(prefix="gbif_bench_")
     timings: dict[str, float] = {}
     try:
@@ -174,6 +186,10 @@ def run(spark, rows: int = 2_000_000, keep: bool = False) -> dict:
         }
         counts = {}
         for name, cfg in scenarios.items():
+            if warmup:
+                engine.run_filter(taxa, cfg, tag_mode=True).filter(
+                    F.col("gbif_filter_tag").eqNullSafe(F.lit(True))
+                ).count()
             t0 = time.perf_counter()
             out = engine.run_filter(taxa, cfg, tag_mode=True)
             n_true = out.filter(
@@ -193,6 +209,12 @@ def run(spark, rows: int = 2_000_000, keep: bool = False) -> dict:
         zengine = OccurrenceEngine(
             taxonomy, spark.read.parquet(zocc_path)
         )
+        if warmup:
+            zengine.run_filter(
+                taxa, scenarios["tag_polygon"], tag_mode=True
+            ).filter(
+                F.col("gbif_filter_tag").eqNullSafe(F.lit(True))
+            ).count()
         t0 = time.perf_counter()
         zout = zengine.run_filter(
             taxa, scenarios["tag_polygon"], tag_mode=True
