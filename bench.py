@@ -3,9 +3,19 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() of the full result (not .collect(),
-so driver materialization doesn't dominate; not .show(), which would
-allow partial evaluation via LocalLimit).
+Each query is forced with a noop-sink write of the full result
+(``df.write.format("noop")``): every output column is materialized on
+executors with zero driver transfer and zero I/O. The earlier
+``count()`` forcing let Catalyst legitimately SKIP the work for two
+whole classes of queries — select-only transforms (pii_scrub,
+unicode_norm, quality_scores: the projection is pruned and the count
+collapses to a bare parquet scan) and unique-key spine left-joins
+(ngram_novelty: the join to an aggregated-unique right side is
+eliminated when its columns go unreferenced) — so their bench lines
+measured nothing (r7 audit: 500k-doc ngram_novelty "ran" in 0.3 s).
+That is the optimizer doing its job for count-only consumers, but a
+benchmark must pay for the result it claims. One-time methodology
+discontinuity vs pre-r7 artifacts, in the honest direction.
 """
 
 from __future__ import annotations
@@ -257,7 +267,7 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # keep timing the rest; surface it
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue

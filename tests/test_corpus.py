@@ -1908,3 +1908,114 @@ class TestNgramNovelty:
                 ngram_novelty(docs, n=3).collect()}
         assert rows[0]["novel_frac"] == 1.0
         assert rows[1]["novel_frac"] == 0.0
+
+
+class TestNewOpsDifferential:
+    """Randomized differentials: the Spark plans for the r7 stats
+    operators against straight-line pure-Python references on seeded
+    random inputs — the cross-shape witness the hand cases can't
+    give (tie pileups, skewed sizes, float pileups)."""
+
+    def test_ks_test_matches_python_reference(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        rng = random.Random(7)
+        # coarse grid FORCES heavy ties — the case that breaks naive
+        # pooled-CDF implementations
+        rows = [("a", float(rng.randint(0, 20))) for _ in range(137)] + [
+            ("b", float(rng.randint(3, 25))) for _ in range(89)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ks_test(df, "g", "v", "a", "b").first()
+
+        a = sorted(v for g, v in rows if g == "a")
+        b = sorted(v for g, v in rows if g == "b")
+        pooled = sorted(set(a) | set(b))
+        import bisect
+        import math
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, x) / len(a)
+                - bisect.bisect_right(b, x) / len(b)
+            )
+            for x in pooled
+        )
+        assert out["n_a"] == len(a) and out["n_b"] == len(b)
+        assert abs(out["d_stat"] - d) < 1e-6
+        want_ks = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+        assert abs(out["ks_stat"] - want_ks) < 1e-5
+
+    def test_concentration_matches_python_reference(self, spark):
+        import random
+
+        from gbif_filter_python_spark.operators.profile import (
+            concentration_metrics,
+        )
+
+        rng = random.Random(11)
+        rows = []
+        for g, n in (("g1", 1), ("g2", 7), ("g3", 40)):
+            rows += [
+                (g, round(rng.expovariate(1e-3), 2)) for _ in range(n)
+            ]
+        df = spark.createDataFrame(rows, "grp string, x double")
+        got = {r["group"]: r for r in
+               concentration_metrics(df, "grp", "x").collect()}
+        for g in ("g1", "g2", "g3"):
+            xs = sorted(v for grp, v in rows if grp == g)
+            n, tot = len(xs), sum(xs)
+            gini = (
+                2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot)
+                - (n + 1) / n
+            )
+            hhi = sum(x * x for x in xs) / (tot * tot)
+            top = sorted(xs, reverse=True)
+            assert got[g]["n"] == n
+            assert abs(got[g]["gini"] - gini) < 1e-5, g
+            assert abs(got[g]["hhi"] - hhi) < 1e-5, g
+            assert abs(got[g]["top1_share"] - top[0] / tot) < 1e-5, g
+            assert abs(got[g]["cr4"] - sum(top[:4]) / tot) < 1e-5, g
+        # single-member group: gini exactly 0, everything else 1
+        assert got["g1"]["gini"] == 0.0 and got["g1"]["hhi"] == 1.0
+
+    def test_ngram_novelty_matches_python_reference(self, spark):
+        import random
+        import re
+
+        from gbif_filter_python_spark.operators.corpus import ngram_novelty
+
+        rng = random.Random(13)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+            for _ in range(60)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+
+        first_seen: dict[tuple, int] = {}
+        grams_by_doc = {}
+        for i, t in enumerate(texts):
+            words = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower())
+                     .split() if w]
+            grams = {
+                tuple(words[j:j + 3]) for j in range(len(words) - 2)
+            }
+            grams_by_doc[i] = grams
+            for gm in grams:
+                first_seen.setdefault(gm, i)
+        for i in range(60):
+            grams = grams_by_doc[i]
+            assert got[i]["n_grams"] == len(grams), i
+            if not grams:
+                assert got[i]["novel_frac"] is None
+            else:
+                nf = sum(
+                    1 for gm in grams if first_seen[gm] == i
+                ) / len(grams)
+                assert abs(got[i]["novel_frac"] - nf) < 1e-6, i

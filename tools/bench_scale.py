@@ -71,8 +71,14 @@ def main() -> None:
         rows[label] = {}
         for name in args.queries:
             t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
+            # noop sink: materialize every output column (bench.py's
+            # r7 forcing fix — count() lets Catalyst prune select-only
+            # transforms and eliminate unique-key spine joins)
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = round(time.perf_counter() - t0, 3)
+            n = qs[name](spark, sf_dir).count()  # rows, untimed
             results[label][name] = dt
             rows[label][name] = n
             print(f"{label:8s} {name:24s} {dt:9.3f}s  {n} rows",
