@@ -4774,6 +4774,100 @@ def q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
     return benford_first_digit(li, "l_extendedprice")
 
 
+def q_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py::ivf_pq_search;
+    FAISS IVFx,PQy layout, Jégou TPAMI'11): label-mean coarse
+    centroids restrict the scan to n_probe=2 probed lists, ADC over
+    m=8/ksub=16 PQ codes shortlists 10×k, exact cosine rerank of the
+    shortlist only. Reduced to one deterministic row per query:
+    ``ok`` = structural validity (≤10 rows, contiguous ranks,
+    distinct neighbors, no self-match) AND recall@10 vs brute force
+    ≥ 0.3 (measured ≥ 0.5 at both sfs — the floor asserts the index
+    works without pinning dataset-specific recall; failure direction
+    is a safe false alarm). Oracle: one true row per query id."""
+    from gbif_filter_python_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_search,
+        pq_train,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid_vec")
+        )
+        .select(F.col("label").alias("centroid_id"), "centroid_vec")
+    )
+    books, _hist = pq_train(emb, m=8, ksub=16, max_iter=6)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = (
+        ivf_pq_search(
+            emb, queries, centroids, books,
+            k=11, n_probe=2, shortlist_mult=10,
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .select("query_id", "vec_id", F.col("_rk").alias("rank"))
+    )
+    truth = (
+        brute_force_topk(emb, queries, k=11)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .select("query_id", F.col("vec_id").alias("_tv"))
+    )
+    hits = (
+        got.join(
+            truth,
+            (got["query_id"] == truth["query_id"])
+            & (got["vec_id"] == truth["_tv"]),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    return (
+        got.groupBy("query_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) <= 10)
+                & (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.count_distinct(F.col("vec_id")) == F.count(F.lit(1)))
+            ).alias("_structural_ok"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.col("_structural_ok")
+                & (F.coalesce(F.col("_nh"), F.lit(0)) >= F.lit(10) * 0.3)
+            ).alias("ok"),
+        )
+    )
+
+
 def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov (operators/profile.py::ks_test)
     between click and view event values: the binning-free whole-CDF
@@ -5082,10 +5176,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_pii": q_card_pii,
         "benford_prices": q_benford_prices,
         # -- round 7: distribution drift, revenue concentration,
-        # ordered-ingest novelty --
+        # ordered-ingest novelty, composite ANN --
         "ks_test": q_ks_test,
         "revenue_concentration": q_concentration,
         "ngram_novelty": q_ngram_novelty,
+        "ivf_pq_topk": q_ivf_pq,
     }
 
 
@@ -6229,6 +6324,10 @@ def oracle_sql() -> dict[str, str]:
             f"AS rank FROM f) WHERE rank <= 10"
         ),
         "pq_search": (
+            "SELECT vec_id AS query_id, true AS ok FROM embeddings "
+            "WHERE vec_id < 3"
+        ),
+        "ivf_pq_topk": (
             "SELECT vec_id AS query_id, true AS ok FROM embeddings "
             "WHERE vec_id < 3"
         ),

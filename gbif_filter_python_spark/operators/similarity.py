@@ -661,6 +661,34 @@ def pq_encode(
     )
 
 
+def _adc_udf(books):
+    """Arrow-batched asymmetric-distance scorer over PQ codes: per
+    batch ONE einsum per subspace against the broadcast
+    (m × ksub × dsub) codebook tensor; the query is L2-normalized,
+    the document reconstructed subspace-by-subspace from its code.
+    Shared by :func:`pq_topk` (full-index scan) and
+    :func:`ivf_pq_search` (probed-list scan)."""
+    b = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+
+    @F.pandas_udf(DoubleType())
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.array(codes.tolist(), dtype="int64")  # N × m
+        q = np.array(qv.tolist(), dtype=np.float64)  # N × dim
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        q = (q / qn).reshape(len(c), m, dsub)
+        s = np.zeros(len(c))
+        for sub in range(m):
+            # lookup: reconstructed sub-vector per row, dot with q_sub
+            s += np.einsum("nd,nd->n", q[:, sub, :], b[sub][c[:, sub]])
+        return pd.Series(s)
+
+    return _adc
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -682,23 +710,7 @@ def pq_topk(
     per-query top-k (WindowGroupLimit — partial top-k per partition
     before the exchange).
     """
-    b = np.asarray(books, dtype=np.float64)
-    m, ksub, dsub = b.shape
-
-    @F.pandas_udf(DoubleType())
-    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
-        if len(codes) == 0:
-            return pd.Series([], dtype="float64")
-        c = np.array(codes.tolist(), dtype="int64")  # N × m
-        q = np.array(qv.tolist(), dtype=np.float64)  # N × dim
-        qn = np.linalg.norm(q, axis=1, keepdims=True)
-        qn[qn == 0.0] = 1.0
-        q = (q / qn).reshape(len(c), m, dsub)
-        s = np.zeros(len(c))
-        for sub in range(m):
-            # lookup: reconstructed sub-vector per row, dot with q_sub
-            s += np.einsum("nd,nd->n", q[:, sub, :], b[sub][c[:, sub]])
-        return pd.Series(s)
+    _adc = _adc_udf(books)
 
     scored = encoded.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
@@ -761,6 +773,127 @@ def pq_search(
         F.broadcast(shortlist),
         [query_id_col, id_col],
         "left_semi",
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist_mult: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    assigned: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the index layout real vector stores run
+    (FAISS IVFx,PQy; Jégou et al., TPAMI 2011): an inverted-file
+    coarse quantizer restricts WHICH rows are scanned, product
+    quantization compresses WHAT is scanned, and an exact rerank of
+    the shortlist restores precision. Three multiplicative savings at
+    100 TB:
+
+    1. **List pruning**: each query probes its ``n_probe`` nearest
+       centroid lists only — with |lists| ≫ n_probe the candidate
+       scan is a small fraction of the corpus, and a
+       centroid-partitioned index layout makes it partition-prunable
+       at the source.
+    2. **ADC over codes**: probed rows are scored from m-byte PQ
+       codes + one float norm (32× less I/O than raw float32 at
+       dim 64), one einsum per Arrow batch (:func:`_adc_udf`).
+    3. **Exact rerank**: raw vectors are touched for the
+       ``shortlist_mult × k`` shortlist ONLY, via broadcast semi-join
+       (row-group-prunable on an id-sorted layout).
+
+    The probe join broadcasts ``queries × n_probe`` rows against the
+    code index — an equi-join on ``centroid_id``, NOT a cross join,
+    so the non-probed lists never materialize a pair. Pass pre-built
+    ``assigned`` / ``encoded`` frames to skip the build steps (the
+    index is built once, queried many times). Returns ``(query_id,
+    vec_id, cosine, rank)``, exact cosine on the reranked rows.
+    """
+    if assigned is None:
+        assigned = ivf_assign(
+            corpus, centroids, vec_col, id_col,
+            centroid_id_col, centroid_vec_col,
+        )
+    if encoded is None:
+        encoded = pq_encode(corpus, books, vec_col, id_col)
+    index = encoded.join(
+        assigned.select(id_col, centroid_id_col), id_col
+    )
+
+    # per-query probe list: n_probe nearest centroids (tiny frames)
+    from gbif_filter_python_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    q = queries.withColumn("_qn", l2_norm(F.col(query_vec_col)))
+    cen = centroids.withColumn("_cn", l2_norm(F.col(centroid_vec_col)))
+    denom = F.col("_qn") * F.col("_cn")
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_sim"), F.asc(centroid_id_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .select(
+            query_id_col,
+            query_vec_col,
+            centroid_id_col,
+            F.when(
+                denom > 0,
+                dot_product(F.col(query_vec_col), F.col(centroid_vec_col))
+                / denom,
+            ).otherwise(F.lit(0.0)).alias("_sim"),
+        )
+        .withColumn("_rk", F.row_number().over(probe_w))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id_col, query_vec_col, centroid_id_col)
+    )
+
+    _adc = _adc_udf(books)
+    scored = index.join(F.broadcast(probes), centroid_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _adc(F.col("codes"), F.col(query_vec_col))
+            / F.when(F.col("norm") > 0, F.col("norm")).otherwise(F.lit(1.0))
+        ).alias("_score"),
+    )
+    short_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    shortlist = (
+        scored.withColumn("_rk", F.row_number().over(short_w))
+        .filter(F.col("_rk") <= k * shortlist_mult)
+        .select(query_id_col, id_col)
+    )
+
+    cand = corpus.join(
+        F.broadcast(shortlist.select(id_col).distinct()), id_col, "left_semi"
+    )
+    rescored = cand.join(F.broadcast(queries), how="cross").join(
+        F.broadcast(shortlist), [query_id_col, id_col], "left_semi"
     ).select(
         F.col(query_id_col),
         F.col(id_col),

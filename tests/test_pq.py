@@ -203,3 +203,115 @@ class TestKcenterCoreset:
         ]
         with _p.raises(ValueError, match="k must"):
             kcenter_coreset(df, k=0)
+
+
+class TestIvfPqSearch:
+    """IVF-PQ composite (ivf_pq_search): probe restriction, full-probe
+    equivalence with pq_search, and exact-cosine rerank output."""
+
+    def _centroids(self, spark, df):
+        # two blob-mean centroids from the planted even/odd structure
+        return (
+            df.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+            .select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid_vec")
+            )
+            .select(F.col("label").alias("centroid_id"), "centroid_vec")
+        )
+
+    def test_full_probe_equals_pq_search(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            ivf_pq_search,
+        )
+
+        df = _vectors(spark)
+        cen = self._centroids(spark, df)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=4)
+        queries = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        # n_probe = |lists|: every list scanned -> the ADC shortlist
+        # and the reranked top-k must match plain pq_search exactly
+        composite = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_pq_search(
+                df, queries, cen, books, k=5, n_probe=2,
+                shortlist_mult=4,
+            ).collect()
+        }
+        flat = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in pq_search(
+                df, queries, books, k=5, shortlist_mult=4
+            ).collect()
+        }
+        assert composite == flat and len(composite) > 0
+
+    def test_single_probe_restricts_to_probed_list(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            ivf_assign,
+            ivf_pq_search,
+        )
+
+        df = _vectors(spark)
+        cen = self._centroids(spark, df)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=4)
+        queries = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        assigned = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(df, cen).select(
+                "vec_id", "centroid_id"
+            ).collect()
+        }
+        got = ivf_pq_search(
+            df, queries, cen, books, k=5, n_probe=1, shortlist_mult=4
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            # the planted blobs align with parity; a 1-probe search
+            # from query q must only return vectors from q's own list
+            assert assigned[r["vec_id"]] == assigned[r["query_id"]], r
+
+    def test_recall_floor_and_exact_rerank_scores(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            ivf_pq_search,
+        )
+        from gbif_filter_python_spark.functions.vectors import (
+            cosine_similarity,
+        )
+
+        df = _vectors(spark)
+        cen = self._centroids(spark, df)
+        books, _ = pq_train(df, m=4, ksub=8, max_iter=4)
+        queries = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = ivf_pq_search(
+            df, queries, cen, books, k=6, n_probe=1, shortlist_mult=6
+        )
+        rows = got.collect()
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in brute_force_topk(df, queries, k=6).collect()
+        }
+        hits = sum(1 for r in rows if (r["query_id"], r["vec_id"]) in truth)
+        assert hits / len(rows) >= 0.5  # blobs are easy; floor is lax
+        # rerank scores are EXACT cosine of the raw vectors
+        vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+        for r in rows:
+            q = np.array(vecs[r["query_id"]])
+            v = np.array(vecs[r["vec_id"]])
+            want = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            assert abs(r["cosine"] - want) < 1e-9
