@@ -1809,6 +1809,16 @@ class TestKsTest:
         assert out["n_a"] == 1 and out["n_b"] == 1
         assert out["d_stat"] == 1.0
 
+    def test_absent_group_yields_empty_frame(self, spark):
+        from gbif_filter_python_spark.operators.profile import ks_test
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, v double"
+        )
+        # one sample entirely missing: no defined statistic — the
+        # contract is an EMPTY frame, not a NULL-laden row
+        assert ks_test(df, "g", "v", "a", "b").count() == 0
+
 
 class TestConcentrationMetrics:
     def test_equal_shares_gini_zero(self, spark):
