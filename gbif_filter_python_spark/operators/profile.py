@@ -1043,7 +1043,13 @@ def ks_test(
     gap = F.abs(
         F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
     )
-    agg = cdfs.groupBy("n_a", "n_b").agg(F.max(gap).alias("_d"))
+    # an entirely-absent sample has no defined statistic: return an
+    # EMPTY frame, not a NaN-laden row (0/0 double division is NaN)
+    agg = (
+        cdfs.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(gap).alias("_d"))
+    )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     return agg.select(
