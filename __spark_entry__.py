@@ -4868,6 +4868,42 @@ def q_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_windowed_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day PSI drift monitor (streaming/windows.py::
+    windowed_value_histogram + psi_from_histogram): ONE append-safe
+    stateful aggregation produces the per-window histogram (the same
+    function runs streaming — stream≡batch pinned in
+    tests/test_streaming.py), the PSI finisher runs over the
+    windows×bins sink table. Reference = the global value
+    distribution, so day-over-day drift is measured against the
+    all-time mix with both engines replaying identical eps-floored
+    terms."""
+    from gbif_filter_python_spark.streaming.windows import (
+        psi_from_histogram,
+        windowed_value_histogram,
+    )
+
+    ev = _t(spark, sf, "events")
+    hist = windowed_value_histogram(
+        ev, window_duration="1 day", n_bins=10, lo=0.0, hi=100.0
+    )
+    v = F.col("value").cast("double")
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(F.floor(v / F.lit(10.0)).cast("int"), F.lit(9)),
+    )
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = counts.agg(F.sum("_n").cast("double").alias("_tot"))
+    reference = counts.crossJoin(total).select(
+        "bin", (F.col("_n") / F.col("_tot")).alias("ref_share")
+    )
+    return psi_from_histogram(hist, reference)
+
+
 def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov (operators/profile.py::ks_test)
     between click and view event values: the binning-free whole-CDF
@@ -5181,6 +5217,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_concentration,
         "ngram_novelty": q_ngram_novelty,
         "ivf_pq_topk": q_ivf_pq,
+        "windowed_psi": q_windowed_psi,
     }
 
 
@@ -6330,6 +6367,29 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": (
             "SELECT vec_id AS query_id, true AS ok FROM embeddings "
             "WHERE vec_id < 3"
+        ),
+        "windowed_psi": (
+            "WITH v AS (SELECT date_trunc('day', ts) AS ws, "
+            "GREATEST(0, LEAST(CAST(floor(value / 10.0) AS INT), 9)) "
+            "AS bin FROM events WHERE value IS NOT NULL), "
+            "ref AS (SELECT bin, count(*) / "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM v) AS ref_share "
+            "FROM v GROUP BY 1), "
+            "cnt AS (SELECT ws, bin, count(*) AS n FROM v GROUP BY 1, 2), "
+            "wins AS (SELECT DISTINCT ws FROM v), "
+            "grid AS (SELECT w.ws, r.bin, r.ref_share, "
+            "CAST(COALESCE(c.n, 0) AS DOUBLE) AS n FROM wins w "
+            "CROSS JOIN ref r LEFT JOIN cnt c "
+            "ON c.ws = w.ws AND c.bin = r.bin), "
+            "tot AS (SELECT ws, SUM(n) AS nt FROM grid GROUP BY 1) "
+            "SELECT g.ws AS window_start, "
+            "g.ws + INTERVAL 1 DAY AS window_end, "
+            "CAST(t.nt AS BIGINT) AS n_total, "
+            "round(SUM((GREATEST(g.n / t.nt, 1e-4) "
+            "- GREATEST(g.ref_share, 1e-4)) "
+            "* ln(GREATEST(g.n / t.nt, 1e-4) "
+            "/ GREATEST(g.ref_share, 1e-4))), 6) AS psi "
+            "FROM grid g JOIN tot t USING (ws) GROUP BY 1, 2, 3"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

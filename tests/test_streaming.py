@@ -736,3 +736,88 @@ def test_cms_sketch_writer_stream_equals_batch(spark, events_dir, tmp_path):
     v0_cells = {(r["depth"], r["bucket"]): r["cnt"] for r in v0.collect()}
     assert sum(v0_cells.values()) < sum(s.values())
     assert all(s[k] >= v for k, v in v0_cells.items())
+
+
+def test_windowed_histogram_stream_matches_batch_and_psi(
+    spark, events_dir, tmp_path
+):
+    """Drift monitor: the SAME windowed_value_histogram runs batch and
+    incremental and agrees bin-for-bin; psi_from_histogram over the
+    streamed sink table equals the batch-direct PSI, and both equal a
+    pure-Python replay (eps-floored terms, completed bin grid)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.streaming.windows import (
+        psi_from_histogram,
+        windowed_value_histogram,
+    )
+
+    events = spark.read.parquet(events_dir)
+    batch_hist = windowed_value_histogram(
+        events, "6 hours", watermark=None, n_bins=5, lo=0.0, hi=50.0
+    )
+    expected = {
+        (r["window_start"], r["bin"]): r["n"] for r in batch_hist.collect()
+    }
+    assert expected and sum(expected.values()) == events.filter(
+        F.col("value").isNotNull()
+    ).count()
+
+    stream = stream_events(spark, events_dir)
+    agg = windowed_value_histogram(
+        stream, "6 hours", watermark="4 hours", n_bins=5, lo=0.0, hi=50.0
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("drift_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["bin"]): r["n"]
+            for r in spark.sql("SELECT * FROM drift_hist").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+    # finisher: PSI vs the global distribution, replayed in python
+    ref_counts: dict[int, int] = {}
+    for (_ws, b), n in expected.items():
+        ref_counts[b] = ref_counts.get(b, 0) + n
+    tot = sum(ref_counts.values())
+    ref = spark.createDataFrame(
+        [(b, n / tot) for b, n in ref_counts.items()],
+        "bin int, ref_share double",
+    )
+    out = {
+        (r["window_start"]): (r["n_total"], r["psi"])
+        for r in psi_from_histogram(batch_hist, ref).collect()
+    }
+    eps = 1e-4
+    windows = {ws for ws, _b in expected}
+    for ws in windows:
+        wn = {b: expected.get((ws, b), 0) for b in ref_counts}
+        nt = sum(wn.values())
+        psi = sum(
+            (max(wn[b] / nt, eps) - max(ref_counts[b] / tot, eps))
+            * math.log(
+                max(wn[b] / nt, eps) / max(ref_counts[b] / tot, eps)
+            )
+            for b in ref_counts
+        )
+        assert out[ws][0] == nt
+        assert abs(out[ws][1] - psi) < 1e-5, ws
+
+    # validation
+    import pytest as _p
+
+    with _p.raises(ValueError, match="n_bins"):
+        windowed_value_histogram(events, n_bins=0)
+    with _p.raises(ValueError, match="hi > lo"):
+        windowed_value_histogram(events, lo=5.0, hi=5.0)
