@@ -4955,6 +4955,138 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_novelty(_t(spark, sf, "documents"), n=3)
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup (functions/urls.py::canonicalize_url): the
+    first pass of every web-corpus pipeline. URLs are synthesized
+    deterministically from doc columns (the corpus has no URL column)
+    with every canonicalization hazard present — mixed-case scheme/
+    host, default :443 port, www. prefix, trailing slash, utm_/ref
+    tracking params in shuffled positions, fragments — then
+    canonicalized (pure Column, map-only) and hash-grouped. Keeper =
+    min doc_id per canonical key."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 40).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (d % 6).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("?id="), (d % 6).cast("string"), F.lit("&ref=tw")),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    from gbif_filter_python_spark.functions.urls import canonicalize_url
+
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean order value per priority
+    (operators/resample.py::poisson_bootstrap_ci): hash-deterministic
+    Poisson(1) replica weights, ONE map-side-combined aggregate for
+    all 30 replica means, percentile CI over 30-value model state.
+    The SQL twin replays the identical md5 -> uniform -> inverse-CDF
+    draw, so the CI bounds are reproduced exactly, not statistically."""
+    from gbif_filter_python_spark.operators.resample import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        _t(spark, sf, "orders"),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        replicas=30,
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner
+    (operators/maintenance.py::compaction_plan): hourly ingest files
+    (one synthetic manifest row per (event_type, hour), bytes
+    proportional to event count) binned next-fit into ~20 KB rewrite
+    tasks by a single window-cumsum pass, shuffled once by partition."""
+    from gbif_filter_python_spark.operators.maintenance import compaction_plan
+
+    events = _t(spark, sf, "events")
+    files = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("file_hour")
+    ).agg((F.count("*") * 100).alias("size_bytes"))
+    return compaction_plan(
+        files,
+        partition_col="event_type",
+        order_col="file_hour",
+        size_col="size_bytes",
+        target_bytes=20000,
+    )
+
+
+def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading ease per document
+    (functions/text.py::flesch_reading_ease): vowel-run syllable
+    heuristic + terminator-run sentences, all regexp_count inside
+    whole-stage codegen — the quality-gate band next to
+    quality_scores/gopher_filters."""
+    from gbif_filter_python_spark.functions.text import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("words"),
+        sentence_count(t).alias("sentences"),
+        syllable_count(t).alias("syllables"),
+        flesch_reading_ease(t).alias("flesch"),
+    )
+
+
+def q_covariance_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding covariance via the partial-Gram reduce
+    (operators/linalg.py::covariance_matrix): per-Arrow-batch NumPy
+    X^T X partials, shuffle bounded by partitions x d^2 (never n) —
+    the PCA/whitening front door. Oracle recomputes the same sums by
+    explicit (i, j) unnest join."""
+    from gbif_filter_python_spark.operators.linalg import covariance_matrix
+
+    return covariance_matrix(_t(spark, sf, "embeddings"), "embedding", dim=64)
+
+
+def q_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill power-law tail index of order values per priority
+    (operators/profile.py::hill_tail_index): one window pass, then only
+    groups x (k+1) rows shuffle. Heavy-tail diagnostic next to
+    zipf_fit/benford_prices."""
+    from gbif_filter_python_spark.operators.profile import hill_tail_index
+
+    return hill_tail_index(
+        _t(spark, sf, "orders"),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        tie_col="o_orderkey",
+        k=100,
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5218,6 +5350,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "ivf_pq_topk": q_ivf_pq,
         "windowed_psi": q_windowed_psi,
+        # -- round 7 late block: web-corpus canonical dedup, resampling
+        # statistics, table maintenance, readability quality gate --
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "bootstrap_ci": q_bootstrap_ci,
+        "compaction_plan": q_compaction_plan,
+        "readability_scores": q_readability_scores,
+        "covariance_matrix": q_covariance_matrix,
+        "hill_tail": q_hill_tail,
     }
 
 
@@ -6390,6 +6530,145 @@ def oracle_sql() -> dict[str, str]:
             "* ln(GREATEST(g.n / t.nt, 1e-4) "
             "/ GREATEST(g.ref_share, 1e-4))), 6) AS psi "
             "FROM grid g JOIN tot t USING (ws) GROUP BY 1, 2, 3"
+        ),
+        "url_canonical_dedup": (
+            # Literal SQL mirror of functions/urls.py::canonicalize_url
+            # over the identical synthetic URL construction.
+            "WITH u AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' "
+            "ELSE 'https://' END) || source || '.Example.COM' || "
+            "(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || "
+            "'/Docs/' || CAST(doc_id % 40 AS VARCHAR) || "
+            "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' "
+            "|| CAST(doc_id % 6 AS VARCHAR) || '&utm_campaign=x' "
+            "WHEN doc_id % 4 = 1 THEN '?id=' "
+            "|| CAST(doc_id % 6 AS VARCHAR) || '&ref=tw' "
+            "ELSE '' END) || "
+            "(CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) "
+            "AS url FROM documents), "
+            "s AS (SELECT doc_id, "
+            "regexp_replace(trim(url), '#.*$', '') AS u1 FROM u), "
+            "p AS (SELECT doc_id, "
+            "regexp_replace(u1, '\\?.*$', '') AS base, "
+            "regexp_extract(u1, '\\?(.*)$', 1) AS query FROM s), "
+            "parts AS (SELECT doc_id, query, "
+            "lower(regexp_extract(base, "
+            "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+            "lower(regexp_extract(base, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)) AS hostport, "
+            "regexp_replace(base, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS path FROM p), "
+            "np AS (SELECT doc_id, query, scheme, "
+            "regexp_replace(CASE WHEN scheme = 'http' THEN "
+            "regexp_replace(hostport, ':80$', '') "
+            "WHEN scheme = 'https' THEN "
+            "regexp_replace(hostport, ':443$', '') "
+            "ELSE hostport END, '^www\\.', '') AS host, "
+            "regexp_replace(path, '/+$', '') AS p2 FROM parts), "
+            "canon AS (SELECT doc_id, scheme || '://' || host || "
+            "(CASE WHEN p2 = '' THEN '/' ELSE p2 END) || "
+            "(CASE WHEN cq = '' THEN '' ELSE '?' || cq END) "
+            "AS canonical_url FROM (SELECT np.*, "
+            # COALESCE: array_to_string of an empty filtered list is
+            # NULL in DuckDB where Spark's concat_ws yields ''.
+            "COALESCE(array_to_string(list_sort(list_filter("
+            "regexp_split_to_array(query, '&'), "
+            "x -> x <> '' AND NOT x LIKE 'utm_%' "
+            "AND NOT x LIKE 'fbclid=%' AND NOT x LIKE 'gclid=%' "
+            "AND NOT x LIKE 'ref=%')), '&'), '') AS cq FROM np)) "
+            "SELECT canonical_url, count(*) AS n_urls, "
+            "min(doc_id) AS keeper FROM canon GROUP BY 1"
+        ),
+        "bootstrap_ci": (
+            # Exact replay of resample.py::poisson_bootstrap_ci —
+            # same md5 -> uniform -> Poisson(1) inverse CDF, same
+            # thresholds, same type-7 percentile interpolation.
+            "WITH ex AS (SELECT o_orderpriority AS grp, "
+            "o_totalprice AS val, "
+            "CAST(o_orderkey AS VARCHAR) AS rid, r.rep FROM orders "
+            "CROSS JOIN (SELECT unnest(range(30)) AS rep) r), "
+            "uu AS (SELECT grp, rep, val, "
+            "(('0x' || substring(md5(rid || '|' || "
+            "CAST(rep AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) "
+            "AS u FROM ex), "
+            "pw AS (SELECT grp, rep, val, "
+            "CASE WHEN u < 0.36787944117144233 THEN 0 "
+            "WHEN u < 0.7357588823428847 THEN 1 "
+            "WHEN u < 0.9196986029286058 THEN 2 "
+            "WHEN u < 0.9810118431238462 THEN 3 "
+            "WHEN u < 0.9963401531726563 THEN 4 "
+            "WHEN u < 0.9994058151824183 THEN 5 "
+            "WHEN u < 0.9999167588507119 THEN 6 "
+            "WHEN u < 0.9999897508637437 THEN 7 ELSE 8 END AS w "
+            "FROM uu), "
+            "rm AS (SELECT grp, rep, "
+            "sum(w * val) / nullif(sum(w), 0) AS rep_mean, "
+            "count(*) AS n_rows FROM pw GROUP BY 1, 2), "
+            "ci AS (SELECT grp, "
+            "round(quantile_cont(rep_mean, 0.025), 2) AS ci_lo, "
+            "round(quantile_cont(rep_mean, 0.975), 2) AS ci_hi, "
+            "max(n_rows) AS n_rows FROM rm GROUP BY 1), "
+            "pt AS (SELECT o_orderpriority AS grp, "
+            "round(avg(o_totalprice), 2) AS point_mean "
+            "FROM orders GROUP BY 1) "
+            "SELECT ci.grp, pt.point_mean, ci.ci_lo, ci.ci_hi, "
+            "CAST(ci.n_rows AS BIGINT) AS n_rows "
+            "FROM ci JOIN pt USING (grp)"
+        ),
+        "compaction_plan": (
+            "WITH f AS (SELECT event_type, "
+            "date_trunc('hour', ts) AS file_hour, "
+            "count(*) * 100 AS size_bytes FROM events GROUP BY 1, 2), "
+            "b AS (SELECT event_type, file_hour, size_bytes, "
+            "CAST(floor((sum(size_bytes) OVER (PARTITION BY event_type "
+            "ORDER BY file_hour ROWS UNBOUNDED PRECEDING) "
+            "- size_bytes) / 20000) AS INT) AS bin_id FROM f) "
+            "SELECT event_type, bin_id, count(*) AS n_files, "
+            "CAST(sum(size_bytes) AS BIGINT) AS total_bytes, "
+            "min(file_hour) AS first_key, max(file_hour) AS last_key "
+            "FROM b GROUP BY 1, 2"
+        ),
+        "readability_scores": (
+            f"WITH r AS (SELECT doc_id, {_TOK_SQL} AS words, "
+            "GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) "
+            "AS INT)) AS sentences, "
+            "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+            "AS INT) AS syllables FROM documents) "
+            "SELECT doc_id, CAST(words AS INT) AS words, sentences, "
+            "syllables, CASE WHEN words > 0 THEN "
+            "round(206.835 - 1.015 * (words / sentences) "
+            "- 84.6 * (syllables / words), 4) END AS flesch FROM r"
+        ),
+        "covariance_matrix": (
+            # Full-scan recomputation of the partial-Gram sums: the
+            # (i, j) unnest join is the n x d^2 shape the Spark path
+            # deliberately avoids — fine at sf0.01, dead at scale.
+            "WITH dims AS (SELECT unnest(range(64)) AS i), "
+            "x AS (SELECT e.vec_id, d.i, "
+            "CAST(e.embedding[d.i + 1] AS DOUBLE) AS v "
+            "FROM embeddings e CROSS JOIN dims d "
+            "WHERE e.embedding IS NOT NULL) "
+            "SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) "
+            "/ count(*), 6) + 0.0 AS cov "
+            "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY 1, 2"
+        ),
+        "hill_tail": (
+            "WITH r AS (SELECT o_orderpriority AS grp, "
+            "o_totalprice AS v, o_orderkey, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders WHERE o_totalprice > 0), "
+            "t AS (SELECT grp, v AS x_k1 FROM r WHERE rn = 101), "
+            "top AS (SELECT r.grp, r.v, t.x_k1 FROM r "
+            "JOIN t USING (grp) WHERE rn <= 100) "
+            "SELECT grp AS o_orderpriority, count(*) AS k, "
+            "round(max(x_k1), 2) AS x_k1, "
+            "round(1.0 / avg(ln(v / x_k1)), 6) AS tail_index "
+            "FROM top GROUP BY 1"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

@@ -311,3 +311,40 @@ def card_pii_report(col: Column):
         F.size(cands).cast("int").alias("n_candidates"),
         F.size(valid).cast("int").alias("n_luhn_valid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Readability (Flesch reading ease, regex-count heuristic)
+# --------------------------------------------------------------------------
+
+def syllable_count(col: Column) -> Column:
+    """Heuristic syllable count: vowel-group runs in the lowered text.
+
+    The standard cheap proxy (one syllable per maximal ``[aeiouy]+``
+    run) — deterministic, pure-JVM `regexp_count`, mirrored by
+    ``len(regexp_extract_all(...))`` in the DuckDB oracle twin.
+    """
+    return F.regexp_count(F.lower(col), F.lit("[aeiouy]+"))
+
+
+def sentence_count(col: Column) -> Column:
+    """Terminator-run count, floored at 1 so fragment-only documents
+    (the synthetic corpus has no punctuation) count as one sentence."""
+    return F.greatest(F.lit(1), F.regexp_count(col, F.lit("[.!?]+")))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading ease: 206.835 - 1.015*(W/S) - 84.6*(Syl/W).
+
+    Null for empty documents (division guard), 4dp rounding. A corpus
+    quality gate bands on this next to gopher_filters/quality_scores;
+    everything stays inside whole-stage codegen so the pass is a
+    map-only scan at 100 TB.
+    """
+    words = token_count(col)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentence_count(col))
+        - F.lit(84.6) * (syllable_count(col) / words)
+    )
+    return F.when(words > 0, F.round(score, 4))

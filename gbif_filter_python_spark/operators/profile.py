@@ -1451,3 +1451,63 @@ def benford_first_digit(
         "chi2_term",
         F.round(F.sum("_raw_term").over(w), round_dp).alias("chi2_total"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    k: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group.
+
+    The heavy-tail diagnostic that pairs with zipf_fit/benford: for the
+    ``k`` largest positive values ``x_(1) >= ... >= x_(k)`` and the
+    threshold ``x_(k+1)``, ``H = mean(ln(x_(i) / x_(k+1)))`` and the
+    tail index is ``1/H`` (Hill 1975 — smaller index = heavier tail).
+
+    Scale shape: ONE window pass (row_number per group, ties broken by
+    ``tie_col`` so the estimate is deterministic), top-(k+1) rows kept
+    per group — the shuffle after the filter carries ``groups x (k+1)``
+    rows, never the fact. At 100 TB the window itself is the cost; for
+    few groups substitute an approx-quantile threshold prefilter first
+    (the documented trade elsewhere: exact top-k via window is fine
+    per-partitioned-group, the global variant goes through
+    ``approx_percentiles``).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(tie_col)
+    )
+    ranked = (
+        df.filter(F.col(value_col) > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+    )
+    thresh = ranked.filter(F.col("rn") == k + 1).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("x_k1")
+    )
+    top = ranked.filter(F.col("rn") <= k).join(
+        F.broadcast(thresh), F.col(group_col) == F.col("_g")
+    )
+    return (
+        top.groupBy(group_col)
+        .agg(
+            F.count("*").alias("k"),
+            F.round(F.first("x_k1"), 2).alias("x_k1"),
+            F.avg(F.log(F.col(value_col) / F.col("x_k1"))).alias("_h"),
+        )
+        .select(
+            group_col,
+            "k",
+            "x_k1",
+            # try_divide: a degenerate flat tail (H = 0, all top-k
+            # equal) yields null rather than an ANSI divide error.
+            F.round(F.try_divide(F.lit(1.0), F.col("_h")), round_dp).alias(
+                "tail_index"
+            ),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Distributed resampling statistics: hash-deterministic Poisson
+bootstrap confidence intervals.
+
+Beyond-reference operator (SURVEY.md §2 final row; no counterpart in
+`/root/reference/`). The classic bootstrap ("draw n rows with
+replacement, B times") cannot be expressed as a distributed scan — but
+its Poisson approximation can: for n large, the multinomial
+replication counts of an n-out-of-n resample converge to independent
+Poisson(1) draws per row (Chamandy et al., "Estimating Uncertainty
+for Massive Data Streams", Google 2012). That turns the bootstrap
+into ONE map-only pass:
+
+* each row is expanded to ``replicas`` (row, rep) pairs map-side;
+* its weight in replica r is ``PoissonInv(u)`` where ``u`` derives
+  from ``md5(id || '|' || r)`` — deterministic, seedable, and exactly
+  reproducible by the DuckDB oracle twin (no RNG state anywhere);
+* per-(group, replica) weighted means come out of a single
+  hash aggregate with map-side partial combine, so the shuffle carries
+  only ``|groups| x replicas`` partial rows, never the fact;
+* the percentile step runs over ``replicas`` values per group —
+  driver-trivial model state, like the k-means centroids.
+
+At 100 TB the cost is the expansion factor (``replicas``x map-side
+rows, amortized by partial aggregation) — there is no second scan and
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["poisson_bootstrap_ci", "POISSON1_CDF"]
+
+#: Cumulative distribution of Poisson(lambda=1), k = 0..7; a uniform
+#: u in [0,1) maps to the first k with u < cdf[k] (else 8). Shared
+#: verbatim with the SQL twin — both engines compare the same IEEE
+#: doubles, so the inverse-CDF draw is bit-identical.
+POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508637437,
+)
+
+
+def _poisson1(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column."""
+    expr = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    replicas: int = 30,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group mean with a (1-alpha) percentile-bootstrap CI.
+
+    Returns one row per group: ``point_mean`` (plain mean),
+    ``ci_lo`` / ``ci_hi`` (alpha/2 and 1-alpha/2 percentiles of the
+    ``replicas`` Poisson-bootstrap replica means), and ``n_rows``.
+    Money-magnitude outputs are rounded at 2dp (fp summation-order
+    noise sits at the 1e-6 digit for 1e9-scale sums).
+    """
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(replicas - 1))
+    ).alias("rep")
+    expanded = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.col(id_col).cast("string").alias("rid"),
+        rep,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("rid"), F.lit("|"), F.col("rep").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    weighted = expanded.withColumn("w", _poisson1(u))
+
+    # One hash-agg: (group, rep) partials combine map-side, so the
+    # shuffle is |groups| x replicas rows regardless of fact size.
+    rep_means = weighted.groupBy("grp", "rep").agg(
+        (F.sum(F.col("w") * F.col("val")) / F.nullif(F.sum("w"), F.lit(0))).alias(
+            "rep_mean"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    return (
+        rep_means.groupBy("grp")
+        .agg(
+            F.round(F.percentile(F.col("rep_mean"), F.lit(lo_q)), 2).alias("ci_lo"),
+            F.round(F.percentile(F.col("rep_mean"), F.lit(hi_q)), 2).alias("ci_hi"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .alias("ci")
+        .join(
+            df.groupBy(F.col(group_col).alias("grp")).agg(
+                F.round(F.avg(value_col), 2).alias("point_mean")
+            ),
+            "grp",
+        )
+        .select("grp", "point_mean", "ci_lo", "ci_hi", "n_rows")
+    )

@@ -1,0 +1,82 @@
+"""Unit tests for the partial-Gram covariance reduce and the Hill
+tail-index estimator — NumPy ground truth and hand-built tails."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_filter_python_spark.operators.linalg import covariance_matrix
+from gbif_filter_python_spark.operators.profile import hill_tail_index
+
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "embedding", dim=4).collect()
+    }
+    expected = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 10  # upper triangle of 4x4
+    for (i, j), c in got.items():
+        assert i <= j
+        assert c == pytest.approx(expected[i, j], abs=2e-6)
+
+
+def test_covariance_ignores_null_vectors_and_reports_n(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        (r["i"], r["j"]): r for r in covariance_matrix(df, "embedding", dim=2).collect()
+    }
+    assert all(r["n"] == 2 for r in rows.values())
+    # var(x)=1, cov(x,y)=2, var(y)=4 (population, n=2)
+    assert rows[(0, 0)]["cov"] == 1.0
+    assert rows[(0, 1)]["cov"] == 2.0
+    assert rows[(1, 1)]["cov"] == 4.0
+
+
+def test_hill_tail_index_pareto_recovery(spark):
+    # Exact Pareto(alpha) quantiles: x_q = (1-q)^(-1/alpha). The Hill
+    # estimate over the top-k of a dense quantile grid recovers alpha.
+    alpha = 2.5
+    n = 2000
+    vals = [(1 - (i + 0.5) / n) ** (-1.0 / alpha) for i in range(n)]
+    df = spark.createDataFrame(
+        [("g", float(v), i) for i, v in enumerate(vals)], ["g", "v", "id"]
+    )
+    (row,) = hill_tail_index(df, "g", "v", "id", k=200).collect()
+    assert row["k"] == 200
+    assert row["tail_index"] == pytest.approx(alpha, rel=0.15)
+
+
+def test_hill_tail_index_hand_example(spark):
+    # k=2: top values 8, 4, threshold 2 -> H = (ln4 + ln2)/2
+    df = spark.createDataFrame(
+        [("g", 8.0, 1), ("g", 4.0, 2), ("g", 2.0, 3), ("g", 1.0, 4)],
+        ["g", "v", "id"],
+    )
+    (row,) = hill_tail_index(df, "g", "v", "id", k=2).collect()
+    h = (math.log(4.0) + math.log(2.0)) / 2
+    assert row["x_k1"] == 2.0
+    assert row["tail_index"] == round(1.0 / h, 6)
+
+
+def test_hill_tail_index_degenerate_flat_tail_is_null(spark):
+    # All-equal values: ln(x/x_k1) = 0 -> H = 0 -> try_divide null.
+    df = spark.createDataFrame(
+        [("g", 5.0, i) for i in range(5)], ["g", "v", "id"]
+    )
+    (row,) = hill_tail_index(df, "g", "v", "id", k=3).collect()
+    assert row["x_k1"] == 5.0
+    assert row["tail_index"] is None
