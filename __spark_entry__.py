@@ -5087,6 +5087,26 @@ def q_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc vs the corpus top-1000 vocab
+    (operators/corpus.py::oov_rate): two-level term agg + TakeOrdered
+    top-V (bounded model state) broadcast back over exploded tokens —
+    the tokenizer-coverage metric next to bpe_token_counts."""
+    from gbif_filter_python_spark.operators.corpus import oov_rate
+
+    return oov_rate(_t(spark, sf, "documents"), vocab_size=1000)
+
+
+def q_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset-card summary
+    (operators/corpus.py::corpus_datasheet): docs, tokens, language
+    mix, exact-dup rate via TWO chained hash aggs (fingerprint rollup
+    first) — no EXPAND, unlike a same-agg count_distinct."""
+    from gbif_filter_python_spark.operators.corpus import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf, "documents"))
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5358,6 +5378,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": q_readability_scores,
         "covariance_matrix": q_covariance_matrix,
         "hill_tail": q_hill_tail,
+        "oov_rate": q_oov_rate,
+        "corpus_datasheet": q_corpus_datasheet,
     }
 
 
@@ -6669,6 +6691,35 @@ def oracle_sql() -> dict[str, str]:
             "round(max(x_k1), 2) AS x_k1, "
             "round(1.0 / avg(ln(v / x_k1)), 6) AS tail_index "
             "FROM top GROUP BY 1"
+        ),
+        "oov_rate": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents), "
+            "w AS (SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) "
+            "AS term FROM norm WHERE t <> ''), "
+            "vocab AS (SELECT term FROM (SELECT term, count(*) AS tf "
+            "FROM w GROUP BY 1) ORDER BY tf DESC, term LIMIT 1000), "
+            "f AS (SELECT w.doc_id, CASE WHEN v.term IS NULL THEN 1 "
+            "ELSE 0 END AS oov FROM w LEFT JOIN vocab v USING (term)) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(oov) AS BIGINT) AS n_oov, "
+            "round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+            "FROM f GROUP BY 1"
+        ),
+        "corpus_datasheet": (
+            f"WITH pf AS (SELECT source AS src, md5({_NORM}) AS fp, "
+            f"{_TOK_SQL} AS toks, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en "
+            "FROM documents), "
+            "g1 AS (SELECT src, fp, count(*) AS n, sum(toks) AS tok_sum, "
+            "sum(is_en) AS en_sum FROM pf GROUP BY 1, 2) "
+            "SELECT src, CAST(sum(n) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_texts, "
+            "CAST(sum(tok_sum) AS BIGINT) AS total_tokens, "
+            "round(sum(tok_sum) / CAST(sum(n) AS DOUBLE), 2) "
+            "AS avg_tokens, "
+            "round(sum(en_sum) / CAST(sum(n) AS DOUBLE), 4) AS pct_en, "
+            "round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) "
+            "AS dup_rate FROM g1 GROUP BY 1"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

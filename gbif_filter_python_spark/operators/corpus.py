@@ -1611,3 +1611,80 @@ def heaps_fit(
         F.col("_p._ly").alias("_ly"),
     )
     return linear_trend(pts, ["_g"], "_lx", "_ly", round_dp).drop("_g")
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token rate vs the corpus top-V
+    vocabulary — the coverage metric that sizes a tokenizer's vocab
+    (high OOV mass = the vocab is too small or the doc is off-domain).
+
+    Scale shape: the vocabulary is a two-level hash aggregate + global
+    top-V (TakeOrdered, deterministic ``(freq desc, term)`` tie-break)
+    -> bounded driver model state, broadcast back; the per-doc pass is
+    one broadcast left-join over exploded tokens and one partial-
+    aggregated groupBy(doc). Docs with zero tokens are absent (no
+    token rows), matching the SQL twin.
+    """
+    w = docs.select(id_col, F.explode(_words(F.col(text_col))).alias("term"))
+    vocab = (
+        w.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    flagged = w.join(F.broadcast(vocab), "term", "left")
+    n_oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-pass per-source corpus datasheet: docs, tokens, language
+    mix, exact-duplicate rate — the summary table a dataset card
+    publishes per shard/source.
+
+    Scale shape: TWO chained hash aggregates, no EXPAND — distinct-
+    text counting runs through groupBy(source, fingerprint) first
+    (partial-combined), then one groupBy(source) over the fingerprint
+    rollup; a count_distinct in the same agg as the sums would plan an
+    EXPAND that doubles the shuffle instead.
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    per_fp = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            fp.alias("fp"),
+            token_count(F.col(text_col)).alias("toks"),
+            F.when(F.col(lang_col) == "en", 1).otherwise(0).alias("is_en"),
+        )
+        .groupBy("src", "fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("toks").alias("tok_sum"),
+            F.sum("is_en").alias("en_sum"),
+        )
+    )
+    n_docs = F.sum("n")
+    n_distinct = F.count("*")
+    return per_fp.groupBy("src").agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct_texts"),
+        F.sum("tok_sum").cast("long").alias("total_tokens"),
+        F.round(F.sum("tok_sum") / n_docs, 2).alias("avg_tokens"),
+        F.round(F.sum("en_sum") / n_docs, 4).alias("pct_en"),
+        F.round(F.lit(1.0) - n_distinct / n_docs, 6).alias("dup_rate"),
+    )
