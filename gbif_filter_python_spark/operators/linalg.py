@@ -68,7 +68,11 @@ def covariance_matrix(
                 }
             )
 
-    partials = df.select(vec_col).mapInPandas(
+    from gbif_filter_python_spark.operators.dedup import _ensure_parallelism
+
+    # The matmul is CPU-bound: a single-file parquet input must not
+    # pin the whole Gram pass to one core.
+    partials = _ensure_parallelism(df.select(vec_col)).mapInPandas(
         partial_gram, "i int, j int, n_part long, sxy double, sxi double, sxj double"
     )
     n = F.sum("n_part")
