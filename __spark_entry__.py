@@ -5107,6 +5107,72 @@ def q_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_datasheet(_t(spark, sf, "documents"))
 
 
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch t + Cohen's d over every order-priority pair
+    (operators/profile.py::welch_ttest): one fact agg, then a
+    broadcast self-join of the 5-row summary — the parametric twin of
+    rank_sum_test."""
+    from gbif_filter_python_spark.operators.profile import welch_ttest
+
+    return welch_ttest(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_acf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1-7
+    (operators/profile.py::acf_lags): fact collapses to one row per
+    day; all window work runs on the tiny series — the seasonality
+    probe."""
+    from gbif_filter_python_spark.operators.profile import acf_lags
+
+    return acf_lags(_t(spark, sf, "orders"), "o_orderdate", "o_totalprice")
+
+
+def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of each priority's price histogram
+    vs the global one (operators/profile.py::js_divergence): the
+    always-finite drift score PSI can't give on empty bins."""
+    from gbif_filter_python_spark.operators.profile import js_divergence
+
+    return js_divergence(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-limit customer-retention curve with right-censoring
+    (operators/profile.py::kaplan_meier): per-customer lifetimes in
+    one agg, the curve lives on |distinct lifetimes| rows."""
+    from gbif_filter_python_spark.operators.profile import kaplan_meier
+
+    return kaplan_meier(
+        _t(spark, sf, "orders"), "o_custkey", "o_orderdate"
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type first-order transition matrix
+    (operators/temporal.py::markov_transitions): one per-user window
+    shuffle, result bounded at |states|^2."""
+    from gbif_filter_python_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    return markov_transitions(
+        _t(spark, sf, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+def q_type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc lexical diversity (operators/corpus.py::
+    type_token_ratio): zero-shuffle pure map — array_distinct inside
+    the projection, no explode."""
+    from gbif_filter_python_spark.operators.corpus import type_token_ratio
+
+    return type_token_ratio(_t(spark, sf, "documents"))
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5380,6 +5446,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_hill_tail,
         "oov_rate": q_oov_rate,
         "corpus_datasheet": q_corpus_datasheet,
+        "welch_ttest": q_welch_ttest,
+        "acf_lags": q_acf_lags,
+        "js_divergence": q_js_divergence,
+        "kaplan_meier": q_kaplan_meier,
+        "markov_transitions": q_markov_transitions,
+        "type_token_ratio": q_type_token_ratio,
     }
 
 
@@ -6720,6 +6792,99 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(en_sum) / CAST(sum(n) AS DOUBLE), 4) AS pct_en, "
             "round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) "
             "AS dup_rate FROM g1 GROUP BY 1"
+        ),
+        "welch_ttest": (
+            "WITH g AS (SELECT o_orderpriority AS grp, count(*) AS n, "
+            "avg(o_totalprice) AS m, var_samp(o_totalprice) AS v "
+            "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1) "
+            "SELECT a.grp AS grp_a, b.grp AS grp_b, "
+            "a.n AS n_a, b.n AS n_b, "
+            "round(a.m, 2) AS mean_a, round(b.m, 2) AS mean_b, "
+            "round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) "
+            "AS t_stat, "
+            "round(pow(a.v / a.n + b.v / b.n, 2) / "
+            "(pow(a.v / a.n, 2) / (a.n - 1) "
+            "+ pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df, "
+            "round((a.m - b.m) / sqrt(((a.n - 1) * a.v "
+            "+ (b.n - 1) * b.v) / (a.n + b.n - 2)), 6) AS cohen_d "
+            "FROM g a JOIN g b ON a.grp < b.grp"
+        ),
+        "acf_lags": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS d, "
+            "sum(o_totalprice) AS v FROM orders GROUP BY 1), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY d) AS rn "
+            "FROM d), "
+            "l AS (SELECT unnest(range(1, 8)) AS lag) "
+            "SELECT CAST(l.lag AS INT) AS lag, count(*) AS n_pairs, "
+            "round(corr(a.v, b.v), 6) AS acf "
+            "FROM l CROSS JOIN r a JOIN r b ON b.rn = a.rn + l.lag "
+            "GROUP BY 1"
+        ),
+        "js_divergence": (
+            "WITH bounds AS (SELECT min(o_totalprice) AS mn, "
+            "max(o_totalprice) AS mx FROM orders), "
+            "x AS (SELECT o_orderpriority AS grp, "
+            "CAST(least(floor((o_totalprice - mn) "
+            "/ ((mx - mn) / 20.0)), 19) AS INT) AS bin "
+            "FROM orders CROSS JOIN bounds "
+            "WHERE o_totalprice IS NOT NULL), "
+            "g AS (SELECT grp, bin, count(*) AS c FROM x GROUP BY 1, 2), "
+            "q AS (SELECT bin, count(*) AS qc FROM x GROUP BY 1), "
+            "qt AS (SELECT sum(qc) AS qn FROM q), "
+            "gt AS (SELECT grp, sum(c) AS gn FROM g GROUP BY 1), "
+            "grid AS (SELECT gt.grp, q.bin, gt.gn, q.qc, qt.qn "
+            "FROM gt CROSS JOIN q CROSS JOIN qt), "
+            "j AS (SELECT grid.grp, "
+            "COALESCE(g.c, 0) / CAST(grid.gn AS DOUBLE) AS p, "
+            "grid.qc / CAST(grid.qn AS DOUBLE) AS q "
+            "FROM grid LEFT JOIN g "
+            "ON g.grp = grid.grp AND g.bin = grid.bin) "
+            "SELECT grp, round(sum("
+            "CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) "
+            "ELSE 0 END + "
+            "CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) "
+            "ELSE 0 END), 6) AS jsd FROM j GROUP BY 1"
+        ),
+        "kaplan_meier": (
+            "WITH o AS (SELECT o_custkey, min(o_orderdate) AS f, "
+            "max(o_orderdate) AS l FROM orders GROUP BY 1), "
+            "m AS (SELECT max(o_orderdate) AS mx FROM orders), "
+            "c AS (SELECT date_diff('day', f, l) AS t, "
+            "CASE WHEN l < mx - INTERVAL 60 DAY THEN 1 ELSE 0 END "
+            "AS ev FROM o CROSS JOIN m), "
+            "p AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS cens "
+            "FROM c GROUP BY 1), "
+            "r AS (SELECT t, d, cens, sum(d + cens) OVER () "
+            "- COALESCE(sum(d + cens) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS n_risk FROM p) "
+            "SELECT CAST(t AS INT) AS t_days, "
+            "CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d, "
+            "CAST(cens AS BIGINT) AS censored, "
+            "round(CASE WHEN min(1 - d / CAST(n_risk AS DOUBLE)) "
+            "OVER (ORDER BY t) = 0 THEN 0 "
+            "ELSE exp(sum(ln(1 - d / CAST(n_risk AS DOUBLE))) "
+            "OVER (ORDER BY t)) END, 6) AS survival FROM r"
+        ),
+        "markov_transitions": (
+            "WITH s AS (SELECT event_type, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events) "
+            "SELECT event_type AS from_state, nxt AS to_state, "
+            "count(*) AS n, round(count(*) / CAST(sum(count(*)) "
+            "OVER (PARTITION BY event_type) AS DOUBLE), 6) AS prob "
+            "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "type_token_ratio": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(t, ' ')) AS term "
+            "FROM norm WHERE t <> '') "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT term) AS BIGINT) AS n_types, "
+            "round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) "
+            "AS ttr FROM w GROUP BY 1"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

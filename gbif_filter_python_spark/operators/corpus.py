@@ -1688,3 +1688,35 @@ def corpus_datasheet(
         F.round(F.sum("en_sum") / n_docs, 4).alias("pct_en"),
         F.round(F.lit(1.0) - n_distinct / n_docs, 6).alias("dup_rate"),
     )
+
+
+def type_token_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity: ``(doc_id, n_tokens, n_types,
+    ttr)`` where ``ttr`` = distinct tokens / tokens over the
+    :func:`~.functions.text.normalized_text` form — the
+    vocabulary-richness quality signal next to the repetition ratios
+    in :func:`repetition_signals` (boilerplate and generated spam sit
+    at the low-TTR end). Empty-after-normalization docs drop out
+    (TTR undefined at 0 tokens).
+
+    Scale shape: ZERO shuffles — ``split`` + ``array_distinct`` +
+    ``size`` run entirely inside the projection, so the operator is a
+    pure map over the corpus scan (contrast with :func:`oov_rate`,
+    whose corpus-level vocabulary forces an explode + aggregate).
+    """
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    return (
+        df.select(F.col("doc_id"), norm.alias("_n"), toks.alias("_t"))
+        .filter(F.col("_n") != "")
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("_t")).cast("long").alias("n_types"),
+            F.round(
+                F.size(F.array_distinct("_t"))
+                / F.size("_t").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )

@@ -1511,3 +1511,243 @@ def hill_tail_index(
             ),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test over EVERY pair of groups.
+
+    The parametric sibling of :func:`rank_sum_test`: one row per
+    unordered group pair ``(grp_a < grp_b)`` with the Welch t
+    statistic, the Welch–Satterthwaite degrees of freedom
+
+        df = (v_a/n_a + v_b/n_b)^2 /
+             ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+
+    and pooled-SD Cohen's d as the effect size — the A/B readout the
+    same pipelines run when the metric is near-normal (report |t|
+    against the usual 1.96/2.58 lines; the CDF is deliberately out of
+    scope, as in :func:`rank_sum_test`). NULL values excluded; groups
+    with n < 2 yield NULL statistics (``var_samp`` undefined).
+
+    Scale shape: ONE hash aggregation over the fact (map-side partial
+    n/mean/var per group), then a |groups|^2/2 broadcast self-join of
+    the k-row summary — the fact never shuffles twice and the pair
+    blow-up happens on aggregates only. Means round at 2dp (raw-scale
+    money sums; summation order flips the 1e-6 digit), the scale-free
+    statistics at ``round_dp``.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    a, b = g.alias("a"), F.broadcast(g.alias("b"))
+    pa = a.join(b, F.col("a.grp") < F.col("b.grp"))
+    na, nb = F.col("a.n").cast("double"), F.col("b.n").cast("double")
+    sea = F.col("a.v") / na
+    seb = F.col("b.v") / nb
+    se2 = sea + seb
+    delta = F.col("a.m") - F.col("b.m")
+    dof = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    pooled = ((na - 1) * F.col("a.v") + (nb - 1) * F.col("b.v")) / (
+        na + nb - 2
+    )
+    return pa.select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round("a.m", 2).alias("mean_a"),
+        F.round("b.m", 2).alias("mean_b"),
+        F.round(delta / F.sqrt(se2), round_dp).alias("t_stat"),
+        F.round(dof, 2).alias("df"),
+        F.round(delta / F.sqrt(pooled), round_dp).alias("cohen_d"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation of the daily-total series at lags
+    1..``max_lag``: one row ``(lag, n_pairs, acf)`` per lag, where
+    ``acf`` is the Pearson correlation of ``(x_t, x_{t+lag})`` pairs —
+    the seasonality probe that tells a pipeline whether day-of-week
+    structure exists before it reaches for :func:`seasonal period
+    models <.analytics.seasonal_outliers>`.
+
+    Scale shape: the fact collapses to ONE row per day in a single
+    hash aggregation; everything after (row_number, the lag
+    self-join, per-lag corr) runs on the |days|-row series — at 100 TB
+    that is still only a few thousand rows, so the single-partition
+    window on the aggregated series is bounded state, the same
+    contract as :func:`~.analytics.cusum_changepoints`.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    ).select("rn", "v")
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = lags.crossJoin(a).join(
+        b, F.col("b.rn") == F.col("a.rn") + F.col("lag")
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("a.v", "b.v"), round_dp).alias("acf"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence (natural log, so max = ln 2) between
+    each group's value histogram and the GLOBAL histogram over
+    ``n_bins`` equal-width bins on the global [min, max] — the
+    symmetric, always-finite drift score that complements
+    :func:`psi-style <.analytics.psi_drift>` monitoring (PSI blows up
+    on empty bins; JSD does not). Zero-count terms contribute 0 on
+    their side, per the 0·ln 0 = 0 convention.
+
+    Scale shape: global min/max is a 1-row broadcast (no driver
+    collect), binning is a pure map, and the two histograms are hash
+    aggregations whose results are |groups|·bins and bins rows — the
+    grid join and the final per-group sum never touch the fact again.
+    Degenerate min = max data would divide by zero upstream; callers
+    bin constants themselves.
+    """
+    bounds = F.broadcast(
+        df.agg(
+            F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+        )
+    )
+    width = (F.col("_mx") - F.col("_mn")) / float(n_bins)
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(bounds)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.least(
+                F.floor((F.col(value_col) - F.col("_mn")) / width),
+                F.lit(n_bins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    ghist = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    qhist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("qc"))
+    qtot = qhist.agg(F.sum("qc").alias("qn"))
+    gtot = ghist.groupBy("grp").agg(F.sum("c").alias("gn"))
+    grid = gtot.crossJoin(F.broadcast(qhist)).crossJoin(F.broadcast(qtot))
+    joined = grid.join(F.broadcast(ghist), ["grp", "bin"], "left")
+    p = F.coalesce(F.col("c"), F.lit(0)) / F.col("gn").cast("double")
+    q = F.col("qc") / F.col("qn").cast("double")
+    m = (p + q) / 2.0
+    term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    return joined.groupBy("grp").agg(
+        F.round(F.sum(term), round_dp).alias("jsd")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    churn_days: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over per-key activity lifetimes.
+
+    Lifetime = days between a key's first and last event; a key whose
+    last event falls more than ``churn_days`` before the global max
+    timestamp is an observed churn (event = 1), otherwise it is
+    right-censored (still alive at the snapshot). One row per distinct
+    lifetime ``t``: at-risk count ``n_risk`` (keys with lifetime >=
+    t), deaths ``d``, censored ``censored``, and the product-limit
+    estimate S(t) = prod_{t_i <= t} (1 - d_i / n_i) — the
+    retention-curve primitive that, unlike
+    :func:`~.analytics.retention_triangle`'s fixed grid, handles
+    censoring correctly.
+
+    The product is computed as exp(cumsum(ln(1 - d/n))) guarded by a
+    cumulative min: when some factor hits 0 (everyone at risk dies)
+    both engines short-circuit S to exactly 0 rather than relying on
+    ln(0) (null in Spark, -inf in DuckDB — the one place their math
+    differs).
+
+    Scale shape: per-key first/last is one hash aggregation; the
+    curve itself lives on |distinct lifetimes| rows (bounded by the
+    calendar, a few thousand at any scale), where the
+    single-partition window is bounded state, as in :func:`acf_lags`.
+    """
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("_f"), F.max(ts_col).alias("_l")
+    )
+    mx = F.broadcast(df.agg(F.max(ts_col).alias("_mx")))
+    lives = per_key.crossJoin(mx).select(
+        F.datediff("_l", "_f").alias("t"),
+        (
+            F.col("_l")
+            < F.col("_mx") - F.expr(f"INTERVAL {int(churn_days)} DAYS")
+        )
+        .cast("int")
+        .alias("ev"),
+    )
+    per_t = lives.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("cens"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t")
+    stepped = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("cens")).over(w_all)
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("cens")).over(w_prior), F.lit(0)
+        ),
+    ).withColumn(
+        "_f1", F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")
+    )
+    surv = F.when(F.min("_f1").over(w_cum) == 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log("_f1")).over(w_cum))
+    )
+    return stepped.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("cens").cast("long").alias("censored"),
+        F.round(surv, round_dp).alias("survival"),
+    )

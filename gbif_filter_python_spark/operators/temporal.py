@@ -522,3 +522,51 @@ def cusum_changepoints(
         lo.alias("cusum_lo"),
         ((hi > threshold) | (lo > threshold)).alias("is_change"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    streams: one row ``(from_state, to_state, n, prob)`` per observed
+    transition, where ``prob`` row-normalizes counts per source state
+    — the behavioral-model primitive behind next-event prediction and
+    funnel-anomaly checks, one level below
+    :func:`~.analytics.event_sequences`' fixed-pattern matching.
+
+    Consecutive pairs come from ``lead(state)`` within each key's
+    timeline (ties broken by ``tie_col`` for determinism); a key's
+    last event has no successor and drops out.
+
+    Scale shape: ONE shuffle on ``key_col`` for the window (per-key
+    partitions, fully parallel, O(1) state per row — the sessionize
+    contract), then a hash aggregation that collapses to at most
+    |states|^2 rows; the row-normalizing window runs on that tiny
+    matrix, never the fact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(row_tot).cast("double"), round_dp
+        ).alias("prob"),
+    )
