@@ -5173,6 +5173,42 @@ def q_type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
     return type_token_ratio(_t(spark, sf, "documents"))
 
 
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """MI / entropies / NMI between doc lang and source
+    (operators/profile.py::mutual_information): fact collapses to the
+    |X|x|Y| joint in one agg — the cross-pair-comparable companion to
+    chi2_lang_source."""
+    from gbif_filter_python_spark.operators.profile import (
+        mutual_information,
+    )
+
+    return mutual_information(
+        _t(spark, sf, "documents"), "lang", "source"
+    )
+
+
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend + Sen slope of daily revenue
+    (operators/profile.py::mann_kendall): O(days^2) pair join runs on
+    the calendar-bounded aggregated series, never the fact."""
+    from gbif_filter_python_spark.operators.profile import mann_kendall
+
+    return mann_kendall(
+        _t(spark, sf, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
+def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Posting lists for mid-df vocabulary terms
+    (operators/ranking.py::inverted_postings): per-doc distinct in
+    the projection, one term-keyed agg, df-capped arrays."""
+    from gbif_filter_python_spark.operators.ranking import (
+        inverted_postings,
+    )
+
+    return inverted_postings(_t(spark, sf, "documents"))
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5452,6 +5488,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "markov_transitions": q_markov_transitions,
         "type_token_ratio": q_type_token_ratio,
+        "mutual_information": q_mutual_information,
+        "mann_kendall": q_mann_kendall,
+        "inverted_postings": q_inverted_postings,
     }
 
 
@@ -6885,6 +6924,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT term) AS BIGINT) AS n_types, "
             "round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) "
             "AS ttr FROM w GROUP BY 1"
+        ),
+        "mutual_information": (
+            "WITH src AS (SELECT lang AS x, source AS y FROM documents "
+            "WHERE lang IS NOT NULL AND source IS NOT NULL), "
+            "j AS (SELECT x, y, count(*) AS c FROM src GROUP BY 1, 2), "
+            "mx AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1), "
+            "my AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1), "
+            "t AS (SELECT sum(c) AS n FROM j), "
+            "mi AS (SELECT sum((j.c / t.n) "
+            "* ln(j.c * t.n / (mx.cx * my.cy))) AS mi "
+            "FROM j, mx, my, t WHERE j.x = mx.x AND j.y = my.y), "
+            "hx AS (SELECT -sum((cx / n) * ln(cx / n)) AS hx "
+            "FROM mx, t), "
+            "hy AS (SELECT -sum((cy / n) * ln(cy / n)) AS hy "
+            "FROM my, t) "
+            "SELECT CAST(t.n AS BIGINT) AS n, round(mi.mi, 6) AS mi, "
+            "round(hx.hx, 6) AS h_x, round(hy.hy, 6) AS h_y, "
+            "round(mi.mi / sqrt(hx.hx * hy.hy), 6) AS nmi "
+            "FROM mi, hx, hy, t"
+        ),
+        "mann_kendall": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS dd, "
+            "sum(o_totalprice) AS v FROM orders GROUP BY 1), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY dd) AS rn "
+            "FROM d), "
+            "p AS (SELECT CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s, "
+            "median((b.v - a.v) / (b.rn - a.rn)) AS sen "
+            "FROM r a JOIN r b ON b.rn > a.rn), "
+            "t AS (SELECT count(*) AS n, "
+            "sum(CAST(c AS DOUBLE) * (c - 1) * (2 * c + 5)) AS tie "
+            "FROM (SELECT count(*) AS c FROM d GROUP BY v)) "
+            "SELECT CAST(t.n AS BIGINT) AS n_days, p.s AS s, "
+            "round((t.n * (t.n - 1.0) * (2 * t.n + 5) - t.tie) / 18.0, "
+            "4) AS var_s, "
+            "round(CASE WHEN p.s > 0 THEN (p.s - 1) / "
+            "sqrt((t.n * (t.n - 1.0) * (2 * t.n + 5) - t.tie) / 18.0) "
+            "WHEN p.s < 0 THEN (p.s + 1) / "
+            "sqrt((t.n * (t.n - 1.0) * (2 * t.n + 5) - t.tie) / 18.0) "
+            "ELSE 0 END, 6) AS z, "
+            "round(p.sen, 6) AS sen_slope FROM p, t"
+        ),
+        "inverted_postings": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(t, ' ')) AS term "
+            "FROM norm WHERE t <> ''), "
+            "dw AS (SELECT DISTINCT doc_id, term FROM w "
+            "WHERE term <> '') "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM dw GROUP BY 1 "
+            "HAVING count(*) >= 2 AND count(*) <= "
+            "0.9 * (SELECT count(*) FROM documents)"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

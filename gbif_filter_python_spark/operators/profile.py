@@ -1751,3 +1751,140 @@ def kaplan_meier(
         F.col("cens").cast("long").alias("censored"),
         F.round(surv, round_dp).alias("survival"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns (natural
+    log), with the marginal entropies and the sqrt-normalized NMI =
+    MI / sqrt(H_x · H_y) — the feature-association score that, unlike
+    :func:`chi2_independence`'s significance readout, is directly
+    comparable across column pairs (the feature-selection primitive).
+    One row: ``(n, mi, h_x, h_y, nmi)``. Rows with a NULL in either
+    column are excluded up front (NULL never equi-joins back to its
+    margin, so keeping them would silently drop joint mass).
+    Degenerate single-level columns have H = 0 and NMI NULL (0/0).
+
+    Scale shape: ONE hash aggregation collapses the fact to the
+    |X|·|Y| joint table; margins, entropies and the MI sum all run on
+    that tiny table (two more aggs + broadcast joins), the
+    chi2_independence contract.
+    """
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    mx = joint.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    my = joint.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    tot = joint.agg(F.sum("_c").alias("_n"))
+    n = F.col("_n").cast("double")
+    mi_tab = (
+        joint.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = mi_tab.agg(
+        F.first("_n").alias("n"),
+        F.sum(
+            (F.col("_c") / n)
+            * F.log(F.col("_c") * n / (F.col("_cx") * F.col("_cy")))
+        ).alias("_mi"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("_cx") / n) * F.log(F.col("_cx") / n))).alias("_hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("_cy") / n) * F.log(F.col("_cy") / n))).alias("_hy")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("_mi", round_dp).alias("mi"),
+        F.round("_hx", round_dp).alias("h_x"),
+        F.round("_hy", round_dp).alias("h_y"),
+        F.round(
+            F.try_divide(
+                F.col("_mi"), F.sqrt(F.col("_hx") * F.col("_hy"))
+            ),
+            round_dp,
+        ).alias("nmi"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann–Kendall trend test + Sen's slope over the daily-total
+    series: one row ``(n_days, s, var_s, z, sen_slope)`` — the
+    nonparametric "is there a monotone trend" answer that pairs with
+    :func:`acf_lags` (seasonality) and the OLS ``regr_trend``
+    (which a few whale days can fake; sign statistics can't).
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18   (tie groups)
+        z = (S−1)/√Var if S>0, (S+1)/√Var if S<0, 0 at S=0
+
+    Sen's slope is the exact interpolated median of the pairwise
+    slopes ``(x_j − x_i)/(j − i)`` (day index distance).
+
+    Scale shape: the fact collapses to one row per day first; the
+    O(days²) pair join runs on the aggregated series only (~2000 days
+    → 2M pairs — bounded by the calendar at ANY fact scale, the
+    :func:`acf_lags` contract). Tie groups come from a second tiny
+    agg on the same series.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    ).select("rn", "v")
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, F.col("b.rn") > F.col("a.rn"))
+    slope = (F.col("b.v") - F.col("a.v")) / (
+        F.col("b.rn") - F.col("a.rn")
+    ).cast("double")
+    ps = pairs.agg(
+        F.sum(F.signum(F.col("b.v") - F.col("a.v")).cast("long")).alias(
+            "s"
+        ),
+        F.percentile(slope, F.lit(0.5)).alias("_sen"),
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.count(F.lit(1)).alias("_groups"),
+            F.sum("_t").alias("_n"),
+            F.sum(
+                F.col("_t").cast("double")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie"),
+        )
+    )
+    out = ps.crossJoin(F.broadcast(ties))
+    nn = F.col("_n").cast("double")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("_tie")) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n_days"),
+        F.col("s"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, round_dp).alias("z"),
+        F.round("_sen", round_dp).alias("sen_slope"),
+    )

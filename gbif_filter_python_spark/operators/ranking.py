@@ -356,3 +356,66 @@ def rbo_overlap(
         F.sum(both.cast("int")).cast("int").alias("n_common"),
         F.round((1.0 - p) * F.sum(contrib), round_dp).alias("rbo"),
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
+    """Inverted-index posting lists: one row ``(term, df,
+    postings)`` per vocabulary term, where ``postings`` is the
+    comma-joined ascending list of doc ids containing the term (the
+    index-build primitive under :func:`bm25_scores`' df statistics —
+    what a retrieval system ships to its serving tier).
+
+    ``min_df``/``max_df_frac`` bound the posting arrays the sklearn
+    way: singleton terms are noise and terms in more than
+    ``max_df_frac`` of the corpus are stop-words whose posting rows
+    grow proportional to the corpus (the same hot-key cap argument as
+    winnowing's fingerprint df cap — a fraction, not an absolute,
+    so the gate scales with the corpus). Terms count once per
+    document (``array_distinct`` BEFORE the explode — the per-doc
+    dedup happens in the projection, not in the aggregate).
+
+    Scale shape: explode of per-doc distinct terms, then ONE hash
+    aggregation keyed by term; ``sort_array(collect_list(...))``
+    keeps the list deterministic. Posting size is capped by
+    ``max_df``, so the collected arrays are bounded model state, not
+    data-proportional.
+    """
+    from gbif_filter_python_spark.functions.text import normalized_text
+
+    terms = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.split(normalized_text(F.col(text_col)), " ")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= max_df_frac * F.col("_n_docs"))
+        )
+        .drop("_n_docs")
+    )

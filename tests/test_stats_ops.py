@@ -183,3 +183,74 @@ def test_type_token_ratio_zero_shuffle_and_values(spark):
     # pure map: no exchange anywhere in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mutual_information_dependent_and_independent(spark):
+    from gbif_filter_python_spark.operators.profile import mutual_information
+
+    # Y == X: MI = H(X) = ln 2, NMI = 1.
+    rows = [("a", "a")] * 10 + [("b", "b")] * 10
+    (r,) = mutual_information(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    ).collect()
+    assert r["n"] == 20
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    assert abs(r["h_x"] - math.log(2)) < 1e-6
+    assert abs(r["nmi"] - 1.0) < 1e-6
+    # Independent uniform: MI = 0 (exactly balanced counts).
+    rows2 = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    (r2,) = mutual_information(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    ).collect()
+    assert abs(r2["mi"]) < 1e-9
+    # NULLs excluded from n
+    rows3 = rows + [(None, "a"), ("a", None)]
+    (r3,) = mutual_information(
+        spark.createDataFrame(rows3, "x string, y string"), "x", "y"
+    ).collect()
+    assert r3["n"] == 20
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from gbif_filter_python_spark.operators.profile import mann_kendall
+
+    inc = [(f"2024-01-{d:02d} 00:00:00", 2.0 * d) for d in range(1, 11)]
+    df = spark.createDataFrame(inc, "ts string, v double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    (r,) = mann_kendall(df, "ts", "v").collect()
+    assert (r["n_days"], r["s"]) == (10, 45)  # all 45 pairs increasing
+    assert abs(r["sen_slope"] - 2.0) < 1e-9
+    # var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert abs(r["var_s"] - 125.0) < 1e-9
+    assert abs(r["z"] - 44 / math.sqrt(125.0)) < 1e-5
+    flat = [(f"2024-02-{d:02d} 00:00:00", 7.0) for d in range(1, 6)]
+    df2 = spark.createDataFrame(flat, "ts string, v double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    (r2,) = mann_kendall(df2, "ts", "v").collect()
+    assert (r2["s"], r2["z"]) == (0, 0.0)  # one 5-way tie group
+    assert r2["var_s"] == 0.0
+
+
+def test_inverted_postings_bands_and_order(spark):
+    from gbif_filter_python_spark.operators.ranking import inverted_postings
+
+    docs = [
+        (10, "apple banana"),
+        (2, "apple cherry"),
+        (3, "apple cherry"),
+        (4, "apple date"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["term"]: r for r in inverted_postings(df).collect()}
+    # 'apple' df=4 > 0.9*4 -> dropped; singletons dropped; cherry kept
+    assert set(got) == {"cherry"}
+    assert got["cherry"]["df"] == 2
+    assert got["cherry"]["postings"] == "2,3"
+    # numeric (not lexicographic) posting order: doc 10 after doc 2
+    got2 = {
+        r["term"]: r["postings"]
+        for r in inverted_postings(df, max_df_frac=1.0).collect()
+    }
+    assert got2["apple"] == "2,3,4,10"
