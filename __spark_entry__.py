@@ -5209,6 +5209,229 @@ def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_postings(_t(spark, sf, "documents"))
 
 
+def q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA omnibus F over order priorities
+    (operators/profile.py::anova_f): the k-group gate run before the
+    pairwise welch_ttest sweep; one map-side-combined fact agg, then
+    scalar reductions on the k-row summary."""
+    from gbif_filter_python_spark.operators.profile import anova_f
+
+    return anova_f(_t(spark, sf, "orders"), "o_orderpriority", "o_totalprice")
+
+
+def q_levene_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity W across order priorities
+    (operators/profile.py::levene_test): exact per-group medians
+    broadcast back onto the fact, then anova_f on |x - median|."""
+    from gbif_filter_python_spark.operators.profile import levene_test
+
+    return levene_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness per nation class over the market-segment
+    distribution (operators/profile.py::t_closeness, classes mode):
+    grid-complete TVD between each class's sensitive distribution and
+    the global one — the third de-identification gate after
+    k_anonymity and l_diversity."""
+    from gbif_filter_python_spark.operators.profile import t_closeness
+
+    return t_closeness(
+        _t(spark, sf, "customer"),
+        ["c_nationkey"],
+        "c_mktsegment",
+        mode="classes",
+    )
+
+
+def q_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast-baseline scorecard on daily revenue
+    (operators/profile.py::forecast_eval): naive / seasonal-naive /
+    moving-average MAE, RMSE, sMAPE and MASE over the shared eval
+    window — the floor every forecasting model must beat."""
+    from gbif_filter_python_spark.operators.profile import forecast_eval
+
+    return forecast_eval(
+        _t(spark, sf, "orders"), "o_orderdate", "o_totalprice", season=7
+    )
+
+
+def q_ccf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation of daily click vs purchase counts at lags
+    -7..7 (operators/profile.py::ccf_lags): does click volume lead
+    purchase volume — the lead/lag probe acf_lags can't answer."""
+    from gbif_filter_python_spark.operators.profile import ccf_lags
+
+    return ccf_lags(
+        _t(spark, sf, "events"), "ts", "event_type", "click", "purchase"
+    )
+
+
+def q_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key orphan audit (operators/profile.py::
+    referential_integrity): two intact constraints plus a
+    deliberately stale 'active customer' snapshot (c_custkey < 100)
+    that orphans real event rows — null FKs reported separately from
+    orphans, dims broadcast, the fact never shuffles."""
+    from gbif_filter_python_spark.operators.profile import (
+        referential_integrity,
+    )
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    lineitem = _t(spark, sf, "lineitem")
+    events = _t(spark, sf, "events")
+    active = customer.filter(F.col("c_custkey") < 100)
+    return referential_integrity(
+        [
+            ("orders_custkey", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("events_user_active", events, "user_id", active, "c_custkey"),
+        ]
+    )
+
+
+def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction over the item-similarity graph
+    (operators/graph.py::adamic_adar): inverse-log-degree-weighted
+    common neighbors for non-adjacent pairs — which item pairs the
+    Jaccard threshold missed; wedge fan-out quadratic only in
+    single-node degree, hub centers cappable."""
+    from gbif_filter_python_spark.operators.graph import adamic_adar
+
+    return adamic_adar(
+        _item_graph_edges(spark, sf), src_col="id_a", dst_col="id_b"
+    )
+
+
+def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded-relevance nDCG@10 (operators/ranking.py::ndcg_at_k) for
+    a deterministic shared-word retriever (rank by distinct shared
+    normalized words desc, doc_id asc; grades = shared count capped
+    at 3): order sensitivity that retrieval_eval's binary P/R/MRR
+    can't see. All joins term- or (query,doc)-keyed; the per-query
+    ideal sort runs on qrels, never the corpus."""
+    from gbif_filter_python_spark.functions.text import normalized_text
+    from gbif_filter_python_spark.operators.ranking import ndcg_at_k
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "").distinct()
+    qw = words.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    shared = (
+        qw.join(words, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    qrels = shared.select(
+        "query_id", "doc_id", F.least(F.col("_shared"), F.lit(3)).alias("rel")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_shared").desc(), F.col("doc_id").asc()
+    )
+    res = shared.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    return ndcg_at_k(res, qrels, k=10)
+
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-evidence bins + information value of order price vs
+    the finished-status label (operators/classify.py::woe_iv): the
+    feature-screening gate; one broadcast-bounds pass, one hash agg
+    to 10 bins, Laplace-smoothed WOE on the tiny table."""
+    from gbif_filter_python_spark.operators.classify import woe_iv
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "is_f", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return woe_iv(orders, "o_totalprice", "is_f", n_bins=10)
+
+
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard
+    (operators/corpus.py::vocab_overlap): term-keyed self-join of the
+    (source, term) distinct table — mirror-crawl detection without an
+    all-pairs vocabulary comparison."""
+    from gbif_filter_python_spark.operators.corpus import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf, "documents"), "source")
+
+
+def q_event_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Click-to-purchase conversion latency
+    (operators/temporal.py::event_latency): forward as-of per user
+    (union + window scan, no nested loop) reduced to one funnel
+    summary row with exact interpolated latency percentiles."""
+    from gbif_filter_python_spark.operators.temporal import event_latency
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return event_latency(clicks, purchases, on="user_id")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue
+    (operators/profile.py::seasonal_decompose): centered 7-term MA
+    trend, zero-centered day-of-week seasonal, residual — all on the
+    calendar-bounded aggregated series."""
+    from gbif_filter_python_spark.operators.profile import (
+        seasonal_decompose,
+    )
+
+    out = seasonal_decompose(
+        _t(spark, sf, "orders"), "o_orderdate", "o_totalprice"
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "value",
+        "trend",
+        "seasonal",
+        "residual",
+    )
+
+
+def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift/gains table for price as a finished-status score
+    (operators/classify.py::lift_table): exact integer bucket cut
+    (never ntile), cumulative capture and lift on the 10-row
+    aggregate."""
+    from gbif_filter_python_spark.operators.classify import lift_table
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "is_f", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return lift_table(orders, "o_totalprice", "is_f", "o_orderkey")
+
+
+def q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square on event-type assignment vs
+    the uniform design (operators/profile.py::srm_check): one fact
+    agg to 5 rows, broadcast expected dimension, per-arm (O-E)^2/E
+    with the table statistic repeated."""
+    from gbif_filter_python_spark.operators.profile import srm_check
+
+    return srm_check(
+        _t(spark, sf, "events"),
+        "event_type",
+        {t: 1.0 for t in ("click", "view", "purchase", "signup", "error")},
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5491,6 +5714,20 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "mann_kendall": q_mann_kendall,
         "inverted_postings": q_inverted_postings,
+        "anova_f": q_anova_f,
+        "levene_test": q_levene_test,
+        "t_closeness": q_t_closeness,
+        "forecast_eval": q_forecast_eval,
+        "ccf_lags": q_ccf_lags,
+        "referential_integrity": q_referential_integrity,
+        "adamic_adar": q_adamic_adar,
+        "ndcg_eval": q_ndcg_eval,
+        "woe_iv": q_woe_iv,
+        "vocab_overlap": q_vocab_overlap,
+        "event_latency": q_event_latency,
+        "seasonal_decompose": q_seasonal_decompose,
+        "lift_table": q_lift_table,
+        "srm_check": q_srm_check,
     }
 
 
@@ -6978,6 +7215,331 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM dw GROUP BY 1 "
             "HAVING count(*) >= 2 AND count(*) <= "
             "0.9 * (SELECT count(*) FROM documents)"
+        ),
+        "anova_f": (
+            "WITH g AS (SELECT o_orderpriority AS grp, count(*) AS n, "
+            "avg(o_totalprice) AS m, var_samp(o_totalprice) AS v "
+            "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
+            "tot AS (SELECT count(*) AS k, sum(n) AS nn, "
+            "sum(n * m) / sum(n) AS gm, "
+            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g), "
+            "agg AS (SELECT any_value(k) AS k, any_value(nn) AS nn, "
+            "sum(n * (m - gm) * (m - gm)) AS ssb, "
+            "any_value(ssw) AS ssw FROM g CROSS JOIN tot) "
+            "SELECT CAST(k AS INT) AS k_groups, "
+            "CAST(nn AS BIGINT) AS n, "
+            "CAST(k - 1 AS INT) AS df_between, "
+            "CAST(nn - k AS BIGINT) AS df_within, "
+            "round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat, "
+            "round(ssb / (ssb + ssw), 6) AS eta_squared FROM agg"
+        ),
+        "levene_test": (
+            "WITH b AS (SELECT o_orderpriority AS grp, "
+            "o_totalprice AS x FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "med AS (SELECT grp, quantile_cont(x, 0.5) AS med "
+            "FROM b GROUP BY 1), "
+            "z AS (SELECT b.grp, abs(x - med) AS z "
+            "FROM b JOIN med USING (grp)), "
+            "g AS (SELECT grp, count(*) AS n, avg(z) AS m, "
+            "var_samp(z) AS v FROM z GROUP BY 1), "
+            "tot AS (SELECT count(*) AS k, sum(n) AS nn, "
+            "sum(n * m) / sum(n) AS gm, "
+            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g), "
+            "agg AS (SELECT any_value(k) AS k, any_value(nn) AS nn, "
+            "sum(n * (m - gm) * (m - gm)) AS ssb, "
+            "any_value(ssw) AS ssw FROM g CROSS JOIN tot) "
+            "SELECT CAST(k AS INT) AS k_groups, "
+            "CAST(nn AS BIGINT) AS n, "
+            "CAST(k - 1 AS INT) AS df1, "
+            "CAST(nn - k AS BIGINT) AS df2, "
+            "round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS w_stat "
+            "FROM agg"
+        ),
+        "t_closeness": (
+            "WITH base AS (SELECT c_nationkey, c_mktsegment AS s "
+            "FROM customer WHERE c_mktsegment IS NOT NULL), "
+            "cells AS (SELECT c_nationkey, s, count(*) AS c "
+            "FROM base GROUP BY 1, 2), "
+            "cls AS (SELECT c_nationkey, sum(c) AS cn "
+            "FROM cells GROUP BY 1), "
+            "gd AS (SELECT s, sum(c) AS gc FROM cells GROUP BY 1), "
+            "gtot AS (SELECT sum(gc) AS gn FROM gd), "
+            "grid AS (SELECT cls.c_nationkey, cls.cn, "
+            "coalesce(cells.c, 0) / CAST(cls.cn AS DOUBLE) "
+            "- gd.gc / CAST(gtot.gn AS DOUBLE) AS dd "
+            "FROM cls CROSS JOIN gd CROSS JOIN gtot "
+            "LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey "
+            "AND cells.s = gd.s) "
+            "SELECT c_nationkey, "
+            "CAST(any_value(cn) AS BIGINT) AS class_size, "
+            "round(sum(abs(dd)) / 2.0, 6) AS tvd "
+            "FROM grid GROUP BY 1"
+        ),
+        "forecast_eval": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS d, "
+            "sum(o_totalprice) AS v FROM orders GROUP BY 1), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY d) AS rn, "
+            "lag(v, 1) OVER (ORDER BY d) AS naive, "
+            "lag(v, 7) OVER (ORDER BY d) AS snaive, "
+            "avg(v) OVER (ORDER BY d "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mavg "
+            "FROM d), "
+            "s AS (SELECT v, 'naive' AS method, naive AS fcst "
+            "FROM r WHERE rn > 7 UNION ALL "
+            "SELECT v, 'seasonal_naive', snaive FROM r WHERE rn > 7 "
+            "UNION ALL SELECT v, 'moving_avg', mavg FROM r "
+            "WHERE rn > 7), "
+            "per AS (SELECT method, CAST(count(*) AS BIGINT) AS n, "
+            "avg(abs(v - fcst)) AS mae, "
+            "sqrt(avg((v - fcst) * (v - fcst))) AS rmse, "
+            "avg(2 * abs(v - fcst) / (abs(v) + abs(fcst))) AS smape "
+            "FROM s GROUP BY 1), "
+            "nm AS (SELECT mae AS nmae FROM per "
+            "WHERE method = 'naive') "
+            "SELECT method, n, round(mae, 2) AS mae, "
+            "round(rmse, 2) AS rmse, round(smape, 6) AS smape, "
+            "round(mae / nmae, 6) AS mase FROM per CROSS JOIN nm"
+        ),
+        "ccf_lags": (
+            "WITH d AS (SELECT date_trunc('day', ts) AS d, "
+            "event_type AS s, CAST(count(*) AS DOUBLE) AS v "
+            "FROM events WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY 1, 2), "
+            "days AS (SELECT DISTINCT d FROM d), "
+            "idx AS (SELECT d, row_number() OVER (ORDER BY d) AS rn "
+            "FROM days), "
+            "sa AS (SELECT rn, v AS va FROM d JOIN idx USING (d) "
+            "WHERE s = 'click'), "
+            "sb AS (SELECT rn AS rnb, v AS vb FROM d "
+            "JOIN idx USING (d) WHERE s = 'purchase'), "
+            "l AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag) "
+            "SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "round(corr(va, vb), 6) AS ccf "
+            "FROM l CROSS JOIN sa JOIN sb ON rnb = rn + lag "
+            "GROUP BY 1"
+        ),
+        "referential_integrity": (
+            "SELECT 'orders_custkey' AS constraint_name, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(coalesce(sum(CASE WHEN o_custkey IS NULL "
+            "THEN 1 END), 0) AS BIGINT) AS n_null_fk, "
+            "CAST(coalesce(sum(CASE WHEN o_custkey IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) AS BIGINT) "
+            "AS n_orphan_rows, "
+            "CAST(count(DISTINCT CASE WHEN _pk IS NULL "
+            "THEN o_custkey END) AS BIGINT) AS n_orphan_keys, "
+            "round(coalesce(sum(CASE WHEN o_custkey IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS orphan_rate "
+            "FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS _pk "
+            "FROM customer) d ON o_custkey = _pk "
+            "UNION ALL "
+            "SELECT 'lineitem_orderkey', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL "
+            "THEN 1 END), 0) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN _pk IS NULL "
+            "THEN l_orderkey END) AS BIGINT), "
+            "round(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) "
+            "/ CAST(count(*) AS DOUBLE), 6) "
+            "FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey "
+            "AS _pk FROM orders) d ON l_orderkey = _pk "
+            "UNION ALL "
+            "SELECT 'events_user_active', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN user_id IS NULL "
+            "THEN 1 END), 0) AS BIGINT), "
+            "CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN _pk IS NULL "
+            "THEN user_id END) AS BIGINT), "
+            "round(coalesce(sum(CASE WHEN user_id IS NOT NULL "
+            "AND _pk IS NULL THEN 1 END), 0) "
+            "/ CAST(count(*) AS DOUBLE), 6) "
+            "FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS _pk "
+            "FROM customer WHERE c_custkey < 100) d ON user_id = _pk"
+        ),
+        "ndcg_eval": (
+            f"WITH norm AS (SELECT doc_id, {_NORM} AS t "
+            "FROM documents), "
+            "words AS (SELECT DISTINCT doc_id, term FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) "
+            "AS term FROM norm WHERE t <> '') WHERE term <> ''), "
+            "qw AS (SELECT doc_id AS query_id, term FROM words "
+            "WHERE doc_id < 3), "
+            "shared AS (SELECT qw.query_id, w.doc_id, "
+            "count(*) AS sh FROM qw JOIN words w USING (term) "
+            "WHERE w.doc_id <> qw.query_id GROUP BY 1, 2), "
+            "qrels AS (SELECT query_id, doc_id, least(sh, 3) AS rel "
+            "FROM shared), "
+            "res AS (SELECT query_id, doc_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sh DESC, doc_id ASC) "
+            "AS rnk FROM shared), "
+            "topk AS (SELECT * FROM res WHERE rnk <= 10), "
+            "dcg AS (SELECT t.query_id, "
+            "sum((pow(2, q.rel) - 1) / log2(t.rnk + 1)) AS dcg "
+            "FROM topk t JOIN qrels q ON q.query_id = t.query_id "
+            "AND q.doc_id = t.doc_id GROUP BY 1), "
+            "ideal AS (SELECT query_id, "
+            "sum((pow(2, rel) - 1) / log2(ir + 1)) AS idcg FROM ("
+            "SELECT query_id, rel, doc_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) "
+            "AS ir FROM qrels) WHERE ir <= 10 GROUP BY 1), "
+            "nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) "
+            "AS n_rel FROM qrels GROUP BY 1) "
+            "SELECT nrel.query_id, n_rel, "
+            "round(coalesce(dcg.dcg, 0), 6) AS dcg_at_k, "
+            "round(ideal.idcg, 6) AS idcg_at_k, "
+            "round(CASE WHEN ideal.idcg > 0 "
+            "THEN coalesce(dcg.dcg, 0) / ideal.idcg ELSE 0 END, 6) "
+            "AS ndcg_at_k "
+            "FROM nrel JOIN ideal USING (query_id) "
+            "LEFT JOIN dcg ON dcg.query_id = nrel.query_id"
+        ),
+        "woe_iv": (
+            "WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "bd AS (SELECT min(x) AS mn, max(x) AS mx FROM base), "
+            "binned AS (SELECT CASE WHEN mx = mn THEN 0 ELSE "
+            "greatest(0, least(CAST(floor((x - mn) "
+            "/ ((mx - mn) / 10.0)) AS INT), 9)) END AS bin, y "
+            "FROM base CROSS JOIN bd), "
+            "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(y) AS BIGINT) AS n_pos, "
+            "CAST(sum(1 - y) AS BIGINT) AS n_neg "
+            "FROM binned GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS pt, "
+            "CAST(sum(n_neg) AS DOUBLE) AS nt, "
+            "CAST(count(*) AS DOUBLE) AS nb FROM g), "
+            "x AS (SELECT bin, n, n_pos, n_neg, "
+            "ln(((n_pos + 0.5) / (pt + 0.5 * nb)) "
+            "/ ((n_neg + 0.5) / (nt + 0.5 * nb))) AS w, "
+            "(n_pos / pt - n_neg / nt) AS dp "
+            "FROM g CROSS JOIN t) "
+            "SELECT bin, n, n_pos, n_neg, round(w, 6) AS woe, "
+            "round(dp * w, 6) AS iv_contrib, "
+            "round(sum(dp * w) OVER (), 6) AS iv FROM x"
+        ),
+        "vocab_overlap": (
+            f"WITH norm AS (SELECT source, {_NORM} AS t "
+            "FROM documents), "
+            "st AS (SELECT DISTINCT source AS src, term FROM ("
+            "SELECT source, unnest(regexp_split_to_array(t, ' ')) "
+            "AS term FROM norm WHERE t <> '') WHERE term <> ''), "
+            "sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS vocab "
+            "FROM st GROUP BY 1), "
+            "sh AS (SELECT a.src AS src_a, b.src AS src_b, "
+            "CAST(count(*) AS BIGINT) AS shared "
+            "FROM st a JOIN st b ON a.term = b.term "
+            "AND a.src < b.src GROUP BY 1, 2) "
+            "SELECT src_a, src_b, sa.vocab AS vocab_a, "
+            "sb.vocab AS vocab_b, shared, "
+            "round(shared / CAST(sa.vocab + sb.vocab - shared "
+            "AS DOUBLE), 6) AS jaccard "
+            "FROM sh JOIN sizes sa ON sa.src = sh.src_a "
+            "JOIN sizes sb ON sb.src = sh.src_b"
+        ),
+        "seasonal_decompose": (
+            "WITH dd AS (SELECT date_trunc('day', o_orderdate) AS d, "
+            "sum(o_totalprice) AS v FROM orders GROUP BY 1), "
+            "b AS (SELECT d, v, dayofweek(d) + 1 AS pos, "
+            "CASE WHEN count(*) OVER w = 7 THEN avg(v) OVER w END "
+            "AS trend FROM dd WINDOW w AS (ORDER BY d "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+            "sm AS (SELECT pos, avg(v - trend) AS sm "
+            "FROM b GROUP BY 1), "
+            "sc AS (SELECT avg(sm) AS sc FROM sm), "
+            "se AS (SELECT pos, sm - sc AS seas "
+            "FROM sm CROSS JOIN sc) "
+            "SELECT strftime(b.d, '%Y-%m-%d') AS d, "
+            "round(v, 2) AS value, round(trend, 2) AS trend, "
+            "round(seas, 2) AS seasonal, "
+            "round(v - trend - seas, 2) AS residual "
+            "FROM b JOIN se USING (pos)"
+        ),
+        "lift_table": (
+            "WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS s, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, "
+            "o_orderkey AS id FROM orders "
+            "WHERE o_totalprice IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "r AS (SELECT y, row_number() OVER ("
+            "ORDER BY s DESC, id ASC) AS rn FROM base), "
+            "t AS (SELECT count(*) AS n, sum(y) AS p FROM r), "
+            "b AS (SELECT CAST(floor((rn - 1) * 10 / n) AS INT) "
+            "AS bucket, y, n, p FROM r CROSS JOIN t), "
+            "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr, "
+            "CAST(sum(y) AS BIGINT) AS n_pos, "
+            "any_value(n) AS tn, any_value(p) AS tp "
+            "FROM b GROUP BY 1) "
+            "SELECT bucket, nr AS n, n_pos, "
+            "round(n_pos / CAST(nr AS DOUBLE), 6) AS response_rate, "
+            "round((n_pos / CAST(nr AS DOUBLE)) "
+            "/ (tp / CAST(tn AS DOUBLE)), 6) AS lift, "
+            "round(sum(n_pos) OVER (ORDER BY bucket) "
+            "/ CAST(tp AS DOUBLE), 6) AS cum_capture, "
+            "round((sum(n_pos) OVER (ORDER BY bucket) "
+            "/ CAST(sum(nr) OVER (ORDER BY bucket) AS DOUBLE)) "
+            "/ (tp / CAST(tn AS DOUBLE)), 6) AS cum_lift FROM g"
+        ),
+        "srm_check": (
+            "WITH obs AS (SELECT event_type AS grp, count(*) AS n_obs "
+            "FROM events GROUP BY 1), "
+            "dim AS (SELECT * FROM (VALUES ('click', 0.2), "
+            "('view', 0.2), ('purchase', 0.2), ('signup', 0.2), "
+            "('error', 0.2)) AS t(grp, w)), "
+            "j AS (SELECT dim.grp, coalesce(n_obs, 0) AS n_obs, w "
+            "FROM dim LEFT JOIN obs USING (grp)), "
+            "tt AS (SELECT sum(n_obs) AS n FROM j) "
+            "SELECT grp, CAST(n_obs AS BIGINT) AS n_obs, "
+            "round(w * n, 6) AS expected_n, "
+            "round((n_obs - w * n) * (n_obs - w * n) / (w * n), 6) "
+            "AS contrib, "
+            "round(sum((n_obs - w * n) * (n_obs - w * n) / (w * n)) "
+            "OVER (), 6) AS chi2, "
+            "CAST(count(*) OVER () - 1 AS INT) AS dof, "
+            "CAST(n AS BIGINT) AS n FROM j CROSS JOIN tt"
+        ),
+        "event_latency": (
+            "WITH c AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT DISTINCT user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "m AS (SELECT c.user_id, c.ts, "
+            "(SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id "
+            "AND p.ts >= c.ts) AS nxt FROM c), "
+            "l AS (SELECT (epoch_us(nxt) - epoch_us(ts)) / 1e6 "
+            "AS lat FROM m) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_from, "
+            "CAST(count(lat) AS BIGINT) AS n_converted, "
+            "round(count(lat) / CAST(count(*) AS DOUBLE), 6) "
+            "AS conversion_rate, "
+            "round(quantile_cont(lat, 0.5), 6) AS p50_latency_s, "
+            "round(quantile_cont(lat, 0.9), 6) AS p90_latency_s, "
+            "round(max(lat), 6) AS max_latency_s FROM l"
+        ),
+        "adamic_adar": (
+            f"WITH {_ITEM_GRAPH_SQL}, "
+            "both_e AS (SELECT a, b FROM e "
+            "UNION ALL SELECT b AS a, a AS b FROM e), "
+            "deg AS (SELECT a AS z, count(*) AS deg "
+            "FROM both_e GROUP BY 1), "
+            "nbr AS (SELECT a AS z, b AS nb FROM both_e), "
+            "w AS (SELECT l.nb AS id_a, r.nb AS id_b, "
+            "1.0 / ln(deg.deg) AS w "
+            "FROM nbr l JOIN nbr r ON l.z = r.z AND l.nb < r.nb "
+            "JOIN deg ON deg.z = l.z), "
+            "sc AS (SELECT id_a, id_b, "
+            "CAST(count(*) AS BIGINT) AS common_neighbors, "
+            "round(sum(w), 6) AS aa_score FROM w GROUP BY 1, 2) "
+            "SELECT sc.* FROM sc LEFT JOIN e "
+            "ON e.a = sc.id_a AND e.b = sc.id_b WHERE e.a IS NULL"
         ),
         "pagerank": _pagerank_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

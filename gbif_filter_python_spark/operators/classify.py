@@ -755,3 +755,168 @@ def calibration_bins(
             (F.col("n") / F.sum("n").over(total_w)) * gap, round_dp
         ).alias("weighted_gap"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence binning + information value (the
+    credit-scoring / feature-screening standard, Siddiqi 2006): bin a
+    numeric feature into ``n_bins`` equal-width bins and score how
+    well it separates a binary label — per bin ``(bin, n, n_pos,
+    n_neg, woe, iv_contrib, iv)`` with
+
+        woe_b = ln( (pos_b + s)/(pos + s·B)  /  (neg_b + s)/(neg + s·B) )
+        IV    = Σ_b (p_pos_b − p_neg_b) · woe_b      (un-smoothed p's)
+
+    where ``s`` is the Laplace ``smoothing`` that keeps an empty-side
+    bin finite (the standard dodge; set 0 to reproduce the textbook
+    form on well-populated bins). The conventional read: IV < 0.02
+    useless, 0.1–0.3 medium, > 0.5 suspicious (leakage). ``iv`` is
+    the table-level total repeated on every row so the frame is
+    self-contained. NULL features/labels excluded; equal-width bin
+    edges come from the observed min/max (the js_divergence
+    convention — a 1-row broadcast, not a sampled sketch), max value
+    clamped into the last bin.
+
+    Scale shape: bounds reduce the fact to ONE broadcast row; binning
+    + conditional counts are a single map-side-combined hash agg to
+    ``n_bins`` rows; everything after (totals window, woe, IV) runs
+    on that tiny table.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    bounds = base.agg(
+        F.min(x).alias("_mn"), F.max(x).alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / float(n_bins)
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor((x - F.col("_mn")) / width).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            )
+        )
+        .alias("bin"),
+        y.alias("_y"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(1 - F.col("_y")).alias("n_neg"),
+    )
+    w = Window.partitionBy()
+    pos_t = F.sum("n_pos").over(w).cast("double")
+    neg_t = F.sum("n_neg").over(w).cast("double")
+    nb = F.count(F.lit(1)).over(w).cast("double")
+    s = float(smoothing)
+    woe = F.log(
+        ((F.col("n_pos") + s) / (pos_t + s * nb))
+        / ((F.col("n_neg") + s) / (neg_t + s * nb))
+    )
+    contrib = (
+        F.col("n_pos") / pos_t - F.col("n_neg") / neg_t
+    ) * woe
+    scored = g.select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, round_dp).alias("woe"),
+        F.round(contrib, round_dp).alias("iv_contrib"),
+        F.round(F.sum(contrib).over(w), round_dp).alias("iv"),
+    )
+    return scored
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Decile lift / gains table (the campaign-targeting and
+    model-triage standard): rank rows by score descending (ties
+    broken by ``id_col`` — a total order, the ewma contract), cut
+    into ``n_buckets`` equal-count buckets, and per bucket report
+    ``(bucket, n, n_pos, response_rate, lift, cum_capture,
+    cum_lift)`` where
+
+        lift        = bucket response rate / overall rate
+        cum_capture = fraction of ALL positives found so far
+                      (the gains curve; random targeting = bucket
+                      quantile, a perfect model front-loads it)
+
+    — the business-facing readout next to :func:`group_auc`'s
+    threshold-free statistic and :func:`calibration_bins`' ECE: "mail
+    the top 2 deciles, capture 55 % of responders". Bucket cut uses
+    ``floor((rank−1)·k/n)`` (exact integer arithmetic — never ntile,
+    whose tie placement is engine-defined). NULL scores/labels
+    excluded.
+
+    Scale shape: ONE global sort (the unavoidable rank shuffle —
+    range-partitioned, not single-node) feeding exact integer bucket
+    ids, then a k-row hash agg; cumulative columns run on the k-row
+    table. At 100 TB swap the exact rank for approx quantile
+    thresholds; exact is kept here so the oracle is bit-stable.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    w = Window.orderBy(s.desc(), F.col(id_col).asc())
+    ranked = base.select(
+        y.alias("_y"), F.row_number().over(w).alias("_rn")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    b = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("_rn") - 1) * n_buckets / F.col("_n")
+        ).cast("int").alias("bucket"),
+        "_y",
+        "_n",
+        "_p",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.first("_n").alias("_n"),
+        F.first("_p").alias("_p"),
+    )
+    cw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate = F.col("n_pos") / F.col("n").cast("double")
+    overall = F.col("_p") / F.col("_n").cast("double")
+    cum_pos = F.sum("n_pos").over(cw)
+    cum_n = F.sum("n").over(cw)
+    return g.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(rate, round_dp).alias("response_rate"),
+        F.round(rate / overall, round_dp).alias("lift"),
+        F.round(cum_pos / F.col("_p"), round_dp).alias("cum_capture"),
+        F.round(
+            (cum_pos / cum_n.cast("double")) / overall, round_dp
+        ).alias("cum_lift"),
+    )

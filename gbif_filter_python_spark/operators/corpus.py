@@ -1720,3 +1720,74 @@ def type_token_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic behind "are these two crawls the same distribution":
+    one row per unordered source pair ``(src_a < src_b, vocab_a,
+    vocab_b, shared, jaccard)`` where each vocabulary is the set of
+    distinct normalized tokens the source emits and
+
+        jaccard = |A ∩ B| / (|A| + |B| − |A ∩ B|)
+
+    High overlap between sources marked distinct flags mirror sites /
+    duplicated crawls one level above :func:`doc-level dedup
+    <.dedup>`; low overlap against a reference source quantifies
+    domain shift (the set-level complement of :func:`oov_rate`).
+
+    Scale shape: ONE (source, term) distinct-aggregate off the
+    exploded tokens (map-side partial dedup); per-source sizes reduce
+    that table, and the intersection is a TERM-KEYED self-join of the
+    (source, term) table — each term fans out only to its own
+    source-pair combinations (≤ k² per term, k = |sources|), so there
+    is no all-pairs vocabulary comparison anywhere. The k²-row pair
+    table joins the broadcast size dimension twice.
+    """
+    st = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            F.explode(_words(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("src").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = st.alias("a"), st.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("src").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("src").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    )
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )

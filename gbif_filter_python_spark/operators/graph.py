@@ -673,3 +673,81 @@ def connected_components_star(
     raise RuntimeError(
         f"star contraction did not converge in {max_iterations} rounds"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over an
+    undirected edge list: for every NON-adjacent node pair sharing at
+    least ``min_common`` neighbors, ``(id_a, id_b, common_neighbors,
+    aa_score)`` with
+
+        aa = Σ_{z ∈ N(a) ∩ N(b)}  1 / ln(deg(z))
+
+    — the classic "which duplicate pairs did the similarity join
+    miss" / "which items will co-occur next" ranking. A shared
+    neighbor of degree 2 (ln 2 ≈ 0.69, weight ≈ 1.44) is strong
+    evidence; a hub shared by everyone contributes ~nothing. Wedge
+    centers always have degree ≥ 2 (they touch both endpoints), so
+    ln(deg) is never 0. Existing edges are anti-joined out — the
+    operator predicts NEW links only.
+
+    Scale shape: degrees come from one agg over the symmetrized edge
+    list; wedges are the self-equi-join on the CENTER key (each
+    center z fans out deg(z)² pairs — the one quadratic term, and it
+    is quadratic in single-node degree, not graph size).
+    ``max_center_degree`` is the skew valve: dropping hub centers
+    above the cap bounds the fan-out per key, and since a hub's
+    weight 1/ln(deg) is asymptotically negligible the ranking is
+    barely perturbed — same contract as the hot-bucket cap in
+    minhash_lsh_candidates. The anti-join and the final agg shuffle
+    only (a, b) pair rows.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    both = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = both.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if max_center_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_center_degree)
+    # star join at the wedge center: (z, neighbor) ⋈ (z, neighbor)
+    nbr = both.select(F.col("a").alias("z"), F.col("b").alias("nb"))
+    l, r = nbr.alias("l"), nbr.alias("r")
+    wedges = (
+        l.join(r, "z")
+        .filter(F.col("l.nb") < F.col("r.nb"))
+        .join(deg, "z")
+        .select(
+            F.col("l.nb").alias("id_a"),
+            F.col("r.nb").alias("id_b"),
+            (1.0 / F.log(F.col("deg").cast("double"))).alias("w"),
+        )
+    )
+    scored = wedges.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.round(F.sum("w"), round_dp).alias("aa_score"),
+    )
+    return (
+        scored.join(
+            sym,
+            (F.col("id_a") == F.col("a")) & (F.col("id_b") == F.col("b")),
+            "left_anti",
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+        .select("id_a", "id_b", "common_neighbors", "aa_score")
+    )

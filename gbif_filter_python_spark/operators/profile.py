@@ -1888,3 +1888,546 @@ def mann_kendall(
         F.round(z, round_dp).alias("z"),
         F.round("_sen", round_dp).alias("sen_slope"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-way ANOVA omnibus F-test: ONE row ``(k_groups, n,
+    df_between, df_within, f_stat, eta_squared)`` — the "do ANY of
+    these k groups differ" gate a pipeline runs before the pairwise
+    :func:`welch_ttest` sweep (k² pairwise tests without an omnibus
+    gate is the classic multiple-comparison trap that
+    :func:`fdr-correction <.analytics>` then has to mop up).
+
+        SS_between = Σ_g n_g (m_g − m)²,  SS_within = Σ_g (n_g−1) v_g
+        F = (SS_b / (k−1)) / (SS_w / (n−k)),  η² = SS_b/(SS_b+SS_w)
+
+    ``SS_within`` deliberately comes from per-group ``var_samp`` (a
+    numerically-stable two-pass form in both engines), NOT from the
+    catastrophic ``Σx² − (Σx)²/n`` cancellation on raw-scale money.
+    Only the scale-free ratios (F, η²) are emitted, at ``round_dp`` —
+    raw sums-of-squares at 1e14 magnitude sit below float64's 2dp
+    resolution and would flip cross-engine (the
+    revenue-concentration lesson). NULL values excluded; groups with
+    n < 2 contribute 0 within-variance but still count toward k.
+
+    Scale shape: ONE map-side-combined hash aggregation collapses the
+    fact to k rows; the two scalar reductions after run on those k
+    rows. Nothing shuffles twice.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.sum(F.coalesce((F.col("n") - 1) * F.col("v"), F.lit(0.0))).alias(
+            "ssw"
+        ),
+    )
+    d = F.col("m") - F.col("gm")
+    agg = g.crossJoin(F.broadcast(tot)).agg(
+        F.first("k").alias("k"),
+        F.first("nn").alias("nn"),
+        F.sum(F.col("n") * d * d).alias("ssb"),
+        F.first("ssw").alias("ssw"),
+    )
+    fstat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("nn") - F.col("k"))
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        (F.col("k") - 1).cast("int").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+        F.round(fstat, round_dp).alias("f_stat"),
+        F.round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), round_dp
+        ).alias("eta_squared"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity (Levene's W with
+    the MEDIAN center — the robust form scipy defaults to): one row
+    ``(k_groups, n, df1, df2, w_stat)``. The precondition check for
+    pooled-variance tests and for "is this source's quality-score
+    spread wider than that one's" corpus questions, where heavy-tail
+    money/score columns make the mean-centered original misfire.
+
+    W is the one-way ANOVA F statistic (:func:`anova_f`) applied to
+    ``z = |x − median_g|``; medians are exact interpolated
+    percentiles (both engines' ``quantile_cont`` convention).
+
+    Scale shape: one exact-percentile hash aggregation to k medians
+    (map-side partials; the k-row result broadcasts back onto the
+    fact — the fact itself never shuffles), then the anova_f
+    aggregation on the derived column. Two fact scans, zero fact
+    shuffles.
+    """
+    meds = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("med"))
+    )
+    z = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(meds),
+        F.col(group_col) == F.col("grp"),
+    )
+    zdf = z.select(
+        "grp", F.abs(F.col(value_col) - F.col("med")).alias("z")
+    )
+    out = anova_f(zdf, "grp", "z", round_dp=round_dp)
+    return out.select(
+        "k_groups",
+        "n",
+        F.col("df_between").alias("df1"),
+        F.col("df_within").alias("df2"),
+        F.col("f_stat").alias("w_stat"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    mode: str = "summary",
+    round_dp: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third gate of the de-identification trio after
+    :func:`k_anonymity` and :func:`l_diversity`: a class can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (skewness attack).
+    Each equivalence class over ``quasi_cols`` must have total
+    variation distance
+
+        TVD(P_class, P_global) = ½ Σ_s |p_s − q_s|  ≤  t
+
+    to the global distribution (TVD equals the earth-mover distance
+    under the uniform ground metric — the paper's categorical form).
+    NULL quasi-values group together (the k_anonymity contract);
+    NULL sensitive values are excluded from both distributions.
+
+    ``mode="summary"`` → ONE row ``(t, n_rows, n_classes,
+    n_violating_classes, n_rows_at_risk, max_tvd, is_t_close)``.
+    ``mode="classes"`` → per-class rows ``(quasi..., class_size,
+    tvd)`` for remediation.
+
+    Scale shape: one (quasi, sensitive) hash aggregation off the
+    fact; the global sensitive distribution is a tiny reduction of
+    THAT table and broadcasts onto the class×sensitive grid (built
+    grid-complete: a class missing a sensitive value still pays
+    |0 − q_s| — dropping absent cells is the textbook TVD bug, the
+    chi2_independence lesson). Only aggregate rows ever shuffle.
+    """
+    if mode not in ("summary", "classes"):
+        raise ValueError(f"mode must be summary|classes, got {mode!r}")
+    if not 0 <= t <= 1:
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    cells = base.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    cls = cells.groupBy(*quasi_cols).agg(F.sum("_c").alias("_cn"))
+    glob = cells.groupBy("_s").agg(F.sum("_c").alias("_gc"))
+    gtot = glob.agg(F.sum("_gc").alias("_gn"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .join(cells, [*quasi_cols, "_s"], "left")
+        .select(
+            *quasi_cols,
+            "_cn",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)) / F.col("_cn")
+                - F.col("_gc") / F.col("_gn")
+            ).alias("_d"),
+        )
+    )
+    per_class = grid.groupBy(*quasi_cols).agg(
+        F.first("_cn").alias("class_size"),
+        F.round(F.sum(F.abs(F.col("_d"))) / 2.0, round_dp).alias("tvd"),
+    )
+    if mode == "classes":
+        return per_class
+    viol = F.col("tvd") > t
+    return per_class.agg(
+        F.lit(float(t)).alias("t"),
+        F.sum("class_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(viol.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("class_size")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.max("tvd").alias("max_tvd"),
+        (F.sum(viol.cast("long")) == 0).alias("is_t_close"),
+    )
+
+
+def forecast_eval(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Forecast-baseline scorecard over the daily-total series: one
+    row per method ``(method, n, mae, rmse, smape, mase)`` for the
+    three textbook baselines every real model must beat before it
+    ships (Hyndman & Koehler 2006, the M-competition protocol):
+
+    * ``naive`` — ŷ_t = y_{t−1}
+    * ``seasonal_naive`` — ŷ_t = y_{t−season}
+    * ``moving_avg`` — ŷ_t = mean(y_{t−season} .. y_{t−1})
+
+    All methods score over the SAME window (day index > ``season``,
+    where every forecast is defined) so the metrics compare.
+    ``smape`` is the symmetric form ``mean(2|y−ŷ|/(|y|+|ŷ|))``;
+    ``mase`` is MAE relative to the in-window naive MAE (naive's own
+    mase is exactly 1 — the built-in sanity row). MAE/RMSE round at
+    2dp (raw-scale money); the scale-free smape/mase at ``round_dp``.
+
+    Scale shape: the fact collapses to one row per day in ONE hash
+    aggregation; lags, the 3-way stack and the per-method reduction
+    all run on the |days|-row series (bounded by the calendar at any
+    fact scale — the acf_lags contract). The naive-MAE scalar
+    broadcasts back for the MASE ratio.
+    """
+    from pyspark.sql import Window
+
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    w = Window.orderBy("d")
+    ranked = daily.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v", 1).over(w).alias("_naive"),
+        F.lag("v", season).over(w).alias("_snaive"),
+        F.avg("v")
+        .over(w.rowsBetween(-season, -1))
+        .alias("_mavg"),
+    ).filter(F.col("rn") > season)
+    stacked = ranked.select(
+        "v",
+        F.expr(
+            "stack(3, 'naive', _naive, 'seasonal_naive', _snaive, "
+            "'moving_avg', _mavg) AS (method, fcst)"
+        ),
+    )
+    err = F.abs(F.col("v") - F.col("fcst"))
+    per = stacked.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(err).alias("_mae"),
+        F.sqrt(F.avg(err * err)).alias("_rmse"),
+        F.avg(
+            2.0 * err / (F.abs(F.col("v")) + F.abs(F.col("fcst")))
+        ).alias("_smape"),
+    )
+    nmae = per.filter(F.col("method") == "naive").select(
+        F.col("_mae").alias("_nmae")
+    )
+    return per.crossJoin(F.broadcast(nmae)).select(
+        "method",
+        "n",
+        F.round("_mae", 2).alias("mae"),
+        F.round("_rmse", 2).alias("rmse"),
+        F.round("_smape", round_dp).alias("smape"),
+        F.round(F.col("_mae") / F.col("_nmae"), round_dp).alias("mase"),
+    )
+
+
+def referential_integrity(
+    checks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit — the data-quality gate a pipeline
+    runs after every ingest/CDC merge and before any join-based
+    metric is trusted: for each ``(constraint_name, fact, fk_col,
+    dim, pk_col)`` check, one row ``(constraint, n_rows, n_null_fk,
+    n_orphan_rows, n_orphan_keys, orphan_rate)``. A NULL FK is NOT
+    an orphan (SQL's MATCH SIMPLE convention — it's reported in its
+    own column so silently-null keys still surface); an orphan is a
+    non-null FK with no matching dimension key.
+
+    Scale shape per check: the dimension reduces to DISTINCT keys
+    (map-side) and — being a dimension — broadcasts; the fact scans
+    once through a broadcast left join into a scalar aggregation.
+    No fact shuffle anywhere. The per-check results union into one
+    k-row frame.
+    """
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    outs = []
+    for name, fact, fk, dim, pk in checks:
+        keys = F.broadcast(
+            dim.select(F.col(pk).alias("_pk")).distinct()
+        )
+        fkc = F.col(fk)
+        joined = fact.select(fkc.alias("_fk")).join(
+            keys, F.col("_fk") == F.col("_pk"), "left"
+        )
+        orphan = F.col("_fk").isNotNull() & F.col("_pk").isNull()
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("constraint_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_fk").isNull().cast("long")).alias(
+                    "n_null_fk"
+                ),
+                F.sum(orphan.cast("long")).alias("n_orphan_rows"),
+                F.count_distinct(
+                    F.when(orphan, F.col("_fk"))
+                ).alias("n_orphan_keys"),
+                F.round(
+                    F.sum(orphan.cast("long"))
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def ccf_lags(
+    df: DataFrame,
+    ts_col: str,
+    series_col: str,
+    series_a: str,
+    series_b: str,
+    value_col: str | None = None,
+    max_lag: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cross-correlation function between two daily series at lags
+    −``max_lag``..+``max_lag``: one row ``(lag, n_pairs, ccf)`` where
+    ``ccf`` is the Pearson correlation of ``(a_t, b_{t+lag})`` —
+    positive lags mean *a leads b*. The lead/lag probe behind "do
+    clicks predict purchases N days out" and "does crawler error
+    rate foreshadow corpus quality drops" — :func:`acf_lags` is the
+    special case a = b, lag > 0.
+
+    Each series is the daily count of rows with ``series_col`` equal
+    to ``series_a`` / ``series_b`` (or the daily SUM of ``value_col``
+    when given). Days missing from a series contribute no pair (the
+    aligned-join convention, same as acf_lags); lag 0 is included as
+    the contemporaneous baseline.
+
+    Scale shape: the fact collapses to ≤ 2·|days| rows in ONE hash
+    aggregation (a 2-value filter first — predicate-pushdown
+    friendly); the lag join, like acf_lags, runs on the
+    calendar-bounded series, so the window/join state is bounded at
+    any fact scale.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    val = (
+        F.count(F.lit(1)).cast("double")
+        if value_col is None
+        else F.sum(value_col)
+    )
+    daily = (
+        df.filter(F.col(series_col).isin([series_a, series_b]))
+        .groupBy(
+            F.to_date(F.col(ts_col)).alias("d"),
+            F.col(series_col).alias("s"),
+        )
+        .agg(val.alias("v"))
+    )
+    # one shared day index so a day absent from BOTH series doesn't
+    # shift alignment between them
+    days = daily.select("d").distinct()
+    idx = days.select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    sa = (
+        daily.filter(F.col("s") == series_a)
+        .join(idx, "d")
+        .select("rn", F.col("v").alias("va"))
+    )
+    sb = (
+        daily.filter(F.col("s") == series_b)
+        .join(idx, "d")
+        .select("rn", F.col("v").alias("vb"))
+    )
+    lags = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = lags.crossJoin(sa).join(
+        sb.withColumnRenamed("rn", "rnb"),
+        F.col("rnb") == F.col("rn") + F.col("lag"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("va", "vb"), round_dp).alias("ccf"),
+        )
+        .select("lag", "n_pairs", "ccf")
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily-total
+    series (the moving-average method, Hyndman & Athanasopoulos
+    FPP3 §3.4): per day ``(d, value, trend, seasonal, residual)``
+    with
+
+        trend_t    = centered ``period``-term moving average
+                     (defined only where the full window exists)
+        seasonal_p = mean of (value − trend) per period position,
+                     centered to sum to zero across positions
+        residual   = value − trend − seasonal
+
+    — the decomposition behind "is Monday low traffic or a real
+    drop": :func:`acf_lags` detects the seasonality, this one
+    REMOVES it so :func:`cusum_changepoints`/:func:`seasonal
+    outliers <.analytics.seasonal_outliers>` run on a stationary
+    residual. Period positions are calendar day-of-week for
+    period=7 (Sunday=1 — pinned convention), else day-index mod
+    period. ``period`` must be odd so the centered window is exact
+    (the classical formulation; even periods need the 2×MA variant,
+    deliberately out of scope).
+
+    Scale shape: one hash aggregation collapses the fact to the
+    |days|-row series; the centered window, the |period|-row seasonal
+    means (broadcast back), and the final select all run on that
+    calendar-bounded series — the acf_lags contract.
+    """
+    from pyspark.sql import Window
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    w = Window.orderBy("d")
+    ww = w.rowsBetween(-half, half)
+    pos = (
+        F.dayofweek("d")
+        if period == 7
+        else (F.row_number().over(w) - 1) % period + 1
+    )
+    base = daily.select(
+        "d",
+        "v",
+        pos.alias("_pos"),
+        F.when(
+            F.count(F.lit(1)).over(ww) == period, F.avg("v").over(ww)
+        ).alias("_trend"),
+    )
+    smeans = base.groupBy("_pos").agg(
+        F.avg(F.col("v") - F.col("_trend")).alias("_sm")
+    )
+    scenter = smeans.agg(F.avg("_sm").alias("_sc"))
+    seas = smeans.crossJoin(F.broadcast(scenter)).select(
+        "_pos", (F.col("_sm") - F.col("_sc")).alias("_seas")
+    )
+    out = base.join(F.broadcast(seas), "_pos")
+    return out.select(
+        "d",
+        F.round("v", round_dp).alias("value"),
+        F.round("_trend", round_dp).alias("trend"),
+        F.round("_seas", round_dp).alias("seasonal"),
+        F.round(
+            F.col("v") - F.col("_trend") - F.col("_seas"), round_dp
+        ).alias("residual"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict[str, float],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first thing any A/B
+    readout must pass — Fabijan et al. 2019): observed assignment
+    counts vs the design ratios, per group ``(grp, n_obs,
+    expected_n, contrib, chi2, dof, n)`` where ``contrib`` is the
+    group's ``(O−E)²/E`` term and ``chi2``/``dof``/``n`` repeat the
+    table-level statistic (k−1 dof) on every row. A chi2 far above
+    the dof (the usual p<0.001 line ≈ 2–3× dof at small k) means the
+    bucketing is broken and every downstream lift number is invalid.
+    Groups observed but not in ``expected`` raise — an unknown arm is
+    itself an SRM. Expected weights are normalized internally.
+
+    Scale shape: ONE hash aggregation to k rows; the k-row expected
+    dimension is a broadcast literal frame; everything after is on
+    aggregates.
+    """
+    from pyspark.sql import Window
+
+    if not expected:
+        raise ValueError("expected ratios must be non-empty")
+    total_w = float(sum(expected.values()))
+    if total_w <= 0:
+        raise ValueError("expected weights must sum > 0")
+    spark = df.sparkSession
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [(k, v / total_w) for k, v in expected.items()],
+            "grp string, _w double",
+        )
+    )
+    obs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    j = obs.join(dim, "grp", "full")
+    unknown = j.filter(F.col("_w").isNull()).select("grp").first()
+    if unknown is not None:
+        raise ValueError(
+            f"observed group {unknown['grp']!r} not in expected — "
+            "an unknown arm is itself a sample-ratio mismatch"
+        )
+    tot = j.agg(F.sum("n_obs").alias("_n"))
+    cells = j.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        (F.col("_w") * F.col("_n")).alias("_e"),
+        "_n",
+    )
+    d = F.col("n_obs") - F.col("_e")
+    w = Window.partitionBy()
+    return cells.select(
+        "grp",
+        "n_obs",
+        F.round("_e", round_dp).alias("expected_n"),
+        F.round(d * d / F.col("_e"), round_dp).alias("contrib"),
+        F.round(F.sum(d * d / F.col("_e")).over(w), round_dp).alias(
+            "chi2"
+        ),
+        (F.count(F.lit(1)).over(w) - 1).cast("int").alias("dof"),
+        F.col("_n").cast("long").alias("n"),
+    )

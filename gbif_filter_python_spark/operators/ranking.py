@@ -419,3 +419,74 @@ def inverted_postings(
         )
         .drop("_n_docs")
     )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Graded-relevance nDCG@k (Järvelin & Kekäläinen 2002, the
+    exponential-gain form every IR shared task reports) — the metric
+    :func:`retrieval_metrics` can't give with binary qrels: per query
+    ``(query, n_rel, dcg_at_k, idcg_at_k, ndcg_at_k)`` with
+
+        DCG@k  = Σ_{hits at rank r ≤ k} (2^rel − 1) / log2(r + 1)
+        IDCG@k = the same sum over the query's own rels sorted
+                 descending (ties broken by doc id — deterministic)
+
+    so a retriever that surfaces the RIGHT docs in the WRONG order is
+    scored below one that orders them correctly, which
+    precision/recall can't distinguish. Queries in ``qrels`` with no
+    ranked hits score 0.0; ``rel`` ≤ 0 rows contribute zero gain.
+
+    Scale shape: the retrieval_metrics contract — the top-k slice
+    equi-joins qrels on (query, doc), both sides k-bounded per query;
+    the ideal ranking is a per-query window over qrels (the only
+    per-query sort, on the qrels table, never the corpus) truncated
+    at k; two query-key aggregations close it out.
+    """
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    topk = results.filter(F.col(rank_col) <= k)
+    dcg = (
+        topk.join(qrels, [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                gain / F.log2(F.col(rank_col).cast("double") + 1.0)
+            ).alias("_dcg")
+        )
+    )
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(doc_col).asc()
+    )
+    ideal = (
+        qrels.withColumn("_ir", F.row_number().over(iw))
+        .filter(F.col("_ir") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                gain / F.log2(F.col("_ir").cast("double") + 1.0)
+            ).alias("_idcg")
+        )
+    )
+    nrel = qrels.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    out = nrel.join(ideal, query_col).join(dcg, query_col, "left")
+    d = F.coalesce(F.col("_dcg"), F.lit(0.0))
+    return out.select(
+        query_col,
+        "n_rel",
+        F.round(d, round_dp).alias("dcg_at_k"),
+        F.round("_idcg", round_dp).alias("idcg_at_k"),
+        F.round(
+            F.when(F.col("_idcg") > 0, d / F.col("_idcg")).otherwise(
+                0.0
+            ),
+            round_dp,
+        ).alias("ndcg_at_k"),
+    )

@@ -516,3 +516,94 @@ class TestCalibrationBins:
         assert set(got) == {0, 9}
         assert got[0]["n"] == 2 and got[9]["n"] == 1
         assert min(got) >= 0
+
+
+class TestWoeIv:
+    def test_hand_computed_two_bins(self, spark):
+        import math
+
+        from gbif_filter_python_spark.operators.classify import woe_iv
+
+        # bin 0 = x in [0, 5): 3 pos 1 neg; bin 1 = [5, 10]: 1 pos 3 neg
+        rows = [
+            (0.0, 1), (1.0, 1), (2.0, 1), (3.0, 0),
+            (6.0, 0), (7.0, 0), (8.0, 0), (10.0, 1),
+        ]
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = {r["bin"]: r for r in woe_iv(df, "x", "y", n_bins=2).collect()}
+        assert out[0]["n_pos"] == 3 and out[0]["n_neg"] == 1
+        assert out[1]["n_pos"] == 1 and out[1]["n_neg"] == 3
+        s, nb, pt, nt = 0.5, 2, 4.0, 4.0
+        w0 = math.log(((3 + s) / (pt + s * nb)) / ((1 + s) / (nt + s * nb)))
+        w1 = math.log(((1 + s) / (pt + s * nb)) / ((3 + s) / (nt + s * nb)))
+        assert abs(out[0]["woe"] - w0) < 1e-6
+        assert abs(out[1]["woe"] - w1) < 1e-6
+        iv = (3 / pt - 1 / nt) * w0 + (1 / pt - 3 / nt) * w1
+        for r in out.values():
+            assert abs(r["iv"] - iv) < 1e-6
+        assert abs(out[0]["iv_contrib"] + out[1]["iv_contrib"] - iv) < 1e-6
+
+    def test_empty_side_bin_stays_finite(self, spark):
+        from gbif_filter_python_spark.operators.classify import woe_iv
+
+        rows = [(0.0, 1), (1.0, 1), (9.0, 0), (10.0, 0)]
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = woe_iv(df, "x", "y", n_bins=2).collect()
+        assert all(r["woe"] is not None for r in out)
+        assert all(abs(r["woe"]) < 10 for r in out)
+
+    def test_constant_feature_single_bin(self, spark):
+        from gbif_filter_python_spark.operators.classify import woe_iv
+
+        df = spark.createDataFrame(
+            [(5.0, 1), (5.0, 0)], "x double, y int"
+        )
+        out = woe_iv(df, "x", "y", n_bins=4).collect()
+        assert len(out) == 1 and out[0]["bin"] == 0
+        # balanced single bin → woe 0, iv 0
+        assert out[0]["woe"] == 0.0
+        assert out[0]["iv"] == 0.0
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.classify import woe_iv
+
+        df = spark.createDataFrame([(1.0, 1)], "x double, y int")
+        with _pytest.raises(ValueError):
+            woe_iv(df, "x", "y", n_bins=0)
+        with _pytest.raises(ValueError):
+            woe_iv(df, "x", "y", smoothing=-1.0)
+
+
+class TestLiftTable:
+    def test_perfect_score_front_loads_capture(self, spark):
+        from gbif_filter_python_spark.operators.classify import lift_table
+
+        # 20 rows, top-10 scores are exactly the positives
+        rows = [(float(100 - i), 1 if i < 10 else 0, i) for i in range(20)]
+        df = spark.createDataFrame(rows, "s double, y int, id long")
+        out = {
+            r["bucket"]: r
+            for r in lift_table(df, "s", "y", "id", n_buckets=4).collect()
+        }
+        assert [out[b]["n"] for b in range(4)] == [5, 5, 5, 5]
+        assert out[0]["response_rate"] == 1.0
+        assert out[0]["lift"] == 2.0  # overall rate .5
+        assert out[1]["cum_capture"] == 1.0  # all positives in top half
+        assert out[3]["cum_capture"] == 1.0
+        assert out[3]["cum_lift"] == 1.0  # full table = overall
+
+    def test_tie_break_is_deterministic(self, spark):
+        from gbif_filter_python_spark.operators.classify import lift_table
+
+        # all scores equal → ranking falls back to id order
+        rows = [(1.0, 1, 1), (1.0, 0, 2), (1.0, 1, 3), (1.0, 0, 4)]
+        df = spark.createDataFrame(rows, "s double, y int, id long")
+        out = {
+            r["bucket"]: r
+            for r in lift_table(df, "s", "y", "id", n_buckets=2).collect()
+        }
+        # ids 1,2 → bucket 0 (1 pos); ids 3,4 → bucket 1 (1 pos)
+        assert out[0]["n_pos"] == 1 and out[1]["n_pos"] == 1
+        assert out[0]["lift"] == 1.0

@@ -2029,3 +2029,186 @@ class TestNewOpsDifferential:
                     1 for gm in grams if first_seen[gm] == i
                 ) / len(grams)
                 assert abs(got[i]["novel_frac"] - nf) < 1e-6, i
+
+
+class TestTCloseness:
+    def _df(self, spark):
+        rows = (
+            # class X: 4 rows all 'a' — skewed vs global
+            [("X", "a")] * 4
+            # class Y: 2 a, 2 b — closer to global
+            + [("Y", "a"), ("Y", "a"), ("Y", "b"), ("Y", "b")]
+        )
+        return spark.createDataFrame(rows, "q string, s string")
+
+    def test_classes_tvd_hand_computed(self, spark):
+        from gbif_filter_python_spark.operators.profile import t_closeness
+
+        got = {
+            r["q"]: r
+            for r in t_closeness(
+                self._df(spark), ["q"], "s", mode="classes"
+            ).collect()
+        }
+        # global: a=6/8, b=2/8. X: a=1,b=0 → tvd=.5*(|1-.75|+|0-.25|)=.25
+        assert got["X"]["class_size"] == 4
+        assert abs(got["X"]["tvd"] - 0.25) < 1e-9
+        # Y: a=.5,b=.5 → tvd=.5*(.25+.25)=.25 ... equal here by
+        # symmetry of the 2-class complement
+        assert abs(got["Y"]["tvd"] - 0.25) < 1e-9
+
+    def test_summary_gate_and_null_sensitive_excluded(self, spark):
+        from gbif_filter_python_spark.operators.profile import t_closeness
+
+        df = self._df(spark).unionByName(
+            self._df(spark).sparkSession.createDataFrame(
+                [("X", None)], "q string, s string"
+            )
+        )
+        s = t_closeness(df, ["q"], "s", t=0.2).first()
+        # NULL sensitive row dropped: n_rows stays 8
+        assert s["n_rows"] == 8
+        assert s["n_classes"] == 2
+        assert s["n_violating_classes"] == 2  # both tvd .25 > .2
+        assert s["n_rows_at_risk"] == 8
+        assert abs(s["max_tvd"] - 0.25) < 1e-9
+        assert not s["is_t_close"]
+        loose = t_closeness(df, ["q"], "s", t=0.3).first()
+        assert loose["is_t_close"]
+
+    def test_missing_sensitive_value_still_pays(self, spark):
+        from gbif_filter_python_spark.operators.profile import t_closeness
+
+        # class Z never sees value 'b' → grid-complete |0 - q_b|
+        rows = [("Z", "a")] * 2 + [("W", "b")] * 2
+        df = spark.createDataFrame(rows, "q string, s string")
+        got = {
+            r["q"]: r["tvd"]
+            for r in t_closeness(df, ["q"], "s", mode="classes").collect()
+        }
+        # global a=.5,b=.5; each class fully one-sided → tvd = .5
+        assert got == {"Z": 0.5, "W": 0.5}
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.profile import t_closeness
+
+        with _pytest.raises(ValueError):
+            t_closeness(self._df(spark), ["q"], "s", mode="nope")
+        with _pytest.raises(ValueError):
+            t_closeness(self._df(spark), ["q"], "s", t=1.5)
+
+
+class TestReferentialIntegrity:
+    def test_orphans_nulls_and_intact(self, spark):
+        from gbif_filter_python_spark.operators.profile import (
+            referential_integrity,
+        )
+
+        fact = spark.createDataFrame(
+            [(1,), (1,), (2,), (99,), (99,), (None,)],
+            "fk long",
+        )
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        out = {
+            r["constraint_name"]: r
+            for r in referential_integrity(
+                [
+                    ("c1", fact, "fk", dim, "pk"),
+                    ("c2", dim, "pk", dim, "pk"),
+                ]
+            ).collect()
+        }
+        c1 = out["c1"]
+        assert c1["n_rows"] == 6
+        assert c1["n_null_fk"] == 1  # NULL is not an orphan
+        assert c1["n_orphan_rows"] == 2  # the two 99s
+        assert c1["n_orphan_keys"] == 1
+        assert abs(c1["orphan_rate"] - 2 / 6) < 1e-6
+        c2 = out["c2"]
+        assert c2["n_orphan_rows"] == 0
+        assert c2["orphan_rate"] == 0.0
+
+    def test_empty_checks_rejected(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.profile import (
+            referential_integrity,
+        )
+
+        with _pytest.raises(ValueError):
+            referential_integrity([])
+
+
+class TestVocabOverlap:
+    def test_hand_jaccard_and_normalization(self, spark):
+        from gbif_filter_python_spark.operators.corpus import vocab_overlap
+
+        df = spark.createDataFrame(
+            [
+                ("A", "the cat sat"),
+                ("A", "THE mat!"),  # case/punct fold into same vocab
+                ("B", "the dog sat"),
+                ("C", "zebra"),
+            ],
+            "source string, text string",
+        )
+        out = {
+            (r["src_a"], r["src_b"]): r
+            for r in vocab_overlap(df, "source").collect()
+        }
+        # A vocab {the,cat,sat,mat}=4, B {the,dog,sat}=3, shared {the,sat}=2
+        ab = out[("A", "B")]
+        assert (ab["vocab_a"], ab["vocab_b"], ab["shared"]) == (4, 3, 2)
+        assert abs(ab["jaccard"] - 2 / 5) < 1e-9
+        # C shares nothing → pair absent entirely (no zero rows)
+        assert ("A", "C") not in out and ("B", "C") not in out
+
+
+class TestEventLatency:
+    def test_forward_latency_and_window(self, spark):
+        from pyspark.sql import functions as SF
+
+        from gbif_filter_python_spark.operators.temporal import (
+            event_latency,
+        )
+
+        def ts(s):
+            return f"2024-01-01 00:0{s}:00"
+
+        clicks = spark.createDataFrame(
+            [(1, ts(0)), (1, ts(5)), (2, ts(1))],
+            "user_id long, ts string",
+        ).select("user_id", SF.to_timestamp("ts").alias("ts"))
+        buys = spark.createDataFrame(
+            [(1, ts(2)), (1, ts(7))], "user_id long, ts string"
+        ).select("user_id", SF.to_timestamp("ts").alias("ts"))
+        (r,) = event_latency(clicks, buys).collect()
+        # u1 click@0 → buy@2 (120 s); u1 click@5 → buy@7 (120 s);
+        # u2 never converts
+        assert r["n_from"] == 3 and r["n_converted"] == 2
+        assert abs(r["conversion_rate"] - 2 / 3) < 1e-6
+        assert r["p50_latency_s"] == 120.0
+        assert r["max_latency_s"] == 120.0
+        # 60 s window: no conversions survive
+        (w,) = event_latency(
+            clicks, buys, max_wait_seconds=60
+        ).collect()
+        assert w["n_converted"] == 0
+        assert w["p50_latency_s"] is None
+
+    def test_equal_ts_counts_as_converted(self, spark):
+        from pyspark.sql import functions as SF
+
+        from gbif_filter_python_spark.operators.temporal import (
+            event_latency,
+        )
+
+        t = "2024-01-01 00:00:00"
+        clicks = spark.createDataFrame(
+            [(1, t)], "user_id long, ts string"
+        ).select("user_id", SF.to_timestamp("ts").alias("ts"))
+        buys = clicks
+        (r,) = event_latency(clicks, buys).collect()
+        assert r["n_converted"] == 1 and r["p50_latency_s"] == 0.0

@@ -442,3 +442,63 @@ class TestConnectedComponentsStar:
         prop = {(r["id"], r["comp"])
                 for r in connected_components(df).collect()}
         assert star == {(4, 4), (8, 8)} == prop
+
+
+class TestAdamicAdar:
+    def test_hand_computed_square(self, spark):
+        # square 1-2-3-4-1: diagonals (1,3) and (2,4) are the only
+        # non-adjacent pairs; each shares two degree-2 neighbors
+        # → aa = 2/ln(2).
+        from gbif_filter_python_spark.operators.graph import adamic_adar
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r for r in adamic_adar(df).collect()
+        }
+        assert set(got) == {(1, 3), (2, 4)}
+        import math
+
+        expected = round(2 / math.log(2), 6)
+        for r in got.values():
+            assert r["common_neighbors"] == 2
+            assert abs(r["aa_score"] - expected) < 1e-9
+
+    def test_existing_edges_excluded_and_hub_weighting(self, spark):
+        # star center 0 with leaves 1..4 plus edge (1,2): every leaf
+        # pair shares hub 0 (deg 4 → weight 1/ln4); (1,2) is an
+        # existing edge so it must NOT be predicted.
+        from gbif_filter_python_spark.operators.graph import adamic_adar
+
+        edges = [(0, i) for i in (1, 2, 3, 4)] + [(1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["id_a"], r["id_b"]): r for r in adamic_adar(df).collect()
+        }
+        assert (1, 2) not in got
+        assert set(got) == {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+        import math
+
+        w0 = 1 / math.log(4)
+        # pairs (3,4),(1,4),(2,4),(1,3)... all share only the hub,
+        # except none share more. (3,4) score = w0.
+        assert abs(got[(3, 4)]["aa_score"] - round(w0, 6)) < 1e-9
+
+    def test_center_degree_cap_drops_hub_wedges(self, spark):
+        from gbif_filter_python_spark.operators.graph import adamic_adar
+
+        edges = [(0, i) for i in (1, 2, 3, 4)] + [(1, 2), (2, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # cap 3 removes hub 0 (deg 4) as a wedge center; node 2
+        # (deg 3: 0,1,3) survives → only (1,3) via center 2.
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in adamic_adar(df, max_center_degree=3).collect()
+        }
+        assert set(got) == {(1, 3)}
+        import math
+
+        assert abs(
+            got[(1, 3)]["aa_score"] - round(1 / math.log(3), 6)
+        ) < 1e-9

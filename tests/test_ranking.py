@@ -246,3 +246,67 @@ class TestRbo:
             rbo_overlap(a, a, p=1.0)
         with _p.raises(ValueError, match="depth"):
             rbo_overlap(a, a, depth=0)
+
+
+class TestNdcgAtK:
+    def test_perfect_vs_inverted_order(self, spark):
+        from gbif_filter_python_spark.operators.ranking import ndcg_at_k
+
+        qrels = spark.createDataFrame(
+            [(1, 10, 3), (1, 11, 2), (1, 12, 1)],
+            "query_id long, doc_id long, rel int",
+        )
+        perfect = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank int",
+        )
+        inverted = spark.createDataFrame(
+            [(1, 12, 1), (1, 11, 2), (1, 10, 3)],
+            "query_id long, doc_id long, rank int",
+        )
+        (p,) = ndcg_at_k(perfect, qrels, k=10).collect()
+        (i,) = ndcg_at_k(inverted, qrels, k=10).collect()
+        assert p["ndcg_at_k"] == 1.0
+        import math
+
+        idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+        dcg_inv = 1 / math.log2(2) + 3 / math.log2(3) + 7 / math.log2(4)
+        assert abs(p["idcg_at_k"] - idcg) < 1e-6
+        assert abs(i["ndcg_at_k"] - dcg_inv / idcg) < 1e-6
+        # binary P/R couldn't separate these two rankings; nDCG must
+        assert i["ndcg_at_k"] < p["ndcg_at_k"]
+
+    def test_no_hits_scores_zero_and_k_cutoff(self, spark):
+        from gbif_filter_python_spark.operators.ranking import ndcg_at_k
+
+        qrels = spark.createDataFrame(
+            [(1, 10, 2), (2, 20, 3)],
+            "query_id long, doc_id long, rel int",
+        )
+        res = spark.createDataFrame(
+            [(1, 99, 1), (2, 20, 4)],
+            "query_id long, doc_id long, rank int",
+        )
+        out = {r["query_id"]: r for r in ndcg_at_k(res, qrels, k=3).collect()}
+        assert out[1]["dcg_at_k"] == 0.0
+        assert out[1]["ndcg_at_k"] == 0.0
+        # query 2's only hit is at rank 4 > k → also zero
+        assert out[2]["ndcg_at_k"] == 0.0
+
+    def test_zero_rel_grade_contributes_nothing(self, spark):
+        from gbif_filter_python_spark.operators.ranking import ndcg_at_k
+
+        qrels = spark.createDataFrame(
+            [(1, 10, 0), (1, 11, 1)],
+            "query_id long, doc_id long, rel int",
+        )
+        res = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, doc_id long, rank int",
+        )
+        (r,) = ndcg_at_k(res, qrels, k=10).collect()
+        import math
+
+        # gain(rel=0) = 0; only doc 11 at rank 2 counts
+        assert abs(r["dcg_at_k"] - 1 / math.log2(3)) < 1e-6
+        assert abs(r["idcg_at_k"] - 1 / math.log2(2)) < 1e-6

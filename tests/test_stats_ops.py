@@ -9,10 +9,16 @@ import math
 import numpy as np
 
 from gbif_filter_python_spark.operators.corpus import type_token_ratio
+from pyspark.sql import functions as F
+
 from gbif_filter_python_spark.operators.profile import (
     acf_lags,
+    anova_f,
+    ccf_lags,
+    forecast_eval,
     js_divergence,
     kaplan_meier,
+    levene_test,
     welch_ttest,
 )
 from gbif_filter_python_spark.operators.temporal import markov_transitions
@@ -254,3 +260,213 @@ def test_inverted_postings_bands_and_order(spark):
         for r in inverted_postings(df, max_df_frac=1.0).collect()
     }
     assert got2["apple"] == "2,3,4,10"
+
+
+# ---------------------------------------------------------------- r7b
+# anova_f / levene_test / forecast_eval / ccf_lags
+
+
+def _anova_truth(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    gm = sum(float(sum(g)) for g in groups) / n
+    ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups)
+    ssw = sum(float(np.var(g, ddof=1)) * (len(g) - 1) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return k, n, f, ssb / (ssb + ssw)
+
+
+def test_anova_f_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    groups = [
+        rng.normal(10.0, 2.0, 40),
+        rng.normal(11.0, 2.0, 35),
+        rng.normal(9.5, 2.5, 45),
+    ]
+    rows = [
+        (name, float(v))
+        for name, g in zip("ABC", groups)
+        for v in g
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = anova_f(df, "g", "v").collect()
+    k, n, f, eta = _anova_truth(groups)
+    assert (r["k_groups"], r["n"]) == (k, n)
+    assert (r["df_between"], r["df_within"]) == (k - 1, n - k)
+    assert abs(r["f_stat"] - f) < 1e-5
+    assert abs(r["eta_squared"] - eta) < 1e-6
+
+
+def test_anova_f_identical_groups_zero_between(spark):
+    rows = [("A", v) for v in (1.0, 2.0, 3.0)] + [
+        ("B", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = anova_f(df, "g", "v").collect()
+    assert r["f_stat"] == 0.0
+    assert r["eta_squared"] == 0.0
+
+
+def test_levene_brown_forsythe_matches_manual(spark):
+    # group A: spread 2x group B; medians differ — the median
+    # centering must remove the location difference entirely.
+    a = [1.0, 3.0, 5.0, 7.0, 9.0]
+    b = [100.0, 101.0, 102.0, 103.0, 104.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = levene_test(df, "g", "v").collect()
+    za = [abs(v - 5.0) for v in a]
+    zb = [abs(v - 102.0) for v in b]
+    _, _, w, _ = _anova_truth([za, zb])
+    assert (r["k_groups"], r["n"], r["df1"], r["df2"]) == (2, 10, 1, 8)
+    assert abs(r["w_stat"] - w) < 1e-6
+
+
+def test_forecast_eval_tiny_series(spark):
+    # 6 days, season=2 → eval window rn > 2 (days 3..6)
+    vals = [10.0, 20.0, 30.0, 10.0, 50.0, 30.0]
+    rows = [
+        (f"2024-01-0{i + 1}", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("d"), "v"
+    )
+    out = {
+        r["method"]: r
+        for r in forecast_eval(df, "d", "v", season=2).collect()
+    }
+    assert set(out) == {"naive", "seasonal_naive", "moving_avg"}
+    # naive errors on days 3..6: |30-20|,|10-30|,|50-10|,|30-50|
+    naive_mae = (10 + 20 + 40 + 20) / 4
+    assert out["naive"]["n"] == 4
+    assert abs(out["naive"]["mae"] - naive_mae) < 1e-9
+    assert out["naive"]["mase"] == 1.0
+    # seasonal (lag 2) errors: |30-10|,|10-20|,|50-30|,|30-10|
+    s_mae = (20 + 10 + 20 + 20) / 4
+    assert abs(out["seasonal_naive"]["mae"] - s_mae) < 1e-9
+    assert abs(
+        out["seasonal_naive"]["mase"] - s_mae / naive_mae
+    ) < 1e-6
+    # moving_avg errs: day3 mean(10,20)=15→15, day4 mean(20,30)=25→15,
+    # day5 mean(30,10)=20→30, day6 mean(10,50)=30→0
+    ma_mae = (15 + 15 + 30 + 0) / 4
+    assert abs(out["moving_avg"]["mae"] - ma_mae) < 1e-9
+    rmse = math.sqrt((10**2 + 20**2 + 40**2 + 20**2) / 4)
+    assert abs(out["naive"]["rmse"] - rmse) < 0.01
+
+
+def test_ccf_detects_known_lead(spark):
+    # b is exactly a shifted 2 days later → ccf at lag +2 is 1.0
+    rng = np.random.default_rng(3)
+    a = rng.normal(50.0, 10.0, 30)
+    rows = []
+    for i, v in enumerate(a):
+        day = f"2024-02-{i + 1:02d}" if i < 28 else f"2024-03-{i - 27:02d}"
+        rows += [(day, "x")] * int(round(v))
+        if i >= 2:
+            rows += [(day, "y")] * int(round(a[i - 2]))
+        else:
+            rows += [(day, "y")] * 5
+    df = spark.createDataFrame(rows, "d string, s string").select(
+        F.to_timestamp("d").alias("d"), "s"
+    )
+    out = {
+        r["lag"]: r for r in ccf_lags(df, "d", "s", "x", "y", max_lag=3).collect()
+    }
+    assert set(out) == set(range(-3, 4))
+    assert out[2]["ccf"] == 1.0
+    assert out[2]["n_pairs"] == 28
+    # and nowhere else is the correlation that perfect
+    assert all(out[k]["ccf"] < 1.0 for k in out if k != 2)
+
+
+def test_ccf_lag_zero_equals_pearson(spark):
+    rows = []
+    vals_x = [3, 5, 2, 8, 6]
+    vals_y = [4, 6, 1, 9, 5]
+    for i, (x, y) in enumerate(zip(vals_x, vals_y)):
+        rows += [(f"2024-01-0{i + 1}", "x")] * x
+        rows += [(f"2024-01-0{i + 1}", "y")] * y
+    df = spark.createDataFrame(rows, "d string, s string").select(
+        F.to_timestamp("d").alias("d"), "s"
+    )
+    out = {r["lag"]: r for r in ccf_lags(df, "d", "s", "x", "y", max_lag=1).collect()}
+    expected = float(np.corrcoef(vals_x, vals_y)[0, 1])
+    assert abs(out[0]["ccf"] - expected) < 1e-6
+
+
+# ---------------------------------------------------------------- r7c
+# seasonal_decompose / srm_check
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    from gbif_filter_python_spark.operators.profile import (
+        seasonal_decompose,
+    )
+
+    # 4 exact weeks: constant level 100 plus a pure weekly pattern
+    # that sums to zero → trend = 100 everywhere the window exists,
+    # seasonal = the pattern, residual = 0.
+    pattern = [21.0, -7.0, 0.0, 14.0, -14.0, -7.0, -7.0]
+    rows = []
+    import datetime
+
+    start = datetime.date(2024, 1, 1)
+    for i in range(28):
+        d = start + datetime.timedelta(days=i)
+        rows.append((d.isoformat(), 100.0 + pattern[i % 7]))
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("d"), "v"
+    )
+    out = {r["d"].isoformat(): r for r in seasonal_decompose(df, "d", "v").collect()}
+    assert len(out) == 28
+    # first/last 3 days: no full centered window → null trend
+    assert out["2024-01-01"]["trend"] is None
+    assert out["2024-01-28"]["trend"] is None
+    mid = out["2024-01-10"]
+    assert mid["trend"] == 100.0
+    assert abs(mid["seasonal"] - pattern[9 % 7]) < 1e-9
+    assert mid["residual"] == 0.0
+    # seasonal components sum to ~zero across one week
+    week = [out[f"2024-01-{d:02d}"]["seasonal"] for d in range(8, 15)]
+    assert abs(sum(week)) < 1e-6
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    import pytest as _pytest
+
+    from gbif_filter_python_spark.operators.profile import (
+        seasonal_decompose,
+    )
+
+    df = spark.createDataFrame([("2024-01-01", 1.0)], "d string, v double")
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "d", "v", period=6)
+
+
+def test_srm_check_hand_chi2_and_unknown_arm(spark):
+    import pytest as _pytest
+
+    from gbif_filter_python_spark.operators.profile import srm_check
+
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, "g string")
+    out = {
+        r["grp"]: r
+        for r in srm_check(df, "g", {"a": 1.0, "b": 1.0}).collect()
+    }
+    # E = 50/50; chi2 = 100/50 + 100/50 = 4
+    assert out["a"]["expected_n"] == 50.0
+    assert out["a"]["contrib"] == 2.0
+    assert out["a"]["chi2"] == 4.0 == out["b"]["chi2"]
+    assert out["a"]["dof"] == 1 and out["a"]["n"] == 100
+    # an arm in the design but absent observed still pays full E
+    out3 = {
+        r["grp"]: r
+        for r in srm_check(df, "g", {"a": 1.0, "b": 1.0, "c": 2.0}).collect()
+    }
+    assert out3["c"]["n_obs"] == 0
+    assert abs(out3["c"]["expected_n"] - 50.0) < 1e-9
+    # an observed arm missing from the design raises
+    with _pytest.raises(ValueError):
+        srm_check(df, "g", {"a": 1.0})
