@@ -5432,6 +5432,85 @@ def q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences 2x2 on order value
+    (operators/analytics.py::did_estimate): custkey-parity arms,
+    1995-01-01 period split; ONE fact agg to four cells, the
+    estimate and its normal-approx se on the 4-row table."""
+    from gbif_filter_python_spark.operators.analytics import did_estimate
+
+    orders = _t(spark, sf, "orders").select(
+        "o_totalprice",
+        (F.col("o_custkey") % 2).alias("treated"),
+        (
+            F.col("o_orderdate")
+            >= F.to_timestamp(F.lit("1995-01-01"))
+        ).alias("post"),
+    )
+    return did_estimate(orders, "treated", "post", "o_totalprice")
+
+
+def q_psm_att(spark: SparkSession, sf: str) -> DataFrame:
+    """Propensity-matched ATT of nation-parity 'treatment' on order
+    activity, balance as the score
+    (operators/analytics.py::psm_att): sorted-neighborhood matching —
+    one global sort + two linear window passes, caliper 25; never a
+    nearest-neighbor theta-join."""
+    from gbif_filter_python_spark.operators.analytics import psm_att
+
+    cust = _t(spark, sf, "customer")
+    oc = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_no"))
+    )
+    base = cust.join(
+        oc, cust["c_custkey"] == oc["o_custkey"], "left"
+    ).select(
+        (F.col("c_nationkey") % 2).alias("treated"),
+        "c_acctbal",
+        F.coalesce("_no", F.lit(0)).alias("n_orders"),
+        "c_custkey",
+    )
+    return psm_att(
+        base, "treated", "c_acctbal", "n_orders", "c_custkey", caliper=25.0
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-reweighted language mix at XLM-R's alpha=0.7
+    (operators/corpus.py::temperature_mixture): the sampling POLICY
+    whose epoch multipliers feed upsample_mixture's replication
+    mechanism; one agg to k rows."""
+    from gbif_filter_python_spark.operators.corpus import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(_t(spark, sf, "documents"), "lang")
+
+
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b between per-nation order count and revenue
+    (operators/profile.py::kendall_tau): the tie-corrected pairwise
+    rank statistic, O(n^2) by definition and therefore max_rows
+    guarded — run on the 25-row nation rollup, never the fact."""
+    from gbif_filter_python_spark.operators.profile import kendall_tau
+
+    na = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+    return kendall_tau(na, "n_orders", "revenue")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5728,6 +5807,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "lift_table": q_lift_table,
         "srm_check": q_srm_check,
+        "did_estimate": q_did_estimate,
+        "psm_att": q_psm_att,
+        "temperature_mixture": q_temperature_mixture,
+        "kendall_tau": q_kendall_tau,
     }
 
 
@@ -7444,6 +7527,101 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE), 6) AS jaccard "
             "FROM sh JOIN sizes sa ON sa.src = sh.src_a "
             "JOIN sizes sb ON sb.src = sh.src_b"
+        ),
+        "did_estimate": (
+            "WITH cells AS (SELECT CAST(o_custkey % 2 AS INT) AS g, "
+            "CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' "
+            "THEN 1 ELSE 0 END AS p, count(*) AS n, "
+            "avg(o_totalprice) AS m, var_samp(o_totalprice) AS v "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "agg AS (SELECT sum(n) AS n, "
+            "max(CASE WHEN g = 0 AND p = 0 THEN m END) AS c0, "
+            "max(CASE WHEN g = 0 AND p = 1 THEN m END) AS c1, "
+            "max(CASE WHEN g = 1 AND p = 0 THEN m END) AS t0, "
+            "max(CASE WHEN g = 1 AND p = 1 THEN m END) AS t1, "
+            "sum(v / n) AS se2 FROM cells) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(c0, 2) AS mean_c_pre, round(c1, 2) AS mean_c_post, "
+            "round(t0, 2) AS mean_t_pre, round(t1, 2) AS mean_t_post, "
+            "round((t1 - t0) - (c1 - c0), 2) AS did, "
+            "round(sqrt(se2), 2) AS se, "
+            "round(((t1 - t0) - (c1 - c0)) / sqrt(se2), 6) AS t_stat "
+            "FROM agg"
+        ),
+        "psm_att": (
+            "WITH oc AS (SELECT o_custkey, count(*) AS n_orders "
+            "FROM orders GROUP BY 1), "
+            "base AS (SELECT CAST(c_nationkey % 2 AS INT) AS t, "
+            "CAST(c_acctbal AS DOUBLE) AS s, "
+            "CAST(coalesce(n_orders, 0) AS DOUBLE) AS y, "
+            "c_custkey AS id FROM customer "
+            "LEFT JOIN oc ON o_custkey = c_custkey), "
+            "f AS (SELECT t, s, y, "
+            "last_value(CASE WHEN t = 0 THEN s END IGNORE NULLS) "
+            "OVER wb AS bs, "
+            "last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) "
+            "OVER wb AS byy, "
+            "first_value(CASE WHEN t = 0 THEN s END IGNORE NULLS) "
+            "OVER wf AS fs, "
+            "first_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) "
+            "OVER wf AS fyy FROM base "
+            "WINDOW wb AS (ORDER BY s, t, id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wf AS (ORDER BY s, t, id "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), "
+            "m AS (SELECT y, CASE WHEN fs IS NOT NULL AND "
+            "(bs IS NULL OR abs(fs - s) < abs(s - bs)) "
+            "THEN fyy ELSE byy END AS my0, "
+            "CASE WHEN fs IS NOT NULL AND (bs IS NULL OR "
+            "abs(fs - s) < abs(s - bs)) THEN abs(fs - s) "
+            "ELSE abs(s - bs) END AS d FROM f WHERE t = 1), "
+            "mm AS (SELECT y, CASE WHEN d <= 25.0 THEN my0 END AS my "
+            "FROM m), "
+            "tot AS (SELECT sum(t) AS nt, sum(1 - t) AS nc FROM base) "
+            "SELECT CAST(nt AS BIGINT) AS n_treated, "
+            "CAST(nc AS BIGINT) AS n_control, "
+            "CAST(count(my) AS BIGINT) AS n_matched, "
+            "round(avg(y - my), 6) AS att, "
+            "round(avg(CASE WHEN my IS NOT NULL THEN y END), 2) "
+            "AS mean_treated, "
+            "round(avg(my), 2) AS mean_matched_control "
+            "FROM mm CROSS JOIN tot GROUP BY nt, nc"
+        ),
+        "temperature_mixture": (
+            "WITH g AS (SELECT lang AS grp, count(*) AS n_docs "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY 1), "
+            "x AS (SELECT grp, n_docs, "
+            "n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS p "
+            "FROM g), "
+            "x2 AS (SELECT grp, n_docs, p, "
+            "pow(p, 0.7) / sum(pow(p, 0.7)) OVER () AS w FROM x) "
+            "SELECT grp, CAST(n_docs AS BIGINT) AS n_docs, "
+            "round(p, 6) AS p, round(w, 6) AS w, "
+            "round(w / p, 6) AS sampling_ratio FROM x2"
+        ),
+        "kendall_tau": (
+            "WITH na AS (SELECT c_nationkey, count(*) AS x, "
+            "sum(o_totalprice) AS y FROM orders "
+            "JOIN customer ON c_custkey = o_custkey GROUP BY 1), "
+            "r AS (SELECT x, y, row_number() OVER (ORDER BY x, y) "
+            "AS rn FROM na), "
+            "p AS (SELECT CAST(coalesce(sum(CASE WHEN sgn > 0 "
+            "THEN 1 END), 0) AS BIGINT) AS c, "
+            "CAST(coalesce(sum(CASE WHEN sgn < 0 THEN 1 END), 0) "
+            "AS BIGINT) AS d FROM (SELECT sign(b.x - a.x) "
+            "* sign(b.y - a.y) AS sgn FROM r a "
+            "JOIN r b ON b.rn > a.rn)), "
+            "t1 AS (SELECT sum(CAST(t AS DOUBLE) * (t - 1) / 2.0) "
+            "AS n1 FROM (SELECT count(*) AS t FROM na GROUP BY x)), "
+            "t2 AS (SELECT sum(CAST(t AS DOUBLE) * (t - 1) / 2.0) "
+            "AS n2 FROM (SELECT count(*) AS t FROM na GROUP BY y)), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "count(*) * (count(*) - 1) / 2.0 AS n0 FROM na) "
+            "SELECT n, c AS concordant, d AS discordant, "
+            "round((c - d) / sqrt((n0 - n1) * (n0 - n2)), 6) "
+            "AS tau_b FROM p CROSS JOIN t1 CROSS JOIN t2 "
+            "CROSS JOIN nn"
         ),
         "seasonal_decompose": (
             "WITH dd AS (SELECT date_trunc('day', o_orderdate) AS d, "

@@ -750,3 +750,166 @@ def cuped_adjusted_means(
             mean_y - theta * (mean_x - mean_all_x), round_dp
         ).alias("mean_adjusted"),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Difference-in-differences 2×2 estimate (Card & Krueger 1994,
+    the workhorse panel-causal readout next to
+    :func:`cuped_adjusted_means`' variance reduction): one row
+
+        (n, mean_c_pre, mean_c_post, mean_t_pre, mean_t_post,
+         did, se, t_stat)
+
+    with ``did = (T_post − T_pre) − (C_post − C_pre)`` and the
+    normal-approximation ``se = sqrt(Σ_cell var/n)`` over the four
+    cells (the unclustered textbook form; with repeated units,
+    cluster first — documented, not silently assumed). ``group_col``
+    and ``period_col`` are 0/1 (or boolean — cast): treated and
+    post-period indicators. NULL values excluded; a missing cell
+    yields NULL did (better loud than a fabricated zero).
+
+    Scale shape: ONE map-side-combined hash aggregation to 4 cells,
+    then a conditional reduction of those 4 rows. Nothing else
+    touches the fact.
+    """
+    g = F.col(group_col).cast("int")
+    p = F.col(period_col).cast("int")
+    v = F.col(value_col)
+    cells = (
+        df.filter(v.isNotNull() & g.isNotNull() & p.isNotNull())
+        .groupBy(g.alias("_g"), p.alias("_p"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(v).alias("_m"),
+            F.var_samp(v).alias("_v"),
+        )
+    )
+
+    def cell(gv: int, pv: int, col: str):
+        return F.max(
+            F.when((F.col("_g") == gv) & (F.col("_p") == pv), F.col(col))
+        )
+
+    agg = cells.agg(
+        F.sum("_n").alias("n"),
+        cell(0, 0, "_m").alias("_c0"),
+        cell(0, 1, "_m").alias("_c1"),
+        cell(1, 0, "_m").alias("_t0"),
+        cell(1, 1, "_m").alias("_t1"),
+        F.sum(F.col("_v") / F.col("_n")).alias("_se2"),
+    )
+    did = (F.col("_t1") - F.col("_t0")) - (F.col("_c1") - F.col("_c0"))
+    se = F.sqrt(F.col("_se2"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("_c0", 2).alias("mean_c_pre"),
+        F.round("_c1", 2).alias("mean_c_post"),
+        F.round("_t0", 2).alias("mean_t_pre"),
+        F.round("_t1", 2).alias("mean_t_post"),
+        F.round(did, 2).alias("did"),
+        F.round(se, 2).alias("se"),
+        F.round(did / se, round_dp).alias("t_stat"),
+    )
+
+
+def psm_att(
+    df: DataFrame,
+    treated_col: str,
+    score_col: str,
+    outcome_col: str,
+    id_col: str,
+    caliper: float | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Propensity-score nearest-neighbor matching (with replacement)
+    + ATT (Rosenbaum & Rubin 1983): each treated unit matches the
+    control with the closest score — backward or forward along the
+    score axis, ties to the backward side — and the average
+    treatment effect on the treated is ``mean(y_treated −
+    y_matched_control)``. One summary row ``(n_treated, n_control,
+    n_matched, att, mean_treated, mean_matched_control)``.
+    ``caliper`` drops matches further than the given score distance
+    (the standard overlap guard). Control ties at the same score
+    resolve to the largest id backward / smallest id forward —
+    a total order, deterministic in both engines.
+
+    Scale shape: this is the sorted-neighborhood trick, NOT a
+    nearest-neighbor theta-join: ONE global sort by (score, side,
+    id), then two linear window passes (last control seen backward,
+    first control ahead forward) and a scalar reduction. The sort is
+    range-partitioned; no pairwise blow-up anywhere.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(treated_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & s.isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        t.alias("_t"),
+        s.alias("_s"),
+        F.col(outcome_col).cast("double").alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    # controls sort BEFORE treated at equal score so an exact-score
+    # control is visible in the backward pass
+    w = Window.orderBy("_s", "_t", "_id")
+    ctrl = F.when(F.col("_t") == 0, F.struct("_s", "_y"))
+    back = F.last(ctrl, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first(ctrl, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    flagged = base.select(
+        "_t", "_s", "_y", back.alias("_b"), fwd.alias("_f")
+    )
+    bd = F.abs(F.col("_s") - F.col("_b._s"))
+    fd = F.abs(F.col("_f._s") - F.col("_s"))
+    # nearer side wins; ties (including both-null) fall backward
+    use_fwd = F.col("_f").isNotNull() & (
+        F.col("_b").isNull() | (fd < bd)
+    )
+    matched = flagged.filter(F.col("_t") == 1).select(
+        "_y",
+        F.when(use_fwd, F.col("_f._y"))
+        .otherwise(F.col("_b._y"))
+        .alias("_my"),
+        F.when(use_fwd, fd).otherwise(bd).alias("_d"),
+    )
+    if caliper is not None:
+        matched = matched.select(
+            "_y",
+            F.when(F.col("_d") <= caliper, F.col("_my")).alias("_my"),
+            "_d",
+        )
+    totals = base.agg(
+        F.sum(F.col("_t")).alias("_nt"),
+        F.sum(1 - F.col("_t")).alias("_nc"),
+    )
+    return (
+        matched.agg(
+            F.count(F.lit(1)).alias("_ntt"),
+            F.count("_my").alias("n_matched"),
+            F.avg(F.col("_y") - F.col("_my")).alias("_att"),
+            F.avg(F.when(F.col("_my").isNotNull(), F.col("_y"))).alias(
+                "_mt"
+            ),
+            F.avg("_my").alias("_mc"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_nt").cast("long").alias("n_treated"),
+            F.col("_nc").cast("long").alias("n_control"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round("_att", round_dp).alias("att"),
+            F.round("_mt", 2).alias("mean_treated"),
+            F.round("_mc", 2).alias("mean_matched_control"),
+        )
+    )

@@ -1791,3 +1791,51 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual
+    pretraining standard — XLM-R's α=0.7, mT5's α=0.3): per group
+    ``(grp, n_docs, p, w, sampling_ratio)`` where
+
+        p_i = n_i / N,   w_i = p_i^α / Σ_j p_j^α,
+        sampling_ratio = w_i / p_i
+
+    — α < 1 flattens the mix (upweights tail languages/sources
+    without the head collapsing), α = 1 is proportional, α = 0 is
+    uniform. ``sampling_ratio`` is the per-group epoch multiplier to
+    hand to :func:`upsample_mixture`, which does the actual
+    replication against a token budget; this operator is the policy,
+    that one the mechanism. NULL groups excluded.
+
+    Scale shape: ONE hash aggregation to k group rows; the Σ p^α
+    normalizer is a window over that k-row table. ``pow`` with a
+    fractional exponent is ≤1 ulp in both engines — at 6dp the
+    boundary-flip risk is negligible and accepted (the one place the
+    repo's no-libm-pow rule has no integer-arithmetic alternative).
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    g = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w).cast("double")
+    pa = F.pow(p, float(alpha))
+    wgt = pa / F.sum(pa).over(w)
+    return g.select(
+        "grp",
+        "n_docs",
+        F.round(p, round_dp).alias("p"),
+        F.round(wgt, round_dp).alias("w"),
+        F.round(wgt / p, round_dp).alias("sampling_ratio"),
+    )

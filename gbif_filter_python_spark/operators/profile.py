@@ -2431,3 +2431,84 @@ def srm_check(
         (F.count(F.lit(1)).over(w) - 1).cast("int").alias("dof"),
         F.col("_n").cast("long").alias("n"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_rows: int = 100_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with tie correction (the
+    third rank statistic beside :func:`spearman <.analytics>` and
+    :func:`mann_kendall` — τ's pairwise form is robust where
+    Spearman's rank-Pearson can wash out under heavy ties): one row
+    ``(n, concordant, discordant, tau_b)`` with
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2,  n1/n2 = Σ_t t(t−1)/2 over x/y tie groups
+
+    This is an AGGREGATE-level statistic: the O(n²) pair join is the
+    exact formulation, so the operator guards with ``max_rows``
+    (validated scalar, the exact_cosine_pairs contract) and is meant
+    for the k-row outputs of upstream aggregations — nation rollups,
+    daily series, per-source summaries — not raw facts (at fact
+    scale, sample first or use mann_kendall's time specialization).
+
+    Scale shape: one count guard, one row_number window, one
+    self-join on the BOUNDED input, two tiny tie aggregations.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"kendall_tau input has {n} rows > max_rows={max_rows}; "
+            "aggregate or sample first — the pair join is O(n^2)"
+        )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("x", "y"))
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    prod = F.signum(F.col("b.x") - F.col("a.x")) * F.signum(
+        F.col("b.y") - F.col("a.y")
+    )
+    pairs = a.join(b, F.col("b.rn") > F.col("a.rn")).agg(
+        F.sum((prod > 0).cast("long")).alias("concordant"),
+        F.sum((prod < 0).cast("long")).alias("discordant"),
+    )
+
+    def tie_sum(col: str):
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .agg(
+                F.sum(
+                    F.col("_t").cast("double") * (F.col("_t") - 1) / 2.0
+                ).alias("_ts")
+            )
+        )
+
+    tx = F.broadcast(tie_sum("x").withColumnRenamed("_ts", "_n1"))
+    ty = F.broadcast(tie_sum("y").withColumnRenamed("_ts", "_n2"))
+    n0 = F.lit(float(n) * (n - 1) / 2.0)
+    return (
+        pairs.crossJoin(tx)
+        .crossJoin(ty)
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            "concordant",
+            "discordant",
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.sqrt(
+                    (n0 - F.col("_n1")) * (n0 - F.col("_n2"))
+                ),
+                round_dp,
+            ).alias("tau_b"),
+        )
+    )

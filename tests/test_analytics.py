@@ -614,3 +614,116 @@ class TestCuped:
         df = spark.createDataFrame(rows, "arm string, x double, y double")
         out = cuped_adjusted_means(df, "arm", "y", "x").first()
         assert out["n"] == 2 and out["mean_raw"] == 3.0
+
+
+class TestDidEstimate:
+    def test_hand_2x2(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            did_estimate,
+        )
+
+        # control: 10 -> 12 (+2); treated: 20 -> 27 (+7); DiD = 5
+        rows = (
+            [(0, 0, 9.0), (0, 0, 11.0)]
+            + [(0, 1, 11.0), (0, 1, 13.0)]
+            + [(1, 0, 19.0), (1, 0, 21.0)]
+            + [(1, 1, 26.0), (1, 1, 28.0)]
+        )
+        df = spark.createDataFrame(rows, "g int, p int, v double")
+        (r,) = did_estimate(df, "g", "p", "v").collect()
+        assert r["n"] == 8
+        assert (r["mean_c_pre"], r["mean_c_post"]) == (10.0, 12.0)
+        assert (r["mean_t_pre"], r["mean_t_post"]) == (20.0, 27.0)
+        assert r["did"] == 5.0
+        import math
+
+        # each cell: var 2, n 2 -> se = sqrt(4 * 2/2) = 2
+        assert abs(r["se"] - 2.0) < 1e-9
+        assert abs(r["t_stat"] - 5.0 / 2.0) < 1e-6
+
+    def test_missing_cell_yields_null(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            did_estimate,
+        )
+
+        rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)]  # no (1,1)
+        df = spark.createDataFrame(rows, "g int, p int, v double")
+        (r,) = did_estimate(df, "g", "p", "v").collect()
+        assert r["did"] is None
+
+
+class TestPsmAtt:
+    def test_nearest_match_and_tie_goes_backward(self, spark):
+        from gbif_filter_python_spark.operators.analytics import psm_att
+
+        # controls at scores 1 (y=10) and 5 (y=50);
+        # treated at 2 (nearer 1), at 4 (nearer 5), at 3 (tie -> 1)
+        rows = [
+            (0, 1.0, 10.0, 1),
+            (0, 5.0, 50.0, 2),
+            (1, 2.0, 100.0, 3),
+            (1, 4.0, 100.0, 4),
+            (1, 3.0, 100.0, 5),
+        ]
+        df = spark.createDataFrame(rows, "t int, s double, y double, id long")
+        (r,) = psm_att(df, "t", "s", "y", "id").collect()
+        assert (r["n_treated"], r["n_control"], r["n_matched"]) == (3, 2, 3)
+        # matched outcomes: 10, 50, 10 -> att = mean(100-10,100-50,100-10)
+        assert abs(r["att"] - (90 + 50 + 90) / 3) < 1e-6
+        assert abs(r["mean_matched_control"] - 70 / 3) < 0.01
+
+    def test_caliper_drops_distant_and_equal_score_matches(self, spark):
+        from gbif_filter_python_spark.operators.analytics import psm_att
+
+        rows = [
+            (0, 1.0, 10.0, 1),
+            (1, 1.0, 30.0, 2),   # exact-score match, d=0
+            (1, 9.0, 99.0, 3),   # nearest control 8 away
+        ]
+        df = spark.createDataFrame(rows, "t int, s double, y double, id long")
+        (r,) = psm_att(df, "t", "s", "y", "id", caliper=2.0).collect()
+        assert r["n_treated"] == 2 and r["n_matched"] == 1
+        assert abs(r["att"] - 20.0) < 1e-6
+
+
+class TestKendallTau:
+    def test_perfect_and_reversed(self, spark):
+        from gbif_filter_python_spark.operators.profile import kendall_tau
+
+        up = spark.createDataFrame(
+            [(i, float(i * 2)) for i in range(6)], "x int, y double"
+        )
+        (r,) = kendall_tau(up, "x", "y").collect()
+        assert r["tau_b"] == 1.0 and r["concordant"] == 15
+
+        down = spark.createDataFrame(
+            [(i, float(-i)) for i in range(6)], "x int, y double"
+        )
+        (r2,) = kendall_tau(down, "x", "y").collect()
+        assert r2["tau_b"] == -1.0
+
+    def test_tie_correction_matches_hand_value(self, spark):
+        import math
+
+        from gbif_filter_python_spark.operators.profile import kendall_tau
+
+        # x: 1,1,2,3  y: 1,2,2,3 — hand tau-b
+        rows = [(1, 1.0), (1, 2.0), (2, 2.0), (3, 3.0)]
+        df = spark.createDataFrame(rows, "x int, y double")
+        (r,) = kendall_tau(df, "x", "y").collect()
+        # pairs: (1,1)-(1,2) xtie; (1,1)-(2,2) C; (1,1)-(3,3) C;
+        # (1,2)-(2,2) ytie; (1,2)-(3,3) C; (2,2)-(3,3) C  -> C=4, D=0
+        assert (r["concordant"], r["discordant"]) == (4, 0)
+        n0, n1, n2 = 6.0, 1.0, 1.0
+        assert abs(r["tau_b"] - 4 / math.sqrt((n0 - n1) * (n0 - n2))) < 1e-6
+
+    def test_max_rows_guard(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.profile import kendall_tau
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "x int, y double"
+        )
+        with _pytest.raises(ValueError, match="max_rows"):
+            kendall_tau(df, "x", "y", max_rows=10)

@@ -2212,3 +2212,51 @@ class TestEventLatency:
         buys = clicks
         (r,) = event_latency(clicks, buys).collect()
         assert r["n_converted"] == 1 and r["p50_latency_s"] == 0.0
+
+
+class TestTemperatureMixture:
+    def test_alpha_flattens_toward_uniform(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        rows = [("en",)] * 80 + [("sw",)] * 20
+        df = spark.createDataFrame(rows, "lang string")
+        out = {
+            r["grp"]: r
+            for r in temperature_mixture(df, "lang", alpha=0.5).collect()
+        }
+        import math
+
+        za = math.sqrt(0.8) + math.sqrt(0.2)
+        assert abs(out["en"]["w"] - math.sqrt(0.8) / za) < 1e-6
+        assert abs(out["sw"]["w"] - math.sqrt(0.2) / za) < 1e-6
+        # tail upweighted, head downweighted
+        assert out["sw"]["sampling_ratio"] > 1.0 > out["en"]["sampling_ratio"]
+
+    def test_alpha_one_is_proportional_and_zero_uniform(self, spark):
+        from gbif_filter_python_spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        rows = [("a",)] * 30 + [("b",)] * 10
+        df = spark.createDataFrame(rows, "lang string")
+        prop = {
+            r["grp"]: r for r in temperature_mixture(df, "lang", 1.0).collect()
+        }
+        assert prop["a"]["sampling_ratio"] == 1.0 == prop["b"]["sampling_ratio"]
+        unif = {
+            r["grp"]: r for r in temperature_mixture(df, "lang", 0.0).collect()
+        }
+        assert unif["a"]["w"] == 0.5 == unif["b"]["w"]
+
+    def test_rejects_negative_alpha(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        df = spark.createDataFrame([("a",)], "lang string")
+        with _pytest.raises(ValueError):
+            temperature_mixture(df, "lang", alpha=-0.1)
