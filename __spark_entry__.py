@@ -3117,6 +3117,65 @@ def _kmeans_oracle(
     return f"{body} {tail}"
 
 
+def _pca_oracle(
+    d: int = 64, n_iter: int = 8, project: bool = False
+) -> str:
+    """Unrolled power-iteration CTE chain on the 6dp-ROUNDED
+    covariance — the same determinism contract as _kmeans_oracle:
+    operators/linalg.py::_power_iterate iterates on the exact numbers
+    the covariance oracle already pins cross-engine, from the
+    exact-dyadic 1/sqrt(d) init, for a FIXED iteration count, so the
+    whole trajectory replays as SQL. ``project=True`` extends the
+    chain with the mean-centering projection of pca_project."""
+    parts = [
+        f"WITH dims AS (SELECT CAST(unnest(range({d})) AS INT) AS i), ",
+        "x AS MATERIALIZED (SELECT e.vec_id, dims.i, "
+        "CAST(e.embedding[dims.i + 1] AS DOUBLE) AS v "
+        "FROM embeddings e CROSS JOIN dims "
+        "WHERE e.embedding IS NOT NULL), ",
+        "cv AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
+        "round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) "
+        "/ count(*), 6) + 0.0 AS c FROM x a "
+        "JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "GROUP BY 1, 2), ",
+        "m AS MATERIALIZED (SELECT i, j, c FROM cv UNION ALL "
+        "SELECT j AS i, i AS j, c FROM cv WHERE i <> j), ",
+        f"v0 AS (SELECT i, 1.0 / sqrt({d}.0) AS v FROM dims), ",
+    ]
+    for k in range(1, n_iter + 1):
+        parts += [
+            f"w{k} AS (SELECT m.i, sum(m.c * v{k - 1}.v) AS w "
+            f"FROM m JOIN v{k - 1} ON v{k - 1}.i = m.j GROUP BY 1), ",
+            f"n{k} AS (SELECT sqrt(sum(w * w)) AS nm FROM w{k}), ",
+            f"v{k} AS (SELECT i, w / nm AS v FROM w{k} "
+            f"CROSS JOIN n{k}), ",
+        ]
+    vf = f"v{n_iter}"
+    if not project:
+        parts += [
+            f"lamv AS (SELECT m.i, sum(m.c * {vf}.v) AS w "
+            f"FROM m JOIN {vf} ON {vf}.i = m.j GROUP BY 1), ",
+            f"lam AS (SELECT sum(lamv.w * {vf}.v) AS l "
+            f"FROM lamv JOIN {vf} USING (i)), ",
+            "tr AS (SELECT sum(c) AS t FROM cv WHERE i = j) ",
+            f"SELECT {vf}.i, round({vf}.v, 6) + 0.0 AS loading, "
+            "round(l, 6) AS eigenvalue, "
+            f"round(l / t, 6) AS explained_ratio FROM {vf} "
+            "CROSS JOIN lam CROSS JOIN tr",
+        ]
+    else:
+        parts += [
+            "mu AS (SELECT i, avg(v) AS mu FROM x GROUP BY 1), ",
+            f"cc AS (SELECT sum(mu.mu * {vf}.v) AS c FROM mu "
+            f"JOIN {vf} USING (i)), ",
+            f"sc AS (SELECT x.vec_id, sum(x.v * {vf}.v) AS s "
+            f"FROM x JOIN {vf} USING (i) GROUP BY 1) ",
+            "SELECT vec_id, round(s - c, 6) + 0.0 AS pc1_score "
+            "FROM sc CROSS JOIN cc",
+        ]
+    return "".join(parts)
+
+
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     """Unrolled-iteration SQL twin of graph.pagerank on the supplier
     hierarchy (a recursive CTE can't aggregate over its own recursive
@@ -5511,6 +5570,29 @@ def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
     return kendall_tau(na, "n_orders", "revenue")
 
 
+def q_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embeddings table
+    (operators/linalg.py::pca_top_component): partial-Gram reduce on
+    executors, fixed 8-step power iteration on the driver's
+    6dp-rounded covariance (bounded model state, kmeans contract);
+    the oracle unrolls the identical trajectory as CTEs."""
+    from gbif_filter_python_spark.operators.linalg import (
+        pca_top_component,
+    )
+
+    return pca_top_component(_t(spark, sf, "embeddings"))
+
+
+def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-centered PC1 scores per embedding
+    (operators/linalg.py::pca_project): the 1-D curation coordinate;
+    projection is a pure-Column zip_with/aggregate fold against the
+    broadcast literal component — zero Python in the row path."""
+    from gbif_filter_python_spark.operators.linalg import pca_project
+
+    return pca_project(_t(spark, sf, "embeddings"))
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5809,6 +5891,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": q_srm_check,
         "did_estimate": q_did_estimate,
         "psm_att": q_psm_att,
+        "pca_top_component": q_pca_top_component,
+        "pca_project": q_pca_project,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -7303,12 +7387,10 @@ def oracle_sql() -> dict[str, str]:
             "WITH g AS (SELECT o_orderpriority AS grp, count(*) AS n, "
             "avg(o_totalprice) AS m, var_samp(o_totalprice) AS v "
             "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
-            "tot AS (SELECT count(*) AS k, sum(n) AS nn, "
-            "sum(n * m) / sum(n) AS gm, "
-            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g), "
-            "agg AS (SELECT any_value(k) AS k, any_value(nn) AS nn, "
-            "sum(n * (m - gm) * (m - gm)) AS ssb, "
-            "any_value(ssw) AS ssw FROM g CROSS JOIN tot) "
+            "agg AS (SELECT count(*) AS k, sum(n) AS nn, "
+            "sum(n * m * m) - sum(n * m) * sum(n * m) / sum(n) "
+            "AS ssb, "
+            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g) "
             "SELECT CAST(k AS INT) AS k_groups, "
             "CAST(nn AS BIGINT) AS n, "
             "CAST(k - 1 AS INT) AS df_between, "
@@ -7326,12 +7408,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM b JOIN med USING (grp)), "
             "g AS (SELECT grp, count(*) AS n, avg(z) AS m, "
             "var_samp(z) AS v FROM z GROUP BY 1), "
-            "tot AS (SELECT count(*) AS k, sum(n) AS nn, "
-            "sum(n * m) / sum(n) AS gm, "
-            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g), "
-            "agg AS (SELECT any_value(k) AS k, any_value(nn) AS nn, "
-            "sum(n * (m - gm) * (m - gm)) AS ssb, "
-            "any_value(ssw) AS ssw FROM g CROSS JOIN tot) "
+            "agg AS (SELECT count(*) AS k, sum(n) AS nn, "
+            "sum(n * m * m) - sum(n * m) * sum(n * m) / sum(n) "
+            "AS ssb, "
+            "sum(coalesce((n - 1) * v, 0)) AS ssw FROM g) "
             "SELECT CAST(k AS INT) AS k_groups, "
             "CAST(nn AS BIGINT) AS n, "
             "CAST(k - 1 AS INT) AS df1, "
@@ -7528,6 +7608,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN sizes sa ON sa.src = sh.src_a "
             "JOIN sizes sb ON sb.src = sh.src_b"
         ),
+        "pca_top_component": _pca_oracle(),
+        "pca_project": _pca_oracle(project=True),
         "did_estimate": (
             "WITH cells AS (SELECT CAST(o_custkey % 2 AS INT) AS g, "
             "CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' "

@@ -839,11 +839,19 @@ def psm_att(
     resolve to the largest id backward / smallest id forward —
     a total order, deterministic in both engines.
 
-    Scale shape: this is the sorted-neighborhood trick, NOT a
-    nearest-neighbor theta-join: ONE global sort by (score, side,
-    id), then two linear window passes (last control seen backward,
-    first control ahead forward) and a scalar reduction. The sort is
-    range-partitioned; no pairwise blow-up anywhere.
+    Scale shape: the sorted-neighborhood trick, NOT a
+    nearest-neighbor theta-join — two linear window passes (last
+    control seen backward, first control ahead forward) over the
+    score order, then a scalar reduction; no pairwise blow-up
+    anywhere. Honest limit: an un-partitioned window collapses to a
+    SINGLE partition (Spark has no distributed global-order window),
+    so this exact form caps at one executor's worth of units —
+    right for experiment-scale frames (millions), not the raw fact.
+    The 100 TB variant is range-partition by score and match within
+    partitions, duplicating a ±caliper margin across boundaries so
+    edge matches stay exact — same results, one extra narrow
+    duplication pass; kept out of the default so the oracle replays
+    the simple form.
     """
     from pyspark.sql import Window
 

@@ -870,11 +870,14 @@ def lift_table(
     whose tie placement is engine-defined). NULL scores/labels
     excluded.
 
-    Scale shape: ONE global sort (the unavoidable rank shuffle —
-    range-partitioned, not single-node) feeding exact integer bucket
-    ids, then a k-row hash agg; cumulative columns run on the k-row
-    table. At 100 TB swap the exact rank for approx quantile
-    thresholds; exact is kept here so the oracle is bit-stable.
+    Scale shape: the exact global rank is an un-partitioned window
+    and therefore a SINGLE-partition sort — fine to hundreds of
+    millions of rows on one executor, not at the raw-fact extreme.
+    At 100 TB swap the rank for approx_percentile bucket thresholds
+    (k scalar cutoffs, map-only binning afterwards — the
+    quantile_bins pattern in this module); the exact form is kept as
+    default because the oracle replays it bit-stably and lift tables
+    are usually built on model-scored samples, not whole facts.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")

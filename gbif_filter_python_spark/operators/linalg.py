@@ -89,3 +89,131 @@ def covariance_matrix(
             ).alias("cov"),
         )
     )
+
+
+def _power_iterate(
+    df: DataFrame,
+    vec_col: str,
+    dim: int | None,
+    n_iter: int,
+):
+    """Shared PCA driver core: distributed 6dp-rounded covariance
+    (:func:`covariance_matrix` — partial-Gram reduce, the only fact
+    scan) collected as BOUNDED model state (d(d+1)/2 rows, ~2k cells
+    at d=64 — the k-means-centroid contract), then a fixed
+    ``n_iter``-step power iteration in NumPy on the driver. Returns
+    ``(v, lam, trace, d)``.
+
+    Determinism contract: iterating on the ROUNDED covariance — the
+    exact numbers the covariance oracle already pins cross-engine —
+    from the exact-dyadic init ``1/sqrt(d)`` with a FIXED iteration
+    count (an estimator, not a tolerance solver) makes the whole
+    trajectory replayable as unrolled SQL CTEs; remaining divergence
+    is matvec summation order (~1e-13), far under 6dp.
+    """
+    import numpy as np
+
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(n_iter):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ (C @ v))
+    trace = float(np.trace(C))
+    return v, lam, trace, d
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_iter: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding column: one row per
+    dimension ``(i, loading, eigenvalue, explained_ratio)`` with the
+    dominant eigenvalue and its share of total variance repeated
+    (self-contained frame). The PCA front door this module's
+    :func:`covariance_matrix` docstring promises: Gram on the
+    executors, eigenvector on the driver — the decomposition step is
+    O(d²) work on a broadcast-scale matrix and NEVER belongs in a
+    distributed job at d ≪ n.
+
+    Scale shape: exactly one fact scan (the partial-Gram reduce);
+    everything after is driver arithmetic on d² doubles. Loadings
+    keep power-iteration's sign continuity from the all-positive
+    init — no post-hoc sign canonicalization needed for the oracle.
+    """
+    v, lam, trace, d = _power_iterate(df, vec_col, dim, n_iter)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                i,
+                round(float(v[i]), round_dp) + 0.0,
+                round(lam, round_dp),
+                round(lam / trace, round_dp),
+            )
+            for i in range(d)
+        ],
+        "i int, loading double, eigenvalue double, "
+        "explained_ratio double",
+    )
+    return out
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_iter: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-vector projection onto the top principal component:
+    ``(id, pc1_score)`` with the mean-centered score
+    ``(x − μ)·v = x·v − μ·v``. The 1-D curation coordinate behind
+    "bucket the corpus by its dominant embedding axis" (outlier
+    slices at the tails, stratified sampling along the component).
+
+    Scale shape: the component comes from :func:`_power_iterate`
+    (one fact scan); per-dim means come from ONE hash aggregation of
+    d column sums (no explode — a 64-expression agg, map-side
+    combined); the projection pass is a pure-Column zip_with/
+    aggregate fold against the broadcast literal component — JVM
+    whole-stage codegen, zero Python in the per-row path.
+    """
+    import numpy as np
+
+    v, _, _, d = _power_iterate(df, vec_col, dim, n_iter)
+    base = df.filter(F.col(vec_col).isNotNull())
+    sums = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+            for i in range(d)
+        ],
+    ).first()
+    mu = np.array([sums[f"s{i}"] / sums["n"] for i in range(d)])
+    center = float(mu @ v)
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            vlit,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        F.col(id_col),
+        (F.round(dot - F.lit(center), round_dp) + F.lit(0.0)).alias(
+            "pc1_score"
+        ),
+    )

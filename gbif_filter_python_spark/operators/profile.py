@@ -1903,21 +1903,26 @@ def anova_f(
     gate is the classic multiple-comparison trap that
     :func:`fdr-correction <.analytics>` then has to mop up).
 
-        SS_between = Σ_g n_g (m_g − m)²,  SS_within = Σ_g (n_g−1) v_g
+        SS_between = Σ n_g m_g² − (Σ n_g m_g)²/N,
+        SS_within  = Σ_g (n_g−1) v_g
         F = (SS_b / (k−1)) / (SS_w / (n−k)),  η² = SS_b/(SS_b+SS_w)
 
     ``SS_within`` deliberately comes from per-group ``var_samp`` (a
     numerically-stable two-pass form in both engines), NOT from the
-    catastrophic ``Σx² − (Σx)²/n`` cancellation on raw-scale money.
-    Only the scale-free ratios (F, η²) are emitted, at ``round_dp`` —
-    raw sums-of-squares at 1e14 magnitude sit below float64's 2dp
+    catastrophic ``Σx² − (Σx)²/n`` cancellation on raw-scale money;
+    SS_between's difference form cancels only on GROUP MEANS (k
+    terms — error ~1e-16·Σn·m², orders below the statistic at any
+    money scale) and buys the single-scan plan below. Only the
+    scale-free ratios (F, η²) are emitted, at ``round_dp`` — raw
+    sums-of-squares at 1e14 magnitude sit below float64's 2dp
     resolution and would flip cross-engine (the
     revenue-concentration lesson). NULL values excluded; groups with
     n < 2 contribute 0 within-variance but still count toward k.
 
-    Scale shape: ONE map-side-combined hash aggregation collapses the
-    fact to k rows; the two scalar reductions after run on those k
-    rows. Nothing shuffles twice.
+    Scale shape: the fact is scanned EXACTLY ONCE into one
+    map-side-combined hash aggregation (plan-asserted); a single
+    scalar reduction of the k-row summary closes it — no join-back,
+    no second scan.
     """
     g = (
         df.filter(F.col(value_col).isNotNull())
@@ -1928,20 +1933,18 @@ def anova_f(
             F.var_samp(value_col).alias("v"),
         )
     )
-    tot = g.agg(
+    agg = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("nn"),
-        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        (
+            F.sum(F.col("n") * F.col("m") * F.col("m"))
+            - F.sum(F.col("n") * F.col("m"))
+            * F.sum(F.col("n") * F.col("m"))
+            / F.sum("n")
+        ).alias("ssb"),
         F.sum(F.coalesce((F.col("n") - 1) * F.col("v"), F.lit(0.0))).alias(
             "ssw"
         ),
-    )
-    d = F.col("m") - F.col("gm")
-    agg = g.crossJoin(F.broadcast(tot)).agg(
-        F.first("k").alias("k"),
-        F.first("nn").alias("nn"),
-        F.sum(F.col("n") * d * d).alias("ssb"),
-        F.first("ssw").alias("ssw"),
     )
     fstat = (F.col("ssb") / (F.col("k") - 1)) / (
         F.col("ssw") / (F.col("nn") - F.col("k"))

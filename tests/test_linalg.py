@@ -80,3 +80,72 @@ def test_hill_tail_index_degenerate_flat_tail_is_null(spark):
     (row,) = hill_tail_index(df, "g", "v", "id", k=3).collect()
     assert row["x_k1"] == 5.0
     assert row["tail_index"] is None
+
+
+class TestPcaPowerIteration:
+    def _vec_df(self, spark, n=200, d=8, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud: dominant direction along a planted axis
+        base = rng.normal(0, 0.1, size=(n, d))
+        t = rng.normal(0, 3.0, size=n)
+        axis = np.zeros(d)
+        axis[2] = 0.8
+        axis[5] = 0.6
+        x = base + np.outer(t, axis)
+        rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            x.astype("float32").astype("float64"),
+        )
+
+    def test_matches_numpy_eigh(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.operators.linalg import (
+            pca_top_component,
+        )
+
+        df, x = self._vec_df(spark)
+        out = pca_top_component(df, dim=8).collect()
+        assert len(out) == 8
+        v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["i"])])
+        c = np.cov(x, rowvar=False, bias=True)
+        w, vecs = np.linalg.eigh(c)
+        top = vecs[:, -1]
+        # sign-free comparison; power iteration at 8 steps ≈ exact here
+        assert min(
+            np.abs(v - top).max(), np.abs(v + top).max()
+        ) < 1e-3
+        lam = out[0]["eigenvalue"]
+        assert abs(lam - w[-1]) < 1e-2
+        ratio = out[0]["explained_ratio"]
+        assert abs(ratio - w[-1] / np.trace(c)) < 1e-2
+        # dominant loadings on the planted axis
+        assert abs(abs(v[2]) - 0.8) < 0.05 and abs(abs(v[5]) - 0.6) < 0.05
+
+    def test_project_scores_match_numpy(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.operators.linalg import (
+            pca_project,
+            pca_top_component,
+        )
+
+        df, x = self._vec_df(spark, n=100)
+        comp = pca_top_component(df, dim=8).collect()
+        v = np.array(
+            [r["loading"] for r in sorted(comp, key=lambda r: r["i"])]
+        )
+        got = {
+            r["vec_id"]: r["pc1_score"]
+            for r in pca_project(df, dim=8).collect()
+        }
+        mu = x.mean(axis=0)
+        want = (x - mu) @ v
+        assert len(got) == 100
+        err = max(abs(got[i] - want[i]) for i in range(100))
+        assert err < 1e-3
+        # centered scores average ~0
+        assert abs(np.mean(list(got.values()))) < 1e-6 + 1e-3

@@ -697,3 +697,96 @@ def test_calibration_bins_single_scan_single_agg(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Scan ExistingRDD") == 1
     assert "Join" not in plan
+
+
+def test_psm_att_is_windowed_never_nested_loop(spark):
+    """psm_att: the nearest-control match is the sorted-neighborhood
+    trick — a global sort + two linear window passes. The plan must
+    contain Window operators and NO nested-loop/cartesian join
+    anywhere (the naive NN formulation is a theta-join)."""
+    from gbif_filter_python_spark.operators.analytics import psm_att
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i), float(i * 2), i) for i in range(40)],
+        "t int, s double, y double, id long",
+    )
+    plan = explain_str(psm_att(df, "t", "s", "y", "id"), "simple")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # the only join allowed is the final 1-row x 1-row scalar
+    # crossJoin of the two aggregates (plans as a broadcast nested
+    # loop over singleton rows — harmless); the MATCH path itself
+    # must be join-free
+    assert plan.count("Join") == 1
+
+
+def test_referential_integrity_broadcasts_dims(spark, sf001_dir):
+    """referential_integrity: every dim reduces to distinct keys and
+    broadcast-joins the fact — no shuffle (SortMergeJoin/Exchange
+    hash) of the fact side for the join itself."""
+    from gbif_filter_python_spark.operators.profile import (
+        referential_integrity,
+    )
+
+    orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf001_dir}/customer.parquet")
+    out = referential_integrity(
+        [("c", orders, "o_custkey", customer, "c_custkey")]
+    )
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anova_f_single_fact_scan_one_agg(spark, sf001_dir):
+    """anova_f: the fact is scanned once into ONE partial-combined
+    hash aggregation; the k-row summary handles everything after."""
+    from gbif_filter_python_spark.operators.profile import anova_f
+
+    orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    plan = explain_str(
+        anova_f(orders, "o_orderpriority", "o_totalprice"), "simple"
+    )
+    assert plan.count("orders.parquet") == 1
+    assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_pca_project_row_path_is_pure_column(spark):
+    """pca_project: the per-row projection is zip_with + aggregate
+    against a literal array — NO Python evaluation (BatchEvalPython /
+    ArrowEvalPython / mapInPandas) may appear in the SCORING plan.
+    (The component itself comes from the covariance pass, which is
+    the documented mapInPandas partial-Gram — that part runs before
+    and collapses to driver state.)"""
+    from gbif_filter_python_spark.operators.linalg import pca_project
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_project(df, dim=4, n_iter=2)
+    plan = explain_str(out, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # zip_with/aggregate fold present as catalyst expressions
+    assert "zip_with" in plan.lower() or "aggregate" in plan.lower()
+
+
+def test_vocab_overlap_shared_join_is_term_keyed(spark):
+    """vocab_overlap: the intersection join must be keyed on the term
+    (equi-join), never an all-pairs vocabulary comparison — assert an
+    equi-join exists and no cartesian/BNLJ appears; the size lookups
+    are broadcast."""
+    from gbif_filter_python_spark.operators.corpus import vocab_overlap
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "y z w"), ("c", "k")],
+        "source string, text string",
+    )
+    plan = explain_str(vocab_overlap(df, "source"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the two size dims
