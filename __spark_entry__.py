@@ -3176,6 +3176,44 @@ def _pca_oracle(
     return "".join(parts)
 
 
+def _harmonic_oracle(max_hops: int = 3) -> str:
+    """Unrolled hop-by-hop BFS over the item graph: each hop joins
+    the previous frontier to the symmetric edge list and anti-joins
+    everything already reached — the exact recurrence of
+    operators/graph.py::harmonic_centrality."""
+    parts = [
+        f"WITH {_ITEM_GRAPH_SQL}, ",
+        "both_e AS MATERIALIZED (SELECT a, b FROM e "
+        "UNION ALL SELECT b AS a, a AS b FROM e), ",
+        "r1 AS MATERIALIZED (SELECT a AS u, b AS v, 1 AS d "
+        "FROM both_e), ",
+    ]
+    prev_frontier, prev_reached = "r1", "r1"
+    for k in range(2, max_hops + 1):
+        parts += [
+            f"c{k} AS MATERIALIZED (SELECT DISTINCT f.u, be.b AS v "
+            f"FROM {prev_frontier} f JOIN both_e be ON be.a = f.v "
+            "WHERE f.u <> be.b), ",
+            f"d{k} AS MATERIALIZED (SELECT c{k}.u, c{k}.v, "
+            f"{k} AS d FROM c{k} LEFT JOIN {prev_reached} pr "
+            f"ON pr.u = c{k}.u AND pr.v = c{k}.v "
+            "WHERE pr.u IS NULL), ",
+            f"a{k} AS MATERIALIZED (SELECT u, v, d "
+            f"FROM {prev_reached} UNION ALL "
+            f"SELECT u, v, d FROM d{k}), ",
+        ]
+        prev_frontier, prev_reached = f"d{k}", f"a{k}"
+    parts += [
+        "nodes AS (SELECT DISTINCT a AS id FROM both_e), ",
+        f"s AS (SELECT u, CAST(count(*) AS BIGINT) AS cnt, "
+        f"sum(1.0 / d) AS h FROM {prev_reached} GROUP BY 1) "
+        "SELECT nodes.id, coalesce(cnt, 0) AS n_reached, "
+        "round(coalesce(h, 0), 6) AS harmonic "
+        "FROM nodes LEFT JOIN s ON s.u = nodes.id",
+    ]
+    return "".join(parts)
+
+
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     """Unrolled-iteration SQL twin of graph.pagerank on the supplier
     hierarchy (a recursive CTE can't aggregate over its own recursive
@@ -5593,6 +5631,109 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return pca_project(_t(spark, sf, "embeddings"))
 
 
+def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box white-noise test on daily revenue at lags 1-7
+    (operators/profile.py::ljung_box): textbook autocovariance ACF +
+    cumulative chi-square statistic, everything after the daily agg
+    on the calendar-bounded series."""
+    from gbif_filter_python_spark.operators.profile import ljung_box
+
+    return ljung_box(
+        _t(spark, sf, "orders"), "o_orderdate", "o_totalprice", max_lag=7
+    )
+
+
+def q_best_split_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision-stump split scan of price vs finished status
+    (operators/classify.py::best_split_stump): histogram-approximated
+    information gain per bin boundary (the LightGBM inner loop), one
+    fact agg + windows on the 32-row histogram, deterministic argmax."""
+    from gbif_filter_python_spark.operators.classify import (
+        best_split_stump,
+    )
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "is_f", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return best_split_stump(orders, "o_totalprice", "is_f", n_bins=32)
+
+
+def q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-bounded harmonic centrality over the item graph
+    (operators/graph.py::harmonic_centrality, 3 hops): frontier BFS
+    as iterated anti-joined joins, shortest distance per pair exactly
+    once; the oracle unrolls the identical hops."""
+    from gbif_filter_python_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    return harmonic_centrality(
+        _item_graph_edges(spark, sf),
+        src_col="id_a",
+        dst_col="id_b",
+        max_hops=3,
+    )
+
+
+def q_occurrence_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Pushdown-capable gbif_occurrences DataSource end to end
+    (sources/occurrence_source.py — closes SURVEY §7.3's deferred
+    DataSourceV2 item): hermetic scripted transport, taxon IN-list +
+    country equality consumed by pushFilters into per-taxon REST
+    partitions; the oracle is the literal expected relation. sf-dir
+    independent by design (the source reads an API, not parquet)."""
+    import json as _json
+
+    from gbif_filter_python_spark.sources.occurrence_source import (
+        GbifOccurrencesDataSource,
+    )
+
+    spark.dataSource.register(GbifOccurrencesDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    data = {
+        "100|FR|": [
+            {
+                "taxon_key": 100,
+                "occurrence_key": 11,
+                "scientific_name": "Aus aus",
+                "country": "FR",
+                "decimal_latitude": 48.85,
+                "decimal_longitude": 2.35,
+            },
+            {
+                "taxon_key": 100,
+                "occurrence_key": 12,
+                "scientific_name": "Aus aus",
+                "country": "FR",
+                "decimal_latitude": 43.6,
+                "decimal_longitude": 1.44,
+            },
+        ],
+        "200|FR|": [
+            {
+                "taxon_key": 200,
+                "occurrence_key": 21,
+                "scientific_name": "Bus bus",
+                "country": "FR",
+                "decimal_latitude": 45.76,
+                "decimal_longitude": 4.84,
+            }
+        ],
+    }
+    return (
+        spark.read.format("gbif_occurrences")
+        .option(
+            "fetch_factory",
+            "gbif_filter_python_spark.sources."
+            "occurrence_source:scripted_occurrence_fetch",
+        )
+        .option("fetch_args", _json.dumps({"data": data}))
+        .load()
+        .filter(F.col("taxon_key").isin(100, 200))
+        .filter(F.col("country") == "FR")
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -5893,6 +6034,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att": q_psm_att,
         "pca_top_component": q_pca_top_component,
         "pca_project": q_pca_project,
+        "ljung_box": q_ljung_box,
+        "best_split_stump": q_best_split_stump,
+        "harmonic_centrality": q_harmonic_centrality,
+        "occurrence_source": q_occurrence_source,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -7610,6 +7755,84 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pca_top_component": _pca_oracle(),
         "pca_project": _pca_oracle(project=True),
+        "harmonic_centrality": _harmonic_oracle(3),
+        "occurrence_source": (
+            "SELECT CAST(taxon_key AS BIGINT) AS taxon_key, "
+            "CAST(occurrence_key AS BIGINT) AS occurrence_key, "
+            "scientific_name, country, "
+            "CAST(decimal_latitude AS DOUBLE) AS decimal_latitude, "
+            "CAST(decimal_longitude AS DOUBLE) AS decimal_longitude "
+            "FROM (VALUES "
+            "(100, 11, 'Aus aus', 'FR', 48.85, 2.35), "
+            "(100, 12, 'Aus aus', 'FR', 43.6, 1.44), "
+            "(200, 21, 'Bus bus', 'FR', 45.76, 4.84)) "
+            "t(taxon_key, occurrence_key, scientific_name, country, "
+            "decimal_latitude, decimal_longitude)"
+        ),
+        "ljung_box": (
+            "WITH dd AS (SELECT date_trunc('day', o_orderdate) AS d, "
+            "sum(o_totalprice) AS v FROM orders GROUP BY 1), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY d) AS rn "
+            "FROM dd), "
+            "st AS (SELECT count(*) AS n, avg(v) AS xbar FROM r), "
+            "c AS (SELECT rn, v - xbar AS c FROM r CROSS JOIN st), "
+            "den AS (SELECT sum(c * c) AS ss FROM c), "
+            "l AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag), "
+            "num AS (SELECT lag, sum(a.c * b.c) AS num "
+            "FROM l CROSS JOIN c a JOIN c b ON b.rn = a.rn + l.lag "
+            "GROUP BY 1), "
+            "rr AS (SELECT lag, num / ss AS r, CAST(n AS DOUBLE) "
+            "AS nd FROM num CROSS JOIN den CROSS JOIN st) "
+            "SELECT lag, round(r, 6) AS r, "
+            "round(nd * (nd + 2) * sum(r * r / (nd - lag)) "
+            "OVER (ORDER BY lag), 6) AS q, lag AS dof FROM rr"
+        ),
+        "best_split_stump": (
+            "WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "bd AS (SELECT min(x) AS mn, max(x) AS mx FROM base), "
+            "b AS (SELECT CASE WHEN mx = mn THEN 0 ELSE "
+            "greatest(0, least(CAST(floor((x - mn) "
+            "/ ((mx - mn) / 32.0)) AS INT), 31)) END AS bin, y "
+            "FROM base CROSS JOIN bd), "
+            "g AS (SELECT bin, count(*) AS n, sum(y) AS p "
+            "FROM b GROUP BY 1), "
+            "cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS nl, "
+            "sum(p) OVER (ORDER BY bin) AS pl, "
+            "sum(n) OVER () AS nt, sum(p) OVER () AS pt FROM g), "
+            "sc AS (SELECT bin + 1 AS split_bin, nl, nt - nl AS nr, "
+            "pl, pt - pl AS pr, nt, pt FROM cum "
+            "WHERE nt - nl > 0), "
+            "e AS (SELECT split_bin, nl, nr, pl, pr, "
+            "(CASE WHEN pt > 0 AND pt < nt THEN "
+            "-(pt / CAST(nt AS DOUBLE)) * ln(pt / CAST(nt AS DOUBLE)) "
+            "- (1 - pt / CAST(nt AS DOUBLE)) "
+            "* ln(1 - pt / CAST(nt AS DOUBLE)) ELSE 0 END) "
+            "- (nl / CAST(nt AS DOUBLE)) * (CASE WHEN pl > 0 "
+            "AND pl < nl THEN "
+            "-(pl / CAST(nl AS DOUBLE)) * ln(pl / CAST(nl AS DOUBLE)) "
+            "- (1 - pl / CAST(nl AS DOUBLE)) "
+            "* ln(1 - pl / CAST(nl AS DOUBLE)) ELSE 0 END) "
+            "- (nr / CAST(nt AS DOUBLE)) * (CASE WHEN pr > 0 "
+            "AND pr < nr THEN "
+            "-(pr / CAST(nr AS DOUBLE)) * ln(pr / CAST(nr AS DOUBLE)) "
+            "- (1 - pr / CAST(nr AS DOUBLE)) "
+            "* ln(1 - pr / CAST(nr AS DOUBLE)) ELSE 0 END) AS ig "
+            "FROM sc), "
+            "e2 AS (SELECT split_bin, nl, nr, pl, pr, "
+            "round(ig, 6) AS ig, max(round(ig, 6)) OVER () AS mx "
+            "FROM e), "
+            "e3 AS (SELECT *, min(CASE WHEN ig = mx "
+            "THEN split_bin END) OVER () AS bb FROM e2) "
+            "SELECT CAST(split_bin AS INT) AS split_bin, "
+            "CAST(nl AS BIGINT) AS n_left, "
+            "CAST(nr AS BIGINT) AS n_right, "
+            "CAST(pl AS BIGINT) AS pos_left, "
+            "CAST(pr AS BIGINT) AS pos_right, ig, "
+            "(ig = mx AND split_bin = bb) AS is_best FROM e3"
+        ),
         "did_estimate": (
             "WITH cells AS (SELECT CAST(o_custkey % 2 AS INT) AS g, "
             "CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' "

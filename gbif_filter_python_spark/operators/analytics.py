@@ -872,8 +872,16 @@ def psm_att(
     back = F.last(ctrl, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = F.first(ctrl, ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    # forward pass as a REVERSED running last — an unbounded-FOLLOWING
+    # first() frame re-scans the tail per row (O(n²): measured 16+ min
+    # at 450k units on one core); frames ending at CURRENT ROW are
+    # incremental. Fully reversed sort keys mirror the sequence
+    # exactly, tie semantics included.
+    wrev = Window.orderBy(
+        F.col("_s").desc(), F.col("_t").desc(), F.col("_id").desc()
+    )
+    fwd = F.last(ctrl, ignorenulls=True).over(
+        wrev.rowsBetween(Window.unboundedPreceding, 0)
     )
     flagged = base.select(
         "_t", "_s", "_y", back.alias("_b"), fwd.alias("_f")

@@ -2515,3 +2515,88 @@ def kendall_tau(
             ).alias("tau_b"),
         )
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test on the daily-total
+    series (Ljung & Box 1978 — the residual diagnostic run AFTER
+    :func:`seasonal_decompose`/a forecast fit: "is anything left?"):
+    one row per lag k ≤ ``max_lag`` with the standard autocovariance
+    ACF estimate
+
+        r_k = Σ_{t≤n−k} (x_t−x̄)(x_{t+k}−x̄) / Σ (x_t−x̄)²
+
+    (denominator over ALL n — the textbook biased estimator, NOT the
+    pairwise Pearson of :func:`acf_lags`; the two disagree at short
+    series and LB's null distribution assumes this one) and the
+    cumulative statistic ``q = n(n+2) Σ_{j≤k} r_j²/(n−j)``, χ²_k
+    under the white-noise null (reject at q ≫ k — the usual p<0.05
+    line ≈ k + 2√(2k)). Columns: ``(lag, r, q, dof)``.
+
+    Scale shape: the fact collapses to the |days|-row series in ONE
+    hash aggregation; the mean/denominator reduce THAT series, the
+    per-lag products join on the bounded series, and the cumulative
+    q is a window over ≤ max_lag aggregate rows — the acf_lags
+    contract end to end.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    ).select("rn", "v")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("v").alias("_xbar"),
+    )
+    centered = ranked.crossJoin(F.broadcast(stats)).select(
+        "rn", (F.col("v") - F.col("_xbar")).alias("c"), "_n"
+    )
+    denom = centered.agg(
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        F.first("_n").alias("_n"),
+    )
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    num = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("b.rn") == F.col("a.rn") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("_num"))
+    )
+    r = num.crossJoin(F.broadcast(denom)).select(
+        "lag",
+        (F.col("_num") / F.col("_ss")).alias("_r"),
+        F.col("_n").cast("double").alias("_nd"),
+    )
+    w = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = (
+        F.col("_nd")
+        * (F.col("_nd") + 2)
+        * F.sum(
+            F.col("_r") * F.col("_r") / (F.col("_nd") - F.col("lag"))
+        ).over(w)
+    )
+    return r.select(
+        "lag",
+        F.round("_r", round_dp).alias("r"),
+        F.round(q, round_dp).alias("q"),
+        F.col("lag").alias("dof"),
+    )

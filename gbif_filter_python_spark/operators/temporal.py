@@ -94,12 +94,22 @@ def asof_join(
         )
         matched = F.last("_r", ignorenulls=True).over(w)
     else:
+        # forward as a REVERSED running last, not first() over
+        # [current, unbounded following]: Spark's unbounded-FOLLOWING
+        # frame re-scans the remainder per row (O(n_k²) per key — a
+        # hot key goes quadratic; measured 16+ min on one core at a
+        # 450k single-key frame), while frames ending at CURRENT ROW
+        # update incrementally. Reversing every sort key yields the
+        # exact mirror sequence, so "last right seen walking
+        # backward" ≡ "first right ahead walking forward", equal-ts
+        # inclusivity preserved (_side desc puts the right row before
+        # the left at equal ts in the reversed walk).
         w = (
             Window.partitionBy("_k")
-            .orderBy("_t", "_side")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("_t").desc(), F.col("_side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.first("_r", ignorenulls=True).over(w)
+        matched = F.last("_r", ignorenulls=True).over(w)
 
     out = u.withColumn("_m", matched).filter(F.col("_side") == left_side)
     if tolerance_seconds is not None:

@@ -1,0 +1,239 @@
+"""Pushdown-capable Spark DataSource for GBIF occurrence search —
+the DataSourceV2-style live source SURVEY §7.3 deferred and VERDICT
+r6 listed as the one remaining optional gap.
+
+The reference's online occurrence probe is a serial loop: one
+``occurrences.search(taxonKey=…, country=…, limit=…)`` HTTPS call per
+taxon (/root/reference/gbif_helper.py:86-88). This module turns that
+endpoint into a first-class Spark table via the Python DataSource API
+(pyspark >= 4.1):
+
+* **Filter pushdown** (``pushFilters``): equality/IN predicates on
+  ``taxon_key`` and equality on ``country`` are consumed by the
+  source and become REST query parameters — a
+  ``df.filter(col("taxon_key").isin(...))`` plans as N taxon-keyed
+  API fetches instead of a full scan + Spark-side filter. Everything
+  else is returned as residual for Spark to evaluate.
+* **Partition-per-taxon** (``partitions``): each pushed taxon key
+  becomes one input partition, so fetches parallelize across
+  executor Python workers exactly as far as the key list allows —
+  with per-worker throttling inherited from
+  :class:`~.gbif_rest.GbifRestClient`.
+* **No unbounded scans**: GBIF occurrence search is a paged API over
+  billions of records; a read with neither a ``taxon_keys`` option
+  nor a pushed taxon predicate raises instead of silently attempting
+  a full crawl (the same loud-scope contract as the multimodal
+  codecs).
+
+Transports are injected by IMPORT PATH because DataSource options
+are strings: ``fetch_factory="module:callable"`` resolves to a
+factory that receives the JSON-decoded ``fetch_args`` option and
+returns the fetch callable. The default factory builds a
+:class:`GbifRestClient`; :func:`scripted_occurrence_fetch` is the
+hermetic twin the test suite uses (no network anywhere in tests —
+the sources/gbif_rest.py contract).
+
+Usage::
+
+    spark.dataSource.register(GbifOccurrencesDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (spark.read.format("gbif_occurrences")
+          .option("limit_per_taxon", "300").load()
+          .filter(F.col("taxon_key").isin(2476674, 5231190))
+          .filter(F.col("country") == "FR"))
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+#: Output schema — the occurrence fields the reference's pipeline
+#: consumes (taxonKey/country/coordinates/name; gbif_helper.py:86-99).
+SCHEMA = (
+    "taxon_key bigint, occurrence_key bigint, scientific_name string, "
+    "country string, decimal_latitude double, decimal_longitude double"
+)
+
+_FIELDS = (
+    "taxon_key",
+    "occurrence_key",
+    "scientific_name",
+    "country",
+    "decimal_latitude",
+    "decimal_longitude",
+)
+
+
+def _resolve_factory(spec: str):
+    """``"module.path:attr"`` → the imported attribute."""
+    mod, _, attr = spec.partition(":")
+    if not mod or not attr:
+        raise ValueError(
+            f"fetch_factory must be 'module.path:callable', got {spec!r}"
+        )
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)
+
+
+def rest_occurrence_fetch(args: dict):
+    """Default factory: a :class:`~.gbif_rest.GbifRestClient`-backed
+    fetch. ``args`` forwards to the client constructor (base_url,
+    min_interval_s, …)."""
+    from gbif_filter_python_spark.sources.gbif_rest import GbifRestClient
+
+    client = GbifRestClient(**(args or {}))
+
+    def fetch(
+        taxon_key: int,
+        country: str | None,
+        geometry: str | None,
+        limit: int,
+    ) -> list[dict]:
+        recs = client.occurrence_search_all(
+            taxon_key=taxon_key,
+            country=country,
+            geometry=geometry,
+            max_records=limit,
+        )
+        return recs
+
+    return fetch
+
+
+class ScriptedOccurrenceFetch:
+    """Hermetic fetch for tests: ``data`` maps
+    ``"<taxonKey>|<country or ''>|<geometry or ''>"`` to a list of
+    occurrence dicts. Optionally appends one JSON line per call to
+    ``call_log`` so a test can assert WHICH parameters reached the
+    source (the observable proof that pushdown fired — worker
+    processes can't mutate test-process globals). Picklable by
+    construction: plain dict + path."""
+
+    def __init__(self, data: dict, call_log: str | None = None) -> None:
+        self.data = data
+        self.call_log = call_log
+
+    def __call__(
+        self,
+        taxon_key: int,
+        country: str | None,
+        geometry: str | None,
+        limit: int,
+    ) -> list[dict]:
+        if self.call_log:
+            with open(self.call_log, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "taxon_key": taxon_key,
+                            "country": country,
+                            "geometry": geometry,
+                            "limit": limit,
+                        },
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        key = f"{taxon_key}|{country or ''}|{geometry or ''}"
+        return self.data.get(key, [])[:limit]
+
+
+def scripted_occurrence_fetch(args: dict):
+    """Factory for :class:`ScriptedOccurrenceFetch` (args:
+    ``{"data": {...}, "call_log": "/path"}``)."""
+    return ScriptedOccurrenceFetch(
+        args.get("data", {}), args.get("call_log")
+    )
+
+
+class GbifOccurrencesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.options = dict(options)
+        keys_opt = self.options.get("taxon_keys", "")
+        self.keys: list[int] | None = (
+            [int(k) for k in keys_opt.split(",") if k.strip()]
+            if keys_opt.strip()
+            else None
+        )
+        self.country: str | None = self.options.get("country")
+        self.geometry: str | None = self.options.get("geometry")
+        self.limit = int(self.options.get("limit_per_taxon", "1000"))
+
+    # -- pushdown -------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("country",)
+                and self.country is None
+                and isinstance(f.value, str)
+            ):
+                self.country = f.value
+            elif isinstance(f, EqualTo) and f.attribute == ("taxon_key",):
+                k = int(f.value)
+                self.keys = (
+                    [k]
+                    if self.keys is None
+                    else [x for x in self.keys if x == k]
+                )
+            elif isinstance(f, In) and f.attribute == ("taxon_key",):
+                vals = [int(v) for v in f.value]
+                self.keys = (
+                    vals
+                    if self.keys is None
+                    else [x for x in self.keys if x in set(vals)]
+                )
+            else:
+                yield f  # residual — Spark evaluates it post-scan
+
+    # -- planning -------------------------------------------------------
+    def partitions(self) -> list[InputPartition]:
+        if not self.keys:
+            raise ValueError(
+                "gbif_occurrences is an unbounded paged API: provide a "
+                "taxon_keys option or an equality/IN filter on "
+                "taxon_key (pushdown requires "
+                "spark.sql.python.filterPushdown.enabled=true)"
+            )
+        # one partition per taxon: fetches parallelize across workers,
+        # each worker throttled independently (gbif_rest contract)
+        return [InputPartition(int(k)) for k in sorted(set(self.keys))]
+
+    # -- execution ------------------------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        spec = self.options.get(
+            "fetch_factory",
+            "gbif_filter_python_spark.sources.occurrence_source:"
+            "rest_occurrence_fetch",
+        )
+        args = json.loads(self.options.get("fetch_args", "{}"))
+        fetch = _resolve_factory(spec)(args)
+        for rec in fetch(
+            partition.value, self.country, self.geometry, self.limit
+        ):
+            yield tuple(rec.get(f) for f in _FIELDS)
+
+
+class GbifOccurrencesDataSource(DataSource):
+    """``spark.read.format("gbif_occurrences")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gbif_occurrences"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> GbifOccurrencesReader:
+        return GbifOccurrencesReader(self.options)

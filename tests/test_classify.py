@@ -607,3 +607,43 @@ class TestLiftTable:
         # ids 1,2 → bucket 0 (1 pos); ids 3,4 → bucket 1 (1 pos)
         assert out[0]["n_pos"] == 1 and out[1]["n_pos"] == 1
         assert out[0]["lift"] == 1.0
+
+
+class TestBestSplitStump:
+    def test_perfect_split_found(self, spark):
+        import math
+
+        from gbif_filter_python_spark.operators.classify import (
+            best_split_stump,
+        )
+
+        # y = 1 iff x >= 5 — a clean threshold; with 10 equal-width
+        # bins over [0, 9.99] the boundary lands at split_bin 5
+        rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = best_split_stump(df, "x", "y", n_bins=10).collect()
+        best = [r for r in out if r["is_best"]]
+        assert len(best) == 1
+        b = best[0]
+        # parent entropy ln2, children pure -> ig = ln 2
+        assert abs(b["ig"] - math.log(2)) < 1e-6
+        assert b["n_left"] == 5 and b["pos_left"] == 0
+        assert b["n_right"] == 5 and b["pos_right"] == 5
+
+    def test_one_sided_boundaries_skipped_and_pure_parent(self, spark):
+        from gbif_filter_python_spark.operators.classify import (
+            best_split_stump,
+        )
+
+        rows = [(float(i), 1) for i in range(8)]  # all positive
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = best_split_stump(df, "x", "y", n_bins=4).collect()
+        # pure parent: every ig = 0; boundaries exist (3 of them)
+        assert len(out) == 3
+        assert all(r["ig"] == 0.0 for r in out)
+        # deterministic argmax: lowest boundary flagged
+        assert [r["is_best"] for r in sorted(out, key=lambda r: r["split_bin"])] == [
+            True,
+            False,
+            False,
+        ]

@@ -502,3 +502,52 @@ class TestAdamicAdar:
         assert abs(
             got[(1, 3)]["aa_score"] - round(1 / math.log(3), 6)
         ) < 1e-9
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_hand_values(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        # path 1-2-3-4: harmonic(1) = 1 + 1/2 + 1/3; harmonic(2) = 1+1+1/2
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {
+            r["id"]: r for r in harmonic_centrality(df, max_hops=4).collect()
+        }
+        assert abs(got[1]["harmonic"] - (1 + 0.5 + 1 / 3)) < 1e-6
+        assert abs(got[2]["harmonic"] - 2.5) < 1e-6
+        assert got[1]["n_reached"] == 3
+
+    def test_hop_bound_truncates(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {
+            r["id"]: r for r in harmonic_centrality(df, max_hops=1).collect()
+        }
+        # 1 hop: degree only
+        assert got[1]["harmonic"] == 1.0 and got[1]["n_reached"] == 1
+        assert got[2]["harmonic"] == 2.0
+
+    def test_shortest_distance_wins_on_cycle(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        # triangle + pendant: d(4,2)=2 via 1 even though a 3-hop walk
+        # exists; every pair counted once at its shortest distance
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+        )
+        got = {
+            r["id"]: r for r in harmonic_centrality(df, max_hops=4).collect()
+        }
+        assert abs(got[4]["harmonic"] - (1 + 0.5 + 0.5)) < 1e-6
+        assert got[4]["n_reached"] == 3

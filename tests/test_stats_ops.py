@@ -470,3 +470,59 @@ def test_srm_check_hand_chi2_and_unknown_arm(spark):
     # an observed arm missing from the design raises
     with _pytest.raises(ValueError):
         srm_check(df, "g", {"a": 1.0})
+
+
+def test_ljung_box_flags_structure_not_noise(spark):
+    import datetime
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    start = datetime.date(2024, 1, 1)
+
+    def mk(vals):
+        rows = [
+            ((start + datetime.timedelta(days=i)).isoformat(), float(v))
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(rows, "d string, v double").select(
+            F.to_timestamp("d").alias("d"), "v"
+        )
+
+    from gbif_filter_python_spark.operators.profile import ljung_box
+
+    noise = ljung_box(mk(rng.normal(0, 1, 120)), "d", "v", 5).collect()
+    alt = ljung_box(
+        mk([10.0 if i % 2 else -10.0 for i in range(120)]), "d", "v", 5
+    ).collect()
+    qn = {r["lag"]: r["q"] for r in noise}
+    qa = {r["lag"]: r["q"] for r in alt}
+    # white noise: q ~ chi2(k); alternating: r1 ~ -1 -> q huge
+    assert qn[5] < 20
+    assert qa[1] > 100
+    ra = {r["lag"]: r["r"] for r in alt}
+    assert ra[1] < -0.9 and ra[2] > 0.9
+
+
+def test_ljung_box_matches_hand_formula(spark):
+    import numpy as np
+
+    from gbif_filter_python_spark.operators.profile import ljung_box
+
+    vals = [3.0, 5.0, 2.0, 8.0, 6.0, 4.0, 7.0, 1.0]
+    rows = [(f"2024-02-0{i + 1}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("d"), "v"
+    )
+    got = {r["lag"]: r for r in ljung_box(df, "d", "v", 2).collect()}
+    x = np.array(vals)
+    c = x - x.mean()
+    ss = float((c * c).sum())
+    n = len(x)
+    r1 = float((c[:-1] * c[1:]).sum()) / ss
+    r2 = float((c[:-2] * c[2:]).sum()) / ss
+    assert abs(got[1]["r"] - r1) < 1e-6
+    assert abs(got[2]["r"] - r2) < 1e-6
+    q2 = n * (n + 2) * (r1**2 / (n - 1) + r2**2 / (n - 2))
+    assert abs(got[2]["q"] - q2) < 1e-4
+    assert got[2]["dof"] == 2
