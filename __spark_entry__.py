@@ -1935,9 +1935,15 @@ def q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
 def q_kll_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """KLL quantile sketches per event_type merged to global p50/p95/
     p99 of event value. Emits the exact interpolated percentiles
-    (hash-matched vs DuckDB quantile_cont) plus within_tol for the
-    sketch (10 % band; measured max rel err 3.5 % at k=200 —
-    deterministic for fixed data)."""
+    (hash-matched vs DuckDB quantile_cont) plus within_tol asserting
+    the sketch's ACTUAL guarantee — RANK error: the exact-CDF
+    position of each estimate must sit within ±0.05 of its target
+    quantile (3x the k=200 epsilon of ~1.65 %). A VALUE band here was
+    the original sin: KLL bounds rank, and value error at a tail
+    quantile is unbounded by rank error wherever the density thins —
+    the 10 % value band flaked once in ~40 runs on p99 (KLL
+    compaction is internally randomized, so estimates vary
+    run-to-run on identical data)."""
     from gbif_filter_python_spark.operators.sketches import kll_quantiles
 
     events = _t(spark, sf, "events")
@@ -1947,15 +1953,30 @@ def q_kll_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
             "percentile(value, array(0.5D, 0.95D, 0.99D))"
         ).alias("_ex")
     )
-    tol = (
-        lambda e, i: F.abs(F.col(e) - F.col("_ex")[i])
-        <= F.abs(F.col("_ex")[i]) * 0.10
-    )  # noqa: E731
-    return est.crossJoin(exact).select(
+    ranks = (
+        events.crossJoin(F.broadcast(est))
+        .agg(
+            F.avg((F.col("value") <= F.col("p50")).cast("double")).alias(
+                "_r50"
+            ),
+            F.avg((F.col("value") <= F.col("p95")).cast("double")).alias(
+                "_r95"
+            ),
+            F.avg((F.col("value") <= F.col("p99")).cast("double")).alias(
+                "_r99"
+            ),
+        )
+    )
+    ok = (
+        (F.abs(F.col("_r50") - 0.5) <= 0.05)
+        & (F.abs(F.col("_r95") - 0.95) <= 0.05)
+        & (F.abs(F.col("_r99") - 0.99) <= 0.05)
+    )
+    return ranks.crossJoin(F.broadcast(exact)).select(
         F.round(F.col("_ex")[0], 6).alias("exact_p50"),
         F.round(F.col("_ex")[1], 6).alias("exact_p95"),
         F.round(F.col("_ex")[2], 6).alias("exact_p99"),
-        (tol("p50", 0) & tol("p95", 1) & tol("p99", 2)).alias("within_tol"),
+        ok.alias("within_tol"),
     )
 
 
@@ -5734,6 +5755,88 @@ def q_occurrence_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_er_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-level P/R/F1 of the Fellegi-Sunter matcher against the
+    PLANTED duplicate truth (operators/fuzzy.py::pair_eval): the
+    er_match_scores pipeline's 'match' tier vs the known
+    (id, id+1000000) clone pairs — grading the blocker+matcher the
+    reference never could (it has no labels). Pair frames only."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from gbif_filter_python_spark.operators.fuzzy import (
+        er_match_scores,
+        pair_eval,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    variants = cust.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+        "nation",
+        "segment",
+        (F.col("balance") + 0.005).alias("balance"),
+    )
+    recs = cust.unionByName(variants)
+    pairs = sorted_neighborhood_pairs(
+        recs.select("id", F.col("name").alias("_key")),
+        ["_key"],
+        window=3,
+        id_col="id",
+    ).select("id_a", "id_b")
+    scored = er_match_scores(
+        recs,
+        pairs,
+        [
+            {"col": "name", "kind": "edit", "param": 2,
+             "w_agree": 4.0, "w_disagree": -2.0},
+            {"col": "nation", "kind": "exact",
+             "w_agree": 1.5, "w_disagree": -1.5},
+            {"col": "segment", "kind": "exact",
+             "w_agree": 1.0, "w_disagree": -1.0},
+            {"col": "balance", "kind": "abs_tol", "param": 0.01,
+             "w_agree": 2.0, "w_disagree": -1.0},
+        ],
+    )
+    pred = scored.filter(F.col("decision") == "match").select(
+        "id_a", "id_b"
+    )
+    truth = cust.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("id_a"),
+        (F.col("id") + 1000000).alias("id_b"),
+    )
+    return pair_eval(pred, truth)
+
+
+def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.py::centroid_similarity): one d-expression
+    hash agg to k centroids, norms hoisted, k² pairs of aggregates —
+    the embedding-space twin of vocab_overlap's token Jaccard."""
+    from gbif_filter_python_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(_t(spark, sf, "embeddings"), "label")
+
+
+def q_mmd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-time MMD² two-sample test between label-0 and label-1
+    embeddings (operators/similarity.py::mmd_drift): the
+    distribution-level drift statistic centroid cosine can't give;
+    distributed zipWithIndex pairing, pure-Column RBF kernels, O(n)
+    by construction."""
+    from gbif_filter_python_spark.operators.similarity import mmd_drift
+
+    return mmd_drift(_t(spark, sf, "embeddings"), "label", 0, 1)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6038,6 +6141,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_split_stump": q_best_split_stump,
         "harmonic_centrality": q_harmonic_centrality,
         "occurrence_source": q_occurrence_source,
+        "er_eval": q_er_eval,
+        "centroid_similarity": q_centroid_similarity,
+        "mmd_drift": q_mmd_drift,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -9303,6 +9409,126 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN score >= 6.0 THEN 'match' "
             "WHEN score >= 0.0 THEN 'possible' "
             "ELSE 'nonmatch' END AS decision FROM sc"
+        ),
+        "er_eval": (
+            "WITH recs AS ("
+            "SELECT c_custkey AS id, c_name AS name, "
+            "c_nationkey AS nation, c_mktsegment AS segment, "
+            "c_acctbal AS balance FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey + 1000000 AS id, c_name || 'x' AS name, "
+            "c_nationkey AS nation, c_mktsegment AS segment, "
+            "c_acctbal + 0.005 AS balance FROM customer "
+            "WHERE c_custkey % 20 = 0), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY name, id) "
+            "AS rk FROM recs), "
+            "d AS (SELECT unnest(range(1, 3)) AS dist), "
+            "p AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "a.name AS na, b.name AS nb, a.nation AS ta, "
+            "b.nation AS tb, a.segment AS sa, b.segment AS sb, "
+            "a.balance AS ba, b.balance AS bb "
+            "FROM r a CROSS JOIN d JOIN r b ON b.rk = a.rk + d.dist), "
+            "sc AS (SELECT id_a, id_b, "
+            "(CASE WHEN levenshtein(na, nb) <= 2 THEN 4.0 "
+            "ELSE -2.0 END "
+            "+ CASE WHEN ta = tb THEN 1.5 ELSE -1.5 END "
+            "+ CASE WHEN sa = sb THEN 1.0 ELSE -1.0 END "
+            "+ CASE WHEN abs(ba - bb) <= 0.01 THEN 2.0 ELSE -1.0 END) "
+            "AS score FROM p), "
+            "pred AS (SELECT DISTINCT least(id_a, id_b) AS a, "
+            "greatest(id_a, id_b) AS b FROM sc "
+            "WHERE score >= 6.0 AND id_a <> id_b), "
+            "tru AS (SELECT c_custkey AS a, "
+            "c_custkey + 1000000 AS b FROM customer "
+            "WHERE c_custkey % 20 = 0), "
+            "tpx AS (SELECT count(*) AS tp FROM pred "
+            "JOIN tru USING (a, b)), "
+            "npx AS (SELECT count(*) AS n_pred FROM pred), "
+            "ntx AS (SELECT count(*) AS n_true FROM tru) "
+            "SELECT CAST(n_true AS BIGINT) AS n_true, "
+            "CAST(n_pred AS BIGINT) AS n_pred, "
+            "CAST(tp AS BIGINT) AS tp, "
+            "CAST(n_pred - tp AS BIGINT) AS fp, "
+            "CAST(n_true - tp AS BIGINT) AS fn, "
+            'round(tp / CAST(n_pred AS DOUBLE), 6) AS "precision", '
+            "round(tp / CAST(n_true AS DOUBLE), 6) AS recall, "
+            "round(CASE WHEN tp > 0 THEN "
+            "2 * (tp / CAST(n_pred AS DOUBLE)) "
+            "* (tp / CAST(n_true AS DOUBLE)) "
+            "/ (tp / CAST(n_pred AS DOUBLE) "
+            "+ tp / CAST(n_true AS DOUBLE)) ELSE 0 END, 6) AS f1 "
+            "FROM tpx CROSS JOIN npx CROSS JOIN ntx"
+        ),
+        "centroid_similarity": (
+            "WITH dims AS (SELECT CAST(unnest(range(64)) AS INT) "
+            "AS i), "
+            "x AS (SELECT e.label, dims.i, "
+            "CAST(e.embedding[dims.i + 1] AS DOUBLE) AS v "
+            "FROM embeddings e CROSS JOIN dims "
+            "WHERE e.embedding IS NOT NULL AND e.label IS NOT NULL), "
+            "cent AS (SELECT label, i, avg(v) AS c, count(*) AS nn "
+            "FROM x GROUP BY 1, 2), "
+            "n AS (SELECT label, max(nn) AS n FROM cent GROUP BY 1), "
+            "nm AS (SELECT label, sqrt(sum(c * c)) AS nrm "
+            "FROM cent GROUP BY 1), "
+            "dots AS (SELECT a.label AS grp_a, b.label AS grp_b, "
+            "sum(a.c * b.c) AS dot FROM cent a "
+            "JOIN cent b ON a.i = b.i AND a.label < b.label "
+            "GROUP BY 1, 2) "
+            "SELECT grp_a, grp_b, CAST(na.n AS BIGINT) AS n_a, "
+            "CAST(nb.n AS BIGINT) AS n_b, "
+            "round(dot / (ra.nrm * rb.nrm), 6) AS cosine "
+            "FROM dots JOIN n na ON na.label = dots.grp_a "
+            "JOIN n nb ON nb.label = dots.grp_b "
+            "JOIN nm ra ON ra.label = dots.grp_a "
+            "JOIN nm rb ON rb.label = dots.grp_b"
+        ),
+        "mmd_drift": (
+            "WITH dims AS (SELECT CAST(unnest(range(64)) AS INT) "
+            "AS i), "
+            "sa AS (SELECT vec_id, embedding, "
+            "row_number() OVER (ORDER BY vec_id) - 1 AS gi "
+            "FROM embeddings WHERE label = 0 "
+            "AND embedding IS NOT NULL), "
+            "sb AS (SELECT vec_id, embedding, "
+            "row_number() OVER (ORDER BY vec_id) - 1 AS gi "
+            "FROM embeddings WHERE label = 1 "
+            "AND embedding IS NOT NULL), "
+            "pa AS (SELECT a0.gi // 2 AS j, "
+            "a0.embedding AS x0, a1.embedding AS x1 "
+            "FROM sa a0 JOIN sa a1 "
+            "ON a0.gi % 2 = 0 AND a1.gi = a0.gi + 1), "
+            "pb AS (SELECT b0.gi // 2 AS j, "
+            "b0.embedding AS y0, b1.embedding AS y1 "
+            "FROM sb b0 JOIN sb b1 "
+            "ON b0.gi % 2 = 0 AND b1.gi = b0.gi + 1), "
+            "quads AS (SELECT pa.j, x0, x1, y0, y1 "
+            "FROM pa JOIN pb ON pa.j = pb.j), "
+            "dist AS (SELECT q.j, "
+            "sum((CAST(x0[d.i + 1] AS DOUBLE) "
+            "- CAST(x1[d.i + 1] AS DOUBLE)) "
+            "* (CAST(x0[d.i + 1] AS DOUBLE) "
+            "- CAST(x1[d.i + 1] AS DOUBLE))) AS dxx, "
+            "sum((CAST(y0[d.i + 1] AS DOUBLE) "
+            "- CAST(y1[d.i + 1] AS DOUBLE)) "
+            "* (CAST(y0[d.i + 1] AS DOUBLE) "
+            "- CAST(y1[d.i + 1] AS DOUBLE))) AS dyy, "
+            "sum((CAST(x0[d.i + 1] AS DOUBLE) "
+            "- CAST(y1[d.i + 1] AS DOUBLE)) "
+            "* (CAST(x0[d.i + 1] AS DOUBLE) "
+            "- CAST(y1[d.i + 1] AS DOUBLE))) AS dxy, "
+            "sum((CAST(x1[d.i + 1] AS DOUBLE) "
+            "- CAST(y0[d.i + 1] AS DOUBLE)) "
+            "* (CAST(x1[d.i + 1] AS DOUBLE) "
+            "- CAST(y0[d.i + 1] AS DOUBLE))) AS dyx "
+            "FROM quads q CROSS JOIN dims d GROUP BY 1), "
+            "h AS (SELECT exp(-dxx / 32.0) + exp(-dyy / 32.0) "
+            "- exp(-dxy / 32.0) - exp(-dyx / 32.0) AS h FROM dist) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "round(avg(h), 6) AS mmd2, "
+            "round(stddev_samp(h) / sqrt(count(*)), 6) AS se, "
+            "round(avg(h) / (stddev_samp(h) / sqrt(count(*))), 6) "
+            "AS z FROM h"
         ),
         "target_encode": (
             "WITH r AS (SELECT o_orderkey AS k, o_orderpriority AS cat, "

@@ -246,3 +246,60 @@ def jaro_winkler(col_a, col_b):
         )
 
     return _jw(col_a, col_b)
+
+
+def pair_eval(
+    pred_pairs: DataFrame,
+    true_pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pair-level linkage evaluation — the scorecard that closes the
+    entity-resolution loop (:func:`sorted_neighborhood_pairs` blocks,
+    :func:`er_match_scores` decides, this grades): ONE row
+    ``(n_true, n_pred, tp, fp, fn, precision, recall, f1)`` comparing
+    predicted match pairs against ground truth. Both inputs are
+    canonicalized (unordered, deduplicated, self-pairs dropped) so
+    callers can pass raw pair frames in either orientation. The
+    standard ER caveat applies and is the caller's choice to handle:
+    pair-level recall punishes missed BLOCKS twice — evaluate against
+    the transitive closure of truth if clusters matter.
+
+    Scale shape: two distinct-aggregations + one equi-join on the
+    canonical (a, b) key + scalar reductions; pair frames only, never
+    the record table.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    p, t = canon(pred_pairs), canon(true_pairs)
+    tp = p.join(t, ["a", "b"]).agg(F.count(F.lit(1)).alias("tp"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = t.agg(F.count(F.lit(1)).alias("n_true"))
+    out = tp.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nt))
+    prec = F.col("tp") / F.col("n_pred").cast("double")
+    rec = F.col("tp") / F.col("n_true").cast("double")
+    return out.select(
+        "n_true",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+        F.round(prec, round_dp).alias("precision"),
+        F.round(rec, round_dp).alias("recall"),
+        F.round(
+            F.when(
+                prec + rec > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(0.0),
+            round_dp,
+        ).alias("f1"),
+    )

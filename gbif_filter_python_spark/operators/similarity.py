@@ -1006,3 +1006,156 @@ def ref_kcenter(
         out.append((step, best_id, best_d))
         centers.append(dict(rows)[best_id])
     return out
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids: one row ``(grp_a < grp_b, n_a, n_b, cosine)`` — the
+    embedding-space answer to "are these two sources/languages the
+    same distribution" that :func:`vocab_overlap <.corpus>` gives at
+    the token level. High centroid cosine between supposedly distinct
+    corpus slices flags near-duplicate provenance; a low one
+    quantifies domain shift for mixture design.
+
+    Scale shape: per-group means come from ONE hash aggregation of d
+    per-element ``avg`` expressions (no explode — the pca_project
+    contract); the k-row centroid table self-joins (k² pairs of
+    AGGREGATES, never vectors) with per-centroid norms hoisted into
+    their own projection so each is computed once, not once per pair.
+    """
+    if dim is None:
+        dim = len(
+            df.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .first()[0]
+        )
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    cent = base.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+            for i in range(dim)
+        ],
+    )
+    norm = cent.select(
+        "grp",
+        "n",
+        *[F.col(f"c{i}") for i in range(dim)],
+        F.sqrt(
+            sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(dim))
+        ).alias("_nrm"),
+    )
+    a, b = norm.alias("a"), F.broadcast(norm.alias("b"))
+    dot = sum(
+        F.col(f"a.c{i}") * F.col(f"b.c{i}") for i in range(dim)
+    )
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                dot / (F.col("a._nrm") * F.col("b._nrm")), round_dp
+            ).alias("cosine"),
+        )
+    )
+
+
+def mmd_drift(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sigma: float = 4.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Linear-time MMD² two-sample test between two embedding slices
+    (Gretton et al. JMLR 2012, the streaming estimator of Lemma 14):
+    ONE row ``(n_pairs, mmd2, se, z)`` where consecutive
+    id-ordered quadruples contribute
+
+        h_j = k(x_{2j}, x_{2j+1}) + k(y_{2j}, y_{2j+1})
+            − k(x_{2j}, y_{2j+1}) − k(x_{2j+1}, y_{2j})
+
+    with the RBF kernel ``k(a,b) = exp(−‖a−b‖²/(2σ²))``, and
+    ``mmd2 = mean(h)``, ``z = mmd2 / (stddev(h)/√m)`` (asymptotically
+    standard normal under H0 — the distribution-level drift answer
+    that :func:`centroid_similarity` — a mean-only statistic — cannot
+    give: two slices can share a centroid and differ in spread/shape).
+    ``sigma`` is a FIXED bandwidth parameter: the median heuristic is
+    an O(n²) pairwise scan, deliberately out of the linear estimator.
+
+    Scale shape: per-group contiguous indices come from the
+    distributed zipWithIndex (corpus.assign_global_index — range
+    shuffle, never a single-partition window); pairing is two
+    self-equi-joins on ``index // 2`` plus one x-y equi-join on the
+    quadruple id; kernels are pure-Column zip_with/aggregate folds;
+    one scalar aggregation ends it. Everything is O(n) in the slice
+    sizes — the estimator trades statistical efficiency for exactly
+    this property (the paper's point).
+    """
+    from gbif_filter_python_spark.operators.corpus import (
+        assign_global_index,
+    )
+
+    if sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+
+    def side(val, name: str) -> DataFrame:
+        s = df.filter(
+            (F.col(group_col) == val) & F.col(vec_col).isNotNull()
+        ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        idx = assign_global_index(s, ["_id"], index_col="_gi")
+        pair = idx.select(
+            (F.col("_gi") / 2).cast("long").alias("j"),
+            (F.col("_gi") % 2).alias("_par"),
+            "_v",
+        )
+        evens = pair.filter(F.col("_par") == 0).select(
+            "j", F.col("_v").alias(f"{name}0")
+        )
+        odds = pair.filter(F.col("_par") == 1).select(
+            "j", F.col("_v").alias(f"{name}1")
+        )
+        return evens.join(odds, "j")  # drops an unpaired trailing row
+
+    def k(a: str, b: str):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(a).cast("array<double>"),
+                F.col(b).cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.exp(-d2 / (2.0 * float(sigma) * float(sigma)))
+
+    quads = side(group_a, "x").join(side(group_b, "y"), "j")
+    h = (
+        k("x0", "x1") + k("y0", "y1") - k("x0", "y1") - k("x1", "y0")
+    )
+    agg = quads.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("_h").alias("_m"),
+        F.stddev_samp("_h").alias("_s"),
+    )
+    se = F.col("_s") / F.sqrt(F.col("n_pairs").cast("double"))
+    return agg.select(
+        "n_pairs",
+        F.round("_m", round_dp).alias("mmd2"),
+        F.round(se, round_dp).alias("se"),
+        F.round(F.col("_m") / se, round_dp).alias("z"),
+    )

@@ -329,3 +329,31 @@ def test_jaro_winkler_convention_pinned_to_duckdb(seed):
         assert got == want, (a, b, got, want)
 
     _check()
+
+
+class TestPairEval:
+    def test_hand_counts_and_canonicalization(self, spark):
+        from gbif_filter_python_spark.operators.fuzzy import pair_eval
+
+        pred = spark.createDataFrame(
+            # (2,1) duplicates (1,2) reversed; (3,3) is a self-pair
+            [(1, 2), (2, 1), (3, 3), (4, 5), (6, 7)],
+            "id_a long, id_b long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 2), (4, 5), (8, 9)], "id_a long, id_b long"
+        )
+        (r,) = pair_eval(pred, truth).collect()
+        assert (r["n_pred"], r["n_true"]) == (3, 3)  # canon: {12,45,67}
+        assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+        assert abs(r["precision"] - 2 / 3) < 1e-6
+        assert abs(r["recall"] - 2 / 3) < 1e-6
+        assert abs(r["f1"] - 2 / 3) < 1e-6
+
+    def test_zero_tp_f1_is_zero(self, spark):
+        from gbif_filter_python_spark.operators.fuzzy import pair_eval
+
+        pred = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        truth = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+        (r,) = pair_eval(pred, truth).collect()
+        assert r["tp"] == 0 and r["f1"] == 0.0

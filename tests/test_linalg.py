@@ -149,3 +149,107 @@ class TestPcaPowerIteration:
         assert err < 1e-3
         # centered scores average ~0
         assert abs(np.mean(list(got.values()))) < 1e-6 + 1e-3
+
+
+class TestCentroidSimilarity:
+    def test_identical_and_orthogonal_groups(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            centroid_similarity,
+        )
+
+        rows = (
+            [("a", [1.0, 0.0, 0.0, 0.0])] * 3
+            + [("b", [1.0, 0.0, 0.0, 0.0])] * 2
+            + [("c", [0.0, 2.0, 0.0, 0.0])] * 2
+        )
+        df = spark.createDataFrame(rows, "label string, embedding array<float>")
+        got = {
+            (r["grp_a"], r["grp_b"]): r
+            for r in centroid_similarity(df, "label", dim=4).collect()
+        }
+        assert got[("a", "b")]["cosine"] == 1.0
+        assert got[("a", "c")]["cosine"] == 0.0
+        assert (got[("a", "b")]["n_a"], got[("a", "b")]["n_b"]) == (3, 2)
+        assert len(got) == 3
+
+    def test_centroid_is_mean_not_first(self, spark):
+        import math
+
+        from gbif_filter_python_spark.operators.similarity import (
+            centroid_similarity,
+        )
+
+        # group a averages to (1, 1)/2 direction; group b = (1, 0)
+        rows = [
+            ("a", [1.0, 0.0]),
+            ("a", [0.0, 1.0]),
+            ("b", [1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "label string, embedding array<float>")
+        (r,) = centroid_similarity(df, "label", dim=2).collect()
+        assert abs(r["cosine"] - 1 / math.sqrt(2)) < 1e-6
+
+
+class TestMmdDrift:
+    def _df(self, spark, shift):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        rows = []
+        for i in range(120):
+            v = rng.normal(0, 1, 4)
+            rows.append((i, "a", [float(x) for x in v]))
+        for i in range(120):
+            v = rng.normal(shift, 1, 4)
+            rows.append((1000 + i, "b", [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+
+    def test_same_distribution_small_shifted_large(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            mmd_drift,
+        )
+
+        (same,) = mmd_drift(
+            self._df(spark, 0.0), "label", "a", "b", sigma=1.0
+        ).collect()
+        (shifted,) = mmd_drift(
+            self._df(spark, 3.0), "label", "a", "b", sigma=1.0
+        ).collect()
+        assert same["n_pairs"] == 60
+        # identical distributions: mmd2 ~ 0 (|z| small); strong shift:
+        # mmd2 near its max and z far beyond any normal quantile
+        assert abs(same["z"]) < 3.0
+        # within-sample RBF mass at sigma=1 over 4 dims is ~e^-4, so
+        # the shifted mmd2 lands ~0.2 — the discrimination is in z
+        assert shifted["mmd2"] > 10 * abs(same["mmd2"])
+        assert shifted["z"] > 5.0  # far beyond any normal quantile
+
+    def test_unpaired_trailing_row_dropped(self, spark):
+        from gbif_filter_python_spark.operators.similarity import (
+            mmd_drift,
+        )
+
+        rows = [
+            (i, "a", [float(i), 0.0]) for i in range(5)  # odd count
+        ] + [(10 + i, "b", [0.0, float(i)]) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+        (r,) = mmd_drift(df, "label", "a", "b", sigma=2.0).collect()
+        # a pairs: floor(5/2)=2; b pairs: 2 -> min join = 2
+        assert r["n_pairs"] == 2
+
+    def test_rejects_bad_sigma(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.similarity import (
+            mmd_drift,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", [1.0])], "vec_id long, label string, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            mmd_drift(df, "label", "a", "b", sigma=0.0)
