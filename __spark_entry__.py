@@ -3197,6 +3197,77 @@ def _pca_oracle(
     return "".join(parts)
 
 
+def _pca_topk_oracle(d: int = 64, n_iter: int = 8, k: int = 2) -> str:
+    """Top-k PCA with Hotelling deflation, fully unrolled: per
+    component an 8-step power-iteration chain on the (MATERIALIZED)
+    running matrix, then a rank-1 deflation CTE feeding the next
+    component — the exact trajectory of
+    operators/linalg.py::pca_components."""
+    parts = [
+        f"WITH dims AS (SELECT CAST(unnest(range({d})) AS INT) AS i), ",
+        "x AS MATERIALIZED (SELECT e.vec_id, dims.i, "
+        "CAST(e.embedding[dims.i + 1] AS DOUBLE) AS v "
+        "FROM embeddings e CROSS JOIN dims "
+        "WHERE e.embedding IS NOT NULL), ",
+        "cv AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
+        "round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) "
+        "/ count(*), 6) + 0.0 AS c FROM x a "
+        "JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "GROUP BY 1, 2), ",
+        "m1 AS MATERIALIZED (SELECT i, j, c FROM cv UNION ALL "
+        "SELECT j AS i, i AS j, c FROM cv WHERE i <> j), ",
+        "tr AS (SELECT sum(c) AS t FROM cv WHERE i = j), ",
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f"v{c}_0 AS (SELECT i, 1.0 / sqrt({d}.0) AS v FROM dims), "
+        )
+        for t in range(1, n_iter + 1):
+            parts += [
+                f"w{c}_{t} AS (SELECT m{c}.i, "
+                f"sum(m{c}.c * v{c}_{t - 1}.v) AS w FROM m{c} "
+                f"JOIN v{c}_{t - 1} ON v{c}_{t - 1}.i = m{c}.j "
+                "GROUP BY 1), ",
+                f"n{c}_{t} AS (SELECT sqrt(sum(w * w)) AS nm "
+                f"FROM w{c}_{t}), ",
+                f"v{c}_{t} AS MATERIALIZED (SELECT i, w / nm AS v "
+                f"FROM w{c}_{t} CROSS JOIN n{c}_{t}), ",
+            ]
+        vf = f"v{c}_{n_iter}"
+        parts += [
+            f"lamv{c} AS (SELECT m{c}.i, sum(m{c}.c * {vf}.v) AS w "
+            f"FROM m{c} JOIN {vf} ON {vf}.i = m{c}.j GROUP BY 1), ",
+            f"lam{c} AS MATERIALIZED (SELECT sum(lamv{c}.w * {vf}.v) "
+            f"AS l FROM lamv{c} JOIN {vf} USING (i)), ",
+        ]
+        if c < k:
+            parts.append(
+                f"m{c + 1} AS MATERIALIZED (SELECT m{c}.i, m{c}.j, "
+                f"m{c}.c - lam{c}.l * va.v * vb.v AS c "
+                f"FROM m{c} CROSS JOIN lam{c} "
+                f"JOIN {vf} va ON va.i = m{c}.i "
+                f"JOIN {vf} vb ON vb.i = m{c}.j), "
+            )
+    selects = []
+    for c in range(1, k + 1):
+        vf = f"v{c}_{n_iter}"
+        cum = " + ".join(f"lam{j}.l" for j in range(1, c + 1))
+        froms = " ".join(
+            f"CROSS JOIN lam{j}" for j in range(1, c + 1)
+        )
+        selects.append(
+            f"SELECT {c} AS component, {vf}.i, "
+            f"round({vf}.v, 6) + 0.0 AS loading, "
+            f"round(lam{c}.l, 6) AS eigenvalue, "
+            f"round(lam{c}.l / t, 6) AS explained_ratio, "
+            f"round(({cum}) / t, 6) AS cum_explained "
+            f"FROM {vf} CROSS JOIN tr {froms}"
+        )
+    # strip the trailing ", " of the last CTE before the body
+    parts[-1] = parts[-1].rstrip(", ") + " "
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
 def _harmonic_oracle(max_hops: int = 3) -> str:
     """Unrolled hop-by-hop BFS over the item graph: each hop joins
     the previous frontier to the symmetric edge list and anti-joins
@@ -5837,6 +5908,17 @@ def q_mmd_drift(spark: SparkSession, sf: str) -> DataFrame:
     return mmd_drift(_t(spark, sf, "embeddings"), "label", 0, 1)
 
 
+def q_pca_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 principal components with Hotelling deflation
+    (operators/linalg.py::pca_components): the scree readout — per
+    (component, dim) loadings, eigenvalues, cumulative explained
+    variance; one fact scan, O(k d²) driver arithmetic, the full
+    deflation trajectory replayed as unrolled oracle CTEs."""
+    from gbif_filter_python_spark.operators.linalg import pca_components
+
+    return pca_components(_t(spark, sf, "embeddings"), k=2)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6144,6 +6226,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_eval": q_er_eval,
         "centroid_similarity": q_centroid_similarity,
         "mmd_drift": q_mmd_drift,
+        "pca_components": q_pca_components,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -7861,6 +7944,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pca_top_component": _pca_oracle(),
         "pca_project": _pca_oracle(project=True),
+        "pca_components": _pca_topk_oracle(k=2),
         "harmonic_centrality": _harmonic_oracle(3),
         "occurrence_source": (
             "SELECT CAST(taxon_key AS BIGINT) AS taxon_key, "

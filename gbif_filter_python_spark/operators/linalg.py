@@ -217,3 +217,71 @@ def pca_project(
             "pc1_score"
         ),
     )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    dim: int | None = None,
+    n_iter: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` principal components via power iteration with
+    Hotelling deflation: after extracting ``(v_c, λ_c)`` the matrix
+    deflates to ``C − λ_c v_c v_cᵀ`` and the iteration repeats — one
+    row per (component, dimension) with ``loading``, the component's
+    ``eigenvalue`` / ``explained_ratio`` and the running
+    ``cum_explained`` (the scree readout that answers "how many
+    dimensions does this embedding column really have"). Same
+    determinism contract as :func:`pca_top_component`: fixed
+    iterations on the driver's 6dp-rounded covariance from the
+    exact-dyadic init, so the full deflation trajectory — including
+    every intermediate UNROUNDED value — replays as SQL. Close
+    eigenvalue ties converge slowly (a power-method property, not an
+    instability): both engines walk the identical trajectory, so
+    cross-engine agreement holds regardless.
+
+    Scale shape: identical to pca_top_component — ONE fact scan
+    (partial-Gram reduce); everything after is O(k·d²) driver
+    arithmetic on a broadcast-scale matrix.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    d = max(r["j"] for r in rows) + 1
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimensionality d={d}")
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    trace = float(np.trace(C))
+    out = []
+    lam_sum = 0.0
+    for comp in range(1, k + 1):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(n_iter):
+            w = C @ v
+            v = w / np.linalg.norm(w)
+        lam = float(v @ (C @ v))
+        lam_sum += lam
+        for i in range(d):
+            out.append(
+                (
+                    comp,
+                    i,
+                    round(float(v[i]), round_dp) + 0.0,
+                    round(lam, round_dp),
+                    round(lam / trace, round_dp),
+                    round(lam_sum / trace, round_dp),
+                )
+            )
+        C = C - lam * np.outer(v, v)
+    return df.sparkSession.createDataFrame(
+        out,
+        "component int, i int, loading double, eigenvalue double, "
+        "explained_ratio double, cum_explained double",
+    )

@@ -253,3 +253,59 @@ class TestMmdDrift:
         )
         with _pytest.raises(ValueError):
             mmd_drift(df, "label", "a", "b", sigma=0.0)
+
+
+class TestPcaComponents:
+    def test_matches_numpy_top2_and_scree(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.operators.linalg import (
+            pca_components,
+        )
+
+        rng = np.random.default_rng(13)
+        # two strong planted axes with distinct variances + noise
+        n, d = 300, 6
+        t1 = rng.normal(0, 4.0, n)
+        t2 = rng.normal(0, 2.0, n)
+        a1 = np.array([1.0, 0, 0, 0, 0, 0])
+        a2 = np.array([0, 1.0, 0, 0, 0, 0])
+        x = np.outer(t1, a1) + np.outer(t2, a2) + rng.normal(0, 0.05, (n, d))
+        rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pca_components(df, k=2, dim=d).collect()
+        assert len(out) == 2 * d
+        xx = x.astype("float32").astype("float64")
+        c = np.cov(xx, rowvar=False, bias=True)
+        w, vecs = np.linalg.eigh(c)
+        by_comp = {}
+        for r in out:
+            by_comp.setdefault(r["component"], [None] * d)[r["i"]] = r
+        v1 = np.array([r["loading"] for r in by_comp[1]])
+        v2 = np.array([r["loading"] for r in by_comp[2]])
+        assert min(np.abs(v1 - vecs[:, -1]).max(), np.abs(v1 + vecs[:, -1]).max()) < 1e-2
+        assert min(np.abs(v2 - vecs[:, -2]).max(), np.abs(v2 + vecs[:, -2]).max()) < 1e-2
+        assert abs(by_comp[1][0]["eigenvalue"] - w[-1]) < 0.05
+        assert abs(by_comp[2][0]["eigenvalue"] - w[-2]) < 0.05
+        # components orthogonal; scree cumulative increases correctly
+        assert abs(float(v1 @ v2)) < 1e-3
+        cum2 = by_comp[2][0]["cum_explained"]
+        e1 = by_comp[1][0]["explained_ratio"]
+        e2 = by_comp[2][0]["explained_ratio"]
+        assert abs(cum2 - (e1 + e2)) < 1e-5
+        assert e1 > e2
+
+    def test_rejects_bad_k(self, spark):
+        import pytest as _pytest
+
+        from gbif_filter_python_spark.operators.linalg import (
+            pca_components,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            pca_components(df, k=0)
+        with _pytest.raises(ValueError):
+            pca_components(df, k=3, dim=2)
