@@ -108,3 +108,128 @@ def test_zone_precedence(country, with_geom):
     geom = "POLYGON((0 0, 1 0, 1 1, 0 0))" if with_geom else None
     z = resolve_zone(country, geom)
     assert isinstance(z, Country)  # country always wins (SURVEY §2-E fix)
+
+
+# ------------------------------------------------------------- r7 ops
+# Invariant properties for the round-7 statistics block. These are
+# SLOW-path (Spark round trip per example) so examples stay small.
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_t_closeness_tvd_bounds_and_t1_always_passes(spark, rows):
+    from gbif_filter_python_spark.operators.profile import t_closeness
+
+    df = spark.createDataFrame(rows, "g string, s string")
+    cls = t_closeness(df, ["g"], "s", mode="classes").collect()
+    assert all(0.0 <= r["tvd"] <= 1.0 for r in cls)
+    # TVD can never exceed 1, so t=1 always passes
+    s = t_closeness(df, ["g"], "s", t=1.0).first()
+    assert s["is_t_close"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=8,
+        max_size=30,
+    ).filter(
+        lambda rows: len({g for g, _ in rows}) == 2
+        and all(
+            sum(1 for g, _ in rows if g == side) >= 2
+            and len({v for g, v in rows if g == side}) >= 2
+            for side in ("x", "y")
+        )
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_anova_f_nonnegative_and_eta_in_unit_interval(spark, rows):
+    from gbif_filter_python_spark.operators.profile import anova_f
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = anova_f(df, "g", "v").collect()
+    assert r["f_stat"] >= 0.0
+    assert 0.0 <= r["eta_squared"] <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_pair_eval_confusion_identities(spark, pred, truth):
+    from gbif_filter_python_spark.operators.fuzzy import pair_eval
+
+    p = spark.createDataFrame(pred, "id_a long, id_b long")
+    t = spark.createDataFrame(truth, "id_a long, id_b long")
+    canon_p = {tuple(sorted(x)) for x in pred if x[0] != x[1]}
+    canon_t = {tuple(sorted(x)) for x in truth if x[0] != x[1]}
+    if not canon_p or not canon_t:
+        return  # degenerate: all self-pairs; metrics undefined
+    (r,) = pair_eval(p, t).collect()
+    assert r["n_pred"] == len(canon_p) and r["n_true"] == len(canon_t)
+    assert r["tp"] == len(canon_p & canon_t)
+    assert r["tp"] + r["fp"] == r["n_pred"]
+    assert r["tp"] + r["fn"] == r["n_true"]
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    assert r["f1"] <= 1.0 + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-5, 5),
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=3,
+        max_size=15,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_kendall_tau_bounds_and_antisymmetry(spark, rows):
+    from gbif_filter_python_spark.operators.profile import kendall_tau
+
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(rows, "x int, y double")
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    if len(set(xs)) < 2 or len(set(ys)) < 2:
+        return  # all-tied side: tau_b denominator is 0 -> NULL
+    (r,) = kendall_tau(df, "x", "y").collect()
+    assert -1.0 <= r["tau_b"] <= 1.0
+    # negating y flips the sign exactly (C and D swap)
+    (rneg,) = kendall_tau(
+        df.withColumn("y", -SF.col("y")), "x", "y"
+    ).collect()
+    assert abs(r["tau_b"] + rneg["tau_b"]) < 2e-6
+    assert (r["concordant"], r["discordant"]) == (
+        rneg["discordant"],
+        rneg["concordant"],
+    )
