@@ -5919,6 +5919,21 @@ def q_pca_components(spark: SparkSession, sf: str) -> DataFrame:
     return pca_components(_t(spark, sf, "embeddings"), k=2)
 
 
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the item-similarity graph
+    (operators/graph.py::degree_assortativity): the one-number probe
+    for whether hub caps will bind — Pearson corr of endpoint degrees
+    over both edge orientations; one degree agg + two broadcast
+    joins + a scalar corr."""
+    from gbif_filter_python_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(
+        _item_graph_edges(spark, sf), src_col="id_a", dst_col="id_b"
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6227,6 +6242,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_similarity": q_centroid_similarity,
         "mmd_drift": q_mmd_drift,
         "pca_components": q_pca_components,
+        "assortativity": q_assortativity,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -7946,6 +7962,20 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _pca_oracle(project=True),
         "pca_components": _pca_topk_oracle(k=2),
         "harmonic_centrality": _harmonic_oracle(3),
+        "assortativity": (
+            f"WITH {_ITEM_GRAPH_SQL}, "
+            "both_e AS (SELECT a, b FROM e "
+            "UNION ALL SELECT b AS a, a AS b FROM e), "
+            "deg AS (SELECT a AS n, count(*) AS deg "
+            "FROM both_e GROUP BY 1) "
+            "SELECT CAST(count(DISTINCT both_e.a) AS BIGINT) "
+            "AS n_nodes, "
+            "CAST(count(*) / 2 AS BIGINT) AS n_edges, "
+            "round(corr(CAST(da.deg AS DOUBLE), "
+            "CAST(db.deg AS DOUBLE)), 6) AS assortativity "
+            "FROM both_e JOIN deg da ON da.n = both_e.a "
+            "JOIN deg db ON db.n = both_e.b"
+        ),
         "occurrence_source": (
             "SELECT CAST(taxon_key AS BIGINT) AS taxon_key, "
             "CAST(occurrence_key AS BIGINT) AS occurrence_key, "

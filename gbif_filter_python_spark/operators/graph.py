@@ -829,3 +829,66 @@ def harmonic_centrality(
             F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): ONE row
+    ``(n_nodes, n_edges, assortativity)`` — the Pearson correlation
+    of endpoint degrees over all DIRECTED edge occurrences (each
+    undirected edge counted in both orientations, the standard
+    convention that makes the statistic symmetric). Positive =
+    hubs attach to hubs (social graphs); negative = hub-and-spoke
+    (similarity graphs with a few cosmopolitan items — exactly the
+    skew the hot-bucket caps in this module defend against, so this
+    is the one-number probe for whether those caps will bind).
+    Regular graphs (zero degree variance) yield NULL — undefined,
+    not 0, by Pearson semantics.
+
+    Scale shape: one degree aggregation, two broadcast joins of the
+    node-degree dimension onto the edge list, one scalar ``corr`` —
+    edges shuffle once on each endpoint key, nothing quadratic.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    both = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    j = both.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    x = F.col("_da").cast("double")
+    y = F.col("_db").cast("double")
+    agg = j.agg(
+        (F.count_distinct(F.col("a"))).alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.covar_samp(x, y).alias("_cov"),
+        F.stddev_samp(x).alias("_sx"),
+        F.stddev_samp(y).alias("_sy"),
+    )
+    # Pearson spelled out: Spark 4 ANSI mode makes corr() THROW on a
+    # zero-variance input (a regular graph) where the statistic is
+    # undefined — the guard returns NULL instead, matching DuckDB's
+    # corr and Pearson semantics.
+    r = F.when(
+        F.col("_sx") * F.col("_sy") > 0,
+        F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+    )
+    return agg.select(
+        "n_nodes",
+        "n_edges",
+        F.round(r, round_dp).alias("assortativity"),
+    )

@@ -258,6 +258,16 @@ def robust_outliers(
     )
 
 
+
+
+def _safe_corr(x, y):
+    """Pearson correlation that returns NULL (instead of ANSI-mode
+    corr()'s DIVIDE_BY_ZERO throw) when either side has zero
+    variance — DuckDB corr semantics, Pearson's undefined case."""
+    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    return F.when(sx * sy > 0, F.covar_samp(x, y) / (sx * sy))
+
+
 def chi2_independence(
     df: DataFrame,
     col_a: str,
@@ -1611,9 +1621,14 @@ def acf_lags(
     pairs = lags.crossJoin(a).join(
         b, F.col("b.rn") == F.col("a.rn") + F.col("lag")
     )
+    # Pearson spelled out: Spark 4 ANSI corr() THROWS on a constant
+    # (zero-variance) lag window where the statistic is undefined;
+    # the guard yields NULL — DuckDB corr's behavior.
     return pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.corr("a.v", "b.v"), round_dp).alias("acf"),
+        F.round(_safe_corr(F.col("a.v"), F.col("b.v")), round_dp).alias(
+            "acf"
+        ),
     )
 
 
@@ -2288,7 +2303,10 @@ def ccf_lags(
         pairs.groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr("va", "vb"), round_dp).alias("ccf"),
+            # _safe_corr: ANSI corr() throws on a constant window
+            F.round(_safe_corr(F.col("va"), F.col("vb")), round_dp).alias(
+                "ccf"
+            ),
         )
         .select("lag", "n_pairs", "ccf")
     )

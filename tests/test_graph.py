@@ -551,3 +551,40 @@ class TestHarmonicCentrality:
         }
         assert abs(got[4]["harmonic"] - (1 + 0.5 + 0.5)) < 1e-6
         assert got[4]["n_reached"] == 3
+
+
+class TestAssortativity:
+    def test_star_is_maximally_disassortative(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = [(0, i) for i in (1, 2, 3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        (r,) = degree_assortativity(df).collect()
+        assert (r["n_nodes"], r["n_edges"]) == (5, 4)
+        assert r["assortativity"] == -1.0
+
+    def test_regular_graph_undefined(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL, not 0
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        (r,) = degree_assortativity(df).collect()
+        assert r["assortativity"] is None
+
+    def test_two_cliques_bridged_positive_tendency(self, spark):
+        from gbif_filter_python_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        # two triangles joined by one bridge edge: like-degree nodes
+        # mostly attach to each other -> r > -1 and computable
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        (r,) = degree_assortativity(df).collect()
+        assert r["n_edges"] == 7
+        assert -1.0 < r["assortativity"] < 1.0

@@ -526,3 +526,22 @@ def test_ljung_box_matches_hand_formula(spark):
     q2 = n * (n + 2) * (r1**2 / (n - 1) + r2**2 / (n - 2))
     assert abs(got[2]["q"] - q2) < 1e-4
     assert got[2]["dof"] == 2
+
+
+def test_acf_and_ccf_constant_series_yield_null_not_crash(spark):
+    # ANSI corr() throws DIVIDE_BY_ZERO on zero variance; the _safe_corr
+    # guard must return NULL (DuckDB semantics) instead
+    rows = [(f"2024-03-{d:02d}", 5.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("d"), "v"
+    )
+    got = {r["lag"]: r["acf"] for r in acf_lags(df, "d", "v", 2).collect()}
+    assert got == {1: None, 2: None}
+    rows2 = [(f"2024-03-{d:02d}", "x") for d in range(1, 9)] + [
+        (f"2024-03-{d:02d}", "y") for d in range(1, 9)
+    ]
+    df2 = spark.createDataFrame(rows2, "d string, s string").select(
+        F.to_timestamp("d").alias("d"), "s"
+    )
+    out = {r["lag"]: r["ccf"] for r in ccf_lags(df2, "d", "s", "x", "y", max_lag=1).collect()}
+    assert out[0] is None  # constant daily counts -> undefined
