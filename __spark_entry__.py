@@ -7468,17 +7468,17 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keeper FROM canon GROUP BY 1"
         ),
         "bootstrap_ci": (
-            # Exact replay of resample.py::poisson_bootstrap_ci —
-            # same md5 -> uniform -> Poisson(1) inverse CDF, same
-            # thresholds, same type-7 percentile interpolation.
             "WITH ex AS (SELECT o_orderpriority AS grp, "
-            "o_totalprice AS val, "
-            "CAST(o_orderkey AS VARCHAR) AS rid, r.rep FROM orders "
-            "CROSS JOIN (SELECT unnest(range(30)) AS rep) r), "
-            "uu AS (SELECT grp, rep, val, "
-            "(('0x' || substring(md5(rid || '|' || "
-            "CAST(rep AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) "
-            "AS u FROM ex), "
+            "o_totalprice AS val, CAST(o_orderkey AS VARCHAR) AS rid, "
+            "b.blk FROM orders CROSS JOIN "
+            "(SELECT unnest(range(8)) AS blk) b), "
+            "hh AS (SELECT grp, val, blk, "
+            "md5(rid || '|' || CAST(blk AS VARCHAR)) AS h FROM ex), "
+            "lanes AS (SELECT grp, val, "
+            "blk * 4 + l.lane AS rep, "
+            "(('0x' || substring(h, l.lane * 8 + 1, 8))::BIGINT "
+            "/ 4294967296.0) AS u FROM hh CROSS JOIN "
+            "(SELECT CAST(unnest(range(4)) AS INT) AS lane) l), "
             "pw AS (SELECT grp, rep, val, "
             "CASE WHEN u < 0.36787944117144233 THEN 0 "
             "WHEN u < 0.7357588823428847 THEN 1 "
@@ -7488,7 +7488,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN u < 0.9994058151824183 THEN 5 "
             "WHEN u < 0.9999167588507119 THEN 6 "
             "WHEN u < 0.9999897508637437 THEN 7 ELSE 8 END AS w "
-            "FROM uu), "
+            "FROM lanes WHERE rep < 30), "
             "rm AS (SELECT grp, rep, "
             "sum(w * val) / nullif(sum(w), 0) AS rep_mean, "
             "count(*) AS n_rows FROM pw GROUP BY 1, 2), "

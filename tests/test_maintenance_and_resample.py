@@ -85,8 +85,11 @@ def test_canonicalize_malformed_degrades(spark):
 
 
 def _py_poisson_weight(rid: str, rep: int) -> int:
-    """Pure-Python replay of the md5 -> uniform -> inverse-CDF draw."""
-    u = int(hashlib.md5(f"{rid}|{rep}".encode()).hexdigest()[:8], 16) / 2**32
+    """Pure-Python replay of the block/lane md5 draw: replica r reads
+    lane r%4 (8 hex chars) of md5(rid|block r//4)."""
+    blk, lane = rep // 4, rep % 4
+    hx = hashlib.md5(f"{rid}|{blk}".encode()).hexdigest()
+    u = int(hx[8 * lane : 8 * lane + 8], 16) / 2**32
     for k, c in enumerate(POISSON1_CDF):
         if u < c:
             return k
