@@ -5773,7 +5773,10 @@ def q_occurrence_source(spark: SparkSession, sf: str) -> DataFrame:
     DataSourceV2 item): hermetic scripted transport, taxon IN-list +
     country equality consumed by pushFilters into per-taxon REST
     partitions; the oracle is the literal expected relation. sf-dir
-    independent by design (the source reads an API, not parquet)."""
+    independent by design (the source reads an API, not parquet).
+    Bench note: its ~8 s is FIXED Python-DataSource bootstrap (plan
+    worker + one Python worker per partition), invariant in data
+    size — the per-record cost is the REST transport itself."""
     import json as _json
 
     from gbif_filter_python_spark.sources.occurrence_source import (
