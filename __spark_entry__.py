@@ -7785,7 +7785,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(cells.c, 0) / CAST(cls.cn AS DOUBLE) "
             "- gd.gc / CAST(gtot.gn AS DOUBLE) AS dd "
             "FROM cls CROSS JOIN gd CROSS JOIN gtot "
-            "LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey "
+            "LEFT JOIN cells ON cells.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey "
             "AND cells.s = gd.s) "
             "SELECT c_nationkey, "
             "CAST(any_value(cn) AS BIGINT) AS class_size, "
@@ -7809,7 +7809,7 @@ def oracle_sql() -> dict[str, str]:
             "per AS (SELECT method, CAST(count(*) AS BIGINT) AS n, "
             "avg(abs(v - fcst)) AS mae, "
             "sqrt(avg((v - fcst) * (v - fcst))) AS rmse, "
-            "avg(2 * abs(v - fcst) / (abs(v) + abs(fcst))) AS smape "
+            "avg(CASE WHEN abs(v) + abs(fcst) > 0 THEN 2 * abs(v - fcst) / (abs(v) + abs(fcst)) ELSE 0 END) AS smape "
             "FROM s GROUP BY 1), "
             "nm AS (SELECT mae AS nmae FROM per "
             "WHERE method = 'naive') "
@@ -7897,11 +7897,11 @@ def oracle_sql() -> dict[str, str]:
             "AS rnk FROM shared), "
             "topk AS (SELECT * FROM res WHERE rnk <= 10), "
             "dcg AS (SELECT t.query_id, "
-            "sum((pow(2, q.rel) - 1) / log2(t.rnk + 1)) AS dcg "
+            "sum(greatest(0, pow(2, q.rel) - 1) / log2(t.rnk + 1)) AS dcg "
             "FROM topk t JOIN qrels q ON q.query_id = t.query_id "
             "AND q.doc_id = t.doc_id GROUP BY 1), "
             "ideal AS (SELECT query_id, "
-            "sum((pow(2, rel) - 1) / log2(ir + 1)) AS idcg FROM ("
+            "sum(greatest(0, pow(2, rel) - 1) / log2(ir + 1)) AS idcg FROM ("
             "SELECT query_id, rel, doc_id, row_number() OVER ("
             "PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) "
             "AS ir FROM qrels) WHERE ir <= 10 GROUP BY 1), "

@@ -803,9 +803,18 @@ def did_estimate(
         cell(1, 0, "_m").alias("_t0"),
         cell(1, 1, "_m").alias("_t1"),
         F.sum(F.col("_v") / F.col("_n")).alias("_se2"),
+        # var_samp is NULL for a singleton cell and F.sum SKIPS
+        # nulls — track whether every cell contributed so a
+        # degenerate cell yields NULL se (loud), not a silently
+        # understated one
+        F.count(F.col("_v")).alias("_nv"),
+        F.count(F.lit(1)).alias("_nc"),
     )
     did = (F.col("_t1") - F.col("_t0")) - (F.col("_c1") - F.col("_c0"))
-    se = F.sqrt(F.col("_se2"))
+    se = F.when(
+        F.col("_nv") == F.col("_nc"), F.sqrt(F.col("_se2"))
+    )
+    t_stat = F.when(se > 0, did / se)
     return agg.select(
         F.col("n").cast("long").alias("n"),
         F.round("_c0", 2).alias("mean_c_pre"),
@@ -814,7 +823,7 @@ def did_estimate(
         F.round("_t1", 2).alias("mean_t_post"),
         F.round(did, 2).alias("did"),
         F.round(se, 2).alias("se"),
-        F.round(did / se, round_dp).alias("t_stat"),
+        F.round(t_stat, round_dp).alias("t_stat"),
     )
 
 

@@ -757,6 +757,31 @@ def calibration_bins(
     )
 
 
+def _equal_width_bins(df, feature_col, label_col, n_bins):
+    """Shared binning stage of woe_iv / best_split_stump: NULL-filter,
+    broadcast min/max bounds, equal-width bin id with both ends
+    clamped and the constant-feature single-bin degenerate case."""
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    bounds = base.agg(F.min(x).alias("_mn"), F.max(x).alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / float(n_bins)
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor((x - F.col("_mn")) / width).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            )
+        )
+        .alias("bin"),
+        y.alias("_y"),
+    )
+
+
 def woe_iv(
     df: DataFrame,
     feature_col: str,
@@ -793,27 +818,7 @@ def woe_iv(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if smoothing < 0:
         raise ValueError(f"smoothing must be >= 0, got {smoothing}")
-    x = F.col(feature_col).cast("double")
-    y = F.col(label_col).cast("int")
-    base = df.filter(x.isNotNull() & y.isNotNull())
-    bounds = base.agg(
-        F.min(x).alias("_mn"), F.max(x).alias("_mx")
-    )
-    width = (F.col("_mx") - F.col("_mn")) / float(n_bins)
-    binned = base.crossJoin(F.broadcast(bounds)).select(
-        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
-        .otherwise(
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.floor((x - F.col("_mn")) / width).cast("int"),
-                    F.lit(n_bins - 1),
-                ),
-            )
-        )
-        .alias("bin"),
-        y.alias("_y"),
-    )
+    binned = _equal_width_bins(df, feature_col, label_col, n_bins)
     g = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_y").alias("n_pos"),
@@ -824,13 +829,21 @@ def woe_iv(
     neg_t = F.sum("n_neg").over(w).cast("double")
     nb = F.count(F.lit(1)).over(w).cast("double")
     s = float(smoothing)
-    woe = F.log(
-        ((F.col("n_pos") + s) / (pos_t + s * nb))
-        / ((F.col("n_neg") + s) / (neg_t + s * nb))
+    # single-class label (pos_t or neg_t == 0): WOE/IV are undefined
+    # for the TABLE (smoothing only rescues empty BINS) — emit NULL
+    # instead of the ANSI DIVIDE_BY_ZERO crash the raw ratios cause
+    defined = (pos_t > 0) & (neg_t > 0)
+    woe = F.when(
+        defined,
+        F.log(
+            ((F.col("n_pos") + s) / (pos_t + s * nb))
+            / ((F.col("n_neg") + s) / (neg_t + s * nb))
+        ),
     )
-    contrib = (
-        F.col("n_pos") / pos_t - F.col("n_neg") / neg_t
-    ) * woe
+    contrib = F.when(
+        defined,
+        (F.col("n_pos") / pos_t - F.col("n_neg") / neg_t) * woe,
+    )
     scored = g.select(
         "bin",
         "n",
@@ -918,15 +931,24 @@ def lift_table(
     overall = F.col("_p") / F.col("_n").cast("double")
     cum_pos = F.sum("n_pos").over(cw)
     cum_n = F.sum("n").over(cw)
+    # zero positives anywhere: lift/capture are undefined (0/0) —
+    # NULL, not an ANSI DIVIDE_BY_ZERO crash; exactly the no-responder
+    # cohort a lift table gets consulted on
+    has_pos = F.col("_p") > 0
     return g.select(
         "bucket",
         "n",
         "n_pos",
         F.round(rate, round_dp).alias("response_rate"),
-        F.round(rate / overall, round_dp).alias("lift"),
-        F.round(cum_pos / F.col("_p"), round_dp).alias("cum_capture"),
+        F.round(F.when(has_pos, rate / overall), round_dp).alias(
+            "lift"
+        ),
+        F.round(F.when(has_pos, cum_pos / F.col("_p")), round_dp).alias(
+            "cum_capture"
+        ),
         F.round(
-            (cum_pos / cum_n.cast("double")) / overall, round_dp
+            F.when(has_pos, (cum_pos / cum_n.cast("double")) / overall),
+            round_dp,
         ).alias("cum_lift"),
     )
 
@@ -962,25 +984,7 @@ def best_split_stump(
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    x = F.col(feature_col).cast("double")
-    y = F.col(label_col).cast("int")
-    base = df.filter(x.isNotNull() & y.isNotNull())
-    bounds = base.agg(F.min(x).alias("_mn"), F.max(x).alias("_mx"))
-    width = (F.col("_mx") - F.col("_mn")) / float(n_bins)
-    binned = base.crossJoin(F.broadcast(bounds)).select(
-        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
-        .otherwise(
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.floor((x - F.col("_mn")) / width).cast("int"),
-                    F.lit(n_bins - 1),
-                ),
-            )
-        )
-        .alias("bin"),
-        y.alias("_y"),
-    )
+    binned = _equal_width_bins(df, feature_col, label_col, n_bins)
     g = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
     )

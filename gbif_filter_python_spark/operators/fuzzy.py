@@ -286,8 +286,25 @@ def pair_eval(
     np_ = p.agg(F.count(F.lit(1)).alias("n_pred"))
     nt = t.agg(F.count(F.lit(1)).alias("n_true"))
     out = tp.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nt))
-    prec = F.col("tp") / F.col("n_pred").cast("double")
-    rec = F.col("tp") / F.col("n_true").cast("double")
+    # an empty predicted (or truth) set leaves its ratio undefined —
+    # NULL, not an ANSI DIVIDE_BY_ZERO crash (a threshold that yields
+    # zero 'match' decisions is a routine matcher outcome); f1 is
+    # NULL whenever either side is undefined, 0 when defined but
+    # pointless
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.col("tp") / F.col("n_true").cast("double"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull(),
+        F.when(
+            prec + rec > 0, 2 * prec * rec / (prec + rec)
+        ).otherwise(0.0),
+    )
     return out.select(
         "n_true",
         "n_pred",
@@ -296,10 +313,5 @@ def pair_eval(
         (F.col("n_true") - F.col("tp")).alias("fn"),
         F.round(prec, round_dp).alias("precision"),
         F.round(rec, round_dp).alias("recall"),
-        F.round(
-            F.when(
-                prec + rec > 0, 2 * prec * rec / (prec + rec)
-            ).otherwise(0.0),
-            round_dp,
-        ).alias("f1"),
+        F.round(f1, round_dp).alias("f1"),
     )

@@ -91,6 +91,21 @@ def covariance_matrix(
     )
 
 
+def _collect_cov(df: DataFrame, vec_col: str, dim: int | None):
+    """Collect the 6dp-rounded covariance as BOUNDED driver model
+    state (d(d+1)/2 rows) and rebuild the full symmetric matrix —
+    the shared front end of every PCA entry point."""
+    import numpy as np
+
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    return C, d
+
+
 def _power_iterate(
     df: DataFrame,
     vec_col: str,
@@ -113,12 +128,7 @@ def _power_iterate(
     """
     import numpy as np
 
-    rows = covariance_matrix(df, vec_col, dim).collect()
-    d = max(r["j"] for r in rows) + 1
-    C = np.zeros((d, d))
-    for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
+    C, d = _collect_cov(df, vec_col, dim)
     v = np.full(d, 1.0 / np.sqrt(d))
     for _ in range(n_iter):
         w = C @ v
@@ -250,14 +260,9 @@ def pca_components(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    rows = covariance_matrix(df, vec_col, dim).collect()
-    d = max(r["j"] for r in rows) + 1
+    C, d = _collect_cov(df, vec_col, dim)
     if k > d:
         raise ValueError(f"k={k} exceeds dimensionality d={d}")
-    C = np.zeros((d, d))
-    for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
     trace = float(np.trace(C))
     out = []
     lam_sum = 0.0

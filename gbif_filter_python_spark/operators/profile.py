@@ -1861,17 +1861,17 @@ def mann_kendall(
     daily = df.groupBy(
         F.to_date(F.col(ts_col)).alias("d")
     ).agg(F.sum(value_col).alias("v"))
-    from gbif_filter_python_spark.operators.dedup import (
-        _ensure_parallelism,
-    )
-
     ranked = daily.withColumn(
         "rn", F.row_number().over(Window.orderBy("d"))
     ).select("rn", "v")
-    # the series exits the rank window in ONE partition; without the
-    # repartition the O(days²) pair join runs as a single task
-    # (measured 11 s at 2400 days — 4× the parallel form)
-    a = _ensure_parallelism(ranked).alias("a")
+    # the series exits the rank window in ONE partition REGARDLESS of
+    # the input layout (a global-order window is single-partition by
+    # construction), so the repartition must be unconditional —
+    # _ensure_parallelism keys off input FILE count and misfires on
+    # multi-file sources. Measured 11 s single-task at 2400 days vs
+    # ~3 s parallel.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = ranked.repartition(par).alias("a")
     b = ranked.alias("b")
     pairs = a.join(b, F.col("b.rn") > F.col("a.rn"))
     slope = (F.col("b.v") - F.col("a.v")) / (
@@ -1995,8 +1995,19 @@ def anova_f(
             "ssw"
         ),
     )
-    fstat = (F.col("ssb") / (F.col("k") - 1)) / (
-        F.col("ssw") / (F.col("nn") - F.col("k"))
+    # degenerate designs yield NULL statistics, not an ANSI
+    # DIVIDE_BY_ZERO crash: k=1 (no between df), every-group-singleton
+    # (no within df) or zero within-variance leave F undefined
+    fstat = F.when(
+        (F.col("k") > 1)
+        & (F.col("nn") > F.col("k"))
+        & (F.col("ssw") > 0),
+        (F.col("ssb") / (F.col("k") - 1))
+        / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+    )
+    eta = F.when(
+        F.col("ssb") + F.col("ssw") > 0,
+        F.col("ssb") / (F.col("ssb") + F.col("ssw")),
     )
     return agg.select(
         F.col("k").cast("int").alias("k_groups"),
@@ -2004,9 +2015,7 @@ def anova_f(
         (F.col("k") - 1).cast("int").alias("df_between"),
         (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
         F.round(fstat, round_dp).alias("f_stat"),
-        F.round(
-            F.col("ssb") / (F.col("ssb") + F.col("ssw")), round_dp
-        ).alias("eta_squared"),
+        F.round(eta, round_dp).alias("eta_squared"),
     )
 
 
@@ -2038,9 +2047,12 @@ def levene_test(
         .groupBy(F.col(group_col).alias("grp"))
         .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("med"))
     )
+    # eqNullSafe: anova_f treats a NULL group as a group of its own
+    # (groupBy semantics); a plain equality join here would silently
+    # drop those rows and the two tests would disagree on n
     z = df.filter(F.col(value_col).isNotNull()).join(
         F.broadcast(meds),
-        F.col(group_col) == F.col("grp"),
+        F.col(group_col).eqNullSafe(F.col("grp")),
     )
     zdf = z.select(
         "grp", F.abs(F.col(value_col) - F.col("med")).alias("z")
@@ -2101,18 +2113,28 @@ def t_closeness(
     cls = cells.groupBy(*quasi_cols).agg(F.sum("_c").alias("_cn"))
     glob = cells.groupBy("_s").agg(F.sum("_c").alias("_gc"))
     gtot = glob.agg(F.sum("_gc").alias("_gn"))
-    grid = (
+    # eqNullSafe on the quasi keys: a NULL quasi-value is a CLASS
+    # (the k_anonymity contract) — a plain equi-join drops it from
+    # the grid and silently charges the full |0 − q_s| penalty for
+    # every sensitive value (reported tvd 0.5 for a class identical
+    # to the global distribution).
+    left = (
         cls.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(gtot))
-        .join(cells, [*quasi_cols, "_s"], "left")
-        .select(
-            *quasi_cols,
-            "_cn",
-            (
-                F.coalesce(F.col("_c"), F.lit(0)) / F.col("_cn")
-                - F.col("_gc") / F.col("_gn")
-            ).alias("_d"),
+        .alias("L")
+    )
+    join_cond = F.col("L._s") == F.col("R._s")
+    for qc in quasi_cols:
+        join_cond = join_cond & F.col(f"L.{qc}").eqNullSafe(
+            F.col(f"R.{qc}")
         )
+    grid = left.join(cells.alias("R"), join_cond, "left").select(
+        *[F.col(f"L.{qc}").alias(qc) for qc in quasi_cols],
+        F.col("L._cn").alias("_cn"),
+        (
+            F.coalesce(F.col("R._c"), F.lit(0)) / F.col("L._cn")
+            - F.col("L._gc") / F.col("L._gn")
+        ).alias("_d"),
     )
     per_class = grid.groupBy(*quasi_cols).agg(
         F.first("_cn").alias("class_size"),
@@ -2188,13 +2210,15 @@ def forecast_eval(
         ),
     )
     err = F.abs(F.col("v") - F.col("fcst"))
+    denom = F.abs(F.col("v")) + F.abs(F.col("fcst"))
+    # both-zero days: the sMAPE term is 0 by convention (and ANSI
+    # mode would otherwise crash on the exact-zero denominator)
+    sterm = F.when(denom > 0, 2.0 * err / denom).otherwise(0.0)
     per = stacked.groupBy("method").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(err).alias("_mae"),
         F.sqrt(F.avg(err * err)).alias("_rmse"),
-        F.avg(
-            2.0 * err / (F.abs(F.col("v")) + F.abs(F.col("fcst")))
-        ).alias("_smape"),
+        F.avg(sterm).alias("_smape"),
     )
     nmae = per.filter(F.col("method") == "naive").select(
         F.col("_mae").alias("_nmae")
@@ -2559,9 +2583,15 @@ def kendall_tau(
             "concordant",
             "discordant",
             F.round(
-                (F.col("concordant") - F.col("discordant"))
-                / F.sqrt(
-                    (n0 - F.col("_n1")) * (n0 - F.col("_n2"))
+                # constant x or y: every pair ties on that side, the
+                # denominator is exactly 0 and tau_b is undefined —
+                # NULL, not an ANSI DIVIDE_BY_ZERO crash
+                F.when(
+                    (n0 - F.col("_n1")) * (n0 - F.col("_n2")) > 0,
+                    (F.col("concordant") - F.col("discordant"))
+                    / F.sqrt(
+                        (n0 - F.col("_n1")) * (n0 - F.col("_n2"))
+                    ),
                 ),
                 round_dp,
             ).alias("tau_b"),

@@ -451,7 +451,13 @@ def ndcg_at_k(
     per-query sort, on the qrels table, never the corpus) truncated
     at k; two query-key aggregations close it out.
     """
-    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    # clamp: 2^rel − 1 is NEGATIVE for rel < 0, which would let a
+    # badly-graded qrel SUBTRACT from DCG — rel <= 0 must mean zero
+    # gain, as documented
+    gain = F.greatest(
+        F.lit(0.0),
+        F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0,
+    )
     topk = results.filter(F.col(rank_col) <= k)
     dcg = (
         topk.join(qrels, [query_col, doc_col])

@@ -1030,11 +1030,17 @@ def centroid_similarity(
     their own projection so each is computed once, not once per pair.
     """
     if dim is None:
-        dim = len(
+        probe = (
             df.select(vec_col)
             .filter(F.col(vec_col).isNotNull())
-            .first()[0]
+            .first()
         )
+        if probe is None:
+            raise ValueError(
+                f"cannot infer dim: {vec_col!r} is entirely NULL — "
+                "pass dim explicitly"
+            )
+        dim = len(probe[0])
     base = df.filter(
         F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
     )

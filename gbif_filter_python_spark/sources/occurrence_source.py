@@ -199,19 +199,28 @@ class GbifOccurrencesReader(DataSourceReader):
 
     # -- planning -------------------------------------------------------
     def partitions(self) -> list[InputPartition]:
-        if not self.keys:
+        if self.keys is None:
             raise ValueError(
                 "gbif_occurrences is an unbounded paged API: provide a "
                 "taxon_keys option or an equality/IN filter on "
                 "taxon_key (pushdown requires "
                 "spark.sql.python.filterPushdown.enabled=true)"
             )
+        # keys == [] is NOT unconstrained: it's an empty pushdown
+        # intersection (e.g. option keys 1,2 filtered to key 3) and
+        # the correct answer is an empty scan, not an error. Spark
+        # still calls read() once when the partition list is empty,
+        # so emit one explicit empty-sentinel partition.
+        if not self.keys:
+            return [InputPartition(None)]
         # one partition per taxon: fetches parallelize across workers,
         # each worker throttled independently (gbif_rest contract)
         return [InputPartition(int(k)) for k in sorted(set(self.keys))]
 
     # -- execution ------------------------------------------------------
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None or partition.value is None:
+            return  # empty-intersection sentinel: zero rows
         spec = self.options.get(
             "fetch_factory",
             "gbif_filter_python_spark.sources.occurrence_source:"

@@ -727,3 +727,20 @@ class TestKendallTau:
         )
         with _pytest.raises(ValueError, match="max_rows"):
             kendall_tau(df, "x", "y", max_rows=10)
+
+
+    def test_did_singleton_cell_yields_null_se_not_understated(self, spark):
+        from gbif_filter_python_spark.operators.analytics import (
+            did_estimate,
+        )
+
+        rows = [
+            (0, 0, 9.0), (0, 0, 11.0),
+            (0, 1, 11.0), (0, 1, 13.0),
+            (1, 0, 19.0), (1, 0, 21.0),
+            (1, 1, 26.0),  # singleton treated-post cell
+        ]
+        df = spark.createDataFrame(rows, "g int, p int, v double")
+        (r,) = did_estimate(df, "g", "p", "v").collect()
+        assert r["did"] is not None  # means are all defined
+        assert r["se"] is None and r["t_stat"] is None  # loud, not wrong

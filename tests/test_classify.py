@@ -647,3 +647,25 @@ class TestBestSplitStump:
             False,
             False,
         ]
+
+
+class TestDegenerateLabels:
+    def test_woe_iv_single_class_yields_null_not_crash(self, spark):
+        from gbif_filter_python_spark.operators.classify import woe_iv
+
+        df = spark.createDataFrame(
+            [(float(i), 1) for i in range(20)], "x double, y int"
+        )
+        out = woe_iv(df, "x", "y", n_bins=4).collect()
+        assert out and all(r["woe"] is None and r["iv"] is None for r in out)
+
+    def test_lift_table_zero_positives_yields_null_not_crash(self, spark):
+        from gbif_filter_python_spark.operators.classify import lift_table
+
+        df = spark.createDataFrame(
+            [(float(i), 0, i) for i in range(20)], "s double, y int, id long"
+        )
+        out = lift_table(df, "s", "y", "id", n_buckets=4).collect()
+        assert len(out) == 4
+        assert all(r["lift"] is None and r["cum_capture"] is None for r in out)
+        assert all(r["response_rate"] == 0.0 for r in out)

@@ -357,3 +357,14 @@ class TestPairEval:
         truth = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
         (r,) = pair_eval(pred, truth).collect()
         assert r["tp"] == 0 and r["f1"] == 0.0
+
+
+    def test_empty_prediction_set_yields_null_precision(self, spark):
+        from gbif_filter_python_spark.operators.fuzzy import pair_eval
+
+        pred = spark.createDataFrame([(3, 3)], "id_a long, id_b long")
+        truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        (r,) = pair_eval(pred, truth).collect()  # pred canonicalizes empty
+        assert r["n_pred"] == 0
+        assert r["precision"] is None and r["f1"] is None
+        assert r["recall"] == 0.0

@@ -193,3 +193,10 @@ class TestScriptedFetch:
         assert len(f(100, "FR", None, 1)) == 1
         assert f(100, None, None, 10)[0]["country"] == "DE"
         assert f(999, "FR", None, 10) == []
+
+    def test_empty_pushdown_intersection_is_empty_scan(self, pushdown, tmp_path):
+        # option keys {100,200} intersected with filter key 300 -> []
+        # is a CONSTRAINED-but-empty scan: 0 rows, not an error
+        r, _ = _reader(pushdown, tmp_path, taxon_keys="100,200")
+        df = r.load().filter(F.col("taxon_key") == 300)
+        assert df.count() == 0

@@ -545,3 +545,61 @@ def test_acf_and_ccf_constant_series_yield_null_not_crash(spark):
     )
     out = {r["lag"]: r["ccf"] for r in ccf_lags(df2, "d", "s", "x", "y", max_lag=1).collect()}
     assert out[0] is None  # constant daily counts -> undefined
+
+
+# ------------------------------------------------------- review fixes
+# Degenerate-input regression tests: every statistic must yield NULL
+# (or the documented convention), never an ANSI DIVIDE_BY_ZERO crash.
+
+
+def test_anova_degenerate_designs_yield_null(spark):
+    one_group = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 5.0)], "g string, v double"
+    )
+    (r,) = anova_f(one_group, "g", "v").collect()
+    assert r["f_stat"] is None and r["k_groups"] == 1
+    singletons = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("C", 5.0)], "g string, v double"
+    )
+    (r2,) = anova_f(singletons, "g", "v").collect()
+    assert r2["f_stat"] is None
+
+
+def test_forecast_eval_both_zero_days_use_smape_convention(spark):
+    rows = [(f"2024-01-0{i + 1}", v) for i, v in enumerate(
+        [0.0, 0.0, 0.0, 5.0, 0.0, 0.0]
+    )]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("d"), "v"
+    )
+    out = {r["method"]: r for r in forecast_eval(df, "d", "v", season=2).collect()}
+    # day 3 actual 0, naive forecast 0 -> term 0 by convention, no crash
+    assert out["naive"]["smape"] is not None
+
+
+def test_t_closeness_null_quasi_class_scored_correctly(spark):
+    from gbif_filter_python_spark.operators.profile import t_closeness
+
+    rows = [("A", "s1"), ("A", "s2"), (None, "s1"), (None, "s2")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r["tvd"] for r in t_closeness(df, ["q"], "s", mode="classes").collect()}
+    # both classes match the global 50/50 split exactly -> tvd 0,
+    # including the NULL class (was 0.5 via the equi-join bug)
+    assert got == {"A": 0.0, None: 0.0}
+
+
+def test_kendall_constant_column_yields_null(spark):
+    from gbif_filter_python_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0)], "x int, y double"
+    )
+    (r,) = kendall_tau(df, "x", "y").collect()
+    assert r["tau_b"] is None
+
+
+def test_levene_counts_null_group_like_anova(spark):
+    rows = [("A", 1.0), ("A", 5.0), (None, 2.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = levene_test(df, "g", "v").collect()
+    assert r["n"] == 4 and r["k_groups"] == 2
