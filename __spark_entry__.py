@@ -5937,6 +5937,21 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted price quantiles over lineitem
+    (operators/profile.py::weighted_quantiles): exact lower weighted
+    quantiles via a distributed prefix sum — range shuffle +
+    partition-offset broadcast, never a single-partition window;
+    integral weights make the threshold comparison bit-exact."""
+    from gbif_filter_python_spark.operators.profile import (
+        weighted_quantiles,
+    )
+
+    return weighted_quantiles(
+        _t(spark, sf, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6246,6 +6261,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_drift": q_mmd_drift,
         "pca_components": q_pca_components,
         "assortativity": q_assortativity,
+        "weighted_quantiles": q_weighted_quantiles,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
     }
@@ -7965,6 +7981,18 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _pca_oracle(project=True),
         "pca_components": _pca_topk_oracle(k=2),
         "harmonic_centrality": _harmonic_oracle(3),
+        "weighted_quantiles": (
+            "WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, "
+            "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL AND l_quantity > 0), "
+            "t AS (SELECT sum(w) AS W FROM b), "
+            "c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cumw "
+            "FROM b), "
+            "qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q) "
+            "SELECT q, round(min(v), 6) AS value "
+            "FROM c CROSS JOIN t JOIN qq ON cumw >= q * W GROUP BY 1"
+        ),
         "assortativity": (
             f"WITH {_ITEM_GRAPH_SQL}, "
             "both_e AS (SELECT a, b FROM e "

@@ -2682,3 +2682,83 @@ def ljung_box(
         F.round(q, round_dp).alias("q"),
         F.col("lag").alias("dof"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact weighted quantiles at fact scale: one row ``(q, value)``
+    per requested quantile, where ``value`` is the smallest v whose
+    cumulative weight reaches ``q·W`` (the lower weighted-quantile
+    convention — deterministic, no interpolation ambiguity across
+    engines). The primitive behind quantity-weighted price bands,
+    token-weighted doc-length cuts and importance-weighted score
+    thresholds, none of which plain ``percentile`` answers.
+
+    Scale shape — a distributed prefix sum, never a single-partition
+    window: ``repartitionByRange(value)`` + in-partition sort gives a
+    total order across partitions; the bit-split monotonic id yields
+    each row's partition and ROWS-frame local cumulative weight; the
+    per-partition weight totals (one tiny agg) become exclusive
+    prefix offsets broadcast back, so ``cumw = offset + local_cum``.
+    Selection is a broadcast join of the k-row quantile frame and one
+    min() per q. Rows-frame vs the SQL twin's RANGE-frame peer
+    handling differ per-row on ties but provably agree on the min-v
+    selection (the last peer of any value carries the full
+    range-frame sum). Zero/negative weights and NULLs are excluded;
+    an all-excluded input yields an empty frame.
+
+    Determinism caveat: with INTEGRAL weights (counts, quantities,
+    token counts — the common case) every cumulative sum is exact in
+    float64 and the q·W threshold comparison is bit-deterministic
+    cross-engine. Fractional weights reintroduce summation-order
+    noise at the boundary row; if that matters, scale to integers
+    first.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    base = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(
+        F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0)
+    )
+    ranged = base.repartitionByRange("v").sortWithinPartitions("v")
+    mid = ranged.withColumn("_mid", F.monotonically_increasing_id())
+    parts = mid.withColumn(
+        "_pid", F.shiftrightunsigned("_mid", 33).cast("long")
+    )
+    wloc = Window.partitionBy("_pid").orderBy("_mid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = parts.withColumn("_lc", F.sum("w").over(wloc))
+    totals = parts.groupBy("_pid").agg(F.sum("w").alias("_pw"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_pw").over(woff), F.lit(0.0)).alias("_off"),
+    )
+    cum = local.join(F.broadcast(offsets), "_pid").select(
+        "v", (F.col("_off") + F.col("_lc")).alias("_cumw")
+    )
+    spark = df.sparkSession
+    qf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    tot = base.agg(F.sum("w").alias("_W"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .join(qf, F.col("_cumw") >= F.col("q") * F.col("_W"))
+        .groupBy("q")
+        .agg(F.round(F.min("v"), round_dp).alias("value"))
+    )

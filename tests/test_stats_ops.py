@@ -603,3 +603,44 @@ def test_levene_counts_null_group_like_anova(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     (r,) = levene_test(df, "g", "v").collect()
     assert r["n"] == 4 and r["k_groups"] == 2
+
+
+def test_weighted_quantiles_hand_example_and_tie_handling(spark):
+    from gbif_filter_python_spark.operators.profile import (
+        weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1,1,6,2 (W=10):
+    # cum: 1->1, 2->2, 3->8, 4->10
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 6.0), (4.0, 2.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", qs=(0.1, 0.2, 0.5, 0.8, 1.0)).collect()
+    }
+    assert got == {0.1: 1.0, 0.2: 2.0, 0.5: 3.0, 0.8: 3.0, 1.0: 4.0}
+    # duplicated values: peers must not split the selection
+    rows2 = [(5.0, 3.0), (5.0, 3.0), (9.0, 4.0)]
+    df2 = spark.createDataFrame(rows2, "v double, w double")
+    got2 = {
+        r["q"]: r["value"]
+        for r in weighted_quantiles(df2, "v", "w", qs=(0.5, 0.7)).collect()
+    }
+    assert got2 == {0.5: 5.0, 0.7: 9.0}
+
+
+def test_weighted_quantiles_excludes_nonpositive_and_guards(spark):
+    import pytest as _pytest
+
+    from gbif_filter_python_spark.operators.profile import (
+        weighted_quantiles,
+    )
+
+    rows = [(1.0, 0.0), (2.0, -1.0), (3.0, 2.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {r["q"]: r["value"] for r in weighted_quantiles(df, "v", "w", qs=(0.5,)).collect()}
+    assert got == {0.5: 3.0}  # only the positive-weight row counts
+    with _pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", qs=())
+    with _pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", qs=(0.0,))
