@@ -290,3 +290,31 @@ def test_rotation_schedule_covers_every_query():
     for r in range(entry_mod.CURRENT_ROUND, entry_mod.CURRENT_ROUND + horizon):
         covered |= set(entry_mod.planned_window(r))
     assert covered == all_names
+
+
+def test_rotation_front_loads_never_witnessed_names():
+    """VERDICT r7 item 6: from round 8 the window is freshness-ordered
+    — names the driver has never witnessed (absent from every
+    committed CORRECTNESS_r{k}.json) fill the non-canary slots first,
+    newest registry insertion first, so this round's additions hit the
+    driver oracle THIS round instead of waiting out a blind rotation.
+    """
+    import math
+
+    latest = entry_mod._witness_rounds(entry_mod.CURRENT_ROUND)
+    reg = [n for n in entry_mod._registry() if n not in entry_mod.CANARY]
+    fresh = [n for n in reversed(reg) if n not in latest]
+    k = entry_mod.DRIVER_WINDOW - len(entry_mod.CANARY)
+    window = entry_mod.planned_window(entry_mod.CURRENT_ROUND)
+    # the newest min(k, len(fresh)) never-witnessed names are ALL in
+    # this round's window, in newest-first order right after the canary
+    expect = fresh[: min(k, len(fresh))]
+    assert window[len(entry_mod.CANARY):][: len(expect)] == expect
+    # and every never-witnessed name transits within ceil(fresh/k)
+    rounds_needed = math.ceil(len(fresh) / k) if fresh else 0
+    seen = set()
+    for r in range(
+        entry_mod.CURRENT_ROUND, entry_mod.CURRENT_ROUND + rounds_needed
+    ):
+        seen |= set(entry_mod.planned_window(r))
+    assert set(fresh) <= seen
