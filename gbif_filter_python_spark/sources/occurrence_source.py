@@ -12,8 +12,14 @@ endpoint into a first-class Spark table via the Python DataSource API
   ``taxon_key`` and equality on ``country`` are consumed by the
   source and become REST query parameters — a
   ``df.filter(col("taxon_key").isin(...))`` plans as N taxon-keyed
-  API fetches instead of a full scan + Spark-side filter. Everything
-  else is returned as residual for Spark to evaluate.
+  API fetches instead of a full scan + Spark-side filter. Range
+  predicates on ``decimal_latitude`` / ``decimal_longitude`` fold
+  into a WKT envelope on the REST ``geometry`` parameter (the same
+  parameter the reference pushes its config polygon through,
+  /root/reference/gbif_helper.py:87): closed bounds (>=, <=) are
+  consumed outright, strict bounds (>, <) fold the closed superset
+  envelope but remain residual so Spark enforces strictness exactly.
+  Everything else is returned as residual for Spark to evaluate.
 * **Partition-per-taxon** (``partitions``): each pushed taxon key
   becomes one input partition, so fetches parallelize across
   executor Python workers exactly as far as the key list allows —
@@ -53,8 +59,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 #: Output schema — the occurrence fields the reference's pipeline
@@ -157,6 +167,46 @@ def scripted_occurrence_fetch(args: dict):
     )
 
 
+#: Range-pushdown axes: attribute path -> (axis, index-into-bounds).
+_RANGE_ATTRS = {
+    ("decimal_latitude",): "lat",
+    ("decimal_longitude",): "lon",
+}
+
+
+def _fmt_deg(v: float) -> str:
+    """Deterministic decimal-degree text for WKT (no exponent, no
+    trailing zeros): 6 dp ≈ 0.11 m, beyond GBIF coordinate precision."""
+    s = f"{float(v):.6f}".rstrip("0").rstrip(".")
+    return s if s not in ("", "-0") else "0"
+
+
+def bbox_wkt(
+    lat_lo: float | None,
+    lat_hi: float | None,
+    lon_lo: float | None,
+    lon_hi: float | None,
+) -> str:
+    """Counter-clockwise WKT envelope (lon lat vertex order) for the
+    GBIF ``geometry`` search parameter — the same parameter the
+    reference pushes its config polygon through
+    (/root/reference/gbif_helper.py:87). Open sides default to the
+    full coordinate domain."""
+    lat_lo = -90.0 if lat_lo is None else lat_lo
+    lat_hi = 90.0 if lat_hi is None else lat_hi
+    lon_lo = -180.0 if lon_lo is None else lon_lo
+    lon_hi = 180.0 if lon_hi is None else lon_hi
+    pts = [
+        (lon_lo, lat_lo),
+        (lon_hi, lat_lo),
+        (lon_hi, lat_hi),
+        (lon_lo, lat_hi),
+        (lon_lo, lat_lo),
+    ]
+    ring = ",".join(f"{_fmt_deg(x)} {_fmt_deg(y)}" for x, y in pts)
+    return f"POLYGON(({ring}))"
+
+
 class GbifOccurrencesReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = dict(options)
@@ -169,6 +219,13 @@ class GbifOccurrencesReader(DataSourceReader):
         self.country: str | None = self.options.get("country")
         self.geometry: str | None = self.options.get("geometry")
         self.limit = int(self.options.get("limit_per_taxon", "1000"))
+        # closed bbox bounds accumulated from pushed range filters:
+        # {"lat": [lo, hi], "lon": [lo, hi]}, None = unconstrained side
+        self.bounds: dict[str, list[float | None]] = {
+            "lat": [None, None],
+            "lon": [None, None],
+        }
+        self._bbox_pushed = False
 
     # -- pushdown -------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -194,8 +251,58 @@ class GbifOccurrencesReader(DataSourceReader):
                     if self.keys is None
                     else [x for x in self.keys if x in set(vals)]
                 )
+            elif (
+                isinstance(
+                    f,
+                    (GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual),
+                )
+                and f.attribute in _RANGE_ATTRS
+                and self.geometry is None  # explicit WKT option wins —
+                # intersecting arbitrary polygons source-side is out of
+                # scope, so range filters stay fully Spark-side then
+                and isinstance(f.value, (int, float))
+                and not isinstance(f.value, bool)
+            ):
+                # fold the bound into the REST geometry envelope —
+                # the reference's geometry pushdown
+                # (/root/reference/gbif_helper.py:87) generalized to
+                # planner-derived bboxes. GBIF geometry search keeps
+                # points ON the polygon boundary, so CLOSED bounds
+                # (>=, <=) are consumed outright; STRICT bounds (>, <)
+                # fold the same closed envelope (a superset — always
+                # sound) but are ALSO returned as residual so Spark
+                # enforces strictness bit-exactly.
+                axis = _RANGE_ATTRS[f.attribute]
+                v = float(f.value)
+                lo, hi = self.bounds[axis]
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self.bounds[axis][0] = v if lo is None else max(lo, v)
+                else:
+                    self.bounds[axis][1] = v if hi is None else min(hi, v)
+                self._bbox_pushed = True
+                if isinstance(f, (GreaterThan, LessThan)):
+                    yield f  # strictness enforced Spark-side
             else:
                 yield f  # residual — Spark evaluates it post-scan
+
+    def _bbox_empty(self) -> bool:
+        return any(
+            lo is not None and hi is not None and lo > hi
+            for lo, hi in self.bounds.values()
+        )
+
+    def _effective_geometry(self) -> str | None:
+        if self.geometry is not None:
+            return self.geometry
+        if not self._bbox_pushed:
+            return None
+        return bbox_wkt(
+            self.bounds["lat"][0],
+            self.bounds["lat"][1],
+            self.bounds["lon"][0],
+            self.bounds["lon"][1],
+        )
 
     # -- planning -------------------------------------------------------
     def partitions(self) -> list[InputPartition]:
@@ -210,8 +317,9 @@ class GbifOccurrencesReader(DataSourceReader):
         # intersection (e.g. option keys 1,2 filtered to key 3) and
         # the correct answer is an empty scan, not an error. Spark
         # still calls read() once when the partition list is empty,
-        # so emit one explicit empty-sentinel partition.
-        if not self.keys:
+        # so emit one explicit empty-sentinel partition. A degenerate
+        # pushed bbox (lo > hi on either axis) is the same case.
+        if not self.keys or self._bbox_empty():
             return [InputPartition(None)]
         # one partition per taxon: fetches parallelize across workers,
         # each worker throttled independently (gbif_rest contract)
@@ -229,7 +337,10 @@ class GbifOccurrencesReader(DataSourceReader):
         args = json.loads(self.options.get("fetch_args", "{}"))
         fetch = _resolve_factory(spec)(args)
         for rec in fetch(
-            partition.value, self.country, self.geometry, self.limit
+            partition.value,
+            self.country,
+            self._effective_geometry(),
+            self.limit,
         ):
             yield tuple(rec.get(f) for f in _FIELDS)
 

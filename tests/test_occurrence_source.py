@@ -114,18 +114,19 @@ class TestPushdown:
         ) == [(100, "FR"), (200, "FR")]
 
     def test_residual_filters_stay_spark_side(self, pushdown, tmp_path):
+        # occurrence_key has no REST twin: a range filter on it must
+        # stay entirely Spark-side (geometry untouched, full fetch)
         r, log = _reader(pushdown, tmp_path)
         df = (
             r.load()
             .filter(F.col("taxon_key") == 100)
             .filter(F.col("country") == "FR")
-            .filter(F.col("decimal_latitude") > 10.0)
+            .filter(F.col("occurrence_key") > 1)
         )
         rows = df.collect()
         assert [x["occurrence_key"] for x in rows] == [3]
-        # latitude never reached the transport — it's residual
         calls = _calls(log)
-        assert calls and all("decimal_latitude" not in c for c in calls)
+        assert calls and all(c["geometry"] is None for c in calls)
         assert all(c["taxon_key"] == 100 for c in calls)
 
     def test_unbounded_scan_raises_loudly(self, pushdown, tmp_path):
@@ -173,6 +174,147 @@ class TestPushdown:
         )
         assert [x["occurrence_key"] for x in df.collect()] == [1]
         assert _calls(log)[0]["limit"] == 1
+
+    def test_bbox_closed_bounds_leave_residual_become_geometry(
+        self, pushdown, tmp_path
+    ):
+        """VERDICT r7 item 2: lat/lon >=/<= bounds are CONSUMED into a
+        REST geometry envelope. Consumption is proven behaviorally:
+        the scripted transport returns a record OUTSIDE the bbox
+        (lat 9.9 < 10) under the envelope key — it SURVIVES, i.e. the
+        range filters left the residual set and Spark trusts the
+        source, exactly as with any pushed filter."""
+        env = "POLYGON((0 10,5 10,5 50,0 50,0 10))"
+        data = {
+            f"100|FR|{env}": [
+                dict(DATA["100|FR|"][1]),  # lat 48, lon 2.3 — inside
+                {
+                    "taxon_key": 100,
+                    "occurrence_key": 7,
+                    "scientific_name": "Aus aus",
+                    "country": "FR",
+                    "decimal_latitude": 9.9,  # REST boundary slack
+                    "decimal_longitude": 2.0,
+                },
+            ]
+        }
+        log = str(tmp_path / "bbox.jsonl")
+        df = (
+            pushdown.read.format("gbif_occurrences")
+            .option(
+                "fetch_factory",
+                "gbif_filter_python_spark.sources."
+                "occurrence_source:scripted_occurrence_fetch",
+            )
+            .option(
+                "fetch_args", json.dumps({"data": data, "call_log": log})
+            )
+            .load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") >= 10.0)
+            .filter(F.col("decimal_latitude") <= 50.0)
+            .filter(F.col("decimal_longitude") >= 0.0)
+            .filter(F.col("decimal_longitude") <= 5.0)
+        )
+        keys = sorted(x["occurrence_key"] for x in df.collect())
+        # 7 survives: the >= filter was consumed, not re-checked
+        assert keys == [3, 7]
+        calls = _calls(log)
+        assert [c["geometry"] for c in calls] == [env]
+
+    def test_bbox_strict_bounds_fold_but_stay_residual(
+        self, pushdown, tmp_path
+    ):
+        """Strict bounds push the CLOSED superset envelope to REST but
+        remain residual: a boundary record (lat exactly 10) returned
+        by the transport is dropped Spark-side."""
+        env = "POLYGON((-180 10,180 10,180 90,-180 90,-180 10))"
+        data = {
+            f"100|FR|{env}": [
+                dict(DATA["100|FR|"][1]),  # lat 48 — strictly inside
+                {
+                    "taxon_key": 100,
+                    "occurrence_key": 8,
+                    "scientific_name": "Aus aus",
+                    "country": "FR",
+                    "decimal_latitude": 10.0,  # ON the strict bound
+                    "decimal_longitude": 2.0,
+                },
+            ]
+        }
+        log = str(tmp_path / "strict.jsonl")
+        df = (
+            pushdown.read.format("gbif_occurrences")
+            .option(
+                "fetch_factory",
+                "gbif_filter_python_spark.sources."
+                "occurrence_source:scripted_occurrence_fetch",
+            )
+            .option(
+                "fetch_args", json.dumps({"data": data, "call_log": log})
+            )
+            .load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") > 10.0)
+        )
+        assert [x["occurrence_key"] for x in df.collect()] == [3]
+        assert [c["geometry"] for c in _calls(log)] == [env]
+
+    def test_bbox_empty_envelope_is_empty_scan(self, pushdown, tmp_path):
+        r, log = _reader(pushdown, tmp_path)
+        df = (
+            r.load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("decimal_latitude") >= 50.0)
+            .filter(F.col("decimal_latitude") <= 10.0)
+        )
+        assert df.count() == 0
+        assert _calls(log) == []  # degenerate bbox: no fetch at all
+
+    def test_explicit_geometry_option_wins_over_bbox(
+        self, pushdown, tmp_path
+    ):
+        """A user-supplied WKT option is forwarded verbatim; range
+        filters then stay entirely Spark-side (no polygon∩bbox
+        intersection is attempted source-side)."""
+        wkt = "POLYGON((0 0,9 0,9 9,0 9,0 0))"
+        data = {
+            f"100|FR|{wkt}": [dict(DATA["100|FR|"][0])]  # lat 1, lon 2
+        }
+        log = str(tmp_path / "wkt.jsonl")
+        df = (
+            pushdown.read.format("gbif_occurrences")
+            .option(
+                "fetch_factory",
+                "gbif_filter_python_spark.sources."
+                "occurrence_source:scripted_occurrence_fetch",
+            )
+            .option(
+                "fetch_args", json.dumps({"data": data, "call_log": log})
+            )
+            .option("geometry", wkt)
+            .load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") >= 0.5)
+        )
+        assert [x["occurrence_key"] for x in df.collect()] == [1]
+        assert [c["geometry"] for c in _calls(log)] == [wkt]
+
+    def test_bbox_wkt_formatting(self):
+        from gbif_filter_python_spark.sources.occurrence_source import (
+            bbox_wkt,
+        )
+
+        assert bbox_wkt(10, 50, 0, 5) == "POLYGON((0 10,5 10,5 50,0 50,0 10))"
+        assert (
+            bbox_wkt(10.5, None, None, None)
+            == "POLYGON((-180 10.5,180 10.5,180 90,-180 90,-180 10.5))"
+        )
+        assert " 0.000001" in bbox_wkt(1e-6, 1, 0, 1)
+        assert " -0," not in bbox_wkt(-0.0, 1, 0, 1)
 
     def test_conflicting_key_filters_intersect(self, pushdown, tmp_path):
         r, log = _reader(pushdown, tmp_path)
