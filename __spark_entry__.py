@@ -7548,6 +7548,12 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keeper FROM canon GROUP BY 1"
         ),
         "bootstrap_ci": (
+            # r8 draw convention (resample.py): the lane's Poisson
+            # weight comes from comparing the 8-hex-char substring
+            # against the POISSON1_HEX string thresholds (fixed-width
+            # lowercase hex sorts numerically — bit-exact twin of the
+            # old u < cdf double compare), and zero-weight lanes are
+            # filtered pre-aggregate; n_rows rides the point-mean scan.
             "WITH ex AS (SELECT o_orderpriority AS grp, "
             "o_totalprice AS val, CAST(o_orderkey AS VARCHAR) AS rid, "
             "b.blk FROM orders CROSS JOIN "
@@ -7556,31 +7562,31 @@ def oracle_sql() -> dict[str, str]:
             "md5(rid || '|' || CAST(blk AS VARCHAR)) AS h FROM ex), "
             "lanes AS (SELECT grp, val, "
             "blk * 4 + l.lane AS rep, "
-            "(('0x' || substring(h, l.lane * 8 + 1, 8))::BIGINT "
-            "/ 4294967296.0) AS u FROM hh CROSS JOIN "
+            "substring(h, l.lane * 8 + 1, 8) AS lane_hex FROM hh "
+            "CROSS JOIN "
             "(SELECT CAST(unnest(range(4)) AS INT) AS lane) l), "
             "pw AS (SELECT grp, rep, val, "
-            "CASE WHEN u < 0.36787944117144233 THEN 0 "
-            "WHEN u < 0.7357588823428847 THEN 1 "
-            "WHEN u < 0.9196986029286058 THEN 2 "
-            "WHEN u < 0.9810118431238462 THEN 3 "
-            "WHEN u < 0.9963401531726563 THEN 4 "
-            "WHEN u < 0.9994058151824183 THEN 5 "
-            "WHEN u < 0.9999167588507119 THEN 6 "
-            "WHEN u < 0.9999897508637437 THEN 7 ELSE 8 END AS w "
+            "CASE WHEN lane_hex < '5e2d58d9' THEN 0 "
+            "WHEN lane_hex < 'bc5ab1b2' THEN 1 "
+            "WHEN lane_hex < 'eb715e1e' THEN 2 "
+            "WHEN lane_hex < 'fb239798' THEN 3 "
+            "WHEN lane_hex < 'ff1025f6' THEN 4 "
+            "WHEN lane_hex < 'ffd90f3c' THEN 5 "
+            "WHEN lane_hex < 'fffa8b72' THEN 6 "
+            "WHEN lane_hex < 'ffff540d' THEN 7 ELSE 8 END AS w "
             "FROM lanes WHERE rep < 30), "
             "rm AS (SELECT grp, rep, "
-            "sum(w * val) / nullif(sum(w), 0) AS rep_mean, "
-            "count(*) AS n_rows FROM pw GROUP BY 1, 2), "
+            "sum(w * val) / sum(w) AS rep_mean "
+            "FROM pw WHERE w > 0 GROUP BY 1, 2), "
             "ci AS (SELECT grp, "
             "round(quantile_cont(rep_mean, 0.025), 2) AS ci_lo, "
-            "round(quantile_cont(rep_mean, 0.975), 2) AS ci_hi, "
-            "max(n_rows) AS n_rows FROM rm GROUP BY 1), "
+            "round(quantile_cont(rep_mean, 0.975), 2) AS ci_hi "
+            "FROM rm GROUP BY 1), "
             "pt AS (SELECT o_orderpriority AS grp, "
-            "round(avg(o_totalprice), 2) AS point_mean "
-            "FROM orders GROUP BY 1) "
+            "round(avg(o_totalprice), 2) AS point_mean, "
+            "count(*) AS n_rows FROM orders GROUP BY 1) "
             "SELECT ci.grp, pt.point_mean, ci.ci_lo, ci.ci_hi, "
-            "CAST(ci.n_rows AS BIGINT) AS n_rows "
+            "CAST(pt.n_rows AS BIGINT) AS n_rows "
             "FROM ci JOIN pt USING (grp)"
         ),
         "compaction_plan": (

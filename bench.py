@@ -16,19 +16,41 @@ measured nothing (r7 audit: 500k-doc ngram_novelty "ran" in 0.3 s).
 That is the optimizer doing its job for count-only consumers, but a
 benchmark must pay for the result it claims. One-time methodology
 discontinuity vs pre-r7 artifacts, in the honest direction.
+
+Sharded execution (round 8, VERDICT r7 item 1): the registry sweep
+runs as ``N_BATCHES`` sequential CHILD processes, each a fresh JVM.
+One 242-query JVM accumulates GC/codegen debris that drifted the
+heaviest lines ~1.2-1.3x round-over-round with zero code change (the
+mechanism BENCH_GBIF_ISOLATED_r07.json proved for the flagship block
+— which already runs pre-sweep — now applied to every query). Batch
+membership is md5(name) % N_BATCHES, so a query's co-residents NEVER
+change as the registry grows: per-query numbers are comparable across
+rounds regardless of how many queries other batches gained. The
+flagship gbif block gets its own child JVM, first. Set
+``SPARK_GRAFT_BENCH_MODE=inprocess`` for the legacy one-JVM sweep
+(fast local iteration at sf0.01).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from gbif_filter_python_spark.session import get_spark
+
+#: Fixed forever — changing it reshuffles every query's co-residents
+#: and breaks cross-round comparability (the whole point of sharding).
+N_BATCHES = 6
+
+#: Generous per-child ceiling; a hung batch is recorded, not fatal.
+BATCH_TIMEOUT_S = 3600
 
 #: The headline subset: one per operator family, weighted toward the
 #: shapes that dominate real pipelines (agg, joins, windows, dedup, ANN).
@@ -233,37 +255,40 @@ def _fit_stdout(payload: dict, timings: dict[str, float]) -> str:
     return blob
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def batch_of(name: str) -> int:
+    """Stable batch id: md5, not hash() (PYTHONHASHSEED-independent)."""
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % N_BATCHES
+
+
+def batch_names(batch_id: int) -> list[str]:
+    """This batch's queries in sweep order (curated headline names
+    first in their stable order, then registry order)."""
+    return [n for n in bench_query_names() if batch_of(n) == batch_id]
+
+
+def _fresh_spark():
+    from gbif_filter_python_spark.session import get_spark
+
     spark = get_spark(
         app_name="gbif-filter-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def _warmup(spark, sf_dir: str) -> None:
     # Warm up the JVM / parquet reader / codegen infrastructure once so
     # the first timed query doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
-    # The flagship domain pipeline (resolution → zone probe → ternary
-    # tag, three scenarios over a 2M-row synthetic occurrence snapshot)
-    # is timed FIRST, right after warmup: when it ran after the
-    # registry sweep it absorbed 190 co-resident queries' GC/codegen
-    # debris, drifting 1.2× round-over-round with zero code change
-    # (BENCH_GBIF_ISOLATED_r07.json pins the bisect) — the flagship
-    # number must track the engine, not the harness.
-    from tools.bench_gbif import run as run_gbif
 
-    gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
-    gbif_block = run_gbif(spark, rows=gbif_rows)
-
+def _sweep(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in bench_query_names():
+    for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
         try:
@@ -271,10 +296,96 @@ def main() -> None:
         except Exception as exc:  # keep timing the rest; surface it
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings, errors
 
+
+def _child_main(kind: str, out_path: str) -> None:
+    """Fresh-JVM child: run one batch (or the gbif flagship block) and
+    write its result JSON to ``out_path``. stdout stays clean — the
+    parent owns the one-line contract."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _fresh_spark()
+    if kind == "gbif":
+        # The flagship domain pipeline (resolution → zone probe →
+        # ternary tag, three scenarios over a 2M-row synthetic
+        # occurrence snapshot) gets the FIRST child JVM to itself:
+        # the flagship number must track the engine, not the harness
+        # (BENCH_GBIF_ISOLATED_r07.json pins the co-residency bisect).
+        from tools.bench_gbif import run as run_gbif
+
+        gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
+        result: dict = {"gbif_pipeline": run_gbif(spark, rows=gbif_rows)}
+    else:
+        _warmup(spark, sf_dir)
+        timings, errors = _sweep(spark, sf_dir, batch_names(int(kind)))
+        result = {"timings": timings, "errors": errors}
+    with open(out_path, "w") as fh:
+        json.dump(result, fh)
+    spark.stop()
+
+
+def _run_child(kind: str, workdir: str) -> dict:
+    out_path = os.path.join(workdir, f"batch_{kind}.json")
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", kind,
+         out_path],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+        timeout=BATCH_TIMEOUT_S,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        tail = proc.stderr.decode(errors="replace")[-500:]
+        return {"error": f"child {kind} rc={proc.returncode}: {tail}",
+                "wall_sec": wall}
+    with open(out_path) as fh:
+        result = json.load(fh)
+    result["wall_sec"] = wall
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    inprocess = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "inprocess"
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    batch_meta: dict[str, dict] = {}
+    if inprocess:
+        spark = _fresh_spark()
+        from tools.bench_gbif import run as run_gbif
+
+        gbif_rows = int(os.environ.get("SPARK_GRAFT_GBIF_ROWS", "2000000"))
+        gbif_block = run_gbif(spark, rows=gbif_rows)
+        _warmup(spark, sf_dir)
+        timings, errors = _sweep(spark, sf_dir, bench_query_names())
+        spark.stop()
+    else:
+        with tempfile.TemporaryDirectory() as workdir:
+            gbif_res = _run_child("gbif", workdir)
+            gbif_block = gbif_res.get(
+                "gbif_pipeline", {"error": gbif_res.get("error")}
+            )
+            batch_meta["gbif"] = {"wall_sec": gbif_res.get("wall_sec")}
+            for b in range(N_BATCHES):
+                res = _run_child(str(b), workdir)
+                names = batch_names(b)
+                batch_meta[str(b)] = {
+                    "n": len(names),
+                    "wall_sec": res.get("wall_sec"),
+                }
+                if "error" in res:
+                    for n in names:
+                        errors[n] = res["error"][:300]
+                    continue
+                timings.update(res.get("timings", {}))
+                errors.update(res.get("errors", {}))
+
+    total = sum(timings.values())
     # "value" is the CURATED-list subtotal so the headline metric is
     # comparable across every round's artifact (r6 briefly summed all
     # ~190 registry queries under the same metric name — ADVICE r6);
@@ -296,6 +407,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "gbif_pipeline": gbif_block,
+        "batching": {
+            "mode": "inprocess" if inprocess else "fresh-jvm",
+            "n_batches": N_BATCHES,
+            "assignment": "md5(name) % n_batches",
+            "batches": batch_meta,
+        },
     }
     if errors:
         payload["errors"] = errors
@@ -311,9 +428,17 @@ def main() -> None:
         payload["full"] = os.path.basename(out_path)
     except OSError as exc:  # read-only fs: stdout still carries it
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # stdout line is byte-budgeted: keep the batching summary compact
+    # there (full per-batch walls live in the file artifact)
+    payload["batching"] = {
+        "mode": payload["batching"]["mode"],
+        "n_batches": N_BATCHES,
+    }
     print(_fit_stdout(payload, timings), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        _child_main(sys.argv[2], sys.argv[3])
+    else:
+        main()

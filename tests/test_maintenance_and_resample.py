@@ -123,6 +123,23 @@ def test_bootstrap_ci_exact_draw_replay(spark):
     assert got["n_rows"] == 40
 
 
+def test_poisson_hex_thresholds_are_the_cdf_bit_exactly():
+    """POISSON1_HEX[k] == ceil(POISSON1_CDF[k] * 2^32) as 8-hex-char
+    lowercase — so `lane_hex < HEX[k]` (string) ⟺ `lane_int/2^32 <
+    CDF[k]` (double) for every 32-bit lane value: same draws as the
+    pre-r8 conv()-based form, proven exactly, not statistically."""
+    import math
+    from fractions import Fraction
+
+    from gbif_filter_python_spark.operators.resample import POISSON1_HEX
+
+    for c, h in zip(POISSON1_CDF, POISSON1_HEX):
+        t = math.ceil(Fraction(c) * (1 << 32))
+        assert h == format(t, "08x")
+        # boundary check: t-1 is below the CDF value, t is not
+        assert Fraction(t - 1, 1 << 32) < Fraction(c) <= Fraction(t, 1 << 32)
+
+
 def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark):
     rows = [("g%d" % (i % 2), float(i), i) for i in range(200)]
     df = spark.createDataFrame(rows, ["g", "v", "id"])
