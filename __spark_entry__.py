@@ -2919,7 +2919,7 @@ def q_ppl_bands(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    uni, big = lm_train_bigram(train, num_buckets=64, id_col="doc_id")
+    uni, big = lm_train_bigram(train, num_buckets=64)
     ppl = lm_perplexity(test, uni, big, num_buckets=64)
     binned = quantile_bins(ppl, "logppl", n_bins=3, out_col="_bin")
     return binned.select(
@@ -3471,7 +3471,7 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    uni, big = lm_train_bigram(train, num_buckets=64, id_col="doc_id")
+    uni, big = lm_train_bigram(train, num_buckets=64)
     return lm_perplexity(test, uni, big, num_buckets=64)
 
 

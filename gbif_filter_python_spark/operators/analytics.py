@@ -938,3 +938,216 @@ def psm_att(
             F.round("_mc", 2).alias("mean_matched_control"),
         )
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    Lei et al. 2018, "Distribution-Free Predictive Inference"), with
+    the empirical coverage measured on a held-out half — the
+    distribution-free uncertainty wrapper a production scorer ships
+    with.
+
+    Protocol (deterministic, no RNG state): rows split by id parity —
+    even ids calibrate, odd ids test. The point predictor is the
+    calibration-half group mean (2dp-rounded BEFORE scoring so the
+    fp summation-order noise of avg() can't flip downstream
+    comparisons cross-engine); nonconformity is ``|value - pred|``;
+    ``qhat`` is the k-th smallest calibration score with the
+    finite-sample correction ``k = ceil((n_cal + 1) * (1 - alpha))``
+    (capped at n_cal — the cap fires only when ``alpha <
+    1/(n_cal+1)``, where the honest interval is the whole line).
+    Marginal coverage of ``pred ± qhat`` on the test half is then
+    >= 1 - alpha in expectation.
+
+    Scale shape — the k-th order statistic per group is a distributed
+    prefix COUNT, the grouped sibling of weighted_quantiles'
+    prefix-sum (profile.py): ``repartitionByRange(grp, score)`` +
+    in-partition sort gives a total order per group across
+    partitions; per-(partition, group) counts (a tiny agg, bounded by
+    partitions x groups) become exclusive per-group offsets broadcast
+    back, so global rank = offset + local row_number. Never a
+    single-reducer per-group window, never percentile()'s one merge
+    buffer per group. Selection and coverage are broadcast joins of
+    the per-group model frame (pred, qhat, k — bounded by |groups|).
+    """
+    from pyspark.sql import Window
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(id_col).cast("long") % 2 == 0).alias("_is_cal"),
+    ).filter(F.col("v").isNotNull())
+    cal = base.filter("_is_cal")
+    test = base.filter(~F.col("_is_cal"))
+
+    model = cal.groupBy("grp").agg(
+        F.round(F.avg("v"), 2).alias("pred"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    # k = min(ceil((n_cal + 1) * (1 - alpha)), n_cal), computed in
+    # exact integer arithmetic: ceil(m * (1 - alpha)) via float is
+    # boundary-fragile, so use ceil(x) = -floor(-x) on the column.
+    model = model.withColumn(
+        "k",
+        F.least(
+            (-F.floor(F.lit(-(1.0 - alpha)) * (F.col("n_cal") + 1))).cast(
+                "long"
+            ),
+            F.col("n_cal"),
+        ),
+    )
+    scores = (
+        cal.join(F.broadcast(model.select("grp", "pred")), "grp")
+        .select("grp", F.abs(F.col("v") - F.col("pred")).alias("s"))
+    )
+    # distributed per-group rank: range shuffle on (grp, s), local
+    # row_number within (partition, grp), exclusive per-group offsets
+    ranged = scores.repartitionByRange("grp", "s").sortWithinPartitions(
+        "grp", "s"
+    )
+    parts = ranged.withColumn(
+        "_pid",
+        F.shiftrightunsigned(F.monotonically_increasing_id(), 33).cast(
+            "long"
+        ),
+    )
+    wloc = Window.partitionBy("_pid", "grp").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = parts.withColumn("_lr", F.count(F.lit(1)).over(wloc))
+    totals = parts.groupBy("_pid", "grp").agg(
+        F.count(F.lit(1)).alias("_pn")
+    )
+    woff = (
+        Window.partitionBy("grp")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        "grp",
+        F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["_pid", "grp"]).select(
+        "grp", "s", (F.col("_off") + F.col("_lr")).alias("_rank")
+    )
+    qhat = (
+        ranked.join(F.broadcast(model.select("grp", "k")), "grp")
+        .filter(F.col("_rank") >= F.col("k"))
+        .groupBy("grp")
+        .agg(F.min("s").alias("qhat"))
+    )
+    band = F.broadcast(model.join(qhat, "grp"))
+    return (
+        test.join(band, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("pred").alias("pred"),
+            F.round(F.first("qhat"), 2).alias("qhat"),
+            F.first("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(
+                    (
+                        F.abs(F.col("v") - F.col("pred")) <= F.col("qhat")
+                    ).cast("double")
+                ),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+def ipf_raking(
+    sample: DataFrame,
+    population: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting (raking; Deming & Stephan 1940)
+    — calibrate per-cell weights on a sample so its weighted row and
+    column margins match the population's margins. The survey-stats /
+    dataset-reweighting workhorse: fix a biased sample's demographic
+    (or domain × language) mix without per-row modeling.
+
+    ``iterations`` is FIXED (not run-to-convergence) so the result is
+    deterministic and the SQL twin can unroll the same steps. Each
+    iteration rescales weights by ``row_target/row_margin`` then
+    ``col_target/col_margin`` (margins weighted by the current w);
+    cells whose margin is zero keep their weight (guarded — ANSI mode
+    throws on bare division). Returns one row per observed sample
+    cell: ``(row_val, col_val, n, weight)`` with ``weight`` rounded
+    at round_dp (margin sums are fp-summation-order sensitive at the
+    last ulp; everything upstream of the rounding is plain double
+    arithmetic shared with the twin).
+
+    Scale shape: the facts are touched exactly twice — one hash agg
+    each for sample cells and population margins (map-side combine,
+    distinct-key shuffles). The iteration itself runs on the CELL
+    table (|rows| × |cols| — bounded model state, broadcast-sized)
+    via whole-frame window sums; no fact re-scan, no driver loop.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from pyspark.sql import Window
+
+    cells = sample.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pop_rows = population.groupBy(F.col(row_col).alias("row_val")).agg(
+        F.count(F.lit(1)).cast("double").alias("_rt")
+    )
+    pop_cols = population.groupBy(F.col(col_col).alias("col_val")).agg(
+        F.count(F.lit(1)).cast("double").alias("_ct")
+    )
+    # population margins scaled to the SAMPLE's total so the fitted
+    # weights stay O(1) (classic raking normalization)
+    n_sample = cells.agg(F.sum("n").alias("_ns"))
+    n_pop = population.agg(F.count(F.lit(1)).cast("double").alias("_np"))
+    cur = (
+        cells.join(F.broadcast(pop_rows), "row_val")
+        .join(F.broadcast(pop_cols), "col_val")
+        .crossJoin(F.broadcast(n_sample))
+        .crossJoin(F.broadcast(n_pop))
+        .select(
+            "row_val",
+            "col_val",
+            "n",
+            (F.col("_rt") * F.col("_ns") / F.col("_np")).alias("rt"),
+            (F.col("_ct") * F.col("_ns") / F.col("_np")).alias("ct"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    w_row = Window.partitionBy("row_val")
+    w_col = Window.partitionBy("col_val")
+    for _ in range(iterations):
+        rm = F.sum(F.col("n") * F.col("w")).over(w_row)
+        cur = cur.withColumn(
+            "w",
+            F.when(rm > 0, F.col("w") * F.col("rt") / rm).otherwise(
+                F.col("w")
+            ),
+        )
+        cm = F.sum(F.col("n") * F.col("w")).over(w_col)
+        cur = cur.withColumn(
+            "w",
+            F.when(cm > 0, F.col("w") * F.col("ct") / cm).otherwise(
+                F.col("w")
+            ),
+        )
+    return cur.select(
+        "row_val",
+        "col_val",
+        F.col("n").cast("long").alias("n"),
+        F.round("w", round_dp).alias("weight"),
+    )

@@ -336,12 +336,39 @@ def dsir_resample(
 # --------------------------------------------------------------------------
 
 
+def _bucket_array(text_col: Column, num_buckets: int) -> Column:
+    """Per-document array of hash buckets: md5_bucket mapped over the
+    normalized word array — ONE md5 per token, map-side. Materialize
+    this in its own projection before consuming it more than once
+    (the Catalyst no-CSE-in-HOF-lambdas rule)."""
+    return F.transform(
+        _norm_words(text_col), lambda w: md5_bucket(w, num_buckets)
+    )
+
+
+def _bigram_pairs(bs: Column) -> Column:
+    """Adjacent (b1, b2) struct pairs from a bucket array, map-side:
+    ``zip_with(bs[:-1], bs[1:], struct)``. This replaces the former
+    (doc, pos) self-join of the exploded token table — which Catalyst
+    auto-planned as a BroadcastHashJoin on a post-explode size
+    UNDERESTIMATE and killed the driver at sf10 building a
+    corpus-sized broadcast ("not enough memory to build and broadcast
+    the table"). Pairing adjacent positions of one row's array needs
+    no join at all: zero shuffle, zero broadcast, same pairs.
+    """
+    n = F.greatest(F.size(bs) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(bs, 1, n),
+        F.slice(bs, 2, n),
+        lambda x, y: F.struct(x.alias("b1"), y.alias("b2")),
+    )
+
+
 def lm_train_bigram(
     df: DataFrame,
     text_col: str = "text",
     num_buckets: int = 256,
     smoothing: float = 1.0,
-    id_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train an interpolation-ready hashed bigram LM on a reference
     corpus. Returns ``(unigram, bigram)`` frames:
@@ -356,25 +383,20 @@ def lm_train_bigram(
     The bigram estimate is add-``smoothing`` over the bucket
     alphabet: ``p(b2|b1) = (c(b1,b2)+a) / (c1(b1)+a*B)`` where
     ``c1`` counts b1 as a bigram CONTEXT (tokens - 1 per doc).
+
+    Scale shape (r8): tokens and adjacent pairs both come straight
+    off the per-document bucket array (:func:`_bucket_array` /
+    :func:`_bigram_pairs`) — map-only until the two count
+    aggregations, whose shuffles carry at most ``B`` and ``B²`` rows.
+    No doc key, no positional self-join (see _bigram_pairs for the
+    sf10 post-explode auto-broadcast failure that shape caused).
     """
     b = int(num_buckets)
     a = float(smoothing)
     spark = df.sparkSession
 
-    # Prefer a caller-supplied stable doc key: monotonically_increasing_id
-    # is assignment-stable only within one job, and a stage retry at
-    # cluster scale may recompute it — the pair join below needs the SAME
-    # key on both sides of the self-join.
-    doc_key = (
-        F.col(id_col) if id_col else F.monotonically_increasing_id()
-    )
-    words = df.select(
-        doc_key.alias("_d"),
-        _norm_words(F.col(text_col)).alias("_ws"),
-    )
-    toks = words.select(
-        "_d", F.posexplode("_ws").alias("pos", "_w")
-    ).select("_d", "pos", md5_bucket(F.col("_w"), b).alias("bucket"))
+    bks = df.select(_bucket_array(F.col(text_col), b).alias("_bs"))
+    toks = bks.select(F.explode("_bs").alias("bucket"))
 
     uni_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     tot = toks.count()
@@ -391,13 +413,9 @@ def lm_train_bigram(
         )
     )
 
-    nxt = toks.select(
-        "_d", (F.col("pos") + 1).alias("pos"), F.col("bucket").alias("b1")
-    )
-    pairs = nxt.join(
-        toks.select("_d", "pos", F.col("bucket").alias("b2")),
-        ["_d", "pos"],
-    )
+    pairs = bks.select(
+        F.explode(_bigram_pairs(F.col("_bs"))).alias("_p")
+    ).select(F.col("_p.b1").alias("b1"), F.col("_p.b2").alias("b2"))
     ctx_cnt = pairs.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
     bigram = (
         pairs.groupBy("b1", "b2")
@@ -446,19 +464,18 @@ def lm_perplexity(
     b = int(num_buckets)
     a = float(smoothing)
 
-    words = df.select(
-        F.col(id_col), _norm_words(F.col(text_col)).alias("_ws")
+    # map-side adjacent pairs off the bucket array — no positional
+    # self-join (see _bigram_pairs: the join shape auto-broadcast a
+    # corpus-sized side at sf10 and OOM'd the driver)
+    bks = df.select(
+        F.col(id_col), _bucket_array(F.col(text_col), b).alias("_bs")
     )
-    toks = words.select(
-        id_col, F.posexplode("_ws").alias("pos", "_w")
-    ).select(id_col, "pos", md5_bucket(F.col("_w"), b).alias("bucket"))
-
-    prev = toks.select(
-        id_col, (F.col("pos") + 1).alias("pos"), F.col("bucket").alias("b1")
-    )
-    steps = prev.join(
-        toks.select(id_col, "pos", F.col("bucket").alias("b2")),
-        [id_col, "pos"],
+    steps = bks.select(
+        id_col, F.explode(_bigram_pairs(F.col("_bs"))).alias("_p")
+    ).select(
+        id_col,
+        F.col("_p.b1").alias("b1"),
+        F.col("_p.b2").alias("b2"),
     )
 
     ctx = bigram.select("b1", "c1").distinct()

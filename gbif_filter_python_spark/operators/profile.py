@@ -2762,3 +2762,98 @@ def weighted_quantiles(
         .groupBy("q")
         .agg(F.round(F.min("v"), round_dp).alias("value"))
     )
+
+
+def discrete_laplace_hex_thresholds(
+    eps: float, k_max: int = 31
+) -> list[str]:
+    """CDF thresholds for the truncated discrete Laplace (two-sided
+    geometric) distribution P(k) ∝ exp(-eps·|k|), k in [-k_max,
+    k_max], as 8-hex-char strings: threshold[i] = ceil(CDF(i - k_max)
+    · 2^32) in lowercase hex, so an 8-hex-char uniform ``u_hex``
+    (e.g. an md5 substring) draws k = i - k_max for the FIRST i with
+    ``u_hex < threshold[i]`` (else k_max). Fixed-width lowercase hex
+    sorts numerically, so the comparison is a pure string op — the
+    same engine-portable inverse-CDF trick as resample.POISSON1_HEX,
+    and both engines consume IDENTICAL constants, so the draw is
+    bit-exact by construction (no transcendental functions at query
+    time). Truncation mass beyond ±k_max is ~2·exp(-eps·(k_max+1)),
+    negligible at the defaults (eps 0.5, k_max 31: ~2e-7) and
+    documented where it matters.
+    """
+    import math as m
+    from fractions import Fraction
+
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    t = m.exp(-eps)
+    norm = (1.0 - t) / (1.0 + t)
+    out: list[str] = []
+    c = 0.0
+    for k in range(-k_max, k_max):
+        c += norm * (t ** abs(k))
+        ti = m.ceil(Fraction(c) * (1 << 32))
+        # 'g' sorts after every hex char: an overflowed threshold
+        # (c >= 1 within fp) must compare greater than all uniforms
+        out.append(format(ti, "08x") if ti <= 0xFFFFFFFF else "g")
+    return out
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    eps: float = 0.5,
+    seed: str = "dp",
+    k_max: int = 31,
+) -> DataFrame:
+    """Differentially-private histogram: per-group counts with
+    truncated discrete-Laplace noise (the geometric mechanism,
+    Ghosh-Roughgarden-Sundararajan 2009 — the integer-valued optimal
+    mechanism for counting queries), clamped at zero. The fourth gate
+    of the governance block after k_anonymity / l_diversity /
+    t_closeness: those audit a release, this MAKES a count release.
+
+    The noise draw is hash-deterministic (md5 of the group key and
+    ``seed``, first 8 hex chars against the
+    :func:`discrete_laplace_hex_thresholds` table) — seedable,
+    reproducible, and bit-exact across engines, the same
+    no-RNG-state discipline as the Poisson bootstrap. Determinism is
+    also what the privacy accountant wants: re-running a release must
+    not spend fresh budget by emitting different noise. Truncating at
+    ±k_max keeps the noise integral and bounded; the lost tail mass
+    (~2·exp(-eps·(k_max+1))) is the standard bounded-mechanism
+    trade-off and is negligible at the defaults.
+
+    Scale shape: one hash aggregate over the fact (map-side partial
+    combine), then pure-Column noise on the |groups|-row result —
+    nothing else touches the data. NULL group values participate via
+    concat_ws's skip-NULL convention (shared with the SQL twin);
+    clamp-at-zero is DP-safe post-processing.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    thresholds = discrete_laplace_hex_thresholds(eps, k_max)
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    u_hex = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in group_cols],
+                F.lit(seed),
+            )
+        ),
+        1,
+        8,
+    )
+    noise = F.lit(k_max)
+    for i in range(len(thresholds) - 1, -1, -1):
+        noise = F.when(u_hex < thresholds[i], F.lit(i - k_max)).otherwise(
+            noise
+        )
+    return counts.select(
+        *group_cols,
+        F.greatest(F.lit(0), F.col("_n") + noise)
+        .cast("long")
+        .alias("noisy_count"),
+    )

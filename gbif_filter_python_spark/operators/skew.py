@@ -192,3 +192,56 @@ def bloom_prefilter_join(
         hit = hit & (word.bitwiseAND(bit) != 0)
     pre = fact.join(F.broadcast(bloom), on=hit, how="inner").drop("_ba")
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pre-flight join-size / skew probe: the exact output
+    cardinality of ``left ⋈ right`` on an equi-key is
+    ``Σ_k cnt_l(k) · cnt_r(k)`` — computable from two per-key count
+    aggregates WITHOUT running the join. Returns the ``top_n``
+    hottest keys ``(key, n_left, n_right, pairs, share)`` ordered by
+    contribution (key ascending on ties), where ``share`` is the
+    key's fraction of total output pairs — the number that tells you
+    BEFORE a 100 TB shuffle whether one key will own a reducer (and
+    whether `salted_join` above is warranted).
+
+    Scale shape: two hash aggregates with map-side combine (shuffles
+    carry distinct keys only), one equi-join of the two count frames
+    (distinct-key sized, never the facts), a single-row total
+    broadcast back, and a global top-n (TakeOrdered — no full sort).
+    """
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    pairs = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"),
+    )
+    total = pairs.agg(F.sum("pairs").alias("_total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "pairs",
+            F.when(
+                F.col("_total") > 0,
+                F.round(F.col("pairs") / F.col("_total"), round_dp),
+            ).alias("share"),
+        )
+        .orderBy(F.desc("pairs"), F.asc("key"))
+        .limit(top_n)
+    )

@@ -160,7 +160,7 @@ class TestBigramLM:
 
     def test_reference_text_scores_lower_than_scrambled(self, spark):
         train = self._corpus(spark)
-        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        uni, big = lm_train_bigram(train, num_buckets=B)
         test = spark.createDataFrame(
             [
                 (1, "the quick brown fox jumps over the lazy dog"),
@@ -178,7 +178,7 @@ class TestBigramLM:
 
     def test_short_docs_kept_with_null_ppl(self, spark):
         train = self._corpus(spark)
-        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        uni, big = lm_train_bigram(train, num_buckets=B)
         test = spark.createDataFrame(
             [(1, "fox"), (2, ""), (3, "the quick brown fox")],
             "doc_id long, text string",
@@ -195,7 +195,7 @@ class TestBigramLM:
 
     def test_bigram_model_is_sparse_and_context_consistent(self, spark):
         train = self._corpus(spark)
-        uni, big = lm_train_bigram(train, num_buckets=B, id_col="doc_id")
+        uni, big = lm_train_bigram(train, num_buckets=B)
         assert uni.count() == B  # dense unigram
         brows = big.collect()
         assert 0 < len(brows) <= B * B  # sparse bigram

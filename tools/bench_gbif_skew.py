@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from gbif_filter_python_spark.config import Country, FilterConfig
+from gbif_filter_python_spark.config import Country, FilterConfig, Polygon
 from gbif_filter_python_spark.engine import OccurrenceEngine
 from gbif_filter_python_spark.session import get_spark
 from gbif_filter_python_spark.sources.io import write_occurrence_snapshot
@@ -134,6 +134,13 @@ def run(spark, rows: int = 20_000_000, mega_frac: float = 0.25) -> dict:
                 (F.col("taxon_key") == MEGA_KEY).cast("double"),
             )
         ).alias("zone"),
+        F.avg(
+            F.when(
+                F.col("decimal_lon").between(5, 15)
+                & F.col("decimal_lat").between(55, 65),
+                (F.col("taxon_key") == MEGA_KEY).cast("double"),
+            )
+        ).alias("bbox"),
     ).first()
 
     engine = OccurrenceEngine(taxonomy, occurrence)
@@ -148,6 +155,15 @@ def run(spark, rows: int = 20_000_000, mega_frac: float = 0.25) -> dict:
             name_column="name", rank_column="rank",
             taxa_kingdom="Animalia", zone=Country("NO"),
             resolve_to_rank="SPECIES"),
+        # VERDICT r7 item 7: the polygon probe is where a mega-taxon's
+        # points CONCENTRATE — the bbox prefilter keeps a geographic
+        # slice, and the vectorized ray-cast pandas UDF then runs over
+        # every surviving row, mega-key included. Same straggler
+        # assertion: the UDF stage must not funnel the hot key.
+        "tag_polygon_skew": FilterConfig(
+            name_column="name", rank_column="rank",
+            taxa_kingdom="Animalia",
+            zone=Polygon("POLYGON((5 55, 15 55, 15 65, 5 65, 5 55))")),
     }
     counts, skew_markers = {}, {}
     for name, cfg in scenarios.items():
@@ -175,6 +191,7 @@ def run(spark, rows: int = 20_000_000, mega_frac: float = 0.25) -> dict:
         "occurrence_rows": rows,
         "mega_taxon_share_all": round(shares["all"], 4),
         "mega_taxon_share_zone_NO": round(shares["zone"], 4),
+        "mega_taxon_share_polygon_bbox": round(shares["bbox"], 4),
         "queries": timings,
         "tagged_true": counts,
         "aqe_skew_join_markers": skew_markers,
