@@ -5952,6 +5952,79 @@ def q_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conformal_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction intervals per order priority
+    (operators/analytics.py::conformal_intervals): even orderkeys
+    calibrate a group-mean predictor, odd orderkeys measure the
+    marginal coverage of pred ± qhat, with the k-th-order-statistic
+    qhat computed by a distributed per-group prefix count (the
+    grouped sibling of weighted_quantiles' prefix sum) and the
+    finite-sample k = ceil((n+1)(1-alpha)) in exact integer
+    arithmetic."""
+    from gbif_filter_python_spark.operators.analytics import (
+        conformal_intervals,
+    )
+
+    return conformal_intervals(
+        _t(spark, sf, "orders"),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        alpha=0.1,
+    )
+
+
+def q_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private (status, priority) histogram of orders
+    (operators/profile.py::dp_counts): geometric-mechanism noise
+    drawn hash-deterministically from the md5 of the group key
+    against the discrete-Laplace hex-threshold table — seedable,
+    bit-exact cross-engine, clamped at zero."""
+    from gbif_filter_python_spark.operators.profile import dp_counts
+
+    return dp_counts(
+        _t(spark, sf, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        eps=0.5,
+        seed="r8",
+    )
+
+
+def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-flight join-size/skew probe
+    (operators/skew.py::join_cardinality): exact output cardinality
+    of clicks ⋈ purchases on user_id from two per-key count
+    aggregates — the top-10 hottest keys with their share of total
+    pairs, computed WITHOUT running the join."""
+    from gbif_filter_python_spark.operators.skew import join_cardinality
+
+    ev = _t(spark, sf, "events")
+    return join_cardinality(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "user_id",
+        top_n=10,
+    )
+
+
+def q_ipf_raking(spark: SparkSession, sf: str) -> DataFrame:
+    """Survey raking (operators/analytics.py::ipf_raking): calibrate
+    the o_orderkey%3=0 sample's (status × priority) cell weights so
+    its weighted margins match the full orders table's margins, three
+    fixed IPF iterations unrolled identically in the SQL twin."""
+    from gbif_filter_python_spark.operators.analytics import ipf_raking
+
+    orders = _t(spark, sf, "orders")
+    return ipf_raking(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        orders,
+        row_col="o_orderstatus",
+        col_col="o_orderpriority",
+        iterations=3,
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6325,6 +6398,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "temperature_mixture": q_temperature_mixture,
         "kendall_tau": q_kendall_tau,
+        # -- round-8 additions (oracle-first; newest-first window) ---
+        "conformal_intervals": q_conformal_intervals,
+        "dp_counts": q_dp_counts,
+        "join_cardinality": q_join_cardinality,
+        "ipf_raking": q_ipf_raking,
     }
 
 
@@ -6656,7 +6734,111 @@ def oracle_sql() -> dict[str, str]:
         "), 1, 8))::BIGINT % 1600 / 100.0 + 42.0 END AS lat "
         "FROM orders"
     )
+    # dp_counts noise twin: the SAME hex-threshold constants both
+    # engines consume (profile.discrete_laplace_hex_thresholds) —
+    # bit-exact by construction, no transcendental functions
+    from gbif_filter_python_spark.operators.profile import (
+        discrete_laplace_hex_thresholds,
+    )
+
+    _dp_case = " ".join(
+        f"WHEN u < '{t}' THEN {i - 31}"
+        for i, t in enumerate(discrete_laplace_hex_thresholds(0.5, 31))
+    )
     return {
+        "conformal_intervals": (
+            "WITH base AS (SELECT o_orderpriority AS grp, "
+            "CAST(o_totalprice AS DOUBLE) AS v, "
+            "(o_orderkey % 2 = 0) AS is_cal FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "model AS (SELECT grp, round(avg(v), 2) AS pred, "
+            "count(*) AS n_cal FROM base WHERE is_cal GROUP BY 1), "
+            # k = min(ceil((n+1)*9/10), n) via integer ceil-div; the
+            # float /10.0 is exact on integer-double numerators
+            "mk AS (SELECT grp, pred, n_cal, "
+            "least(CAST(floor(((n_cal + 1) * 9 + 9) / 10.0) AS BIGINT), "
+            "n_cal) AS k FROM model), "
+            "ranked AS (SELECT b.grp, abs(b.v - m.pred) AS s, "
+            "row_number() OVER (PARTITION BY b.grp "
+            "ORDER BY abs(b.v - m.pred)) AS rn "
+            "FROM base b JOIN mk m USING (grp) WHERE b.is_cal), "
+            "qh AS (SELECT r.grp, min(r.s) AS qhat FROM ranked r "
+            "JOIN mk m ON r.grp = m.grp AND r.rn >= m.k GROUP BY 1) "
+            "SELECT b.grp, first(m.pred) AS pred, "
+            "round(first(q.qhat), 2) AS qhat, "
+            "first(m.n_cal) AS n_cal, count(*) AS n_test, "
+            "round(avg(CASE WHEN abs(b.v - m.pred) <= q.qhat "
+            "THEN 1.0 ELSE 0.0 END), 4) AS coverage "
+            "FROM base b JOIN mk m USING (grp) JOIN qh q USING (grp) "
+            "WHERE NOT b.is_cal GROUP BY b.grp"
+        ),
+        "dp_counts": (
+            "WITH c AS (SELECT o_orderstatus, o_orderpriority, "
+            "count(*) AS n FROM orders GROUP BY 1, 2), "
+            "h AS (SELECT o_orderstatus, o_orderpriority, n, "
+            "substring(md5(concat_ws('|', "
+            "CAST(o_orderstatus AS VARCHAR), "
+            "CAST(o_orderpriority AS VARCHAR), 'r8')), 1, 8) AS u "
+            "FROM c) "
+            "SELECT o_orderstatus, o_orderpriority, "
+            f"CAST(greatest(0, n + CASE {_dp_case} ELSE 31 END) "
+            "AS BIGINT) AS noisy_count FROM h"
+        ),
+        "join_cardinality": (
+            "WITH l AS (SELECT user_id AS key, count(*) AS n_left "
+            "FROM events WHERE event_type = 'click' GROUP BY 1), "
+            "r AS (SELECT user_id AS key, count(*) AS n_right "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+            "p AS (SELECT l.key, n_left, n_right, "
+            "n_left * n_right AS pairs FROM l JOIN r USING (key)), "
+            "t AS (SELECT sum(pairs) AS total FROM p) "
+            "SELECT p.key, p.n_left, p.n_right, p.pairs, "
+            "CASE WHEN t.total > 0 THEN round(p.pairs / t.total, 6) "
+            "END AS share FROM p, t "
+            "ORDER BY p.pairs DESC, p.key ASC LIMIT 10"
+        ),
+        "ipf_raking": (
+            "WITH cells AS (SELECT o_orderstatus AS row_val, "
+            "o_orderpriority AS col_val, "
+            "CAST(count(*) AS DOUBLE) AS n FROM orders "
+            "WHERE o_orderkey % 3 = 0 GROUP BY 1, 2), "
+            "pr AS (SELECT o_orderstatus AS row_val, "
+            "CAST(count(*) AS DOUBLE) AS rt0 FROM orders GROUP BY 1), "
+            "pc AS (SELECT o_orderpriority AS col_val, "
+            "CAST(count(*) AS DOUBLE) AS ct0 FROM orders GROUP BY 1), "
+            "ns AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM cells), "
+            "np AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM orders), "
+            "base AS (SELECT c.row_val, c.col_val, c.n, "
+            "pr.rt0 * ns.s / np.p AS rt, pc.ct0 * ns.s / np.p AS ct, "
+            "1.0 AS w FROM cells c JOIN pr USING (row_val) "
+            "JOIN pc USING (col_val), ns, np), "
+            "i1r AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY row_val) > 0 THEN "
+            "w * rt / sum(n * w) OVER (PARTITION BY row_val) "
+            "ELSE w END AS w FROM base), "
+            "i1c AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY col_val) > 0 THEN "
+            "w * ct / sum(n * w) OVER (PARTITION BY col_val) "
+            "ELSE w END AS w FROM i1r), "
+            "i2r AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY row_val) > 0 THEN "
+            "w * rt / sum(n * w) OVER (PARTITION BY row_val) "
+            "ELSE w END AS w FROM i1c), "
+            "i2c AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY col_val) > 0 THEN "
+            "w * ct / sum(n * w) OVER (PARTITION BY col_val) "
+            "ELSE w END AS w FROM i2r), "
+            "i3r AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY row_val) > 0 THEN "
+            "w * rt / sum(n * w) OVER (PARTITION BY row_val) "
+            "ELSE w END AS w FROM i2c), "
+            "i3c AS (SELECT row_val, col_val, n, rt, ct, CASE WHEN "
+            "sum(n * w) OVER (PARTITION BY col_val) > 0 THEN "
+            "w * ct / sum(n * w) OVER (PARTITION BY col_val) "
+            "ELSE w END AS w FROM i3r) "
+            "SELECT row_val, col_val, CAST(n AS BIGINT) AS n, "
+            "round(w, 6) AS weight FROM i3c"
+        ),
         "geo_hot_cell_capped": (
             f"WITH pts AS ({_geo_pts_capped}), "
             "cells AS (SELECT id, lon, lat, "

@@ -976,10 +976,17 @@ def conformal_intervals(
     buffer per group. Selection and coverage are broadcast joins of
     the per-group model frame (pred, qhat, k — bounded by |groups|).
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    # exact rational 1 - alpha via the DECIMAL literal (str-roundtrip):
+    # alpha=0.1 -> 9/10, so k = ceil((n+1)*9/10) is integer arithmetic
+    # — ceil on a float product is boundary-fragile cross-engine
+    frac = 1 - Fraction(str(alpha))
+    p, q = frac.numerator, frac.denominator
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v"),
@@ -992,15 +999,18 @@ def conformal_intervals(
         F.round(F.avg("v"), 2).alias("pred"),
         F.count(F.lit(1)).alias("n_cal"),
     )
-    # k = min(ceil((n_cal + 1) * (1 - alpha)), n_cal), computed in
-    # exact integer arithmetic: ceil(m * (1 - alpha)) via float is
-    # boundary-fragile, so use ceil(x) = -floor(-x) on the column.
+    # k = min(ceil((n_cal + 1) * p / q), n_cal) via integer ceil-div:
+    # ceil(a/q) = floor((a + q - 1) / q). The float division by q is
+    # exact where it matters: the numerator is an exact integer double
+    # (< 2^53 for any real n_cal), and IEEE division is correctly
+    # rounded, so floor() can only disagree with the rational value if
+    # the true quotient is an integer — where the division is exact.
     model = model.withColumn(
         "k",
         F.least(
-            (-F.floor(F.lit(-(1.0 - alpha)) * (F.col("n_cal") + 1))).cast(
-                "long"
-            ),
+            F.floor(
+                ((F.col("n_cal") + 1) * p + (q - 1)) / F.lit(float(q))
+            ).cast("long"),
             F.col("n_cal"),
         ),
     )

@@ -1,0 +1,240 @@
+"""Round-8 operators: conformal_intervals, dp_counts,
+join_cardinality, ipf_raking — each verified against an exact
+pure-Python replay (the same discipline as the bootstrap draw
+replay), plus the contract edges (determinism, clamps, guards)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from gbif_filter_python_spark.operators.analytics import (
+    conformal_intervals,
+    ipf_raking,
+)
+from gbif_filter_python_spark.operators.profile import (
+    discrete_laplace_hex_thresholds,
+    dp_counts,
+)
+from gbif_filter_python_spark.operators.skew import join_cardinality
+
+
+# ---------------------------------------------------------------------------
+# conformal_intervals
+# ---------------------------------------------------------------------------
+
+
+def _py_conformal(rows, alpha=0.1):
+    """Exact replay: even-id calibration, 2dp-rounded group mean,
+    k = ceil((n+1)(1-alpha)) capped at n, kth smallest |v - pred|."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    frac = 1 - Fraction(str(alpha))
+    cal, test = defaultdict(list), defaultdict(list)
+    for g, v, i in rows:
+        (cal if i % 2 == 0 else test)[g].append(v)
+    out = {}
+    for g, vs in cal.items():
+        if g not in test:
+            continue
+        pred = round(sum(vs) / len(vs), 2)
+        scores = sorted(abs(v - pred) for v in vs)
+        k = min(
+            -((-(len(vs) + 1) * frac.numerator) // frac.denominator),
+            len(vs),
+        )
+        qhat = scores[k - 1]
+        cov = sum(abs(v - pred) <= qhat for v in test[g]) / len(test[g])
+        out[g] = (pred, round(qhat, 2), len(vs), len(test[g]), round(cov, 4))
+    return out
+
+
+def test_conformal_matches_python_replay(spark):
+    rows = [
+        ("g%d" % (i % 3), float((i * 37) % 100) + 0.25, i)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    got = {
+        r["grp"]: (
+            r["pred"], r["qhat"], r["n_cal"], r["n_test"], r["coverage"]
+        )
+        for r in conformal_intervals(df, "g", "v", "id", alpha=0.1).collect()
+    }
+    assert got == _py_conformal(rows, alpha=0.1)
+
+
+def test_conformal_coverage_tracks_alpha(spark):
+    # larger sample: empirical coverage should be near 1 - alpha
+    rows = [("a", float((i * 9973) % 1000), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    r = conformal_intervals(df, "g", "v", "id", alpha=0.2).collect()[0]
+    assert 0.7 <= r["coverage"] <= 0.9
+    assert r["n_cal"] == 2000 and r["n_test"] == 2000
+
+
+def test_conformal_k_caps_at_n_cal(spark):
+    # alpha < 1/(n_cal+1): k would exceed n_cal, must cap (widest band)
+    rows = [("a", float(v), i) for i, v in enumerate([1, 9, 2, 8, 3, 7])]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    r = conformal_intervals(df, "g", "v", "id", alpha=0.001).collect()[0]
+    py = _py_conformal(rows, alpha=0.001)["a"]
+    assert (r["pred"], r["qhat"], r["n_cal"], r["n_test"], r["coverage"]) == py
+
+
+def test_conformal_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([("a", 1.0, 1)], ["g", "v", "id"])
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_intervals(df, "g", "v", "id", alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# dp_counts
+# ---------------------------------------------------------------------------
+
+
+def _py_dp_noise(key_parts, seed, eps=0.5, k_max=31):
+    ths = discrete_laplace_hex_thresholds(eps, k_max)
+    u = hashlib.md5(
+        "|".join([*key_parts, seed]).encode()
+    ).hexdigest()[:8]
+    for i, t in enumerate(ths):
+        if u < t:
+            return i - k_max
+    return k_max
+
+
+def test_dp_thresholds_are_monotonic_and_symmetricish():
+    ths = discrete_laplace_hex_thresholds(0.5, 31)
+    assert len(ths) == 62
+    assert ths == sorted(ths)
+    # median threshold (k <= -1 vs k >= 0 boundary) sits below 0.5,
+    # and the k <= 0 mass sits above 0.5 (distribution symmetric
+    # around 0): CDF(-1) < 0.5 < CDF(0)
+    assert int(ths[30], 16) / 2**32 < 0.5 < int(ths[31], 16) / 2**32
+    with pytest.raises(ValueError, match="eps"):
+        discrete_laplace_hex_thresholds(0.0)
+
+
+def test_dp_counts_matches_python_replay_and_is_deterministic(spark):
+    rows = [("s%d" % (i % 3), "p%d" % (i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["s", "p"])
+    out1 = {
+        (r["s"], r["p"]): r["noisy_count"]
+        for r in dp_counts(df, ["s", "p"], eps=0.5, seed="t").collect()
+    }
+    out2 = {
+        (r["s"], r["p"]): r["noisy_count"]
+        for r in dp_counts(df, ["s", "p"], eps=0.5, seed="t").collect()
+    }
+    assert out1 == out2  # deterministic re-release
+    from collections import Counter
+
+    exact = Counter(rows)
+    for (s, p), noisy in out1.items():
+        expect = max(0, exact[(s, p)] + _py_dp_noise([s, p], "t"))
+        assert noisy == expect
+        assert abs(noisy - exact[(s, p)]) <= 31  # bounded mechanism
+
+
+def test_dp_counts_seed_changes_noise(spark):
+    rows = [("a", "b")] * 100
+    df = spark.createDataFrame(rows, ["s", "p"])
+    outs = set()
+    for seed in ("s1", "s2", "s3", "s4", "s5", "s6"):
+        outs.add(dp_counts(df, ["s", "p"], seed=seed).collect()[0][2])
+    assert len(outs) > 1  # noise actually varies with the seed
+    with pytest.raises(ValueError, match="group_cols"):
+        dp_counts(df, [], seed="x")
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_join_cardinality_exact_counts_and_shares(spark):
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("k3",)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 5 + [("k9",)], ["k"]
+    )
+    rows = join_cardinality(left, right, "k", "k", top_n=10).collect()
+    got = [(r["key"], r["n_left"], r["n_right"], r["pairs"], r["share"])
+           for r in rows]
+    # total = 3*4 + 2*5 = 22; k1 first (12 > 10); k3/k9 excluded
+    assert got == [
+        ("k1", 3, 4, 12, round(12 / 22, 6)),
+        ("k2", 2, 5, 10, round(10 / 22, 6)),
+    ]
+    # the probe's total equals the real join's cardinality
+    assert left.join(right, "k").count() == 22
+
+
+def test_join_cardinality_disjoint_keys_empty(spark):
+    left = spark.createDataFrame([("a",)], ["k"])
+    right = spark.createDataFrame([("b",)], ["k"])
+    assert join_cardinality(left, right, "k", "k").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ipf_raking
+# ---------------------------------------------------------------------------
+
+
+def _py_rake(sample_cells, pop_rows, pop_cols, n_pop, iters=3):
+    n_sample = sum(sample_cells.values())
+    w = {cell: 1.0 for cell in sample_cells}
+    rt = {r: v * n_sample / n_pop for r, v in pop_rows.items()}
+    ct = {c: v * n_sample / n_pop for c, v in pop_cols.items()}
+    for _ in range(iters):
+        for dim, targets, idx in (("r", rt, 0), ("c", ct, 1)):
+            margins = {}
+            for cell, n in sample_cells.items():
+                margins[cell[idx]] = margins.get(cell[idx], 0.0) + n * w[cell]
+            for cell in w:
+                m = margins[cell[idx]]
+                if m > 0:
+                    w[cell] *= targets[cell[idx]] / m
+    return {cell: round(v, 6) for cell, v in w.items()}
+
+
+def test_ipf_raking_matches_python_replay_and_margins(spark):
+    pop = [("r%d" % (i % 3), "c%d" % (i % 4)) for i in range(600)]
+    # biased sample: drop most of r0
+    samp = [rc for i, rc in enumerate(pop) if i % 5 != 0 or rc[0] != "r0"]
+    samp = samp[::2]
+    pop_df = spark.createDataFrame(pop, ["r", "c"])
+    samp_df = spark.createDataFrame(samp, ["r", "c"])
+    out = {
+        (x["row_val"], x["col_val"]): (x["n"], x["weight"])
+        for x in ipf_raking(samp_df, pop_df, "r", "c").collect()
+    }
+    from collections import Counter
+
+    cells = Counter(samp)
+    pr, pc = Counter(r for r, _ in pop), Counter(c for _, c in pop)
+    expect = _py_rake(
+        {k: float(v) for k, v in cells.items()}, pr, pc, len(pop)
+    )
+    assert set(out) == set(expect)
+    for cell, (n, wgt) in out.items():
+        assert n == cells[cell]
+        assert wgt == pytest.approx(expect[cell], abs=2e-6)
+    # raked row margins match the scaled population row margins
+    n_samp = len(samp)
+    for r in pr:
+        raked = sum(
+            cells[cell] * out[cell][1] for cell in cells if cell[0] == r
+        )
+        assert raked == pytest.approx(pr[r] * n_samp / len(pop), rel=1e-3)
+
+
+def test_ipf_raking_rejects_bad_iterations(spark):
+    df = spark.createDataFrame([("a", "b")], ["r", "c"])
+    with pytest.raises(ValueError, match="iterations"):
+        ipf_raking(df, df, "r", "c", iterations=0)
