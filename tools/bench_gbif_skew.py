@@ -69,13 +69,18 @@ def build_occurrence_skewed(spark, n_rows: int, mega_frac: float = 0.25):
     )
 
 
-def stage_task_stats(spark, min_tasks: int = 8, floor_ms: float = 50.0):
+def stage_task_stats(spark, min_tasks: int = 8, floor_ms: float = 200.0):
     """Per-stage (median, max) executorRunTime from the UI REST API.
 
     Stages with < ``min_tasks`` tasks or a median under ``floor_ms``
     are reported but exempt from the straggler assertion: a 3 ms
     median makes any scheduling hiccup look like a 20x 'straggler'
-    while the wall-clock cost is nil.
+    while the wall-clock cost is nil. floor_ms is 200 (was 50):
+    measured r8, a 110 ms-median broadcast-build stage flaked to
+    10.75x on one run (max 1.18 s — the first task on a worker pays
+    JIT/classload, not data skew) and 9.56x green on the rerun; the
+    data-skew stages this harness exists for (scan + partial-agg
+    over the 20M-row fact) all carry medians well above 200 ms.
     """
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
