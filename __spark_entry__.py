@@ -6025,6 +6025,50 @@ def q_ipf_raking(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mrl_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation eval (operators/similarity.py::
+    mrl_recall): recall@10 of prefix-truncated-cosine top-k (dims 8/
+    16/32) against full-dimension exact top-k over 20 query vectors —
+    the how-many-dims-can-the-index-drop measurement; one corpus scan
+    per dim, queries broadcast."""
+    from gbif_filter_python_spark.operators.similarity import mrl_recall
+
+    return mrl_recall(
+        _t(spark, sf, "embeddings"), dims=(8, 16, 32), k=10, n_queries=20
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-stage scorecard (operators/fuzzy.py::
+    blocking_quality): pairs-completeness and reduction ratio of the
+    sorted-neighborhood blocker against the planted clone truth —
+    the recall ceiling the er_eval matcher inherits; pair frames
+    only."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from gbif_filter_python_spark.operators.fuzzy import blocking_quality
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    variants = cust.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+    )
+    recs = cust.unionByName(variants)
+    pairs = sorted_neighborhood_pairs(
+        recs.select("id", F.col("name").alias("_key")),
+        ["_key"],
+        window=3,
+        id_col="id",
+    ).select("id_a", "id_b")
+    truth = cust.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1000000).alias("id_b")
+    )
+    return blocking_quality(pairs, truth, n_records=recs.count())
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6403,6 +6447,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         "join_cardinality": q_join_cardinality,
         "ipf_raking": q_ipf_raking,
+        "mrl_recall": q_mrl_recall,
+        "blocking_quality": q_blocking_quality,
     }
 
 
@@ -6745,7 +6791,74 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN u < '{t}' THEN {i - 31}"
         for i, t in enumerate(discrete_laplace_hex_thresholds(0.5, 31))
     )
+
+    # mrl_recall twin: one truncated top-k CTE per dim (list slicing
+    # + list_cosine_similarity), joined against the full-dim top-k
+    def _mrl_topk(expr_c: str, expr_q: str) -> str:
+        return (
+            "SELECT query_id, vec_id FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            f"round(list_cosine_similarity({expr_c}, {expr_q}), 6) "
+            "DESC, c.vec_id ASC) AS rk "
+            "FROM embeddings c CROSS JOIN embeddings q "
+            "WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id"
+            ") WHERE rk <= 10"
+        )
+
+    _mrl_dims = (8, 16, 32)
+    _mrl_ctes = ", ".join(
+        f"t{d} AS ({_mrl_topk(f'c.embedding[1:{d}]', f'q.embedding[1:{d}]')}), "
+        f"h{d} AS (SELECT count(*) AS hits FROM t{d} "
+        "JOIN fullk USING (query_id, vec_id))"
+        for d in _mrl_dims
+    )
+    _mrl_rows = " UNION ALL ".join(
+        f"SELECT {d} AS dim, 20 AS n_queries, 10 AS k, "
+        f"CAST(h{d}.hits AS BIGINT) AS hits, "
+        f"round(CASE WHEN nb.n > 0 THEN h{d}.hits / CAST(nb.n AS DOUBLE) "
+        f"ELSE 0.0 END, 4) AS recall FROM h{d} CROSS JOIN nb"
+        for d in _mrl_dims
+    )
     return {
+        "mrl_recall": (
+            f"WITH fullk AS ({_mrl_topk('c.embedding', 'q.embedding')}), "
+            "nb AS (SELECT count(*) AS n FROM fullk), "
+            f"{_mrl_ctes} {_mrl_rows}"
+        ),
+        "blocking_quality": (
+            "WITH recs AS ("
+            "SELECT c_custkey AS id, c_name AS name FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey + 1000000 AS id, c_name || 'x' AS name "
+            "FROM customer WHERE c_custkey % 20 = 0), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY name, id) "
+            "AS rk FROM recs), "
+            "d AS (SELECT unnest(range(1, 3)) AS dist), "
+            "cand AS (SELECT DISTINCT least(a.id, b.id) AS a, "
+            "greatest(a.id, b.id) AS b "
+            "FROM r a CROSS JOIN d JOIN r b ON b.rk = a.rk + d.dist "
+            "WHERE a.id <> b.id), "
+            "tru AS (SELECT c_custkey AS a, c_custkey + 1000000 AS b "
+            "FROM customer WHERE c_custkey % 20 = 0), "
+            "nr AS (SELECT count(*) AS n FROM recs), "
+            "nc AS (SELECT count(*) AS n_candidates FROM cand), "
+            "nt AS (SELECT count(*) AS n_truth FROM tru), "
+            "tp AS (SELECT count(*) AS true_in_candidates "
+            "FROM cand JOIN tru USING (a, b)) "
+            "SELECT CAST(nr.n AS BIGINT) AS n_records, "
+            "CAST(nc.n_candidates AS BIGINT) AS n_candidates, "
+            "CAST(nt.n_truth AS BIGINT) AS n_truth, "
+            "CAST(tp.true_in_candidates AS BIGINT) "
+            "AS true_in_candidates, "
+            "CASE WHEN nt.n_truth > 0 THEN "
+            "round(tp.true_in_candidates / CAST(nt.n_truth AS DOUBLE), 6) "
+            "END AS pairs_completeness, "
+            "round(1.0 - nc.n_candidates / "
+            "(CAST(nr.n AS DOUBLE) * (nr.n - 1) / 2.0), 6) "
+            "AS reduction_ratio "
+            "FROM nr CROSS JOIN nc CROSS JOIN nt CROSS JOIN tp"
+        ),
         "conformal_intervals": (
             "WITH base AS (SELECT o_orderpriority AS grp, "
             "CAST(o_totalprice AS DOUBLE) AS v, "

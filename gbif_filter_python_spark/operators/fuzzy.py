@@ -315,3 +315,70 @@ def pair_eval(
         F.round(rec, round_dp).alias("recall"),
         F.round(f1, round_dp).alias("f1"),
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Blocking-stage scorecard (Christen 2012, "Data Matching",
+    ch. 4.2): BEFORE grading the matcher (:func:`pair_eval`), grade
+    the blocker — did the candidate generator keep the true matches
+    while discarding the quadratic pair space?
+
+    * ``pairs_completeness`` = |candidates ∩ truth| / |truth| — the
+      recall CEILING of any downstream matcher (a true pair the
+      blocker drops can never be matched);
+    * ``reduction_ratio`` = 1 − |candidates| / C(n_records, 2) — the
+      fraction of the all-pairs space the blocker eliminated (the
+      whole point of blocking: 1 − ~1e-9 at 100 TB scale).
+
+    Both frames are canonicalized to ``least/greatest`` id order and
+    deduplicated, so orientation and repeats can't inflate either
+    metric. One row out: ``(n_records, n_candidates, n_truth,
+    true_in_candidates, pairs_completeness, reduction_ratio)``.
+
+    Scale shape: pair frames only — two distinct-aggs and one
+    pair-keyed join; the records table is never touched (``n_records``
+    arrives as a count the caller already has).
+    """
+    if n_records < 2:
+        raise ValueError(f"n_records must be >= 2, got {n_records}")
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).filter(F.col("a") != F.col("b")).distinct()
+
+    cand, tru = canon(candidates), canon(truth)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_tru = tru.agg(F.count(F.lit(1)).alias("n_truth"))
+    tp = cand.join(tru, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("true_in_candidates")
+    )
+    all_pairs = float(n_records) * (n_records - 1) / 2.0
+    return (
+        n_cand.crossJoin(n_tru)
+        .crossJoin(tp)
+        .select(
+            F.lit(int(n_records)).alias("n_records"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("true_in_candidates").cast("long").alias(
+                "true_in_candidates"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("true_in_candidates") / F.col("n_truth"),
+                ),
+                round_dp,
+            ).alias("pairs_completeness"),
+            F.round(
+                1.0 - F.col("n_candidates") / F.lit(all_pairs), round_dp
+            ).alias("reduction_ratio"),
+        )
+    )

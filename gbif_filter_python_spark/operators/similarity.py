@@ -1165,3 +1165,91 @@ def mmd_drift(
         F.round(se, round_dp).alias("se"),
         F.round(F.col("_m") / se, round_dp).alias("z"),
     )
+
+
+def mrl_recall(
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, "
+    Matryoshka Representation Learning"): recall@k of exact cosine
+    top-k computed on PREFIX-truncated embeddings against the
+    full-dimension top-k — the measurement that decides how many
+    dimensions an ANN index can drop (2-8x memory/IO on the 100 TB
+    vector store) before retrieval quality moves.
+
+    For each dim d: slice every vector to its first d components,
+    rank the corpus per query by (cosine rounded 6dp DESC, id ASC —
+    the deterministic ANN ordering convention shared with
+    brute_force_topk), and score ``hits / |full top-k rows|``.
+    Returns one row per dim: ``(dim, n_queries, k, hits, recall)``.
+
+    Scale shape: queries are a broadcast-sized frame (``n_queries``
+    rows); each dim is ONE corpus scan x broadcast-join with a
+    per-query window top-k — no corpus self-join, no shuffle of the
+    corpus on anything but the final tiny aggregates. len(dims) + 1
+    scans total; the truncated slices are computed in the scan
+    projection, never materialized.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if k < 1 or n_queries < 1:
+        raise ValueError(f"k and n_queries must be >= 1: {k}, {n_queries}")
+    corpus = emb.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    queries = F.broadcast(
+        corpus.filter(F.col("_cid") < n_queries).select(
+            F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv")
+        )
+    )
+
+    def topk(dim: int | None) -> DataFrame:
+        cv = F.slice("_cv", 1, dim) if dim else F.col("_cv")
+        qv = F.slice("_qv", 1, dim) if dim else F.col("_qv")
+        scored = (
+            corpus.crossJoin(queries)
+            .filter(F.col("_cid") != F.col("_qid"))
+            .select(
+                "_qid",
+                "_cid",
+                F.round(cosine_similarity(cv, qv), 6).alias("_sim"),
+            )
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.desc("_sim"), F.asc("_cid")
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("_qid", "_cid")
+        )
+
+    base = topk(None)
+    out = None
+    for d in dims:
+        hits = topk(int(d)).join(base, ["_qid", "_cid"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        denom = base.agg(F.count(F.lit(1)).alias("_n"))
+        row = (
+            hits.crossJoin(F.broadcast(denom))
+            .select(
+                F.lit(int(d)).alias("dim"),
+                F.lit(int(n_queries)).alias("n_queries"),
+                F.lit(int(k)).alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.round(
+                    F.when(
+                        F.col("_n") > 0, F.col("hits") / F.col("_n")
+                    ).otherwise(F.lit(0.0)),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

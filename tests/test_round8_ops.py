@@ -238,3 +238,75 @@ def test_ipf_raking_rejects_bad_iterations(spark):
     df = spark.createDataFrame([("a", "b")], ["r", "c"])
     with pytest.raises(ValueError, match="iterations"):
         ipf_raking(df, df, "r", "c", iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# mrl_recall
+# ---------------------------------------------------------------------------
+
+
+def test_mrl_recall_exact_on_constructed_vectors(spark):
+    from gbif_filter_python_spark.operators.similarity import mrl_recall
+
+    # 1 query (id 0) + 4 corpus vectors. Full-dim (4) ranking:
+    #   id1 = identical direction -> cos 1.0
+    #   id2 = close (cos ~0.995), id3 = orthogonal-ish, id4 = opposite
+    # Truncated to first 2 dims, id3's prefix equals the query's
+    # prefix direction, flipping the top-2 set.
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0]),
+        (1, [2.0, 0.0, 2.0, 0.0]),
+        (2, [1.0, 0.1, 1.0, 0.1]),
+        (3, [1.0, 0.0, -1.0, 0.0]),  # 2-dim prefix == query prefix
+        (4, [-1.0, 0.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["dim"]: r
+        for r in mrl_recall(df, dims=(2,), k=2, n_queries=1).collect()
+    }
+    r2 = out[2]
+    # full top-2 = {1, 2}; truncated-2 top-2 = {1, 3} (id3 prefix
+    # [1,0] cos 1.0 ties id1, beats id2's 0.995...) -> hits = 1
+    assert r2["hits"] == 1 and r2["recall"] == 0.5
+    assert r2["n_queries"] == 1 and r2["k"] == 2
+
+
+def test_mrl_recall_full_dim_is_perfect(spark):
+    from gbif_filter_python_spark.operators.similarity import mrl_recall
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # dims=(8,) IS the full dimension: recall must be exactly 1.0
+    r = mrl_recall(df, dims=(8,), k=5, n_queries=3).collect()[0]
+    assert r["recall"] == 1.0 and r["hits"] == 15
+    with pytest.raises(ValueError, match="dims"):
+        mrl_recall(df, dims=())
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_hand_counts(spark):
+    from gbif_filter_python_spark.operators.fuzzy import blocking_quality
+
+    cand = spark.createDataFrame(
+        # one reversed duplicate + one self-pair: canonicalization
+        # must collapse them to 3 distinct pairs
+        [(1, 2), (2, 1), (3, 4), (5, 6), (7, 7)], ["id_a", "id_b"]
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4), (8, 9)], ["id_a", "id_b"])
+    r = blocking_quality(cand, truth, n_records=10).collect()[0]
+    assert r["n_candidates"] == 3 and r["n_truth"] == 3
+    assert r["true_in_candidates"] == 2
+    assert r["pairs_completeness"] == round(2 / 3, 6)
+    assert r["reduction_ratio"] == round(1 - 3 / 45, 6)
+    with pytest.raises(ValueError, match="n_records"):
+        blocking_quality(cand, truth, n_records=1)
