@@ -6069,6 +6069,118 @@ def q_blocking_quality(spark: SparkSession, sf: str) -> DataFrame:
     return blocking_quality(pairs, truth, n_records=recs.count())
 
 
+def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group lower quantiles of lineitem price by return
+    flag (operators/profile.py::grouped_quantiles): distributed
+    per-group prefix count (range shuffle + per-(partition, group)
+    offsets), never percentile()'s one-buffer-per-group funnel; k
+    thresholds in exact integer-rational arithmetic."""
+    from gbif_filter_python_spark.operators.profile import (
+        grouped_quantiles,
+    )
+
+    return grouped_quantiles(
+        _t(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.95),
+    )
+
+
+def q_bcubed_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed clustering quality (operators/fuzzy.py::bcubed_eval)
+    of the minhash→verify→components dedup clusters against the
+    planted clone truth (true cluster = doc_id % 100000): per-item
+    precision/recall averaged over ALL items, singletons included —
+    the cluster-release metric pair_eval's pair counting can't
+    give."""
+    from gbif_filter_python_spark.operators.fuzzy import bcubed_eval
+    from gbif_filter_python_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _perturbed_docs(spark, sf)
+    cands = minhash_lsh_candidates(docs)
+    verified = ngram_jaccard_pairs(docs, cands).filter(
+        F.col("jaccard") >= 0.8
+    ).select("id_a", "id_b")
+    comps = connected_components(verified)
+    asg = (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["id"], "left")
+        .select(
+            F.col("doc_id").alias("item"),
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias(
+                "pred_cluster"
+            ),
+            (F.col("doc_id") % 100000).alias("true_cluster"),
+        )
+    )
+    return bcubed_eval(asg)
+
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall operating-point sweep (operators/ranking.py::
+    pr_curve) of the Fellegi-Sunter ER scores against the planted
+    clone truth at thresholds 2/4/6/8 — the whole curve behind
+    er_eval's single 'match'-tier point, in ONE scan with stacked
+    conditional aggregates."""
+    from gbif_filter_python_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from gbif_filter_python_spark.operators.fuzzy import er_match_scores
+    from gbif_filter_python_spark.operators.ranking import pr_curve
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    variants = cust.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+        "nation",
+        "segment",
+        (F.col("balance") + 0.005).alias("balance"),
+    )
+    recs = cust.unionByName(variants)
+    pairs = sorted_neighborhood_pairs(
+        recs.select("id", F.col("name").alias("_key")),
+        ["_key"],
+        window=3,
+        id_col="id",
+    ).select("id_a", "id_b")
+    scored = er_match_scores(
+        recs,
+        pairs,
+        [
+            {"col": "name", "kind": "edit", "param": 2,
+             "w_agree": 4.0, "w_disagree": -2.0},
+            {"col": "nation", "kind": "exact",
+             "w_agree": 1.5, "w_disagree": -1.5},
+            {"col": "segment", "kind": "exact",
+             "w_agree": 1.0, "w_disagree": -1.0},
+            {"col": "balance", "kind": "abs_tol", "param": 0.01,
+             "w_agree": 2.0, "w_disagree": -1.0},
+        ],
+    ).select(
+        F.least("id_a", "id_b").alias("a"),
+        F.greatest("id_a", "id_b").alias("b"),
+        "score",
+    ).distinct()
+    labeled = scored.withColumn(
+        "is_true",
+        (F.col("a") % 20 == 0)
+        & (F.col("a") < 1000000)
+        & (F.col("b") == F.col("a") + 1000000),
+    )
+    return pr_curve(
+        labeled, "score", "is_true", thresholds=(2.0, 4.0, 6.0, 8.0)
+    ).orderBy("threshold")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6449,6 +6561,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipf_raking": q_ipf_raking,
         "mrl_recall": q_mrl_recall,
         "blocking_quality": q_blocking_quality,
+        "grouped_quantiles": q_grouped_quantiles,
+        "bcubed_eval": q_bcubed_eval,
+        "pr_curve": q_pr_curve,
     }
 
 
@@ -6820,7 +6935,136 @@ def oracle_sql() -> dict[str, str]:
         f"ELSE 0.0 END, 4) AS recall FROM h{d} CROSS JOIN nb"
         for d in _mrl_dims
     )
+    # shared CTE prefixes: the perturbed-corpus exact-Jaccard
+    # component chain (leakage_split's oracle) reused by bcubed_eval,
+    # and the ER record/score chain (er_eval's oracle) reused by
+    # pr_curve
+    _comp_ctes = (
+        "pert AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, "
+        "text || ' appended marker suffix' AS text FROM documents "
+        "WHERE doc_id % 5 = 0), "
+        "nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t "
+        "FROM pert), "
+        "w AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w "
+        "FROM nrm), "
+        "g AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, "
+        "unnest(CASE WHEN len(w) >= 5 THEN "
+        "list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || "
+        "w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) "
+        "ELSE [array_to_string(w, ' ')] END) AS sh FROM w)), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS i FROM g a JOIN g b ON a.sh = b.sh "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "j AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = inter.id_a "
+        "JOIN sz sb ON sb.doc_id = inter.id_b "
+        "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8), "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM j "
+        "UNION SELECT id_b, id_a FROM j), "
+        "rec AS (WITH RECURSIVE reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+        "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)"
+    )
+    _er_ctes = (
+        "recs AS (SELECT c_custkey AS id, c_name AS name, "
+        "c_nationkey AS nation, c_mktsegment AS segment, "
+        "c_acctbal AS balance FROM customer "
+        "UNION ALL "
+        "SELECT c_custkey + 1000000 AS id, c_name || 'x' AS name, "
+        "c_nationkey AS nation, c_mktsegment AS segment, "
+        "c_acctbal + 0.005 AS balance FROM customer "
+        "WHERE c_custkey % 20 = 0), "
+        "r AS (SELECT *, row_number() OVER (ORDER BY name, id) "
+        "AS rk FROM recs), "
+        "d AS (SELECT unnest(range(1, 3)) AS dist), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, "
+        "a.name AS na, b.name AS nb, a.nation AS ta, "
+        "b.nation AS tb, a.segment AS sa, b.segment AS sb, "
+        "a.balance AS ba, b.balance AS bb "
+        "FROM r a CROSS JOIN d JOIN r b ON b.rk = a.rk + d.dist), "
+        "sc AS (SELECT id_a, id_b, "
+        "(CASE WHEN levenshtein(na, nb) <= 2 THEN 4.0 "
+        "ELSE -2.0 END "
+        "+ CASE WHEN ta = tb THEN 1.5 ELSE -1.5 END "
+        "+ CASE WHEN sa = sb THEN 1.0 ELSE -1.0 END "
+        "+ CASE WHEN abs(ba - bb) <= 0.01 THEN 2.0 ELSE -1.0 END) "
+        "AS score FROM p)"
+    )
+    _pr_points = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, "
+        f"CAST(tp{i} AS BIGINT) AS tp, CAST(fp{i} AS BIGINT) AS fp, "
+        f"CAST(pos - tp{i} AS BIGINT) AS fn, "
+        f"CASE WHEN tp{i} + fp{i} > 0 THEN "
+        f"round(tp{i} / CAST(tp{i} + fp{i} AS DOUBLE), 6) END "
+        "AS precision, "
+        f"CASE WHEN pos > 0 THEN round(tp{i} / CAST(pos AS DOUBLE), 6) "
+        "END AS recall FROM ag"
+        for i, t in enumerate(("2.0", "4.0", "6.0", "8.0"))
+    )
+    _pr_aggs = ", ".join(
+        f"sum(CASE WHEN score >= {t} AND is_true THEN 1 ELSE 0 END) "
+        f"AS tp{i}, "
+        f"sum(CASE WHEN score >= {t} AND NOT is_true THEN 1 ELSE 0 END) "
+        f"AS fp{i}"
+        for i, t in enumerate(("2.0", "4.0", "6.0", "8.0"))
+    )
     return {
+        "grouped_quantiles": (
+            "WITH base AS (SELECT l_returnflag AS grp, "
+            "CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "r AS (SELECT grp, v, "
+            "row_number() OVER (PARTITION BY grp ORDER BY v) AS rn, "
+            "count(*) OVER (PARTITION BY grp) AS n FROM base) "
+            "SELECT grp, q, round(min(v), 6) AS value FROM ("
+            "SELECT grp, CAST(0.25 AS DOUBLE) AS q, v FROM r "
+            "WHERE rn >= greatest(CAST(floor((n * 1 + 3) / 4.0) "
+            "AS BIGINT), 1) "
+            "UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), v FROM r "
+            "WHERE rn >= greatest(CAST(floor((n * 1 + 1) / 2.0) "
+            "AS BIGINT), 1) "
+            "UNION ALL SELECT grp, CAST(0.75 AS DOUBLE), v FROM r "
+            "WHERE rn >= greatest(CAST(floor((n * 3 + 3) / 4.0) "
+            "AS BIGINT), 1) "
+            "UNION ALL SELECT grp, CAST(0.95 AS DOUBLE), v FROM r "
+            "WHERE rn >= greatest(CAST(floor((n * 19 + 19) / 20.0) "
+            "AS BIGINT), 1)"
+            ") GROUP BY grp, q"
+        ),
+        "bcubed_eval": (
+            f"WITH {_comp_ctes}, "
+            "asg AS (SELECT d.doc_id AS item, "
+            "coalesce(rec.comp, d.doc_id) AS pc, "
+            "d.doc_id % 100000 AS tc FROM pert d "
+            "LEFT JOIN rec ON rec.id = d.doc_id), "
+            "np AS (SELECT pc, count(*) AS sp FROM asg GROUP BY 1), "
+            "nt AS (SELECT tc, count(*) AS st FROM asg GROUP BY 1), "
+            "ix AS (SELECT pc, tc, count(*) AS i FROM asg "
+            "GROUP BY 1, 2), "
+            "per AS (SELECT ix.i::DOUBLE / np.sp AS p_i, "
+            "ix.i::DOUBLE / nt.st AS r_i FROM asg a "
+            "JOIN ix ON ix.pc = a.pc AND ix.tc = a.tc "
+            "JOIN np ON np.pc = a.pc JOIN nt ON nt.tc = a.tc) "
+            "SELECT count(*) AS n_items, "
+            "round(avg(p_i), 6) AS bcubed_precision, "
+            "round(avg(r_i), 6) AS bcubed_recall, "
+            "round(2 * avg(p_i) * avg(r_i) / (avg(p_i) + avg(r_i)), 6) "
+            "AS bcubed_f1 FROM per"
+        ),
+        "pr_curve": (
+            f"WITH {_er_ctes}, "
+            "ps AS (SELECT DISTINCT least(id_a, id_b) AS a, "
+            "greatest(id_a, id_b) AS b, score FROM sc "
+            "WHERE id_a <> id_b), "
+            "lab AS (SELECT score, (a % 20 = 0 AND a < 1000000 "
+            "AND b = a + 1000000) AS is_true FROM ps), "
+            "ag AS (SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END) "
+            f"AS pos, {_pr_aggs} FROM lab) "
+            f"{_pr_points}"
+        ),
         "mrl_recall": (
             f"WITH fullk AS ({_mrl_topk('c.embedding', 'q.embedding')}), "
             "nb AS (SELECT count(*) AS n FROM fullk), "

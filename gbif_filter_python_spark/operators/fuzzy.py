@@ -382,3 +382,57 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def bcubed_eval(
+    assignments: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred_cluster",
+    true_col: str = "true_cluster",
+    round_dp: int = 6,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; the
+    Amigó et al. 2009 survey's recommended extrinsic metric): per-item
+    precision ``|C_pred(i) ∩ C_true(i)| / |C_pred(i)|`` and recall
+    ``… / |C_true(i)|``, averaged over items. Unlike pair-level P/R
+    (:func:`pair_eval`), B³ scores every item — singletons included —
+    and weights errors by cluster size, which is what a dedup-cluster
+    release actually cares about (one giant wrong cluster hurts
+    proportionally to its size, not by one pair-count).
+
+    Input is an ASSIGNMENT table (item, pred cluster id, true cluster
+    id — one row per item). Returns one row: ``(n_items,
+    bcubed_precision, bcubed_recall, bcubed_f1)``.
+
+    Scale shape: three hash aggregates (pred sizes, true sizes,
+    pred×true intersection cells) + key joins back to the assignment
+    table — every shuffle is keyed by cluster id, nothing is
+    pairwise; intersection cells are at most min(|pred clusters| ×
+    avg overlap, n_items).
+    """
+    asg = assignments.select(
+        F.col(item_col).alias("_i"),
+        F.col(pred_col).alias("_pc"),
+        F.col(true_col).alias("_tc"),
+    ).filter(F.col("_pc").isNotNull() & F.col("_tc").isNotNull())
+    sp = asg.groupBy("_pc").agg(F.count(F.lit(1)).alias("_sp"))
+    st = asg.groupBy("_tc").agg(F.count(F.lit(1)).alias("_st"))
+    ix = asg.groupBy("_pc", "_tc").agg(F.count(F.lit(1)).alias("_ix"))
+    per = (
+        asg.join(ix, ["_pc", "_tc"])
+        .join(sp, "_pc")
+        .join(st, "_tc")
+        .select(
+            (F.col("_ix") / F.col("_sp")).alias("_p"),
+            (F.col("_ix") / F.col("_st")).alias("_r"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("_p"), round_dp).alias("bcubed_precision"),
+        F.round(F.avg("_r"), round_dp).alias("bcubed_recall"),
+        F.round(
+            2 * F.avg("_p") * F.avg("_r") / (F.avg("_p") + F.avg("_r")),
+            round_dp,
+        ).alias("bcubed_f1"),
+    )

@@ -2857,3 +2857,101 @@ def dp_counts(
         .cast("long")
         .alias("noisy_count"),
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact per-group lower quantiles at fact scale: one row
+    ``(grp, q, value)`` per (group, quantile), where ``value`` is the
+    k-th smallest group value with ``k = ceil(q · n_group)`` — the
+    deterministic no-interpolation convention (weighted_quantiles'
+    grouped sibling, and the primitive behind every "p95 latency per
+    tenant / token-length p50 per language" report).
+
+    Why not ``percentile().over(groupBy)``: Spark's exact percentile
+    funnels EVERY group value through one aggregation buffer per
+    group — a mega-group at 100 TB is a single-task OOM. Here the
+    per-group rank is a distributed prefix COUNT: one
+    ``repartitionByRange(grp, v)`` shuffle gives a per-group total
+    order across partitions; per-(partition, group) counts (a tiny
+    agg, |partitions| × |groups| rows) become exclusive offsets
+    broadcast back, so ``rank = offset + local row_number`` with an
+    incremental ROWS frame. Selection is a broadcast join of the
+    per-(group, q) rank thresholds and one ``min`` per cell. The k
+    threshold is exact integer arithmetic (``Fraction(str(q))`` —
+    float ``ceil(q*n)`` is boundary-fragile cross-engine; the float
+    division by the denominator is exact where floor() consumes it,
+    same argument as conformal_intervals).
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
+
+    spark = df.sparkSession
+    fracs = [(float(q), *Fraction(str(q)).as_integer_ratio()) for q in qs]
+    qf = F.broadcast(
+        spark.createDataFrame(fracs, "q double, _p long, _d long")
+    )
+    # k = ceil(n * p / d) = floor((n*p + d - 1) / d), capped at n >= 1
+    ks = counts.crossJoin(qf).select(
+        "grp",
+        "q",
+        F.greatest(
+            F.floor(
+                (F.col("_n") * F.col("_p") + F.col("_d") - 1)
+                / F.col("_d").cast("double")
+            ).cast("long"),
+            F.lit(1),
+        ).alias("_k"),
+    )
+
+    ranged = base.repartitionByRange("grp", "v").sortWithinPartitions(
+        "grp", "v"
+    )
+    parts = ranged.withColumn(
+        "_pid",
+        F.shiftrightunsigned(F.monotonically_increasing_id(), 33).cast(
+            "long"
+        ),
+    )
+    wloc = Window.partitionBy("_pid", "grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = parts.withColumn("_lr", F.count(F.lit(1)).over(wloc))
+    totals = parts.groupBy("_pid", "grp").agg(
+        F.count(F.lit(1)).alias("_pn")
+    )
+    woff = (
+        Window.partitionBy("grp")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        "grp",
+        F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["_pid", "grp"]).select(
+        "grp", "v", (F.col("_off") + F.col("_lr")).alias("_rank")
+    )
+    return (
+        ranked.join(F.broadcast(ks), "grp")
+        .filter(F.col("_rank") >= F.col("_k"))
+        .groupBy("grp", "q")
+        .agg(F.round(F.min("v"), round_dp).alias("value"))
+    )

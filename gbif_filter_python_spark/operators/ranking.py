@@ -496,3 +496,69 @@ def ndcg_at_k(
             round_dp,
         ).alias("ndcg_at_k"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Precision/recall sweep over a FIXED threshold grid: one row
+    ``(threshold, tp, fp, fn, precision, recall)`` per threshold
+    (``score >= threshold`` predicts positive) — the
+    operating-point table a binary scorer (ER matcher tiers, quality
+    gates, toxicity filters) ships with before anyone picks a cutoff.
+    Complements :func:`~.fuzzy.pair_eval` (one point) and
+    ``isotonic_calibrate`` (probability fit) with the whole curve.
+
+    Scale shape: the entire sweep is ONE aggregation over the scored
+    table — K conditional sums (tp_k, fp_k) plus the positive total,
+    unpivoted with ``stack`` into K rows. The fact is scanned once
+    regardless of grid size; no per-threshold pass, no sort (a fixed
+    grid, unlike the every-distinct-score ROC construction, keeps
+    the output bounded and the plan join-free).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = [float(t) for t in thresholds]
+    lbl = F.col(label_col).cast("boolean")
+    sc = F.col(score_col)
+    aggs = [
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("_pos"),
+    ]
+    for i, t in enumerate(ts):
+        aggs.append(
+            F.sum(F.when((sc >= t) & lbl, 1).otherwise(0)).alias(f"_tp{i}")
+        )
+        aggs.append(
+            F.sum(F.when((sc >= t) & ~lbl, 1).otherwise(0)).alias(f"_fp{i}")
+        )
+    row = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), _tp{i}, _fp{i}" for i, t in enumerate(ts)
+    )
+    stacked = row.select(
+        "_pos",
+        F.expr(
+            f"stack({len(ts)}, {stack_args}) AS (threshold, _tp, _fp)"
+        ),
+    )
+    return stacked.select(
+        "threshold",
+        F.col("_tp").cast("long").alias("tp"),
+        F.col("_fp").cast("long").alias("fp"),
+        (F.col("_pos") - F.col("_tp")).cast("long").alias("fn"),
+        F.round(
+            F.when(
+                F.col("_tp") + F.col("_fp") > 0,
+                F.col("_tp") / (F.col("_tp") + F.col("_fp")),
+            ),
+            round_dp,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("_pos") > 0, F.col("_tp") / F.col("_pos")),
+            round_dp,
+        ).alias("recall"),
+    )

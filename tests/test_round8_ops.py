@@ -310,3 +310,127 @@ def test_blocking_quality_hand_counts(spark):
     assert r["reduction_ratio"] == round(1 - 3 / 45, 6)
     with pytest.raises(ValueError, match="n_records"):
         blocking_quality(cand, truth, n_records=1)
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_matches_sorted_replay(spark):
+    from fractions import Fraction
+
+    from gbif_filter_python_spark.operators.profile import (
+        grouped_quantiles,
+    )
+
+    rows = [("g%d" % (i % 3), float((i * 31) % 97)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    qs = (0.25, 0.5, 0.75, 0.9)
+    got = {
+        (r["grp"], r["q"]): r["value"]
+        for r in grouped_quantiles(df, "g", "v", qs=qs).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in rows:
+        groups[g].append(v)
+    for g, vs in groups.items():
+        vs.sort()
+        for q in qs:
+            p, d = Fraction(str(q)).as_integer_ratio()
+            k = max((len(vs) * p + d - 1) // d, 1)
+            assert got[(g, q)] == vs[k - 1], (g, q)
+    assert len(got) == 3 * len(qs)
+
+
+def test_grouped_quantiles_edges(spark):
+    from gbif_filter_python_spark.operators.profile import (
+        grouped_quantiles,
+    )
+
+    # single-value group: every quantile is that value; q=1.0 = max
+    df = spark.createDataFrame([("a", 7.0), ("b", 1.0), ("b", 9.0)],
+                               ["g", "v"])
+    got = {
+        (r["grp"], r["q"]): r["value"]
+        for r in grouped_quantiles(df, "g", "v", qs=(0.5, 1.0)).collect()
+    }
+    assert got == {("a", 0.5): 7.0, ("a", 1.0): 7.0,
+                   ("b", 0.5): 1.0, ("b", 1.0): 9.0}
+    with pytest.raises(ValueError, match="quantiles"):
+        grouped_quantiles(df, "g", "v", qs=(0.0,))
+
+
+# ---------------------------------------------------------------------------
+# bcubed_eval
+# ---------------------------------------------------------------------------
+
+
+def test_bcubed_hand_example(spark):
+    from gbif_filter_python_spark.operators.fuzzy import bcubed_eval
+
+    # truth: {1,2,3} and {4,5}; pred: {1,2} {3,4} {5}
+    rows = [
+        (1, "p1", "t1"), (2, "p1", "t1"), (3, "p2", "t1"),
+        (4, "p2", "t2"), (5, "p3", "t2"),
+    ]
+    df = spark.createDataFrame(rows, ["item", "pred_cluster", "true_cluster"])
+    r = bcubed_eval(df).collect()[0]
+    # precision per item: 1:2/2 2:2/2 3:1/2 4:1/2 5:1/1 -> avg 0.8
+    # recall per item:    1:2/3 2:2/3 3:1/3 4:1/2 5:1/2 -> avg 0.5333..
+    import pytest as _pt
+
+    assert r["n_items"] == 5
+    assert r["bcubed_precision"] == 0.8
+    assert r["bcubed_recall"] == round((2/3 + 2/3 + 1/3 + 0.5 + 0.5) / 5, 6)
+    p, rr = 0.8, (2/3 + 2/3 + 1/3 + 0.5 + 0.5) / 5
+    assert r["bcubed_f1"] == _pt.approx(2 * p * rr / (p + rr), abs=1e-6)
+
+
+def test_bcubed_perfect_clustering_is_one(spark):
+    from gbif_filter_python_spark.operators.fuzzy import bcubed_eval
+
+    rows = [(i, "c%d" % (i % 4), "c%d" % (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["item", "pred_cluster", "true_cluster"])
+    r = bcubed_eval(df).collect()[0]
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
+        1.0, 1.0, 1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr_curve
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_hand_counts(spark):
+    from gbif_filter_python_spark.operators.ranking import pr_curve
+
+    rows = [
+        (0.9, True), (0.8, False), (0.7, True), (0.6, True),
+        (0.4, False), (0.2, True),
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {
+        r["threshold"]: r
+        for r in pr_curve(df, "s", "y", thresholds=(0.5, 0.85)).collect()
+    }
+    r5 = out[0.5]
+    # s >= 0.5: 0.9(T) 0.8(F) 0.7(T) 0.6(T) -> tp 3, fp 1; missed: 0.2(T)
+    assert (r5["tp"], r5["fp"], r5["fn"]) == (3, 1, 1)
+    assert r5["precision"] == 0.75 and r5["recall"] == 0.75
+    r85 = out[0.85]
+    assert (r85["tp"], r85["fp"], r85["fn"]) == (1, 0, 3)
+    assert r85["precision"] == 1.0 and r85["recall"] == 0.25
+    with pytest.raises(ValueError, match="thresholds"):
+        pr_curve(df, "s", "y", thresholds=())
+
+
+def test_pr_curve_empty_predictions_null_precision(spark):
+    from gbif_filter_python_spark.operators.ranking import pr_curve
+
+    df = spark.createDataFrame([(0.1, True)], ["s", "y"])
+    r = pr_curve(df, "s", "y", thresholds=(0.5,)).collect()[0]
+    assert r["tp"] == 0 and r["precision"] is None and r["recall"] == 0.0
