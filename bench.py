@@ -376,14 +376,22 @@ def _child_main(kind: str, out_path: str) -> None:
 def _run_child(kind: str, workdir: str) -> dict:
     out_path = os.path.join(workdir, f"batch_{kind}.json")
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", kind,
-         out_path],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.PIPE,
-        timeout=BATCH_TIMEOUT_S,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", kind,
+             out_path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            timeout=BATCH_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        # a hung batch is recorded, not fatal — the other batches'
+        # results must survive (ADVICE r8: the uncaught exception
+        # aborted the whole run and lost everything completed)
+        wall = round(time.perf_counter() - t0, 1)
+        return {"error": f"child {kind} timed out after "
+                         f"{BATCH_TIMEOUT_S}s", "wall_sec": wall}
     wall = round(time.perf_counter() - t0, 1)
     if proc.returncode != 0 or not os.path.exists(out_path):
         tail = proc.stderr.decode(errors="replace")[-500:]

@@ -1023,12 +1023,17 @@ def conformal_intervals(
     ranged = scores.repartitionByRange("grp", "s").sortWithinPartitions(
         "grp", "s"
     )
-    parts = ranged.withColumn(
-        "_pid",
-        F.shiftrightunsigned(F.monotonically_increasing_id(), 33).cast(
-            "long"
-        ),
-    )
+    # _pid: spark_partition_id(), NOT monotonically_increasing_id>>33
+    # (ADVICE r8) — both consumers below (local ranks and per-
+    # partition totals) must see identical partition ids, and
+    # spark_partition_id is partition-deterministic by definition
+    # (mono-id additionally encodes a per-row counter whose semantics
+    # this op must not depend on). The two plan branches share the one
+    # range exchange via Spark's ReusedExchange, and RangePartitioner
+    # samples boundaries with a fixed derived seed, so a retried or
+    # recomputed branch re-derives the SAME boundaries — the same
+    # exchange-reuse contract weighted_quantiles documents.
+    parts = ranged.withColumn("_pid", F.spark_partition_id().cast("long"))
     wloc = Window.partitionBy("_pid", "grp").orderBy("s").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -2923,12 +2923,12 @@ def grouped_quantiles(
     ranged = base.repartitionByRange("grp", "v").sortWithinPartitions(
         "grp", "v"
     )
-    parts = ranged.withColumn(
-        "_pid",
-        F.shiftrightunsigned(F.monotonically_increasing_id(), 33).cast(
-            "long"
-        ),
-    )
+    # spark_partition_id, not mono-id>>33 (ADVICE r8): partition-
+    # deterministic by definition; the local-rank and totals branches
+    # share one range exchange (ReusedExchange) whose boundary sample
+    # is seed-deterministic, so retries re-derive identical _pids —
+    # same exchange-reuse contract weighted_quantiles documents.
+    parts = ranged.withColumn("_pid", F.spark_partition_id().cast("long"))
     wloc = Window.partitionBy("_pid", "grp").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -173,6 +173,11 @@ _RANGE_ATTRS = {
     ("decimal_longitude",): "lon",
 }
 
+#: WGS84 coordinate domain per axis — folded bounds are clamped to
+#: this before WKT rendering, and bounds wholly outside it prove the
+#: scan empty (see ``_bbox_empty``).
+_AXIS_DOMAIN = {"lat": (-90.0, 90.0), "lon": (-180.0, 180.0)}
+
 
 def _fmt_deg(v: float) -> str:
     """Deterministic decimal-degree text for WKT (no exponent, no
@@ -263,16 +268,23 @@ class GbifOccurrencesReader(DataSourceReader):
                 # scope, so range filters stay fully Spark-side then
                 and isinstance(f.value, (int, float))
                 and not isinstance(f.value, bool)
+                and float(f.value) == float(f.value)  # NaN: never fold
+                # (NaN passes isinstance, defeats the lo>hi emptiness
+                # test, and would render literally as 'nan' in WKT)
             ):
                 # fold the bound into the REST geometry envelope —
                 # the reference's geometry pushdown
                 # (/root/reference/gbif_helper.py:87) generalized to
-                # planner-derived bboxes. GBIF geometry search keeps
-                # points ON the polygon boundary, so CLOSED bounds
-                # (>=, <=) are consumed outright; STRICT bounds (>, <)
-                # fold the same closed envelope (a superset — always
-                # sound) but are ALSO returned as residual so Spark
-                # enforces strictness bit-exactly.
+                # planner-derived bboxes. The envelope is a PREFILTER
+                # only: every folded bound is ALSO yielded back as
+                # residual, so Spark re-verifies each row post-scan.
+                # Rationale (ADVICE r8): the real GBIF geometry API has
+                # boundary/winding/antimeridian semantics of its own —
+                # treating a REST-side polygon as exact would make any
+                # divergence a silent wrong answer, while a residual
+                # re-check makes it at worst a missed pruning. The
+                # envelope therefore only ever REDUCES transferred
+                # rows; correctness never depends on it.
                 axis = _RANGE_ATTRS[f.attribute]
                 v = float(f.value)
                 lo, hi = self.bounds[axis]
@@ -281,27 +293,57 @@ class GbifOccurrencesReader(DataSourceReader):
                 else:
                     self.bounds[axis][1] = v if hi is None else min(hi, v)
                 self._bbox_pushed = True
-                if isinstance(f, (GreaterThan, LessThan)):
-                    yield f  # strictness enforced Spark-side
+                yield f  # always residual — envelope is best-effort
             else:
                 yield f  # residual — Spark evaluates it post-scan
 
     def _bbox_empty(self) -> bool:
-        return any(
-            lo is not None and hi is not None and lo > hi
-            for lo, hi in self.bounds.values()
-        )
+        """True when the folded bounds imply a provably empty result:
+        lo > hi on an axis, or a bound entirely outside the coordinate
+        domain (lat >= 100 can match nothing — answer empty locally
+        rather than sending an invalid polygon GBIF rejects with 400).
+        Sound even though bounds stay residual: the same closed bounds
+        Spark would re-check are unsatisfiable."""
+        for axis, (dom_lo, dom_hi) in _AXIS_DOMAIN.items():
+            lo, hi = self.bounds[axis]
+            if lo is not None and hi is not None and lo > hi:
+                return True
+            if lo is not None and lo > dom_hi:
+                return True
+            if hi is not None and hi < dom_lo:
+                return True
+        return False
 
     def _effective_geometry(self) -> str | None:
+        """REST ``geometry`` prefilter, or None when no sound envelope
+        exists. Bounds are clamped to the WGS84 domain before
+        rendering (a half-open lat >= -100 must not put -100 in the
+        WKT). A longitude side is emitted only when the clamped width
+        is <= 180 degrees: the GBIF geometry API requires
+        anticlockwise single-hemisphere-ish rings and mishandles
+        full-width / antimeridian-edge polygons, and a >180-degree
+        ring is winding-ambiguous — skipping the envelope is always
+        safe because every bound is residual (Spark re-checks)."""
         if self.geometry is not None:
             return self.geometry
         if not self._bbox_pushed:
             return None
+        clamped: dict[str, list[float | None]] = {}
+        for axis, (dom_lo, dom_hi) in _AXIS_DOMAIN.items():
+            lo, hi = self.bounds[axis]
+            clamped[axis] = [
+                None if lo is None else max(lo, dom_lo),
+                None if hi is None else min(hi, dom_hi),
+            ]
+        lon_lo = -180.0 if clamped["lon"][0] is None else clamped["lon"][0]
+        lon_hi = 180.0 if clamped["lon"][1] is None else clamped["lon"][1]
+        if lon_hi - lon_lo > 180.0:
+            return None  # no valid ring — lat/lon enforced Spark-side
         return bbox_wkt(
-            self.bounds["lat"][0],
-            self.bounds["lat"][1],
-            self.bounds["lon"][0],
-            self.bounds["lon"][1],
+            clamped["lat"][0],
+            clamped["lat"][1],
+            clamped["lon"][0],
+            clamped["lon"][1],
         )
 
     # -- planning -------------------------------------------------------

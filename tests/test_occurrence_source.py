@@ -178,12 +178,15 @@ class TestPushdown:
     def test_bbox_closed_bounds_leave_residual_become_geometry(
         self, pushdown, tmp_path
     ):
-        """VERDICT r7 item 2: lat/lon >=/<= bounds are CONSUMED into a
-        REST geometry envelope. Consumption is proven behaviorally:
-        the scripted transport returns a record OUTSIDE the bbox
-        (lat 9.9 < 10) under the envelope key — it SURVIVES, i.e. the
-        range filters left the residual set and Spark trusts the
-        source, exactly as with any pushed filter."""
+        """VERDICT r7 item 2 + ADVICE r8: lat/lon >=/<= bounds fold
+        into a REST geometry envelope but STAY residual — the envelope
+        is a transfer-reducing prefilter, never a correctness
+        dependency (the real GBIF geometry API has its own boundary/
+        winding semantics, so trusting it would make divergence a
+        silent wrong answer). Proven behaviorally both ways: the
+        envelope reaches the transport (call log), AND a record the
+        transport returns OUTSIDE the bbox (lat 9.9 < 10) is dropped
+        Spark-side by the residual re-check."""
         env = "POLYGON((0 10,5 10,5 50,0 50,0 10))"
         data = {
             f"100|FR|{env}": [
@@ -218,20 +221,24 @@ class TestPushdown:
             .filter(F.col("decimal_longitude") <= 5.0)
         )
         keys = sorted(x["occurrence_key"] for x in df.collect())
-        # 7 survives: the >= filter was consumed, not re-checked
-        assert keys == [3, 7]
+        # 7 is dropped: the >= bound was folded AND re-checked
+        assert keys == [3]
         calls = _calls(log)
         assert [c["geometry"] for c in calls] == [env]
 
     def test_bbox_strict_bounds_fold_but_stay_residual(
         self, pushdown, tmp_path
     ):
-        """Strict bounds push the CLOSED superset envelope to REST but
-        remain residual: a boundary record (lat exactly 10) returned
-        by the transport is dropped Spark-side."""
-        env = "POLYGON((-180 10,180 10,180 90,-180 90,-180 10))"
+        """Strict bounds stay residual: a boundary record (lat exactly
+        10) returned by the transport is dropped Spark-side. With ONLY
+        latitude constrained, no geometry reaches REST at all (ADVICE
+        r8 medium): longitude defaulting to the full -180..180 domain
+        would render a 360-degree ring whose edges lie on the
+        antimeridian — exactly what the GBIF geometry API mishandles —
+        so the envelope is withheld and the bounds enforced
+        Spark-side."""
         data = {
-            f"100|FR|{env}": [
+            "100|FR|": [
                 dict(DATA["100|FR|"][1]),  # lat 48 — strictly inside
                 {
                     "taxon_key": 100,
@@ -260,7 +267,119 @@ class TestPushdown:
             .filter(F.col("decimal_latitude") > 10.0)
         )
         assert [x["occurrence_key"] for x in df.collect()] == [3]
-        assert [c["geometry"] for c in _calls(log)] == [env]
+        assert [c["geometry"] for c in _calls(log)] == [None]
+
+    def test_bbox_lat_only_bounds_withhold_geometry_but_filter(
+        self, pushdown, tmp_path
+    ):
+        """Closed lat-only bounds: same antimeridian guard — geometry
+        None at the transport, bounds still enforced by the residual
+        re-check (records at lat 1.0 dropped, lat 48 kept)."""
+        log = str(tmp_path / "latonly.jsonl")
+        df = (
+            pushdown.read.format("gbif_occurrences")
+            .option(
+                "fetch_factory",
+                "gbif_filter_python_spark.sources."
+                "occurrence_source:scripted_occurrence_fetch",
+            )
+            .option(
+                "fetch_args", json.dumps({"data": DATA, "call_log": log})
+            )
+            .load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") >= 10.0)
+        )
+        assert [x["occurrence_key"] for x in df.collect()] == [3]
+        assert [c["geometry"] for c in _calls(log)] == [None]
+
+    def test_bbox_wide_longitude_span_withholds_geometry(self):
+        """A pushed lon range wider than 180 degrees is winding-
+        ambiguous as a single WKT ring — the reader keeps the bounds
+        residual-only instead of emitting it (unit-level: reader state
+        after pushFilters)."""
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+        from gbif_filter_python_spark.sources.occurrence_source import (
+            GbifOccurrencesReader,
+        )
+
+        r = GbifOccurrencesReader({"taxon_keys": "100"})
+        residual = list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("decimal_longitude",), -170.0),
+                    LessThanOrEqual(("decimal_longitude",), 170.0),
+                ]
+            )
+        )
+        assert len(residual) == 2  # both stay residual
+        assert r._effective_geometry() is None  # 340 degrees: no ring
+        # narrow the span and the envelope appears, clamped rendering
+        r2 = GbifOccurrencesReader({"taxon_keys": "100"})
+        list(
+            r2.pushFilters(
+                [
+                    GreaterThanOrEqual(("decimal_longitude",), 0.0),
+                    LessThanOrEqual(("decimal_longitude",), 170.0),
+                ]
+            )
+        )
+        assert r2._effective_geometry() == (
+            "POLYGON((0 -90,170 -90,170 90,0 90,0 -90))"
+        )
+
+    def test_bbox_out_of_domain_and_nan_bounds(self):
+        """ADVICE r8 low: lat >= 100 proves the scan empty locally
+        (instead of shipping an invalid polygon GBIF 400s on);
+        lat >= -100 clamps to -90 in the rendered WKT; NaN bounds are
+        never folded (and never defeat the emptiness test)."""
+        import math
+
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+        from gbif_filter_python_spark.sources.occurrence_source import (
+            GbifOccurrencesReader,
+        )
+
+        r = GbifOccurrencesReader({"taxon_keys": "100"})
+        list(r.pushFilters([GreaterThanOrEqual(("decimal_latitude",), 100.0)]))
+        assert r._bbox_empty()
+        assert len(r.partitions()) == 1  # the empty-scan sentinel
+        assert list(r.read(r.partitions()[0])) == []
+
+        r2 = GbifOccurrencesReader({"taxon_keys": "100"})
+        list(
+            r2.pushFilters(
+                [
+                    GreaterThanOrEqual(("decimal_latitude",), -100.0),
+                    LessThanOrEqual(("decimal_latitude",), 10.0),
+                    GreaterThanOrEqual(("decimal_longitude",), 0.0),
+                    LessThanOrEqual(("decimal_longitude",), 5.0),
+                ]
+            )
+        )
+        assert not r2._bbox_empty()
+        assert r2._effective_geometry() == (
+            "POLYGON((0 -90,5 -90,5 10,0 10,0 -90))"
+        )
+
+        r3 = GbifOccurrencesReader({"taxon_keys": "100"})
+        residual = list(
+            r3.pushFilters(
+                [
+                    GreaterThanOrEqual(
+                        ("decimal_latitude",), float("nan")
+                    ),
+                    LessThanOrEqual(("decimal_latitude",), math.nan),
+                ]
+            )
+        )
+        assert len(residual) == 2  # NaN: residual, not folded
+        assert not r3._bbox_pushed
+        assert not r3._bbox_empty()
+        assert r3._effective_geometry() is None
 
     def test_bbox_empty_envelope_is_empty_scan(self, pushdown, tmp_path):
         r, log = _reader(pushdown, tmp_path)
