@@ -6928,11 +6928,14 @@ def oracle_sql() -> dict[str, str]:
         "JOIN fullk USING (query_id, vec_id))"
         for d in _mrl_dims
     )
+    # n_queries is the ACTUAL count of selected query vectors (ADVICE
+    # r8: the Spark side no longer echoes the literal parameter)
     _mrl_rows = " UNION ALL ".join(
-        f"SELECT {d} AS dim, 20 AS n_queries, 10 AS k, "
+        f"SELECT {d} AS dim, nqr.nq AS n_queries, 10 AS k, "
         f"CAST(h{d}.hits AS BIGINT) AS hits, "
         f"round(CASE WHEN nb.n > 0 THEN h{d}.hits / CAST(nb.n AS DOUBLE) "
-        f"ELSE 0.0 END, 4) AS recall FROM h{d} CROSS JOIN nb"
+        f"ELSE 0.0 END, 4) AS recall FROM h{d} CROSS JOIN nb "
+        "CROSS JOIN nqr"
         for d in _mrl_dims
     )
     # shared CTE prefixes: the perturbed-corpus exact-Jaccard
@@ -7068,6 +7071,8 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall": (
             f"WITH fullk AS ({_mrl_topk('c.embedding', 'q.embedding')}), "
             "nb AS (SELECT count(*) AS n FROM fullk), "
+            "nqr AS (SELECT CAST(count(*) AS INTEGER) AS nq "
+            "FROM embeddings WHERE vec_id < 20), "
             f"{_mrl_ctes} {_mrl_rows}"
         ),
         "blocking_quality": (

@@ -47,7 +47,16 @@ def connected_components(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the edge set is re-joined EVERY iteration; without the
+    # checkpoint each round re-evaluates the caller's whole upstream
+    # plan. For the dedup chain (minhash → verify → components) that
+    # upstream is ~34 s at sf10, and ~3 label rounds re-ran it to
+    # 111.8 s total (BENCH_sf10_r08 leakage_split/bcubed_eval, the two
+    # worst ladder ratios) — vs 4.4 s for the components themselves on
+    # materialized pairs (BENCH_sf10_newops_r09 decomposition).
+    # Pair-edge sets are tiny relative to the corpus, so the
+    # executor-local materialization is the right trade at any scale.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
