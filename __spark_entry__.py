@@ -6181,10 +6181,99 @@ def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+def q_cluster_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """ARI + NMI partition agreement (operators/fuzzy.py::
+    cluster_agreement) between a deliberately-damaged dedup
+    clustering (every doc_id % 7 == 0 demoted to a singleton —
+    simulated dedup misses) and the exact normalized-text truth
+    groups: the chance-corrected pair/information metrics next to
+    bcubed_eval's per-item view."""
+    from gbif_filter_python_spark.operators.fuzzy import cluster_agreement
+
+    docs = _augmented_docs(spark, sf)
+    asg = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("_h")
+    )
+    comp = F.min("doc_id").over(Window.partitionBy("_h"))
+    asg = asg.select(
+        F.col("doc_id").alias("item"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(comp.cast("string"))
+        .alias("pred_cluster"),
+        F.col("_h").alias("true_cluster"),
+    )
+    return cluster_agreement(asg)
+
+
+def q_hubness_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space hubness diagnostic (operators/similarity.py::
+    hubness): skewness of the cosine k=10-occurrence counts over a
+    deterministic 20%-bucket query sample, plus max hub size and
+    antihub rate — the retrieval-degradation forecast before
+    committing to an ANN index layout."""
+    from gbif_filter_python_spark.operators.similarity import hubness
+
+    return hubness(_t(spark, sf, "embeddings"), k=10, sample_buckets=20)
+
+
+def q_twonn_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """TwoNN intrinsic-dimension MLE (operators/similarity.py::
+    twonn_dim) over euclidean 2-NN ratios from a deterministic
+    20%-bucket anchor sample against the full corpus — the
+    compression-floor datasheet number for the embedding column."""
+    from gbif_filter_python_spark.operators.similarity import twonn_dim
+
+    return twonn_dim(_t(spark, sf, "embeddings"), sample_buckets=20)
+
+
+def q_simpsons_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox probe (operators/analytics.py::
+    simpsons_slopes): per-returnflag OLS slope of net revenue on
+    quantity vs the pooled slope, with sign-flip flags — the
+    aggregation-bias check for any per-segment trend claim."""
+    from gbif_filter_python_spark.operators.analytics import simpsons_slopes
+
+    li = _t(spark, sf, "lineitem")
+    return simpsons_slopes(
+        li.withColumn(
+            "net", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ),
+        "l_returnflag",
+        "l_quantity",
+        "net",
+    ).orderBy("l_returnflag")
+
+
+def q_neyman_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman audit-budget allocation (operators/corpus.py::
+    neyman_allocation): 1000 label slots split across order
+    priorities by N_h x S_h of order value, integerized by
+    largest-remainder apportionment (allocations sum to the budget
+    exactly)."""
+    from gbif_filter_python_spark.operators.corpus import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice", 1000
+    ).orderBy("stratum")
+
+
+def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency profile (operators/profile.py::
+    fd_violations) for l_partkey -> l_suppkey (violated by design:
+    TPC-H parts have multiple suppliers): violating-key counts, g3
+    repair error, and the worst offender keys."""
+    from gbif_filter_python_spark.operators.profile import fd_violations
+
+    return fd_violations(_t(spark, sf, "lineitem"), "l_partkey", "l_suppkey")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
@@ -6564,6 +6653,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "bcubed_eval": q_bcubed_eval,
         "pr_curve": q_pr_curve,
+        "cluster_agreement": q_cluster_agreement,
+        "hubness_skew": q_hubness_skew,
+        "twonn_dim": q_twonn_dim,
+        "simpsons_slopes": q_simpsons_slopes,
+        "neyman_alloc": q_neyman_alloc,
+        "fd_violations": q_fd_violations,
     }
 
 
@@ -10561,6 +10656,164 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS term, n AS est_count, "
             "row_number() OVER (ORDER BY n DESC, w ASC) AS rk FROM c) "
             "WHERE rk <= 20"
+        ),
+        "cluster_agreement": (
+            f"WITH aug AS ({_AUG_DOCS}), "
+            f"g AS (SELECT doc_id, md5({_NORM}) AS h FROM aug), "
+            "asg AS (SELECT doc_id AS item, CASE WHEN doc_id % 7 = 0 "
+            "THEN 's' || CAST(doc_id AS VARCHAR) ELSE CAST(min(doc_id) "
+            "OVER (PARTITION BY h) AS VARCHAR) END AS pc, h AS tc "
+            "FROM g), "
+            "cells AS (SELECT pc, tc, count(*) AS nij FROM asg "
+            "GROUP BY 1, 2), "
+            "pa AS (SELECT pc, sum(nij) AS a FROM cells GROUP BY 1), "
+            "pb AS (SELECT tc, sum(nij) AS b FROM cells GROUP BY 1), "
+            "tot AS (SELECT sum(nij) AS n, "
+            "sum(nij * (nij - 1) / 2.0) AS sc FROM cells), "
+            "saa AS (SELECT sum(a * (a - 1) / 2.0) AS sa FROM pa), "
+            "sbb AS (SELECT sum(b * (b - 1) / 2.0) AS sb FROM pb), "
+            "mi AS (SELECT sum((nij / CAST(n AS DOUBLE)) * "
+            "ln((nij * CAST(n AS DOUBLE)) / (a * CAST(b AS DOUBLE)))) "
+            "AS mi FROM cells JOIN pa USING (pc) JOIN pb USING (tc) "
+            "CROSS JOIN tot), "
+            "hp AS (SELECT sum(-(a / CAST(n AS DOUBLE)) * "
+            "ln(a / CAST(n AS DOUBLE))) AS hp FROM pa CROSS JOIN tot), "
+            "ht AS (SELECT sum(-(b / CAST(n AS DOUBLE)) * "
+            "ln(b / CAST(n AS DOUBLE))) AS ht FROM pb CROSS JOIN tot) "
+            "SELECT CAST(n AS BIGINT) AS n_items, "
+            "round(CASE WHEN n < 2 THEN NULL "
+            "WHEN abs((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)) "
+            "< 1e-12 THEN 1.0 "
+            "ELSE (sc - sa * sb / (n * (n - 1) / 2.0)) / "
+            "((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)) END, 6) "
+            "AS ari, "
+            "round(CASE WHEN (hp + ht) / 2.0 > 0 THEN "
+            "mi / ((hp + ht) / 2.0) WHEN n >= 1 THEN 1.0 ELSE NULL "
+            "END, 6) AS nmi "
+            "FROM tot CROSS JOIN saa CROSS JOIN sbb CROSS JOIN mi "
+            "CROSS JOIN hp CROSS JOIN ht"
+        ),
+        "hubness_skew": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cv "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE "
+            "(('0x' || substring(md5(CAST(cid AS VARCHAR)), 1, 8))"
+            "::BIGINT % 100) < 20), "
+            "rk AS (SELECT qid, cid, row_number() OVER ("
+            "PARTITION BY qid ORDER BY "
+            "round(list_cosine_similarity(cv, qv), 6) DESC, cid ASC) "
+            "AS rk FROM c CROSS JOIN q WHERE cid <> qid), "
+            "occ AS (SELECT cid, count(*) AS occ FROM rk "
+            "WHERE rk <= 10 GROUP BY 1), "
+            "base AS (SELECT CAST(coalesce(occ, 0) AS DOUBLE) AS o "
+            "FROM c LEFT JOIN occ USING (cid)), "
+            "nqr AS (SELECT count(*) AS n_queries FROM q), "
+            "m AS (SELECT count(*) AS n, avg(o) AS m1, "
+            "avg(o * o) AS m2, avg(o * o * o) AS m3, max(o) AS mx, "
+            "sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS z FROM base) "
+            "SELECT CAST(n_queries AS BIGINT) AS n_queries, "
+            "CAST(n AS BIGINT) AS n_corpus, 10 AS k, "
+            "CAST(mx AS BIGINT) AS max_k_occurrence, "
+            "round(z / CAST(n AS DOUBLE), 4) AS antihub_rate, "
+            "round(CASE WHEN (m2 - m1 * m1) > 0 THEN "
+            "(m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / "
+            "pow(m2 - m1 * m1, 1.5) ELSE NULL END, 4) AS skewness "
+            "FROM m CROSS JOIN nqr"
+        ),
+        "twonn_dim": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cv "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "a AS (SELECT cid AS qid, cv AS qv FROM c WHERE "
+            "(('0x' || substring(md5(CAST(cid AS VARCHAR)), 1, 8))"
+            "::BIGINT % 100) < 20), "
+            "d AS (SELECT qid, cid, list_distance(cv, qv) AS dist "
+            "FROM c CROSS JOIN a WHERE cid <> qid), "
+            "rk AS (SELECT qid, dist, row_number() OVER ("
+            "PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rk "
+            "FROM d), "
+            "t AS (SELECT qid, min(CASE WHEN rk = 1 THEN dist END) "
+            "AS d1, min(CASE WHEN rk = 2 THEN dist END) AS d2 "
+            "FROM rk WHERE rk <= 2 GROUP BY 1) "
+            "SELECT count(*) AS n_anchors, "
+            "CAST(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_used, "
+            "round(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) / "
+            "sum(CASE WHEN d1 > 0 THEN ln(d2 / d1) END), 2) "
+            "AS intrinsic_dim "
+            "FROM t WHERE d2 IS NOT NULL"
+        ),
+        "simpsons_slopes": (
+            "WITH b AS (SELECT l_returnflag AS g, "
+            "CAST(l_quantity AS DOUBLE) AS x, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "per AS (SELECT g, count(*) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx "
+            "FROM b GROUP BY 1), "
+            "pl AS (SELECT sum(n) AS pn, sum(sx) AS psx, "
+            "sum(sy) AS psy, sum(sxy) AS psxy, sum(sxx) AS psxx "
+            "FROM per) "
+            "SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, "
+            "round(CASE WHEN n * sxx - sx * sx > 0 THEN "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) "
+            "AS slope, "
+            "round(CASE WHEN pn * psxx - psx * psx > 0 THEN "
+            "(pn * psxy - psx * psy) / (pn * psxx - psx * psx) END, 6) "
+            "AS pooled_slope, "
+            "CASE WHEN (n * sxx - sx * sx > 0) AND "
+            "(pn * psxx - psx * psx > 0) THEN "
+            "((n * sxy - sx * sy) / (n * sxx - sx * sx) > 0) <> "
+            "((pn * psxy - psx * psy) / (pn * psxx - psx * psx) > 0) "
+            "END AS flipped "
+            "FROM per CROSS JOIN pl ORDER BY 1"
+        ),
+        "neyman_alloc": (
+            "WITH per AS (SELECT o_orderpriority AS stratum, "
+            "count(*) AS n_rows, "
+            "coalesce(stddev_samp(CAST(o_totalprice AS DOUBLE)), 0.0) "
+            "AS sd FROM orders WHERE o_totalprice IS NOT NULL "
+            "GROUP BY 1), "
+            "tot AS (SELECT sum(n_rows * sd) AS tw FROM per), "
+            "r AS (SELECT stratum, n_rows, sd, "
+            "CASE WHEN tw > 0 THEN n_rows * sd / tw ELSE 0.0 END AS w "
+            "FROM per CROSS JOIN tot), "
+            "f AS (SELECT *, CAST(floor(w * 1000) AS BIGINT) AS fl, "
+            "w * 1000 - floor(w * 1000) AS rem FROM r), "
+            "l AS (SELECT 1000 - sum(fl) AS lo FROM f), "
+            "rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, "
+            "stratum ASC) AS rk FROM f) "
+            "SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, "
+            "round(sd, 4) AS stddev, round(w, 4) AS weight, "
+            "CAST(fl + CASE WHEN w > 0 AND rk <= lo THEN 1 ELSE 0 END "
+            "AS BIGINT) AS alloc "
+            "FROM rk CROSS JOIN l ORDER BY stratum"
+        ),
+        "fd_violations": (
+            "WITH pairs AS (SELECT CAST(l_partkey AS VARCHAR) AS l, "
+            "l_suppkey AS r, count(*) AS c FROM lineitem "
+            "WHERE l_partkey IS NOT NULL GROUP BY 1, 2), "
+            "keys AS (SELECT l, count(*) AS nrhs, sum(c) AS rws, "
+            "max(c) AS maxc FROM pairs GROUP BY 1), "
+            "worst AS (SELECT string_agg(l || ':' || "
+            "CAST(nrhs AS VARCHAR), ',' ORDER BY nrhs DESC, l DESC) "
+            "AS worst_keys FROM (SELECT l, nrhs FROM keys "
+            "WHERE nrhs > 1 ORDER BY nrhs DESC, l DESC LIMIT 5)), "
+            "s AS (SELECT CAST(sum(rws) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating_keys, "
+            "CAST(sum(CASE WHEN nrhs > 1 THEN rws ELSE 0 END) "
+            "AS BIGINT) AS rows_in_violating, "
+            "sum(rws - maxc) AS del FROM keys) "
+            "SELECT n_rows, n_keys, n_violating_keys, "
+            "rows_in_violating, "
+            "round(CASE WHEN n_rows > 0 THEN rows_in_violating / "
+            "CAST(n_rows AS DOUBLE) END, 6) AS violation_row_share, "
+            "round(CASE WHEN n_rows > 0 THEN del / "
+            "CAST(n_rows AS DOUBLE) END, 6) AS g3_error, "
+            "coalesce(worst_keys, '') AS worst_keys "
+            "FROM s CROSS JOIN worst"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

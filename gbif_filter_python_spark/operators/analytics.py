@@ -1166,3 +1166,80 @@ def ipf_raking(
         F.col("n").cast("long").alias("n"),
         F.round("w", round_dp).alias("weight"),
     )
+
+
+def simpsons_slopes(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox probe (Simpson 1951; the aggregation-bias
+    check every per-segment dashboard needs): the pooled OLS slope of
+    ``y ~ x`` next to each stratum's own slope, with a ``flipped``
+    flag where the stratum slope's sign contradicts the pooled sign —
+    the signature of a lurking stratification variable, where acting
+    on the pooled trend would be exactly wrong.
+
+    Output: one row per stratum ``(group, n, slope, pooled_slope,
+    flipped)``. Slopes use the closed form (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²); a zero-variance x (within a stratum or pooled) yields
+    NULL slope and NULL flipped — never a DIVIDE_BY_ZERO (ANSI).
+
+    Scale shape: ONE scan computing per-stratum sufficient statistics
+    (hash agg keyed by stratum); the pooled statistics are the
+    re-aggregate of the per-stratum partials (never a second scan);
+    pooled joins back by broadcast. Sign comparison is on exact
+    doubles, flag only — no pairwise or window work anywhere.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+
+    def _slope(n, sx, sy, sxy, sxx):
+        den = n * sxx - sx * sx
+        return F.when(den > 0, (n * sxy - sx * sy) / den).otherwise(
+            F.lit(None).cast("double")
+        )
+
+    pooled = per.agg(
+        F.sum("_n").alias("_pn"),
+        F.sum("_sx").alias("_psx"),
+        F.sum("_sy").alias("_psy"),
+        F.sum("_sxy").alias("_psxy"),
+        F.sum("_sxx").alias("_psxx"),
+    ).select(
+        _slope(
+            F.col("_pn"),
+            F.col("_psx"),
+            F.col("_psy"),
+            F.col("_psxy"),
+            F.col("_psxx"),
+        ).alias("_pooled")
+    )
+    g = _slope(
+        F.col("_n"), F.col("_sx"), F.col("_sy"), F.col("_sxy"), F.col("_sxx")
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_n").cast("long").alias("n"),
+            F.round(g, round_dp).alias("slope"),
+            F.round(F.col("_pooled"), round_dp).alias("pooled_slope"),
+            F.when(
+                g.isNotNull() & F.col("_pooled").isNotNull(),
+                (g > 0) != (F.col("_pooled") > 0),
+            ).alias("flipped"),
+        )
+    )

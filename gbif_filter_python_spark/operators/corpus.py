@@ -1839,3 +1839,90 @@ def temperature_mixture(
         F.round(wgt, round_dp).alias("w"),
         F.round(wgt / p, round_dp).alias("sampling_ratio"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Optimal sample-size allocation across strata (Neyman 1934): for
+    a fixed labeling/audit budget, stratum h gets ``n_h ∝ N_h·S_h``
+    (size × within-stratum std-dev) — the allocation that minimizes
+    the variance of the stratified mean estimator. The planning step
+    BEFORE :func:`stratified_sample`: a quality-audit of a 100 TB
+    corpus shouldn't spend equal label budget on a homogeneous
+    boilerplate stratum and a high-variance long-tail one.
+
+    Integer allocations use largest-remainder apportionment (exact:
+    allocations sum to ``budget`` whenever the budget is feasible):
+    floor the real allocation, then hand the leftover units to the
+    largest fractional remainders (ties by stratum value for
+    determinism). Zero-variance and single-row strata contribute
+    S_h = 0 and receive 0 (document the convention: certain strata
+    need no sample). If every stratum has zero weight the budget is
+    returned unallocated (all zeros) rather than throwing.
+
+    Output: one row per stratum ``(stratum, n_rows, stddev, weight,
+    alloc)``. Scale shape: one hash aggregate over the fact (count +
+    moment sums per stratum), then window arithmetic over the tiny
+    stratum table only.
+    """
+    per = (
+        df.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.stddev_samp("_v"), F.lit(0.0)).alias("stddev"),
+        )
+    )
+    w = F.col("n_rows") * F.col("stddev")
+    tot = per.agg(F.sum(w).alias("_tw"))
+    real = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            "stddev",
+            F.when(F.col("_tw") > 0, w / F.col("_tw"))
+            .otherwise(F.lit(0.0))
+            .alias("weight"),
+        )
+        .withColumn("_real", F.col("weight") * F.lit(int(budget)))
+        .withColumn("_floor", F.floor("_real").cast("long"))
+        .withColumn("_rem", F.col("_real") - F.col("_floor"))
+    )
+    leftover = F.lit(int(budget)) - F.sum("_floor").over(
+        Window.partitionBy()
+    )
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_rem"), F.asc("stratum"))
+    )
+    return (
+        real.withColumn("_lo", leftover)
+        .withColumn("_rk", rk)
+        .select(
+            "stratum",
+            F.col("n_rows").cast("long"),
+            F.round("stddev", round_dp).alias("stddev"),
+            F.round("weight", round_dp).alias("weight"),
+            # floors sum to <= budget; remainders are < 1 each, so the
+            # leftover is < n_strata and the top-_lo remainders absorb
+            # one unit apiece. A stratum never exceeds its ceil.
+            (
+                F.col("_floor")
+                + F.when(
+                    (F.col("weight") > 0) & (F.col("_rk") <= F.col("_lo")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -436,3 +436,119 @@ def bcubed_eval(
             round_dp,
         ).alias("bcubed_f1"),
     )
+
+
+def cluster_agreement(
+    assignments: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred_cluster",
+    true_col: str = "true_cluster",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Partition-agreement metrics between a predicted and a reference
+    clustering: Adjusted Rand Index (Hubert & Arabie 1985) and
+    Normalized Mutual Information (arithmetic normalization, Strehl &
+    Ghosh 2002) — the two standard chance-corrected companions to
+    :func:`bcubed_eval` when comparing two dedup/ER cluster releases
+    (B³ is per-item and asymmetric-error-weighted; ARI/NMI are
+    pair-level and information-theoretic, so a release diff report
+    wants all three).
+
+    Input is the same assignment table as ``bcubed_eval`` (one row per
+    item). Returns one row ``(n_items, ari, nmi)``:
+
+    - ARI = (Σ_ij C(n_ij,2) − E) / (½(Σ_i C(a_i,2) + Σ_j C(b_j,2)) − E)
+      with E = Σ_i C(a_i,2)·Σ_j C(b_j,2)/C(n,2); 1.0 by convention
+      when the denominator is 0 (both partitions all-singleton or
+      single-cluster — they are then identical as pair sets).
+    - NMI = MI / ((H_pred + H_true)/2) with natural-log entropies;
+      1.0 when both entropies are 0, else 0.0 when MI is 0.
+
+    Scale shape: one contingency hash aggregate (≤ n_items cells) +
+    two marginal aggregates derived FROM the contingency table (never
+    a second pass over the items), then a three-way broadcast-join of
+    the cell table with its own tiny marginals for the MI sum — no
+    pairwise counting anywhere (the C(·,2) identities do the pair
+    math inside per-cell arithmetic).
+    """
+    asg = assignments.select(
+        F.col(item_col).alias("_i"),
+        F.col(pred_col).alias("_pc"),
+        F.col(true_col).alias("_tc"),
+    ).filter(F.col("_pc").isNotNull() & F.col("_tc").isNotNull())
+    cells = asg.groupBy("_pc", "_tc").agg(F.count(F.lit(1)).alias("_nij"))
+    pa = cells.groupBy("_pc").agg(F.sum("_nij").alias("_a"))
+    pb = cells.groupBy("_tc").agg(F.sum("_nij").alias("_b"))
+
+    def _c2(c):  # exact pair count n*(n-1)/2 in long arithmetic
+        return (c * (c - F.lit(1))) / F.lit(2)
+
+    tot = (
+        cells.agg(
+            F.sum("_nij").alias("_n"),
+            F.sum(_c2(F.col("_nij"))).alias("_sc"),
+        )
+        .crossJoin(
+            F.broadcast(pa.agg(F.sum(_c2(F.col("_a"))).alias("_sa")))
+        )
+        .crossJoin(
+            F.broadcast(pb.agg(F.sum(_c2(F.col("_b"))).alias("_sb")))
+        )
+    )
+    # MI and entropies need n inside per-cell terms: broadcast the
+    # one-row totals onto the cell/marginal tables
+    n_row = F.broadcast(tot.select("_n"))
+    mi = (
+        cells.join(F.broadcast(pa), "_pc")
+        .join(F.broadcast(pb), "_tc")
+        .crossJoin(n_row)
+        .select(
+            (
+                (F.col("_nij") / F.col("_n"))
+                * F.log(
+                    (F.col("_nij") * F.col("_n"))
+                    / (F.col("_a") * F.col("_b"))
+                )
+            ).alias("_t")
+        )
+        .agg(F.sum("_t").alias("_mi"))
+    )
+    hp = (
+        pa.crossJoin(n_row)
+        .select(
+            (-(F.col("_a") / F.col("_n")) * F.log(F.col("_a") / F.col("_n")))
+            .alias("_t")
+        )
+        .agg(F.sum("_t").alias("_hp"))
+    )
+    ht = (
+        pb.crossJoin(n_row)
+        .select(
+            (-(F.col("_b") / F.col("_n")) * F.log(F.col("_b") / F.col("_n")))
+            .alias("_t")
+        )
+        .agg(F.sum("_t").alias("_ht"))
+    )
+    j = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hp))
+        .crossJoin(F.broadcast(ht))
+    )
+    exp_c = (F.col("_sa") * F.col("_sb")) / _c2(F.col("_n"))
+    ari_den = (F.col("_sa") + F.col("_sb")) / 2 - exp_c
+    h_mean = (F.col("_hp") + F.col("_ht")) / 2
+    return j.select(
+        F.col("_n").cast("long").alias("n_items"),
+        F.round(
+            F.when(F.col("_n") < 2, F.lit(None).cast("double"))
+            .when(F.abs(ari_den) < 1e-12, F.lit(1.0))
+            .otherwise((F.col("_sc") - exp_c) / ari_den),
+            round_dp,
+        ).alias("ari"),
+        F.round(
+            F.when(h_mean > 0, F.col("_mi") / h_mean)
+            .when(F.col("_n") >= 1, F.lit(1.0))
+            .otherwise(F.lit(None).cast("double")),
+            round_dp,
+        ).alias("nmi"),
+    )

@@ -2955,3 +2955,109 @@ def grouped_quantiles(
         .groupBy("grp", "q")
         .agg(F.round(F.min("v"), round_dp).alias("value"))
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Functional-dependency profile for ``lhs → rhs`` (the data-
+    quality check behind normalization and join-safety claims): does
+    each LHS key determine exactly one RHS value, and if not, how bad
+    is the damage? A violated FD that a downstream join or dedup
+    assumed (e.g. url → canonical_doc) silently duplicates or drops
+    rows at 100 TB, so the profile belongs in the ingest datasheet.
+
+    Output: ONE summary row ``(n_rows, n_keys, n_violating_keys,
+    rows_in_violating, violation_row_share, g3_error, worst_keys)``.
+    ``g3_error`` is the classic minimum-fraction-of-rows-to-delete
+    repair metric (Kivinen & Mannila 1995): Σ_keys (rows_in_key −
+    max_single_rhs_count) / n_rows. ``worst_keys`` lists the
+    ``top_n`` LHS keys by distinct-RHS count (cast to string,
+    deterministic ties by key) — the actionable names, not just a
+    rate. NULL LHS rows are excluded; NULL RHS counts as a value
+    (two keys mapping to {x, NULL} DO violate).
+
+    Scale shape: one (lhs, rhs) hash aggregate (≤ distinct pairs),
+    one lhs re-aggregate on top of it, then a single-row rollup +
+    a bounded top-n sort (TakeOrderedAndProject) — the fact is
+    scanned once and nothing joins back to it.
+    """
+    pairs = (
+        df.select(
+            # string key up front: the worst_keys render and its tie
+            # ordering must agree engine-to-engine, so ONE collation
+            # (string) governs selection and rendering alike
+            F.col(lhs_col).cast("string").alias("_l"),
+            F.col(rhs_col).alias("_r"),
+        )
+        .filter(F.col("_l").isNotNull())
+        .groupBy("_l", "_r")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    keys = pairs.groupBy("_l").agg(
+        F.count(F.lit(1)).alias("_nrhs"),
+        F.sum("_c").alias("_rows"),
+        F.max("_c").alias("_maxc"),
+    )
+    worst = (
+        keys.filter(F.col("_nrhs") > 1)
+        .orderBy(F.desc("_nrhs"), F.desc("_l"))
+        .limit(int(top_n))
+        .agg(
+            # sort_array(desc) over struct(n_rhs, key) replays the
+            # SAME (n_rhs DESC, key DESC) order the limit used, so
+            # selection and rendering can't disagree
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_nrhs").alias("n_rhs"),
+                        F.col("_l").alias("key"),
+                    )
+                ),
+                asc=False,
+            ).alias("worst_keys")
+        )
+    )
+    summary = keys.agg(
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("_nrhs") > 1).cast("long")).alias("n_violating_keys"),
+        F.sum(F.when(F.col("_nrhs") > 1, F.col("_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_violating"),
+        F.sum(F.col("_rows") - F.col("_maxc")).alias("_del"),
+    )
+    return summary.crossJoin(F.broadcast(worst)).select(
+        "n_rows",
+        "n_keys",
+        "n_violating_keys",
+        "rows_in_violating",
+        F.round(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("rows_in_violating") / F.col("n_rows"),
+            ).otherwise(F.lit(None).cast("double")),
+            6,
+        ).alias("violation_row_share"),
+        F.round(
+            F.when(
+                F.col("n_rows") > 0, F.col("_del") / F.col("n_rows")
+            ).otherwise(F.lit(None).cast("double")),
+            6,
+        ).alias("g3_error"),
+        # engine-neutral rendering (DuckDB string_agg twin): the JSON
+        # writers differ in struct field quoting/order, a plain
+        # "key:count" list does not
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("worst_keys"),
+                lambda s: F.concat_ws(
+                    ":", s["key"], s["n_rhs"].cast("string")
+                ),
+            ),
+        ).alias("worst_keys"),
+    )

@@ -1325,3 +1325,178 @@ def mrl_recall(
         .select(F.explode(F.array(*per_dim)).alias("_r"))
         .select("_r.*")
     )
+
+
+def hubness(
+    emb: DataFrame,
+    k: int = 10,
+    sample_buckets: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Hubness diagnostic of the embedding space (Radovanović et al.
+    JMLR 2010): the skewness of the k-occurrence distribution — how
+    often each corpus point appears in other points' cosine top-k.
+    High-dimensional spaces grow "hubs" (points retrieved for
+    everything) and "antihubs" (never retrieved); both degrade ANN
+    retrieval quality, so this is the go/no-go measurement BEFORE
+    building the 100 TB vector index.
+
+    Queries are a deterministic md5 sample of the corpus
+    (``split_bucket(id) < sample_buckets`` of 100 — reproducible
+    across engines and runs, like corpus.deterministic_split); the
+    k-occurrence of a corpus point is its retrieval count over the
+    sampled query set. One row: ``(n_queries, n_corpus, k,
+    max_k_occurrence, antihub_rate, skewness)`` where antihub_rate is
+    the corpus fraction never retrieved and skewness is the Fisher
+    moment coefficient g1 over ALL corpus points (zeros included).
+
+    Scale shape: corpus scan × broadcast sampled queries (linear in
+    corpus, never corpus²), per-query window top-k (WindowGroupLimit
+    prunes to k rows pre-exchange), then one count aggregate keyed by
+    corpus id and one global moment aggregate over the corpus
+    left-joined to those counts.
+    """
+    from gbif_filter_python_spark.operators.corpus import split_bucket
+
+    corpus = emb.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    queries = F.broadcast(
+        corpus.filter(
+            split_bucket(F.col("_cid")) < int(sample_buckets)
+        ).select(F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv"))
+    )
+    c = corpus.withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.withColumn("_qn", l2_norm(F.col("_qv")))
+    denom = F.col("_cn") * F.col("_qn")
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_cid",
+            F.round(
+                F.when(
+                    denom > 0, dot_product(F.col("_cv"), F.col("_qv")) / denom
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+    occ = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    base = corpus.select("_cid").join(occ, "_cid", "left").select(
+        F.coalesce(F.col("_occ"), F.lit(0)).cast("double").alias("_o")
+    )
+    nq = F.broadcast(queries.agg(F.count(F.lit(1)).alias("n_queries")))
+    m = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_o").alias("_m1"),
+        F.avg(F.col("_o") * F.col("_o")).alias("_m2"),
+        F.avg(F.col("_o") * F.col("_o") * F.col("_o")).alias("_m3"),
+        F.max("_o").alias("_mx"),
+        F.sum((F.col("_o") == 0).cast("long")).alias("_z"),
+    )
+    # population skewness g1 = E[(x-mu)^3] / sigma^3 from raw moments
+    mu, m2, m3 = F.col("_m1"), F.col("_m2"), F.col("_m3")
+    var = m2 - mu * mu
+    cm3 = m3 - 3 * mu * m2 + 2 * mu * mu * mu
+    return m.crossJoin(nq).select(
+        F.col("n_queries").cast("long"),
+        F.col("_n").cast("long").alias("n_corpus"),
+        F.lit(int(k)).alias("k"),
+        F.col("_mx").cast("long").alias("max_k_occurrence"),
+        F.round(F.col("_z") / F.col("_n"), round_dp).alias("antihub_rate"),
+        F.round(
+            F.when(var > 0, cm3 / F.pow(var, F.lit(1.5))).otherwise(
+                F.lit(None).cast("double")
+            ),
+            round_dp,
+        ).alias("skewness"),
+    )
+
+
+def twonn_dim(
+    emb: DataFrame,
+    sample_buckets: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 2,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 2017): for each sampled point, the ratio mu = d2/d1 of its
+    two nearest EUCLIDEAN neighbor distances follows Pareto(ID), so
+    the MLE is ``ID = n / Σ ln(mu)``. The intrinsic dimension tells a
+    pipeline how aggressively embeddings can be compressed (PCA/MRL
+    truncation floor) and calibrates expected ANN difficulty — a core
+    pre-index datasheet number next to :func:`hubness`.
+
+    Anchors are the deterministic md5 sample (``split_bucket(id) <
+    sample_buckets`` of 100); neighbor candidates are the FULL corpus,
+    so distances are exact, not sample-vs-sample. Points whose nearest
+    neighbor distance is 0 (exact duplicates) are excluded from the
+    MLE — ln(d2/0) is undefined; the count is reported. One row:
+    ``(n_anchors, n_used, intrinsic_dim)``.
+
+    Scale shape: corpus scan × broadcast anchors (linear in corpus),
+    top-2 via per-anchor window (WindowGroupLimit), one final
+    aggregate. Squared-distance ordering avoids the sqrt until the
+    ratio (ln(sqrt(a)/sqrt(b)) = 0.5·ln(a/b)). The default 2dp
+    rounding is deliberate: the MLE aggregates ~n ln-ratios whose
+    last-ulp fp differs between the squared-distance path here and an
+    engine computing sqrt distances (the DuckDB twin), so more
+    decimals would assert noise — and a dimension estimate is only
+    meaningful to ~0.1 anyway.
+    """
+    from gbif_filter_python_spark.operators.corpus import split_bucket
+
+    corpus = emb.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    anchors = F.broadcast(
+        corpus.filter(
+            split_bucket(F.col("_cid")) < int(sample_buckets)
+        ).select(F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("_cv", "_qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus.crossJoin(anchors)
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select("_qid", "_cid", d2.alias("_d2"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d2"), F.asc("_cid"))
+    top2 = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("_qid")
+        .agg(
+            F.min(F.when(F.col("_rk") == 1, F.col("_d2"))).alias("_a"),
+            F.min(F.when(F.col("_rk") == 2, F.col("_d2"))).alias("_b"),
+        )
+        .filter(F.col("_b").isNotNull())  # anchor needs 2 neighbors
+    )
+    return top2.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum((F.col("_a") > 0).cast("long")).alias("n_used"),
+        F.round(
+            F.sum((F.col("_a") > 0).cast("long"))
+            / F.sum(
+                F.when(
+                    F.col("_a") > 0,
+                    F.log(F.col("_b") / F.col("_a")) / 2,
+                )
+            ),
+            round_dp,
+        ).alias("intrinsic_dim"),
+    )
