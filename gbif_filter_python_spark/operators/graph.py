@@ -125,7 +125,12 @@ def transitive_closure(
     paths = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     result = paths
     frontier = paths
-    up = e.select(
+    # derive the per-round join side from the CHECKPOINTED paths, not
+    # the lazy `e` — joining `e` each round would re-evaluate the
+    # caller's whole upstream plan once per hop (the r9
+    # connected_components lesson: static loop inputs must be
+    # materialized before the loop)
+    up = paths.select(
         F.col("descendant").alias("_c"), F.col("ancestor").alias("_p")
     )
     for _ in range(max_iterations):
@@ -260,7 +265,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpointed: the dangling-mass anti-join touches deg EVERY
+    # round — left lazy it would re-scan the edge upstream per
+    # iteration (static loop inputs must be materialized; the r9
+    # connected_components lesson). Node-sized, so the cost is nil.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     # out-degree-annotated edges: contribution factor per edge
     ed = e.join(deg, "src").localCheckpoint(eager=True)
 
