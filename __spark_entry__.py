@@ -6211,22 +6211,27 @@ def q_cluster_agreement(spark: SparkSession, sf: str) -> DataFrame:
 def q_hubness_skew(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space hubness diagnostic (operators/similarity.py::
     hubness): skewness of the cosine k=10-occurrence counts over a
-    deterministic 20%-bucket query sample, plus max hub size and
-    antihub rate — the retrieval-degradation forecast before
-    committing to an ANN index layout."""
+    deterministic FIXED-COUNT query sample (first 256 ids in md5
+    order), plus max hub size and antihub rate — the
+    retrieval-degradation forecast before committing to an ANN index
+    layout. r10: absolute-count sample + NumPy-matmul batch scoring
+    (linear in corpus; the r9 20%-bucket fraction was quadratic)."""
     from gbif_filter_python_spark.operators.similarity import hubness
 
-    return hubness(_t(spark, sf, "embeddings"), k=10, sample_buckets=20)
+    return hubness(_t(spark, sf, "embeddings"), k=10, sample_n=256)
 
 
 def q_twonn_dim(spark: SparkSession, sf: str) -> DataFrame:
     """TwoNN intrinsic-dimension MLE (operators/similarity.py::
     twonn_dim) over euclidean 2-NN ratios from a deterministic
-    20%-bucket anchor sample against the full corpus — the
-    compression-floor datasheet number for the embedding column."""
+    FIXED-COUNT anchor sample (first 256 ids in md5 order) against
+    the full corpus — the compression-floor datasheet number for the
+    embedding column. r10: absolute-count sample + NumPy-matmul batch
+    scoring (linear in corpus; the r9 fraction sample was quadratic),
+    guarded MLE division (ADVICE r9)."""
     from gbif_filter_python_spark.operators.similarity import twonn_dim
 
-    return twonn_dim(_t(spark, sf, "embeddings"), sample_buckets=20)
+    return twonn_dim(_t(spark, sf, "embeddings"), sample_n=256)
 
 
 def q_simpsons_slopes(spark: SparkSession, sf: str) -> DataFrame:
@@ -7167,7 +7172,8 @@ def oracle_sql() -> dict[str, str]:
             f"WITH fullk AS ({_mrl_topk('c.embedding', 'q.embedding')}), "
             "nb AS (SELECT count(*) AS n FROM fullk), "
             "nqr AS (SELECT CAST(count(*) AS INTEGER) AS nq "
-            "FROM embeddings WHERE vec_id < 20), "
+            "FROM embeddings WHERE vec_id < 20 "
+            "AND embedding IS NOT NULL), "
             f"{_mrl_ctes} {_mrl_rows}"
         ),
         "blocking_quality": (
@@ -10696,9 +10702,8 @@ def oracle_sql() -> dict[str, str]:
         "hubness_skew": (
             "WITH c AS (SELECT vec_id AS cid, embedding AS cv "
             "FROM embeddings WHERE embedding IS NOT NULL), "
-            "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE "
-            "(('0x' || substring(md5(CAST(cid AS VARCHAR)), 1, 8))"
-            "::BIGINT % 100) < 20), "
+            "q AS (SELECT cid AS qid, cv AS qv FROM c "
+            "ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 256), "
             "rk AS (SELECT qid, cid, row_number() OVER ("
             "PARTITION BY qid ORDER BY "
             "round(list_cosine_similarity(cv, qv), 6) DESC, cid ASC) "
@@ -10723,9 +10728,8 @@ def oracle_sql() -> dict[str, str]:
         "twonn_dim": (
             "WITH c AS (SELECT vec_id AS cid, embedding AS cv "
             "FROM embeddings WHERE embedding IS NOT NULL), "
-            "a AS (SELECT cid AS qid, cv AS qv FROM c WHERE "
-            "(('0x' || substring(md5(CAST(cid AS VARCHAR)), 1, 8))"
-            "::BIGINT % 100) < 20), "
+            "a AS (SELECT cid AS qid, cv AS qv FROM c "
+            "ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 256), "
             "d AS (SELECT qid, cid, list_distance(cv, qv) AS dist "
             "FROM c CROSS JOIN a WHERE cid <> qid), "
             "rk AS (SELECT qid, dist, row_number() OVER ("
@@ -10735,10 +10739,12 @@ def oracle_sql() -> dict[str, str]:
             "AS d1, min(CASE WHEN rk = 2 THEN dist END) AS d2 "
             "FROM rk WHERE rk <= 2 GROUP BY 1) "
             "SELECT count(*) AS n_anchors, "
-            "CAST(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_used, "
-            "round(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) / "
-            "sum(CASE WHEN d1 > 0 THEN ln(d2 / d1) END), 2) "
+            "CAST(sum(CASE WHEN d1 > 1e-6 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_used, "
+            "round(CASE WHEN "
+            "sum(CASE WHEN d1 > 1e-6 THEN ln(d2 / d1) END) > 0 THEN "
+            "sum(CASE WHEN d1 > 1e-6 THEN 1 ELSE 0 END) / "
+            "sum(CASE WHEN d1 > 1e-6 THEN ln(d2 / d1) END) END, 2) "
             "AS intrinsic_dim "
             "FROM t WHERE d2 IS NOT NULL"
         ),

@@ -90,14 +90,18 @@ def test_cluster_agreement_degenerate_single_cluster_both(spark):
 # ---------------------------------------------------------------------------
 
 
-def _bucket(i):
+def _md5_top(ids, n):
+    # the r10 fixed-count sampling contract: first n ids in
+    # (md5(str(id)) ASC, id ASC) order
     import hashlib
 
-    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+    return sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:n]
 
 
-def _py_hubness(vecs, k=10, sample=20):
-    qs = {i: v for i, v in vecs.items() if _bucket(i) < sample}
+def _py_hubness(vecs, k=10, sample_n=256):
+    qs = {i: vecs[i] for i in _md5_top(list(vecs), sample_n)}
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))
@@ -138,8 +142,8 @@ def test_hubness_matches_python_replay(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
     )
-    row = hubness(df, k=5, sample_buckets=20).collect()[0]
-    exp = _py_hubness(vecs, k=5, sample=20)
+    row = hubness(df, k=5, sample_n=12).collect()[0]
+    exp = _py_hubness(vecs, k=5, sample_n=12)
     assert row["n_queries"] == exp["n_queries"]
     assert row["n_corpus"] == 40
     assert row["max_k_occurrence"] == exp["max"]
@@ -152,7 +156,7 @@ def test_twonn_matches_python_replay(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
     )
-    anchors = {i: v for i, v in vecs.items() if _bucket(i) < 30}
+    anchors = {i: vecs[i] for i in _md5_top(list(vecs), 15)}
     s = 0.0
     used = 0
     for qid, qv in anchors.items():
@@ -168,7 +172,7 @@ def test_twonn_matches_python_replay(spark):
         if a > 0:
             used += 1
             s += math.log(b / a) / 2
-    row = twonn_dim(df, sample_buckets=30).collect()[0]
+    row = twonn_dim(df, sample_n=15).collect()[0]
     assert row["n_anchors"] == len(anchors)
     assert row["n_used"] == used
     assert row["intrinsic_dim"] == round(used / s, 2)
@@ -181,7 +185,7 @@ def test_twonn_excludes_exact_duplicates(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
     )
-    row = twonn_dim(df, sample_buckets=100).collect()[0]
+    row = twonn_dim(df, sample_n=1000).collect()[0]
     assert row["n_anchors"] == 21
     assert row["n_used"] == 19  # ids 0 and 100 have a zero-distance NN
     assert row["intrinsic_dim"] is not None
