@@ -6278,7 +6278,7 @@ def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
@@ -6301,6 +6301,50 @@ DRIVER_WINDOW = 50
 #: rounds past the last committed artifact recursively (sound because
 #: the driver witnesses exactly the planned head-50 each round).
 _WITNESS_ANCHOR = 8
+
+#: Heavy-line driver cadence (VERDICT r9 item 4): the 30 most
+#: expensive registry lines by the committed r9 full-registry bench
+#: (BENCH_FULL_LATEST.json, descending sf0.1 seconds). HEAVY_QUOTA of
+#: them are pinned into every round-10+ driver window on a fixed
+#: rotation, so the costliest plans regain an external witness every
+#: 30/5 = 6 rounds regardless of how many cheap lines compete for the
+#: freshness slots. The list is PINNED (not computed from the bench
+#: file at import) so every session/driver derives the identical
+#: window — refresh it deliberately when the cost ranking shifts.
+_HEAVY_ANCHOR = 10
+HEAVY_QUOTA = 5
+HEAVY_QUERIES = [
+    "cogroup_asof",
+    "twonn_dim",
+    "hubness_skew",
+    "bcubed_eval",
+    "ivf_pq_topk",
+    "bpe_learn",
+    "leakage_split",
+    "bpe_token_counts",
+    "minhash_dedup_components",
+    "geo_near_pairs",
+    "kcenter_coreset",
+    "pq_search",
+    "semantic_dedup",
+    "minhash_dedup",
+    "adamic_adar",
+    "simhash_pairs",
+    "repeated_spans",
+    "profile_stats",
+    "lm_perplexity",
+    "dup_components_star",
+    "minhash_pairs",
+    "repetition_signals",
+    "geo_hot_cell_capped",
+    "cms_term_counts",
+    "hashed_embedding",
+    "ppl_bands",
+    "dsir_select",
+    "mann_kendall",
+    "k_truss",
+    "label_prop",
+]
 
 
 def _artifact_keys(round_no: int) -> set[str] | None:
@@ -6341,17 +6385,22 @@ def planned_window(round_no: int) -> list[str]:
     From round 8 on (VERDICT r7 item 6) the remaining 45 slots are
     freshness-ordered: names the driver has NEVER witnessed go first,
     newest registry insertion first — so a query added in round N hits
-    the driver oracle in round N, not ``N + registry/45`` — and any
-    remaining slots take the least-recently-witnessed names (earliest
-    last-witnessed round; registry order breaks ties), which keeps
-    every name re-transiting the externally-witnessed window within
-    ``ceil(n/45)`` rounds of any anchor (the coverage invariant
-    tests/test_rows_only_invariants.py pins). Witnessed sets come from
-    the committed ``CORRECTNESS_r{k}.json`` artifacts; rounds beyond
-    the last committed artifact are simulated recursively, which
-    matches reality because the driver witnesses exactly this planned
-    head-50. Rounds before 8 keep the historical sliced rotation so
-    committed artifacts remain reproducible."""
+    the driver oracle in round N, not ``N + registry/45``. From round
+    10 on (VERDICT r9 item 4), ``HEAVY_QUOTA`` of those slots are a
+    rotating pin over ``HEAVY_QUERIES`` — the most expensive plans by
+    the committed full-registry bench — so driver-side evidence for
+    the costly operators recycles every ``len(HEAVY_QUERIES) /
+    HEAVY_QUOTA`` rounds instead of going ~5 rounds stale behind 250+
+    cheap lines. Remaining slots take the least-recently-witnessed
+    names (earliest last-witnessed round; registry order breaks ties),
+    which keeps every name re-transiting the externally-witnessed
+    window within ``ceil(n/(45 - HEAVY_QUOTA))`` rounds of any anchor
+    (the coverage invariant tests/test_rows_only_invariants.py pins).
+    Witnessed sets come from the committed ``CORRECTNESS_r{k}.json``
+    artifacts; rounds beyond the last committed artifact are simulated
+    recursively, which matches reality because the driver witnesses
+    exactly this planned head-50. Rounds before 8 keep the historical
+    sliced rotation so committed artifacts remain reproducible."""
     if round_no in _WINDOW_CACHE:
         return list(_WINDOW_CACHE[round_no])
     reg = [n for n in _registry() if n not in CANARY]
@@ -6366,7 +6415,22 @@ def planned_window(round_no: int) -> list[str]:
         (n for n in reg if n in latest),
         key=lambda n: (latest[n], order[n]),
     )
-    window = CANARY + (fresh + stale)[:k]
+    heavy: list[str] = []
+    if round_no >= _HEAVY_ANCHOR:
+        pool = [n for n in HEAVY_QUERIES if n in order]
+        if pool:
+            off = HEAVY_QUOTA * (round_no - _HEAVY_ANCHOR)
+            heavy = [
+                pool[(off + i) % len(pool)]
+                for i in range(min(HEAVY_QUOTA, len(pool)))
+            ]
+    picks: list[str] = []
+    for n in fresh + heavy + stale:
+        if n not in picks:
+            picks.append(n)
+        if len(picks) == k:
+            break
+    window = CANARY + picks
     _WINDOW_CACHE[round_no] = window
     return list(window)
 

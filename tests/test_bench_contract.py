@@ -1,0 +1,74 @@
+"""Mechanical bench-accounting contracts (VERDICT r9 items 2 & 3).
+
+These tests make two previously-informal rules enforceable:
+
+1. The headline set definition in ``bench.py`` must match its own
+   documentation: the documented non-headline lines (escape hatches,
+   O(n²) verification baselines) are disjoint from the curated
+   BENCH_QUERIES list, exist in the registry (so they ARE still
+   timed), and every curated name resolves to a registry query.
+
+2. "Every op added in round N must appear in round N's sf10 ladder
+   artifact" — r9 laddered the r8 ops but none of its own six, which
+   is exactly how the quadratic twonn/hubness shapes shipped without
+   a scale witness. The additions of the current round are computed
+   mechanically (registry keys minus the previous round's committed
+   full-registry correctness key set) and must each appear in some
+   ``BENCH_sf10*_r{N}.json``. Run the sf10 ladder BEFORE the
+   end-of-round pytest gate — this test is the forcing function.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import bench
+import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_non_headline_disjoint_from_curated():
+    overlap = set(bench.NON_HEADLINE) & set(bench.BENCH_QUERIES)
+    assert not overlap, (
+        f"{overlap} are documented as non-headline but appear in the "
+        "curated BENCH_QUERIES list — the headline definition no "
+        "longer matches its documentation"
+    )
+
+
+def test_non_headline_still_timed_and_curated_resolvable():
+    reg = set(entrymod.queries())
+    assert set(bench.NON_HEADLINE) <= reg
+    assert set(bench.BENCH_QUERIES) <= reg
+    # the sweep covers the WHOLE registry (non-headline included)
+    assert set(bench.bench_query_names()) == reg
+
+
+def test_every_new_op_this_round_has_an_sf10_ladder_row():
+    n = entrymod.CURRENT_ROUND
+    prev = os.path.join(REPO, f"CORRECTNESS_LOCAL_r{n - 1:02d}.json")
+    if not os.path.exists(prev):
+        return  # round 1 shape: nothing to diff against
+    with open(prev) as fh:
+        prev_keys = set(json.load(fh))
+    additions = sorted(set(entrymod.queries()) - prev_keys)
+    if not additions:
+        return
+    laddered: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, f"BENCH_sf10*_r{n:02d}.json")):
+        with open(path) as fh:
+            art = json.load(fh)
+        laddered.update(art.get("queries", {}))
+        for rung_map in art.get("timings", {}).values():
+            laddered.update(rung_map)
+    missing = [q for q in additions if q not in laddered]
+    assert not missing, (
+        f"round {n} added {missing} to the registry without an sf10 "
+        f"ladder row (BENCH_sf10*_r{n:02d}.json) — run "
+        "tools/bench_scale.py on them before the end-of-round pytest "
+        "gate (VERDICT r9 item 2: unladdered new ops are how the "
+        "quadratic twonn/hubness shapes shipped)"
+    )

@@ -273,7 +273,14 @@ def test_rotation_schedule_covers_every_query():
 
     reg = list(entry_mod.queries())
     n_rot = len(reg) - len(entry_mod.CANARY)
-    horizon = math.ceil(n_rot / (entry_mod.DRIVER_WINDOW - len(entry_mod.CANARY)))
+    # HEAVY_QUOTA slots recycle the expensive lines (VERDICT r9 item
+    # 4), so only the remaining general slots bound the full-transit
+    # horizon for everything else
+    k_general = (
+        entry_mod.DRIVER_WINDOW - len(entry_mod.CANARY)
+        - entry_mod.HEAVY_QUOTA
+    )
+    horizon = math.ceil(n_rot / k_general)
     # (a) + (b): current round's plan is the literal head of queries()
     plan = entry_mod.planned_window(entry_mod.CURRENT_ROUND)
     assert plan[: len(entry_mod.CANARY)] == entry_mod.CANARY
@@ -318,3 +325,25 @@ def test_rotation_front_loads_never_witnessed_names():
     ):
         seen |= set(entry_mod.planned_window(r))
     assert set(fresh) <= seen
+
+
+def test_heavy_lines_rotate_through_driver_window():
+    """VERDICT r9 item 4: with 250+ queries and 45 rotating slots, a
+    heavy operator could go ~5 rounds without external witness. Every
+    HEAVY_QUERIES name must (a) be a real registry query and (b)
+    appear in some driver window within len(HEAVY_QUERIES) /
+    HEAVY_QUOTA rounds of any anchor round >= the heavy anchor."""
+    import math
+
+    reg = set(entry_mod._registry())
+    assert set(entry_mod.HEAVY_QUERIES) <= reg
+    assert len(set(entry_mod.HEAVY_QUERIES)) == len(entry_mod.HEAVY_QUERIES)
+    cycle = math.ceil(
+        len(entry_mod.HEAVY_QUERIES) / entry_mod.HEAVY_QUOTA
+    )
+    start = max(entry_mod.CURRENT_ROUND, entry_mod._HEAVY_ANCHOR)
+    for anchor in (start, start + 3):  # any anchor, not just round 10
+        covered = set()
+        for r in range(anchor, anchor + cycle):
+            covered |= set(entry_mod.planned_window(r))
+        assert set(entry_mod.HEAVY_QUERIES) <= covered
