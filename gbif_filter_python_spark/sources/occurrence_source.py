@@ -314,20 +314,28 @@ class GbifOccurrencesReader(DataSourceReader):
                 return True
         return False
 
-    def _effective_geometry(self) -> str | None:
-        """REST ``geometry`` prefilter, or None when no sound envelope
-        exists. Bounds are clamped to the WGS84 domain before
-        rendering (a half-open lat >= -100 must not put -100 in the
-        WKT). A longitude side is emitted only when the clamped width
-        is <= 180 degrees: the GBIF geometry API requires
-        anticlockwise single-hemisphere-ish rings and mishandles
-        full-width / antimeridian-edge polygons, and a >180-degree
-        ring is winding-ambiguous — skipping the envelope is always
-        safe because every bound is residual (Spark re-checks)."""
+    def _effective_geometries(self) -> list[str | None]:
+        """REST ``geometry`` prefilters (each element = one fetch
+        call), or ``[None]`` when no sound envelope exists. Bounds are
+        clamped to the WGS84 domain before rendering (a half-open
+        lat >= -100 must not put -100 in the WKT). A single ring is
+        emitted only when the clamped longitude width is <= 180
+        degrees: the GBIF geometry API requires anticlockwise
+        single-hemisphere-ish rings and mishandles full-width /
+        antimeridian-edge polygons, and a >180-degree ring is
+        winding-ambiguous. A WIDER span is split at its longitude
+        midpoint into TWO <=180-degree rings (GBIF accepts repeated
+        geometry params — one request each) so a lat-only or wide-lon
+        pushdown keeps its REST-side transfer reduction instead of
+        withholding the envelope entirely (ADVICE r9; the r9 behavior
+        transferred every row in the lat band). Rows on the shared
+        meridian can come back from BOTH rings — ``read`` dedupes.
+        Always safe: every bound is residual (Spark re-checks), so
+        the envelope only ever reduces transfer."""
         if self.geometry is not None:
-            return self.geometry
+            return [self.geometry]
         if not self._bbox_pushed:
-            return None
+            return [None]
         clamped: dict[str, list[float | None]] = {}
         for axis, (dom_lo, dom_hi) in _AXIS_DOMAIN.items():
             lo, hi = self.bounds[axis]
@@ -335,16 +343,18 @@ class GbifOccurrencesReader(DataSourceReader):
                 None if lo is None else max(lo, dom_lo),
                 None if hi is None else min(hi, dom_hi),
             ]
+        lat_lo, lat_hi = clamped["lat"]
         lon_lo = -180.0 if clamped["lon"][0] is None else clamped["lon"][0]
         lon_hi = 180.0 if clamped["lon"][1] is None else clamped["lon"][1]
         if lon_hi - lon_lo > 180.0:
-            return None  # no valid ring — lat/lon enforced Spark-side
-        return bbox_wkt(
-            clamped["lat"][0],
-            clamped["lat"][1],
-            clamped["lon"][0],
-            clamped["lon"][1],
-        )
+            mid = (lon_lo + lon_hi) / 2.0  # each half <= 180 degrees
+            return [
+                bbox_wkt(lat_lo, lat_hi, lon_lo, mid),
+                bbox_wkt(lat_lo, lat_hi, mid, lon_hi),
+            ]
+        return [
+            bbox_wkt(lat_lo, lat_hi, clamped["lon"][0], clamped["lon"][1])
+        ]
 
     # -- planning -------------------------------------------------------
     def partitions(self) -> list[InputPartition]:
@@ -378,13 +388,27 @@ class GbifOccurrencesReader(DataSourceReader):
         )
         args = json.loads(self.options.get("fetch_args", "{}"))
         fetch = _resolve_factory(spec)(args)
-        for rec in fetch(
-            partition.value,
-            self.country,
-            self._effective_geometry(),
-            self.limit,
-        ):
-            yield tuple(rec.get(f) for f in _FIELDS)
+        geoms = self._effective_geometries()
+        if len(geoms) == 1:
+            for rec in fetch(
+                partition.value, self.country, geoms[0], self.limit
+            ):
+                yield tuple(rec.get(f) for f in _FIELDS)
+            return
+        # split-ring envelope: a record exactly on the shared meridian
+        # may be returned by both rings — dedupe on the full tuple, and
+        # keep limit_per_taxon a PER-TAXON cap across both calls (the
+        # seen-set is bounded by that same limit)
+        seen: set[tuple] = set()
+        for geom in geoms:
+            for rec in fetch(partition.value, self.country, geom, self.limit):
+                row = tuple(rec.get(f) for f in _FIELDS)
+                if row in seen:
+                    continue
+                seen.add(row)
+                yield row
+                if len(seen) >= self.limit:
+                    return
 
 
 class GbifOccurrencesDataSource(DataSource):

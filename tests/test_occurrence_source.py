@@ -230,15 +230,13 @@ class TestPushdown:
         self, pushdown, tmp_path
     ):
         """Strict bounds stay residual: a boundary record (lat exactly
-        10) returned by the transport is dropped Spark-side. With ONLY
-        latitude constrained, no geometry reaches REST at all (ADVICE
-        r8 medium): longitude defaulting to the full -180..180 domain
-        would render a 360-degree ring whose edges lie on the
-        antimeridian — exactly what the GBIF geometry API mishandles —
-        so the envelope is withheld and the bounds enforced
-        Spark-side."""
+        10) returned by the transport is dropped Spark-side. The
+        strict bound still folds into the (split-ring — the defaulted
+        lon span is 360 degrees) envelope as a closed edge, which is
+        sound precisely BECAUSE the bound is re-checked: the ring may
+        over-return the boundary row, never under-return."""
         data = {
-            "100|FR|": [
+            f"100|FR|{self._RING_E}": [
                 dict(DATA["100|FR|"][1]),  # lat 48 — strictly inside
                 {
                     "taxon_key": 100,
@@ -267,14 +265,37 @@ class TestPushdown:
             .filter(F.col("decimal_latitude") > 10.0)
         )
         assert [x["occurrence_key"] for x in df.collect()] == [3]
-        assert [c["geometry"] for c in _calls(log)] == [None]
+        assert sorted(c["geometry"] for c in _calls(log)) == sorted(
+            [self._RING_W, self._RING_E]
+        )
 
-    def test_bbox_lat_only_bounds_withhold_geometry_but_filter(
+    # the two split rings for a lat >= 10 pushdown (lon defaults to
+    # the full 360-degree domain, split at meridian 0)
+    _RING_W = "POLYGON((-180 10,0 10,0 90,-180 90,-180 10))"
+    _RING_E = "POLYGON((0 10,180 10,180 90,0 90,0 10))"
+
+    def test_bbox_lat_only_bounds_split_rings_at_transport(
         self, pushdown, tmp_path
     ):
-        """Closed lat-only bounds: same antimeridian guard — geometry
-        None at the transport, bounds still enforced by the residual
-        re-check (records at lat 1.0 dropped, lat 48 kept)."""
+        """Closed lat-only bounds push a SPLIT-RING envelope (ADVICE
+        r9): the defaulted 360-degree lon span is winding-ambiguous
+        as one WKT ring, so the transport receives TWO <=180-degree
+        rings carrying the lat band — the lat pushdown keeps its
+        transfer reduction. Bounds stay residual: a ring-returned
+        record below the band (lat 9.9) is dropped Spark-side."""
+        data = {
+            f"100|FR|{self._RING_W}": [
+                {
+                    "taxon_key": 100,
+                    "occurrence_key": 7,
+                    "scientific_name": "Aus aus",
+                    "country": "FR",
+                    "decimal_latitude": 9.9,  # REST boundary slack
+                    "decimal_longitude": -2.0,
+                }
+            ],
+            f"100|FR|{self._RING_E}": [dict(DATA["100|FR|"][1])],
+        }
         log = str(tmp_path / "latonly.jsonl")
         df = (
             pushdown.read.format("gbif_occurrences")
@@ -284,7 +305,7 @@ class TestPushdown:
                 "occurrence_source:scripted_occurrence_fetch",
             )
             .option(
-                "fetch_args", json.dumps({"data": DATA, "call_log": log})
+                "fetch_args", json.dumps({"data": data, "call_log": log})
             )
             .load()
             .filter(F.col("taxon_key") == 100)
@@ -292,13 +313,74 @@ class TestPushdown:
             .filter(F.col("decimal_latitude") >= 10.0)
         )
         assert [x["occurrence_key"] for x in df.collect()] == [3]
+        assert sorted(c["geometry"] for c in _calls(log)) == sorted(
+            [self._RING_W, self._RING_E]
+        )
+
+    def test_split_ring_shared_meridian_record_not_duplicated(
+        self, pushdown, tmp_path
+    ):
+        """A record exactly on the split meridian (lon 0) that BOTH
+        rings return must appear once in the scan output — the
+        split-ring read dedupes on the full row."""
+        on_meridian = {
+            "taxon_key": 100,
+            "occurrence_key": 11,
+            "scientific_name": "Aus aus",
+            "country": "FR",
+            "decimal_latitude": 48.0,
+            "decimal_longitude": 0.0,
+        }
+        data = {
+            f"100|FR|{self._RING_W}": [dict(on_meridian)],
+            f"100|FR|{self._RING_E}": [dict(on_meridian)],
+        }
+        log = str(tmp_path / "dedupe.jsonl")
+        df = (
+            pushdown.read.format("gbif_occurrences")
+            .option(
+                "fetch_factory",
+                "gbif_filter_python_spark.sources."
+                "occurrence_source:scripted_occurrence_fetch",
+            )
+            .option(
+                "fetch_args", json.dumps({"data": data, "call_log": log})
+            )
+            .load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") >= 10.0)
+        )
+        assert [x["occurrence_key"] for x in df.collect()] == [11]
+        assert len(_calls(log)) == 2  # both rings were fetched
+
+    def test_nan_bound_reaches_transport_unpushed(
+        self, pushdown, tmp_path
+    ):
+        """VERDICT r9 item 6: the NaN-bound non-pushable path proven
+        at the TRANSPORT — a NaN comparison literal must not fold
+        into any geometry param (it defeats the emptiness test and
+        would render as 'nan' in WKT); the scan still runs, with
+        geometry None."""
+        r, log = _reader(pushdown, tmp_path)
+        df = (
+            r.load()
+            .filter(F.col("taxon_key") == 100)
+            .filter(F.col("country") == "FR")
+            .filter(F.col("decimal_latitude") >= float("nan"))
+        )
+        # NaN >= comparison matches nothing in Spark semantics except
+        # NaN itself; DATA has no NaN latitudes
+        assert df.count() == 0
         assert [c["geometry"] for c in _calls(log)] == [None]
 
-    def test_bbox_wide_longitude_span_withholds_geometry(self):
+    def test_bbox_wide_longitude_span_splits_into_two_rings(self):
         """A pushed lon range wider than 180 degrees is winding-
-        ambiguous as a single WKT ring — the reader keeps the bounds
-        residual-only instead of emitting it (unit-level: reader state
-        after pushFilters)."""
+        ambiguous as a single WKT ring — the reader splits it at the
+        longitude midpoint into TWO <=180-degree rings (ADVICE r9:
+        the previous withhold-entirely behavior cost a lat-only
+        pushdown all its REST-side transfer reduction). Bounds stay
+        residual either way."""
         from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
 
         from gbif_filter_python_spark.sources.occurrence_source import (
@@ -315,8 +397,12 @@ class TestPushdown:
             )
         )
         assert len(residual) == 2  # both stay residual
-        assert r._effective_geometry() is None  # 340 degrees: no ring
-        # narrow the span and the envelope appears, clamped rendering
+        # 340 degrees: two 170-degree rings split at the midpoint
+        assert r._effective_geometries() == [
+            "POLYGON((-170 -90,0 -90,0 90,-170 90,-170 -90))",
+            "POLYGON((0 -90,170 -90,170 90,0 90,0 -90))",
+        ]
+        # narrow the span and a single envelope appears
         r2 = GbifOccurrencesReader({"taxon_keys": "100"})
         list(
             r2.pushFilters(
@@ -326,9 +412,9 @@ class TestPushdown:
                 ]
             )
         )
-        assert r2._effective_geometry() == (
+        assert r2._effective_geometries() == [
             "POLYGON((0 -90,170 -90,170 90,0 90,0 -90))"
-        )
+        ]
 
     def test_bbox_out_of_domain_and_nan_bounds(self):
         """ADVICE r8 low: lat >= 100 proves the scan empty locally
@@ -361,9 +447,9 @@ class TestPushdown:
             )
         )
         assert not r2._bbox_empty()
-        assert r2._effective_geometry() == (
+        assert r2._effective_geometries() == [
             "POLYGON((0 -90,5 -90,5 10,0 10,0 -90))"
-        )
+        ]
 
         r3 = GbifOccurrencesReader({"taxon_keys": "100"})
         residual = list(
@@ -379,7 +465,7 @@ class TestPushdown:
         assert len(residual) == 2  # NaN: residual, not folded
         assert not r3._bbox_pushed
         assert not r3._bbox_empty()
-        assert r3._effective_geometry() is None
+        assert r3._effective_geometries() == [None]
 
     def test_bbox_empty_envelope_is_empty_scan(self, pushdown, tmp_path):
         r, log = _reader(pushdown, tmp_path)
