@@ -6275,6 +6275,65 @@ def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
     return fd_violations(_t(spark, sf, "lineitem"), "l_partkey", "l_suppkey")
 
 
+# -- round-10 additions -----------------------------------------------
+
+
+def q_seqlen_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two token-length histogram (operators/corpus.py::
+    seqlen_histogram): bit-length bucketed (integer-exact, no
+    floor(log2) float hazard) with per-bucket doc/token counts and
+    cumulative shares — the context-window decision datasheet."""
+    from gbif_filter_python_spark.operators.corpus import seqlen_histogram
+
+    return seqlen_histogram(_t(spark, sf, "documents"))
+
+
+def q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk packing sweep (operators/corpus.py::
+    packing_efficiency) over capacities 64/256/1024: bins, fill
+    ratio, mid-document boundary crossings, oversize docs — computed
+    from ONE distributed prefix-sum pass (no one-task global
+    window)."""
+    from gbif_filter_python_spark.operators.corpus import packing_efficiency
+
+    return packing_efficiency(
+        _t(spark, sf, "documents"), capacities=(64, 256, 1024)
+    )
+
+
+def q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential Gopher/C4 filter attrition (operators/corpus.py::
+    filter_funnel, min_words=25 to match q_gopher_filters): per-stage
+    survivor counts and shares from one scan — which rule eats the
+    corpus."""
+    from gbif_filter_python_spark.operators.corpus import filter_funnel
+
+    return filter_funnel(_t(spark, sf, "documents"), min_words=25)
+
+
+def q_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-shard token-load skew (operators/corpus.py::shard_balance)
+    at k = 16 and 64 under the cross-engine md5 bucket assignment:
+    max-over-ideal-mean straggler ratio and CV per candidate shard
+    count — the write-path planning numbers."""
+    from gbif_filter_python_spark.operators.corpus import shard_balance
+
+    return shard_balance(_t(spark, sf, "documents"), shard_counts=(16, 64))
+
+
+def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space isotropy (operators/similarity.py::
+    embedding_isotropy): EXACT mean pairwise cosine of the unit-
+    normalized corpus via the ||Σv̂||² − n identity — one scan, no
+    pairs — plus norm dispersion; the third pre-index datasheet
+    number next to hubness_skew and twonn_dim."""
+    from gbif_filter_python_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    return embedding_isotropy(_t(spark, sf, "embeddings"))
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6728,6 +6787,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpsons_slopes": q_simpsons_slopes,
         "neyman_alloc": q_neyman_alloc,
         "fd_violations": q_fd_violations,
+        # -- round-10 additions ---------------------------------------
+        "seqlen_histogram": q_seqlen_histogram,
+        "packing_efficiency": q_packing_efficiency,
+        "filter_funnel": q_filter_funnel,
+        "shard_balance": q_shard_balance,
+        "embedding_isotropy": q_embedding_isotropy,
     }
 
 
@@ -10884,6 +10949,182 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_rows AS DOUBLE) END, 6) AS g3_error, "
             "coalesce(worst_keys, '') AS worst_keys "
             "FROM s CROSS JOIN worst"
+        ),
+        "seqlen_histogram": (
+            "WITH t AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "b AS (SELECT CASE WHEN n <= 0 THEN -1 ELSE "
+            "CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT) END "
+            "AS bucket, n FROM t), "
+            "g AS (SELECT bucket, count(*) AS n_docs, sum(n) AS st "
+            "FROM b GROUP BY 1), "
+            "tot AS (SELECT sum(n_docs) AS tot FROM g) "
+            "SELECT bucket, "
+            "CASE WHEN bucket < 0 THEN 0 ELSE "
+            "CAST(pow(2.0, bucket) AS BIGINT) END AS lo_tokens, "
+            "CASE WHEN bucket < 0 THEN 0 ELSE "
+            "CAST(pow(2.0, bucket + 1) - 1 AS BIGINT) END AS hi_tokens, "
+            "CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(st AS BIGINT) AS sum_tokens, "
+            "round(n_docs / CAST(tot AS DOUBLE), 6) AS pct_docs, "
+            "round(sum(n_docs) OVER (ORDER BY bucket) / "
+            "CAST(tot AS DOUBLE), 6) AS cum_pct_docs "
+            "FROM g CROSS JOIN tot ORDER BY bucket"
+        ),
+        "packing_efficiency": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' "
+            "THEN 0 ELSE len(regexp_split_to_array(trim(text), "
+            "'\\s+')) END AS BIGINT) AS n FROM documents), "
+            "o AS (SELECT n, coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS st FROM t), "
+            "a AS (SELECT coalesce(sum(n), 0) AS tot, "
+            + "".join(
+                "coalesce(sum(CASE WHEN n >= 1 THEN "
+                f"floor((st + n - 1) / {c}.0) - floor(st / {c}.0) END), 0) "
+                f"AS x{c}, "
+                "sum(CASE WHEN n >= 1 AND "
+                f"floor((st + n - 1) / {c}.0) > floor(st / {c}.0) "
+                f"THEN 1 ELSE 0 END) AS xd{c}, "
+                f"sum(CASE WHEN n > {c} THEN 1 ELSE 0 END) AS ov{c}, "
+                for c in (64, 256, 1024)
+            ).rstrip(", ")
+            + " FROM o) "
+            + " UNION ALL ".join(
+                f"SELECT {c} AS capacity, "
+                f"CAST(ceil(tot / {c}.0) AS BIGINT) AS n_bins, "
+                "round(CASE WHEN tot > 0 THEN tot / "
+                f"(ceil(tot / {c}.0) * {c}.0) END, 6) AS fill_ratio, "
+                f"CAST(x{c} AS BIGINT) AS boundary_crossings, "
+                f"CAST(xd{c} AS BIGINT) AS crossing_docs, "
+                f"CAST(ov{c} AS BIGINT) AS oversize_docs FROM a"
+                for c in (64, 256, 1024)
+            )
+            + " ORDER BY capacity"
+        ),
+        "filter_funnel": (
+            "WITH s AS (SELECT doc_id, text, list_filter("
+            "regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "m AS (SELECT doc_id, len(words) AS n_words, "
+            "CASE WHEN len(words) > 0 THEN "
+            "CAST(len(words) AS DOUBLE) ELSE 1.0 END AS safe_n, "
+            "CAST(length(regexp_replace(text, '\\s', '', 'g')) "
+            "AS DOUBLE) AS nonspace, "
+            "len(list_filter(words, x -> regexp_matches(x, "
+            "'[A-Za-z]'))) AS alpha_words, "
+            "CAST(length(text) - length(replace(text, '#', '')) "
+            "AS INT) + CAST((length(text) - length(replace(text, "
+            "'...', ''))) / 3 AS INT) AS symbol_hits, "
+            "(CASE WHEN position(' the ' IN ' ' || lower(text) || "
+            "' ') > 0 THEN 1 ELSE 0 END + CASE WHEN position(' and ' "
+            "IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' of ' IN ' ' || lower(text) || ' ') "
+            "> 0 THEN 1 ELSE 0 END + CASE WHEN position(' to ' IN "
+            "' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END + "
+            "CASE WHEN position(' a ' IN ' ' || lower(text) || ' ') "
+            "> 0 THEN 1 ELSE 0 END + CASE WHEN position(' in ' IN "
+            "' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END) "
+            "AS stopword_hits FROM s), "
+            "c AS (SELECT coalesce(n_words > 0, FALSE) AS c0, "
+            "coalesce(n_words > 0, FALSE) AND "
+            "(n_words BETWEEN 25 AND 100000) AS c1, "
+            "coalesce(n_words > 0, FALSE) AND "
+            "(n_words BETWEEN 25 AND 100000) AND "
+            "(round(nonspace / safe_n, 6) BETWEEN 3.0 AND 10.0) AS c2, "
+            "coalesce(n_words > 0, FALSE) AND "
+            "(n_words BETWEEN 25 AND 100000) AND "
+            "(round(nonspace / safe_n, 6) BETWEEN 3.0 AND 10.0) AND "
+            "(round(symbol_hits / safe_n, 6) <= 0.1) AS c3, "
+            "coalesce(n_words > 0, FALSE) AND "
+            "(n_words BETWEEN 25 AND 100000) AND "
+            "(round(nonspace / safe_n, 6) BETWEEN 3.0 AND 10.0) AND "
+            "(round(symbol_hits / safe_n, 6) <= 0.1) AND "
+            "(round(alpha_words / safe_n, 6) >= 0.8) AS c4, "
+            "coalesce(n_words > 0, FALSE) AND "
+            "(n_words BETWEEN 25 AND 100000) AND "
+            "(round(nonspace / safe_n, 6) BETWEEN 3.0 AND 10.0) AND "
+            "(round(symbol_hits / safe_n, 6) <= 0.1) AND "
+            "(round(alpha_words / safe_n, 6) >= 0.8) AND "
+            "(stopword_hits >= 2) AS c5 FROM m), "
+            "a AS (SELECT count(*) AS tot, "
+            + ", ".join(
+                f"sum(CASE WHEN c{i} THEN 1 ELSE 0 END) AS s{i}"
+                for i in range(6)
+            )
+            + " FROM c) "
+            + " UNION ALL ".join(
+                f"SELECT {i} AS stage_idx, '{name}' AS stage, "
+                f"CAST(s{i} AS BIGINT) AS n_pass, "
+                "round(CASE WHEN tot > 0 THEN "
+                f"s{i} / CAST(tot AS DOUBLE) END, 6) AS pct_of_input, "
+                + (
+                    "round(CASE WHEN tot > 0 THEN "
+                    f"s{i} / CAST(tot AS DOUBLE) END, 6)"
+                    if i == 0
+                    else (
+                        f"round(CASE WHEN s{i - 1} > 0 THEN "
+                        f"s{i} / CAST(s{i - 1} AS DOUBLE) END, 6)"
+                    )
+                )
+                + " AS pct_of_prev FROM a"
+                for i, name in enumerate(
+                    [
+                        "nonempty",
+                        "word_count",
+                        "mean_word_len",
+                        "symbol_ratio",
+                        "alpha_word_ratio",
+                        "stopword_hits",
+                    ]
+                )
+            )
+            + " ORDER BY stage_idx"
+        ),
+        "shard_balance": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' "
+            "THEN 0 ELSE len(regexp_split_to_array(trim(text), "
+            "'\\s+')) END AS BIGINT) AS n FROM documents), "
+            "e AS (SELECT k, (('0x' || substring(md5(CAST(doc_id AS "
+            "VARCHAR)), 1, 8))::BIGINT % k) AS shard, n FROM t "
+            "CROSS JOIN (VALUES (16), (64)) AS ks(k)), "
+            "g AS (SELECT k, shard, sum(n) AS st FROM e GROUP BY 1, 2), "
+            "o AS (SELECT k, count(*) AS used, sum(st) AS tot, "
+            "max(st) AS mx, sum(st * st) AS sq FROM g GROUP BY 1) "
+            "SELECT CAST(k AS INT) AS n_shards, "
+            "CAST(used AS BIGINT) AS n_shards_used, "
+            "CAST(tot AS BIGINT) AS total_tokens, "
+            "CAST(mx AS BIGINT) AS max_shard_tokens, "
+            "round(CASE WHEN tot > 0 THEN "
+            "mx / (tot / CAST(k AS DOUBLE)) END, 6) AS balance_ratio, "
+            "round(CASE WHEN tot > 0 THEN CASE WHEN "
+            "sq / CAST(k AS DOUBLE) - pow(tot / CAST(k AS DOUBLE), 2) "
+            "> 0 THEN sqrt(sq / CAST(k AS DOUBLE) - "
+            "pow(tot / CAST(k AS DOUBLE), 2)) / "
+            "(tot / CAST(k AS DOUBLE)) ELSE 0.0 END END, 6) "
+            "AS cv_tokens FROM o ORDER BY n_shards"
+        ),
+        "embedding_isotropy": (
+            "WITH v AS (SELECT embedding AS e FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "n0 AS (SELECT e, sqrt(list_sum(list_transform(e, "
+            "x -> x * x))) AS nrm FROM v), "
+            "dims AS (SELECT unnest(range(1, (SELECT CAST(max(len(e)) "
+            "AS BIGINT) + 1 FROM v))) AS i), "
+            "comp AS (SELECT i, sum(e[i] / nrm) AS s FROM n0 "
+            "CROSS JOIN dims WHERE nrm > 0 GROUP BY 1), "
+            "ss AS (SELECT coalesce(sum(s * s), 0.0) AS ss FROM comp), "
+            "sc AS (SELECT sum(CASE WHEN nrm > 0 THEN 1 ELSE 0 END) "
+            "AS n, (SELECT max(len(e)) FROM v) AS d, avg(nrm) AS mn, "
+            "stddev_pop(nrm) AS sd FROM n0) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(d AS INT) AS dim, "
+            "round(CASE WHEN n >= 2 THEN (ss - n) / "
+            "(CAST(n AS DOUBLE) * (n - 1)) END, 6) "
+            "AS mean_pairwise_cosine, "
+            "round(mn, 6) AS mean_norm, "
+            "round(CASE WHEN mn > 0 THEN sd / mn END, 6) AS cv_norm "
+            "FROM sc CROSS JOIN ss"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

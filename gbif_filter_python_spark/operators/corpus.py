@@ -1926,3 +1926,352 @@ def neyman_allocation(
             .alias("alloc"),
         )
     )
+
+
+def seqlen_histogram(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Power-of-two token-length histogram of the corpus — the
+    sequence-length distribution every packing / truncation / context-
+    window decision reads first (VERDICT r9 item 7: the datasheet pair
+    of :func:`packing_efficiency`).
+
+    Bucket ``b`` holds docs with ``2^b <= n_tokens < 2^(b+1)``
+    (whitespace ``token_count``); empty/blank docs land in bucket -1.
+    The bucket index is computed as ``length(bin(n)) - 1`` — integer
+    bit-length, NOT ``floor(log2(n))``, whose float rounding misfiles
+    exact powers of two (log(8)/log(2) = 2.999...96 floors to 2) —
+    the same integer-exactness discipline as the hex-threshold draws.
+    Returns one row per occupied bucket: ``(bucket, lo_tokens,
+    hi_tokens, n_docs, sum_tokens, pct_docs, cum_pct_docs)``.
+
+    Scale shape: one corpus scan into a hash aggregate keyed by the
+    ~log2(max_len) bucket values; the cumulative window runs over
+    that tiny bucket table only.
+    """
+    n = token_count(F.col(text_col))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(n.cast("long"))) - 1).cast("int")
+    )
+    agg = (
+        docs.select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+        )
+    )
+    tot = F.broadcast(agg.agg(F.sum("n_docs").alias("_tot")))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(tot)
+        .withColumn("_cum", F.sum("n_docs").over(w))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")))
+            .cast("long")
+            .alias("lo_tokens"),
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("long")
+            .alias("hi_tokens"),
+            F.col("n_docs").cast("long"),
+            "sum_tokens",
+            F.round(F.col("n_docs") / F.col("_tot"), round_dp).alias(
+                "pct_docs"
+            ),
+            F.round(F.col("_cum") / F.col("_tot"), round_dp).alias(
+                "cum_pct_docs"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _ordered_prefix_sums(
+    toks: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Exclusive global running sum of ``value_col`` in ``order_col``
+    order, distributed: the :func:`assign_global_index` plan (range
+    shuffle → partition-local window → tiny per-partition offset
+    broadcast) generalized from row counts to value sums. No
+    single-partition stage anywhere — the one-task global window this
+    replaces is the canonical non-scalable cumsum (the q_corpus_prep
+    sf10 lesson). Adds ``start`` = sum of all preceding rows' values.
+    Deterministic whatever the range boundaries: offset + local sum
+    reconstructs the same global prefix.
+    """
+    ranged = toks.repartitionByRange(F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    parts = ranged.withColumn(
+        "_pid",
+        F.shiftrightunsigned(F.monotonically_increasing_id(), 33).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("_lsum", F.sum(value_col).over(w))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(offw), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "start",
+            (F.col("_off") + F.col("_lsum") - F.col(value_col)).cast("long"),
+        )
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    capacities: tuple = (256, 512, 1024, 2048),
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Concat-then-chunk packing efficiency swept over candidate
+    context capacities — the one-scan answer to "what sequence length
+    should this corpus train at?" (VERDICT r9 item 7). For each
+    capacity ``c`` the corpus token stream (docs concatenated in
+    ``doc_id`` order, the :func:`pack_sequences` ``shards=None``
+    stream) is cut into ``ceil(total/c)`` bins; reported per
+    capacity: ``n_bins``, ``fill_ratio`` (only the final bin pads),
+    ``boundary_crossings`` (total bin boundaries falling strictly
+    inside documents — each is a training example split mid-doc),
+    ``crossing_docs`` (docs cut at least once) and ``oversize_docs``
+    (docs longer than the capacity — cut necessarily).
+
+    Scale shape: token counts are one projection; the global stream
+    offsets come from :func:`_ordered_prefix_sums` (distributed, no
+    one-task window); every capacity's stats are extra AGGREGATE
+    EXPRESSIONS over that single frame — one scan, one tiny result
+    row exploded to len(capacities) rows, never a per-capacity
+    re-scan. Boundary arithmetic is pure integer floor division.
+    """
+    caps = [int(c) for c in capacities]
+    if not caps or any(c < 1 for c in caps):
+        raise ValueError(f"capacities must be positive: {capacities}")
+    toks = docs.select(
+        F.col(doc_id_col).alias("_id"),
+        token_count(F.col(text_col)).cast("long").alias("_n"),
+    )
+    offs = _ordered_prefix_sums(toks, "_id", "_n")
+    first_bin = {c: F.floor(F.col("start") / F.lit(c)) for c in caps}
+    last_bin = {
+        c: F.floor((F.col("start") + F.col("_n") - 1) / F.lit(c))
+        for c in caps
+    }
+    has = F.col("_n") >= 1
+    agg = offs.agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_tot"),
+        *[
+            F.coalesce(
+                F.sum(F.when(has, last_bin[c] - first_bin[c])), F.lit(0)
+            ).alias(f"_x{c}")
+            for c in caps
+        ],
+        *[
+            F.sum(
+                (has & (last_bin[c] > first_bin[c])).cast("long")
+            ).alias(f"_xd{c}")
+            for c in caps
+        ],
+        *[
+            F.sum((F.col("_n") > c).cast("long")).alias(f"_ov{c}")
+            for c in caps
+        ],
+    )
+    per_cap = [
+        F.struct(
+            F.lit(c).alias("capacity"),
+            F.ceil(F.col("_tot") / F.lit(c)).cast("long").alias("n_bins"),
+            F.round(
+                F.when(
+                    F.col("_tot") > 0,
+                    F.col("_tot")
+                    / (F.ceil(F.col("_tot") / F.lit(c)) * F.lit(c)),
+                ),
+                round_dp,
+            ).alias("fill_ratio"),
+            F.col(f"_x{c}").cast("long").alias("boundary_crossings"),
+            F.col(f"_xd{c}").cast("long").alias("crossing_docs"),
+            F.col(f"_ov{c}").cast("long").alias("oversize_docs"),
+        )
+        for c in caps
+    ]
+    return (
+        agg.select(F.explode(F.array(*per_cap)).alias("_r"))
+        .select("_r.*")
+        .orderBy("capacity")
+    )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sequential quality-filter attrition funnel: how many documents
+    survive each Gopher/C4 stage applied IN ORDER — the corpus-prep
+    ops table that says which rule is eating the data (a combined
+    pass flag, :func:`~..functions.text.gopher_signals` ``passes``,
+    can't). Stages: nonempty → word_count → mean_word_len →
+    symbol_ratio → alpha_word_ratio → stopword_hits, each condition
+    identical to gopher_signals' (same thresholds, same 6dp-rounded
+    ratios).
+
+    Returns one row per stage: ``(stage_idx, stage, n_pass,
+    pct_of_input, pct_of_prev)``.
+
+    Scale shape: ONE corpus scan — every stage is a cumulative-AND
+    boolean aggregated in the same hash aggregate; the funnel rows
+    come from exploding the single result row. No per-stage re-scan,
+    no shuffle beyond the scalar agg.
+    """
+    from gbif_filter_python_spark.functions.text import gopher_signals
+
+    sig = gopher_signals(F.col(text_col), min_words=min_words)
+    stages = [
+        ("nonempty", sig["n_words"] > 0),
+        ("word_count", sig["n_words"].between(min_words, 100_000)),
+        ("mean_word_len", sig["mean_word_len"].between(3.0, 10.0)),
+        ("symbol_ratio", sig["symbol_ratio"] <= 0.1),
+        ("alpha_word_ratio", sig["alpha_word_ratio"] >= 0.8),
+        ("stopword_hits", sig["stopword_hits"] >= 2),
+    ]
+    cum = []
+    acc = F.lit(True)
+    for name, cond in stages:
+        acc = acc & F.coalesce(cond, F.lit(False))
+        cum.append((name, acc))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("_tot"),
+        *[
+            F.sum(c.cast("long")).alias(f"_s{i}")
+            for i, (_, c) in enumerate(cum)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"_s{i}").cast("long").alias("n_pass"),
+            F.round(
+                F.when(F.col("_tot") > 0, F.col(f"_s{i}") / F.col("_tot")),
+                round_dp,
+            ).alias("pct_of_input"),
+            F.round(
+                F.when(
+                    (F.col(f"_s{i - 1}") if i else F.col("_tot")) > 0,
+                    F.col(f"_s{i}")
+                    / (F.col(f"_s{i - 1}") if i else F.col("_tot")),
+                ),
+                round_dp,
+            ).alias("pct_of_prev"),
+        )
+        for i, (name, _) in enumerate(cum)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("_r"))
+        .select("_r.*")
+        .orderBy("stage_idx")
+    )
+
+
+def shard_balance(
+    docs: DataFrame,
+    shard_counts: tuple = (32, 256),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Token-load balance of hash-sharded corpus writes: for each
+    candidate shard count ``k``, the skew of per-shard token loads
+    under the deterministic md5 assignment (:func:`split_bucket` with
+    ``buckets=k`` — the same cross-engine hash every split/sample op
+    uses). The write path of a 100 TB corpus is as slow as its
+    heaviest shard; ``balance_ratio`` (max shard load over the ideal
+    total/k) is the straggler forecast, ``cv_tokens`` the overall
+    dispersion. Empty shards are counted (``n_shards_used``) and the
+    ideal-mean denominator uses k, not occupied shards, so sparse
+    corpora don't flatter the ratio.
+
+    Returns one row per k: ``(n_shards, n_shards_used, total_tokens,
+    max_shard_tokens, balance_ratio, cv_tokens)``.
+
+    Scale shape: the (key, token-count) projection is computed once
+    and exploded to len(shard_counts) assignment rows — shuffle
+    carries 2 longs + 1 int per doc per k into a (k, shard) hash
+    aggregate, then one re-aggregate over the tiny shard table.
+    """
+    ks = [int(k) for k in shard_counts]
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"shard_counts must be positive: {shard_counts}")
+    base = docs.select(
+        F.col(key_col).alias("_key"),
+        token_count(F.col(text_col)).cast("long").alias("_n"),
+    ).select(
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("_k"),
+                        split_bucket(F.col("_key"), buckets=k).alias(
+                            "_shard"
+                        ),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_a"),
+    )
+    per_shard = base.groupBy(
+        F.col("_a._k").alias("_k"), F.col("_a._shard").alias("_shard")
+    ).agg(F.sum("_n").alias("_t"))
+    # moments over ALL k shards (empty ones contribute zero to the
+    # sums and k - used to nothing else) — no dense shard frame needed
+    out = per_shard.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_used"),
+        F.sum("_t").alias("_tot"),
+        F.max("_t").alias("_mx"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_sq"),
+    )
+    k_ = F.col("_k").cast("double")
+    mean = F.col("_tot") / k_
+    var = F.col("_sq") / k_ - mean * mean
+    return out.select(
+        F.col("_k").cast("int").alias("n_shards"),
+        F.col("_used").cast("long").alias("n_shards_used"),
+        F.col("_tot").cast("long").alias("total_tokens"),
+        F.col("_mx").cast("long").alias("max_shard_tokens"),
+        F.round(
+            F.when(F.col("_tot") > 0, F.col("_mx") / mean), round_dp
+        ).alias("balance_ratio"),
+        F.round(
+            F.when(
+                (F.col("_tot") > 0) & (var > 0), F.sqrt(var) / mean
+            ).otherwise(
+                F.when(F.col("_tot") > 0, F.lit(0.0))
+            ),
+            round_dp,
+        ).alias("cv_tokens"),
+    ).orderBy("n_shards")

@@ -1600,3 +1600,66 @@ def twonn_dim(
             round_dp,
         ).alias("intrinsic_dim"),
     )
+
+
+def embedding_isotropy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Isotropy diagnostic of the embedding space (Ethayarajh 2019,
+    Mu & Viswanath 2018): the EXACT mean pairwise cosine over all
+    n·(n-1) ordered pairs of unit-normalized vectors, computed WITHOUT
+    forming any pair — ``Σ_{i≠j} v̂_i·v̂_j = ||Σ v̂||² − n``, so one
+    elementwise sum of the normalized vectors answers what a naive
+    crossJoin would pay n² for. Anisotropic (high mean-cos) spaces
+    waste ANN contrast and inflate near-dup false positives; this is
+    the third pre-index datasheet number next to :func:`hubness` and
+    :func:`twonn_dim`. Also reports the norm dispersion (mean, CV) —
+    a skewed-norm space cosine-normalizes away information.
+
+    Returns one row: ``(n, dim, mean_pairwise_cosine, mean_norm,
+    cv_norm)``; the cosine is NULL for n < 2.
+
+    Scale shape: one scan; the vector sum is a posexplode into a hash
+    aggregate keyed by the d dimension indices (shuffle = d rows per
+    partition after partial aggregation), the scalar moments ride a
+    parallel one-row agg. Zero-norm vectors are excluded from the
+    cosine identity (no unit direction) but counted in the norms.
+    """
+    base = emb.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    unit = base.filter(F.col("_nrm") > 0).select(
+        F.posexplode(F.col("_v")).alias("_pos", "_x"), F.col("_nrm")
+    )
+    comp = unit.groupBy("_pos").agg(
+        F.sum(F.col("_x") / F.col("_nrm")).alias("_s")
+    )
+    ssum = F.broadcast(
+        comp.agg(
+            F.coalesce(F.sum(F.col("_s") * F.col("_s")), F.lit(0.0)).alias(
+                "_ss"
+            )
+        )
+    )
+    scal = base.agg(
+        F.sum((F.col("_nrm") > 0).cast("long")).alias("_n"),
+        F.max(F.size("_v")).alias("_d"),
+        F.avg("_nrm").alias("_mn"),
+        F.stddev_pop("_nrm").alias("_sd"),
+    )
+    n = F.col("_n").cast("double")
+    return scal.crossJoin(ssum).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_d").cast("int").alias("dim"),
+        F.round(
+            F.when(F.col("_n") >= 2, (F.col("_ss") - n) / (n * (n - 1))),
+            round_dp,
+        ).alias("mean_pairwise_cosine"),
+        F.round(F.col("_mn"), round_dp).alias("mean_norm"),
+        F.round(
+            F.when(F.col("_mn") > 0, F.col("_sd") / F.col("_mn")), round_dp
+        ).alias("cv_norm"),
+    )

@@ -1,0 +1,214 @@
+"""Round-10 operators: seqlen_histogram, packing_efficiency,
+filter_funnel, shard_balance (corpus.py) and embedding_isotropy
+(similarity.py) — each replayed against an independent Python oracle
+on handcrafted inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from gbif_filter_python_spark.operators.corpus import (
+    filter_funnel,
+    packing_efficiency,
+    seqlen_histogram,
+    shard_balance,
+)
+from gbif_filter_python_spark.operators.similarity import embedding_isotropy
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# seqlen_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_seqlen_histogram_buckets_powers_of_two_exactly(spark):
+    # 8 tokens MUST land in bucket 3 (2^3..15) — floor(log2(8)) in
+    # floats gives 2.999..., the exact hazard the bit-length bucket
+    # avoids; empty text lands in bucket -1
+    texts = ["", "w", "a b c", "t " * 8, "x " * 15, "y " * 16]
+    rows = {
+        r["bucket"]: r for r in seqlen_histogram(_docs(spark, texts)).collect()
+    }
+    assert set(rows) == {-1, 0, 1, 3, 4}
+    assert (rows[-1]["lo_tokens"], rows[-1]["hi_tokens"]) == (0, 0)
+    assert rows[3]["n_docs"] == 2  # 8 and 15 tokens share bucket 3
+    assert (rows[3]["lo_tokens"], rows[3]["hi_tokens"]) == (8, 15)
+    assert rows[4]["n_docs"] == 1  # 16 tokens promotes to bucket 4
+    assert rows[4]["sum_tokens"] == 16
+    assert rows[0]["pct_docs"] == round(1 / 6, 6)
+    # cumulative share ends at 1
+    assert max(r["cum_pct_docs"] for r in rows.values()) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency
+# ---------------------------------------------------------------------------
+
+
+def test_packing_efficiency_handcrafted_stream(spark):
+    # token counts 5,3,4,10 -> stream offsets 0,5,8,12, total 22
+    texts = ["w " * 5, "w " * 3, "w " * 4, "w " * 10]
+    row = {
+        r["capacity"]: r
+        for r in packing_efficiency(
+            _docs(spark, texts), capacities=(8,)
+        ).collect()
+    }[8]
+    assert row["n_bins"] == 3  # ceil(22/8)
+    assert row["fill_ratio"] == round(22 / 24, 6)
+    # only doc 3 ([12,22)) straddles a boundary (token 16)
+    assert row["boundary_crossings"] == 1
+    assert row["crossing_docs"] == 1
+    assert row["oversize_docs"] == 1  # 10 > 8
+
+
+def test_packing_efficiency_matches_python_cumsum(spark):
+    # enough rows for several range partitions — the distributed
+    # prefix sum must equal the single-stream Python replay
+    toks = [(i, 1 + (i * 7) % 13) for i in range(200)]
+    texts = [(i, "w " * n) for i, n in toks]
+    df = spark.createDataFrame(texts, ["doc_id", "text"]).repartition(8)
+    got = {
+        r["capacity"]: r
+        for r in packing_efficiency(df, capacities=(16, 64)).collect()
+    }
+    for cap in (16, 64):
+        start, crossings, xdocs, oversize = 0, 0, 0, 0
+        for _, n in toks:
+            last = (start + n - 1) // cap
+            first = start // cap
+            crossings += last - first
+            xdocs += 1 if last > first else 0
+            oversize += 1 if n > cap else 0
+            start += n
+        total = start
+        assert got[cap]["n_bins"] == math.ceil(total / cap)
+        assert got[cap]["boundary_crossings"] == crossings
+        assert got[cap]["crossing_docs"] == xdocs
+        assert got[cap]["oversize_docs"] == oversize
+        assert got[cap]["fill_ratio"] == round(
+            total / (math.ceil(total / cap) * cap), 6
+        )
+
+
+# ---------------------------------------------------------------------------
+# filter_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_filter_funnel_each_stage_drops_its_doc(spark):
+    passing = (
+        "the quick brown fox jumps over lazy dogs and then runs "
+        "through green fields of corn looking for more interesting "
+        "things to chase before evening falls over quiet valley"
+    )  # 30 words, mean len ~4.5, no symbols, alpha, stopwords
+    texts = [
+        "",  # fails nonempty
+        "only five words right here",  # fails word_count (< 25)
+        "a b c d e " * 6,  # 30 words, mean len 1 -> fails mean_word_len
+        passing.replace("fox", "# # fox # #"),  # symbol ratio > 0.1
+        # digit words (long enough to keep mean_word_len in range)
+        # for most words -> alpha ratio < 0.8 (stopwords kept)
+        "the and of " + "12345 67890 54321 98765 " * 7,
+        # alpha words but NO stopword markers -> fails last stage
+        "zebra quokka wombat numbat dingo koala bilby " * 5,
+        passing,
+    ]
+    rows = filter_funnel(_docs(spark, texts), min_words=25).collect()
+    assert [r["stage"] for r in rows] == [
+        "nonempty",
+        "word_count",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "stopword_hits",
+    ]
+    assert [r["n_pass"] for r in rows] == [6, 5, 4, 3, 2, 1]
+    assert rows[0]["pct_of_input"] == round(6 / 7, 6)
+    assert rows[5]["pct_of_prev"] == 0.5
+    assert rows[5]["pct_of_input"] == round(1 / 7, 6)
+
+
+# ---------------------------------------------------------------------------
+# shard_balance
+# ---------------------------------------------------------------------------
+
+
+def test_shard_balance_matches_md5_replay(spark):
+    toks = [(i, 1 + i % 9) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, "w " * n) for i, n in toks], ["doc_id", "text"]
+    )
+    row = {
+        r["n_shards"]: r for r in shard_balance(df, shard_counts=(4,)).collect()
+    }[4]
+    loads: dict[int, int] = {}
+    for i, n in toks:
+        s = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+        loads[s] = loads.get(s, 0) + n
+    total = sum(loads.values())
+    mean = total / 4
+    var = sum(v * v for v in loads.values()) / 4 - mean * mean
+    assert row["n_shards_used"] == len(loads)
+    assert row["total_tokens"] == total
+    assert row["max_shard_tokens"] == max(loads.values())
+    assert row["balance_ratio"] == round(max(loads.values()) / mean, 6)
+    assert row["cv_tokens"] == round(math.sqrt(var) / mean, 6)
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+
+
+def test_isotropy_identity_equals_pairwise_average(spark):
+    vecs = [
+        [math.sin(0.7 * i + j) + 0.05 * j for j in range(5)]
+        for i in range(25)
+    ]
+    row = embedding_isotropy(_emb(spark, vecs)).collect()[0]
+    unit = []
+    for v in vecs:
+        nrm = math.sqrt(sum(x * x for x in v))
+        unit.append([x / nrm for x in v])
+    n = len(unit)
+    s = sum(
+        sum(a * b for a, b in zip(unit[i], unit[j]))
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    )
+    assert row["n"] == n
+    assert row["dim"] == 5
+    assert abs(row["mean_pairwise_cosine"] - s / (n * (n - 1))) < 2e-6
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    mn = sum(norms) / n
+    sd = math.sqrt(sum((x - mn) ** 2 for x in norms) / n)
+    assert row["mean_norm"] == round(mn, 6)
+    assert row["cv_norm"] == round(sd / mn, 6)
+
+
+def test_isotropy_extremes(spark):
+    # orthonormal basis: every pairwise cosine is 0
+    basis = [[1.0 if j == i else 0.0 for j in range(4)] for i in range(4)]
+    row = embedding_isotropy(_emb(spark, basis)).collect()[0]
+    assert row["mean_pairwise_cosine"] == 0.0
+    assert row["cv_norm"] == 0.0
+    # identical vectors: mean pairwise cosine 1; zero vector excluded
+    same = [[2.0, 1.0, 0.0]] * 3 + [[0.0, 0.0, 0.0]]
+    row2 = embedding_isotropy(_emb(spark, same)).collect()[0]
+    assert row2["n"] == 3  # zero-norm vector has no unit direction
+    assert row2["mean_pairwise_cosine"] == 1.0
