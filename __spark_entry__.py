@@ -6321,6 +6321,29 @@ def q_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
     return shard_balance(_t(spark, sf, "documents"), shard_counts=(16, 64))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility (operators/corpus.py::
+    tokenizer_fertility): subword tokens per whitespace word and
+    chars per subword token — the multilingual compute-disparity
+    table (XLM-R §5) from one group-keyed scan."""
+    from gbif_filter_python_spark.operators.corpus import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf, "documents"), group_col="lang")
+
+
+def q_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out n-gram coverage curve (operators/corpus.py::
+    ngram_coverage) for n = 1..3 over the deterministic md5 split:
+    map-side zip_with n-grams fingerprinted to 60-bit md5 longs
+    before the single (n, fp) hash agg — no train/test join, no
+    post-explode self-join."""
+    from gbif_filter_python_spark.operators.corpus import ngram_coverage
+
+    return ngram_coverage(_t(spark, sf, "documents"), ns=(1, 2, 3))
+
+
 def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space isotropy (operators/similarity.py::
     embedding_isotropy): EXACT mean pairwise cosine of the unit-
@@ -6793,6 +6816,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "shard_balance": q_shard_balance,
         "embedding_isotropy": q_embedding_isotropy,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "ngram_coverage": q_ngram_coverage,
     }
 
 
@@ -11104,6 +11129,51 @@ def oracle_sql() -> dict[str, str]:
             "pow(tot / CAST(k AS DOUBLE), 2)) / "
             "(tot / CAST(k AS DOUBLE)) ELSE 0.0 END END, 6) "
             "AS cv_tokens FROM o ORDER BY n_shards"
+        ),
+        "tokenizer_fertility": (
+            "WITH t AS (SELECT lang, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS ws, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS sw, "
+            "length(regexp_replace(text, '\\s', '', 'g')) AS ch "
+            "FROM documents) "
+            'SELECT lang AS "group", CAST(count(*) AS BIGINT) '
+            "AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens, "
+            "CAST(sum(sw) AS BIGINT) AS subword_tokens, "
+            "round(CASE WHEN sum(ws) > 0 THEN "
+            "sum(sw) / CAST(sum(ws) AS DOUBLE) END, 6) AS fertility, "
+            "round(CASE WHEN sum(sw) > 0 THEN "
+            "sum(ch) / CAST(sum(sw) AS DOUBLE) END, 6) "
+            "AS chars_per_subword FROM t GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_coverage": (
+            "WITH w AS (SELECT (('0x' || substring(md5(CAST(doc_id "
+            "AS VARCHAR)), 1, 8))::BIGINT % 100) < 10 AS is_test, "
+            "regexp_split_to_array(t, ' ') AS w FROM (SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t "
+            "FROM documents) WHERE t <> ''), "
+            "g AS ("
+            "SELECT 1 AS n, is_test, unnest(w) AS gram FROM w "
+            "UNION ALL "
+            "SELECT 2, is_test, unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> "
+            "w[i] || ' ' || w[i+1]) ELSE [] END) FROM w "
+            "UNION ALL "
+            "SELECT 3, is_test, unnest(CASE WHEN len(w) >= 3 THEN "
+            "list_transform(range(1, len(w) - 1), i -> "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) "
+            "FROM w), "
+            "pg AS (SELECT n, ('0x' || substring(md5(gram), 1, 15))"
+            "::BIGINT AS fp, max(CASE WHEN is_test THEN 0 ELSE 1 END) "
+            "AS tr, max(CASE WHEN is_test THEN 1 ELSE 0 END) AS te "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT n, CAST(sum(tr) AS BIGINT) AS train_ngrams, "
+            "CAST(sum(te) AS BIGINT) AS test_ngrams, "
+            "CAST(sum(tr * te) AS BIGINT) AS covered, "
+            "round(CASE WHEN sum(te) > 0 THEN sum(tr * te) / "
+            "CAST(sum(te) AS DOUBLE) END, 6) AS coverage "
+            "FROM pg GROUP BY 1 ORDER BY 1"
         ),
         "embedding_isotropy": (
             "WITH v AS (SELECT embedding AS e FROM embeddings "

@@ -2275,3 +2275,155 @@ def shard_balance(
             round_dp,
         ).alias("cv_tokens"),
     ).orderBy("n_shards")
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group tokenizer fertility: BPE-ish subword tokens per
+    whitespace word and characters per subword token — the
+    multilingual training-cost disparity table (XLM-R §5 measures
+    exactly this: high-fertility languages pay more compute per word,
+    so mixture weights and context budgets must read it first).
+    Token conventions are the repo's two standard counters
+    (:func:`~..functions.text.token_count` whitespace words,
+    :func:`~..functions.text.word_token_count` subword-ish units), so
+    the numbers are comparable with token_stats / oov_rate.
+
+    Returns one row per group: ``(group, n_docs, ws_tokens,
+    subword_tokens, fertility, chars_per_subword)``; ratios NULL for
+    empty denominators.
+
+    Scale shape: ONE corpus scan into a group-keyed hash aggregate —
+    the regex extraction is the map-side cost, the shuffle carries
+    one partial-sum row per (partition, group).
+    """
+    from gbif_filter_python_spark.functions.text import word_token_count
+
+    agg = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("_ws"),
+        F.sum(word_token_count(F.col(text_col)).cast("long")).alias("_sw"),
+        F.sum(
+            F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast(
+                "long"
+            )
+        ).alias("_ch"),
+    )
+    return agg.select(
+        "group",
+        F.col("n_docs").cast("long"),
+        F.col("_ws").alias("ws_tokens"),
+        F.col("_sw").alias("subword_tokens"),
+        F.round(
+            F.when(F.col("_ws") > 0, F.col("_sw") / F.col("_ws")), round_dp
+        ).alias("fertility"),
+        F.round(
+            F.when(F.col("_sw") > 0, F.col("_ch") / F.col("_sw")), round_dp
+        ).alias("chars_per_subword"),
+    ).orderBy("group")
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    ns: tuple = (1, 2, 3),
+    test_buckets: int = 10,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Held-out n-gram coverage: for each n, the fraction of the TEST
+    split's distinct n-grams that also occur in the TRAIN split — the
+    split-representativeness curve (a low unigram coverage means the
+    test set probes vocabulary the model never saw; trigram coverage
+    bounds verbatim memorization credit). Splits are the repo's
+    deterministic md5 buckets (``split_bucket(key) < test_buckets`` →
+    test, rest train — :func:`deterministic_split`'s convention), so
+    the measurement is reproducible across engines and runs.
+
+    Returns one row per n: ``(n, train_ngrams, test_ngrams, covered,
+    coverage)`` over DISTINCT n-grams of the normalized word stream.
+
+    Scale shape: n-grams are built MAP-SIDE per row (``zip_with`` of
+    shifted array slices — never a positional self-join of the
+    exploded token table, the classify.py ``_bigram_pairs`` lesson:
+    Catalyst auto-broadcasts on a post-explode size underestimate and
+    dies at sf10), tagged with their n, and exploded ONCE. Grams are
+    fingerprinted to 60-bit md5 integers BEFORE the shuffle (15 hex
+    chars — the split_bucket trick widened; collisions ~2⁻⁶⁰ per pair
+    shift coverage immaterially and identically in both engines), so
+    the single (n, fingerprint) hash aggregate shuffles longs, never
+    strings. Side membership folds in the same agg (max of per-side
+    flags) — no train↔test join anywhere.
+    """
+    from gbif_filter_python_spark.functions.text import normalized_text
+
+    ns_ = sorted({int(n) for n in ns})
+    if not ns_ or ns_[0] < 1:
+        raise ValueError(f"ns must be positive ints: {ns}")
+    words = F.array_remove(
+        F.split(normalized_text(F.col(text_col)), " "), ""
+    )
+    base = docs.select(
+        (split_bucket(F.col(key_col)) < int(test_buckets)).alias("_is_test"),
+        words.alias("_w"),
+    )
+
+    def grams(n: int) -> Column:
+        if n == 1:
+            g = F.col("_w")
+        else:
+            m = F.greatest(F.size("_w") - (n - 1), F.lit(0))
+            parts = [F.slice("_w", i + 1, m) for i in range(n)]
+            g = parts[0]
+            for p in parts[1:]:
+                g = F.zip_with(
+                    g, p, lambda a, b: F.concat_ws(" ", a, b)
+                )
+        return F.transform(
+            g,
+            lambda s: F.struct(
+                F.lit(n).alias("n"),
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long")
+                .alias("fp"),
+            ),
+        )
+
+    exploded = base.select(
+        "_is_test",
+        F.explode(
+            F.concat(*[grams(n) for n in ns_])
+        ).alias("_g"),
+    )
+    per_gram = exploded.groupBy(
+        F.col("_g.n").alias("n"), F.col("_g.fp").alias("_fp")
+    ).agg(
+        F.max((~F.col("_is_test")).cast("int")).alias("_tr"),
+        F.max(F.col("_is_test").cast("int")).alias("_te"),
+    )
+    return (
+        per_gram.groupBy("n")
+        .agg(
+            F.sum("_tr").cast("long").alias("train_ngrams"),
+            F.sum("_te").cast("long").alias("test_ngrams"),
+            F.sum(F.col("_tr") * F.col("_te")).cast("long").alias("covered"),
+        )
+        .select(
+            "n",
+            "train_ngrams",
+            "test_ngrams",
+            "covered",
+            F.round(
+                F.when(
+                    F.col("test_ngrams") > 0,
+                    F.col("covered") / F.col("test_ngrams"),
+                ),
+                round_dp,
+            ).alias("coverage"),
+        )
+        .orderBy("n")
+    )

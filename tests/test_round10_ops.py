@@ -212,3 +212,85 @@ def test_isotropy_extremes(spark):
     row2 = embedding_isotropy(_emb(spark, same)).collect()[0]
     assert row2["n"] == 3  # zero-norm vector has no unit direction
     assert row2["mean_pairwise_cosine"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility / ngram_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_handcrafted(spark):
+    from gbif_filter_python_spark.operators.corpus import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (0, "en", "hello, world!"),  # ws 2; sw: hello , world ! = 4
+            (1, "en", "a b"),  # ws 2; sw 2
+            (2, "de", ""),  # ws 0; sw 0
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {
+        r["group"]: r
+        for r in tokenizer_fertility(df, group_col="lang").collect()
+    }
+    en = rows["en"]
+    assert (en["ws_tokens"], en["subword_tokens"]) == (4, 6)
+    assert en["fertility"] == 1.5
+    # nonspace chars: "hello,world!" (12) + "ab" (2) = 14 over 6 units
+    assert en["chars_per_subword"] == round(14 / 6, 6)
+    de = rows["de"]
+    assert (de["ws_tokens"], de["subword_tokens"]) == (0, 0)
+    assert de["fertility"] is None and de["chars_per_subword"] is None
+
+
+def test_ngram_coverage_matches_python_replay(spark):
+    import hashlib
+    import re
+
+    from gbif_filter_python_spark.operators.corpus import ngram_coverage
+
+    texts = {
+        i: f"alpha beta gamma doc{i} shares alpha beta with others"
+        for i in range(40)
+    }
+    texts[40] = "zz yy xx"  # words likely unique to wherever it lands
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {r["n"]: r for r in ngram_coverage(df, ns=(1, 2)).collect()}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    def words(t):
+        return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    grams = {1: {"tr": set(), "te": set()}, 2: {"tr": set(), "te": set()}}
+    for i, t in texts.items():
+        side = "te" if bucket(i) < 10 else "tr"
+        ws = words(t)
+        grams[1][side].update(ws)
+        grams[2][side].update(
+            f"{a} {b}" for a, b in zip(ws, ws[1:])
+        )
+    for n in (1, 2):
+        tr, te = grams[n]["tr"], grams[n]["te"]
+        assert got[n]["train_ngrams"] == len(tr)
+        assert got[n]["test_ngrams"] == len(te)
+        assert got[n]["covered"] == len(tr & te)
+        assert got[n]["coverage"] == round(len(tr & te) / len(te), 6)
+
+
+def test_ngram_coverage_trigrams_and_short_docs(spark):
+    from gbif_filter_python_spark.operators.corpus import ngram_coverage
+
+    # 2-word docs contribute no trigrams; empty docs contribute nothing
+    df = spark.createDataFrame(
+        [(i, "one two") for i in range(30)] + [(30, ""), (31, "x y z")],
+        ["doc_id", "text"],
+    )
+    got = {r["n"]: r for r in ngram_coverage(df, ns=(3,)).collect()}
+    # only doc 31 has a trigram ("x y z"); whichever side it fell on
+    assert got[3]["train_ngrams"] + got[3]["test_ngrams"] == 1
+    assert got[3]["covered"] == 0
