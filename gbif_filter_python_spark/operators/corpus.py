@@ -1964,12 +1964,15 @@ def seqlen_histogram(
             F.sum("_n").cast("long").alias("sum_tokens"),
         )
     )
-    tot = F.broadcast(agg.agg(F.sum("n_docs").alias("_tot")))
+    # totals via windows over the TINY bucket frame — a broadcast-agg
+    # crossJoin here re-evaluates the whole corpus aggregate a second
+    # time (two scans); both windows share one SinglePartition
+    # exchange of <= ~64 rows
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        agg.crossJoin(tot)
+        agg.withColumn("_tot", F.sum("n_docs").over(Window.partitionBy()))
         .withColumn("_cum", F.sum("n_docs").over(w))
         .select(
             "bucket",

@@ -1328,6 +1328,15 @@ def mrl_recall(
 
 
 
+#: Refuse ceiling for _md5_sample (the exact_cosine_pairs ``max_rows``
+#: discipline, VERDICT r9: any bounded-model-state collect must REFUSE
+#: sizes that stop being bounded). 65536 query vectors × 4096 dims ×
+#: 8 B ≈ 2 GB of driver/closure state — already past comfortable; a
+#: larger request is a misuse of a fixed-sample diagnostic, not a
+#: scale path.
+MAX_SAMPLE_N = 65_536
+
+
 def _md5_sample(
     corpus: DataFrame, n: int, id_col: str = "_cid", vec_col: str = "_cv"
 ) -> list:
@@ -1340,6 +1349,12 @@ def _md5_sample(
     Compiles to TakeOrderedAndProject: one scan, no full sort. The
     DuckDB twin is ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n``.
     """
+    if not 1 <= int(n) <= MAX_SAMPLE_N:
+        raise ValueError(
+            f"sample_n={n} outside [1, {MAX_SAMPLE_N}]: the sample is "
+            "driver-collected, closure-shipped model state — it must "
+            "stay bounded regardless of corpus size"
+        )
     return (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(int(n))
@@ -1622,11 +1637,13 @@ def embedding_isotropy(
     Returns one row: ``(n, dim, mean_pairwise_cosine, mean_norm,
     cv_norm)``; the cosine is NULL for n < 2.
 
-    Scale shape: one scan; the vector sum is a posexplode into a hash
-    aggregate keyed by the d dimension indices (shuffle = d rows per
-    partition after partial aggregation), the scalar moments ride a
-    parallel one-row agg. Zero-norm vectors are excluded from the
-    cosine identity (no unit direction) but counted in the norms.
+    Scale shape: two column-pruned passes over the vector column —
+    the vector sum is a posexplode into a hash aggregate keyed by the
+    d dimension indices (shuffle = d rows per partition after partial
+    aggregation), the scalar norm moments are their own one-row agg
+    (folding them into the exploded pass would multiply the norm rows
+    ×d for no shuffle saving). Zero-norm vectors are excluded from
+    the cosine identity (no unit direction) but counted in the norms.
     """
     base = emb.select(F.col(vec_col).alias("_v")).filter(
         F.col("_v").isNotNull()

@@ -294,3 +294,61 @@ def test_ngram_coverage_trigrams_and_short_docs(spark):
     # only doc 31 has a trigram ("x y z"); whichever side it fell on
     assert got[3]["train_ngrams"] + got[3]["test_ngrams"] == 1
     assert got[3]["covered"] == 0
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions backing the scale docstrings
+# ---------------------------------------------------------------------------
+
+
+def test_r10_single_scan_ops_have_join_free_plans(spark):
+    """filter_funnel / seqlen_histogram / ngram_coverage claim
+    'one scan, hash aggregates, no join' — assert the physical plan
+    agrees (the _bigram_pairs lesson: the claim must be checked, a
+    post-explode self-join silently becomes a corpus-sized
+    broadcast)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        filter_funnel,
+        ngram_coverage,
+        seqlen_histogram,
+    )
+    from gbif_filter_python_spark.plans.inspect import explain_str
+
+    df = _docs(spark, ["the quick brown fox jumps over it " * 5] * 20)
+    for op in (
+        lambda d: filter_funnel(d, min_words=5),
+        seqlen_histogram,
+        lambda d: ngram_coverage(d, ns=(1, 2, 3)),
+    ):
+        plan = explain_str(op(df), "simple")
+        assert "Join" not in plan, plan
+
+
+def test_packing_efficiency_only_join_is_offset_broadcast(spark):
+    """packing_efficiency's single join must be the tiny
+    per-partition offset broadcast (assign_global_index shape) — a
+    SortMergeJoin here would mean the data-sized side is being
+    shuffled for the offsets."""
+    from gbif_filter_python_spark.operators.corpus import packing_efficiency
+    from gbif_filter_python_spark.plans.inspect import explain_str
+
+    df = _docs(spark, ["w " * 9] * 50)
+    plan = explain_str(packing_efficiency(df, capacities=(8,)), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_md5_sample_refuses_unbounded_requests(spark):
+    import pytest
+
+    from gbif_filter_python_spark.operators.similarity import (
+        MAX_SAMPLE_N,
+        hubness,
+        twonn_dim,
+    )
+
+    df = _emb(spark, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="bounded"):
+        hubness(df, sample_n=MAX_SAMPLE_N + 1)
+    with pytest.raises(ValueError, match="bounded"):
+        twonn_dim(df, sample_n=0)
