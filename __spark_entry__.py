@@ -6385,47 +6385,51 @@ DRIVER_WINDOW = 50
 _WITNESS_ANCHOR = 8
 
 #: Heavy-line driver cadence (VERDICT r9 item 4): the 30 most
-#: expensive registry lines by the committed r9 full-registry bench
-#: (BENCH_FULL_LATEST.json, descending sf0.1 seconds). HEAVY_QUOTA of
-#: them are pinned into every round-10+ driver window on a fixed
-#: rotation, so the costliest plans regain an external witness every
-#: 30/5 = 6 rounds regardless of how many cheap lines compete for the
-#: freshness slots. The list is PINNED (not computed from the bench
-#: file at import) so every session/driver derives the identical
-#: window — refresh it deliberately when the cost ranking shifts.
+#: expensive registry lines by the committed round-10 full-registry
+#: bench (BENCH_FULL_LATEST.json, descending sf0.1 seconds —
+#: including the non-headline escape hatches, which are registry
+#: queries too and deserve the same witness cadence; twonn_dim /
+#: hubness_skew fell OUT of the list after their 12× linear rewrite
+#: this round). HEAVY_QUOTA of them are pinned into every round-10+
+#: driver window on a fixed rotation, so the costliest plans regain
+#: an external witness every 30/5 = 6 rounds regardless of how many
+#: cheap lines compete for the freshness slots. The list is PINNED
+#: (not computed from the bench file at import) so every
+#: session/driver derives the identical window — refresh it
+#: deliberately when the cost ranking shifts.
 _HEAVY_ANCHOR = 10
 HEAVY_QUOTA = 5
 HEAVY_QUERIES = [
     "cogroup_asof",
-    "twonn_dim",
-    "hubness_skew",
-    "bcubed_eval",
-    "ivf_pq_topk",
-    "bpe_learn",
     "leakage_split",
-    "bpe_token_counts",
+    "ivf_pq_topk",
     "minhash_dedup_components",
-    "geo_near_pairs",
     "kcenter_coreset",
+    "bpe_learn",
+    "bcubed_eval",
+    "bpe_token_counts",
+    "geo_near_pairs",
     "pq_search",
     "semantic_dedup",
-    "minhash_dedup",
-    "adamic_adar",
-    "simhash_pairs",
-    "repeated_spans",
-    "profile_stats",
-    "lm_perplexity",
-    "dup_components_star",
-    "minhash_pairs",
-    "repetition_signals",
-    "geo_hot_cell_capped",
-    "cms_term_counts",
-    "hashed_embedding",
     "ppl_bands",
-    "dsir_select",
-    "mann_kendall",
-    "k_truss",
+    "minhash_dedup",
+    "profile_stats",
+    "repeated_spans",
+    "minhash_pairs",
+    "simhash_pairs",
     "label_prop",
+    "adamic_adar",
+    "geo_hot_cell_capped",
+    "dup_components_star",
+    "hashed_embedding",
+    "repetition_signals",
+    "lm_perplexity",
+    "mann_kendall",
+    "cms_term_counts",
+    "assortativity",
+    "harmonic_centrality",
+    "k_truss",
+    "dsir_select",
 ]
 
 

@@ -352,3 +352,88 @@ def test_md5_sample_refuses_unbounded_requests(spark):
         hubness(df, sample_n=MAX_SAMPLE_N + 1)
     with pytest.raises(ValueError, match="bounded"):
         twonn_dim(df, sample_n=0)
+
+
+# ---------------------------------------------------------------------------
+# cross-operator consistency (catalog coherence on real test data)
+# ---------------------------------------------------------------------------
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_seqlen_histogram_consistent_with_token_stats(spark):
+    """The histogram's totals must equal the per-doc token_stats view
+    of the same table — two independently-written operators, one
+    truth."""
+    from gbif_filter_python_spark.operators.corpus import seqlen_histogram
+    from gbif_filter_python_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    hist = seqlen_histogram(docs).collect()
+    n_docs = docs.count()
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.functions.text import token_count
+
+    tot_tokens = docs.agg(
+        F.sum(token_count(F.col("text")).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert sum(r["sum_tokens"] for r in hist) == tot_tokens
+    # every doc is in exactly one bucket and bounds hold
+    for r in hist:
+        if r["bucket"] >= 0:
+            assert r["lo_tokens"] == 2 ** r["bucket"]
+            assert r["hi_tokens"] == 2 ** (r["bucket"] + 1) - 1
+
+
+def test_filter_funnel_final_stage_equals_gopher_passes(spark):
+    """funnel's last-stage survivors == gopher_signals combined
+    passes count at the same thresholds (the funnel is the staged
+    decomposition of that flag)."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.functions.text import gopher_signals
+    from gbif_filter_python_spark.operators.corpus import filter_funnel
+    from gbif_filter_python_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = filter_funnel(docs, min_words=25).collect()
+    last = [r for r in rows if r["stage"] == "stopword_hits"][0]
+    sig = gopher_signals(F.col("text"), min_words=25)
+    n_pass = docs.select(sig["passes"].alias("p")).filter("p").count()
+    assert last["n_pass"] == n_pass
+    # survivors are monotone non-increasing through the stages
+    seq = [r["n_pass"] for r in sorted(rows, key=lambda r: r["stage_idx"])]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+def test_packing_efficiency_consistent_with_pack_sequences(spark):
+    """packing_efficiency's bin count equals the number of distinct
+    packs pack_sequences(shards=None) assigns at the same budget —
+    both walk the identical doc_id-ordered token stream."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.operators.corpus import (
+        pack_sequences,
+        packing_efficiency,
+    )
+    from gbif_filter_python_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    cap = 256
+    eff = {
+        r["capacity"]: r
+        for r in packing_efficiency(docs, capacities=(cap,)).collect()
+    }[cap]
+    packs = (
+        pack_sequences(docs, budget=cap, shards=None)
+        .agg(F.countDistinct("pack_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    # pack_id is assigned from each doc's START offset, so every bin
+    # that any doc starts in is a pack; bins entirely covered by the
+    # interior of one long doc have no starter. n_bins >= packs and
+    # the deficit is bounded by the boundary crossings.
+    assert packs <= eff["n_bins"] <= packs + eff["boundary_crossings"]
