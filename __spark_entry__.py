@@ -6503,13 +6503,16 @@ def planned_window(round_no: int) -> list[str]:
     )
     heavy: list[str] = []
     if round_no >= _HEAVY_ANCHOR:
+        # least-recently-witnessed heavy names, NOT a blind
+        # round-offset rotation: if a high-fresh round squeezes the
+        # heavy picks out of the window, they stay least-recent and
+        # are re-picked next round — the cadence self-heals instead
+        # of silently skipping a rotation step (r10 review finding)
         pool = [n for n in HEAVY_QUERIES if n in order]
-        if pool:
-            off = HEAVY_QUOTA * (round_no - _HEAVY_ANCHOR)
-            heavy = [
-                pool[(off + i) % len(pool)]
-                for i in range(min(HEAVY_QUOTA, len(pool)))
-            ]
+        pool_idx = {n: i for i, n in enumerate(pool)}
+        heavy = sorted(
+            pool, key=lambda n: (latest.get(n, -1), pool_idx[n])
+        )[:HEAVY_QUOTA]
     picks: list[str] = []
     for n in fresh + heavy + stale:
         if n not in picks:
@@ -10980,9 +10983,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM s CROSS JOIN worst"
         ),
         "seqlen_histogram": (
-            "WITH t AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
-            "FROM documents), "
+            "WITH t AS (SELECT coalesce(CASE WHEN trim(text) = '' "
+            "THEN 0 ELSE len(regexp_split_to_array(trim(text), "
+            "'\\s+')) END, 0) AS n FROM documents), "
             "b AS (SELECT CASE WHEN n <= 0 THEN -1 ELSE "
             "CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT) END "
             "AS bucket, n FROM t), "
@@ -11011,10 +11014,10 @@ def oracle_sql() -> dict[str, str]:
             "a AS (SELECT coalesce(sum(n), 0) AS tot, "
             + "".join(
                 "coalesce(sum(CASE WHEN n >= 1 THEN "
-                f"floor((st + n - 1) / {c}.0) - floor(st / {c}.0) END), 0) "
+                f"((st + n - 1) // {c}) - (st // {c}) END), 0) "
                 f"AS x{c}, "
                 "sum(CASE WHEN n >= 1 AND "
-                f"floor((st + n - 1) / {c}.0) > floor(st / {c}.0) "
+                f"((st + n - 1) // {c}) > (st // {c}) "
                 f"THEN 1 ELSE 0 END) AS xd{c}, "
                 f"sum(CASE WHEN n > {c} THEN 1 ELSE 0 END) AS ov{c}, "
                 for c in (64, 256, 1024)
@@ -11022,9 +11025,10 @@ def oracle_sql() -> dict[str, str]:
             + " FROM o) "
             + " UNION ALL ".join(
                 f"SELECT {c} AS capacity, "
-                f"CAST(ceil(tot / {c}.0) AS BIGINT) AS n_bins, "
+                f"CAST((tot + {c - 1}) // {c} AS BIGINT) AS n_bins, "
                 "round(CASE WHEN tot > 0 THEN tot / "
-                f"(ceil(tot / {c}.0) * {c}.0) END, 6) AS fill_ratio, "
+                f"(((tot + {c - 1}) // {c}) * {c}.0) END, 6) "
+                "AS fill_ratio, "
                 f"CAST(x{c} AS BIGINT) AS boundary_crossings, "
                 f"CAST(xd{c} AS BIGINT) AS crossing_docs, "
                 f"CAST(ov{c} AS BIGINT) AS oversize_docs FROM a"

@@ -1952,7 +1952,10 @@ def seqlen_histogram(
     ~log2(max_len) bucket values; the cumulative window runs over
     that tiny bucket table only.
     """
-    n = token_count(F.col(text_col))
+    # NULL text folds to n = 0 / bucket -1 explicitly: a NULL bucket
+    # would sort NULLS FIRST in Spark's window but NULLS LAST in the
+    # DuckDB twin's, silently skewing every cum_pct_docs value
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     bucket = F.when(n <= 0, F.lit(-1)).otherwise(
         (F.length(F.bin(n.cast("long"))) - 1).cast("int")
     )
@@ -2074,11 +2077,12 @@ def packing_efficiency(
         token_count(F.col(text_col)).cast("long").alias("_n"),
     )
     offs = _ordered_prefix_sums(toks, "_id", "_n")
-    first_bin = {c: F.floor(F.col("start") / F.lit(c)) for c in caps}
-    last_bin = {
-        c: F.floor((F.col("start") + F.col("_n") - 1) / F.lit(c))
-        for c in caps
-    }
+    # SQL `div` (true integer division on longs), NOT floor(x / c):
+    # the double division loses ulps once cumulative offsets pass
+    # 2^53 — the same float hazard seqlen_histogram's bit-length
+    # bucket exists to avoid; a 100 TB token stream exceeds 2^53
+    first_bin = {c: F.expr(f"start div {c}") for c in caps}
+    last_bin = {c: F.expr(f"(start + _n - 1) div {c}") for c in caps}
     has = F.col("_n") >= 1
     agg = offs.agg(
         F.count(F.lit(1)).alias("_docs"),
@@ -2103,12 +2107,15 @@ def packing_efficiency(
     per_cap = [
         F.struct(
             F.lit(c).alias("capacity"),
-            F.ceil(F.col("_tot") / F.lit(c)).cast("long").alias("n_bins"),
+            # integer ceil-div: (tot + c - 1) div c, exact past 2^53
+            F.expr(f"(_tot + {c - 1}) div {c}")
+            .cast("long")
+            .alias("n_bins"),
             F.round(
                 F.when(
                     F.col("_tot") > 0,
                     F.col("_tot")
-                    / (F.ceil(F.col("_tot") / F.lit(c)) * F.lit(c)),
+                    / (F.expr(f"(_tot + {c - 1}) div {c}") * F.lit(c)),
                 ),
                 round_dp,
             ).alias("fill_ratio"),

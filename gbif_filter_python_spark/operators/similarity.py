@@ -1336,6 +1336,24 @@ def mrl_recall(
 #: scale path.
 MAX_SAMPLE_N = 65_536
 
+#: Spark integral types the matmul sample path accepts for id_col —
+#: ids ship as np.int64 and candidates as LongType, so non-integral
+#: ids must be refused loudly (fingerprint strings to longs first,
+#: e.g. xxhash64) instead of dying inside np.array(dtype=int64) or
+#: silently re-labelling the caller's id domain.
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _round_half_away(a: np.ndarray, dp: int) -> np.ndarray:
+    """Round half AWAY from zero — the convention of Spark's F.round
+    and DuckDB's round(), which the 6dp pre-ranking rounding contract
+    is defined in. ``np.round`` is banker's (half-to-EVEN): an
+    exactly-dyadic cosine like 2^-7 = 0.0078125 would round to
+    .007812 here but .007813 in both engines, and a 6dp tie at the
+    k-th rank boundary would then retrieve different points."""
+    f = 10.0 ** dp
+    return np.copysign(np.floor(np.abs(a) * f + 0.5), a) / f
+
 
 def _md5_sample(
     corpus: DataFrame, n: int, id_col: str = "_cid", vec_col: str = "_cv"
@@ -1354,6 +1372,14 @@ def _md5_sample(
             f"sample_n={n} outside [1, {MAX_SAMPLE_N}]: the sample is "
             "driver-collected, closure-shipped model state — it must "
             "stay bounded regardless of corpus size"
+        )
+    id_type = dict(corpus.dtypes)[id_col]
+    if id_type not in _INTEGRAL_DTYPES:
+        raise TypeError(
+            f"id_col has type {id_type}; the matmul sample path "
+            "requires an integral id (ids ship as int64 and candidate "
+            "rows as LongType) — fingerprint string ids to longs "
+            "first (e.g. F.xxhash64)"
         )
     return (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -1397,10 +1423,14 @@ def hubness(
     under the same (sim DESC, id ASC) total order, so pruning is
     exact). Global candidates ≤ n_batches × sample_n × k — the window
     + count + moment aggregates downstream run on that sliver, never
-    on corpus-sized data, and the corpus itself is scanned once and
-    never shuffled. Total work is O(corpus × sample_n / SIMD), linear
-    in the corpus by construction. Sims are rounded to 6dp BEFORE
-    ranking (the shared fp-stability convention with the DuckDB twin).
+    on corpus-sized data, and the corpus never shuffles. Honest scan
+    count: THREE column-pruned passes over the vector column (the
+    TakeOrdered sample collect, the candidate scan, and a count-only
+    pass for n_corpus) — each O(corpus) map-side, none pairwise.
+    Total work is O(corpus × sample_n / SIMD), linear in the corpus
+    by construction. Sims are rounded to 6dp half-AWAY-from-zero
+    BEFORE ranking (F.round/DuckDB's convention — see
+    :func:`_round_half_away`).
     """
     corpus = emb.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
@@ -1432,7 +1462,10 @@ def hubness(
             x = np.array(pdf["_cv"].tolist(), dtype=np.float64)[order0]
             xn = np.linalg.norm(x, axis=1, keepdims=True)
             xn[xn == 0.0] = 1.0
-            sims = np.round((x / xn) @ qmat.T, 6)  # (batch, n_q)
+            # half-AWAY rounding — F.round/DuckDB's convention, which
+            # the 6dp pre-ranking contract is defined in (np.round is
+            # banker's and flips dyadic 6dp ties cross-engine)
+            sims = _round_half_away((x / xn) @ qmat.T, 6)  # (batch, n_q)
             sims[cids[:, None] == qids[None, :]] = -np.inf  # self pairs
             kk = min(k, sims.shape[0])
             # rows pre-sorted by cid ASC -> stable sort on -sim alone
@@ -1537,8 +1570,10 @@ def twonn_dim(
     batch-local bottom-2 rows per anchor — exact pruning, since any
     global bottom-2 row is bottom-2 in its own batch under the same
     (d² ASC, id ASC) order. Global candidates ≤ n_batches × sample_n
-    × 2; the corpus is scanned once, never shuffled. O(corpus ×
-    sample_n / SIMD) total — linear in the corpus by construction.
+    × 2; the corpus never shuffles — two column-pruned passes total
+    (the TakeOrdered sample collect, then the candidate scan).
+    O(corpus × sample_n / SIMD) — linear in the corpus by
+    construction.
     Squared-distance ordering defers the sqrt into the log ratio
     (ln(sqrt(a)/sqrt(b)) = 0.5·ln(a/b)). The default 2dp rounding is
     deliberate: the MLE aggregates ~n ln-ratios whose last-ulp fp

@@ -396,16 +396,23 @@ class GbifOccurrencesReader(DataSourceReader):
                 yield tuple(rec.get(f) for f in _FIELDS)
             return
         # split-ring envelope: a record exactly on the shared meridian
-        # may be returned by both rings — dedupe on the full tuple, and
-        # keep limit_per_taxon a PER-TAXON cap across both calls (the
-        # seen-set is bounded by that same limit)
-        seen: set[tuple] = set()
+        # may be returned by both rings — dedupe by occurrence_key
+        # (GBIF's unique record id) when the transport provides one,
+        # else by the full projected tuple (in which case two distinct
+        # keyless records with identical projections conflate — they
+        # are indistinguishable downstream anyway, but the single-ring
+        # path would keep both; documented contract). limit_per_taxon
+        # stays a PER-TAXON cap across both calls; the seen-set is
+        # bounded by that same limit.
+        seen: set = set()
         for geom in geoms:
             for rec in fetch(partition.value, self.country, geom, self.limit):
                 row = tuple(rec.get(f) for f in _FIELDS)
-                if row in seen:
+                occ_key = rec.get("occurrence_key")
+                key = ("k", occ_key) if occ_key is not None else ("t", row)
+                if key in seen:
                     continue
-                seen.add(row)
+                seen.add(key)
                 yield row
                 if len(seen) >= self.limit:
                     return

@@ -437,3 +437,131 @@ def test_packing_efficiency_consistent_with_pack_sequences(spark):
     # interior of one long doc have no starter. n_bins >= packs and
     # the deficit is bounded by the boundary crossings.
     assert packs <= eff["n_bins"] <= packs + eff["boundary_crossings"]
+
+
+# ---------------------------------------------------------------------------
+# r10 review-pass fixes
+# ---------------------------------------------------------------------------
+
+
+def test_round_half_away_matches_engine_convention():
+    import numpy as np
+
+    from gbif_filter_python_spark.operators.similarity import (
+        _round_half_away,
+    )
+
+    # dyadic tie: np.round would give 0.007812 (banker's); Spark
+    # F.round and DuckDB round give 0.007813
+    a = np.array([0.0078125, -0.0078125, 0.1234564, -np.inf])
+    out = _round_half_away(a, 6)
+    assert out[0] == 0.007813
+    assert out[1] == -0.007813
+    assert out[2] == 0.123456
+    assert out[3] == -np.inf
+
+
+def test_sample_ops_refuse_non_integral_ids(spark):
+    import pytest
+
+    from gbif_filter_python_spark.operators.similarity import hubness
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(TypeError, match="integral"):
+        hubness(df, sample_n=2)
+
+
+def test_seqlen_histogram_null_text_lands_in_bucket_minus_one(spark):
+    from gbif_filter_python_spark.operators.corpus import seqlen_histogram
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b c"), (2, "")], ["doc_id", "text"]
+    )
+    rows = {r["bucket"]: r for r in seqlen_histogram(df).collect()}
+    # NULL text must fold into bucket -1 (a NULL bucket would sort
+    # NULLS FIRST in Spark's cum window but NULLS LAST in DuckDB's)
+    assert rows[-1]["n_docs"] == 2
+    assert rows[-1]["sum_tokens"] == 0
+    assert rows[1]["cum_pct_docs"] == 1.0
+
+
+def test_heavy_picks_are_least_recently_witnessed(monkeypatch):
+    import __spark_entry__ as entry_mod
+
+    pool = entry_mod.HEAVY_QUERIES
+    reg = [n for n in entry_mod._registry() if n not in entry_mod.CANARY]
+    # craft a witness map: everything seen recently EXCEPT two heavy
+    # names starved long ago — they must be picked first, regardless
+    # of any rotation offset
+    starved = [pool[7], pool[23]]
+    latest = {n: 9 for n in reg}
+    for n in starved:
+        latest[n] = 2
+    monkeypatch.setattr(entry_mod, "_witness_rounds", lambda r: dict(latest))
+    monkeypatch.setattr(entry_mod, "_WINDOW_CACHE", {})
+    window = entry_mod.planned_window(entry_mod._HEAVY_ANCHOR + 3)
+    k = len(entry_mod.CANARY)
+    picks = window[k : k + entry_mod.HEAVY_QUOTA]
+    assert set(starved) <= set(picks)
+    assert set(picks) <= set(pool)
+
+
+def test_split_ring_dedupes_by_occurrence_key_not_projection(
+    pushdown_occ, tmp_path
+):
+    """Two DISTINCT records sharing every projected field except
+    occurrence_key must BOTH survive the split-ring dedupe; the same
+    record (same key) returned by both rings appears once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    ring_w = "POLYGON((-180 10,0 10,0 90,-180 90,-180 10))"
+    ring_e = "POLYGON((0 10,180 10,180 90,0 90,0 10))"
+    base = {
+        "taxon_key": 100,
+        "scientific_name": "Aus aus",
+        "country": "FR",
+        "decimal_latitude": 48.0,
+        "decimal_longitude": 0.0,
+    }
+    data = {
+        f"100|FR|{ring_w}": [
+            dict(base, occurrence_key=1),
+            dict(base, occurrence_key=2),  # distinct record, same proj
+        ],
+        f"100|FR|{ring_e}": [dict(base, occurrence_key=1)],  # dup of 1
+    }
+    log = str(tmp_path / "key_dedupe.jsonl")
+    df = (
+        pushdown_occ.read.format("gbif_occurrences")
+        .option(
+            "fetch_factory",
+            "gbif_filter_python_spark.sources."
+            "occurrence_source:scripted_occurrence_fetch",
+        )
+        .option("fetch_args", _json.dumps({"data": data, "call_log": log}))
+        .load()
+        .filter(F.col("taxon_key") == 100)
+        .filter(F.col("country") == "FR")
+        .filter(F.col("decimal_latitude") >= 10.0)
+    )
+    assert sorted(x["occurrence_key"] for x in df.collect()) == [1, 2]
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def pushdown_occ(spark):
+    from gbif_filter_python_spark.sources.occurrence_source import (
+        GbifOccurrencesDataSource,
+    )
+
+    spark.dataSource.register(GbifOccurrencesDataSource)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
