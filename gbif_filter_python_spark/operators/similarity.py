@@ -148,7 +148,11 @@ def exact_cosine_pairs(
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             xn = np.linalg.norm(x, axis=1, keepdims=True)
             xn[xn == 0.0] = 1.0
-            sims = np.round((x / xn) @ mat.T, 6)
+            # half-away rounding: the DuckDB twin thresholds on its
+            # round() (half AWAY from zero); np.round is banker's and
+            # would flip membership for a dyadic cosine exactly on
+            # the threshold boundary (see _round_half_away)
+            sims = _round_half_away((x / xn) @ mat.T, 6)
             row_ids = pdf[id_col].to_numpy()
             # id_a < id_b keeps each unordered pair once
             ii, jj = np.nonzero(
