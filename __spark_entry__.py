@@ -6357,6 +6357,108 @@ def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_isotropy(_t(spark, sf, "embeddings"))
 
 
+def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal–Wallis rank test (operators/analytics.py::
+    kruskal_wallis) of l_quantity across return flags — anova_f's
+    distribution-free sibling, tie-corrected (quantities are discrete,
+    so every observation ties); ranks come from the distinct-value
+    table, never per row."""
+    from gbif_filter_python_spark.operators.analytics import kruskal_wallis
+
+    return kruskal_wallis(
+        _t(spark, sf, "lineitem"), "l_returnflag", "l_quantity"
+    )
+
+
+def q_iv_2sls(spark: SparkSession, sf: str) -> DataFrame:
+    """Instrumental-variable slope (operators/analytics.py::iv_2sls)
+    on a constructed endogeneity demo: x = quantity + 100·tax is
+    confounded by the tax term that also enters y = 10x + 50·(100·tax),
+    so OLS overshoots the causal 10 while the quantity instrument
+    recovers it — one nine-statistic scan."""
+    from gbif_filter_python_spark.operators.analytics import iv_2sls
+
+    li = _t(spark, sf, "lineitem")
+    u = F.col("l_tax") * 100
+    demo = li.select(
+        F.col("l_quantity").alias("z"),
+        (F.col("l_quantity") + u).alias("x"),
+        (10 * (F.col("l_quantity") + u) + 50 * u).alias("y"),
+    )
+    return iv_2sls(demo, "y", "x", "z")
+
+
+def q_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-nation balance means
+    (operators/analytics.py::eb_shrinkage): method-of-moments
+    normal-normal shrinkage toward the grand mean — the smoother for
+    small-group averages before anyone ranks on them."""
+    from gbif_filter_python_spark.operators.analytics import eb_shrinkage
+
+    return eb_shrinkage(
+        _t(spark, sf, "customer"), "c_nationkey", "c_acctbal"
+    ).orderBy("c_nationkey")
+
+
+def q_ips_offpolicy(spark: SparkSession, sf: str) -> DataFrame:
+    """Off-policy value of the uniform policy (operators/analytics.py
+    ::ips_offpolicy) from logged events whose propensities are the
+    empirical action shares deterministically mis-scaled ±20% by
+    event-id parity — so SNIPS visibly re-anchors what raw IPS gets
+    wrong and ESS prices the weighting."""
+    from gbif_filter_python_spark.operators.analytics import ips_offpolicy
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    shares = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_c"))
+    ntot = ev.agg(F.count(F.lit(1)).alias("_n"))
+    logged = (
+        ev.join(F.broadcast(shares), "event_type")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "prop",
+            F.col("_c")
+            / F.col("_n")
+            * (0.8 + 0.4 * (F.col("event_id") % 2)),
+        )
+    )
+    return ips_offpolicy(logged, "event_type", "value", "prop")
+
+
+def q_power_mde(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type minimum detectable effect
+    (operators/analytics.py::power_mde) at α=0.05 / power=0.80 —
+    the pre-experiment power table from one sufficient-statistics
+    scan; pairs with srm_check and neyman_alloc."""
+    from gbif_filter_python_spark.operators.analytics import power_mde
+
+    return power_mde(_t(spark, sf, "events"), "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+def q_budget_waterfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture solver (operators/corpus.py::
+    budget_waterfill): water-fill a 3.5-epoch corpus budget across
+    sources with T² temperature weights and a 4-epoch repetition cap —
+    closed-form λ via one window over the domain table, no
+    iteration."""
+    from gbif_filter_python_spark.operators.corpus import budget_waterfill
+
+    return budget_waterfill(_t(spark, sf, "documents")).orderBy("domain")
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM head (operators/corpus.py::
+    kn_bigram_lm): top-30 bigrams with MLE vs KN probability and the
+    reserved backoff mass — one pair-count agg re-aggregated three
+    ways, text shuffled once."""
+    from gbif_filter_python_spark.operators.corpus import kn_bigram_lm
+
+    return kn_bigram_lm(_t(spark, sf, "documents"), top_n=30)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6825,6 +6927,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": q_embedding_isotropy,
         "tokenizer_fertility": q_tokenizer_fertility,
         "ngram_coverage": q_ngram_coverage,
+        "kruskal_wallis": q_kruskal_wallis,
+        "iv_2sls": q_iv_2sls,
+        "eb_shrinkage": q_eb_shrinkage,
+        "ips_offpolicy": q_ips_offpolicy,
+        "power_mde": q_power_mde,
+        "budget_waterfill": q_budget_waterfill,
+        "kn_bigram_lm": q_kn_bigram_lm,
     }
 
 
@@ -11203,6 +11312,181 @@ def oracle_sql() -> dict[str, str]:
             "round(mn, 6) AS mean_norm, "
             "round(CASE WHEN mn > 0 THEN sd / mn END, 6) AS cv_norm "
             "FROM sc CROSS JOIN ss"
+        ),
+        "kruskal_wallis": (
+            "WITH b AS (SELECT l_returnflag AS g, "
+            "CAST(l_quantity AS DOUBLE) AS v FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL), "
+            "gv AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2), "
+            "vals AS (SELECT v, sum(c) AS tl FROM gv GROUP BY 1), "
+            "rk AS (SELECT v, CAST(tl AS DOUBLE) AS td, "
+            "CAST(coalesce(sum(tl) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) "
+            "+ (tl + 1) / 2.0 AS avg_rank FROM vals), "
+            "per AS (SELECT g, sum(c) AS n_g, sum(c * avg_rank) AS r_g, "
+            "sum(c * (td * td - 1)) AS tie_g "
+            "FROM gv JOIN rk USING (v) GROUP BY 1), "
+            "st AS (SELECT CAST(sum(n_g) AS DOUBLE) AS n, "
+            "CAST(count(*) AS DOUBLE) AS k, "
+            "sum(r_g * r_g / n_g) AS s, sum(tie_g) AS tt FROM per) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS "
+            "k_groups, CAST(k - 1 AS BIGINT) AS dof, "
+            "round(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0), 6) "
+            "AS h_stat, "
+            "round(CASE WHEN 1.0 - tt / (n * n * n - n) > 0 THEN "
+            "(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)) / "
+            "(1.0 - tt / (n * n * n - n)) END, 6) AS h_corrected, "
+            "round(CASE WHEN n > k THEN "
+            "(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0) - k + 1.0) / "
+            "(n - k) END, 6) AS epsilon_sq FROM st"
+        ),
+        "iv_2sls": (
+            "WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS z, "
+            "CAST(l_quantity + l_tax * 100 AS DOUBLE) AS x, "
+            "CAST(10 * (l_quantity + l_tax * 100) + 50 * (l_tax * 100) "
+            "AS DOUBLE) AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(z) AS sz, sum(x * y) AS sxy, "
+            "sum(z * x) AS szx, sum(z * y) AS szy, sum(x * x) AS sxx, "
+            "sum(z * z) AS szz FROM b) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(CASE WHEN n * sxx - sx * sx > 0 THEN "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) "
+            "AS beta_ols, "
+            "round(CASE WHEN n * szz - sz * sz > 0 THEN "
+            "(n * szx - sz * sx) / (n * szz - sz * sz) END, 6) "
+            "AS first_stage_slope, "
+            "round(CASE WHEN n * szx - sz * sx <> 0 THEN "
+            "(n * szy - sz * sy) / (n * szx - sz * sx) END, 6) "
+            "AS beta_iv FROM s"
+        ),
+        "eb_shrinkage": (
+            "WITH b AS (SELECT c_nationkey AS g, "
+            "CAST(c_acctbal AS DOUBLE) AS v FROM customer "
+            "WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL), "
+            "per AS (SELECT g, CAST(count(*) AS DOUBLE) AS n_g, "
+            "sum(v) AS sv, sum(v * v) AS svv FROM b GROUP BY 1), "
+            "gl AS (SELECT sum(n_g) AS nn, CAST(count(*) AS DOUBLE) "
+            "AS k, sum(sv) AS svt, "
+            "sum(svv - sv * sv / n_g) AS ssw, "
+            "sum(sv * sv / n_g) AS ssq, sum(n_g * n_g) AS sn2 FROM per), "
+            "p2 AS (SELECT svt / nn AS grand, "
+            "CASE WHEN nn > k THEN ssw / (nn - k) ELSE 0.0 END AS s2, "
+            "CASE WHEN nn - sn2 / nn > 0 THEN greatest("
+            "(ssq - svt * svt / nn - (k - 1) * "
+            "(CASE WHEN nn > k THEN ssw / (nn - k) ELSE 0.0 END)) / "
+            "(nn - sn2 / nn), 0.0) ELSE 0.0 END AS tau2 FROM gl) "
+            "SELECT g AS c_nationkey, CAST(n_g AS BIGINT) AS n, "
+            "round(sv / n_g, 6) AS mean, "
+            "round(CASE WHEN tau2 + s2 / n_g > 0 THEN "
+            "tau2 / (tau2 + s2 / n_g) ELSE 0.0 END, 6) "
+            "AS shrink_weight, "
+            "round(grand + (CASE WHEN tau2 + s2 / n_g > 0 THEN "
+            "tau2 / (tau2 + s2 / n_g) ELSE 0.0 END) * "
+            "(sv / n_g - grand), 6) AS shrunk_mean "
+            "FROM per CROSS JOIN p2 ORDER BY 1"
+        ),
+        "ips_offpolicy": (
+            "WITH e AS (SELECT event_id, event_type AS a, "
+            "CAST(value AS DOUBLE) AS r FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "sh AS (SELECT a, count(*) AS c FROM e GROUP BY 1), "
+            "nt AS (SELECT count(*) AS ntot FROM e), "
+            "lg AS (SELECT e.a, e.r, "
+            "CAST(sh.c AS DOUBLE) / nt.ntot * "
+            "(0.8 + 0.4 * (event_id % 2)) AS p "
+            "FROM e JOIN sh USING (a) CROSS JOIN nt), "
+            "kk AS (SELECT CAST(count(DISTINCT a) AS DOUBLE) AS k "
+            "FROM lg WHERE p > 0), "
+            "ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, max(k) AS k, "
+            "sum(r) AS sr, sum((1.0 / k) / p * r) AS swr, "
+            "sum((1.0 / k) / p) AS sw, "
+            "sum(((1.0 / k) / p) * ((1.0 / k) / p)) AS sww "
+            "FROM lg CROSS JOIN kk WHERE p > 0) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS "
+            "k_actions, "
+            "round(CASE WHEN n > 0 THEN sr / n END, 6) "
+            "AS mean_logged_reward, "
+            "round(CASE WHEN n > 0 THEN swr / n END, 6) AS ips, "
+            "round(CASE WHEN sw > 0 THEN swr / sw END, 6) AS snips, "
+            "round(CASE WHEN sww > 0 THEN sw * sw / sww END, 6) AS ess "
+            "FROM ag"
+        ),
+        "power_mde": (
+            "WITH b AS (SELECT event_type AS g, "
+            "CAST(value AS DOUBLE) AS v FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "per AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, "
+            "sum(v) AS sv, sum(v * v) AS svv FROM b GROUP BY 1) "
+            "SELECT g AS event_type, CAST(n AS BIGINT) AS n, "
+            "round(sv / n, 6) AS mean, "
+            "round(CASE WHEN n > 1 THEN sqrt(greatest("
+            "(svv - sv * sv / n) / (n - 1), 0.0)) END, 6) AS sd, "
+            "round((1.9599639845400545 + 0.8416212335729143) * "
+            "(CASE WHEN n > 1 THEN sqrt(greatest("
+            "(svv - sv * sv / n) / (n - 1), 0.0)) END) * "
+            "sqrt(2.0 / n), 6) AS mde_abs, "
+            "round(CASE WHEN sv / n > 0 THEN "
+            "((1.9599639845400545 + 0.8416212335729143) * "
+            "(CASE WHEN n > 1 THEN sqrt(greatest("
+            "(svv - sv * sv / n) / (n - 1), 0.0)) END) * "
+            "sqrt(2.0 / n)) / (sv / n) END, 6) AS mde_rel "
+            "FROM per ORDER BY 1"
+        ),
+        "budget_waterfill": (
+            "WITH per AS (SELECT source AS domain, "
+            "sum(CAST(n_chars AS DOUBLE)) AS t FROM documents "
+            "WHERE source IS NOT NULL AND n_chars > 0 GROUP BY 1), "
+            "tot AS (SELECT sum(t) AS tt, sum(power(t, 2.0)) AS wt "
+            "FROM per), "
+            "en AS (SELECT domain, t, power(t, 2.0) AS w, "
+            "t * 4.0 AS cap, tt * 3.5 AS b, wt AS wtot "
+            "FROM per CROSS JOIN tot), "
+            "cand AS (SELECT *, cap / w AS r FROM en), "
+            "c2 AS (SELECT *, coalesce(sum(cap) OVER (ORDER BY r, "
+            "domain ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0.0) AS cum_c, coalesce(sum(w) OVER (ORDER BY r, domain "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) "
+            "AS cum_w, row_number() OVER (ORDER BY r, domain) AS rn "
+            "FROM cand), "
+            "c3 AS (SELECT *, CASE WHEN wtot - cum_w > 0 THEN "
+            "(b - cum_c) / (wtot - cum_w) END AS lam_i FROM c2), "
+            "lm AS (SELECT min_by(lam_i, rn) AS lam FROM c3 "
+            "WHERE lam_i IS NOT NULL AND lam_i <= r) "
+            "SELECT domain, CAST(t AS BIGINT) AS tokens, "
+            "round(w / wtot, 6) AS weight, round(cap, 4) AS cap_tokens, "
+            "round(CASE WHEN lam IS NOT NULL THEN least(cap, lam * w) "
+            "ELSE cap END, 4) AS alloc_tokens, "
+            "round((CASE WHEN lam IS NOT NULL THEN least(cap, lam * w) "
+            "ELSE cap END) / t, 4) AS epochs "
+            "FROM c3 CROSS JOIN lm ORDER BY domain"
+        ),
+        "kn_bigram_lm": (
+            f"WITH w AS (SELECT regexp_split_to_array(t, ' ') AS w "
+            f"FROM (SELECT {_NORM} AS t FROM documents) "
+            f"WHERE t <> ''), "
+            "g AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> "
+            "w[i] || ' ' || w[i+1]) ELSE [] END) AS bigram FROM w), "
+            "c AS (SELECT split_part(bigram, ' ', 1) AS w1, "
+            "split_part(bigram, ' ', 2) AS w2, count(*) AS c "
+            "FROM g GROUP BY 1, 2), "
+            "l AS (SELECT w1, sum(c) AS c1, count(*) AS ft "
+            "FROM c GROUP BY 1), "
+            "rr AS (SELECT w2, count(*) AS pt FROM c GROUP BY 1), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c), "
+            "j AS (SELECT c.w1, c.w2, c.c, l.c1, l.ft, rr.pt, "
+            "nt.n_types FROM c JOIN l USING (w1) JOIN rr USING (w2) "
+            "CROSS JOIN nt), "
+            "rk AS (SELECT *, row_number() OVER (ORDER BY c DESC, "
+            "w1 ASC, w2 ASC) AS rank FROM j) "
+            "SELECT rank, w1, w2, CAST(c AS BIGINT) AS pair_count, "
+            "round(c / CAST(c1 AS DOUBLE), 6) AS p_mle, "
+            "round(greatest(c - 0.75, 0.0) / c1 + "
+            "(0.75 * ft / c1) * (pt / n_types), 6) AS p_kn, "
+            "round(0.75 * ft / c1, 6) AS backoff_mass "
+            "FROM rk WHERE rank <= 30 ORDER BY rank"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -1243,3 +1243,384 @@ def simpsons_slopes(
             ).alias("flipped"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952) — the rank-based
+    k-group location test: ``anova_f``'s distribution-free sibling for
+    skewed or ordinal metrics, with the standard tie correction
+    (discrete metrics like quantities and star ratings are ALL ties,
+    so the uncorrected H understates evidence).
+
+    Output: ONE row ``(n, k_groups, dof, h_stat, h_corrected,
+    epsilon_sq)``. ``h_corrected = H / (1 - Σ(t³-t)/(n³-n))`` is NULL
+    when every observation shares one value (correction factor 0);
+    ``epsilon_sq = (H - k + 1)/(n - k)`` is the effect size (NULL when
+    n <= k).
+
+    Scale shape: ranks are NEVER assigned per row. One hash agg to
+    (group, value) pair counts, a re-agg to per-value totals, and
+    average ranks come from a cumulative window over the
+    DISTINCT-VALUE table — |values| rows, so the unpartitioned window
+    is over bounded model state (discrete metrics have a few hundred
+    levels; for continuous metrics quantile-bucket first). Rank sums
+    per group are exact (counts × half-integer average ranks — both
+    exact in doubles), so the statistic is reproducible across
+    partitionings. The pair-count aggregate is the only fact-sized
+    shuffle; the twin identical-subtree references reuse its exchange.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+    gv = base.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    vals = gv.groupBy("v").agg(F.sum("c").alias("t"))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        F.col("t").cast("double").alias("t"),
+        (
+            F.coalesce(F.sum("t").over(cum), F.lit(0)).cast("double")
+            + (F.col("t") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    per = (
+        gv.join(F.broadcast(ranked), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r_g"),
+            # Σ_v c_gv·(t_v²−1) re-aggregates to Σ_v (t³−t): the tie
+            # term rides the same pass instead of a second branch.
+            F.sum(F.col("c") * (F.col("t") * F.col("t") - 1)).alias(
+                "tie_g"
+            ),
+        )
+    )
+    stats = per.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("s"),
+        F.sum("tie_g").alias("tt"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    h = F.lit(12.0) / (n * (n + 1.0)) * F.col("s") - 3.0 * (n + 1.0)
+    corr = F.lit(1.0) - F.col("tt") / (n * n * n - n)
+    h_adj = F.when(corr > 0, h / corr).otherwise(
+        F.lit(None).cast("double")
+    )
+    eps = F.when(n > k, (h - k + 1.0) / (n - k)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h, round_dp).alias("h_stat"),
+        F.round(h_adj, round_dp).alias("h_corrected"),
+        F.round(eps, round_dp).alias("epsilon_sq"),
+    )
+
+
+def iv_2sls(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    z_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Instrumental-variable slope via the Wald / just-identified 2SLS
+    closed form (Angrist & Pischke 2009 §4): when the regressor x is
+    confounded (x and y share an unobserved cause), OLS is biased;
+    with an instrument z that moves x but touches y only THROUGH x,
+    ``beta_iv = cov(z,y)/cov(z,x)`` recovers the causal slope.
+
+    Output: ONE row ``(n, beta_ols, first_stage_slope, beta_iv)`` —
+    the naive slope, the instrument-strength diagnostic
+    ``cov(z,x)/var(z)`` (a weak first stage means beta_iv is noise),
+    and the IV estimate. Zero-variance / zero-covariance denominators
+    yield NULL, never DIVIDE_BY_ZERO (ANSI).
+
+    Scale shape: ONE scan, one hash agg of nine sufficient statistics
+    (n, Σx, Σy, Σz, Σxy, Σzx, Σzy, Σxx, Σzz) with map-side combine;
+    every estimate is closed-form arithmetic on the single result row.
+    """
+    base = df.select(
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(z_col).cast("double").alias("_z"),
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_x").isNotNull()
+        & F.col("_z").isNotNull()
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_z").alias("sz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_z") * F.col("_x")).alias("szx"),
+        F.sum(F.col("_z") * F.col("_y")).alias("szy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_z") * F.col("_z")).alias("szz"),
+    )
+    n = F.col("n")
+
+    def _ratio(num, den, strict_pos):
+        cond = (den > 0) if strict_pos else (den != 0)
+        return F.when(cond, num / den).otherwise(
+            F.lit(None).cast("double")
+        )
+
+    cov_zx = n * F.col("szx") - F.col("sz") * F.col("sx")
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(
+            _ratio(
+                n * F.col("sxy") - F.col("sx") * F.col("sy"),
+                n * F.col("sxx") - F.col("sx") * F.col("sx"),
+                True,
+            ),
+            round_dp,
+        ).alias("beta_ols"),
+        F.round(
+            _ratio(
+                cov_zx,
+                n * F.col("szz") - F.col("sz") * F.col("sz"),
+                True,
+            ),
+            round_dp,
+        ).alias("first_stage_slope"),
+        F.round(
+            _ratio(
+                n * F.col("szy") - F.col("sz") * F.col("sy"),
+                cov_zx,
+                False,
+            ),
+            round_dp,
+        ).alias("beta_iv"),
+    )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group means toward the grand
+    mean (James–Stein / method-of-moments normal-normal model; Efron &
+    Morris 1975). Small groups' raw means are noise; the shrunk mean
+    ``M + λ_g·(m_g − M)`` with ``λ_g = τ²/(τ² + s²/n_g)`` borrows
+    strength from the whole table — the standard smoother for
+    per-domain quality scores, per-seller ratings, per-segment
+    averages before anyone ranks on them.
+
+    Method-of-moments between-group variance: ``τ² = max(0, (SSB −
+    (k−1)·s²) / (N − Σn_g²/N))``, pooled within-variance ``s² =
+    SSW/(N−k)``. Degenerate inputs (N ≤ k, zero variance everywhere)
+    shrink fully to the grand mean (λ = 0) rather than erroring.
+
+    Output: one row per group ``(group, n, mean, shrink_weight,
+    shrunk_mean)``.
+
+    Scale shape: ONE fact scan to per-group sufficient statistics
+    (hash agg, map-side combine); grand-mean / τ² / s² re-aggregate
+    the k partials and broadcast back. Nothing row-wise after the
+    first agg; no window, no second scan.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    glob = per.agg(
+        F.sum("n_g").alias("N"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("sv").alias("svt"),
+        # SSW partial: Σ_g (svv_g − sv_g²/n_g); SSB needs Σ sv_g²/n_g
+        F.sum(
+            F.col("svv") - F.col("sv") * F.col("sv") / F.col("n_g")
+        ).alias("ssw"),
+        F.sum(F.col("sv") * F.col("sv") / F.col("n_g")).alias("ssq"),
+        F.sum(F.col("n_g") * F.col("n_g")).alias("sn2"),
+    )
+    N, k = F.col("N"), F.col("k")
+    grand = F.col("svt") / N
+    s2 = F.when(N > k, F.col("ssw") / (N - k)).otherwise(F.lit(0.0))
+    ssb = F.col("ssq") - F.col("svt") * F.col("svt") / N
+    tau_den = N - F.col("sn2") / N
+    tau2 = F.when(
+        tau_den > 0,
+        F.greatest(
+            (ssb - (k - 1) * s2) / tau_den, F.lit(0.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    enriched = per.crossJoin(
+        F.broadcast(
+            glob.select(
+                grand.alias("_grand"), s2.alias("_s2"), tau2.alias("_tau2")
+            )
+        )
+    )
+    m_g = F.col("sv") / F.col("n_g")
+    lam_den = F.col("_tau2") + F.col("_s2") / F.col("n_g")
+    lam = F.when(
+        lam_den > 0, F.col("_tau2") / lam_den
+    ).otherwise(F.lit(0.0))
+    return enriched.select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").cast("long").alias("n"),
+        F.round(m_g, round_dp).alias("mean"),
+        F.round(lam, round_dp).alias("shrink_weight"),
+        F.round(
+            F.col("_grand") + lam * (m_g - F.col("_grand")), round_dp
+        ).alias("shrunk_mean"),
+    )
+
+
+def ips_offpolicy(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    propensity_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Off-policy evaluation of the UNIFORM target policy from logged
+    bandit feedback (Horvitz–Thompson IPS, self-normalized SNIPS, and
+    Kish effective sample size; Dudík et al. 2011). Given rows
+    ``(action, reward, logged propensity)``, estimates the value a
+    uniform-random policy over the k observed actions WOULD have
+    earned — the counterfactual every data-collection policy change
+    gets judged against before anyone ships it.
+
+    ``w_i = (1/k)/p_i``; ``ips = Σ(w·r)/n``; ``snips = Σ(w·r)/Σw``
+    (NULL when Σw = 0); ``ess = (Σw)²/Σw²`` — the honest sample size
+    after weighting (k and Σw diverge exactly when logged propensities
+    are miscalibrated, which is what SNIPS corrects). Rows with NULL
+    or non-positive propensity are excluded from n (clipping is the
+    caller's policy decision, not silently applied here).
+
+    Output: ONE row ``(n, k_actions, mean_logged_reward, ips, snips,
+    ess)``.
+
+    Scale shape: one distinct-count agg for k (broadcast back), then
+    ONE scan aggregating the four weighted moments — no per-action
+    re-keying, no window, map-side combine throughout.
+    """
+    base = df.select(
+        F.col(action_col).alias("_a"),
+        F.col(reward_col).cast("double").alias("_r"),
+        F.col(propensity_col).cast("double").alias("_p"),
+    ).filter(
+        F.col("_a").isNotNull()
+        & F.col("_r").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_p") > 0)
+    )
+    kdf = base.agg(
+        F.countDistinct("_a").cast("double").alias("_k")
+    )
+    w = F.lit(1.0) / F.col("_k") / F.col("_p")
+    agg = base.crossJoin(F.broadcast(kdf)).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.first("_k").alias("k"),
+        F.sum("_r").alias("sr"),
+        F.sum(w * F.col("_r")).alias("swr"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sww"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_actions"),
+        F.round(
+            F.when(n > 0, F.col("sr") / n), round_dp
+        ).alias("mean_logged_reward"),
+        F.round(
+            F.when(n > 0, F.col("swr") / n), round_dp
+        ).alias("ips"),
+        F.round(
+            F.when(F.col("sw") > 0, F.col("swr") / F.col("sw")),
+            round_dp,
+        ).alias("snips"),
+        F.round(
+            F.when(
+                F.col("sww") > 0,
+                F.col("sw") * F.col("sw") / F.col("sww"),
+            ),
+            round_dp,
+        ).alias("ess"),
+    )
+
+
+def power_mde(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha_z: float = 1.9599639845400545,
+    power_z: float = 0.8416212335729143,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-segment minimum detectable effect for a two-arm test sized
+    like the segment (the pre-experiment power check): ``mde_abs =
+    (z_{α/2} + z_β)·sd·√(2/n_arm)`` with each arm assumed to get this
+    segment's n — the smallest true lift a test on this segment could
+    reliably see at the default α=0.05 / power=0.80 (z constants are
+    Φ⁻¹ literals so the SQL twin is bit-identical; pass your own for
+    other designs).
+
+    Output: one row per group ``(group, n, mean, sd, mde_abs,
+    mde_rel)`` — ``sd`` is the sample standard deviation from
+    sufficient statistics (NULL when n < 2, as is the MDE);
+    ``mde_rel = mde_abs/mean`` is NULL when the mean is 0 or negative
+    (relative lift is meaningless for non-positive baselines).
+
+    Scale shape: ONE hash agg of per-group (n, Σv, Σv²) with map-side
+    combine; everything after is per-group closed-form arithmetic.
+    Pairs with ``srm_check``/``neyman_alloc`` as the designed-before-
+    measured experiment toolkit.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    n = F.col("n_g")
+    mean = F.col("sv") / n
+    var = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    sd = F.sqrt(var)
+    mde = (alpha_z + power_z) * sd * F.sqrt(F.lit(2.0) / n)
+    return per.select(
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n"),
+        F.round(mean, round_dp).alias("mean"),
+        F.round(sd, round_dp).alias("sd"),
+        F.round(mde, round_dp).alias("mde_abs"),
+        F.round(
+            F.when(mean > 0, mde / mean), round_dp
+        ).alias("mde_rel"),
+    )

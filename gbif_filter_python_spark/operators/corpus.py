@@ -2437,3 +2437,177 @@ def ngram_coverage(
         )
         .orderBy("n")
     )
+
+
+def budget_waterfill(
+    docs: DataFrame,
+    domain_col: str = "source",
+    tokens_col: str = "n_chars",
+    budget_epochs: float = 3.5,
+    max_epochs: float = 4.0,
+    temperature: float = 2.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Token-budget allocator across domains with per-domain epoch
+    caps — the mixture SOLVER that sits in front of
+    :func:`upsample_mixture`: given each domain's available tokens
+    ``T_d``, target weights ``w_d ∝ T_d^temperature``, a total budget
+    of ``budget_epochs × ΣT`` tokens, and a repetition ceiling of
+    ``max_epochs`` passes over any one domain (the "don't repeat data
+    more than k times" rule), find the unique water-filling allocation
+    ``a_d = min(cap_d, λ·w_d)`` with ``Σa_d = min(budget, Σcap)``.
+
+    Closed form, no iteration: sort domains by ``r_d = cap_d/w_d``
+    ascending (the λ at which each domain saturates); with prefix cap
+    sums ``C`` and remaining-weight sums, the first row where the
+    candidate ``λ_i = (B − C_{i-1})/(W − W_{i-1})`` does not exceed
+    its own saturation point ``r_i`` pins λ; every earlier domain is
+    capped, every later one gets ``λ·w_d``. No valid row means the
+    budget covers every cap (all capped).
+
+    Output: one row per domain ``(domain, tokens, weight, cap_tokens,
+    alloc_tokens, epochs)`` — ``weight`` is the normalized target
+    share, ``epochs = alloc/T_d ≤ max_epochs`` always.
+
+    Scale shape: ONE fact scan to per-domain token sums (hash agg);
+    the solve itself is two windows + one min_by over the DOMAIN
+    table — bounded model state (corpora have tens-to-thousands of
+    domains), so the unpartitioned sort is deliberate and safe.
+    """
+    if max_epochs <= 0 or budget_epochs <= 0:
+        raise ValueError("budget_epochs and max_epochs must be > 0")
+    per = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.col(tokens_col).cast("double").alias("_t"),
+        )
+        .filter(F.col("domain").isNotNull() & (F.col("_t") > 0))
+        .groupBy("domain")
+        .agg(F.sum("_t").alias("t"))
+    )
+    tot = per.agg(
+        F.sum("t").alias("_tt"),
+        F.sum(F.pow(F.col("t"), F.lit(temperature))).alias("_wt"),
+    )
+    enriched = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "t",
+        F.pow(F.col("t"), F.lit(temperature)).alias("w"),
+        (F.col("t") * max_epochs).alias("cap"),
+        (F.col("_tt") * budget_epochs).alias("b"),
+        F.col("_wt").alias("wtot"),
+    )
+    order = Window.orderBy("r", "domain")
+    cum_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    cand = (
+        enriched.withColumn("r", F.col("cap") / F.col("w"))
+        .withColumn(
+            "cum_c", F.coalesce(F.sum("cap").over(cum_prev), F.lit(0.0))
+        )
+        .withColumn(
+            "cum_w", F.coalesce(F.sum("w").over(cum_prev), F.lit(0.0))
+        )
+        .withColumn("rn", F.row_number().over(order))
+        .withColumn(
+            "lam_i",
+            F.when(
+                F.col("wtot") - F.col("cum_w") > 0,
+                (F.col("b") - F.col("cum_c"))
+                / (F.col("wtot") - F.col("cum_w")),
+            ),
+        )
+    )
+    lam = cand.filter(
+        F.col("lam_i").isNotNull() & (F.col("lam_i") <= F.col("r"))
+    ).agg(F.min_by("lam_i", "rn").alias("_lam"))
+    alloc = F.when(
+        F.col("_lam").isNotNull(),
+        F.least(F.col("cap"), F.col("_lam") * F.col("w")),
+    ).otherwise(F.col("cap"))
+    return (
+        cand.crossJoin(F.broadcast(lam))
+        .select(
+            "domain",
+            F.col("t").cast("long").alias("tokens"),
+            F.round(F.col("w") / F.col("wtot"), 6).alias("weight"),
+            F.round("cap", round_dp).alias("cap_tokens"),
+            F.round(alloc, round_dp).alias("alloc_tokens"),
+            F.round(alloc / F.col("t"), round_dp).alias("epochs"),
+        )
+    )
+
+
+def kn_bigram_lm(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    top_n: int = 30,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language model (Kneser & Ney
+    1995; Chen & Goodman 1999 eq. 4.26) — THE classic n-gram smoother:
+    absolute-discount the bigram MLE and back off to the CONTINUATION
+    unigram (how many distinct contexts a word follows, not how often
+    it occurs), which is what makes "San Francisco"-style fillers rank
+    sanely. n-gram LMs still do the heavy lifting in data pipelines —
+    perplexity filters, DSIR importance weights, decontamination — and
+    this is their standard estimator.
+
+    ``p_kn(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) +
+    d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)``
+
+    Output: the ``top_n`` bigrams by count (ties: w1, w2 asc) with
+    ``(w1, w2, pair_count, p_mle, p_kn, backoff_mass)`` — backoff_mass
+    is the discount probability the context reserves for unseen
+    continuations (diagnostic: high = diverse context).
+
+    Scale shape: one explode to bigram rows feeding ONE fact-sized
+    hash agg keyed (w1, w2); the three model tables — context totals
+    c(w1·) + follower types N1+(w1·), continuation types N1+(·w2),
+    and the global type count — are RE-aggregates of that pair table
+    (vocabulary-sized, never fact-sized). Joins back are plain
+    shuffle joins on word keys (AQE broadcasts when the vocab allows);
+    probabilities are integer-derived arithmetic, identical across
+    engines. The pair-count exchange is reused across its three
+    consumers, so text is shuffled once.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    pairs = _staged_ngrams(docs, doc_id_col, text_col, 2).select(
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left = c.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).alias("follow_types"),
+    )
+    right = c.groupBy("w2").agg(F.count(F.lit(1)).alias("prec_types"))
+    tot = c.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    joined = (
+        c.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    backoff = d * F.col("follow_types") / F.col("c1")
+    p_cont = F.col("prec_types") / F.col("n_types")
+    p_kn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c1")
+        + backoff * p_cont
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(F.col("c") / F.col("c1"), round_dp).alias("p_mle"),
+            F.round(p_kn, round_dp).alias("p_kn"),
+            F.round(backoff, round_dp).alias("backoff_mass"),
+        )
+    )
