@@ -6459,6 +6459,68 @@ def q_kn_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     return kn_bigram_lm(_t(spark, sf, "documents"), top_n=30)
 
 
+def q_msprt_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Always-valid sequential A/B readout (operators/analytics.py::
+    msprt_test): mSPRT mixture likelihood ratio on event values with
+    deterministic event-id-parity arms — the peek-proof p-value a
+    continuously-monitored experiment dashboard needs; one
+    conditional-aggregation scan."""
+    from gbif_filter_python_spark.operators.analytics import msprt_test
+
+    ev = _t(spark, sf, "events").withColumn(
+        "arm", (F.col("event_id") % 2).cast("int")
+    )
+    return msprt_test(ev, "arm", "value", 0, 1, tau2=25.0)
+
+
+def q_funnel_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stage A/B funnel comparison (operators/analytics.py::
+    funnel_ab_test): view→click→signup→purchase reach by user-id
+    parity arm, with adjacent-stage conversion rates and the pooled
+    two-proportion z per transition."""
+    from gbif_filter_python_spark.operators.analytics import funnel_ab_test
+
+    ev = _t(spark, sf, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("int")
+    )
+    return funnel_ab_test(
+        ev, ["view", "click", "signup", "purchase"], "arm"
+    )
+
+
+def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture–recapture population estimate
+    (operators/profile.py::capture_recapture): event-id-parity
+    surveys over user ids, with the true distinct count and the
+    estimator's relative error as the calibration readout."""
+    from gbif_filter_python_spark.operators.profile import capture_recapture
+
+    ev = _t(spark, sf, "events").withColumn(
+        "survey", (F.col("event_id") % 2).cast("int")
+    )
+    return capture_recapture(ev, "user_id", "survey")
+
+
+def q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Church–Gale term burstiness (operators/corpus.py::burstiness):
+    top-25 terms by variance-to-mean ratio of per-document counts
+    (zeros included) — the clumpiness signal raw frequency can't
+    give; one (term, doc) agg plus one term-keyed re-agg."""
+    from gbif_filter_python_spark.operators.corpus import burstiness
+
+    return burstiness(_t(spark, sf, "documents"))
+
+
+def q_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram KL from the corpus LM (operators/corpus.py
+    ::domain_kl): add-0.5 smoothed over the shared corpus vocabulary,
+    with the unseen-term remainder in closed form so no domain×vocab
+    table ever materializes."""
+    from gbif_filter_python_spark.operators.corpus import domain_kl
+
+    return domain_kl(_t(spark, sf, "documents")).orderBy("domain")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -6934,6 +6996,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_mde": q_power_mde,
         "budget_waterfill": q_budget_waterfill,
         "kn_bigram_lm": q_kn_bigram_lm,
+        "msprt_test": q_msprt_test,
+        "funnel_ab_test": q_funnel_ab_test,
+        "capture_recapture": q_capture_recapture,
+        "burstiness": q_burstiness,
+        "domain_kl": q_domain_kl,
     }
 
 
@@ -11487,6 +11554,150 @@ def oracle_sql() -> dict[str, str]:
             "(0.75 * ft / c1) * (pt / n_types), 6) AS p_kn, "
             "round(0.75 * ft / c1, 6) AS backoff_mass "
             "FROM rk WHERE rank <= 30 ORDER BY rank"
+        ),
+        "msprt_test": (
+            "WITH e AS (SELECT (event_id % 2) AS g, "
+            "CAST(value AS DOUBLE) AS v FROM events "
+            "WHERE value IS NOT NULL AND (event_id % 2) IN (0, 1)), "
+            "s AS (SELECT "
+            "CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS na, "
+            "CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS nb, "
+            "sum(CASE WHEN g = 0 THEN v ELSE 0.0 END) AS sa, "
+            "sum(CASE WHEN g = 1 THEN v ELSE 0.0 END) AS sb, "
+            "sum(CASE WHEN g = 0 THEN v * v ELSE 0.0 END) AS qa, "
+            "sum(CASE WHEN g = 1 THEN v * v ELSE 0.0 END) AS qb "
+            "FROM e), "
+            "d AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+            "CASE WHEN na > 1 THEN "
+            "greatest((qa - sa * sa / na) / (na - 1), 0.0) / na END + "
+            "CASE WHEN nb > 1 THEN "
+            "greatest((qb - sb * sb / nb) / (nb - 1), 0.0) / nb END "
+            "AS se2 FROM s), "
+            "l AS (SELECT *, sb_delta AS delta, CASE WHEN na > 1 AND "
+            "nb > 1 AND se2 > 0 THEN sqrt(se2 / (se2 + 25.0)) * "
+            "exp(sb_delta * sb_delta * 25.0 / "
+            "(2.0 * se2 * (se2 + 25.0))) END AS lam "
+            "FROM (SELECT *, mb - ma AS sb_delta FROM d)), "
+            "f AS (SELECT *, least(1.0, 1.0 / lam) AS p FROM l) "
+            "SELECT CAST(na AS BIGINT) AS n_control, "
+            "CAST(nb AS BIGINT) AS n_treatment, "
+            "round(CASE WHEN na > 0 THEN ma END, 6) AS mean_control, "
+            "round(CASE WHEN nb > 0 THEN mb END, 6) AS mean_treatment, "
+            "round(CASE WHEN na > 1 AND nb > 1 THEN delta END, 6) "
+            "AS delta, "
+            "round(CASE WHEN na > 1 AND nb > 1 AND se2 > 0 THEN "
+            "sqrt(se2) END, 6) AS se, "
+            "round(lam, 6) AS lam, "
+            "round(p, 6) AS p_always_valid, "
+            "p < 0.05 AS reject_h0 FROM f"
+        ),
+        "funnel_ab_test": (
+            "WITH b AS (SELECT DISTINCT user_id AS u, "
+            "(user_id % 2) AS arm, "
+            "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+            "WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3 END AS idx "
+            "FROM events WHERE event_type IN "
+            "('view', 'click', 'signup', 'purchase') "
+            "AND user_id IS NOT NULL), "
+            "r AS (SELECT arm, idx, CAST(count(*) AS DOUBLE) AS r "
+            "FROM b GROUP BY 1, 2), "
+            "c AS (SELECT *, lag(r) OVER (PARTITION BY arm "
+            "ORDER BY idx) AS prev FROM r), "
+            "am AS (SELECT min(arm) AS a FROM r), "
+            "sd AS (SELECT idx, "
+            "max(CASE WHEN arm = a THEN r END) AS ra, "
+            "max(CASE WHEN arm <> a THEN r END) AS rb, "
+            "max(CASE WHEN arm = a THEN prev END) AS pa, "
+            "max(CASE WHEN arm <> a THEN prev END) AS pb "
+            "FROM c CROSS JOIN am GROUP BY 1), "
+            "s2 AS (SELECT *, "
+            "CASE WHEN pa > 0 THEN ra / pa END AS ca, "
+            "CASE WHEN pb > 0 THEN rb / pb END AS cb, "
+            "CASE WHEN pa > 0 AND pb > 0 THEN "
+            "(ra + rb) / (pa + pb) END AS pooled FROM sd), "
+            "s3 AS (SELECT *, sqrt(pooled * (1.0 - pooled) * "
+            "(1.0 / pa + 1.0 / pb)) AS zden FROM s2), "
+            "s4 AS (SELECT *, CASE WHEN zden > 0 THEN "
+            "(ca - cb) / zden END AS z FROM s3) "
+            "SELECT CAST(idx AS INT) AS stage_idx, "
+            "CASE idx WHEN 0 THEN 'view' WHEN 1 THEN 'click' "
+            "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' END AS stage, "
+            "CAST(coalesce(ra, 0.0) AS BIGINT) AS users_a, "
+            "CAST(coalesce(rb, 0.0) AS BIGINT) AS users_b, "
+            "round(ca, 6) AS conv_a, round(cb, 6) AS conv_b, "
+            "round(z, 6) AS z, "
+            "CASE WHEN z IS NOT NULL THEN "
+            "abs(z) > 1.9599639845400545 END AS significant_05 "
+            "FROM s4 ORDER BY 1"
+        ),
+        "capture_recapture": (
+            "WITH p AS (SELECT user_id, "
+            "max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS s1, "
+            "max(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS s2 "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+            "a AS (SELECT CAST(sum(s1) AS DOUBLE) AS n1, "
+            "CAST(sum(s2) AS DOUBLE) AS n2, "
+            "CAST(sum(s1 * s2) AS DOUBLE) AS m, count(*) AS total "
+            "FROM p) "
+            "SELECT CAST(n1 AS BIGINT) AS n_survey1, "
+            "CAST(n2 AS BIGINT) AS n_survey2, "
+            "CAST(m AS BIGINT) AS overlap, "
+            "round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 4) "
+            "AS chapman_est, "
+            "CAST(total AS BIGINT) AS true_distinct, "
+            "round(CASE WHEN total > 0 THEN "
+            "((n1 + 1) * (n2 + 1) / (m + 1) - 1 - total) / total "
+            "END, 4) AS rel_err FROM a"
+        ),
+        "burstiness": (
+            f"WITH w AS (SELECT doc_id, unnest("
+            f"regexp_split_to_array(t, ' ')) AS term FROM "
+            f"(SELECT doc_id, {_NORM} AS t FROM documents) "
+            f"WHERE t <> ''), "
+            "td AS (SELECT term, doc_id, count(*) AS c "
+            "FROM w GROUP BY 1, 2), "
+            "per AS (SELECT term, count(*) AS dfd, sum(c) AS tot, "
+            "sum(c * c) AS ss FROM td GROUP BY 1), "
+            "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n "
+            "FROM documents), "
+            "sc AS (SELECT term, dfd, tot, "
+            "(ss / n - (tot / n) * (tot / n)) / (tot / n) AS vmr "
+            "FROM per CROSS JOIN nd WHERE dfd >= 5), "
+            "rk AS (SELECT *, row_number() OVER (ORDER BY vmr DESC, "
+            "term ASC) AS rank FROM sc) "
+            "SELECT rank, term, CAST(dfd AS BIGINT) AS df_docs, "
+            "CAST(tot AS BIGINT) AS total_count, round(vmr, 6) AS vmr "
+            "FROM rk WHERE rank <= 25 ORDER BY rank"
+        ),
+        "domain_kl": (
+            f"WITH g AS (SELECT domain, unnest("
+            f"regexp_split_to_array(t, ' ')) AS term FROM "
+            f"(SELECT source AS domain, {_NORM} AS t FROM documents "
+            f"WHERE source IS NOT NULL) WHERE t <> ''), "
+            "dt AS (SELECT domain, term, count(*) AS c "
+            "FROM g GROUP BY 1, 2), "
+            "co AS (SELECT term, sum(c) AS cw FROM dt GROUP BY 1), "
+            "ct AS (SELECT CAST(count(*) AS DOUBLE) AS v, "
+            "CAST(sum(cw) AS DOUBLE) AS t FROM co), "
+            "q AS (SELECT term, (cw + 0.5) / (t + 0.5 * v) AS q, v "
+            "FROM co CROSS JOIN ct), "
+            "sa AS (SELECT sum(ln(q)) AS s_all FROM q), "
+            "pd AS (SELECT domain, CAST(count(*) AS DOUBLE) AS vd, "
+            "CAST(sum(c) AS DOUBLE) AS td FROM dt GROUP BY 1), "
+            "j AS (SELECT dt.domain, pd.vd, pd.td, q.v, "
+            "(dt.c + 0.5) / (pd.td + 0.5 * q.v) AS p, q.q "
+            "FROM dt JOIN q USING (term) JOIN pd USING (domain)), "
+            "sn AS (SELECT domain, max(vd) AS vd, max(td) AS td, "
+            "max(v) AS v, sum(p * (ln(p) - ln(q))) AS kl_seen, "
+            "sum(ln(q)) AS s_d FROM j GROUP BY 1) "
+            "SELECT domain, CAST(vd AS BIGINT) AS terms_seen, "
+            "CAST(td AS BIGINT) AS tokens, "
+            "round(vd / v, 6) AS coverage, "
+            "round(kl_seen + (0.5 / (td + 0.5 * v)) * "
+            "((v - vd) * ln(0.5 / (td + 0.5 * v)) - (s_all - s_d)), 6) "
+            "AS kl_nats FROM sn CROSS JOIN sa ORDER BY domain"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -1624,3 +1624,197 @@ def power_mde(
             F.when(mean > 0, mde / mean), round_dp
         ).alias("mde_rel"),
     )
+
+
+def msprt_test(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    control,
+    treatment,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT; Johari,
+    Koomen, Pekelis & Walsh 2017 — the "always-valid p-value" behind
+    continuous-monitoring A/B dashboards): unlike a fixed-horizon
+    test, the decision stays valid no matter how often (or when) you
+    peek. Normal approximation with a Gaussian mixture prior of
+    variance ``tau2`` over the effect:
+
+        Λ = √(se²/(se²+τ²)) · exp(δ²τ² / (2·se²·(se²+τ²)))
+        p_always_valid = min(1, 1/Λ)
+
+    where δ is the observed mean difference and se² the two-sample
+    standard-error square (sample variances / n). ``tau2`` encodes the
+    expected effect scale — match it to the metric's units.
+
+    Output: ONE row ``(n_control, n_treatment, mean_control,
+    mean_treatment, delta, se, lam, p_always_valid, reject_h0)``.
+    Degenerate arms (n < 2 or zero variance) yield NULL statistics,
+    never DIVIDE_BY_ZERO.
+
+    Scale shape: ONE scan with conditional aggregation (six sufficient
+    statistics; map-side combine) — the arm filter folds into the agg,
+    no per-arm re-keying, nothing after the single result row.
+    """
+    if tau2 <= 0:
+        raise ValueError(f"tau2 must be > 0, got {tau2}")
+    a, b = F.lit(control), F.lit(treatment)
+    base = df.select(
+        F.col(arm_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & ((F.col("_g") == a) | (F.col("_g") == b))
+    )
+
+    def _s(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0.0)))
+
+    is_a, is_b = F.col("_g") == a, F.col("_g") == b
+    s = base.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("nb"),
+        _s(is_a, F.col("_v")).alias("sa"),
+        _s(is_b, F.col("_v")).alias("sb"),
+        _s(is_a, F.col("_v") * F.col("_v")).alias("qa"),
+        _s(is_b, F.col("_v") * F.col("_v")).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    # n = 1 would make (n-1) a 0.0 double divisor: IEEE NaN, which
+    # Spark comparisons then treat as LARGEST (NaN > 0 is true) while
+    # DuckDB doesn't — guard to NULL before any comparison sees it
+    va = F.when(
+        na > 1,
+        F.greatest(
+            (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1),
+            F.lit(0.0),
+        ),
+    )
+    vb = F.when(
+        nb > 1,
+        F.greatest(
+            (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1),
+            F.lit(0.0),
+        ),
+    )
+    se2 = va / na + vb / nb
+    delta = mb - ma
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(se2 / (se2 + t2)) * F.exp(
+        delta * delta * t2 / (2.0 * se2 * (se2 + t2))
+    )
+    ok = (na > 1) & (nb > 1)
+    lam_ok = F.when(ok & (se2 > 0), lam).otherwise(
+        F.lit(None).cast("double")
+    )
+    p = F.least(F.lit(1.0), 1.0 / lam_ok)
+    return s.select(
+        na.cast("long").alias("n_control"),
+        nb.cast("long").alias("n_treatment"),
+        F.round(F.when(na > 0, ma), round_dp).alias("mean_control"),
+        F.round(F.when(nb > 0, mb), round_dp).alias("mean_treatment"),
+        F.round(F.when(ok, delta), round_dp).alias("delta"),
+        F.round(
+            F.when(ok & (se2 > 0), F.sqrt(se2)), round_dp
+        ).alias("se"),
+        F.round(lam_ok, round_dp).alias("lam"),
+        F.round(p, round_dp).alias("p_always_valid"),
+        (p < F.lit(float(alpha))).alias("reject_h0"),
+    )
+
+
+def funnel_ab_test(
+    events: DataFrame,
+    stages: list[str],
+    arm_col: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-stage A/B funnel comparison: for each adjacent stage
+    transition, the two arms' conversion rates (stage-i reach over
+    stage-(i-1) reach, unordered any-time reach) and the pooled
+    two-proportion z statistic — the "did the variant break checkout"
+    readout. Reported as z against the usual 1.96 line
+    (``significant_05``); the normal CDF stays out of scope, the
+    repo-wide rank_sum_test convention (neither engine ships erf).
+
+    Output: one row per transition ``(stage_idx, stage, users_a,
+    users_b, conv_a, conv_b, z, significant_05)`` where arm "a" is the
+    lexicographically smaller arm value; stage_idx 0 rows carry the
+    top-of-funnel reach with NULL conversions (nothing to convert
+    from). Zero denominators / zero-variance pooled rates yield NULL
+    z, never errors.
+
+    Scale shape: one distinct (user, arm, stage) aggregate (the only
+    fact-sized shuffle), then per-(arm, stage) counts and a
+    lag-window + pivot on the |stages|×2 model table.
+    """
+    if len(stages) < 2:
+        raise ValueError("need at least two stages")
+    from pyspark.sql import Window
+
+    stage_map = {s: i for i, s in enumerate(stages)}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in stage_map.items() for x in kv]
+    )
+    base = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(arm_col).alias("arm"),
+            F.col(type_col).alias("et"),
+        )
+        .filter(F.col("et").isin(list(stages)) & F.col("arm").isNotNull())
+        .select("u", "arm", mapping[F.col("et")].alias("idx"))
+        .distinct()
+    )
+    reach = base.groupBy("arm", "idx").agg(
+        F.count(F.lit(1)).cast("double").alias("r")
+    )
+    w = Window.partitionBy("arm").orderBy("idx")
+    conv = reach.withColumn("prev", F.lag("r").over(w))
+    # two-arm pivot via conditional agg keyed by stage (arm "a" is the
+    # MIN arm value — deterministic without caller-supplied order)
+    amin = reach.agg(F.min("arm").alias("_a"))
+    sides = (
+        conv.crossJoin(F.broadcast(amin))
+        .withColumn("is_a", F.col("arm") == F.col("_a"))
+        .groupBy("idx")
+        .agg(
+            F.max(F.when(F.col("is_a"), F.col("r"))).alias("ra"),
+            F.max(F.when(~F.col("is_a"), F.col("r"))).alias("rb"),
+            F.max(F.when(F.col("is_a"), F.col("prev"))).alias("pa"),
+            F.max(F.when(~F.col("is_a"), F.col("prev"))).alias("pb"),
+        )
+    )
+    ca = F.when(F.col("pa") > 0, F.col("ra") / F.col("pa"))
+    cb = F.when(F.col("pb") > 0, F.col("rb") / F.col("pb"))
+    pooled = F.when(
+        (F.col("pa") > 0) & (F.col("pb") > 0),
+        (F.col("ra") + F.col("rb")) / (F.col("pa") + F.col("pb")),
+    )
+    zden = F.sqrt(
+        pooled
+        * (1.0 - pooled)
+        * (1.0 / F.col("pa") + 1.0 / F.col("pb"))
+    )
+    z = F.when(zden > 0, (ca - cb) / zden)
+    rev = F.create_map(
+        *[F.lit(x) for i, s in enumerate(stages) for x in (i, s)]
+    )
+    return sides.select(
+        F.col("idx").cast("int").alias("stage_idx"),
+        rev[F.col("idx")].alias("stage"),
+        F.coalesce(F.col("ra"), F.lit(0.0)).cast("long").alias("users_a"),
+        F.coalesce(F.col("rb"), F.lit(0.0)).cast("long").alias("users_b"),
+        F.round(ca, round_dp).alias("conv_a"),
+        F.round(cb, round_dp).alias("conv_b"),
+        F.round(z, round_dp).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > 1.9599639845400545).alias(
+            "significant_05"
+        ),
+    ).orderBy("stage_idx")

@@ -2611,3 +2611,181 @@ def kn_bigram_lm(
             F.round(backoff, round_dp).alias("backoff_mass"),
         )
     )
+
+
+def burstiness(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 25,
+    min_docs: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Term burstiness via the variance-to-mean ratio of per-document
+    counts (Church & Gale 1995): content words clump — they either
+    don't appear in a document or appear several times — while
+    function words spread evenly (VMR ≈ 1, the Poisson line). The
+    datasheet signal for topical/boilerplate vocabulary that raw
+    frequency can't give: a term repeated 50× in one template page
+    and a term used once in 50 pages have identical counts but
+    opposite VMR.
+
+    Moments are over ALL N corpus documents (zero counts included —
+    that's the point), computed from the nonzero rows only:
+    ``mean = Σc/N``, ``E[x²] = Σc²/N``, ``vmr = (E[x²] − mean²)/mean``.
+    Terms in fewer than ``min_docs`` documents are dropped (singleton
+    VMR is noise). Output: ``top_n`` rows ``(rank, term, df_docs,
+    total_count, vmr)``, ranked VMR desc (term asc ties).
+
+    Scale shape: explode words → ONE (term, doc) hash agg → ONE
+    term-keyed re-agg (three integer moments); N comes from a scalar
+    count broadcast. All arithmetic is integer-derived — identical
+    across engines — and only the min_docs-filtered term table meets
+    the rank window.
+    """
+    grams = _staged_ngrams(docs, doc_id_col, text_col, 1)
+    td = grams.groupBy("ngram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = td.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    ndocs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_nd")
+    )
+    mean = F.col("tot") / F.col("_nd")
+    ex2 = F.col("ss") / F.col("_nd")
+    vmr = F.when(mean > 0, (ex2 - mean * mean) / mean)
+    scored = (
+        per.filter(F.col("df_docs") >= min_docs)
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("ngram").alias("term"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.col("tot").cast("long").alias("total_count"),
+            vmr.alias("_vmr"),
+        )
+    )
+    w = Window.orderBy(F.desc("_vmr"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            "term",
+            "df_docs",
+            "total_count",
+            F.round("_vmr", round_dp).alias("vmr"),
+        )
+    )
+
+
+def domain_kl(
+    docs: DataFrame,
+    domain_col: str = "source",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-domain unigram KL divergence from the corpus language model
+    — the mixture-design datasheet number: which domains are
+    linguistically far from the blend (high KL = distinctive/outlier
+    vocabulary; near 0 = redundant with the mix). Both sides are
+    add-``alpha`` smoothed over the CORPUS vocabulary V, so every
+    domain is scored against the same support and the divergence is
+    always finite.
+
+    The full-vocabulary sum never materializes |domains|×V rows: for
+    each domain, KL splits into the OBSERVED-term sum (rides the
+    (domain, term) table) plus a closed-form unseen remainder — the
+    unseen probability is the constant ``α/(T_d+αV)``, so its
+    contribution is ``p_u·((V−V_d)·ln p_u − (S_all − S_d))`` where
+    ``S_all = Σ_vocab ln q(w)`` is ONE corpus-level aggregate and
+    ``S_d = Σ_seen ln q(w)`` rides the same observed-term pass.
+
+    Output: one row per domain ``(domain, terms_seen, tokens,
+    coverage, kl_nats)`` — coverage is the share of the corpus
+    vocabulary the domain uses.
+
+    Scale shape: explode words → ONE (domain, term) hash agg; the
+    corpus LM (term totals), V, T, S_all, and per-domain totals are
+    all RE-aggregates of that table; one term-keyed join puts q(w)
+    next to each observed count (AQE broadcasts when the vocab
+    allows). Everything is vocabulary-sized after the first agg.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    al = F.lit(float(alpha))
+    grams = _staged_ngrams(
+        docs.filter(F.col(domain_col).isNotNull()),
+        doc_id_col,
+        text_col,
+        1,
+        extra_cols=[F.col(domain_col).alias("domain")],
+    )
+    dt = grams.groupBy("domain", "ngram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    corpus = dt.groupBy("ngram").agg(F.sum("c").alias("cw"))
+    consts = corpus.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("cw").cast("double").alias("t"),
+    )
+    q = corpus.crossJoin(F.broadcast(consts)).select(
+        "ngram",
+        ((F.col("cw") + al) / (F.col("t") + al * F.col("v"))).alias(
+            "q"
+        ),
+        "v",
+    )
+    s_all = q.agg(F.sum(F.log("q")).alias("s_all"))
+    per_dom = dt.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("double").alias("vd"),
+        F.sum("c").cast("double").alias("td"),
+    )
+    joined = (
+        dt.join(q, "ngram")
+        .join(F.broadcast(per_dom), "domain")
+        .select(
+            "domain",
+            "vd",
+            "td",
+            "v",
+            (
+                (F.col("c") + al)
+                / (F.col("td") + al * F.col("v"))
+            ).alias("p"),
+            "q",
+        )
+    )
+    seen = joined.groupBy("domain").agg(
+        F.first("vd").alias("vd"),
+        F.first("td").alias("td"),
+        F.first("v").alias("v"),
+        F.sum(
+            F.col("p") * (F.log("p") - F.log("q"))
+        ).alias("kl_seen"),
+        F.sum(F.log("q")).alias("s_d"),
+    )
+    p_u = al / (F.col("td") + al * F.col("v"))
+    kl_unseen = p_u * (
+        (F.col("v") - F.col("vd")) * F.log(p_u)
+        - (F.col("s_all") - F.col("s_d"))
+    )
+    return (
+        seen.crossJoin(F.broadcast(s_all))
+        .select(
+            "domain",
+            F.col("vd").cast("long").alias("terms_seen"),
+            F.col("td").cast("long").alias("tokens"),
+            F.round(F.col("vd") / F.col("v"), round_dp).alias(
+                "coverage"
+            ),
+            F.round(F.col("kl_seen") + kl_unseen, round_dp).alias(
+                "kl_nats"
+            ),
+        )
+    )

@@ -3061,3 +3061,76 @@ def fd_violations(
             ),
         ).alias("worst_keys"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    survey_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Chapman capture–recapture population estimate (Chapman 1951;
+    the ecology mark-recapture estimator, repurposed as the "how many
+    distinct entities does this firehose REALLY have" check): split
+    the observation stream into two surveys, count identities seen in
+    each and in both, and estimate the total population
+
+        N̂ = (n1+1)·(n2+1)/(m+1) − 1
+
+    — the bias-corrected Lincoln–Petersen form, finite even at zero
+    overlap. Because the input is bounded here, the op also reports
+    the TRUE distinct count and the estimator's relative error: the
+    calibration readout that tells you whether hash-split surveys are
+    independent enough to trust the estimate where you CAN'T count
+    (cross-silo joins, privacy-limited logs).
+
+    ``survey_col`` assigns each observation row to survey 0 or 1
+    (deterministic parity/hash — the caller's choice). Identities
+    whose rows all carry NULL survey are excluded from both surveys
+    but still counted in ``true_distinct``.
+
+    Output: ONE row ``(n_survey1, n_survey2, overlap, chapman_est,
+    true_distinct, rel_err)``.
+
+    Scale shape: ONE distinct-key hash agg (per-identity max flags —
+    map-side combine collapses the fact before the shuffle, the
+    existence-semijoin shape), then a single re-agg of the flag
+    table. No window, no join, nothing pairwise.
+    """
+    per = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(survey_col).cast("int").alias("_s"),
+        )
+        .filter(F.col("_id").isNotNull())
+        .groupBy("_id")
+        .agg(
+            F.max(
+                F.when(F.col("_s") == 0, 1).otherwise(0)
+            ).alias("s1"),
+            F.max(
+                F.when(F.col("_s") == 1, 1).otherwise(0)
+            ).alias("s2"),
+        )
+    )
+    agg = per.agg(
+        F.sum("s1").cast("double").alias("n1"),
+        F.sum("s2").cast("double").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("double").alias("m"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    est = (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return agg.select(
+        F.col("n1").cast("long").alias("n_survey1"),
+        F.col("n2").cast("long").alias("n_survey2"),
+        F.col("m").cast("long").alias("overlap"),
+        F.round(est, round_dp).alias("chapman_est"),
+        F.col("total").cast("long").alias("true_distinct"),
+        F.round(
+            F.when(
+                F.col("total") > 0,
+                (est - F.col("total")) / F.col("total"),
+            ),
+            round_dp,
+        ).alias("rel_err"),
+    )
