@@ -6521,10 +6521,28 @@ def q_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
     return domain_kl(_t(spark, sf, "documents")).orderBy("domain")
 
 
+def q_msprt_degenerate(spark: SparkSession, sf: str) -> DataFrame:
+    """Degenerate-arm canary for msprt_test (operators/analytics.py::
+    msprt_test): the treatment arm is the SINGLE row with the global
+    min event_id, so n_treatment < 2 and every sequential statistic
+    (delta, se, lam, p_always_valid, reject_h0) must come back NULL —
+    the regression gate for the r10 least()-skips-NULL bug where
+    p_always_valid silently read 1.0 / reject_h0 False."""
+    from gbif_filter_python_spark.operators.analytics import msprt_test
+
+    ev = _t(spark, sf, "events")
+    m = ev.agg(F.min("event_id").alias("_m"))
+    armed = ev.crossJoin(F.broadcast(m)).withColumn(
+        "arm",
+        F.when(F.col("event_id") == F.col("_m"), 1).otherwise(0),
+    )
+    return msprt_test(armed, "arm", "value", 0, 1, tau2=25.0)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
@@ -7001,6 +7019,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         "burstiness": q_burstiness,
         "domain_kl": q_domain_kl,
+        # -- round-11 additions ---------------------------------------
+        "msprt_degenerate": q_msprt_degenerate,
     }
 
 
@@ -11555,6 +11575,47 @@ def oracle_sql() -> dict[str, str]:
             "round(0.75 * ft / c1, 6) AS backoff_mass "
             "FROM rk WHERE rank <= 30 ORDER BY rank"
         ),
+        "msprt_degenerate": (
+            "WITH mm AS (SELECT min(event_id) AS m FROM events), "
+            "e AS (SELECT "
+            "CASE WHEN event_id = m THEN 1 ELSE 0 END AS g, "
+            "CAST(value AS DOUBLE) AS v FROM events CROSS JOIN mm "
+            "WHERE value IS NOT NULL), "
+            "s AS (SELECT "
+            "CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS na, "
+            "CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS nb, "
+            "sum(CASE WHEN g = 0 THEN v ELSE 0.0 END) AS sa, "
+            "sum(CASE WHEN g = 1 THEN v ELSE 0.0 END) AS sb, "
+            "sum(CASE WHEN g = 0 THEN v * v ELSE 0.0 END) AS qa, "
+            "sum(CASE WHEN g = 1 THEN v * v ELSE 0.0 END) AS qb "
+            "FROM e), "
+            "d AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+            "CASE WHEN na > 1 THEN "
+            "greatest((qa - sa * sa / na) / (na - 1), 0.0) / na END + "
+            "CASE WHEN nb > 1 THEN "
+            "greatest((qb - sb * sb / nb) / (nb - 1), 0.0) / nb END "
+            "AS se2 FROM s), "
+            "l AS (SELECT *, sb_delta AS delta, CASE WHEN na > 1 AND "
+            "nb > 1 AND se2 > 0 THEN sqrt(se2 / (se2 + 25.0)) * "
+            "exp(sb_delta * sb_delta * 25.0 / "
+            "(2.0 * se2 * (se2 + 25.0))) END AS lam "
+            "FROM (SELECT *, mb - ma AS sb_delta FROM d)), "
+            "f AS (SELECT *, CASE WHEN lam IS NOT NULL THEN "
+            "least(1.0, 1.0 / lam) END AS p FROM l) "
+            "SELECT CAST(na AS BIGINT) AS n_control, "
+            "CAST(nb AS BIGINT) AS n_treatment, "
+            "round(CASE WHEN na > 0 THEN ma END, 6) AS mean_control, "
+            "round(CASE WHEN nb > 0 THEN mb END, 6) AS mean_treatment, "
+            "round(CASE WHEN na > 1 AND nb > 1 THEN delta END, 6) "
+            "AS delta, "
+            "round(CASE WHEN na > 1 AND nb > 1 AND se2 > 0 THEN "
+            "sqrt(se2) END, 6) AS se, "
+            "round(lam, 6) AS lam, "
+            "round(p, 6) AS p_always_valid, "
+            "p < 0.05 AS reject_h0 FROM f"
+        ),
         "msprt_test": (
             "WITH e AS (SELECT (event_id % 2) AS g, "
             "CAST(value AS DOUBLE) AS v FROM events "
@@ -11580,7 +11641,8 @@ def oracle_sql() -> dict[str, str]:
             "exp(sb_delta * sb_delta * 25.0 / "
             "(2.0 * se2 * (se2 + 25.0))) END AS lam "
             "FROM (SELECT *, mb - ma AS sb_delta FROM d)), "
-            "f AS (SELECT *, least(1.0, 1.0 / lam) AS p FROM l) "
+            "f AS (SELECT *, CASE WHEN lam IS NOT NULL THEN "
+            "least(1.0, 1.0 / lam) END AS p FROM l) "
             "SELECT CAST(na AS BIGINT) AS n_control, "
             "CAST(nb AS BIGINT) AS n_treatment, "
             "round(CASE WHEN na > 0 THEN ma END, 6) AS mean_control, "
@@ -11601,8 +11663,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IN "
             "('view', 'click', 'signup', 'purchase') "
             "AND user_id IS NOT NULL), "
-            "r AS (SELECT arm, idx, CAST(count(*) AS DOUBLE) AS r "
+            "r0 AS (SELECT arm, idx, CAST(count(*) AS DOUBLE) AS r "
             "FROM b GROUP BY 1, 2), "
+            "g AS (SELECT arm, gi.idx FROM "
+            "(SELECT DISTINCT arm FROM r0) arms "
+            "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS idx) gi), "
+            "r AS (SELECT g.arm, g.idx, coalesce(r0.r, 0.0) AS r "
+            "FROM g LEFT JOIN r0 ON g.arm = r0.arm "
+            "AND g.idx = r0.idx), "
             "c AS (SELECT *, lag(r) OVER (PARTITION BY arm "
             "ORDER BY idx) AS prev FROM r), "
             "am AS (SELECT min(arm) AS a FROM r), "

@@ -1711,7 +1711,12 @@ def msprt_test(
     lam_ok = F.when(ok & (se2 > 0), lam).otherwise(
         F.lit(None).cast("double")
     )
-    p = F.least(F.lit(1.0), 1.0 / lam_ok)
+    # least() skips NULL args in both Spark and DuckDB, so a bare
+    # least(1.0, 1.0/NULL) would read 1.0 — guard so degenerate arms
+    # propagate NULL into p_always_valid and reject_h0
+    p = F.when(
+        lam_ok.isNotNull(), F.least(F.lit(1.0), 1.0 / lam_ok)
+    )
     return s.select(
         na.cast("long").alias("n_control"),
         nb.cast("long").alias("n_treatment"),
@@ -1750,6 +1755,12 @@ def funnel_ab_test(
     from). Zero denominators / zero-variance pooled rates yield NULL
     z, never errors.
 
+    The (arm × stage) reach table is DENSIFIED before the lag: absent
+    cells count as zero reach, so each stage's conversion denominator
+    is always the immediately preceding stage (never a skipped-over
+    earlier one) and stages with zero reach in both arms still emit a
+    row.
+
     Scale shape: one distinct (user, arm, stage) aggregate (the only
     fact-sized shuffle), then per-(arm, stage) counts and a
     lag-window + pivot on the |stages|×2 model table.
@@ -1772,8 +1783,20 @@ def funnel_ab_test(
         .select("u", "arm", mapping[F.col("et")].alias("idx"))
         .distinct()
     )
-    reach = base.groupBy("arm", "idx").agg(
+    reach_raw = base.groupBy("arm", "idx").agg(
         F.count(F.lit(1)).cast("double").alias("r")
+    )
+    # densify: every (arm, stage) cell exists with r=0, so lag(prev)
+    # always refers to the IMMEDIATELY preceding stage (a sparse table
+    # would silently compare conversions against different
+    # denominators when an arm skips a stage) and stages with zero
+    # reach in both arms still emit a row
+    full_idx = F.explode(
+        F.array(*[F.lit(i) for i in range(len(stages))])
+    ).alias("idx")
+    grid = reach_raw.select("arm").distinct().select("arm", full_idx)
+    reach = grid.join(reach_raw, ["arm", "idx"], "left").withColumn(
+        "r", F.coalesce(F.col("r"), F.lit(0.0))
     )
     w = Window.partitionBy("arm").orderBy("idx")
     conv = reach.withColumn("prev", F.lag("r").over(w))

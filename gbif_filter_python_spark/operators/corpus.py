@@ -2569,8 +2569,12 @@ def kn_bigram_lm(
     (vocabulary-sized, never fact-sized). Joins back are plain
     shuffle joins on word keys (AQE broadcasts when the vocab allows);
     probabilities are integer-derived arithmetic, identical across
-    engines. The pair-count exchange is reused across its three
-    consumers, so text is shuffled once.
+    engines. The pair-count table is localCheckpoint-ed (the graph.py
+    lineage-cut pattern) because Catalyst does NOT reuse its exchange
+    across the four consumers — without the cut the corpus is scanned
+    and exploded 4x; with it, once. The final top-k compiles to
+    TakeOrderedAndProject (per-partition top-n, then merge of n-row
+    heads), never a global sort.
     """
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0,1), got {discount}")
@@ -2578,7 +2582,16 @@ def kn_bigram_lm(
         F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # the pair table feeds FOUR consumers (c itself, left, right,
+    # tot); without a lineage cut Catalyst re-plans the fact-sized
+    # explode+agg once per consumer (4 parquet scans of the corpus,
+    # measured 4.9x at sf10 in r10's ladder) — checkpoint the
+    # bigram-type-sized table so text is scanned and shuffled ONCE
+    c = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     left = c.groupBy("w1").agg(
         F.sum("c").alias("c1"),
         F.count(F.lit(1)).alias("follow_types"),

@@ -113,8 +113,10 @@ def test_funnel_ab_hand_computed(spark):
     assert step["significant_05"] is False
 
 
-def test_funnel_ab_missing_arm_stage_is_null_not_error(spark):
-    # arm 1 never reaches click: rb absent -> NULLs, no crash
+def test_funnel_ab_missing_arm_stage_densifies_to_zero(spark):
+    # arm 1 never reaches click: the densified reach grid counts it
+    # as 0 of 1 (conv_b = 0.0 against the immediately preceding
+    # stage's reach), not NULL — and z stays computable, no crash
     rows = [(0, 0, "view"), (1, 1, "view"), (0, 0, "click")]
     df = spark.createDataFrame(rows, ["user_id", "arm", "event_type"])
     out = {
@@ -122,8 +124,29 @@ def test_funnel_ab_missing_arm_stage_is_null_not_error(spark):
         for r in funnel_ab_test(df, ["view", "click"], "arm").collect()
     }
     assert out[1]["users_b"] == 0
-    assert out[1]["conv_b"] is None
-    assert out[1]["z"] is None
+    assert out[1]["conv_a"] == 1.0
+    assert out[1]["conv_b"] == 0.0
+    pooled = 1 / 2
+    zden = math.sqrt(pooled * (1 - pooled) * (1 / 1 + 1 / 1))
+    assert out[1]["z"] == pytest.approx((1.0 - 0.0) / zden, abs=1e-6)
+
+
+def test_funnel_ab_stage_absent_in_both_arms_still_emits_row(spark):
+    # nobody clicks at all: the click row exists with zero reach and
+    # zero conversions; the downstream signup row converts against
+    # click's (zero) reach -> NULL conversions, never a crash
+    rows = [(0, 0, "view"), (1, 1, "view"), (0, 0, "signup")]
+    df = spark.createDataFrame(rows, ["user_id", "arm", "event_type"])
+    out = {
+        r["stage_idx"]: r
+        for r in funnel_ab_test(
+            df, ["view", "click", "signup"], "arm"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[1]["users_a"], out[1]["users_b"]) == (0, 0)
+    assert out[1]["conv_a"] == 0.0 and out[1]["conv_b"] == 0.0
+    assert out[2]["conv_a"] is None and out[2]["z"] is None
 
 
 def test_funnel_ab_requires_two_stages(spark):
