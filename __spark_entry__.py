@@ -6539,6 +6539,35 @@ def q_msprt_degenerate(spark: SparkSession, sf: str) -> DataFrame:
     return msprt_test(armed, "arm", "value", 0, 1, tau2=25.0)
 
 
+def q_domain_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source→source trigram contamination matrix
+    (operators/corpus.py::domain_overlap_matrix): shared distinct
+    grams, Jaccard and containment per domain pair over a densified
+    |domains|² grid — the mixture-design view of contamination_report.
+    """
+    from gbif_filter_python_spark.operators.corpus import (
+        domain_overlap_matrix,
+    )
+
+    return domain_overlap_matrix(_t(spark, sf, "documents")).orderBy(
+        "dom_a", "dom_b"
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-duplication rollup per source (operators/dedup.py::
+    dup_rate_by_source): dup_rate / cross-source dup share /
+    dedup-yield per domain, composing the exact-dup group table with
+    the corpus's source keys."""
+    from gbif_filter_python_spark.operators.dedup import (
+        dup_rate_by_source,
+    )
+
+    return dup_rate_by_source(_t(spark, sf, "documents")).orderBy(
+        "source"
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7021,6 +7050,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_kl": q_domain_kl,
         # -- round-11 additions ---------------------------------------
         "msprt_degenerate": q_msprt_degenerate,
+        "domain_overlap_matrix": q_domain_overlap_matrix,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -11574,6 +11605,52 @@ def oracle_sql() -> dict[str, str]:
             "(0.75 * ft / c1) * (pt / n_types), 6) AS p_kn, "
             "round(0.75 * ft / c1, 6) AS backoff_mass "
             "FROM rk WHERE rank <= 30 ORDER BY rank"
+        ),
+        "domain_overlap_matrix": (
+            f"WITH s AS (SELECT source, {_NORM} AS t FROM documents "
+            f"WHERE source IS NOT NULL), "
+            f"w AS (SELECT source, regexp_split_to_array(t, ' ') AS w "
+            f"FROM s WHERE t <> ''), "
+            f"g AS (SELECT DISTINCT source, ngram FROM ("
+            f"SELECT source, unnest(CASE WHEN len(w) >= 3 THEN "
+            f"list_transform(range(1, len(w) - 1), "
+            f"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+            f"ELSE [] END) AS ngram FROM w)), "
+            f"sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1), "
+            f"sh AS (SELECT a.source AS dom_a, b.source AS dom_b, "
+            f"count(*) AS sh FROM g a JOIN g b ON a.ngram = b.ngram "
+            f"AND a.source < b.source GROUP BY 1, 2), "
+            f"grid AS (SELECT a.source AS dom_a, b.source AS dom_b, "
+            f"a.n AS na, b.n AS nb FROM sz a CROSS JOIN sz b "
+            f"WHERE a.source < b.source) "
+            f"SELECT dom_a, dom_b, CAST(na AS BIGINT) AS grams_a, "
+            f"CAST(nb AS BIGINT) AS grams_b, "
+            f"CAST(coalesce(sh, 0) AS BIGINT) AS shared_grams, "
+            f"round(CAST(coalesce(sh, 0) AS DOUBLE) / "
+            f"(na + nb - coalesce(sh, 0)), 6) AS jaccard, "
+            f"round(CAST(coalesce(sh, 0) AS DOUBLE) / least(na, nb), 6) "
+            f"AS containment "
+            f"FROM grid LEFT JOIN sh USING (dom_a, dom_b) "
+            f"ORDER BY dom_a, dom_b"
+        ),
+        "dup_rate_by_source": (
+            f"WITH b AS (SELECT source, md5({_NORM}) AS h "
+            f"FROM documents WHERE source IS NOT NULL), "
+            f"s AS (SELECT h, count(*) AS gsz, "
+            f"count(DISTINCT source) AS nsrc FROM b GROUP BY 1), "
+            f"j AS (SELECT b.source, b.h, s.gsz, s.nsrc "
+            f"FROM b JOIN s USING (h)) "
+            f"SELECT source, count(*) AS n_docs, "
+            f"count(DISTINCT h) AS n_distinct, "
+            f"CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_dup_docs, "
+            f"CAST(sum(CASE WHEN gsz > 1 AND nsrc > 1 THEN 1 ELSE 0 "
+            f"END) AS BIGINT) AS n_cross_source_dups, "
+            f"round(CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) / count(*), 6) AS dup_rate, "
+            f"round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) "
+            f"/ count(*), 6) AS excess_rate "
+            f"FROM j GROUP BY 1 ORDER BY 1"
         ),
         "msprt_degenerate": (
             "WITH mm AS (SELECT min(event_id) AS m FROM events), "

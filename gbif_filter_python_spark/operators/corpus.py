@@ -2802,3 +2802,90 @@ def domain_kl(
             ),
         )
     )
+
+
+def domain_overlap_matrix(
+    docs: DataFrame,
+    domain_col: str = "source",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise cross-domain n-gram contamination matrix — the
+    datasheet companion to :func:`contamination_report`: instead of
+    train→test leakage it measures SOURCE→SOURCE content overlap
+    (mirror sites, syndicated text, license boilerplate shared across
+    crawls), the signal that decides which domains can be mixed
+    without double-counting. One row per unordered domain pair
+    ``(dom_a < dom_b)`` with each side's distinct-gram count, the
+    shared-gram count, Jaccard, and containment
+    (``shared / min(grams_a, grams_b)`` — the asymmetric "is one
+    domain inside the other" reading). The pair grid is DENSIFIED:
+    pairs sharing nothing still emit a row with zeros.
+
+    Scale shape: one corpus scan explodes to (domain, gram-hash)
+    DISTINCT rows (domain-vocabulary-sized, 8-byte keys — text never
+    shuffles past the map side), localCheckpoint-ed because it feeds
+    three consumers (per-domain sizes + both sides of the pair join).
+    The self-join on gram hash fans out at most
+    ``|domains-containing-gram| choose 2`` per gram — bounded by the
+    domain count squared, NOT the corpus — and the densify grid is a
+    |domains|² broadcast crossJoin of the size table with itself.
+    """
+    grams = (
+        _staged_ngrams(
+            docs,
+            doc_id_col,
+            text_col,
+            n,
+            extra_cols=[F.col(domain_col).alias("_dom")],
+        )
+        .filter(F.col("_dom").isNotNull())
+        .select("_dom", F.xxhash64("ngram").alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._dom") < F.col("b._dom")),
+        )
+        .groupBy(
+            F.col("a._dom").alias("dom_a"),
+            F.col("b._dom").alias("dom_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_sh"))
+    )
+    grid = (
+        sizes.select(
+            F.col("_dom").alias("dom_a"), F.col("_n").alias("_na")
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("_dom").alias("dom_b"),
+                    F.col("_n").alias("_nb"),
+                )
+            )
+        )
+        .filter(F.col("dom_a") < F.col("dom_b"))
+    )
+    out = grid.join(shared, ["dom_a", "dom_b"], "left").withColumn(
+        "_sh", F.coalesce(F.col("_sh"), F.lit(0))
+    )
+    sh = F.col("_sh").cast("double")
+    jac = sh / (F.col("_na") + F.col("_nb") - sh)
+    cont = sh / F.least(F.col("_na"), F.col("_nb"))
+    return out.select(
+        "dom_a",
+        "dom_b",
+        F.col("_na").cast("long").alias("grams_a"),
+        F.col("_nb").cast("long").alias("grams_b"),
+        F.col("_sh").cast("long").alias("shared_grams"),
+        F.round(jac, round_dp).alias("jaccard"),
+        F.round(cont, round_dp).alias("containment"),
+    )
