@@ -6568,6 +6568,115 @@ def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cmh_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test
+    (operators/analytics.py::cmh_test): exposure = even user id,
+    outcome = event_id divisible by 3, stratified by event type —
+    one sufficient-statistics agg per stratum, one global reduce."""
+    from gbif_filter_python_spark.operators.analytics import cmh_test
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+        )
+        .withColumn("exposed", F.col("user_id") % 2 == 0)
+        .withColumn("outcome", F.col("event_id") % 3 == 0)
+    )
+    return cmh_test(ev, "event_type", "exposed", "outcome")
+
+
+def q_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar paired-classifier test (operators/analytics.py::
+    mcnemar_test): two parity heuristics scored on the same docs —
+    only the discordant cells carry the statistic; one scan."""
+    from gbif_filter_python_spark.operators.analytics import mcnemar_test
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .withColumn("pred_a", F.length("text") % 2 == 0)
+        .withColumn("pred_b", F.col("n_chars") % 2 == 0)
+    )
+    return mcnemar_test(docs, "pred_a", "pred_b")
+
+
+def q_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 Granger F-test (operators/analytics.py::
+    granger_causality): do yesterday's clicks forecast today's
+    purchases beyond yesterday's purchases? Daily indicator sums are
+    exact integers in double, so the closed-form OLS is
+    cross-engine deterministic."""
+    from gbif_filter_python_spark.operators.analytics import (
+        granger_causality,
+    )
+
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn(
+            "x", F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .withColumn(
+            "y",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+        )
+    )
+    return granger_causality(ev, "ts", "x", "y")
+
+
+def q_tukey_hsd(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey–Kramer HSD post-hoc sweep (operators/profile.py::
+    tukey_hsd) over order priorities — the pooled-MSW pairwise
+    follow-up to anova_f's omnibus gate."""
+    from gbif_filter_python_spark.operators.profile import tukey_hsd
+
+    return tukey_hsd(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    ).orderBy("grp_a", "grp_b")
+
+
+def q_participation_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Participation-ratio effective dimension (operators/linalg.py::
+    participation_ratio): trace²/Frobenius² of the covariance — the
+    eigen-free spectral datasheet line, one re-agg of the partial-Gram
+    covariance entries."""
+    from gbif_filter_python_spark.operators.linalg import (
+        participation_ratio,
+    )
+
+    return participation_ratio(_t(spark, sf, "embeddings"))
+
+
+def q_uniformity(spark: SparkSession, sf: str) -> DataFrame:
+    """Wang–Isola uniformity (operators/similarity.py::uniformity):
+    log-mean Gaussian kernel over md5-anchor × corpus cosine pairs —
+    one matmul per Arrow batch, one partial-sum row per batch."""
+    from gbif_filter_python_spark.operators.similarity import uniformity
+
+    return uniformity(_t(spark, sf, "embeddings"), t=2.0, sample_n=256)
+
+
+def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus character entropy rate (operators/corpus.py::
+    entropy_rate): H(next char | current char) by the chain rule on
+    one bigram-count table — the order-1 sequential twin of
+    char_entropy."""
+    from gbif_filter_python_spark.operators.corpus import entropy_rate
+
+    return entropy_rate(_t(spark, sf, "documents"))
+
+
+def q_kfold_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold stratification audit (operators/corpus.py
+    ::kfold_balance): md5 fold assignment, densified fold × source
+    balance table with per-cell χ² contributions."""
+    from gbif_filter_python_spark.operators.corpus import kfold_balance
+
+    return kfold_balance(
+        _t(spark, sf, "documents"), "doc_id", "source", k=5
+    ).orderBy("fold", "stratum")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -11843,6 +11952,190 @@ def oracle_sql() -> dict[str, str]:
             "round(kl_seen + (0.5 / (td + 0.5 * v)) * "
             "((v - vd) * ln(0.5 / (td + 0.5 * v)) - (s_all - s_d)), 6) "
             "AS kl_nats FROM sn CROSS JOIN sa ORDER BY domain"
+        ),
+        "cmh_test": (
+            "WITH b AS (SELECT event_type AS s, "
+            "(user_id % 2 = 0) AS e, (event_id % 3 = 0) AS o "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND event_id IS NOT NULL), "
+            "cells AS (SELECT s, "
+            "CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS a, "
+            "CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS DOUBLE) AS n1, "
+            "CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS DOUBLE) AS m1, "
+            "CAST(count(*) AS DOUBLE) AS n FROM b GROUP BY s), "
+            "per AS (SELECT a, n, n1 * m1 / n AS e_k, "
+            "n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1)) AS v_k, "
+            "a * (n - n1 - m1 + a) / n AS orn, "
+            "(n1 - a) * (m1 - a) / n AS ord_ "
+            "FROM cells WHERE n > 1), "
+            "g AS (SELECT count(*) AS ns, CAST(sum(n) AS BIGINT) AS nr, "
+            "sum(a) AS sa, sum(e_k) AS se, sum(v_k) AS sv, "
+            "sum(orn) AS son, sum(ord_) AS sod FROM per) "
+            "SELECT CAST(ns AS INT) AS n_strata, nr AS n_rows, "
+            "CAST(sa AS BIGINT) AS sum_a, round(se, 6) AS sum_e, "
+            "round(sv, 6) AS var_sum, "
+            "round(CASE WHEN sv > 0 THEN (sa - se) * (sa - se) / sv "
+            "END, 6) AS chi2_cmh, "
+            "round(CASE WHEN sod > 0 THEN son / sod END, 6) AS or_mh "
+            "FROM g"
+        ),
+        "mcnemar_test": (
+            "WITH b AS (SELECT (length(text) % 2 = 0) AS a, "
+            "(n_chars % 2 = 0) AS bb FROM documents "
+            "WHERE text IS NOT NULL AND n_chars IS NOT NULL), "
+            "g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_both, "
+            "CAST(sum(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_neither, "
+            "CAST(sum(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_a_only, "
+            "CAST(sum(CASE WHEN NOT a AND bb THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_b_only FROM b) "
+            "SELECT n_pairs, n_both, n_neither, n_a_only, n_b_only, "
+            "round(CASE WHEN n_a_only + n_b_only > 0 THEN "
+            "CAST(n_a_only - n_b_only AS DOUBLE) * (n_a_only - n_b_only)"
+            " / (n_a_only + n_b_only) END, 6) AS chi2_mcnemar FROM g"
+        ),
+        "granger_causality": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS DOUBLE) AS x, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "l AS (SELECT y, lag(y) OVER (ORDER BY d) AS y1, "
+            "lag(x) OVER (ORDER BY d) AS x1 FROM daily), "
+            "f AS (SELECT * FROM l WHERE y1 IS NOT NULL "
+            "AND x1 IS NOT NULL), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS sy, "
+            "sum(y1) AS s1, sum(x1) AS s2, sum(y * y) AS syy, "
+            "sum(y1 * y1) AS s11, sum(x1 * x1) AS s22, "
+            "sum(y1 * x1) AS s12, sum(y1 * y) AS s1y, "
+            "sum(x1 * y) AS s2y FROM f), "
+            "c AS (SELECT n, s11 - s1 * s1 / n AS c11, "
+            "s22 - s2 * s2 / n AS c22, s12 - s1 * s2 / n AS c12, "
+            "s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y, "
+            "syy - sy * sy / n AS cyy FROM s), "
+            "bb AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c), "
+            "b2 AS (SELECT *, CASE WHEN n > 3 AND det > 0 THEN "
+            "(c1y * c22 - c2y * c12) / det END AS b_1, "
+            "CASE WHEN n > 3 AND det > 0 THEN "
+            "(c2y * c11 - c1y * c12) / det END AS b_2 FROM bb), "
+            "r AS (SELECT *, cyy - b_1 * c1y - b_2 * c2y AS rssf, "
+            "CASE WHEN n > 3 AND c11 > 0 THEN cyy - c1y * c1y / c11 "
+            "END AS rssr FROM b2) "
+            "SELECT CAST(n AS BIGINT) AS n_obs, "
+            "round(b_1, 6) AS beta_y_lag, round(b_2, 6) AS beta_x_lag, "
+            "round(rssr, 6) AS rss_restricted, "
+            "round(rssf, 6) AS rss_full, "
+            "round(CASE WHEN rssf > 0 THEN "
+            "(rssr - rssf) * (n - 3) / rssf END, 6) AS f_stat FROM r"
+        ),
+        "tukey_hsd": (
+            "WITH g AS (SELECT o_orderpriority AS grp, "
+            "CAST(count(*) AS DOUBLE) AS n, avg(o_totalprice) AS m, "
+            "var_samp(o_totalprice) AS v FROM orders "
+            "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
+            "t AS (SELECT count(*) AS k, sum(n) AS nn, "
+            "sum(CASE WHEN n > 1 THEN (n - 1) * v ELSE 0 END) AS ssw "
+            "FROM g), "
+            "m AS (SELECT k, nn, CASE WHEN nn > k AND ssw > 0 THEN "
+            "ssw / (nn - k) END AS msw FROM t) "
+            "SELECT a.grp AS grp_a, b.grp AS grp_b, "
+            "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, "
+            "round(a.m - b.m, 2) AS mean_diff, "
+            "CAST(nn AS BIGINT) AS n_total, CAST(k AS INT) AS k_groups, "
+            "round(CASE WHEN msw > 0 THEN abs(a.m - b.m) / "
+            "sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)) END, 6) AS q_stat "
+            "FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN m "
+            "ORDER BY grp_a, grp_b"
+        ),
+        "participation_ratio": (
+            "WITH dims AS (SELECT unnest(range(64)) AS i), "
+            "x AS (SELECT e.vec_id, d.i, "
+            "CAST(e.embedding[d.i + 1] AS DOUBLE) AS v "
+            "FROM embeddings e CROSS JOIN dims d "
+            "WHERE e.embedding IS NOT NULL), "
+            "cov AS (SELECT a.i AS i, b.i AS j, count(*) AS n, "
+            "round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) "
+            "/ count(*), 6) + 0.0 AS cov "
+            "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT max(j) + 1 AS d, max(n) AS n, "
+            "sum(CASE WHEN i = j THEN cov END) AS tr, "
+            "sum((CASE WHEN i = j THEN 1.0 ELSE 2.0 END) * cov * cov) "
+            "AS fro2 FROM cov) "
+            "SELECT CAST(d AS INT) AS d, CAST(n AS BIGINT) AS n, "
+            "round(tr, 6) AS trace_cov, round(fro2, 6) AS frob_sq, "
+            "round(CASE WHEN fro2 > 0 THEN tr * tr / fro2 END, 6) "
+            "AS participation_ratio, "
+            "round(CASE WHEN fro2 > 0 THEN tr * tr / fro2 / d END, 6) "
+            "AS pr_fraction FROM t"
+        ),
+        "uniformity": (
+            "WITH c AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "WHERE embedding IS NOT NULL "
+            "AND list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[])) > 0), "
+            "s AS (SELECT vec_id, v FROM c "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256), "
+            "p AS (SELECT round(list_cosine_similarity(c.v, s.v), 6) "
+            "AS cos FROM c CROSS JOIN s WHERE c.vec_id <> s.vec_id), "
+            "g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "sum(exp(-2.0 * (2.0 - 2.0 * cos))) AS sm FROM p) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) "
+            "AS n_anchors, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_corpus, "
+            "n_pairs, 2.0 AS t, "
+            "round(CASE WHEN n_pairs > 0 THEN ln(sm / n_pairs) END, 6) "
+            "AS uniformity FROM g"
+        ),
+        "entropy_rate": (
+            "WITH bg AS (SELECT substr(text, g.i, 2) AS b "
+            "FROM documents, LATERAL (SELECT "
+            "unnest(generate_series(1, length(text) - 1)) AS i) g "
+            "WHERE text IS NOT NULL AND length(text) >= 2), "
+            "counts AS (SELECT b, CAST(count(*) AS DOUBLE) AS c "
+            "FROM bg GROUP BY b), "
+            "pref AS (SELECT substr(b, 1, 1) AS p, sum(c) AS pc "
+            "FROM counts GROUP BY 1), "
+            "big AS (SELECT sum(c) AS n, count(*) AS nd, "
+            "sum(c * log2(c)) AS clc FROM counts), "
+            "pre AS (SELECT sum(pc * log2(pc)) AS plp FROM pref) "
+            "SELECT CAST(n AS BIGINT) AS n_pairs, "
+            "CAST(nd AS BIGINT) AS n_distinct_bigrams, "
+            "round(CASE WHEN n > 0 THEN log2(n) - clc / n END, 6) "
+            "AS h_bigram_bits, "
+            "round(CASE WHEN n > 0 THEN log2(n) - plp / n END, 6) "
+            "AS h_prefix_bits, "
+            "round(CASE WHEN n > 0 THEN "
+            "(log2(n) - clc / n) - (log2(n) - plp / n) END, 6) "
+            "AS entropy_rate_bits FROM big CROSS JOIN pre"
+        ),
+        "kfold_balance": (
+            f"WITH b AS (SELECT {_BUCKET_SQL.replace('% 100', '% 5')} "
+            "AS fold, source AS stratum FROM documents "
+            "WHERE source IS NOT NULL), "
+            "cells AS (SELECT fold, stratum, "
+            "CAST(count(*) AS BIGINT) AS o FROM b GROUP BY 1, 2), "
+            "folds AS (SELECT fold, sum(o) AS nf FROM cells "
+            "GROUP BY 1), "
+            "strata AS (SELECT stratum, sum(o) AS ns FROM cells "
+            "GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells), "
+            "grid AS (SELECT f.fold, s.stratum, f.nf, s.ns, t.n, "
+            "coalesce(c.o, 0) AS o FROM folds f CROSS JOIN strata s "
+            "CROSS JOIN tot t LEFT JOIN cells c "
+            "ON c.fold = f.fold AND c.stratum = s.stratum) "
+            "SELECT fold, stratum, CAST(o AS BIGINT) AS n_obs, "
+            "round(nf * ns / n, 6) AS n_expected, "
+            "round(CASE WHEN nf * ns > 0 THEN o / (nf * ns / n) END, 6)"
+            " AS ratio, "
+            "round(CASE WHEN nf * ns > 0 THEN "
+            "(o - nf * ns / n) * (o - nf * ns / n) / (nf * ns / n) "
+            "END, 6) AS chi2_cell FROM grid ORDER BY fold, stratum"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

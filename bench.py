@@ -18,14 +18,18 @@ benchmark must pay for the result it claims. One-time methodology
 discontinuity vs pre-r7 artifacts, in the honest direction.
 
 Sharded execution (round 8, VERDICT r7 item 1): the registry sweep
-runs as ``N_BATCHES`` sequential CHILD processes, each a fresh JVM.
+runs as ``n_batches()`` sequential CHILD processes, each a fresh JVM.
 One 242-query JVM accumulates GC/codegen debris that drifted the
 heaviest lines ~1.2-1.3x round-over-round with zero code change (the
 mechanism BENCH_GBIF_ISOLATED_r07.json proved for the flagship block
 — which already runs pre-sweep — now applied to every query). Batch
-membership is md5(name) % N_BATCHES, so a query's co-residents NEVER
-change as the registry grows: per-query numbers are comparable across
-rounds regardless of how many queries other batches gained. The
+membership is md5(name) % n_batches(); the batch count grows along a
+DOUBLING CHAIN (6, 12, 24, ...) as the registry grows, and because
+each chain element divides the next, every re-batching is an exact
+refinement — a query's co-residents only ever SHRINK, so per-query
+numbers stay comparable across rounds (round 11; was a fixed 6, whose
+~46-query batches re-introduced the very co-residency smear the
+sharding was built to kill — VERDICT r10 item 5). The
 flagship gbif block gets its own child JVM, first. Each batch child
 runs its queries TWICE — an untimed warm pass, then the timed pass —
 so the numbers are steady-state (JIT/codegen/Python-worker warm, the
@@ -50,9 +54,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 
-#: Fixed forever — changing it reshuffles every query's co-residents
-#: and breaks cross-round comparability (the whole point of sharding).
-N_BATCHES = 6
+#: Per-batch query-count ceiling. The r8 sharding fixed N_BATCHES=6
+#: "forever" for co-resident stability, but the registry kept growing
+#: (112 -> 279 queries), so each batch's TIMED PASS itself became a
+#: ~46-query mini-sweep whose accumulated checkpoint/codegen debris
+#:  drifted the driver headline ~1.3x with zero code change three
+#: rounds running (VERDICT r10 item 5). Fix (round 11): N_BATCHES
+#: grows along the DOUBLING CHAIN 6, 12, 24, 48, ... — because each
+#: element divides the next, ``md5 % new_n`` is an exact REFINEMENT of
+#: ``md5 % old_n``: every new batch is a SUBSET of an old batch, so a
+#: query's co-residents can only shrink, never gain a neighbor it
+#: didn't already have. Cross-round per-query comparability is
+#: preserved in the strongest sense available while per-batch load
+#: stays <= MAX_BATCH_QUERIES.
+MAX_BATCH_QUERIES = 14
+_BATCH_CHAIN = (6, 12, 24, 48, 96, 192)
+
+
+def n_batches() -> int:
+    """Smallest chain element keeping every batch <= MAX_BATCH_QUERIES
+    (computed on actual md5 buckets, not the average — md5 skew can
+    overfill one batch while the mean looks fine)."""
+    names = bench_query_names()
+    for n in _BATCH_CHAIN:
+        counts: dict[int, int] = {}
+        for q in names:
+            b = int(hashlib.md5(q.encode()).hexdigest(), 16) % n
+            counts[b] = counts.get(b, 0) + 1
+        if max(counts.values(), default=0) <= MAX_BATCH_QUERIES:
+            return n
+    return _BATCH_CHAIN[-1]
 
 #: Generous per-child ceiling; a hung batch is recorded, not fatal.
 BATCH_TIMEOUT_S = 3600
@@ -279,15 +310,19 @@ def _fit_stdout(payload: dict, timings: dict[str, float]) -> str:
     return blob
 
 
-def batch_of(name: str) -> int:
+def batch_of(name: str, n: int | None = None) -> int:
     """Stable batch id: md5, not hash() (PYTHONHASHSEED-independent)."""
-    return int(hashlib.md5(name.encode()).hexdigest(), 16) % N_BATCHES
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % (
+        n_batches() if n is None else n
+    )
 
 
-def batch_names(batch_id: int) -> list[str]:
+def batch_names(batch_id: int, n: int | None = None) -> list[str]:
     """This batch's queries in sweep order (curated headline names
     first in their stable order, then registry order)."""
-    return [n for n in bench_query_names() if batch_of(n) == batch_id]
+    if n is None:
+        n = n_batches()
+    return [q for q in bench_query_names() if batch_of(q, n) == batch_id]
 
 
 def _fresh_spark():
@@ -458,9 +493,12 @@ def main() -> None:
                 "gbif_pipeline", {"error": gbif_res.get("error")}
             )
             batch_meta["gbif"] = {"wall_sec": gbif_res.get("wall_sec")}
-            for b in range(N_BATCHES):
+            nb = n_batches()
+            for b in range(nb):
+                names = batch_names(b, nb)
+                if not names:  # md5 skew can leave a bucket empty
+                    continue
                 res = _run_child(str(b), workdir)
-                names = batch_names(b)
                 batch_meta[str(b)] = {
                     "n": len(names),
                     "wall_sec": res.get("wall_sec"),
@@ -507,7 +545,7 @@ def main() -> None:
         "gbif_pipeline": gbif_block,
         "batching": {
             "mode": "inprocess" if inprocess else "fresh-jvm",
-            "n_batches": N_BATCHES,
+            "n_batches": nb if not inprocess else 1,
             "assignment": "md5(name) % n_batches",
             "batches": batch_meta,
         },
@@ -530,7 +568,7 @@ def main() -> None:
     # there (full per-batch walls live in the file artifact)
     payload["batching"] = {
         "mode": payload["batching"]["mode"],
-        "n_batches": N_BATCHES,
+        "n_batches": nb if not inprocess else 1,
     }
     print(_fit_stdout(payload, shown), flush=True)
 

@@ -1841,3 +1841,235 @@ def funnel_ab_test(
             "significant_05"
         ),
     ).orderBy("stage_idx")
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test over stratified 2×2 tables: "does
+    exposure associate with outcome, CONTROLLING for the stratum?" —
+    the guard against Simpson reversals that a pooled chi-square
+    (:func:`~.profile.chi2_lang_source` shape) can't give, and the
+    stratified readout experiment pipelines run when assignment is
+    blocked by site/day/segment.
+
+    Per stratum *k* with exposed margin ``n1``, outcome margin ``m1``,
+    total ``n`` and exposed-AND-outcome cell ``a``:
+
+        E_k = n1·m1/n      V_k = n1·(n−n1)·m1·(n−m1) / (n²·(n−1))
+        χ²_CMH = (Σa − ΣE)² / ΣV          (no continuity correction)
+        OR_MH  = Σ(a·d/n) / Σ(b·c/n)      (Mantel–Haenszel pooled OR)
+
+    Strata with n < 2 are excluded (V undefined); χ² is NULL when
+    ΣV = 0 and OR_MH is NULL when its denominator is 0 — degenerate
+    inputs yield NULL, never DIVIDE_BY_ZERO (ANSI mode). As with
+    :func:`~.profile.welch_ttest`, the CDF is out of scope: report
+    χ²_CMH against the 1-df lines (3.84 / 6.63).
+
+    Output: ONE row ``(n_strata, n_rows, sum_a, sum_e, var_sum,
+    chi2_cmh, or_mh)``.
+
+    Scale shape: one hash aggregation per stratum (map-side partial
+    cell counts), then one global agg over the |strata|-row summary —
+    the fact is scanned once and never re-keyed.
+    """
+    e = F.col(exposed_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    base = df.filter(e.isNotNull() & o.isNotNull()).select(
+        F.col(stratum_col).alias("_s"), e.alias("_e"), o.alias("_o")
+    )
+    cells = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_e") & F.col("_o"), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("_e"), 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("_o"), 1).otherwise(0))
+        .cast("double")
+        .alias("m1"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    n, n1, m1, a = F.col("n"), F.col("n1"), F.col("m1"), F.col("a")
+    b, c = n1 - a, m1 - a
+    d = n - n1 - m1 + a
+    per = cells.filter(n > 1).select(
+        a,
+        n,
+        (n1 * m1 / n).alias("e_k"),
+        (n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1))).alias("v_k"),
+        (a * d / n).alias("or_num"),
+        (b * c / n).alias("or_den"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("a").alias("sum_a"),
+        F.sum("e_k").alias("sum_e"),
+        F.sum("v_k").alias("var_sum"),
+        F.sum("or_num").alias("orn"),
+        F.sum("or_den").alias("ord"),
+    )
+    dev = F.col("sum_a") - F.col("sum_e")
+    return agg.select(
+        F.col("n_strata").cast("int").alias("n_strata"),
+        "n_rows",
+        F.col("sum_a").cast("long").alias("sum_a"),
+        F.round("sum_e", round_dp).alias("sum_e"),
+        F.round("var_sum", round_dp).alias("var_sum"),
+        F.round(
+            F.when(F.col("var_sum") > 0, dev * dev / F.col("var_sum")),
+            round_dp,
+        ).alias("chi2_cmh"),
+        F.round(
+            F.when(F.col("ord") > 0, F.col("orn") / F.col("ord")),
+            round_dp,
+        ).alias("or_mh"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """McNemar's paired test for two binary classifiers scored on the
+    SAME rows: only the discordant cells carry signal —
+
+        χ² = (b − c)² / (b + c)     (no continuity correction)
+
+    where ``b`` = rows A flags and B doesn't, ``c`` = the reverse.
+    The quality-filter A/B readout (:func:`~.corpus.gopher_quality`
+    vs a candidate heuristic) that a pooled accuracy delta gets wrong
+    because it ignores pairing. χ² is NULL when b + c = 0 (identical
+    classifiers — no evidence either way); report against the 1-df
+    lines (3.84 / 6.63), CDF out of scope as in
+    :func:`~.profile.welch_ttest`.
+
+    Output: ONE row ``(n_pairs, n_both, n_neither, n_a_only,
+    n_b_only, chi2_mcnemar)``.
+
+    Scale shape: ONE scan, one conditional aggregation (map-side
+    combine), one result row — nothing shuffles but four partial sums.
+    """
+    pa = F.col(pred_a_col).cast("boolean")
+    pb = F.col(pred_b_col).cast("boolean")
+    base = df.filter(pa.isNotNull() & pb.isNotNull()).select(
+        pa.alias("_a"), pb.alias("_b")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("_a") & F.col("_b"), 1).otherwise(0)).alias(
+            "n_both"
+        ),
+        F.sum(
+            F.when(~F.col("_a") & ~F.col("_b"), 1).otherwise(0)
+        ).alias("n_neither"),
+        F.sum(F.when(F.col("_a") & ~F.col("_b"), 1).otherwise(0)).alias(
+            "n_a_only"
+        ),
+        F.sum(F.when(~F.col("_a") & F.col("_b"), 1).otherwise(0)).alias(
+            "n_b_only"
+        ),
+    )
+    b = F.col("n_a_only").cast("double")
+    c = F.col("n_b_only").cast("double")
+    return agg.select(
+        "n_pairs",
+        "n_both",
+        "n_neither",
+        "n_a_only",
+        "n_b_only",
+        F.round(
+            F.when((b + c) > 0, (b - c) * (b - c) / (b + c)), round_dp
+        ).alias("chi2_mcnemar"),
+    )
+
+
+def granger_causality(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lag-1 Granger causality on the DAILY-SUM series: does
+    yesterday's x improve today's y forecast beyond yesterday's y?
+    Restricted model ``y_t ~ 1 + y_{t-1}`` vs full model
+    ``y_t ~ 1 + y_{t-1} + x_{t-1}``; the F statistic for the one
+    restriction is
+
+        F = (RSS_r − RSS_f) · (n − 3) / RSS_f
+
+    with both regressions solved in closed form from centered
+    sufficient statistics (the 2-predictor normal equations reduce to
+    a 2×2 determinant — the same spelled-out-OLS idiom as
+    :func:`simpsons_slopes`). Fixed lag 1 by design: each extra lag
+    adds a normal-equation dimension; the closed form stays honest
+    only while the solve is hand-expandable. NULL statistics when
+    n ≤ 3, the lagged-y variance is 0, the system is singular
+    (D ≤ 0), or RSS_f ≤ 0 — report F against the (1, n−3) lines.
+
+    Output: ONE row ``(n_obs, beta_y_lag, beta_x_lag, rss_restricted,
+    rss_full, f_stat)``.
+
+    Scale shape: the fact collapses to one row per day in a single
+    hash aggregation; the lag window and the final sufficient-stats
+    agg run on the |days|-row series — bounded state, the same
+    contract as :func:`~.profile.acf_lags`.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.sum(F.col(x_col).cast("double")).alias("x"),
+        F.sum(F.col(y_col).cast("double")).alias("y"),
+    )
+    w = Window.orderBy("d")
+    lagged = (
+        daily.select(
+            F.col("y"),
+            F.lag("y").over(w).alias("y1"),
+            F.lag("x").over(w).alias("x1"),
+        )
+        .filter(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("y1") * F.col("x1")).alias("s12"),
+        F.sum(F.col("y1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x1") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = F.when((n > 3) & (det > 0), (c1y * c22 - c2y * c12) / det)
+    b2 = F.when((n > 3) & (det > 0), (c2y * c11 - c1y * c12) / det)
+    rss_f = cyy - b1 * c1y - b2 * c2y
+    rss_r = F.when((n > 3) & (c11 > 0), cyy - c1y * c1y / c11)
+    f_stat = F.when(
+        rss_f > 0, (rss_r - rss_f) * (n - 3) / rss_f
+    )
+    return s.select(
+        n.cast("long").alias("n_obs"),
+        F.round(b1, round_dp).alias("beta_y_lag"),
+        F.round(b2, round_dp).alias("beta_x_lag"),
+        F.round(rss_r, round_dp).alias("rss_restricted"),
+        F.round(rss_f, round_dp).alias("rss_full"),
+        F.round(f_stat, round_dp).alias("f_stat"),
+    )

@@ -2824,15 +2824,25 @@ def domain_overlap_matrix(
     domain inside the other" reading). The pair grid is DENSIFIED:
     pairs sharing nothing still emit a row with zeros.
 
-    Scale shape: one corpus scan explodes to (domain, gram-hash)
-    DISTINCT rows (domain-vocabulary-sized, 8-byte keys — text never
-    shuffles past the map side), localCheckpoint-ed because it feeds
-    three consumers (per-domain sizes + both sides of the pair join).
-    The self-join on gram hash fans out at most
-    ``|domains-containing-gram| choose 2`` per gram — bounded by the
-    domain count squared, NOT the corpus — and the densify grid is a
-    |domains|² broadcast crossJoin of the size table with itself.
+    Scale shape (r11 rewrite — the r10 version OOM'd the sf10 rung):
+    ONE corpus scan explodes to (domain, gram-hash) rows (8-byte
+    keys — text never shuffles past the map side), then ONE
+    gram-keyed ``collect_set(domain)`` aggregation whose per-key
+    state is bounded by |domains|, NOT the corpus (collect_set also
+    absorbs the dedup — no separate ``distinct``). Each gram's
+    domain set then emits its singles and its ordered pairs in one
+    higher-order-function explode, and a single tiny (≤ |domains|²
+    rows) count-agg yields BOTH the per-domain sizes (pair with NULL
+    right side) and the shared-gram counts. The r10 shape — a
+    corpus-vocabulary-sized localCheckpoint feeding a gram-keyed
+    self-join — pinned ~100M deserialized rows in the heap at the
+    sf10 rung and died; nothing here is ever materialized bigger
+    than the final matrix (the one localCheckpoint left is on that
+    ≤ |domains|²-row table, which three consumers reuse). The
+    densify grid is a |domains|² broadcast crossJoin of the size
+    table with itself.
     """
+    dom_type = dict(docs.dtypes)[domain_col]
     grams = (
         _staged_ngrams(
             docs,
@@ -2843,22 +2853,36 @@ def domain_overlap_matrix(
         )
         .filter(F.col("_dom").isNotNull())
         .select("_dom", F.xxhash64("ngram").alias("_g"))
-        .distinct()
+    )
+    ds = F.array_sort(F.col("_ds"))
+    singles = F.transform(
+        ds,
+        lambda x: F.struct(
+            x.alias("a"), F.lit(None).cast(dom_type).alias("b")
+        ),
+    )
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    counts = (
+        grams.groupBy("_g")
+        .agg(F.collect_set("_dom").alias("_ds"))
+        .select(F.explode(F.concat(singles, pairs)).alias("_p"))
+        .groupBy(F.col("_p.a").alias("dom_a"), F.col("_p.b").alias("dom_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=True)
     )
-    sizes = grams.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
-    shared = (
-        grams.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._dom") < F.col("b._dom")),
-        )
-        .groupBy(
-            F.col("a._dom").alias("dom_a"),
-            F.col("b._dom").alias("dom_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_sh"))
+    sizes = counts.filter(F.col("dom_b").isNull()).select(
+        F.col("dom_a").alias("_dom"), F.col("_c").alias("_n")
+    )
+    shared = counts.filter(F.col("dom_b").isNotNull()).select(
+        "dom_a", "dom_b", F.col("_c").alias("_sh")
     )
     grid = (
         sizes.select(
@@ -2888,4 +2912,126 @@ def domain_overlap_matrix(
         F.col("_sh").cast("long").alias("shared_grams"),
         F.round(jac, round_dp).alias("jaccard"),
         F.round(cont, round_dp).alias("containment"),
+    )
+
+
+def entropy_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level character entropy RATE: the conditional entropy
+    H(c₂ | c₁) of the next character given the current one, over all
+    within-document adjacent pairs. :func:`char_entropy` scores the
+    unigram distribution per document; this is the corpus datasheet's
+    order-1 sequential counterpart — repetitive/templated corpora
+    score far below their unigram entropy (the next char is nearly
+    determined), random blobs score at it. Computed by the chain
+    rule on ONE pair-count table:
+
+        H(c₂|c₁) = H(c₁c₂) − H(c₁)
+                 = (Σ p·log₂p − Σ c·log₂c) / N   (+ the log₂N terms
+                   cancelling), with c the bigram counts and p the
+                   first-char marginals (a re-agg of c).
+
+    Output: ONE row ``(n_pairs, n_distinct_bigrams, h_bigram_bits,
+    h_prefix_bits, entropy_rate_bits)`` — NULL when the corpus has no
+    adjacent pair.
+
+    Scale shape: one scan explodes each doc's character array to
+    adjacent pairs (``zip_with`` on the array and its shift — array
+    built ONCE per row); ONE hash aggregation keyed by the 2-char
+    bigram (alphabet²-bounded, map-side combine absorbs the
+    corpus-sized stream); the prefix marginals and both entropies are
+    re-aggs of that tiny table. Nothing downstream of the first agg
+    scales with the corpus.
+    """
+    a = F.split(F.col(text_col), "")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                a,
+                F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+                lambda x, y: F.concat(x, y),
+            )
+        ).alias("_bg")
+    ).filter(F.length("_bg") == 2)
+    counts = pairs.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    pref = counts.groupBy(F.substring("_bg", 1, 1).alias("_p")).agg(
+        F.sum("_c").alias("_pc")
+    )
+    big = counts.agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("_c") * F.log2("_c")).alias("clc"),
+    )
+    pre = pref.agg(F.sum(F.col("_pc") * F.log2("_pc")).alias("plp"))
+    j = big.crossJoin(pre)
+    n = F.col("n").cast("double")
+    h_big = F.when(n > 0, F.log2(n) - F.col("clc") / n)
+    h_pre = F.when(n > 0, F.log2(n) - F.col("plp") / n)
+    return j.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("nd").cast("long").alias("n_distinct_bigrams"),
+        F.round(h_big, 6).alias("h_bigram_bits"),
+        F.round(h_pre, 6).alias("h_prefix_bits"),
+        F.round(h_big - h_pre, 6).alias("entropy_rate_bits"),
+    )
+
+
+def kfold_balance(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic k-fold assignment + stratification audit: folds
+    come from :func:`split_bucket` (md5 — the same cross-engine,
+    cross-run-stable hash as :func:`deterministic_split`, so fold
+    membership never changes under repartitioning or re-runs), and
+    the output is the DENSIFIED (fold × stratum) balance table each
+    CV harness should check before trusting its variance estimates:
+    observed count, the homogeneity-expected count
+    ``n_fold · n_stratum / N``, the obs/exp ratio, and the cell's
+    Pearson χ² contribution ``(o−e)²/e`` (sum them for the overall
+    homogeneity statistic; CDF out of scope, house rule).
+
+    Output: k · |strata| rows ``(fold, stratum, n_obs, n_expected,
+    ratio, chi2_cell)`` — absent cells emit 0 observed.
+
+    Scale shape: ONE map-only hash projection + ONE (fold, stratum)
+    hash aggregation over the fact; fold and stratum margins are
+    re-aggs of that ≤ k·|strata|-row table and the densify grid is a
+    broadcast crossJoin of the two margins — nothing after the first
+    agg scales with the data.
+    """
+    if not 2 <= int(k) <= 1000:
+        raise ValueError(f"k={k} outside [2, 1000]")
+    base = df.filter(F.col(strata_col).isNotNull()).select(
+        split_bucket(F.col(key_col), buckets=int(k)).alias("fold"),
+        F.col(strata_col).alias("stratum"),
+    )
+    cells = base.groupBy("fold", "stratum").agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    folds = cells.groupBy("fold").agg(F.sum("_o").alias("_nf"))
+    strata = cells.groupBy("stratum").agg(F.sum("_o").alias("_ns"))
+    total = cells.agg(F.sum("_o").alias("_n"))
+    grid = (
+        folds.crossJoin(F.broadcast(strata))
+        .crossJoin(F.broadcast(total))
+        .join(cells, ["fold", "stratum"], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
+    )
+    o = F.col("_o").cast("double")
+    e = F.col("_nf").cast("double") * F.col("_ns") / F.col("_n")
+    return grid.select(
+        "fold",
+        "stratum",
+        F.col("_o").cast("long").alias("n_obs"),
+        F.round(e, round_dp).alias("n_expected"),
+        F.round(F.when(e > 0, o / e), round_dp).alias("ratio"),
+        F.round(F.when(e > 0, (o - e) * (o - e) / e), round_dp).alias(
+            "chi2_cell"
+        ),
     )

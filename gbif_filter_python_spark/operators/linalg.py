@@ -290,3 +290,57 @@ def pca_components(
         "component int, i int, loading double, eigenvalue double, "
         "explained_ratio double, cum_explained double",
     )
+
+
+def participation_ratio(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Participation-ratio effective dimension of an embedding
+    column (Gao et al. 2017's neural-dimensionality measure; also the
+    inverse participation ratio of physics): with covariance
+    eigenvalues λ,
+
+        PR = (Σλ)² / Σλ² = trace(C)² / ‖C‖_F²
+
+    — how many dimensions the variance HONESTLY occupies, on a
+    1..d scale. The eigendecomposition is never needed: both traces
+    are polynomial in the covariance entries (Σλ = Σ C_ii,
+    Σλ² = Σ_ij C_ij², since trace(C²) = ‖C‖_F² for symmetric C), so
+    the statistic reduces to one re-aggregation of
+    :func:`covariance_matrix`'s d(d+1)/2 output rows — the spectral
+    companion to :func:`~.similarity.isotropy` that datasheets quote
+    when "d=64" overstates the usable capacity. Both engines
+    re-aggregate the 6dp-ROUNDED covariance entries, so the statistic
+    is cross-engine exact by construction.
+
+    Output: ONE row ``(d, n, trace_cov, frob_sq, participation_ratio,
+    pr_fraction)`` — ``pr_fraction`` = PR/d ∈ (0, 1]. NULL statistics
+    when ‖C‖_F² = 0 (constant embeddings).
+
+    Scale shape: inherits :func:`covariance_matrix`'s single-scan
+    partial-Gram reduce (shuffle bounded by partitions × d²); the
+    re-agg runs on d(d+1)/2 rows — driver-free, corpus-free.
+    """
+    cov = covariance_matrix(df, vec_col, dim)
+    diag = F.when(F.col("i") == F.col("j"), F.col("cov"))
+    # off-diagonal (i < j) entries appear once in the upper triangle
+    # but twice in the full matrix's Frobenius norm
+    w = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(2.0))
+    agg = cov.agg(
+        F.max(F.col("j")).alias("_mx"),
+        F.max(F.col("n")).alias("n"),
+        F.sum(diag).alias("tr"),
+        F.sum(w * F.col("cov") * F.col("cov")).alias("fro2"),
+    )
+    pr = F.when(
+        F.col("fro2") > 0, F.col("tr") * F.col("tr") / F.col("fro2")
+    )
+    d = F.col("_mx") + 1
+    return agg.select(
+        d.cast("int").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.round("tr", 6).alias("trace_cov"),
+        F.round("fro2", 6).alias("frob_sq"),
+        F.round(pr, 6).alias("participation_ratio"),
+        F.round(pr / d, 6).alias("pr_fraction"),
+    )

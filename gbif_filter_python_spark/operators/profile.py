@@ -3134,3 +3134,74 @@ def capture_recapture(
             round_dp,
         ).alias("rel_err"),
     )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Tukey HSD post-hoc sweep: the pairwise follow-up to
+    :func:`anova_f`'s omnibus gate, one row per unordered group pair
+    ``(grp_a < grp_b)`` with the studentized-range statistic
+
+        q = |m_a − m_b| / sqrt( MSW/2 · (1/n_a + 1/n_b) )
+
+    (the Tukey–Kramer unequal-n form), where MSW = SS_within/(N−k) is
+    the ONE pooled error variance all pairs share — the property that
+    distinguishes HSD from a :func:`welch_ttest` sweep, which
+    re-estimates the error per pair and loses the familywise
+    calibration. The q CDF is out of scope (house rule, see
+    :func:`welch_ttest`); report q against the studentized-range
+    lines for (k, N−k). Pairs where MSW is undefined (N ≤ k) or zero
+    yield NULL q, never DIVIDE_BY_ZERO.
+
+    Scale shape: ONE hash aggregation over the fact (map-side partial
+    n/mean/var per group), a 1-row MSW reduction of the k-row summary
+    broadcast onto the |k|²/2 pair self-join of aggregates — the fact
+    never shuffles twice, identical skeleton to :func:`welch_ttest`.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    msw = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(F.coalesce((F.col("n") - 1) * F.col("v"), F.lit(0.0))).alias(
+            "ssw"
+        ),
+    ).select(
+        "k",
+        "nn",
+        F.when(
+            (F.col("nn") > F.col("k")) & (F.col("ssw") > 0),
+            F.col("ssw") / (F.col("nn") - F.col("k")),
+        ).alias("msw"),
+    )
+    a, b = g.alias("a"), F.broadcast(g.alias("b"))
+    pairs = a.join(b, F.col("a.grp") < F.col("b.grp")).crossJoin(
+        F.broadcast(msw)
+    )
+    na = F.col("a.n").cast("double")
+    nb = F.col("b.n").cast("double")
+    se = F.sqrt(F.col("msw") / 2.0 * (1.0 / na + 1.0 / nb))
+    diff = F.col("a.m") - F.col("b.m")
+    return pairs.select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(diff, 2).alias("mean_diff"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round(
+            F.when(F.col("msw") > 0, F.abs(diff) / se), round_dp
+        ).alias("q_stat"),
+    )

@@ -1719,3 +1719,94 @@ def embedding_isotropy(
             F.when(F.col("_mn") > 0, F.col("_sd") / F.col("_mn")), round_dp
         ).alias("cv_norm"),
     )
+
+
+def uniformity(
+    emb: DataFrame,
+    t: float = 2.0,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Wang–Isola uniformity of the embedding space (ICML 2020): the
+    log of the mean Gaussian-potential kernel over pairs of
+    L2-normalized points,
+
+        U_t = log  E  exp(−t · ‖x − y‖²),    ‖x−y‖² = 2 − 2·cos(x, y)
+
+    — the "how evenly does the corpus cover the hypersphere" half of
+    the alignment/uniformity probe (its best value is attained by the
+    uniform distribution; collapsed embeddings score near 0). The
+    pairwise expectation is estimated over sample × corpus pairs: the
+    ``sample_n`` anchors are the same deterministic md5 fixed-COUNT
+    sample as :func:`hubness` (see :func:`_md5_sample`), every corpus
+    point pairs against every anchor, and self-pairs are excluded —
+    an unbiased estimator that stays LINEAR in the corpus instead of
+    the definition's corpus². Zero-norm vectors are excluded on both
+    sides (cos undefined). Cosines round to 6dp half-away BEFORE the
+    kernel (the :func:`_round_half_away` cross-engine contract).
+
+    Output: ONE row ``(n_anchors, n_corpus, n_pairs, t, uniformity)``
+    — NULL uniformity when no valid pair exists.
+
+    Scale shape: anchors collect once (bounded by ``MAX_SAMPLE_N``);
+    each Arrow batch computes batch × sample_n cosines in ONE NumPy
+    matmul and emits a SINGLE partial-sum row (count + Σ exp) — the
+    reduce is over n_batches rows, the corpus never shuffles, total
+    work O(corpus × sample_n / SIMD).
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull() & (l2_norm(F.col("_cv")) > 0))
+    sample = _md5_sample(corpus, sample_n)
+    qids = np.array([r["_cid"] for r in sample], dtype=np.int64)
+    qmat = np.array([r["_cv"] for r in sample], dtype=np.float64)
+    n_q = len(qids)
+    if n_q:
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    tt = float(t)
+
+    part_schema = StructType(
+        [
+            StructField("_np", LongType()),
+            StructField("_s", DoubleType()),
+            StructField("_nc", LongType()),
+        ]
+    )
+
+    def _partials(pdfs):
+        for pdf in pdfs:
+            if pdf.empty or n_q == 0:
+                continue
+            cids = pdf["_cid"].to_numpy()
+            x = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            cos = _round_half_away(x @ qmat.T, 6)  # (batch, n_q)
+            kern = np.exp(-tt * (2.0 - 2.0 * cos))
+            self_mask = cids[:, None] == qids[None, :]
+            kern[self_mask] = 0.0
+            n_pairs = kern.size - int(self_mask.sum())
+            yield pd.DataFrame(
+                {
+                    "_np": [np.int64(n_pairs)],
+                    "_s": [float(kern.sum())],
+                    "_nc": [np.int64(len(cids))],
+                }
+            )
+
+    agg = corpus.mapInPandas(_partials, part_schema).agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).alias("n_pairs"),
+        F.sum("_s").alias("s"),
+        F.coalesce(F.sum("_nc"), F.lit(0)).alias("n_corpus"),
+    )
+    u = F.when(
+        F.col("n_pairs") > 0, F.log(F.col("s") / F.col("n_pairs"))
+    )
+    return agg.select(
+        F.lit(n_q).cast("long").alias("n_anchors"),
+        F.col("n_corpus").cast("long").alias("n_corpus"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.lit(tt).alias("t"),
+        F.round(u, round_dp).alias("uniformity"),
+    )
