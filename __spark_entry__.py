@@ -6677,6 +6677,134 @@ def q_kfold_balance(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("fold", "stratum")
 
 
+def q_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """TOST equivalence readout (operators/analytics.py::
+    tost_equivalence): both one-sided Welch z's for |delta| < 2.0 on
+    event values between user-parity arms — the no-harm A/B check a
+    superiority test can't answer."""
+    from gbif_filter_python_spark.operators.analytics import (
+        tost_equivalence,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "arm", (F.col("user_id") % 2).cast("int")
+    )
+    return tost_equivalence(ev, "arm", "value", 0, 1, margin=2.0)
+
+
+def q_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin–Watson lag-1 autocorrelation of the detrended daily
+    event-count series (operators/analytics.py::durbin_watson) —
+    integer daily counts keep the closed-form OLS cross-engine
+    exact."""
+    from gbif_filter_python_spark.operators.analytics import durbin_watson
+
+    ev = _t(spark, sf, "events").withColumn("one", F.lit(1))
+    return durbin_watson(ev, "ts", "one")
+
+
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test around the median daily event count
+    (operators/analytics.py::runs_test) — the nonparametric
+    randomness check next to durbin_watson."""
+    from gbif_filter_python_spark.operators.analytics import runs_test
+
+    ev = _t(spark, sf, "events").withColumn("one", F.lit(1))
+    return runs_test(ev, "ts", "one")
+
+
+def q_bartlett_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Bartlett variance-homogeneity test over order priorities
+    (operators/profile.py::bartlett_test) — the parametric sibling of
+    levene_test, one sufficient-statistics agg."""
+    from gbif_filter_python_spark.operators.profile import bartlett_test
+
+    return bartlett_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_knn_label_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN label consistency per label (operators/similarity.py::
+    knn_label_consistency): md5-anchor top-10 cosine neighborhoods
+    scored for label agreement — one matmul per Arrow batch, window
+    on the candidate sliver only."""
+    from gbif_filter_python_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+
+    return knn_label_consistency(
+        _t(spark, sf, "embeddings"), k=10, sample_n=256
+    ).orderBy("label")
+
+
+def q_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman rank test (operators/profile.py::friedman_test):
+    event types as matched treatments over day-of-month blocks —
+    the repeated-measures sibling of kruskal_wallis; one cell agg,
+    per-block bounded rank windows."""
+    from gbif_filter_python_spark.operators.profile import friedman_test
+
+    ev = _t(spark, sf, "events").withColumn(
+        "blk", F.dayofmonth("ts") % 5
+    )
+    return friedman_test(ev, "blk", "event_type", "value")
+
+
+def q_mood_median_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Mood's median test over order priorities (operators/profile.py
+    ::mood_median_test): above/below-grand-median 2×k χ² — the
+    assumption-free sibling of kruskal_wallis."""
+    from gbif_filter_python_spark.operators.profile import (
+        mood_median_test,
+    )
+
+    return mood_median_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    ).orderBy("grp")
+
+
+def q_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q over three document heuristics
+    (operators/analytics.py::cochran_q): k-classifier McNemar on the
+    same rows, one conditional-agg scan."""
+    from gbif_filter_python_spark.operators.analytics import cochran_q
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .withColumn("pa", F.length("text") % 2 == 0)
+        .withColumn("pb", F.col("n_chars") % 2 == 0)
+        .withColumn("pc", F.col("doc_id") % 3 == 0)
+    )
+    return cochran_q(docs, ["pa", "pb", "pc"])
+
+
+def q_davies_bouldin(spark: SparkSession, sf: str) -> DataFrame:
+    """Davies–Bouldin separation index over embedding labels
+    (operators/similarity.py::davies_bouldin): centroid-level
+    cluster-quality datasheet line; posexplode centroid agg + one
+    broadcast-centroid scan, k² pair math on aggregates."""
+    from gbif_filter_python_spark.operators.similarity import (
+        davies_bouldin,
+    )
+
+    return davies_bouldin(_t(spark, sf, "embeddings")).orderBy("label")
+
+
+def q_simplified_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Simplified centroid silhouette per label
+    (operators/similarity.py::simplified_silhouette): O(n·k)
+    point-level overlap mass, one broadcast-centroid fold per row."""
+    from gbif_filter_python_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    return simplified_silhouette(_t(spark, sf, "embeddings")).orderBy(
+        "label"
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7161,6 +7289,19 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msprt_degenerate": q_msprt_degenerate,
         "domain_overlap_matrix": q_domain_overlap_matrix,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "cmh_test": q_cmh_test,
+        "mcnemar_test": q_mcnemar_test,
+        "granger_causality": q_granger_causality,
+        "tukey_hsd": q_tukey_hsd,
+        "participation_ratio": q_participation_ratio,
+        "uniformity": q_uniformity,
+        "entropy_rate": q_entropy_rate,
+        "kfold_balance": q_kfold_balance,
+        "tost_equivalence": q_tost_equivalence,
+        "durbin_watson": q_durbin_watson,
+        "runs_test": q_runs_test,
+        "bartlett_test": q_bartlett_test,
+        "knn_label_consistency": q_knn_label_consistency,
     }
 
 
@@ -12136,6 +12277,265 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN nf * ns > 0 THEN "
             "(o - nf * ns / n) * (o - nf * ns / n) / (nf * ns / n) "
             "END, 6) AS chi2_cell FROM grid ORDER BY fold, stratum"
+        ),
+        "tost_equivalence": (
+            "WITH e AS (SELECT (user_id % 2) AS g, "
+            "CAST(value AS DOUBLE) AS v FROM events "
+            "WHERE value IS NOT NULL AND (user_id % 2) IN (0, 1)), "
+            "s AS (SELECT "
+            "CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS na, "
+            "CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS nb, "
+            "sum(CASE WHEN g = 0 THEN v ELSE 0.0 END) AS sa, "
+            "sum(CASE WHEN g = 1 THEN v ELSE 0.0 END) AS sb, "
+            "sum(CASE WHEN g = 0 THEN v * v ELSE 0.0 END) AS qa, "
+            "sum(CASE WHEN g = 1 THEN v * v ELSE 0.0 END) AS qb "
+            "FROM e), "
+            "d AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+            "CASE WHEN na > 1 THEN "
+            "greatest((qa - sa * sa / na) / (na - 1), 0.0) / na END + "
+            "CASE WHEN nb > 1 THEN "
+            "greatest((qb - sb * sb / nb) / (nb - 1), 0.0) / nb END "
+            "AS se2 FROM s), "
+            "z AS (SELECT *, mb - ma AS delta, "
+            "CASE WHEN se2 > 0 THEN sqrt(se2) END AS se FROM d), "
+            "f AS (SELECT *, (delta + 2.0) / se AS zl, "
+            "(2.0 - delta) / se AS zu FROM z) "
+            "SELECT CAST(na AS BIGINT) AS n_control, "
+            "CAST(nb AS BIGINT) AS n_treatment, "
+            "round(CASE WHEN na > 0 THEN ma END, 6) AS mean_control, "
+            "round(CASE WHEN nb > 0 THEN mb END, 6) AS mean_treatment, "
+            "round(CASE WHEN na > 1 AND nb > 1 THEN delta END, 6) "
+            "AS delta, "
+            "round(se, 6) AS se, 2.0 AS margin, "
+            "round(zl, 6) AS z_lower, round(zu, 6) AS z_upper, "
+            "CASE WHEN se IS NOT NULL THEN "
+            "zl > 1.6448536269514722 AND zu > 1.6448536269514722 END "
+            "AS equivalent_05 FROM f"
+        ),
+        "durbin_watson": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
+            "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "rk AS (SELECT CAST(row_number() OVER (ORDER BY d) "
+            "AS DOUBLE) AS t, y FROM daily), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, "
+            "sum(y) AS sy, sum(t * y) AS sty, sum(t * t) AS stt "
+            "FROM rk), "
+            "fit AS (SELECT n, CASE WHEN n > 2 AND "
+            "(stt - st * st / n) > 0 THEN "
+            "(sty - st * sy / n) / (stt - st * st / n) ELSE 0.0 END "
+            "AS b, sy, st FROM s), "
+            "ab AS (SELECT n, b, sy / n - b * st / n AS a FROM fit), "
+            "resid AS (SELECT ab.n, rk.t, "
+            "rk.y - ab.a - ab.b * rk.t AS e FROM rk CROSS JOIN ab), "
+            "lg AS (SELECT n, e, lag(e) OVER (ORDER BY t) AS e1 "
+            "FROM resid), "
+            "g AS (SELECT max(n) AS n, sum(e * e) AS see, "
+            "sum(CASE WHEN e1 IS NOT NULL THEN (e - e1) * (e - e1) "
+            "END) AS sdd FROM lg) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "round(see, 6) AS rss, "
+            "round(CASE WHEN n > 2 AND see > 0 THEN sdd / see END, 6) "
+            "AS dw_stat FROM g"
+        ),
+        "runs_test": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
+            "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "md AS (SELECT median(y) AS m FROM daily), "
+            "sides AS (SELECT d, y > m AS up FROM daily CROSS JOIN md "
+            "WHERE y <> m), "
+            "runs AS (SELECT up, CASE WHEN "
+            "lag(up) OVER (ORDER BY d) IS NULL "
+            "OR lag(up) OVER (ORDER BY d) <> up THEN 1 ELSE 0 END "
+            "AS nr FROM sides), "
+            "g AS (SELECT "
+            "CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS n1, "
+            "CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS n2, CAST(sum(nr) AS DOUBLE) AS r FROM runs), "
+            "f AS (SELECT *, n1 + n2 AS n, "
+            "2 * n1 * n2 / (n1 + n2) + 1 AS mu, "
+            "2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) / "
+            "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) AS var FROM g) "
+            "SELECT CAST(n1 AS BIGINT) AS n_above, "
+            "CAST(n2 AS BIGINT) AS n_below, "
+            "CAST(r AS BIGINT) AS n_runs, "
+            "round(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN mu "
+            "END, 6) AS expected_runs, "
+            "round(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND var > 0 "
+            "THEN (r - mu) / sqrt(var) END, 6) AS z_stat FROM f"
+        ),
+        "bartlett_test": (
+            "WITH g AS (SELECT o_orderpriority AS grp, "
+            "CAST(count(*) AS DOUBLE) AS n, "
+            "var_samp(o_totalprice) AS v FROM orders "
+            "WHERE o_totalprice IS NOT NULL GROUP BY 1), "
+            "a AS (SELECT count(*) AS k_all, "
+            "CAST(sum(CASE WHEN n > 1 AND v > 0 THEN 1 ELSE 0 END) "
+            "AS DOUBLE) AS k, "
+            "sum(CASE WHEN n > 1 AND v > 0 THEN n END) AS nn, "
+            "sum(CASE WHEN n > 1 AND v > 0 THEN (n - 1) * v END) "
+            "AS ssw, "
+            "sum(CASE WHEN n > 1 AND v > 0 THEN (n - 1) * ln(v) END) "
+            "AS slv, "
+            "sum(CASE WHEN n > 1 AND v > 0 THEN 1.0 / (n - 1) END) "
+            "AS sinv FROM g), "
+            "t AS (SELECT *, nn - k AS dfw, ssw / (nn - k) AS sp2 "
+            "FROM a) "
+            "SELECT CAST(k_all AS INT) AS k_groups, "
+            "CAST(k AS INT) AS k_tested, "
+            "CAST(k_all - k AS INT) AS k_excluded, "
+            "CAST(coalesce(nn, 0.0) AS BIGINT) AS n, "
+            "round(CASE WHEN dfw > 0 THEN sp2 END, 6) AS pooled_var, "
+            "round(CASE WHEN k > 1 AND dfw > 0 THEN "
+            "(dfw * ln(sp2) - slv) / "
+            "(1.0 + (sinv - 1.0 / dfw) / (3.0 * (k - 1))) END, 6) "
+            "AS bartlett_stat FROM t"
+        ),
+        "knn_label_consistency": (
+            "WITH c AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings "
+            "WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+            "s AS (SELECT vec_id, v, label FROM c "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256), "
+            "r AS (SELECT s.vec_id AS qid, s.label AS ql, "
+            "c.label AS cl, row_number() OVER (PARTITION BY s.vec_id "
+            "ORDER BY round(list_cosine_similarity(c.v, s.v), 6) DESC, "
+            "c.vec_id ASC) AS rk "
+            "FROM c CROSS JOIN s WHERE c.vec_id <> s.vec_id), "
+            "pa AS (SELECT qid, ql, "
+            "avg(CASE WHEN cl = ql THEN 1.0 ELSE 0.0 END) AS cons "
+            "FROM r WHERE rk <= 10 GROUP BY 1, 2) "
+            "SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_anchors, "
+            "round(avg(cons), 6) AS mean_consistency FROM pa "
+            "GROUP BY 1 ORDER BY label"
+        ),
+        "friedman_test": (
+            "WITH cells AS (SELECT (day(CAST(ts AS DATE)) % 5) AS blk, "
+            "event_type AS trt, avg(CAST(value AS DOUBLE)) AS v "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "kt AS (SELECT CAST(count(DISTINCT trt) AS DOUBLE) AS k, "
+            "count(DISTINCT blk) AS n_all FROM cells), "
+            "sizes AS (SELECT blk, count(*) AS kb FROM cells "
+            "GROUP BY 1), "
+            "comp AS (SELECT c.* FROM cells c JOIN sizes USING (blk) "
+            "CROSS JOIN kt WHERE kb = k), "
+            "ranked AS (SELECT blk, trt, "
+            "rank() OVER (PARTITION BY blk ORDER BY v) + "
+            "(count(*) OVER (PARTITION BY blk, v) - 1) / 2.0 AS r "
+            "FROM comp), "
+            "rs AS (SELECT trt, sum(r) AS rj, "
+            "count(DISTINCT blk) AS nb, sum(r * r) AS rj2 "
+            "FROM ranked GROUP BY 1), "
+            "g AS (SELECT CAST(count(*) AS DOUBLE) AS k, "
+            "CAST(max(nb) AS DOUBLE) AS n, sum(rj * rj) AS sjj, "
+            "sum(rj) AS sj, sum(rj2) AS srr FROM rs), "
+            "f AS (SELECT *, "
+            "sjj - n * (k + 1) * sj + k * n * n * (k + 1) * (k + 1) "
+            "/ 4.0 AS s_term, "
+            "srr - n * k * (k + 1) * (k + 1) / 4.0 AS d_term FROM g) "
+            "SELECT CAST(k AS INT) AS k_treatments, "
+            "CAST(n AS BIGINT) AS n_blocks, "
+            "CAST((SELECT n_all FROM kt) - n AS BIGINT) "
+            "AS n_blocks_dropped, "
+            "round(CASE WHEN k > 1 AND n > 1 AND d_term > 0 THEN "
+            "(k - 1) * s_term / d_term END, 6) AS friedman_stat FROM f"
+        ),
+        "mood_median_test": (
+            "WITH m AS (SELECT median(o_totalprice) AS md FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "base AS (SELECT o_orderpriority AS grp, "
+            "o_totalprice > md AS up FROM orders CROSS JOIN m "
+            "WHERE o_totalprice IS NOT NULL AND o_totalprice <> md), "
+            "g AS (SELECT grp, "
+            "CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS above, CAST(count(*) AS DOUBLE) AS n FROM base "
+            "GROUP BY 1), "
+            "t AS (SELECT sum(above) AS ta, sum(n) AS tn FROM g), "
+            "j AS (SELECT *, n * ta / tn AS ea, "
+            "n * (tn - ta) / tn AS eb FROM g CROSS JOIN t), "
+            "chi AS (SELECT sum(CASE WHEN ea > 0 AND eb > 0 THEN "
+            "(above - ea) * (above - ea) / ea + "
+            "((n - above) - eb) * ((n - above) - eb) / eb END) AS c2 "
+            "FROM j) "
+            "SELECT grp, CAST(above AS BIGINT) AS n_above, "
+            "CAST(n - above AS BIGINT) AS n_below, "
+            "round(ea, 6) AS expected_above, "
+            "round((SELECT c2 FROM chi), 6) AS chi2_stat FROM j "
+            "ORDER BY grp"
+        ),
+        "cochran_q": (
+            "WITH b AS (SELECT "
+            "CASE WHEN length(text) % 2 = 0 THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS bb, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS c "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND n_chars IS NOT NULL), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(a) AS DOUBLE) AS c0, "
+            "CAST(sum(bb) AS DOUBLE) AS c1, "
+            "CAST(sum(c) AS DOUBLE) AS c2, "
+            "CAST(sum(a + bb + c) AS DOUBLE) AS sr, "
+            "CAST(sum((a + bb + c) * (a + bb + c)) AS DOUBLE) AS sr2 "
+            "FROM b) "
+            "SELECT n_rows, 3 AS k_treatments, "
+            "CAST(c0 AS BIGINT) AS successes_0, "
+            "CAST(c1 AS BIGINT) AS successes_1, "
+            "CAST(c2 AS BIGINT) AS successes_2, "
+            "round(CASE WHEN 3 * sr - sr2 > 0 THEN "
+            "2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - "
+            "(c0 + c1 + c2) * (c0 + c1 + c2)) / (3 * sr - sr2) "
+            "END, 6) AS q_stat FROM s"
+        ),
+        "davies_bouldin": (
+            "WITH p AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings "
+            "WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+            "dims AS (SELECT unnest(range(64)) AS i), "
+            "pd AS (SELECT label, d.i AS i, avg(v[d.i + 1]) AS m "
+            "FROM p CROSS JOIN dims d GROUP BY 1, 2), "
+            "c AS (SELECT label, list(m ORDER BY i) AS cv FROM pd "
+            "GROUP BY 1), "
+            "d AS (SELECT p.label, list_distance(p.v, c.cv) AS dist "
+            "FROM p JOIN c USING (label)), "
+            "disp AS (SELECT label, count(*) AS n, avg(dist) AS s "
+            "FROM d GROUP BY 1), "
+            "ratios AS (SELECT a.label AS lbl, "
+            "max((sa.s + sb.s) / list_distance(a.cv, b.cv)) AS wr "
+            "FROM c a JOIN c b ON a.label <> b.label "
+            "JOIN disp sa ON sa.label = a.label "
+            "JOIN disp sb ON sb.label = b.label GROUP BY 1) "
+            "SELECT disp.label AS label, "
+            "CAST(disp.n AS BIGINT) AS n_points, "
+            "round(disp.s, 6) AS dispersion, "
+            "round(r.wr, 6) AS worst_ratio, "
+            "round((SELECT avg(wr) FROM ratios), 6) AS db_index "
+            "FROM disp LEFT JOIN ratios r ON r.lbl = disp.label "
+            "ORDER BY label"
+        ),
+        "simplified_silhouette": (
+            "WITH p AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings "
+            "WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+            "dims AS (SELECT unnest(range(64)) AS i), "
+            "pd AS (SELECT label, d.i AS i, avg(v[d.i + 1]) AS m "
+            "FROM p CROSS JOIN dims d GROUP BY 1, 2), "
+            "c AS (SELECT label, list(m ORDER BY i) AS cv FROM pd "
+            "GROUP BY 1), "
+            "ab AS (SELECT p.vec_id, p.label, "
+            "min(CASE WHEN c.label = p.label THEN "
+            "list_distance(p.v, c.cv) END) AS a, "
+            "min(CASE WHEN c.label <> p.label THEN "
+            "list_distance(p.v, c.cv) END) AS b "
+            "FROM p CROSS JOIN c GROUP BY 1, 2), "
+            "s AS (SELECT label, CASE WHEN b IS NOT NULL THEN "
+            "CASE WHEN greatest(a, b) > 0 THEN "
+            "(b - a) / greatest(a, b) ELSE 0.0 END END AS s "
+            "FROM ab) "
+            "SELECT label, CAST(count(*) AS BIGINT) AS n_points, "
+            "round(avg(s), 6) AS mean_silhouette FROM s GROUP BY 1 "
+            "ORDER BY label"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -2073,3 +2073,310 @@ def granger_causality(
         F.round(rss_f, round_dp).alias("rss_full"),
         F.round(f_stat, round_dp).alias("f_stat"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    control,
+    treatment,
+    margin: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence readout: the "did the
+    change do NO HARM within ±margin" question a superiority test
+    (:func:`~.profile.welch_ttest`) cannot answer — failing to reject
+    H₀ is not evidence of equivalence (Schuirmann 1987). Both
+    one-sided Welch z statistics are emitted:
+
+        z_lower = (δ + margin) / se      (H₀: δ ≤ −margin)
+        z_upper = (margin − δ) / se      (H₀: δ ≥ +margin)
+
+    with ``equivalent_05`` true when BOTH exceed the one-sided 5%
+    line (1.6449) — the TOST decision at α = 0.05. Degenerate arms
+    (n < 2 or zero variance) yield NULL statistics, never
+    DIVIDE_BY_ZERO; the CDF is out of scope (house rule).
+
+    Scale shape: ONE scan with conditional aggregation (the
+    :func:`msprt_test` six-statistic skeleton) — nothing after the
+    single result row.
+    """
+    if margin <= 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+    a, b = F.lit(control), F.lit(treatment)
+    base = df.select(
+        F.col(arm_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & ((F.col("_g") == a) | (F.col("_g") == b))
+    )
+    is_a, is_b = F.col("_g") == a, F.col("_g") == b
+
+    def _s(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0.0)))
+
+    s = base.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("nb"),
+        _s(is_a, F.col("_v")).alias("sa"),
+        _s(is_b, F.col("_v")).alias("sb"),
+        _s(is_a, F.col("_v") * F.col("_v")).alias("qa"),
+        _s(is_b, F.col("_v") * F.col("_v")).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = F.when(
+        na > 1,
+        F.greatest(
+            (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1),
+            F.lit(0.0),
+        ),
+    )
+    vb = F.when(
+        nb > 1,
+        F.greatest(
+            (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1),
+            F.lit(0.0),
+        ),
+    )
+    se2 = va / na + vb / nb
+    se = F.when(se2 > 0, F.sqrt(se2))
+    delta = mb - ma
+    zl = (delta + F.lit(float(margin))) / se
+    zu = (F.lit(float(margin)) - delta) / se
+    z05 = 1.6448536269514722
+    return s.select(
+        na.cast("long").alias("n_control"),
+        nb.cast("long").alias("n_treatment"),
+        F.round(F.when(na > 0, ma), round_dp).alias("mean_control"),
+        F.round(F.when(nb > 0, mb), round_dp).alias("mean_treatment"),
+        F.round(F.when((na > 1) & (nb > 1), delta), round_dp).alias(
+            "delta"
+        ),
+        F.round(se, round_dp).alias("se"),
+        F.lit(float(margin)).alias("margin"),
+        F.round(zl, round_dp).alias("z_lower"),
+        F.round(zu, round_dp).alias("z_upper"),
+        F.when(
+            se.isNotNull(), (zl > z05) & (zu > z05)
+        ).alias("equivalent_05"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic of the DETRENDED daily
+    series: residuals from the closed-form OLS of the daily sum on
+    the day index, then
+
+        DW = Σ (e_t − e_{t−1})² / Σ e_t²   ∈ [0, 4]
+
+    — ≈2 means no lag-1 autocorrelation, →0 positive, →4 negative;
+    the "is this metric's noise actually iid" check behind every
+    daily-KPI confidence interval (:func:`~.profile.acf_lags` gives
+    the correlogram, this gives the single canonical statistic on
+    trend-removed residuals). NULL when n < 3 or the residuals are
+    identically zero (a perfect linear trend).
+
+    Scale shape: the fact collapses to one row per day in a single
+    hash aggregation; the trend fit is a sufficient-statistics agg of
+    that series, residuals + the lag difference run under one bounded
+    |days| window — the :func:`~.profile.acf_lags` contract.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("y")
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("double").alias("t"),
+        "y",
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n = F.col("n")
+    den = F.col("stt") - F.col("st") * F.col("st") / n
+    slope = F.when(
+        (n > 2) & (den > 0),
+        (F.col("sty") - F.col("st") * F.col("sy") / n) / den,
+    ).otherwise(F.lit(0.0))
+    fit = fit.select(
+        n.alias("n"),
+        slope.alias("b"),
+        (F.col("sy") / n - slope * F.col("st") / n).alias("a"),
+    )
+    resid = ranked.crossJoin(F.broadcast(fit)).select(
+        "n",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        F.col("t"),
+    )
+    w = Window.orderBy("t")
+    lagged = resid.select(
+        "n", "e", F.lag("e").over(w).alias("e1")
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(
+                F.col("e1").isNotNull(),
+                (F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1")),
+            )
+        ).alias("sdd"),
+    )
+    dw = F.when(
+        (F.col("n") > 2) & (F.col("see") > 0),
+        F.col("sdd") / F.col("see"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("see", round_dp).alias("rss"),
+        F.round(dw, round_dp).alias("dw_stat"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily series
+    around its MEDIAN: count the maximal same-side runs R among the
+    n₁ above / n₂ below days (ties-at-median excluded, the standard
+    convention), compare with the exact null moments
+
+        μ_R = 2n₁n₂/n + 1
+        σ²_R = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+
+    z = (R − μ_R)/σ_R — trending/seasonal series produce too FEW runs
+    (z ≪ 0), oscillating ones too many. The nonparametric cousin of
+    :func:`durbin_watson` (no linearity assumption at all). NULL when
+    either side is empty or σ = 0.
+
+    Scale shape: one fact hash-agg to the daily series; the median,
+    the side sequence, the run-boundary lag and the counts all run on
+    the bounded |days| table (single window — the
+    :func:`~.profile.acf_lags` contract).
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("y")
+    )
+    med = daily.agg(
+        F.expr("percentile(y, 0.5)").alias("_med")
+    )
+    sides = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("_med"))
+        .select("d", (F.col("y") > F.col("_med")).alias("up"))
+    )
+    w = Window.orderBy("d")
+    runs = sides.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(~F.col("up"), 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum("_new_run").cast("double").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    )
+    ok = (n1 > 0) & (n2 > 0) & (n > 1)
+    z = F.when(ok & (var > 0), (r - mu) / F.sqrt(var))
+    return agg.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round(F.when(ok, mu), round_dp).alias("expected_runs"),
+        F.round(z, round_dp).alias("z_stat"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    pred_cols: list[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cochran's Q — the k-classifier generalization of
+    :func:`mcnemar_test`: do k binary treatments scored on the SAME
+    rows have equal success rates?
+
+        Q = (k−1) · [k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²]
+
+    with C_j the per-column totals and R_i the per-row sums — rows
+    where all k agree (R_i = 0 or k) contribute nothing to the
+    denominator, exactly the McNemar discordant-cell logic lifted to
+    k columns. Report Q against χ²(k−1) (house rule). Rows with any
+    NULL prediction are excluded; NULL Q when the denominator is 0
+    (all rows unanimous). Requires k ≥ 2 columns.
+
+    Scale shape: ONE scan, one conditional aggregation emitting 2k+2
+    partial sums (map-side combine) — R_i and R_i² are row-local
+    expressions, so nothing shuffles but the scalar row.
+    """
+    if len(pred_cols) < 2:
+        raise ValueError(
+            f"cochran_q needs >= 2 prediction columns, got {pred_cols}"
+        )
+    k = len(pred_cols)
+    bs = [F.col(c).cast("boolean") for c in pred_cols]
+    cond = bs[0].isNotNull()
+    for b in bs[1:]:
+        cond = cond & b.isNotNull()
+    ints = [F.when(b, 1).otherwise(0) for b in bs]
+    r_i = ints[0]
+    for x in ints[1:]:
+        r_i = r_i + x
+    aggs = [
+        F.sum(x).cast("double").alias(f"c{j}") for j, x in enumerate(ints)
+    ]
+    s = df.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *aggs,
+        F.sum(r_i).cast("double").alias("sr"),
+        F.sum(r_i * r_i).cast("double").alias("sr2"),
+    )
+    csum = F.col("c0")
+    csq = F.col("c0") * F.col("c0")
+    for j in range(1, k):
+        csum = csum + F.col(f"c{j}")
+        csq = csq + F.col(f"c{j}") * F.col(f"c{j}")
+    den = k * F.col("sr") - F.col("sr2")
+    q = F.when(den > 0, (k - 1) * (k * csq - csum * csum) / den)
+    return s.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.lit(k).alias("k_treatments"),
+        *[
+            F.col(f"c{j}").cast("long").alias(f"successes_{j}")
+            for j in range(k)
+        ],
+        F.round(q, round_dp).alias("q_stat"),
+    )

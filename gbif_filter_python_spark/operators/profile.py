@@ -3205,3 +3205,221 @@ def tukey_hsd(
             F.when(F.col("msw") > 0, F.abs(diff) / se), round_dp
         ).alias("q_stat"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity — the parametric,
+    more-powerful-when-normal sibling of :func:`levene_test` (which
+    stays the robust default): with pooled variance
+    S²ₚ = Σ(nᵢ−1)S²ᵢ / (N−k),
+
+        T = [(N−k)·ln S²ₚ − Σ(nᵢ−1)·ln S²ᵢ] / C
+        C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+
+    Report T against the χ²(k−1) lines (house rule: CDF out of
+    scope). Groups with n < 2 or zero variance are EXCLUDED (their
+    log-variance is undefined — scipy errors there; the excluded
+    count is reported so the caller sees the censoring); NULL
+    statistic when fewer than 2 groups survive.
+
+    Scale shape: ONE map-side-combined hash aggregation to per-group
+    (n, var) — the :func:`anova_f` skeleton — then one k-row scalar
+    reduce; the fact is scanned exactly once.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    ok = (F.col("n") > 1) & (F.col("v") > 0)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k_all"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("double").alias("k"),
+        F.sum(F.when(ok, F.col("n"))).alias("nn"),
+        F.sum(F.when(ok, (F.col("n") - 1) * F.col("v"))).alias("ssw"),
+        F.sum(
+            F.when(ok, (F.col("n") - 1) * F.log(F.col("v")))
+        ).alias("slv"),
+        F.sum(F.when(ok, 1.0 / (F.col("n") - 1))).alias("sinv"),
+    )
+    k, nn = F.col("k"), F.col("nn")
+    dfw = nn - k
+    sp2 = F.col("ssw") / dfw
+    t_num = dfw * F.log(sp2) - F.col("slv")
+    c = 1.0 + (F.col("sinv") - 1.0 / dfw) / (3.0 * (k - 1))
+    t = F.when((k > 1) & (dfw > 0), t_num / c)
+    return agg.select(
+        F.col("k_all").cast("int").alias("k_groups"),
+        k.cast("int").alias("k_tested"),
+        (F.col("k_all") - k).cast("int").alias("k_excluded"),
+        F.coalesce(nn, F.lit(0.0)).cast("long").alias("n"),
+        F.round(F.when(dfw > 0, sp2), round_dp).alias("pooled_var"),
+        F.round(t, round_dp).alias("bartlett_stat"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Friedman rank test for k treatments over matched blocks — the
+    repeated-measures sibling of :func:`~.analytics.kruskal_wallis`
+    (which assumes independent groups): each COMPLETE block (one cell
+    per treatment; the cell value is the mean when a block×treatment
+    has several rows) ranks its k cells with average-tie ranks, and
+    the tie-corrected statistic is
+
+        χ²_F = (k−1) · Σ_j (R_j − n(k+1)/2)²
+                     / (Σ_ij r²_ij − n·k·(k+1)²/4)
+
+    NULL when fewer than 2 complete blocks / treatments survive or
+    every block is fully tied (denominator 0). Incomplete blocks are
+    EXCLUDED and counted (``n_blocks_dropped``) — silent imputation
+    would bias the ranks. Report against χ²(k−1) (house rule: CDF out
+    of scope).
+
+    Scale shape: ONE fact hash-agg to (block, treatment) cell means;
+    ranking runs under a per-block window whose state is bounded by k
+    cells; the statistic is one reduce over the cell table (≤
+    |blocks|·k rows). The fact is scanned once.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(block_col).alias("blk"),
+            F.col(treatment_col).alias("trt"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+    k_tab = cells.agg(
+        F.countDistinct("trt").alias("k"),
+        F.countDistinct("blk").alias("n_all"),
+    )
+    sizes = cells.groupBy("blk").agg(F.count(F.lit(1)).alias("_kb"))
+    complete = (
+        cells.join(F.broadcast(k_tab), F.lit(True))
+        .join(sizes, "blk")
+        .filter(F.col("_kb") == F.col("k"))
+    )
+    wb = Window.partitionBy("blk")
+    worder = wb.orderBy("v")
+    # average-tie rank: min-rank + (ties - 1)/2
+    ranked = complete.withColumn(
+        "r",
+        F.rank().over(worder)
+        + (F.count(F.lit(1)).over(wb.orderBy("v").rangeBetween(0, 0)) - 1)
+        / 2.0,
+    )
+    rsums = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"),
+        F.countDistinct("blk").alias("nb"),
+        F.sum(F.col("r") * F.col("r")).alias("rj2"),
+    )
+    # Σ_j (R_j − n(k+1)/2)² needs k inside the aggregate — expand it
+    # into the pure sums S = Σ R_j² − n(k+1)·Σ R_j + k·n²(k+1)²/4 so
+    # one reduce suffices
+    rj2sum = rsums.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.max("nb").cast("double").alias("n"),
+        F.min("nb").cast("double").alias("n_min"),
+        F.sum(F.col("rj") * F.col("rj")).alias("sjj"),
+        F.sum("rj").alias("sj"),
+        F.sum("rj2").alias("srr"),
+    )
+    k, n = F.col("k"), F.col("n")
+    s_term = (
+        F.col("sjj") - n * (k + 1) * F.col("sj") + k * n * n * (k + 1) * (k + 1) / 4.0
+    )
+    d_term = F.col("srr") - n * k * (k + 1) * (k + 1) / 4.0
+    stat = F.when(
+        (k > 1) & (n > 1) & (d_term > 0), (k - 1) * s_term / d_term
+    )
+    dropped = k_tab.select(
+        F.col("n_all").cast("long").alias("_n_all")
+    )
+    return (
+        rj2sum.crossJoin(F.broadcast(dropped))
+        .select(
+            k.cast("int").alias("k_treatments"),
+            n.cast("long").alias("n_blocks"),
+            (F.col("_n_all") - n).cast("long").alias("n_blocks_dropped"),
+            F.round(stat, round_dp).alias("friedman_stat"),
+        )
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mood's median test: are the k groups' medians equal? Counts
+    above/below the GRAND median per group (ties at the median
+    excluded, the standard convention) and emits the Pearson χ² of
+    the 2×k contingency table — the blunter but assumption-free
+    sibling of :func:`~.analytics.kruskal_wallis` (only counts cross
+    the median, so it survives heavy tails and censoring). One row
+    per group (observed above, expected above, n) plus the shared
+    χ² statistic on every row; NULL χ² when a margin is empty.
+
+    Scale shape: the grand median is one ``percentile`` aggregate;
+    the side counts are ONE conditional hash-agg over the fact; the
+    χ² re-agg and expected counts run on the k-row table.
+    """
+    med = df.filter(F.col(value_col).isNotNull()).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_m")
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(med))
+        .filter(F.col(value_col) != F.col("_m"))
+        .select(
+            F.col(group_col).alias("grp"),
+            (F.col(value_col) > F.col("_m")).alias("_up"),
+        )
+    )
+    g = base.groupBy("grp").agg(
+        F.sum(F.when(F.col("_up"), 1).otherwise(0))
+        .cast("double")
+        .alias("above"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tot = g.agg(
+        F.sum("above").alias("ta"),
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    e_above = F.col("n") * F.col("ta") / F.col("tn")
+    e_below = F.col("n") * (F.col("tn") - F.col("ta")) / F.col("tn")
+    cell = F.when(
+        (e_above > 0) & (e_below > 0),
+        (F.col("above") - e_above) * (F.col("above") - e_above) / e_above
+        + ((F.col("n") - F.col("above")) - e_below)
+        * ((F.col("n") - F.col("above")) - e_below)
+        / e_below,
+    )
+    from pyspark.sql import Window
+
+    chi2 = F.sum(cell).over(Window.partitionBy())
+    return j.select(
+        "grp",
+        F.col("above").cast("long").alias("n_above"),
+        (F.col("n") - F.col("above")).cast("long").alias("n_below"),
+        F.round(e_above, round_dp).alias("expected_above"),
+        F.round(chi2, round_dp).alias("chi2_stat"),
+    )

@@ -1810,3 +1810,341 @@ def uniformity(
         F.lit(tt).alias("t"),
         F.round(u, round_dp).alias("uniformity"),
     )
+
+
+def knn_label_consistency(
+    emb: DataFrame,
+    k: int = 10,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """k-NN label consistency of the embedding space: for each
+    anchor in the deterministic md5 fixed-COUNT sample (see
+    :func:`_md5_sample`), the fraction of its cosine top-k corpus
+    neighbors that share the anchor's label, averaged per label — the
+    "do my labels live in coherent neighborhoods" datasheet line that
+    predicts both k-NN-classifier ceiling and cluster-based semantic
+    dedup quality BEFORE any model is trained (a supervised
+    complement to :func:`hubness`/:func:`twonn_dim`). Rows with NULL
+    labels are excluded on both sides.
+
+    Output: one row per anchor label ``(label, n_anchors,
+    mean_consistency)`` plus the ordering key — plus an ``__all__``
+    handled by the caller if desired (not emitted here; aggregate the
+    per-label rows).
+
+    Scale shape: identical skeleton to :func:`hubness` — anchors
+    (id, vector, label) collect once (bounded by ``MAX_SAMPLE_N``);
+    each Arrow batch scores batch × sample_n cosines in ONE NumPy
+    matmul and emits batch-local top-k candidate rows per anchor
+    (exact pruning under the (sim DESC, id ASC) total order, 6dp
+    half-away pre-rounding); the global window + the label join and
+    per-label means run on the ≤ n_batches × sample_n × k sliver.
+    The corpus label column rides along in the candidate rows, so
+    NOTHING corpus-sized is ever joined back.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    ).filter(F.col("_cv").isNotNull() & F.col("_cl").isNotNull())
+    if not 1 <= int(sample_n) <= MAX_SAMPLE_N:
+        raise ValueError(
+            f"sample_n={sample_n} outside [1, {MAX_SAMPLE_N}]"
+        )
+    id_type = dict(corpus.dtypes)["_cid"]
+    if id_type not in _INTEGRAL_DTYPES:
+        raise TypeError(
+            f"id_col has type {id_type}; fingerprint string ids to "
+            "longs first (e.g. F.xxhash64)"
+        )
+    sample_rows = (
+        corpus.orderBy(F.md5(F.col("_cid").cast("string")), F.col("_cid"))
+        .limit(int(sample_n))
+        .collect()
+    )
+    qids = np.array([r["_cid"] for r in sample_rows], dtype=np.int64)
+    qlabels = {int(r["_cid"]): r["_cl"] for r in sample_rows}
+    qmat = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+    n_q = len(qids)
+    if n_q:
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        qmat = qmat / qn
+    k = int(k)
+
+    cand_schema = StructType(
+        [
+            StructField("_qid", LongType()),
+            StructField("_cid", LongType()),
+            StructField("_sim", DoubleType()),
+            StructField("_match", IntegerType()),
+        ]
+    )
+    def _candidates(pdfs):
+        for pdf in pdfs:
+            if pdf.empty or n_q == 0:
+                continue
+            order0 = np.argsort(pdf["_cid"].to_numpy(), kind="stable")
+            cids = pdf["_cid"].to_numpy()[order0]
+            clabels = pdf["_cl"].to_numpy()[order0]
+            x = np.array(pdf["_cv"].tolist(), dtype=np.float64)[order0]
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0.0] = 1.0
+            sims = _round_half_away((x / xn) @ qmat.T, 6)
+            sims[cids[:, None] == qids[None, :]] = -np.inf
+            kk = min(k, sims.shape[0])
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk, :]
+            out_s = np.take_along_axis(sims, top, axis=0).ravel(order="F")
+            keep = out_s > -np.inf
+            out_q = np.repeat(qids, kk)[keep]
+            out_c = cids[top].ravel(order="F")[keep]
+            out_l = clabels[top].ravel(order="F")[keep]
+            # vectorized anchor-label comparison: column q's anchor
+            # label, repeated kk times, against the neighbor labels
+            anchor_l = np.repeat(
+                np.array([qlabels[int(q)] for q in qids], dtype=object),
+                kk,
+            )[keep]
+            match = (out_l == anchor_l).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "_qid": out_q,
+                    "_cid": out_c,
+                    "_sim": out_s[keep],
+                    "_match": match,
+                }
+            )
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+    per_anchor = (
+        corpus.mapInPandas(_candidates, cand_schema)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_qid")
+        .agg(
+            (F.sum("_match") / F.count(F.lit(1))).alias("_cons")
+        )
+    )
+    # anchor labels are bounded closure state: attach via a literal map
+    lab_map = F.create_map(
+        *[
+            F.lit(x)
+            for q in qids
+            for x in (int(q), qlabels[int(q)])
+        ]
+    )
+    labeled = per_anchor.withColumn("label", lab_map[F.col("_qid")])
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.round(F.avg("_cons"), round_dp).alias("mean_consistency"),
+        )
+    )
+
+
+def _label_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str
+):
+    """(points, centroids) pair: points filtered to non-NULL
+    label/vector, centroids as one ``(label, _cvec, _cn)`` row per
+    label — the shared front end of :func:`davies_bouldin` /
+    :func:`simplified_silhouette`. Centroids come from ONE
+    posexplode hash-agg (shuffle bounded by |labels| × d, never
+    corpus-sized) and the array is rebuilt in dimension order."""
+    points = emb.select(
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).alias("_pv"),
+        F.col(label_col).alias("_pl"),
+    ).filter(F.col("_pv").isNotNull() & F.col("_pl").isNotNull())
+    per_dim = points.select(
+        "_pl", F.posexplode("_pv").alias("_i", "_x")
+    ).groupBy("_pl", "_i").agg(
+        F.avg(F.col("_x").cast("double")).alias("_m"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    cents = per_dim.groupBy("_pl").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_m")))
+            ),
+            lambda s: s["_m"],
+        ).alias("_cvec"),
+        F.max("_c").alias("_cn"),
+    )
+    return points, cents
+
+
+def _euclid(a, b):
+    """JVM-side Euclidean distance of two array columns (zip_with +
+    aggregate fold — d multiply-adds per row, no UDF)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def davies_bouldin(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Davies–Bouldin index of the labeled embedding space: with
+    per-label centroid μ_j and intra-cluster dispersion
+    S_j = mean ‖x − μ_j‖,
+
+        DB = (1/k) Σ_i max_{j≠i} (S_i + S_j) / ‖μ_i − μ_j‖
+
+    — lower is better-separated; the centroid-level companion to the
+    neighborhood-level :func:`knn_label_consistency` (this one sees
+    global geometry, that one local purity). One row per label
+    ``(label, n_points, dispersion, worst_ratio)`` with the shared
+    ``db_index`` on every row; singleton label sets (k = 1) yield
+    NULL ratios.
+
+    Scale shape: centroids from ONE posexplode hash-agg (|labels|×d
+    shuffle); dispersions from ONE second scan with the k-row
+    centroid table broadcast (d multiply-adds per row, pure Column —
+    no UDF); the max-ratio/k² pair join runs on k-row aggregates.
+    The corpus never pairs with itself.
+    """
+    points, cents = _label_centroids(emb, id_col, vec_col, label_col)
+    # rename the centroid key: points and cents share lineage, and a
+    # bare _pl == _pl join trips the ambiguous-self-join analyzer
+    cents = cents.select(
+        F.col("_pl").alias("_cl"), "_cvec", "_cn"
+    )
+    disp = (
+        points.join(
+            F.broadcast(cents), F.col("_pl") == F.col("_cl")
+        )
+        .select(
+            F.col("_pl").alias("lbl"),
+            _euclid(F.col("_pv"), F.col("_cvec")).alias("_d"),
+        )
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_d").alias("s"),
+        )
+    )
+    cj = cents.select(
+        F.col("_cl").alias("lbl"), F.col("_cvec").alias("cv")
+    ).join(disp, "lbl")
+    a, b = cj.alias("a"), F.broadcast(cj.alias("b"))
+    ratios = (
+        a.join(b, F.col("a.lbl") != F.col("b.lbl"))
+        .select(
+            F.col("a.lbl").alias("lbl"),
+            (
+                (F.col("a.s") + F.col("b.s"))
+                / _euclid(F.col("a.cv"), F.col("b.cv"))
+            ).alias("_r"),
+        )
+        .groupBy("lbl")
+        .agg(F.max("_r").alias("worst_ratio"))
+    )
+    per = disp.join(ratios, "lbl", "left")
+    from pyspark.sql import Window
+
+    db = F.avg("worst_ratio").over(Window.partitionBy())
+    return per.select(
+        F.col("lbl").alias("label"),
+        F.col("n").cast("long").alias("n_points"),
+        F.round("s", round_dp).alias("dispersion"),
+        F.round("worst_ratio", round_dp).alias("worst_ratio"),
+        F.round(db, round_dp).alias("db_index"),
+    )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    point, a = distance to its own label centroid, b = distance to
+    the NEAREST other centroid, s = (b − a)/max(a, b) ∈ [−1, 1] —
+    the O(n·k) stand-in for the O(n²) full silhouette (Hruschka et
+    al.'s standard large-data form), sharing machinery with
+    :func:`davies_bouldin` but scoring POINTS (so it exposes the
+    overlap mass, not just centroid geometry). One row per label
+    ``(label, n_points, mean_silhouette)``; k = 1 yields NULL
+    (b undefined); a = b = 0 (duplicate centroids) yields s = 0.
+
+    Scale shape: ONE scan with the k-row centroid table broadcast;
+    each row computes k JVM-side zip_with distances (n·k·d
+    multiply-adds total, linear in the corpus); per-label means
+    reduce map-side. Nothing pairwise, no UDF.
+    """
+    points, cents = _label_centroids(emb, id_col, vec_col, label_col)
+    carr = cents.agg(
+        F.collect_list(F.struct(F.col("_pl"), F.col("_cvec"))).alias("_cs")
+    )
+    # per-point a/b in ONE struct fold over the broadcast centroid
+    # array — no explode, no per-point re-grouping
+    per_point = (
+        points.crossJoin(F.broadcast(carr))
+        .select(
+            "_pid",
+            "_pl",
+            F.aggregate(
+                F.col("_cs"),
+                F.struct(
+                    F.lit(float("inf")).alias("own"),
+                    F.lit(float("inf")).alias("other"),
+                ),
+                lambda acc, c: F.struct(
+                    F.when(
+                        c["_pl"] == F.col("_pl"),
+                        _euclid(F.col("_pv"), c["_cvec"]),
+                    )
+                    .otherwise(acc["own"])
+                    .alias("own"),
+                    F.when(
+                        c["_pl"] != F.col("_pl"),
+                        F.least(
+                            acc["other"],
+                            _euclid(F.col("_pv"), c["_cvec"]),
+                        ),
+                    )
+                    .otherwise(acc["other"])
+                    .alias("other"),
+                ),
+            ).alias("_ab"),
+        )
+        .select(
+            "_pl",
+            F.col("_ab.own").alias("_a"),
+            F.col("_ab.other").alias("_b"),
+        )
+    )
+    s = F.when(
+        F.col("_b") != float("inf"),
+        F.when(
+            F.greatest(F.col("_a"), F.col("_b")) > 0,
+            (F.col("_b") - F.col("_a"))
+            / F.greatest(F.col("_a"), F.col("_b")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        per_point.select("_pl", s.alias("_s"))
+        .groupBy(F.col("_pl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("_s"), round_dp).alias("mean_silhouette"),
+        )
+    )
