@@ -6805,6 +6805,56 @@ def q_simplified_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V between order priority and status
+    (operators/profile.py::cramers_v): the N-free χ² effect size with
+    absent contingency cells folded in closed form."""
+    from gbif_filter_python_spark.operators.profile import cramers_v
+
+    return cramers_v(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def q_theil_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil's uncertainty coefficient source↔lang
+    (operators/profile.py::theil_u): the asymmetric
+    feature→target leakage scan, one contingency agg."""
+    from gbif_filter_python_spark.operators.profile import theil_u
+
+    return theil_u(_t(spark, sf, "documents"), "source", "lang")
+
+
+def q_gamma_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """Goodman–Kruskal gamma between quantity and price buckets
+    (operators/profile.py::gamma_assoc): ordinal association from
+    contingency quadrant sums — pairs on aggregates, never rows."""
+    from gbif_filter_python_spark.operators.profile import gamma_assoc
+
+    li = _t(spark, sf, "lineitem").select(
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qb"),
+        F.floor(F.col("l_extendedprice") / 20000).cast("int").alias(
+            "pb"
+        ),
+    )
+    return gamma_assoc(li, "qb", "pb")
+
+
+def q_bowker_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Bowker symmetry test between two 3-level document labelers
+    (operators/analytics.py::bowker_test): the k×k McNemar for
+    labeler-drift direction."""
+    from gbif_filter_python_spark.operators.analytics import bowker_test
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .withColumn("la", (F.length("text") % 3).cast("int"))
+        .withColumn("lb", (F.col("n_chars") % 3).cast("int"))
+    )
+    return bowker_test(docs, "la", "lb")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7302,6 +7352,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "bartlett_test": q_bartlett_test,
         "knn_label_consistency": q_knn_label_consistency,
+        "friedman_test": q_friedman_test,
+        "mood_median_test": q_mood_median_test,
+        "cochran_q": q_cochran_q,
+        "davies_bouldin": q_davies_bouldin,
+        "simplified_silhouette": q_simplified_silhouette,
+        "cramers_v": q_cramers_v,
+        "theil_u": q_theil_u,
+        "gamma_assoc": q_gamma_assoc,
+        "bowker_test": q_bowker_test,
     }
 
 
@@ -12536,6 +12595,92 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, CAST(count(*) AS BIGINT) AS n_points, "
             "round(avg(s), 6) AS mean_silhouette FROM s GROUP BY 1 "
             "ORDER BY label"
+        ),
+        "cramers_v": (
+            "WITH cells AS (SELECT o_orderpriority AS a, "
+            "o_orderstatus AS b, CAST(count(*) AS DOUBLE) AS o "
+            "FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL GROUP BY 1, 2), "
+            "ra AS (SELECT a, sum(o) AS na FROM cells GROUP BY 1), "
+            "rb AS (SELECT b, sum(o) AS nb FROM cells GROUP BY 1), "
+            "t AS (SELECT sum(o) AS n FROM cells), "
+            "j AS (SELECT cells.o, ra.na * rb.nb / t.n AS e "
+            "FROM cells JOIN ra USING (a) JOIN rb USING (b) "
+            "CROSS JOIN t), "
+            "obs AS (SELECT sum((o - e) * (o - e) / e) AS chi_obs, "
+            "sum(e) AS e_obs FROM j), "
+            "dims AS (SELECT (SELECT count(*) FROM ra) AS r, "
+            "(SELECT count(*) FROM rb) AS c, (SELECT n FROM t) AS n) "
+            "SELECT CAST(r AS INT) AS r_levels, "
+            "CAST(c AS INT) AS c_levels, CAST(n AS BIGINT) AS n, "
+            "round(chi_obs + (n - e_obs), 6) AS chi2, "
+            "round(CASE WHEN least(r - 1, c - 1) > 0 THEN "
+            "sqrt((chi_obs + (n - e_obs)) / n / least(r - 1, c - 1)) "
+            "END, 6) AS cramers_v FROM obs CROSS JOIN dims"
+        ),
+        "theil_u": (
+            "WITH cells AS (SELECT source AS x, lang AS y, "
+            "CAST(count(*) AS DOUBLE) AS o FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "hx AS (SELECT sum(c) AS n1, sum(c * ln(c)) AS sx FROM "
+            "(SELECT sum(o) AS c FROM cells GROUP BY x)), "
+            "hy AS (SELECT sum(c * ln(c)) AS sy FROM "
+            "(SELECT sum(o) AS c FROM cells GROUP BY y)), "
+            "hxy AS (SELECT sum(o) AS n, sum(o * ln(o)) AS sxy "
+            "FROM cells), "
+            "g AS (SELECT n, ln(n) - sx / n AS h_x, "
+            "ln(n) - sy / n AS h_y, ln(n) - sxy / n AS h_xy "
+            "FROM hxy CROSS JOIN hx CROSS JOIN hy), "
+            "f AS (SELECT *, greatest(h_x + h_y - h_xy, 0.0) AS mi "
+            "FROM g) "
+            "SELECT CAST(n AS BIGINT) AS n, round(h_x, 6) AS h_x, "
+            "round(h_y, 6) AS h_y, round(mi, 6) AS mutual_info, "
+            "round(CASE WHEN h_x > 0 THEN mi / h_x END, 6) "
+            "AS u_x_given_y, "
+            "round(CASE WHEN h_y > 0 THEN mi / h_y END, 6) "
+            "AS u_y_given_x FROM f"
+        ),
+        "gamma_assoc": (
+            "WITH base AS (SELECT "
+            "CAST(floor(l_quantity / 10) AS INT) AS x, "
+            "CAST(floor(l_extendedprice / 20000) AS INT) AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "cells AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS o "
+            "FROM base GROUP BY 1, 2), "
+            "p AS (SELECT a.o AS oa, b.o AS ob, b.y > a.y AS conc "
+            "FROM cells a JOIN cells b ON b.x > a.x AND b.y <> a.y), "
+            "g AS (SELECT "
+            "coalesce(sum(CASE WHEN conc THEN oa * ob END), 0.0) AS c, "
+            "coalesce(sum(CASE WHEN NOT conc THEN oa * ob END), 0.0) "
+            "AS d FROM p), "
+            "t AS (SELECT sum(o) AS n FROM cells) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(c AS BIGINT) AS concordant_pairs, "
+            "CAST(d AS BIGINT) AS discordant_pairs, "
+            "round(CASE WHEN c + d > 0 THEN (c - d) / (c + d) END, 6) "
+            "AS gamma FROM g CROSS JOIN t"
+        ),
+        "bowker_test": (
+            "WITH cells AS (SELECT "
+            "CAST(length(text) % 3 AS INT) AS i, "
+            "CAST(n_chars % 3 AS INT) AS j, "
+            "CAST(count(*) AS DOUBLE) AS o FROM documents "
+            "WHERE text IS NOT NULL AND n_chars IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "keyed AS (SELECT least(i, j) AS l, greatest(i, j) AS h, "
+            "sum(CASE WHEN i < j THEN o ELSE 0.0 END) AS nij, "
+            "sum(CASE WHEN i > j THEN o ELSE 0.0 END) AS nji "
+            "FROM cells WHERE i <> j GROUP BY 1, 2), "
+            "t AS (SELECT sum(o) AS n FROM cells), "
+            "g AS (SELECT count(*) AS dfc, "
+            "sum((nij - nji) * (nij - nji) / (nij + nji)) AS stat, "
+            "sum(nij + nji) AS disc FROM keyed) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(disc AS BIGINT) AS n_discordant, "
+            "CAST(dfc AS INT) AS df_cells, "
+            "round(stat, 6) AS bowker_stat FROM g CROSS JOIN t"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -2380,3 +2380,66 @@ def cochran_q(
         ],
         F.round(q, round_dp).alias("q_stat"),
     )
+
+
+def bowker_test(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bowker's symmetry test — :func:`mcnemar_test` generalized to a
+    k×k confusion matrix: are the two labelers' disagreements
+    symmetric?
+
+        χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)
+
+    over all unordered level pairs with n_ij + n_ji > 0 (each such
+    pair is one degree of freedom, reported as ``df_cells``) — the
+    label-drift direction check when a heuristic labeler is replaced
+    (asymmetric disagreement = systematic relabeling, not noise).
+    NULL when no discordant pair exists.
+
+    Scale shape: ONE (a, b) hash-agg over the fact; the mirror join
+    runs on the ≤ k² cell table (broadcast), one reduce after.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_i"), F.col(col_b).alias("_j"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    off = cells.filter(F.col("_i") != F.col("_j"))
+    lo = F.least(F.col("_i"), F.col("_j"))
+    hi = F.greatest(F.col("_i"), F.col("_j"))
+    keyed = off.select(
+        lo.alias("_l"),
+        hi.alias("_h"),
+        F.when(F.col("_i") < F.col("_j"), F.col("_o"))
+        .otherwise(F.lit(0.0))
+        .alias("_up"),
+        F.when(F.col("_i") > F.col("_j"), F.col("_o"))
+        .otherwise(F.lit(0.0))
+        .alias("_dn"),
+    ).groupBy("_l", "_h").agg(
+        F.sum("_up").alias("nij"),
+        F.sum("_dn").alias("nji"),
+    )
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_i").alias("_ka"),
+    )
+    g = keyed.agg(
+        F.count(F.lit(1)).alias("df_cells"),
+        F.sum(
+            (F.col("nij") - F.col("nji"))
+            * (F.col("nij") - F.col("nji"))
+            / (F.col("nij") + F.col("nji"))
+        ).alias("_stat"),
+        F.sum(F.col("nij") + F.col("nji")).alias("_disc"),
+    ).crossJoin(F.broadcast(tot))
+    return g.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_disc").cast("long").alias("n_discordant"),
+        F.col("df_cells").cast("int").alias("df_cells"),
+        F.round("_stat", round_dp).alias("bowker_stat"),
+    )

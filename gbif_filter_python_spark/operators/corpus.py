@@ -2955,7 +2955,14 @@ def entropy_rate(
             )
         ).alias("_bg")
     ).filter(F.length("_bg") == 2)
-    counts = pairs.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    # the bigram table feeds TWO consumers (its own reduce + the
+    # prefix re-agg); localCheckpoint the alphabet²-bounded result so
+    # the corpus-sized explode runs exactly once (plan-asserted)
+    counts = (
+        pairs.groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     pref = counts.groupBy(F.substring("_bg", 1, 1).alias("_p")).agg(
         F.sum("_c").alias("_pc")
     )
@@ -3011,8 +3018,14 @@ def kfold_balance(
         split_bucket(F.col(key_col), buckets=int(k)).alias("fold"),
         F.col(strata_col).alias("stratum"),
     )
-    cells = base.groupBy("fold", "stratum").agg(
-        F.count(F.lit(1)).alias("_o")
+    # the cell table feeds FOUR consumers (fold margins, stratum
+    # margins, total, and the densify left side); localCheckpoint the
+    # ≤ k·|strata|-row result so the fact scan runs exactly once
+    # (plan-asserted)
+    cells = (
+        base.groupBy("fold", "stratum")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=True)
     )
     folds = cells.groupBy("fold").agg(F.sum("_o").alias("_nf"))
     strata = cells.groupBy("stratum").agg(F.sum("_o").alias("_ns"))

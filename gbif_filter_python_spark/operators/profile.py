@@ -3423,3 +3423,185 @@ def mood_median_test(
         F.round(e_above, round_dp).alias("expected_above"),
         F.round(chi2, round_dp).alias("chi2_stat"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cramér's V association strength between two categoricals: the
+    χ²-based effect size
+
+        V = sqrt( (χ²/N) / min(r−1, c−1) )   ∈ [0, 1]
+
+    that :func:`chi2_lang_source`'s raw statistic can't give (χ²
+    grows with N; V doesn't — it's the number you compare ACROSS
+    tables, e.g. "which metadata column leaks the label hardest").
+    One row ``(r_levels, c_levels, n, chi2, cramers_v)``; NULL when
+    either variable is constant (min(r−1, c−1) = 0). χ² uses the
+    standard Σ(o−e)²/e over OBSERVED cells plus the
+    missing-cell remainder in closed form (absent cells contribute
+    e = n_a·n_b/N each — their Σe equals N − Σ_observed e, so no
+    r×c densify is ever built).
+
+    Scale shape: ONE (a, b) hash-agg over the fact (≤ r·c cells),
+    margins re-aggregated FROM the cell table, the remainder
+    arithmetic on scalars — the fact is scanned once, nothing
+    densifies.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    j = (
+        cells.join(ra, "_a")
+        .join(F.broadcast(rb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_na") * F.col("_nb") / F.col("_n")
+    obs = j.agg(
+        F.sum((F.col("_o") - e) * (F.col("_o") - e) / e).alias("_chi_obs"),
+        F.sum(e).alias("_e_obs"),
+    )
+    dims = (
+        ra.agg(F.count(F.lit(1)).alias("_r"))
+        .crossJoin(rb.agg(F.count(F.lit(1)).alias("_c")))
+        .crossJoin(tot)
+    )
+    g = obs.crossJoin(F.broadcast(dims))
+    # absent cells: (0 - e)^2/e = e, and Σ_all e = N → remainder
+    chi2 = F.col("_chi_obs") + (F.col("_n") - F.col("_e_obs"))
+    mindim = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    v = F.when(
+        mindim > 0, F.sqrt(chi2 / F.col("_n") / mindim)
+    )
+    return g.select(
+        F.col("_r").cast("int").alias("r_levels"),
+        F.col("_c").cast("int").alias("c_levels"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(chi2, round_dp).alias("chi2"),
+        F.round(v, round_dp).alias("cramers_v"),
+    )
+
+
+def theil_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(x|y) — the ASYMMETRIC
+    association :func:`cramers_v` can't see: what fraction of x's
+    entropy does knowing y remove?
+
+        U(x|y) = (H(x) − H(x|y)) / H(x) = I(x; y) / H(x)  ∈ [0, 1]
+
+    Direction matters (a leaky id column predicts the label, not vice
+    versa), which is exactly the feature→target leakage scan run
+    before training on metadata columns. One row ``(n, h_x, h_y,
+    mutual_info, u_x_given_y, u_y_given_x)`` (nats); NULL U when the
+    conditioned variable is constant (H = 0).
+
+    Scale shape: ONE (x, y) hash-agg; both marginals and all three
+    entropies are re-aggs of the ≤ |x|·|y| cell table.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    hx = cells.groupBy("_x").agg(F.sum("_o").alias("_c")).agg(
+        F.sum("_c").alias("_n1"),
+        F.sum(F.col("_c") * F.log("_c")).alias("_sx"),
+    )
+    hy = cells.groupBy("_y").agg(F.sum("_o").alias("_c")).agg(
+        F.sum(F.col("_c") * F.log("_c")).alias("_sy"),
+    )
+    hxy = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.sum(F.col("_o") * F.log("_o")).alias("_sxy"),
+    )
+    g = hxy.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    n = F.col("_n")
+    h_x = F.log(n) - F.col("_sx") / n
+    h_y = F.log(n) - F.col("_sy") / n
+    h_xy = F.log(n) - F.col("_sxy") / n
+    mi = F.greatest(h_x + h_y - h_xy, F.lit(0.0))
+    return g.select(
+        n.cast("long").alias("n"),
+        F.round(h_x, round_dp).alias("h_x"),
+        F.round(h_y, round_dp).alias("h_y"),
+        F.round(mi, round_dp).alias("mutual_info"),
+        F.round(F.when(h_x > 0, mi / h_x), round_dp).alias(
+            "u_x_given_y"
+        ),
+        F.round(F.when(h_y > 0, mi / h_y), round_dp).alias(
+            "u_y_given_x"
+        ),
+    )
+
+
+def gamma_assoc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Goodman–Kruskal gamma for two ORDINAL columns: concordant
+    minus discordant pairs over their sum,
+
+        γ = (C − D) / (C + D)   ∈ [−1, 1]
+
+    computed from the contingency table, never from row pairs:
+    C = Σ_cell n_ij · N(>i, >j) and D = Σ_cell n_ij · N(>i, <j),
+    where the quadrant sums N(·,·) come from a cell×cell join of the
+    ≤ r·c-row table — O((rc)²) on AGGREGATES, O(n) on data (the
+    :func:`~.profile.welch_ttest` pair-blow-up-on-summaries
+    discipline). The rank-correlation of choice for coarse ordinal
+    scales (quality buckets × review scores) where
+    :func:`kendall_tau`'s tie corrections dominate. NULL when
+    C + D = 0 (a constant column).
+
+    Scale shape: ONE (x, y) hash-agg over the fact, one broadcast
+    self-join of the cell table, one reduce.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    a, b = cells.alias("a"), F.broadcast(cells.alias("b"))
+    pairs = a.join(
+        b,
+        (F.col("b._x") > F.col("a._x"))
+        & (F.col("b._y") != F.col("a._y")),
+    ).select(
+        F.col("a._o").alias("_oa"),
+        F.col("b._o").alias("_ob"),
+        (F.col("b._y") > F.col("a._y")).alias("_conc"),
+    )
+    g = pairs.agg(
+        F.sum(
+            F.when(F.col("_conc"), F.col("_oa") * F.col("_ob"))
+        ).alias("_c"),
+        F.sum(
+            F.when(~F.col("_conc"), F.col("_oa") * F.col("_ob"))
+        ).alias("_d"),
+    ).crossJoin(
+        F.broadcast(cells.agg(F.sum("_o").alias("_n")))
+    )
+    c = F.coalesce(F.col("_c"), F.lit(0.0))
+    d = F.coalesce(F.col("_d"), F.lit(0.0))
+    gamma = F.when(c + d > 0, (c - d) / (c + d))
+    return g.select(
+        F.col("_n").cast("long").alias("n"),
+        c.cast("long").alias("concordant_pairs"),
+        d.cast("long").alias("discordant_pairs"),
+        F.round(gamma, round_dp).alias("gamma"),
+    )
