@@ -6855,6 +6855,17 @@ def q_bowker_test(spark: SparkSession, sf: str) -> DataFrame:
     return bowker_test(docs, "la", "lb")
 
 
+def q_hac_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Newey–West HAC CI for the mean daily event count
+    (operators/analytics.py::hac_mean_ci): the autocorrelation-robust
+    interval to quote when durbin_watson rejects iid noise — integer
+    daily counts keep the kernel arithmetic cross-engine exact."""
+    from gbif_filter_python_spark.operators.analytics import hac_mean_ci
+
+    ev = _t(spark, sf, "events").withColumn("one", F.lit(1))
+    return hac_mean_ci(ev, "ts", "one", max_lag=7)
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7361,6 +7372,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_u": q_theil_u,
         "gamma_assoc": q_gamma_assoc,
         "bowker_test": q_bowker_test,
+        "hac_mean_ci": q_hac_mean_ci,
     }
 
 
@@ -12681,6 +12693,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(disc AS BIGINT) AS n_discordant, "
             "CAST(dfc AS INT) AS df_cells, "
             "round(stat, 6) AS bowker_stat FROM g CROSS JOIN t"
+        ),
+        "hac_mean_ci": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "m AS (SELECT avg(y) AS mu, CAST(count(*) AS DOUBLE) AS n FROM daily), "
+            "dev AS (SELECT mu, n, y - mu AS e, lag(y, 1) OVER (ORDER BY d) - mu AS pe1, lag(y, 2) OVER (ORDER BY d) - mu AS pe2, lag(y, 3) OVER (ORDER BY d) - mu AS pe3, lag(y, 4) OVER (ORDER BY d) - mu AS pe4, lag(y, 5) OVER (ORDER BY d) - mu AS pe5, lag(y, 6) OVER (ORDER BY d) - mu AS pe6, lag(y, 7) OVER (ORDER BY d) - mu AS pe7 FROM daily CROSS JOIN m), "
+            "agg AS (SELECT max(mu) AS mu, max(n) AS n, sum(e * e) AS g0raw, sum(e * e1) AS g1, sum(e * e2) AS g2, sum(e * e3) AS g3, sum(e * e4) AS g4, sum(e * e5) AS g5, sum(e * e6) AS g6, sum(e * e7) AS g7 FROM (SELECT mu, n, e, pe1 AS e1, pe2 AS e2, pe3 AS e3, pe4 AS e4, pe5 AS e5, pe6 AS e6, pe7 AS e7 FROM dev)), "
+            "f AS (SELECT *, g0raw / n AS g0, greatest(g0raw / n + 2.0 * (1.0 - 1 / 8.0) * coalesce(g1, 0.0) / n + 2.0 * (1.0 - 2 / 8.0) * coalesce(g2, 0.0) / n + 2.0 * (1.0 - 3 / 8.0) * coalesce(g3, 0.0) / n + 2.0 * (1.0 - 4 / 8.0) * coalesce(g4, 0.0) / n + 2.0 * (1.0 - 5 / 8.0) * coalesce(g5, 0.0) / n + 2.0 * (1.0 - 6 / 8.0) * coalesce(g6, 0.0) / n + 2.0 * (1.0 - 7 / 8.0) * coalesce(g7, 0.0) / n, 0.0) AS var_hac FROM agg) "
+            "SELECT CAST(n AS BIGINT) AS n_days, round(mu, 6) AS mean, round(CASE WHEN n > 8 AND n > 1 THEN sqrt(g0 * n / (n - 1) / n) END, 6) AS se_naive, round(CASE WHEN n > 8 THEN sqrt(var_hac / n) END, 6) AS se_hac, round(CASE WHEN n > 8 AND g0 > 0 THEN sqrt(var_hac / n) / sqrt(g0 * n / (n - 1) / n) END, 6) AS ratio, round(CASE WHEN n > 8 THEN mu - 1.9599639845400545 * sqrt(var_hac / n) END, 6) AS ci95_lo, round(CASE WHEN n > 8 THEN mu + 1.9599639845400545 * sqrt(var_hac / n) END, 6) AS ci95_hi FROM f"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -2443,3 +2443,86 @@ def bowker_test(
         F.col("df_cells").cast("int").alias("df_cells"),
         F.round("_stat", round_dp).alias("bowker_stat"),
     )
+
+
+def hac_mean_ci(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Newey–West (HAC) standard error for the DAILY-series mean —
+    the CI to quote when :func:`durbin_watson` says the noise is NOT
+    iid (the naive s/√n interval is too narrow under positive
+    autocorrelation, which is exactly how seasonal KPIs generate
+    false alarms). Bartlett-kernel long-run variance with ``max_lag``
+    lags:
+
+        σ²_HAC = γ₀ + 2·Σ_{l=1..L} (1 − l/(L+1)) · γ_l
+        se = sqrt(σ²_HAC / n),    γ_l = Σ_t (x_t−x̄)(x_{t−l}−x̄) / n
+
+    Output: ONE row ``(n_days, mean, se_naive, se_hac, ratio,
+    ci95_lo, ci95_hi)`` — ``ratio`` = se_hac/se_naive is the "how
+    wrong was iid" factor. σ²_HAC is floored at 0 (the kernel
+    guarantees ≥ 0 analytically; fp noise can dip); NULL when
+    n ≤ max_lag + 1.
+
+    Scale shape: the fact collapses to one row per day in a single
+    hash aggregation; the mean joins back by broadcast and the L lag
+    autocovariances come from ONE bounded |days| window pass (the
+    :func:`~.profile.acf_lags` contract).
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("y")
+    )
+    m = daily.agg(
+        F.avg("y").alias("_mu"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    w = Window.orderBy("d")
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "_mu",
+        "_n",
+        (F.col("y") - F.col("_mu")).alias("e"),
+        *[
+            (F.lag("y", lag).over(w) - F.col("_mu")).alias(f"e{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    agg = dev.agg(
+        F.max("_mu").alias("mu"),
+        F.max("_n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("g0"),
+        *[
+            F.sum(F.col("e") * F.col(f"e{lag}")).alias(f"g{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("n")
+    g0 = F.col("g0") / n
+    var_hac = g0
+    for lag in range(1, max_lag + 1):
+        var_hac = var_hac + 2.0 * (
+            1.0 - lag / (max_lag + 1.0)
+        ) * F.coalesce(F.col(f"g{lag}"), F.lit(0.0)) / n
+    var_hac = F.greatest(var_hac, F.lit(0.0))
+    ok = n > (max_lag + 1)
+    se_naive = F.when(ok & (n > 1), F.sqrt(g0 * n / (n - 1) / n))
+    se_hac = F.when(ok, F.sqrt(var_hac / n))
+    z = 1.9599639845400545
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.round("mu", round_dp).alias("mean"),
+        F.round(se_naive, round_dp).alias("se_naive"),
+        F.round(se_hac, round_dp).alias("se_hac"),
+        F.round(
+            F.when(se_naive > 0, se_hac / se_naive), round_dp
+        ).alias("ratio"),
+        F.round(F.col("mu") - z * se_hac, round_dp).alias("ci95_lo"),
+        F.round(F.col("mu") + z * se_hac, round_dp).alias("ci95_hi"),
+    )
