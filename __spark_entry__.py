@@ -6866,6 +6866,18 @@ def q_hac_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
     return hac_mean_ci(ev, "ts", "one", max_lag=7)
 
 
+def q_wasserstein_1d(spark: SparkSession, sf: str) -> DataFrame:
+    """Earth-mover distance between open and fulfilled order totals
+    (operators/profile.py::wasserstein_1d): the magnitude-aware drift
+    statistic next to ks_test's sup gap — distinct-value windows,
+    never a global fact sort."""
+    from gbif_filter_python_spark.operators.profile import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf, "orders"), "o_orderstatus", "o_totalprice", "O", "F"
+    )
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7373,6 +7385,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gamma_assoc": q_gamma_assoc,
         "bowker_test": q_bowker_test,
         "hac_mean_ci": q_hac_mean_ci,
+        "wasserstein_1d": q_wasserstein_1d,
     }
 
 
@@ -12701,6 +12714,33 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT max(mu) AS mu, max(n) AS n, sum(e * e) AS g0raw, sum(e * e1) AS g1, sum(e * e2) AS g2, sum(e * e3) AS g3, sum(e * e4) AS g4, sum(e * e5) AS g5, sum(e * e6) AS g6, sum(e * e7) AS g7 FROM (SELECT mu, n, e, pe1 AS e1, pe2 AS e2, pe3 AS e3, pe4 AS e4, pe5 AS e5, pe6 AS e6, pe7 AS e7 FROM dev)), "
             "f AS (SELECT *, g0raw / n AS g0, greatest(g0raw / n + 2.0 * (1.0 - 1 / 8.0) * coalesce(g1, 0.0) / n + 2.0 * (1.0 - 2 / 8.0) * coalesce(g2, 0.0) / n + 2.0 * (1.0 - 3 / 8.0) * coalesce(g3, 0.0) / n + 2.0 * (1.0 - 4 / 8.0) * coalesce(g4, 0.0) / n + 2.0 * (1.0 - 5 / 8.0) * coalesce(g5, 0.0) / n + 2.0 * (1.0 - 6 / 8.0) * coalesce(g6, 0.0) / n + 2.0 * (1.0 - 7 / 8.0) * coalesce(g7, 0.0) / n, 0.0) AS var_hac FROM agg) "
             "SELECT CAST(n AS BIGINT) AS n_days, round(mu, 6) AS mean, round(CASE WHEN n > 8 AND n > 1 THEN sqrt(g0 * n / (n - 1) / n) END, 6) AS se_naive, round(CASE WHEN n > 8 THEN sqrt(var_hac / n) END, 6) AS se_hac, round(CASE WHEN n > 8 AND g0 > 0 THEN sqrt(var_hac / n) / sqrt(g0 * n / (n - 1) / n) END, 6) AS ratio, round(CASE WHEN n > 8 THEN mu - 1.9599639845400545 * sqrt(var_hac / n) END, 6) AS ci95_lo, round(CASE WHEN n > 8 THEN mu + 1.9599639845400545 * sqrt(var_hac / n) END, 6) AS ci95_hi FROM f"
+        ),
+        "wasserstein_1d": (
+            "WITH two AS (SELECT o_orderstatus AS g, "
+            "CAST(o_totalprice AS DOUBLE) AS v FROM orders "
+            "WHERE o_orderstatus IN ('O', 'F') "
+            "AND o_totalprice IS NOT NULL), "
+            "pv AS (SELECT v, "
+            "sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS cb "
+            "FROM two GROUP BY v), "
+            "c AS (SELECT v, "
+            "sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cuma, "
+            "sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cumb, "
+            "sum(ca) OVER () AS na, sum(cb) OVER () AS nb, "
+            "lead(v) OVER (ORDER BY v) AS nextv FROM pv), "
+            "seg AS (SELECT na, nb, max(v) - min(v) AS rng, "
+            "sum(CASE WHEN nextv IS NOT NULL THEN "
+            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
+            " * (nextv - v) ELSE 0.0 END) AS w1 "
+            "FROM c WHERE na > 0 AND nb > 0 GROUP BY na, nb) "
+            "SELECT CAST(na AS BIGINT) AS n_a, "
+            "CAST(nb AS BIGINT) AS n_b, "
+            "round(w1, 6) AS w1_distance, "
+            "round(CASE WHEN rng > 0 THEN w1 / rng END, 6) "
+            "AS w1_normalized FROM seg"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -3605,3 +3605,82 @@ def gamma_assoc(
         d.cast("long").alias("discordant_pairs"),
         F.round(gamma, round_dp).alias("gamma"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein (earth-mover) distance between two
+    groups' value distributions:
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+
+    over the pooled distinct values — the MAGNITUDE-aware member of
+    the drift family: :func:`ks_test` reports the worst single CDF
+    gap (scale-free, blind to how long the gap persists), PSI needs
+    bins, :func:`~.similarity` MMD needs a kernel; W₁ is "average
+    shift in value units", the number a cost model can consume
+    directly. Also emitted normalized by the pooled value RANGE
+    (``w1_normalized`` ∈ [0, 1]). Empty-group input yields an EMPTY
+    frame (same contract as ks_test).
+
+    Scale shape: the ks_test contract exactly — per-DISTINCT-value
+    conditional counts via one map-side-combined hash aggregation,
+    then CDF prefix sums, the lead-value gap and the Σ as windows
+    over the |distinct|-row table; the fact is never globally sorted.
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_val = two.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.orderBy("_v")
+    wall = Window.partitionBy()
+    cdfs = (
+        per_val.withColumn("_cuma", F.sum("_ca").over(w))
+        .withColumn("_cumb", F.sum("_cb").over(w))
+        .withColumn("n_a", F.sum("_ca").over(wall))
+        .withColumn("n_b", F.sum("_cb").over(wall))
+        .withColumn("_nextv", F.lead("_v").over(wlead))
+    )
+    gap = F.abs(
+        F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
+    )
+    seg = F.when(
+        F.col("_nextv").isNotNull(),
+        gap * (F.col("_nextv") - F.col("_v")),
+    ).otherwise(F.lit(0.0))
+    agg = (
+        cdfs.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(seg).alias("_w1"),
+            (F.max("_v") - F.min("_v")).alias("_rng"),
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("_w1", round_dp).alias("w1_distance"),
+        F.round(
+            F.when(F.col("_rng") > 0, F.col("_w1") / F.col("_rng")),
+            round_dp,
+        ).alias("w1_normalized"),
+    )

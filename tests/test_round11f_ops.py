@@ -64,3 +64,55 @@ def test_hac_too_short_yields_nulls(spark):
 def test_hac_rejects_bad_lag(spark):
     with pytest.raises(ValueError):
         hac_mean_ci(_daily(spark, [1, 2]), "ts", "y", max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_1d
+# ---------------------------------------------------------------------------
+
+from gbif_filter_python_spark.operators.profile import wasserstein_1d
+
+
+def _grp(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [
+        ("b", float(v)) for v in b_vals
+    ]
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_w1_pure_shift_equals_shift(spark):
+    df = _grp(spark, [1, 2, 3, 4], [3, 4, 5, 6])
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert r["w1_distance"] == pytest.approx(2.0, abs=1e-6)
+    assert r["w1_normalized"] == pytest.approx(2.0 / 5.0, abs=1e-6)
+
+
+def test_w1_identical_distributions_zero(spark):
+    df = _grp(spark, [1, 5, 9], [1, 5, 9])
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert r["w1_distance"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_w1_matches_sorted_replay_with_ties(spark):
+    a = [1, 1, 2, 7, 7, 9]
+    b = [2, 2, 3, 5, 9, 9]
+    df = _grp(spark, a, b)
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    # replay: integral of |ECDF diff| over segments between distinct
+    # pooled values
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    def ecdf(xs, x):
+        return bisect.bisect_right(sorted(xs), x) / len(xs)
+
+    w1 = sum(
+        abs(ecdf(a, v) - ecdf(b, v)) * (vals[i + 1] - v)
+        for i, v in enumerate(vals[:-1])
+    )
+    assert r["w1_distance"] == pytest.approx(w1, abs=1e-6)
+
+
+def test_w1_missing_group_empty_frame(spark):
+    df = _grp(spark, [1, 2], [])
+    assert wasserstein_1d(df, "g", "v", "a", "b").count() == 0
