@@ -6878,6 +6878,22 @@ def q_wasserstein_1d(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-feature drift dashboard between lineitem status cohorts
+    (operators/profile.py::drift_report): mean shift + KS sup-gap +
+    1-D Wasserstein for four numeric columns from ONE stacked scan,
+    windows partitioned by column."""
+    from gbif_filter_python_spark.operators.profile import drift_report
+
+    return drift_report(
+        _t(spark, sf, "lineitem"),
+        "l_linestatus",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "O",
+        "F",
+    ).orderBy("column")
+
+
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
@@ -7386,6 +7402,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowker_test": q_bowker_test,
         "hac_mean_ci": q_hac_mean_ci,
         "wasserstein_1d": q_wasserstein_1d,
+        "drift_report": q_drift_report,
     }
 
 
@@ -12741,6 +12758,41 @@ def oracle_sql() -> dict[str, str]:
             "round(w1, 6) AS w1_distance, "
             "round(CASE WHEN rng > 0 THEN w1 / rng END, 6) "
             "AS w1_normalized FROM seg"
+        ),
+        "drift_report": (
+            "WITH stacked AS (SELECT 'l_quantity' AS c, (l_linestatus = 'O') AS ia, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL UNION ALL SELECT 'l_extendedprice' AS c, (l_linestatus = 'O') AS ia, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL UNION ALL SELECT 'l_discount' AS c, (l_linestatus = 'O') AS ia, CAST(l_discount AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_discount IS NOT NULL UNION ALL SELECT 'l_tax' AS c, (l_linestatus = 'O') AS ia, CAST(l_tax AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_tax IS NOT NULL), "
+            "pv AS (SELECT c, v, "
+            "sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS cb, "
+            "sum(CASE WHEN ia THEN v ELSE 0.0 END) AS sa, "
+            "sum(CASE WHEN NOT ia THEN v ELSE 0.0 END) AS sb "
+            "FROM stacked GROUP BY c, v), "
+            "cd AS (SELECT *, "
+            "sum(ca) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, "
+            "sum(cb) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, "
+            "sum(ca) OVER (PARTITION BY c) AS na, "
+            "sum(cb) OVER (PARTITION BY c) AS nb, "
+            "lead(v) OVER (PARTITION BY c ORDER BY v) AS nextv "
+            "FROM pv), "
+            "g AS (SELECT c, CAST(max(na) AS BIGINT) AS n_a, "
+            "CAST(max(nb) AS BIGINT) AS n_b, "
+            "round(CASE WHEN max(na) > 0 THEN "
+            "sum(sa) / max(na) END, 2) AS mean_a, "
+            "round(CASE WHEN max(nb) > 0 THEN "
+            "sum(sb) / max(nb) END, 2) AS mean_b, "
+            "round(max(CASE WHEN na > 0 AND nb > 0 THEN "
+            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
+            " END), 6) AS ks_d, "
+            "round(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN "
+            "sum(CASE WHEN nextv IS NOT NULL THEN "
+            "(CASE WHEN na > 0 AND nb > 0 THEN "
+            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
+            " END) * (nextv - v) ELSE 0.0 END) END, 6) "
+            "AS w1_distance FROM cd GROUP BY c) "
+            "SELECT c AS column, n_a, n_b, mean_a, mean_b, ks_d, "
+            "w1_distance FROM g ORDER BY c"
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

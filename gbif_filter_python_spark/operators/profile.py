@@ -3684,3 +3684,106 @@ def wasserstein_1d(
             round_dp,
         ).alias("w1_normalized"),
     )
+
+
+def drift_report(
+    df: DataFrame,
+    group_col: str,
+    value_cols: list[str],
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-column drift table between two cohorts in ONE pass: for
+    every numeric column, the cohort means, the KS sup-gap
+    (:func:`ks_test`) and the 1-D Wasserstein distance
+    (:func:`wasserstein_1d`) — the per-feature drift dashboard a
+    training pipeline checks between two corpus snapshots before
+    trusting a refreshed mixture. Running the single-column ops k
+    times would scan the fact k times and serialize k single-order
+    windows; here the columns are STACKED into (column, value) rows
+    map-side, so there is ONE scan, one (column, value) hash-agg, and
+    every window is PARTITIONED BY COLUMN — k independent window
+    partitions instead of one global order, strictly more parallel
+    than the single-column form. One row per column ``(column, n_a,
+    n_b, mean_a, mean_b, ks_d, w1_distance)``; columns where either
+    cohort is empty yield NULL statistics.
+
+    Scale shape: scan → stack (k rows per fact row, map-side) →
+    (column, distinct value) hash-agg → per-column windows over
+    |distinct|-row partitions → one k-row result. NULL values
+    excluded per column.
+    """
+    from pyspark.sql import Window
+
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    stacked = two.select(
+        (F.col(group_col) == group_a).alias("_ia"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in value_cols
+                ]
+            )
+        ).alias("_s"),
+    ).select(
+        "_ia", F.col("_s.c").alias("_c"), F.col("_s.v").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    per_val = stacked.groupBy("_c", "_v").agg(
+        F.sum(F.col("_ia").cast("long")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("long")).alias("_cb"),
+        F.sum(F.when(F.col("_ia"), F.col("_v")).otherwise(0.0)).alias(
+            "_sa"
+        ),
+        F.sum(F.when(~F.col("_ia"), F.col("_v")).otherwise(0.0)).alias(
+            "_sb"
+        ),
+    )
+    w = Window.partitionBy("_c").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wc = Window.partitionBy("_c")
+    cdfs = (
+        per_val.withColumn("_cuma", F.sum("_ca").over(w))
+        .withColumn("_cumb", F.sum("_cb").over(w))
+        .withColumn("_na", F.sum("_ca").over(wc))
+        .withColumn("_nb", F.sum("_cb").over(wc))
+        .withColumn(
+            "_nextv", F.lead("_v").over(Window.partitionBy("_c").orderBy("_v"))
+        )
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    gap = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.abs(F.col("_cuma") / na - F.col("_cumb") / nb),
+    )
+    seg = F.when(
+        F.col("_nextv").isNotNull(), gap * (F.col("_nextv") - F.col("_v"))
+    ).otherwise(F.lit(0.0))
+    return (
+        cdfs.groupBy(F.col("_c").alias("column"))
+        .agg(
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+            F.round(
+                F.when(F.max("_na") > 0, F.sum("_sa") / F.max(na)), 2
+            ).alias("mean_a"),
+            F.round(
+                F.when(F.max("_nb") > 0, F.sum("_sb") / F.max(nb)), 2
+            ).alias("mean_b"),
+            F.round(F.max(gap), round_dp).alias("ks_d"),
+            F.round(
+                F.when(
+                    (F.max("_na") > 0) & (F.max("_nb") > 0), F.sum(seg)
+                ),
+                round_dp,
+            ).alias("w1_distance"),
+        )
+    )

@@ -116,3 +116,57 @@ def test_w1_matches_sorted_replay_with_ties(spark):
 def test_w1_missing_group_empty_frame(spark):
     df = _grp(spark, [1, 2], [])
     assert wasserstein_1d(df, "g", "v", "a", "b").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# drift_report
+# ---------------------------------------------------------------------------
+
+from gbif_filter_python_spark.operators.profile import (
+    drift_report,
+    ks_test,
+)
+
+
+def test_drift_report_matches_single_column_ops(spark):
+    rows = [
+        ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
+        ("b", 3.0, 10.0), ("b", 4.0, 20.0), ("b", 5.0, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r["column"]: r
+        for r in drift_report(df, "g", ["x", "y"], "a", "b").collect()
+    }
+    ks_x = ks_test(df, "g", "x", "a", "b").collect()[0]
+    w1_x = wasserstein_1d(df, "g", "x", "a", "b").collect()[0]
+    assert out["x"]["ks_d"] == ks_x["d_stat"]
+    assert out["x"]["w1_distance"] == w1_x["w1_distance"]
+    assert out["x"]["mean_a"] == pytest.approx(2.0)
+    assert out["x"]["mean_b"] == pytest.approx(4.0)
+    # identical column: zero drift
+    assert out["y"]["ks_d"] == pytest.approx(0.0)
+    assert out["y"]["w1_distance"] == pytest.approx(0.0)
+
+
+def test_drift_report_null_values_excluded_per_column(spark):
+    rows = [("a", 1.0, None), ("a", 2.0, 5.0), ("b", 3.0, 5.0)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r["column"]: r
+        for r in drift_report(df, "g", ["x", "y"], "a", "b").collect()
+    }
+    assert out["x"]["n_a"] == 2 and out["y"]["n_a"] == 1
+
+
+def test_drift_report_empty_cohort_nulls(spark):
+    rows = [("a", 1.0), ("a", 2.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = drift_report(df, "g", ["x"], "a", "b").collect()
+    assert out[0]["ks_d"] is None and out[0]["w1_distance"] is None
+
+
+def test_drift_report_rejects_empty_cols(spark):
+    df = spark.createDataFrame([("a", 1.0)], ["g", "x"])
+    with pytest.raises(ValueError):
+        drift_report(df, "g", [], "a", "b")
