@@ -72,3 +72,38 @@ def test_every_new_op_this_round_has_an_sf10_ladder_row():
         "gate (VERDICT r9 item 2: unladdered new ops are how the "
         "quadratic twonn/hubness shapes shipped)"
     )
+
+
+def test_batch_chain_is_a_refinement_chain():
+    """VERDICT r10 item 5's fix rests on one algebraic fact: every
+    element of bench._BATCH_CHAIN divides the next, so md5 % new_n
+    exactly REFINES md5 % old_n and a query's co-residents only ever
+    shrink as the registry grows. Lock it mechanically."""
+    chain = bench._BATCH_CHAIN
+    assert chain[0] == 6  # the r8-r10 historical base — never change
+    for a, b in zip(chain, chain[1:]):
+        assert b % a == 0, (a, b)
+
+
+def test_n_batches_bounds_every_batch_and_is_chain_member():
+    n = bench.n_batches()
+    assert n in bench._BATCH_CHAIN
+    names = bench.bench_query_names()
+    from collections import Counter
+
+    counts = Counter(bench.batch_of(q, n) for q in names)
+    assert max(counts.values()) <= bench.MAX_BATCH_QUERIES
+
+
+def test_refinement_preserves_old_coresidency():
+    """Any two queries sharing a batch at n_batches() also shared one
+    at EVERY smaller chain element — the cross-round comparability
+    guarantee stated in the module docstring."""
+    n = bench.n_batches()
+    names = bench.bench_query_names()[:40]
+    smaller = [c for c in bench._BATCH_CHAIN if c < n]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if bench.batch_of(a, n) == bench.batch_of(b, n):
+                for c in smaller:
+                    assert bench.batch_of(a, c) == bench.batch_of(b, c)
