@@ -12245,7 +12245,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
             " AS DOUBLE) AS x, "
             "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
-            "END) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "END) AS DOUBLE) AS y FROM events WHERE ts IS NOT NULL GROUP BY 1), "
             "l AS (SELECT y, lag(y) OVER (ORDER BY d) AS y1, "
             "lag(x) OVER (ORDER BY d) AS x1 FROM daily), "
             "f AS (SELECT * FROM l WHERE y1 IS NOT NULL "
@@ -12286,7 +12286,7 @@ def oracle_sql() -> dict[str, str]:
             "ssw / (nn - k) END AS msw FROM t) "
             "SELECT a.grp AS grp_a, b.grp AS grp_b, "
             "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, "
-            "round(a.m - b.m, 2) AS mean_diff, "
+            "round(a.m - b.m, 6) AS mean_diff, "
             "CAST(nn AS BIGINT) AS n_total, CAST(k AS INT) AS k_groups, "
             "round(CASE WHEN msw > 0 THEN abs(a.m - b.m) / "
             "sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)) END, 6) AS q_stat "
@@ -12417,7 +12417,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "durbin_watson": (
             "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
-            "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "CAST(count(*) AS DOUBLE) AS y FROM events WHERE ts IS NOT NULL GROUP BY 1), "
             "rk AS (SELECT CAST(row_number() OVER (ORDER BY d) "
             "AS DOUBLE) AS t, y FROM daily), "
             "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, "
@@ -12442,7 +12442,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "runs_test": (
             "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
-            "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "CAST(count(*) AS DOUBLE) AS y FROM events WHERE ts IS NOT NULL GROUP BY 1), "
             "md AS (SELECT median(y) AS m FROM daily), "
             "sides AS (SELECT d, y > m AS up FROM daily CROSS JOIN md "
             "WHERE y <> m), "
@@ -12725,7 +12725,7 @@ def oracle_sql() -> dict[str, str]:
             "round(stat, 6) AS bowker_stat FROM g CROSS JOIN t"
         ),
         "hac_mean_ci": (
-            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), "
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y FROM events WHERE ts IS NOT NULL GROUP BY 1), "
             "m AS (SELECT avg(y) AS mu, CAST(count(*) AS DOUBLE) AS n FROM daily), "
             "dev AS (SELECT mu, n, y - mu AS e, lag(y, 1) OVER (ORDER BY d) - mu AS pe1, lag(y, 2) OVER (ORDER BY d) - mu AS pe2, lag(y, 3) OVER (ORDER BY d) - mu AS pe3, lag(y, 4) OVER (ORDER BY d) - mu AS pe4, lag(y, 5) OVER (ORDER BY d) - mu AS pe5, lag(y, 6) OVER (ORDER BY d) - mu AS pe6, lag(y, 7) OVER (ORDER BY d) - mu AS pe7 FROM daily CROSS JOIN m), "
             "agg AS (SELECT max(mu) AS mu, max(n) AS n, sum(e * e) AS g0raw, sum(e * e1) AS g1, sum(e * e2) AS g2, sum(e * e3) AS g3, sum(e * e4) AS g4, sum(e * e5) AS g5, sum(e * e6) AS g6, sum(e * e7) AS g7 FROM (SELECT mu, n, e, pe1 AS e1, pe2 AS e2, pe3 AS e3, pe4 AS e4, pe5 AS e5, pe6 AS e6, pe7 AS e7 FROM dev)), "

@@ -2025,7 +2025,9 @@ def granger_causality(
     """
     from pyspark.sql import Window
 
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+    daily = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(
         F.sum(F.col(x_col).cast("double")).alias("x"),
         F.sum(F.col(y_col).cast("double")).alias("y"),
     )
@@ -2191,7 +2193,9 @@ def durbin_watson(
     """
     from pyspark.sql import Window
 
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+    daily = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(
         F.sum(F.col(value_col).cast("double")).alias("y")
     )
     ranked = daily.select(
@@ -2272,7 +2276,9 @@ def runs_test(
     """
     from pyspark.sql import Window
 
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+    daily = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(
         F.sum(F.col(value_col).cast("double")).alias("y")
     )
     med = daily.agg(
@@ -2477,7 +2483,9 @@ def hac_mean_ci(
 
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).agg(
+    daily = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("d")
+    ).agg(
         F.sum(F.col(value_col).cast("double")).alias("y")
     )
     m = daily.agg(

@@ -3198,7 +3198,7 @@ def tukey_hsd(
         F.col("b.grp").alias("grp_b"),
         F.col("a.n").alias("n_a"),
         F.col("b.n").alias("n_b"),
-        F.round(diff, 2).alias("mean_diff"),
+        F.round(diff, round_dp).alias("mean_diff"),
         F.col("nn").cast("long").alias("n_total"),
         F.col("k").cast("int").alias("k_groups"),
         F.round(
@@ -3344,8 +3344,16 @@ def friedman_test(
         F.col("sjj") - n * (k + 1) * F.col("sj") + k * n * n * (k + 1) * (k + 1) / 4.0
     )
     d_term = F.col("srr") - n * k * (k + 1) * (k + 1) / 4.0
+    # n_min is a consistency guard: complete-block filtering makes
+    # every treatment appear in exactly n blocks, so min(nb) == max(nb)
+    # by construction — NULL the statistic (rather than emit a silently
+    # wrong one) if that invariant is ever violated
     stat = F.when(
-        (k > 1) & (n > 1) & (d_term > 0), (k - 1) * s_term / d_term
+        (k > 1)
+        & (n > 1)
+        & (F.col("n_min") == n)
+        & (d_term > 0),
+        (k - 1) * s_term / d_term,
     )
     dropped = k_tab.select(
         F.col("n_all").cast("long").alias("_n_all")

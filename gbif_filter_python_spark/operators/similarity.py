@@ -1360,7 +1360,11 @@ def _round_half_away(a: np.ndarray, dp: int) -> np.ndarray:
 
 
 def _md5_sample(
-    corpus: DataFrame, n: int, id_col: str = "_cid", vec_col: str = "_cv"
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "_cid",
+    vec_col: str = "_cv",
+    extra_cols: tuple = (),
 ) -> list:
     """Deterministic fixed-COUNT sample: the first ``n`` rows in
     (md5(id) ASC, id ASC) order — the cross-engine-reproducible
@@ -1370,6 +1374,9 @@ def _md5_sample(
     item 1: the 20%-bucket fraction made twonn/hubness quadratic).
     Compiles to TakeOrderedAndProject: one scan, no full sort. The
     DuckDB twin is ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n``.
+    ``extra_cols`` ride along in the sampled rows (e.g. a label
+    column) so every sampling caller shares ONE deterministic-sample
+    contract instead of re-implementing the bounds/id checks.
     """
     if not 1 <= int(n) <= MAX_SAMPLE_N:
         raise ValueError(
@@ -1388,7 +1395,7 @@ def _md5_sample(
     return (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(int(n))
-        .select(id_col, vec_col)
+        .select(id_col, vec_col, *extra_cols)
         .collect()
     )
 
@@ -1851,21 +1858,7 @@ def knn_label_consistency(
         F.col(vec_col).alias("_cv"),
         F.col(label_col).alias("_cl"),
     ).filter(F.col("_cv").isNotNull() & F.col("_cl").isNotNull())
-    if not 1 <= int(sample_n) <= MAX_SAMPLE_N:
-        raise ValueError(
-            f"sample_n={sample_n} outside [1, {MAX_SAMPLE_N}]"
-        )
-    id_type = dict(corpus.dtypes)["_cid"]
-    if id_type not in _INTEGRAL_DTYPES:
-        raise TypeError(
-            f"id_col has type {id_type}; fingerprint string ids to "
-            "longs first (e.g. F.xxhash64)"
-        )
-    sample_rows = (
-        corpus.orderBy(F.md5(F.col("_cid").cast("string")), F.col("_cid"))
-        .limit(int(sample_n))
-        .collect()
-    )
+    sample_rows = _md5_sample(corpus, sample_n, extra_cols=("_cl",))
     qids = np.array([r["_cid"] for r in sample_rows], dtype=np.int64)
     qlabels = {int(r["_cid"]): r["_cl"] for r in sample_rows}
     qmat = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
