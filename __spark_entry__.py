@@ -12763,9 +12763,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH stacked AS (SELECT 'l_quantity' AS c, (l_linestatus = 'O') AS ia, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL UNION ALL SELECT 'l_extendedprice' AS c, (l_linestatus = 'O') AS ia, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL UNION ALL SELECT 'l_discount' AS c, (l_linestatus = 'O') AS ia, CAST(l_discount AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_discount IS NOT NULL UNION ALL SELECT 'l_tax' AS c, (l_linestatus = 'O') AS ia, CAST(l_tax AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_tax IS NOT NULL), "
             "pv AS (SELECT c, v, "
             "sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca, "
-            "sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS cb, "
-            "sum(CASE WHEN ia THEN v ELSE 0.0 END) AS sa, "
-            "sum(CASE WHEN NOT ia THEN v ELSE 0.0 END) AS sb "
+            "sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS cb "
             "FROM stacked GROUP BY c, v), "
             "cd AS (SELECT *, "
             "sum(ca) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN "
@@ -12779,9 +12777,9 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT c, CAST(max(na) AS BIGINT) AS n_a, "
             "CAST(max(nb) AS BIGINT) AS n_b, "
             "round(CASE WHEN max(na) > 0 THEN "
-            "sum(sa) / max(na) END, 2) AS mean_a, "
+            "sum(v * ca) / max(na) END, 6) AS mean_a, "
             "round(CASE WHEN max(nb) > 0 THEN "
-            "sum(sb) / max(nb) END, 2) AS mean_b, "
+            "sum(v * cb) / max(nb) END, 6) AS mean_b, "
             "round(max(CASE WHEN na > 0 AND nb > 0 THEN "
             "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
             " END), 6) AS ks_d, "

@@ -953,14 +953,17 @@ def rank_sum_test(
     z-line decision is what the report needs). NULL values excluded.
 
     Scale shape: ranks come from the DISTINCT-VALUE aggregate (cnt
-    per value + prefix cumsum over that |distinct|-row table), joined
-    back value-equi — the fact itself is never globally sorted, the
-    weighted_median/global-index contract. Average ranks are exact
+    per value + prefix cumsum over that |distinct|-row table) — and
+    since |distinct| ≈ n on a continuous metric, the cumsum runs
+    DISTRIBUTED via :func:`_distributed_cdf` (range-partitioned
+    prefix sums, broadcast offsets; exclusive "_before" is the
+    inclusive cum minus the row's own count — exact in longs), never
+    a single-partition window. ``_ta`` rides in cum_cols (its running
+    sum is unused) so both branch schemas stay identical and the
+    planner reuses one exchange. Average ranks are exact
     half-integers and the rank sums exact in double far past any
     realistic N; only z itself rounds.
     """
-    from pyspark.sql import Window
-
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -972,9 +975,8 @@ def rank_sum_test(
         F.count(F.lit(1)).alias("_t"),
         F.sum((F.col("_g") == group_a).cast("long")).alias("_ta"),
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_val.withColumn(
-        "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ranked = _distributed_cdf(per_val, ("_t", "_ta")).withColumn(
+        "_before", F.col("_cum_t") - F.col("_t")
     ).withColumn(
         "_avgrank", F.col("_before") + (F.col("_t") + 1) / 2.0
     )
@@ -1002,6 +1004,106 @@ def rank_sum_test(
     )
 
 
+def _distributed_cdf(
+    per_val: DataFrame,
+    cum_cols: tuple,
+    key_cols: tuple = (),
+) -> DataFrame:
+    """Distributed CDF machinery over a per-distinct-value table: for
+    every ``c`` in ``cum_cols`` attach ``_cum{c}`` (the inclusive
+    prefix sum in (key…, _v) order) and ``_tot{c}`` (the per-key
+    grand total), plus ``_nextv`` (the next distinct value within the
+    key, NULL at the key's maximum) — everything :func:`ks_test` /
+    :func:`wasserstein_1d` / :func:`drift_report` need, with NO
+    single-partition window over the value table.
+
+    Why it exists (round-11 review): the per-distinct-value table is
+    |distinct| rows, and on a CONTINUOUS double at 100 TB |distinct|
+    ≈ n — a bare ``Window.orderBy(_v)`` would sort the world on one
+    executor. This is the :func:`weighted_quantiles` distributed
+    prefix-sum pattern instead: ``repartitionByRange(key…, _v)``
+    gives a total order across partitions; ``spark_partition_id()``
+    tags each row's range partition and a ROWS-frame per-(partition,
+    key) window computes the local cumulative; per-(partition,
+    key) totals — a TINY agg, ≤ shuffle.partitions × |keys| rows —
+    become exclusive prefix offsets and per-key grand totals,
+    broadcast back, so ``cum = offset + local_cum``. ``_nextv`` is
+    the in-partition lead patched at partition boundaries with the
+    next partition's first value from the same broadcast. The only
+    unordered-by-key window runs over the tiny totals table. Both
+    consumers of the range shuffle (local cums and totals) read the
+    SAME exchange — planner exchange reuse keeps the upstream fact
+    scan at one (plan-tested in tests/test_round12_plans.py).
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    order = keys + ["_v"]
+    # (key…, _v) is UNIQUE in a per-distinct-value table, so _v is a
+    # total order within (partition, key) and no monotonic row id /
+    # pre-sort is needed (unlike weighted_quantiles, whose values
+    # repeat): the windows sort by _v themselves, and the totals
+    # branch aggregates the reused range shuffle without any sort.
+    parts = per_val.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id().cast("long")
+    )
+    wloc = Window.partitionBy("_pid", *keys).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = parts
+    for c in cum_cols:
+        local = local.withColumn(f"_lc{c}", F.sum(c).over(wloc))
+    local = local.withColumn(
+        "_leadv",
+        F.lead("_v").over(Window.partitionBy("_pid", *keys).orderBy("_v")),
+    )
+    # totals come from the WINDOW OUTPUT (the partition-local cum at
+    # the partition's max value IS the partition total via max_by),
+    # not from a separate agg over `parts`: aggregating `parts` would
+    # let column pruning give the totals branch a NARROWER schema
+    # under the range exchange (drift_report carries _sa/_sb for the
+    # means), which defeats exchange reuse and re-scans the fact
+    totals = local.groupBy("_pid", *keys).agg(
+        F.min("_v").alias("_firstv"),
+        *[
+            F.expr(f"max_by(_lc{c}, _v)").alias(f"_pt{c}")
+            for c in cum_cols
+        ],
+    )
+    wkey = Window.partitionBy(*keys)
+    woff = wkey.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "_pid",
+        *keys,
+        *[
+            F.coalesce(F.sum(f"_pt{c}").over(woff), F.lit(0)).alias(
+                f"_off{c}"
+            )
+            for c in cum_cols
+        ],
+        *[
+            F.sum(f"_pt{c}").over(wkey).alias(f"_tot{c}")
+            for c in cum_cols
+        ],
+        F.lead("_firstv").over(wkey.orderBy("_pid")).alias("_nextfirst"),
+    )
+    out = local.join(F.broadcast(offs), ["_pid"] + keys)
+    for c in cum_cols:
+        out = out.withColumn(f"_cum{c}", F.col(f"_off{c}") + F.col(f"_lc{c}"))
+    out = out.withColumn(
+        "_nextv", F.coalesce(F.col("_leadv"), F.col("_nextfirst"))
+    )
+    return out.drop(
+        "_pid",
+        "_leadv",
+        "_nextfirst",
+        *[f"_lc{c}" for c in cum_cols],
+        *[f"_off{c}" for c in cum_cols],
+    )
+
+
 def ks_test(
     df: DataFrame,
     group_col: str,
@@ -1021,15 +1123,15 @@ def ks_test(
     choices and rank-sum only sees location shift; D reacts to ANY
     CDF divergence with a binning-free statistic.
 
-    Scale shape: the rank_sum_test contract — per-DISTINCT-value
-    counts via one map-side-combined hash aggregation, then the CDF
-    prefix sums and the sup run as windows over that |distinct|-row
-    table; the fact is never globally sorted. Both CDFs step at
+    Scale shape: per-DISTINCT-value counts via one map-side-combined
+    hash aggregation, then the CDF prefix sums run DISTRIBUTED via
+    :func:`_distributed_cdf` (the weighted_quantiles range-partition
+    + offset-broadcast pattern) — no single-partition window anywhere,
+    even when the value column is continuous and |distinct| ≈ n (the
+    round-11 review's 100×-scale caveat, fixed). Both CDFs step at
     pooled values (ties included), so the sup is exact, not
     grid-sampled. NULL values excluded pairwise.
     """
-    from pyspark.sql import Window
-
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -1041,23 +1143,19 @@ def ks_test(
         F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
         F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
     )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    cdfs = per_val.withColumn("_cuma", F.sum("_ca").over(w)).withColumn(
-        "_cumb", F.sum("_cb").over(w)
-    ).withColumn("n_a", F.sum("_ca").over(wall)).withColumn(
-        "n_b", F.sum("_cb").over(wall)
-    )
+    cdfs = _distributed_cdf(per_val, ("_ca", "_cb"))
     gap = F.abs(
-        F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
+        F.col("_cum_ca") / F.col("_tot_ca")
+        - F.col("_cum_cb") / F.col("_tot_cb")
     )
     # an entirely-absent sample has no defined statistic: return an
     # EMPTY frame, not a NaN-laden row (0/0 double division is NaN)
     agg = (
-        cdfs.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
-        .groupBy("n_a", "n_b")
+        cdfs.filter((F.col("_tot_ca") > 0) & (F.col("_tot_cb") > 0))
+        .groupBy(
+            F.col("_tot_ca").alias("n_a"),
+            F.col("_tot_cb").alias("n_b"),
+        )
         .agg(F.max(gap).alias("_d"))
     )
     na = F.col("n_a").cast("double")
@@ -1235,13 +1333,19 @@ def spearman_corr(
     )
 
     def _rank_map(col: str) -> DataFrame:
-        per = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return per.withColumn(
-            "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
-        ).select(
-            col,
-            (F.col("_before") + (F.col("_t") + 1) / 2.0).alias(f"_r{col}"),
+        # distributed average-rank map (no single-partition window
+        # over the |distinct|-row table — see _distributed_cdf): the
+        # exclusive before-count is the inclusive cum minus the row's
+        # own count, both exact in longs
+        per = pairs.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_t")
+        )
+        return _distributed_cdf(per, ("_t",)).select(
+            F.col("_v").alias(col),
+            (
+                (F.col("_cum_t") - F.col("_t"))
+                + (F.col("_t") + 1) / 2.0
+            ).alias(f"_r{col}"),
         )
 
     ranked = pairs.join(_rank_map("_x"), "_x").join(_rank_map("_y"), "_y")
@@ -1282,31 +1386,28 @@ def auc_by_group(
 
     Scale shape: the :func:`rank_sum_test` discipline per group —
     ranks come from the DISTINCT-(group, score) aggregate (count +
-    positives per value, prefix cumsum over the per-group value
-    table), so the fact is never globally sorted and the windows span
-    |distinct scores| rows per group, not the fact. Rank sums are
+    positives per value), and the per-group prefix cumsum runs
+    DISTRIBUTED via :func:`_distributed_cdf` keyed by group: a single
+    group's continuous-score value table is still ~n/k rows at 100 TB,
+    so even the group-partitioned window would serialize — range
+    partitioning on (group, score) spreads it instead. Rank sums are
     exact half-integers; only auc rounds.
     """
-    from pyspark.sql import Window
-
     rows = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(score_col).cast("double").alias("_s"),
+        F.col(score_col).cast("double").alias("_v"),
         (F.col(label_col).cast("double") != 0.0).cast("long").alias("_y"),
     )
-    per_val = rows.groupBy("_g", "_s").agg(
+    per_val = rows.groupBy("_g", "_v").agg(
         F.count(F.lit(1)).alias("_t"),
         F.sum("_y").alias("_tp"),
     )
-    w = (
-        Window.partitionBy("_g")
-        .orderBy("_s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = per_val.withColumn(
-        "_before", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ranked = _distributed_cdf(
+        per_val, ("_t", "_tp"), key_cols=("_g",)
+    ).withColumn(
+        "_before", F.col("_cum_t") - F.col("_t")
     ).withColumn("_avgrank", F.col("_before") + (F.col("_t") + 1) / 2.0)
     agg = ranked.groupBy("_g").agg(
         F.sum("_tp").alias("n_pos"),
@@ -3640,11 +3741,12 @@ def wasserstein_1d(
 
     Scale shape: the ks_test contract exactly — per-DISTINCT-value
     conditional counts via one map-side-combined hash aggregation,
-    then CDF prefix sums, the lead-value gap and the Σ as windows
-    over the |distinct|-row table; the fact is never globally sorted.
+    then the CDF prefix sums AND the lead-value gap run DISTRIBUTED
+    via :func:`_distributed_cdf` (range-partitioned prefix sums with
+    broadcast offsets; partition-boundary leads patched from the same
+    broadcast) — no single-partition window even on continuous
+    columns where |distinct| ≈ n (round-11 review fix).
     """
-    from pyspark.sql import Window
-
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -3656,28 +3758,21 @@ def wasserstein_1d(
         F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
         F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
     )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wlead = Window.orderBy("_v")
-    wall = Window.partitionBy()
-    cdfs = (
-        per_val.withColumn("_cuma", F.sum("_ca").over(w))
-        .withColumn("_cumb", F.sum("_cb").over(w))
-        .withColumn("n_a", F.sum("_ca").over(wall))
-        .withColumn("n_b", F.sum("_cb").over(wall))
-        .withColumn("_nextv", F.lead("_v").over(wlead))
-    )
+    cdfs = _distributed_cdf(per_val, ("_ca", "_cb"))
     gap = F.abs(
-        F.col("_cuma") / F.col("n_a") - F.col("_cumb") / F.col("n_b")
+        F.col("_cum_ca") / F.col("_tot_ca")
+        - F.col("_cum_cb") / F.col("_tot_cb")
     )
     seg = F.when(
         F.col("_nextv").isNotNull(),
         gap * (F.col("_nextv") - F.col("_v")),
     ).otherwise(F.lit(0.0))
     agg = (
-        cdfs.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
-        .groupBy("n_a", "n_b")
+        cdfs.filter((F.col("_tot_ca") > 0) & (F.col("_tot_cb") > 0))
+        .groupBy(
+            F.col("_tot_ca").alias("n_a"),
+            F.col("_tot_cb").alias("n_b"),
+        )
         .agg(
             F.sum(seg).alias("_w1"),
             (F.max("_v") - F.min("_v")).alias("_rng"),
@@ -3718,12 +3813,13 @@ def drift_report(
     cohort is empty yield NULL statistics.
 
     Scale shape: scan → stack (k rows per fact row, map-side) →
-    (column, distinct value) hash-agg → per-column windows over
-    |distinct|-row partitions → one k-row result. NULL values
-    excluded per column.
+    (column, distinct value) hash-agg → DISTRIBUTED per-column CDF
+    prefix sums via :func:`_distributed_cdf` keyed by column (range
+    partitioning on (column, value); a column whose |distinct| ≈ n —
+    any continuous double at 100 TB — spreads over ALL partitions
+    instead of serializing into one ordered task, the round-11 review
+    fix) → one k-row result. NULL values excluded per column.
     """
-    from pyspark.sql import Window
-
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
@@ -3743,34 +3839,22 @@ def drift_report(
     ).select(
         "_ia", F.col("_s.c").alias("_c"), F.col("_s.v").alias("_v")
     ).filter(F.col("_v").isNotNull())
+    # the per-value table carries ONLY (_c, _v, _ca, _cb): the cohort
+    # means are recoverable as Σ v·count(v) in the final reduce, and
+    # keeping extra sum columns out of per_val keeps BOTH consumers'
+    # pruned schemas identical, which is what lets the planner reuse
+    # one exchange (and therefore one fact scan) across the
+    # local-cumulative and totals branches of _distributed_cdf
     per_val = stacked.groupBy("_c", "_v").agg(
         F.sum(F.col("_ia").cast("long")).alias("_ca"),
         F.sum((~F.col("_ia")).cast("long")).alias("_cb"),
-        F.sum(F.when(F.col("_ia"), F.col("_v")).otherwise(0.0)).alias(
-            "_sa"
-        ),
-        F.sum(F.when(~F.col("_ia"), F.col("_v")).otherwise(0.0)).alias(
-            "_sb"
-        ),
     )
-    w = Window.partitionBy("_c").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wc = Window.partitionBy("_c")
-    cdfs = (
-        per_val.withColumn("_cuma", F.sum("_ca").over(w))
-        .withColumn("_cumb", F.sum("_cb").over(w))
-        .withColumn("_na", F.sum("_ca").over(wc))
-        .withColumn("_nb", F.sum("_cb").over(wc))
-        .withColumn(
-            "_nextv", F.lead("_v").over(Window.partitionBy("_c").orderBy("_v"))
-        )
-    )
-    na = F.col("_na").cast("double")
-    nb = F.col("_nb").cast("double")
+    cdfs = _distributed_cdf(per_val, ("_ca", "_cb"), key_cols=("_c",))
+    na = F.col("_tot_ca").cast("double")
+    nb = F.col("_tot_cb").cast("double")
     gap = F.when(
-        (F.col("_na") > 0) & (F.col("_nb") > 0),
-        F.abs(F.col("_cuma") / na - F.col("_cumb") / nb),
+        (F.col("_tot_ca") > 0) & (F.col("_tot_cb") > 0),
+        F.abs(F.col("_cum_ca") / na - F.col("_cum_cb") / nb),
     )
     seg = F.when(
         F.col("_nextv").isNotNull(), gap * (F.col("_nextv") - F.col("_v"))
@@ -3778,18 +3862,27 @@ def drift_report(
     return (
         cdfs.groupBy(F.col("_c").alias("column"))
         .agg(
-            F.max("_na").cast("long").alias("n_a"),
-            F.max("_nb").cast("long").alias("n_b"),
+            F.max("_tot_ca").cast("long").alias("n_a"),
+            F.max("_tot_cb").cast("long").alias("n_b"),
             F.round(
-                F.when(F.max("_na") > 0, F.sum("_sa") / F.max(na)), 2
+                F.when(
+                    F.max("_tot_ca") > 0,
+                    F.sum(F.col("_v") * F.col("_ca")) / F.max(na),
+                ),
+                round_dp,
             ).alias("mean_a"),
             F.round(
-                F.when(F.max("_nb") > 0, F.sum("_sb") / F.max(nb)), 2
+                F.when(
+                    F.max("_tot_cb") > 0,
+                    F.sum(F.col("_v") * F.col("_cb")) / F.max(nb),
+                ),
+                round_dp,
             ).alias("mean_b"),
             F.round(F.max(gap), round_dp).alias("ks_d"),
             F.round(
                 F.when(
-                    (F.max("_na") > 0) & (F.max("_nb") > 0), F.sum(seg)
+                    (F.max("_tot_ca") > 0) & (F.max("_tot_cb") > 0),
+                    F.sum(seg),
                 ),
                 round_dp,
             ).alias("w1_distance"),
