@@ -6879,10 +6879,11 @@ def q_wasserstein_1d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-feature drift dashboard between lineitem status cohorts
+    """Whole-schema drift dashboard between lineitem status cohorts
     (operators/profile.py::drift_report): mean shift + KS sup-gap +
-    1-D Wasserstein for four numeric columns from ONE stacked scan,
-    windows partitioned by column."""
+    1-D Wasserstein for four numeric columns PLUS chi-square/PSI for
+    the categorical return flag, all from ONE stacked scan with
+    distributed per-column CDF prefix sums."""
     from gbif_filter_python_spark.operators.profile import drift_report
 
     return drift_report(
@@ -6891,6 +6892,7 @@ def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "O",
         "F",
+        cat_cols=["l_returnflag"],
     ).orderBy("column")
 
 
@@ -12760,37 +12762,7 @@ def oracle_sql() -> dict[str, str]:
             "AS w1_normalized FROM seg"
         ),
         "drift_report": (
-            "WITH stacked AS (SELECT 'l_quantity' AS c, (l_linestatus = 'O') AS ia, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL UNION ALL SELECT 'l_extendedprice' AS c, (l_linestatus = 'O') AS ia, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL UNION ALL SELECT 'l_discount' AS c, (l_linestatus = 'O') AS ia, CAST(l_discount AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_discount IS NOT NULL UNION ALL SELECT 'l_tax' AS c, (l_linestatus = 'O') AS ia, CAST(l_tax AS DOUBLE) AS v FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_tax IS NOT NULL), "
-            "pv AS (SELECT c, v, "
-            "sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca, "
-            "sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS cb "
-            "FROM stacked GROUP BY c, v), "
-            "cd AS (SELECT *, "
-            "sum(ca) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN "
-            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, "
-            "sum(cb) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN "
-            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, "
-            "sum(ca) OVER (PARTITION BY c) AS na, "
-            "sum(cb) OVER (PARTITION BY c) AS nb, "
-            "lead(v) OVER (PARTITION BY c ORDER BY v) AS nextv "
-            "FROM pv), "
-            "g AS (SELECT c, CAST(max(na) AS BIGINT) AS n_a, "
-            "CAST(max(nb) AS BIGINT) AS n_b, "
-            "round(CASE WHEN max(na) > 0 THEN "
-            "sum(v * ca) / max(na) END, 6) AS mean_a, "
-            "round(CASE WHEN max(nb) > 0 THEN "
-            "sum(v * cb) / max(nb) END, 6) AS mean_b, "
-            "round(max(CASE WHEN na > 0 AND nb > 0 THEN "
-            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
-            " END), 6) AS ks_d, "
-            "round(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN "
-            "sum(CASE WHEN nextv IS NOT NULL THEN "
-            "(CASE WHEN na > 0 AND nb > 0 THEN "
-            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
-            " END) * (nextv - v) ELSE 0.0 END) END, 6) "
-            "AS w1_distance FROM cd GROUP BY c) "
-            "SELECT c AS column, n_a, n_b, mean_a, mean_b, ks_d, "
-            "w1_distance FROM g ORDER BY c"
+            "WITH stacked AS (SELECT 'l_quantity' AS c, 'num' AS k, (l_linestatus = 'O') AS ia, CAST(l_quantity AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS s FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL UNION ALL SELECT 'l_extendedprice' AS c, 'num' AS k, (l_linestatus = 'O') AS ia, CAST(l_extendedprice AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS s FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL UNION ALL SELECT 'l_discount' AS c, 'num' AS k, (l_linestatus = 'O') AS ia, CAST(l_discount AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS s FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_discount IS NOT NULL UNION ALL SELECT 'l_tax' AS c, 'num' AS k, (l_linestatus = 'O') AS ia, CAST(l_tax AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS s FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_tax IS NOT NULL UNION ALL SELECT 'l_returnflag' AS c, 'cat' AS k, (l_linestatus = 'O') AS ia, CAST(NULL AS DOUBLE) AS v, CAST(l_returnflag AS VARCHAR) AS s FROM lineitem WHERE l_linestatus IN ('O', 'F') AND l_returnflag IS NOT NULL), pv AS (SELECT c, k, v, s, sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca, sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS cb FROM stacked GROUP BY c, k, v, s), cd AS (SELECT *, sum(ca) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, sum(cb) OVER (PARTITION BY c ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, sum(ca) OVER (PARTITION BY c) AS na, sum(cb) OVER (PARTITION BY c) AS nb, lead(v) OVER (PARTITION BY c ORDER BY v) AS nextv FROM pv), g AS (SELECT c, k, CAST(sum(ca) AS DOUBLE) AS sna, CAST(sum(cb) AS DOUBLE) AS snb, CAST(count(*) AS DOUBLE) AS klev, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS n_levels, sum(v * ca) AS sva, sum(v * cb) AS svb, max(CASE WHEN na > 0 AND nb > 0 THEN abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) END) AS ksd, sum(CASE WHEN nextv IS NOT NULL THEN (CASE WHEN na > 0 AND nb > 0 THEN abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) END) * (nextv - v) ELSE 0.0 END) AS w1, sum(CAST(ca AS DOUBLE) * ca / (ca + cb)) AS schi, sum((ca + 0.5) * ln((ca + 0.5) / (cb + 0.5))) AS pa, sum((cb + 0.5) * ln((ca + 0.5) / (cb + 0.5))) AS pb FROM cd GROUP BY c, k) SELECT c AS \"column\", CASE WHEN k = 'num' THEN 'numeric' ELSE 'categorical' END AS kind, n_a, n_b, n_levels, round(CASE WHEN k = 'num' AND sna > 0 THEN sva / sna END, 6) AS mean_a, round(CASE WHEN k = 'num' AND snb > 0 THEN svb / snb END, 6) AS mean_b, round(CASE WHEN k = 'num' THEN ksd END, 6) AS ks_d, round(CASE WHEN k = 'num' AND sna > 0 AND snb > 0 THEN w1 END, 6) AS w1_distance, round(CASE WHEN k = 'cat' AND sna > 0 AND snb > 0 THEN (sna + snb) * (sna + snb) / (sna * snb) * schi - (sna + snb) * sna / snb END, 6) AS chi2, round(CASE WHEN k = 'cat' AND sna > 0 AND snb > 0 THEN pa / (sna + 0.5 * klev) - pb / (snb + 0.5 * klev) END, 6) AS psi FROM g ORDER BY \"column\""
         ),
         # kmeans_clusters / multimodal_features / media_resize /
         # audio_stats: non-SQL-expressible (Lloyd iteration,

@@ -3796,95 +3796,160 @@ def drift_report(
     group_a: str,
     group_b: str,
     round_dp: int = 6,
+    cat_cols: list[str] | tuple = (),
 ) -> DataFrame:
-    """Multi-column drift table between two cohorts in ONE pass: for
-    every numeric column, the cohort means, the KS sup-gap
+    """Whole-schema drift table between two cohorts in ONE pass: for
+    every NUMERIC column the cohort means, the KS sup-gap
     (:func:`ks_test`) and the 1-D Wasserstein distance
-    (:func:`wasserstein_1d`) — the per-feature drift dashboard a
-    training pipeline checks between two corpus snapshots before
-    trusting a refreshed mixture. Running the single-column ops k
-    times would scan the fact k times and serialize k single-order
-    windows; here the columns are STACKED into (column, value) rows
-    map-side, so there is ONE scan, one (column, value) hash-agg, and
-    every window is PARTITIONED BY COLUMN — k independent window
-    partitions instead of one global order, strictly more parallel
-    than the single-column form. One row per column ``(column, n_a,
-    n_b, mean_a, mean_b, ks_d, w1_distance)``; columns where either
-    cohort is empty yield NULL statistics.
+    (:func:`wasserstein_1d`); for every CATEGORICAL column
+    (``cat_cols``) the 2xk Pearson chi-square and the smoothed PSI —
+    the per-feature drift dashboard a training pipeline checks
+    between two corpus snapshots before trusting a refreshed mixture,
+    now covering string features too (round-11 review item 4).
 
-    Scale shape: scan → stack (k rows per fact row, map-side) →
-    (column, distinct value) hash-agg → DISTRIBUTED per-column CDF
+    One row per column ``(column, kind, n_a, n_b, n_levels, mean_a,
+    mean_b, ks_d, w1_distance, chi2, psi)``; the stats of the other
+    kind are NULL, as are all stats when either cohort is empty.
+    ``n_levels`` counts distinct observed values (levels for
+    categorical, distinct values for numeric).
+
+    * ``chi2`` uses the 2xk closed form that needs ONLY per-level
+      sums: with d_l = ca_l - n_a t_l / n and e-expansion,
+      chi2 = n^2/(n_a n_b) * (sum_l ca_l^2 / t_l) - n n_a / n_b —
+      algebraically identical to sum (o-e)^2/e over both cohort rows.
+    * ``psi`` is additive-smoothed (eps = 0.5 per level, the Laplace
+      convention, so levels seen in only one cohort stay finite):
+      with p_l = (ca_l+eps)/(n_a+eps k), q_l = (cb_l+eps)/(n_b+eps k),
+      psi = sum (p_l - q_l) ln(p_l/q_l), computed as
+      A/(n_a+eps k) - B/(n_b+eps k) where A = sum (ca_l+eps) L_l,
+      B = sum (cb_l+eps) L_l, L_l = ln((ca_l+eps)/(cb_l+eps)) — the
+      ln(n_a+eps k) cross-terms cancel because sum(p-q) = 0. Again
+      pure per-level sums.
+
+    Scale shape: scan -> stack (k rows per fact row, map-side) ->
+    ONE (column, value, level) hash-agg -> DISTRIBUTED per-column CDF
     prefix sums via :func:`_distributed_cdf` keyed by column (range
-    partitioning on (column, value); a column whose |distinct| ≈ n —
+    partitioning on (column, value); a column whose |distinct| ~ n —
     any continuous double at 100 TB — spreads over ALL partitions
     instead of serializing into one ordered task, the round-11 review
-    fix) → one k-row result. NULL values excluded per column.
+    fix) -> one row per column. Categorical rows ride the SAME
+    pipeline (their CDF columns are unused garbage — both chi2 and
+    psi reduce to plain aggregates, see above), so adding categorical
+    coverage costs zero extra scans, branches or joins; the plan test
+    pins scan count at one. NULL values excluded per column.
     """
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
+    overlap = set(value_cols) & set(cat_cols)
+    if overlap:
+        raise ValueError(f"columns in both value_cols and cat_cols: {sorted(overlap)}")
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.lit("num").alias("k"),
+            F.col(c).cast("double").alias("v"),
+            F.lit(None).cast("string").alias("s"),
+        )
+        for c in value_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.lit("cat").alias("k"),
+            F.lit(None).cast("double").alias("v"),
+            F.col(c).cast("string").alias("s"),
+        )
+        for c in cat_cols
+    ]
     stacked = two.select(
         (F.col(group_col) == group_a).alias("_ia"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for c in value_cols
-                ]
-            )
-        ).alias("_s"),
+        F.explode(F.array(*structs)).alias("_s"),
     ).select(
-        "_ia", F.col("_s.c").alias("_c"), F.col("_s.v").alias("_v")
-    ).filter(F.col("_v").isNotNull())
-    # the per-value table carries ONLY (_c, _v, _ca, _cb): the cohort
-    # means are recoverable as Σ v·count(v) in the final reduce, and
-    # keeping extra sum columns out of per_val keeps BOTH consumers'
-    # pruned schemas identical, which is what lets the planner reuse
-    # one exchange (and therefore one fact scan) across the
-    # local-cumulative and totals branches of _distributed_cdf
-    per_val = stacked.groupBy("_c", "_v").agg(
+        "_ia",
+        F.col("_s.c").alias("_c"),
+        F.col("_s.k").alias("_k"),
+        F.col("_s.v").alias("_v"),
+        F.col("_s.s").alias("_lv"),
+    ).filter(F.col("_v").isNotNull() | F.col("_lv").isNotNull())
+    # the per-value table carries ONLY (_c, _k, _v, _lv, _ca, _cb):
+    # the cohort means are recoverable as sum(v*count) in the final
+    # reduce, and keeping extra sum columns out of per_val keeps BOTH
+    # consumers' pruned schemas identical, which is what lets the
+    # planner reuse one exchange (and therefore one fact scan) across
+    # the local-cumulative and totals branches of _distributed_cdf
+    per_val = stacked.groupBy("_c", "_k", "_v", "_lv").agg(
         F.sum(F.col("_ia").cast("long")).alias("_ca"),
         F.sum((~F.col("_ia")).cast("long")).alias("_cb"),
     )
     cdfs = _distributed_cdf(per_val, ("_ca", "_cb"), key_cols=("_c",))
-    na = F.col("_tot_ca").cast("double")
-    nb = F.col("_tot_cb").cast("double")
+    tna = F.col("_tot_ca").cast("double")
+    tnb = F.col("_tot_cb").cast("double")
     gap = F.when(
         (F.col("_tot_ca") > 0) & (F.col("_tot_cb") > 0),
-        F.abs(F.col("_cum_ca") / na - F.col("_cum_cb") / nb),
+        F.abs(F.col("_cum_ca") / tna - F.col("_cum_cb") / tnb),
     )
     seg = F.when(
         F.col("_nextv").isNotNull(), gap * (F.col("_nextv") - F.col("_v"))
     ).otherwise(F.lit(0.0))
+    # final per-column reduce: cohort sizes as plain sums (the _tot
+    # columns are garbage for categorical rows, whose window order is
+    # all-tied), every statistic gated on the column kind
+    is_num = F.col("_k") == "num"
+    na = F.sum("_ca").cast("double")
+    nb = F.sum("_cb").cast("double")
+    n = na + nb
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    t = ca + cb
+    eps = F.lit(0.5)
+    klev = F.count(F.lit(1)).cast("double")
+    lnr = F.log((ca + eps) / (cb + eps))
+    chi2 = (
+        n * n / (na * nb) * F.sum(ca * ca / t) - n * na / nb
+    )
+    psi = F.sum((ca + eps) * lnr) / (na + eps * klev) - F.sum(
+        (cb + eps) * lnr
+    ) / (nb + eps * klev)
+    both = (na > 0) & (nb > 0)
     return (
-        cdfs.groupBy(F.col("_c").alias("column"))
+        cdfs.groupBy(F.col("_c").alias("column"), F.col("_k").alias("_k"))
         .agg(
-            F.max("_tot_ca").cast("long").alias("n_a"),
-            F.max("_tot_cb").cast("long").alias("n_b"),
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_levels"),
             F.round(
                 F.when(
-                    F.max("_tot_ca") > 0,
-                    F.sum(F.col("_v") * F.col("_ca")) / F.max(na),
+                    is_num & (na > 0),
+                    F.sum(F.col("_v") * F.col("_ca")) / na,
                 ),
                 round_dp,
             ).alias("mean_a"),
             F.round(
                 F.when(
-                    F.max("_tot_cb") > 0,
-                    F.sum(F.col("_v") * F.col("_cb")) / F.max(nb),
+                    is_num & (nb > 0),
+                    F.sum(F.col("_v") * F.col("_cb")) / nb,
                 ),
                 round_dp,
             ).alias("mean_b"),
-            F.round(F.max(gap), round_dp).alias("ks_d"),
+            F.round(F.when(is_num, F.max(gap)), round_dp).alias("ks_d"),
             F.round(
-                F.when(
-                    (F.max("_tot_ca") > 0) & (F.max("_tot_cb") > 0),
-                    F.sum(seg),
-                ),
-                round_dp,
+                F.when(is_num & both, F.sum(seg)), round_dp
             ).alias("w1_distance"),
+            F.round(F.when(~is_num & both, chi2), round_dp).alias("chi2"),
+            F.round(F.when(~is_num & both, psi), round_dp).alias("psi"),
+        )
+        .select(
+            "column",
+            F.when(is_num, F.lit("numeric"))
+            .otherwise(F.lit("categorical"))
+            .alias("kind"),
+            "n_a",
+            "n_b",
+            "n_levels",
+            "mean_a",
+            "mean_b",
+            "ks_d",
+            "w1_distance",
+            "chi2",
+            "psi",
         )
     )

@@ -169,11 +169,14 @@ def test_drift_report_runtime_single_scan(lineitem):
         ["l_quantity", "l_extendedprice"],
         "O",
         "F",
+        cat_cols=["l_returnflag"],
     )
     # collect() (not count()) so THIS DataFrame's adaptive plan
     # executes and finalizes — count() runs a different wrapped query
     # and leaves df's own plan at isFinalPlan=false with no reuse yet
-    assert len(df.collect()) == 2
+    # (categorical chi2/psi must ride the SAME single scan: both
+    # reduce to per-level sums in the one final aggregation)
+    assert len(df.collect()) == 3
     final = _final_section(explain_str(df, "simple"))
     assert "ReusedExchange" in final, final
     assert final.count("FileScan parquet") == 1, final
