@@ -233,6 +233,150 @@ def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), int(rate)
 
 
+def encode_png(gray: np.ndarray) -> bytes:
+    """Grayscale float array in [0, 1] → 8-bit grayscale PNG bytes
+    (color type 0, filter 0 scanlines, one zlib IDAT chunk).
+
+    stdlib-only (struct + zlib): like :func:`encode_bmp`, the encoder
+    exists so tests and pipelines can fabricate REAL compressed image
+    payloads without PIL; :func:`decode_png_bytes` round-trips it to
+    within 1/255 quantization.
+    """
+    import struct
+    import zlib
+
+    a = np.asarray(gray, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError(f"expected (h, w) gray array, got shape {a.shape}")
+    h, w = a.shape
+    v = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in v)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) grayscale float32 in [0, 1] — a REAL
+    compressed-format decode with no codec library (round-11 review
+    item 3: the multimodal path previously handled only the repo's own
+    uncompressed BMP/WAV/AVI codecs): zlib is stdlib, and the PNG
+    container is struct-parseable, so 8-bit gray / gray+alpha / RGB /
+    RGBA, non-interlaced PNGs — what ``PIL.Image.save(..., 'png')``
+    emits for those modes — decode exactly.
+
+    Implements the full scanline unfilter set (None/Sub/Up/Average/
+    Paeth per the PNG spec §9); Up and None are vectorized, the
+    left-dependent filters run a per-pixel loop over the row — fine
+    for the thumbnail-scale media this pipeline processes (decode is
+    already the documented slow path, batched behind mapInPandas).
+    Unsupported shapes raise with a named reason: 16-bit depth,
+    palette color (needs PLTE handling), interlace (Adam7).
+    Color collapses via the Rec.601 luma weights, gray+alpha drops
+    alpha — matching :func:`decode_bmp_bytes`.
+    """
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < len(sig) + 25 or payload[: len(sig)] != sig:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = len(sig)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data_off = pos + 8
+        if data_off + length + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", payload, data_off)
+        elif typ == b"IDAT":
+            idat += payload[data_off : data_off + length]
+        elif typ == b"IEND":
+            break
+        pos = data_off + length + 4
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if ctype == 3:
+        raise ValueError("palette PNG (color type 3) not supported")
+    if ctype not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG (Adam7) not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected "
+            f"{(stride + 1) * h}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dep
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = int(prev[x])
+                if ftype == 1:
+                    rec[x] = (cur[x] + left) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, ch).astype(np.float64)
+    if ctype in (0, 4):
+        gray = px[:, :, 0]
+    else:
+        gray = (
+            px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        )
+    return (gray / 255.0).astype(np.float32)
+
+
 def _fake_pixels(payload: bytes, side: int) -> np.ndarray:
     """Deterministic stand-in decoder: payload hash → pseudo-pixels.
 
@@ -256,23 +400,27 @@ def decode_images(
     height columns).
 
     ``codec="bmp"`` is a REAL pure-NumPy decode of uncompressed BMP
-    payloads (:func:`decode_bmp_bytes`) — native dimensions per row,
-    ``side`` ignored. ``codec=None`` keeps the legacy contract:
+    payloads (:func:`decode_bmp_bytes`); ``codec="png"`` is a REAL
+    stdlib-zlib decode of 8-bit gray/RGB/RGBA PNG payloads
+    (:func:`decode_png_bytes`) — native dimensions per row, ``side``
+    ignored for both. ``codec=None`` keeps the legacy contract:
     deterministic ``(side, side)`` stub when ``fake=True``, else
-    ``NotImplementedError`` (compressed formats need PIL/libvips,
+    ``NotImplementedError`` (JPEG and friends need PIL/libvips,
     absent in this container).
 
     mapInPandas either way: one Arrow batch of payloads per
     invocation; output schema is fixed so downstream plans bind
     statically.
     """
-    if codec not in (None, "bmp"):
-        raise ValueError(f"codec must be None or 'bmp', got {codec!r}")
+    if codec not in (None, "bmp", "png"):
+        raise ValueError(
+            f"codec must be None, 'bmp' or 'png', got {codec!r}"
+        )
     if codec is None and not fake:
         raise NotImplementedError(
-            "real decoding of compressed images needs PIL/libvips, not "
-            "present in this container; use codec='bmp' for real "
-            "uncompressed-BMP payloads or fake=True for the stub"
+            "real decoding of JPEG-class images needs PIL/libvips, not "
+            "present in this container; use codec='bmp'/'png' for real "
+            "payloads in those formats or fake=True for the stub"
         )
     out_schema = StructType(
         [
@@ -286,8 +434,9 @@ def decode_images(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "bmp":
-                grays = [decode_bmp_bytes(p) for p in pdf[payload_col]]
+            if codec in ("bmp", "png"):
+                dec = decode_bmp_bytes if codec == "bmp" else decode_png_bytes
+                grays = [dec(p) for p in pdf[payload_col]]
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col].astype("int64"),

@@ -116,3 +116,167 @@ def test_drift_report_cat_null_levels_excluded(spark):
         ).collect()
     }["s"]
     assert s["n_a"] == 1 and s["n_b"] == 1 and s["n_levels"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib — the first compressed media format)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+from gbif_filter_python_spark.multimodal.binary_ops import (
+    decode_png_bytes,
+    encode_png,
+)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(px: np.ndarray, ctype: int, filters: list) -> bytes:
+    """Hand-filter an (h, w, ch) uint8 array per PNG spec §9 and wrap
+    it in a minimal PNG container — the forward transform the decoder
+    must invert, written independently of the encoder under test."""
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * ch):
+            left = int(line[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - up
+            elif f == 3:
+                v = line[x] - (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_gray():
+    rng = np.random.default_rng(7)
+    img = rng.random((13, 9))
+    got = decode_png_bytes(encode_png(img))
+    assert got.shape == (13, 9)
+    assert np.abs(got - img).max() <= 1.0 / 255 + 1e-6
+
+
+def test_png_all_filter_types_unfilter_exactly():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    payload = _build_png(px, ctype=0, filters=[0, 1, 2, 3, 4])
+    got = decode_png_bytes(payload)
+    assert np.array_equal(
+        np.rint(got * 255).astype(np.uint8), px[:, :, 0]
+    )
+
+
+def test_png_rgb_and_rgba_collapse_to_rec601_luma():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    want = (
+        rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    ) / 255.0
+    got = decode_png_bytes(_build_png(rgb, ctype=2, filters=[4, 3, 1, 2]))
+    assert np.abs(got - want).max() < 1e-6
+    rgba = np.concatenate(
+        [rgb, np.full((4, 6, 1), 200, dtype=np.uint8)], axis=2
+    )
+    got4 = decode_png_bytes(_build_png(rgba, ctype=6, filters=[0, 4, 2, 1]))
+    assert np.abs(got4 - want).max() < 1e-6
+
+
+def test_png_gray_alpha_drops_alpha():
+    rng = np.random.default_rng(5)
+    ga = rng.integers(0, 256, size=(3, 3, 2), dtype=np.uint8)
+    got = decode_png_bytes(_build_png(ga, ctype=4, filters=[1, 4, 3]))
+    assert np.array_equal(
+        np.rint(got * 255).astype(np.uint8), ga[:, :, 0]
+    )
+
+
+def test_png_named_rejections():
+    img = np.zeros((2, 2, 1), dtype=np.uint8)
+    ok = _build_png(img, 0, [0, 0])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_bytes(b"BM" + ok)
+    # 16-bit depth: rebuilt with a valid container, not CRC-poked
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_bytes(p16)
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    ppal = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_pal)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png_bytes(ppal)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    pi = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png_bytes(pi)
+
+
+def test_decode_images_png_distributed_matches_direct(spark):
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_images,
+    )
+
+    imgs = {
+        i: _fake_pixels(str(i).encode(), 6 + i) for i in range(1, 4)
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in decode_images(media, codec="png").collect()
+    }
+    for i, a in imgs.items():
+        r = out[i]
+        assert (r.height, r.width) == a.shape
+        got = np.array(r.pixels, dtype=np.float64).reshape(a.shape)
+        assert np.abs(got - a).max() <= 1.0 / 255 + 1e-6

@@ -463,7 +463,7 @@ class TestMultimodal:
         assert np.abs(got - want).max() <= 1.0 / 255 + 1e-5
         # eager validation of unknown codecs; compressed BMPs refuse
         with pytest.raises(ValueError, match="codec"):
-            decode_images(media, codec="png")
+            decode_images(media, codec="jpeg")
 
     def test_real_wav_decode_feeds_audio_features_exactly(self, spark):
         """REAL WAV path: a constructed ±0.5 square wave has
