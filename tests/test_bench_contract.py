@@ -107,3 +107,37 @@ def test_refinement_preserves_old_coresidency():
             if bench.batch_of(a, n) == bench.batch_of(b, n):
                 for c in smaller:
                     assert bench.batch_of(a, c) == bench.batch_of(b, c)
+
+
+def test_superlinear_ladder_lines_carry_named_cause_notes():
+    """VERDICT r11 item 2: the sf10 ladder contract is ANNOTATED
+    ladders — any line whose sf10/sf0.1 ratio exceeds 3x (a 100x data
+    step, so 3x is generously sub-linear) must carry a non-empty
+    ``notes[query]`` string naming the cause, or super-linear shapes
+    ship with a timing nobody has to explain (r9/r10 annotated every
+    such line; r11's artifacts initially regressed to bare numbers).
+    Applies from round 11 on so historical artifacts stay untouched."""
+    for path in glob.glob(os.path.join(REPO, "BENCH_sf10*_r*.json")):
+        base = os.path.basename(path)
+        round_no = int(base.rsplit("_r", 1)[1].split(".")[0])
+        if round_no < 11:
+            continue
+        with open(path) as fh:
+            art = json.load(fh)
+        t = art.get("timings", {})
+        if "sf0.1" not in t or "sf10" not in t:
+            continue
+        notes = art.get("notes", {})
+        missing = []
+        for q, v01 in t["sf0.1"].items():
+            v10 = t["sf10"].get(q)
+            if v10 is None or not v01 or v01 <= 0:
+                continue
+            if v10 / v01 > 3 and not str(notes.get(q, "")).strip():
+                missing.append((q, round(v10 / v01, 1)))
+        assert not missing, (
+            f"{base}: ladder lines {missing} scale >3x from sf0.1 to "
+            "sf10 but have no named-cause entry in the artifact's "
+            "'notes' dict — annotate (sub-linear-vs-data? known "
+            "shape? regression?) before committing the artifact"
+        )
