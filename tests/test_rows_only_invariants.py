@@ -347,3 +347,42 @@ def test_heavy_lines_rotate_through_driver_window():
         for r in range(anchor, anchor + cycle):
             covered |= set(entry_mod.planned_window(r))
         assert set(entry_mod.HEAVY_QUERIES) <= covered
+
+
+def test_heavy_recurrence_gap_bounded_over_long_horizon():
+    """VERDICT r11 item 7: the cycle-coverage test above proves each
+    heavy name appears once per cycle from an anchor; this one pins
+    the stronger per-name property the freshness cadence actually
+    needs — simulating 3 full cycles of future rounds, the gap
+    between CONSECUTIVE driver witnesses of every heavy name stays
+    <= ceil(len(HEAVY_QUERIES)/HEAVY_QUOTA) (= 6 today), i.e. the
+    most expensive plans are never more than one cycle stale no
+    matter how the fresh/stale slots shift between rounds."""
+    import math
+
+    reg = set(entry_mod._registry())
+    heavy = [n for n in entry_mod.HEAVY_QUERIES if n in reg]
+    cycle = math.ceil(len(heavy) / entry_mod.HEAVY_QUOTA)
+    start = max(entry_mod.CURRENT_ROUND, entry_mod._HEAVY_ANCHOR)
+    horizon = start + 3 * cycle
+    last: dict[str, int] = {}
+    worst: dict[str, int] = {}
+    for r in range(start, horizon + 1):
+        win = set(entry_mod.planned_window(r))
+        for n in heavy:
+            if n in win:
+                if n in last:
+                    worst[n] = max(worst.get(n, 0), r - last[n])
+                last[n] = r
+    stale = {
+        n: g for n, g in worst.items() if g > cycle
+    }
+    never_twice = [n for n in heavy if n not in worst]
+    assert not stale, (
+        f"heavy names exceed the {cycle}-round recurrence bound: "
+        f"{stale} — raise HEAVY_QUOTA or split the window by cost tier"
+    )
+    assert not never_twice, (
+        f"heavy names witnessed fewer than twice in {horizon - start} "
+        f"simulated rounds: {never_twice}"
+    )
