@@ -571,3 +571,43 @@ class TestCusum:
         assert got[59][0] > 8.0  # hi fires after the shift
         assert got[20][1] > 8.0  # lo fires in the low regime
         assert got[59][1] == 0.0  # lo fully drained by the tail
+
+
+def test_cogroup_asof_matches_jvm_asof_on_events_corpus(spark, sf001_dir):
+    """VERDICT r11 item 6: cogroup_asof retires from the registry (it
+    was 10 s of the all-queries sweep for a documented applyInPandas
+    teaching demo); THIS differential keeps its coverage — the
+    per-user pandas merge_asof and the production JVM window as-of
+    must produce identical (click, purchase) matches over the real
+    events corpus, the exact pipeline the retired registry query ran."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.operators.cogroup import (
+        asof_merge_cogrouped,
+    )
+    from gbif_filter_python_spark.operators.temporal import asof_join
+    from gbif_filter_python_spark.sources.io import read_table
+
+    events = read_table(spark, sf001_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    jvm = {
+        (r["event_id"], r["user_id"]): r["purchase_id"]
+        for r in asof_join(clicks, purchases, on="user_id")
+        .select("event_id", "user_id", "purchase_id")
+        .collect()
+    }
+    py = {
+        (r["event_id"], r["user_id"]): r["purchase_id"]
+        for r in asof_merge_cogrouped(clicks, purchases, on="user_id")
+        .select("event_id", "user_id", "purchase_id")
+        .collect()
+    }
+    assert len(jvm) > 0
+    assert py == jvm
