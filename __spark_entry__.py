@@ -1303,6 +1303,103 @@ def q_png_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL lossy-codec decode as a full oracle row (the round-11
+    review's #1 named gap: "a real 100 TB multimodal corpus is
+    JPEG-first"): deterministic pseudo-pixels → baseline-JPEG encode
+    inside an executor-side mapInPandas (variable native dimensions,
+    per-row quality 80-95, restart markers on every other row) →
+    ``decode_images(codec="jpeg")`` (marker parse + Huffman entropy
+    decode + dequant + IDCT, multimodal/binary_ops.py::
+    decode_jpeg_bytes) → JVM-side 16-bin feature pooling —
+    differentially checked per media id against a straight-line NumPy
+    recompute of the identical encode→decode→pool over the same ids
+    (no Spark). ``match`` verifies all 16 pooled features agree to
+    1e-9, i.e. the distributed path (Arrow batching, mapInPandas
+    schemas, binary columns, higher-order pooling) is byte-equivalent
+    to calling the codec directly. The codec itself is independently
+    cross-validated against the JVM's javax.imageio in
+    tests/test_jpeg_jvm_crossval.py. Capped at doc_id < 120 to bound
+    the driver-side reference. Oracle states the SQL-knowable frame:
+    one (media_id, 16, true) row per document."""
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+    import numpy as np
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_images,
+        decode_jpeg_bytes,
+        encode_jpeg,
+        extract_features,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cap = 120
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _payload(doc_id: int, text: str) -> bytes:
+        return encode_jpeg(
+            _fake_pixels(text.encode("utf-8"), 8 + doc_id % 5),
+            quality=80 + doc_id % 16,
+            restart_interval=doc_id % 2,
+        )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                _payload(int(i), t) for i, t in zip(ids, pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        _encode, schema=media_schema
+    )
+    feats = extract_features(decode_images(media, codec="jpeg"))
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        gray = decode_jpeg_bytes(_payload(int(r["doc_id"]), r["text"]))
+        px = gray.ravel()
+        chunk = px.size // 16
+        ref = [
+            float(np.sum(px[i * chunk : (i + 1) * chunk], dtype=np.float64))
+            / chunk
+            for i in range(16)
+        ]
+        ref_rows.append((r["doc_id"], ref))
+    ref_df = spark.createDataFrame(
+        ref_rows, "media_id long, ref array<double>"
+    )
+    return feats.join(F.broadcast(ref_df), "media_id").select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        (
+            (F.size("features") == F.size("ref"))
+            & F.forall(
+                F.zip_with(
+                    "features", "ref", lambda a, b: F.abs(a - b) < 1e-9
+                ),
+                lambda x: x,
+            )
+        ).alias("match"),
+    )
+
+
 def q_streaming_window_parity(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming/batch parity as a driver-witnessed oracle row
     (VERDICT r11 item 5 — makes streaming/ count in the external
@@ -2534,28 +2631,6 @@ def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return char_entropy(docs)
-
-
-def q_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
-    """The cogrouped (applyInPandas) twin of q_asof_purchase: per-user
-    pandas merge_asof of clicks against deduped purchases. Same oracle
-    as the JVM-side as-of join — the two paths are differentially
-    checked against each other in tests/test_temporal.py."""
-    from gbif_filter_python_spark.operators.cogroup import (
-        asof_merge_cogrouped,
-    )
-
-    events = _t(spark, sf, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("purchase_id"))
-    )
-    joined = asof_merge_cogrouped(clicks, purchases, on="user_id")
-    return joined.select("event_id", "user_id", "purchase_id")
 
 
 def q_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -7083,7 +7158,7 @@ def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
@@ -7123,7 +7198,10 @@ _WITNESS_ANCHOR = 8
 _HEAVY_ANCHOR = 10
 HEAVY_QUOTA = 5
 HEAVY_QUERIES = [
-    "cogroup_asof",
+    # cogroup_asof retired from the registry in r12 (VERDICT r11
+    # item 6): the applyInPandas teaching demo now lives as a pytest
+    # differential against the production JVM as-of
+    # (tests/test_temporal.py::test_cogroup_asof_matches_jvm_asof_...)
     "leakage_split",
     "ivf_pq_topk",
     "minhash_dedup_components",
@@ -7408,7 +7486,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_quantiles": q_kll_value_quantiles,
         "approx_top_terms": q_approx_top_terms,
         "trailing_window": q_trailing_window,
-        "cogroup_asof": q_cogroup_asof,
         "mixture_sample": q_mixture_sample,
         "bloom_join": q_bloom_join,
         "cdc_apply": q_cdc_apply,
@@ -7589,6 +7666,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hac_mean_ci": q_hac_mean_ci,
         "wasserstein_1d": q_wasserstein_1d,
         "drift_report": q_drift_report,
+        "png_features": q_png_features,
+        "jpeg_features": q_jpeg_features,
+        "streaming_window_parity": q_streaming_window_parity,
     }
 
 
@@ -10941,15 +11021,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n) AS BIGINT) AS n_chars_counted "
             "FROM cnt GROUP BY doc_id"
         ),
-        "cogroup_asof": (
-            "SELECT c.event_id, c.user_id, p.purchase_id FROM "
-            "(SELECT event_id, user_id, ts FROM events "
-            " WHERE event_type = 'click') c "
-            "ASOF LEFT JOIN "
-            "(SELECT user_id, ts, max(event_id) AS purchase_id FROM events "
-            " WHERE event_type = 'purchase' GROUP BY user_id, ts) p "
-            "ON c.user_id = p.user_id AND c.ts >= p.ts"
-        ),
         "variant_extract": (
             "SELECT event_type, count(*) AS n, "
             "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) "
@@ -11381,6 +11452,10 @@ def oracle_sql() -> dict[str, str]:
             "true AS match FROM documents WHERE doc_id < 500"
         ),
         "png_features": (
+            "SELECT doc_id AS media_id, 16 AS n_features, "
+            "true AS match FROM documents WHERE doc_id < 120"
+        ),
+        "jpeg_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "
             "true AS match FROM documents WHERE doc_id < 120"
         ),

@@ -116,10 +116,10 @@ BENCH_QUERIES = [
     # NOT near_dup_exact: the O(n²) exact baseline is a correctness
     # oracle (sf0.01), not a headline query — the LSH variant is the
     # scale path.
-    # NOT cogroup_asof: the applyInPandas per-key merge_asof is the
-    # documented Python escape hatch; its JVM twin asof_purchase
-    # (union + window scan, one shuffle) is the production path and
-    # is the headline entry (differentially tested against it).
+    # cogroup_asof (the applyInPandas per-key merge_asof escape
+    # hatch) retired from the registry in r12 — coverage lives in
+    # tests/test_temporal.py as a differential against its JVM twin
+    # asof_purchase, which remains the headline production path.
     "near_dup_lsh",
     # Corpus-prep additions (round 2): split/scrub/TF-IDF/leak-check/
     # quantization — the LLM-pipeline ops a 100 TB corpus runs nightly.
@@ -270,15 +270,10 @@ STDOUT_BUDGET = 1900
 #: every round (the sweep must cover every registry query) but
 #: reported under their own "non_headline" stdout block instead of
 #: "queries" — readers of the artifact take "queries" to be the
-#: headline lines, and these two were designed out of the headline
-#: set from the start (VERDICT r9 item 3: cogroup_asof kept reading
-#: as the most expensive headline line every round even though the
-#: curated subtotal already excluded it).
+#: headline lines, and these were designed out of the headline set
+#: from the start (VERDICT r9 item 3; cogroup_asof, the other
+#: original member, retired from the registry entirely in r12).
 NON_HEADLINE = {
-    "cogroup_asof": (
-        "applyInPandas escape-hatch demo; JVM twin asof_purchase is "
-        "the production path (differentially tested against it)"
-    ),
     "near_dup_exact": (
         "O(n²) exact verification baseline for the LSH scale path"
     ),

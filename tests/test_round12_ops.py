@@ -280,3 +280,149 @@ def test_decode_images_png_distributed_matches_direct(spark):
         assert (r.height, r.width) == a.shape
         got = np.array(r.pixels, dtype=np.float64).reshape(a.shape)
         assert np.abs(got - a).max() <= 1.0 / 255 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (the "a real 100 TB multimodal corpus is
+# JPEG-first" gap named by the round-11 review): own Huffman + DCT,
+# no codec library. The decoder is validated three independent ways —
+# against the repo's own encoder (round-trip / fixed-point), against
+# hand-built bitstream variations (restart markers), and against the
+# JVM's javax.imageio codec (test_jpeg_jvm_crossval.py), a fully
+# independent implementation that ships inside the Spark runtime.
+# ---------------------------------------------------------------------------
+
+from gbif_filter_python_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_jpeg_bytes,
+    encode_jpeg,
+)
+
+
+def test_jpeg_roundtrip_shapes_and_quality_ladder():
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (16, 24), (9, 13), (1, 1), (31, 17)]:
+        img = rng.random(shape)
+        prev_err = None
+        for q in (50, 85, 95):
+            got = decode_jpeg_bytes(encode_jpeg(img, quality=q))
+            assert got.shape == shape
+            err = float(np.abs(got - img).max())
+            # lossy, but bounded and (up to per-image rounding luck
+            # at already-tiny errors) improving with q
+            assert err < 0.35
+            if prev_err is not None:
+                assert err <= prev_err + 2e-3
+            prev_err = err
+
+
+def test_jpeg_smooth_image_reconstructs_closely():
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = (np.sin(x / 10) + np.cos(y / 13) + 2) / 4
+    got = decode_jpeg_bytes(encode_jpeg(smooth, quality=95))
+    assert float(np.abs(got - smooth).max()) < 0.02
+
+
+def test_jpeg_recompression_is_near_stationary():
+    """Re-encoding decoded pixels at the same quality must leave them
+    (almost) unchanged: the decoded blocks sit at reconstruction
+    points of the same quantizer, so the only drift is the uint8
+    re-rounding of the continuous IDCT output nudging a borderline
+    coefficient by one step — bounded well under one gray level of
+    additional error per generation. Any real error in either
+    direction (DCT scaling, zigzag, Huffman tables, EXTEND) blows
+    this bound up immediately."""
+    rng = np.random.default_rng(3)
+    img = rng.random((24, 40))
+    d1 = decode_jpeg_bytes(encode_jpeg(img, quality=85))
+    d2 = decode_jpeg_bytes(encode_jpeg(d1, quality=85))
+    assert float(np.abs(d2 - d1).max()) <= 2.0 / 255
+    # and on DCT-sparse content the fixed point is exact
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = (np.sin(x / 10) + np.cos(y / 13) + 2) / 4
+    s1 = decode_jpeg_bytes(encode_jpeg(smooth, quality=85))
+    s2 = decode_jpeg_bytes(encode_jpeg(s1, quality=85))
+    assert np.array_equal(s1, s2)
+
+
+def test_jpeg_restart_markers_change_bytes_not_pixels():
+    """restart_interval re-chunks the entropy stream (byte-aligned
+    RSTn every N MCUs, DC predictor reset) without touching the
+    coefficients — so payload bytes differ, decoded pixels are
+    IDENTICAL arrays, and the DRI path in the decoder is exercised."""
+    rng = np.random.default_rng(5)
+    img = rng.random((16, 32))  # 2x4 = 8 MCUs
+    plain = encode_jpeg(img, quality=85)
+    restarted = encode_jpeg(img, quality=85, restart_interval=2)
+    assert plain != restarted
+    assert b"\xff\xdd" in restarted and b"\xff\xd0" in restarted
+    assert np.array_equal(
+        decode_jpeg_bytes(plain), decode_jpeg_bytes(restarted)
+    )
+
+
+def test_jpeg_entropy_stream_byte_stuffing_is_exercised():
+    """0xFF bytes inside the entropy stream must be stuffed with 0x00
+    on encode and unstuffed on decode. Scan a pool of payloads for a
+    stuffed pair between SOS and EOI to prove the path actually ran
+    (random 64x64 noise makes one effectively certain), then round-trip
+    that payload."""
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        img = rng.random((64, 64))
+        payload = encode_jpeg(img, quality=95)
+        sos = payload.index(b"\xff\xda")
+        if b"\xff\x00" in payload[sos:-2]:
+            got = decode_jpeg_bytes(payload)
+            assert got.shape == (64, 64)
+            assert float(np.abs(got - img).max()) < 0.35
+            return
+    raise AssertionError("no payload exercised byte stuffing")
+
+
+def test_jpeg_named_rejections():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_bytes(b"\x89PNG\r\n\x1a\n")
+    rng = np.random.default_rng(9)
+    ok = encode_jpeg(rng.random((16, 32)), quality=95)
+    # flip SOF0 -> SOF2 (progressive): same container, named refusal
+    sof = ok.index(b"\xff\xc0")
+    prog = ok[:sof] + b"\xff\xc2" + ok[sof + 2 :]
+    with pytest.raises(ValueError, match="progressive|coding process"):
+        decode_jpeg_bytes(prog)
+    # 12-bit precision: named refusal
+    deep = bytearray(ok)
+    deep[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg_bytes(bytes(deep))
+    # truncated entropy stream: loud, not a silent partial image
+    with pytest.raises(ValueError, match="exhausted|MCUs"):
+        decode_jpeg_bytes(ok[:-20])
+
+
+def test_decode_images_jpeg_distributed_matches_direct(spark):
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_images,
+    )
+
+    imgs = {
+        i: _fake_pixels(str(i).encode(), 8 + i) for i in range(1, 4)
+    }
+    payloads = {
+        i: encode_jpeg(a, quality=90, restart_interval=i % 2)
+        for i, a in imgs.items()
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "media_id long, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in decode_images(media, codec="jpeg").collect()
+    }
+    for i, a in imgs.items():
+        r = out[i]
+        assert (r.height, r.width) == a.shape
+        got = np.array(r.pixels, dtype=np.float32).reshape(a.shape)
+        want = decode_jpeg_bytes(payloads[i])
+        assert np.array_equal(got, want)  # distributed == direct, exact

@@ -461,9 +461,10 @@ class TestMultimodal:
         want = imgs[1].reshape(4, 2, 4, 2).mean(axis=(1, 3))
         got = np.array(resized[1].pixels).reshape(4, 4)
         assert np.abs(got - want).max() <= 1.0 / 255 + 1e-5
-        # eager validation of unknown codecs; compressed BMPs refuse
+        # eager validation of unknown codecs (jpeg graduated to a real
+        # decoder in r12; mp4 stays unknown)
         with pytest.raises(ValueError, match="codec"):
-            decode_images(media, codec="jpeg")
+            decode_images(media, codec="mp4")
 
     def test_real_wav_decode_feeds_audio_features_exactly(self, spark):
         """REAL WAV path: a constructed ±0.5 square wave has
