@@ -1400,6 +1400,98 @@ def q_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jpeg_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END multimodal near-dup pipeline over REAL lossy
+    payloads — the 100 TB corpus-dedup shape run at test scale:
+    240 documents carry one of 40 planted images, each RE-ENCODED
+    per-document at a different JPEG quality (80-95, restart markers
+    on every other row), so same-class payload BYTES all differ and
+    exact/byte dedup finds nothing. The pipeline must recover the
+    classes anyway: mapInPandas JPEG encode → ``decode_images(
+    codec="jpeg")`` (real Huffman+IDCT decode) → ``dhash_images``
+    (64-bit perceptual difference hash over pooled gradients) →
+    hash-groupBy dedup. Planted images are trinary coarse fields
+    (horizontally-adjacent 4x4 cells differ by >=0.35) so every dhash
+    gradient sign carries a JPEG-proof margin — measured worst pooled
+    margin 0.337 across the full quality sweep, 40/40 classes stable
+    and mutually distinct.
+
+    Scale shape: pixels never shuffle (decode + hash are one
+    mapInPandas chain; only 16-byte (id, hash) rows leave the
+    executor), the hash→class-count rollup is a tiny aggregate
+    broadcast back, and the per-class verdict is one hash
+    aggregation. The oracle is SEMANTIC, not differential: dedup must
+    report, per class, all docs in ONE group (n_hashes = 1) whose
+    hash no other class shares (hash_exclusive)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_images,
+        dhash_images,
+        encode_jpeg,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cap, n_classes = 240, 40
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+
+    def _class_pixels(c: int) -> np.ndarray:
+        levels = np.array([0.15, 0.5, 0.85])
+        rng = np.random.default_rng(1000 + c)
+        g = np.empty((8, 9))
+        for r in range(8):
+            g[r, 0] = levels[rng.integers(3)]
+            for k in range(1, 9):
+                choices = levels[np.abs(levels - g[r, k - 1]) >= 0.349]
+                g[r, k] = choices[rng.integers(len(choices))]
+        return np.kron(g, np.ones((4, 4)))
+
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                encode_jpeg(
+                    _class_pixels(int(i) % n_classes),
+                    quality=80 + int(i) % 16,
+                    restart_interval=int(i) % 2,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(_encode, schema=media_schema)
+    hashed = dhash_images(decode_images(media, codec="jpeg")).withColumn(
+        "img_class", F.col("media_id") % n_classes
+    )
+    by_hash = hashed.groupBy("dhash").agg(
+        F.countDistinct("img_class").alias("nc")
+    )
+    return (
+        hashed.join(F.broadcast(by_hash), "dhash")
+        .groupBy("img_class")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("dhash").alias("n_hashes"),
+            (F.max("nc") == 1).alias("hash_exclusive"),
+        )
+    )
+
+
 def q_streaming_window_parity(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming/batch parity as a driver-witnessed oracle row
     (VERDICT r11 item 5 — makes streaming/ count in the external
@@ -7668,6 +7760,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": q_drift_report,
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
+        "jpeg_dedup_pipeline": q_jpeg_dedup_pipeline,
         "streaming_window_parity": q_streaming_window_parity,
     }
 
@@ -11458,6 +11551,12 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_features": (
             "SELECT doc_id AS media_id, 16 AS n_features, "
             "true AS match FROM documents WHERE doc_id < 120"
+        ),
+        "jpeg_dedup_pipeline": (
+            "SELECT CAST(doc_id % 40 AS BIGINT) AS img_class, "
+            "count(*) AS n_docs, CAST(1 AS BIGINT) AS n_hashes, "
+            "true AS hash_exclusive "
+            "FROM documents WHERE doc_id < 240 GROUP BY 1"
         ),
         "streaming_window_parity": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "

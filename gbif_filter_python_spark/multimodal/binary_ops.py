@@ -287,10 +287,11 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
     left-dependent filters run a per-pixel loop over the row — fine
     for the thumbnail-scale media this pipeline processes (decode is
     already the documented slow path, batched behind mapInPandas).
-    Unsupported shapes raise with a named reason: 16-bit depth,
-    palette color (needs PLTE handling), interlace (Adam7).
-    Color collapses via the Rec.601 luma weights, gray+alpha drops
-    alpha — matching :func:`decode_bmp_bytes`.
+    Palette PNGs (color type 3) decode via the PLTE lookup (8-bit
+    indices). Unsupported shapes raise with a named reason: 16-bit
+    and sub-byte depths, interlace (Adam7). Color collapses via the
+    Rec.601 luma weights, gray+alpha drops alpha, tRNS transparency
+    is ignored — matching :func:`decode_bmp_bytes`.
     """
     import struct
     import zlib
@@ -301,6 +302,7 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
     pos = len(sig)
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -311,6 +313,12 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack_from(">IIBBBBB", payload, data_off)
         elif typ == b"IDAT":
             idat += payload[data_off : data_off + length]
+        elif typ == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = np.frombuffer(
+                payload[data_off : data_off + length], dtype=np.uint8
+            ).reshape(-1, 3)
         elif typ == b"IEND":
             break
         pos = data_off + length + 4
@@ -319,9 +327,9 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    if ctype == 3:
-        raise ValueError("palette PNG (color type 3) not supported")
-    if ctype not in (0, 2, 4, 6):
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG (color type 3) without a PLTE chunk")
+    if ctype not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt != 0:
         raise ValueError("non-standard PNG compression/filter method")
@@ -329,7 +337,7 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
         raise ValueError("interlaced PNG (Adam7) not supported")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad dimensions {w}x{h}")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * h:
@@ -372,6 +380,11 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
         out[y] = rec.astype(np.uint8)
         prev = out[y]
     px = out.reshape(h, w, ch).astype(np.float64)
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[idx].astype(np.float64)  # indices → RGB, then luma
     if ctype in (0, 4):
         gray = px[:, :, 0]
     else:

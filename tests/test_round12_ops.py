@@ -238,14 +238,16 @@ def test_png_named_rejections():
     )
     with pytest.raises(ValueError, match="bit depth"):
         decode_png_bytes(p16)
+    # palette PNG WITHOUT a PLTE chunk: named refusal (with a PLTE it
+    # decodes — see test_png_palette_decodes_via_plte_lookup)
     ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     ppal = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr_pal)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="palette"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png_bytes(ppal)
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     pi = (
@@ -256,6 +258,35 @@ def test_png_named_rejections():
     )
     with pytest.raises(ValueError, match="interlaced"):
         decode_png_bytes(pi)
+
+
+def test_png_palette_decodes_via_plte_lookup():
+    """Color type 3: scanlines carry 8-bit PLTE indices; the decode
+    must look them up and collapse the palette RGB via Rec.601 —
+    checked against a hand-computed expectation, with Paeth/Sub
+    filters on the index plane to prove unfiltering happens BEFORE
+    the lookup."""
+    rng = np.random.default_rng(13)
+    plte_rgb = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(4, 6, 1), dtype=np.uint8)
+    body = _build_png(idx, ctype=3, filters=[0, 1, 4, 2])
+    # splice a PLTE chunk in front of IDAT (after IHDR)
+    ihdr_end = body.index(b"IDAT") - 4
+    payload = (
+        body[:ihdr_end]
+        + _png_chunk(b"PLTE", plte_rgb.tobytes())
+        + body[ihdr_end:]
+    )
+    want = (
+        plte_rgb[idx[:, :, 0]].astype(np.float64) @ [0.299, 0.587, 0.114]
+    ) / 255.0
+    got = decode_png_bytes(payload)
+    assert np.abs(got - want).max() < 1e-6
+    # out-of-range index: loud, not a wrap-around
+    bad_plte = _png_chunk(b"PLTE", plte_rgb[:3].tobytes())
+    bad = body[:ihdr_end] + bad_plte + body[ihdr_end:]
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png_bytes(bad)
 
 
 def test_decode_images_png_distributed_matches_direct(spark):
