@@ -7,9 +7,10 @@ with pure struct/NumPy parsers, PNG decodes via stdlib zlib (full
 scanline unfilter set), and baseline JPEG — the format a real 100 TB
 multimodal corpus is mostly made of — decodes via an own Huffman +
 dequant + IDCT implementation (grayscale and YCbCr 4:4:4/4:2:2/4:2:0,
-restart markers). Encoders for BMP/PNG/JPEG/WAV/AVI are included so
-fixtures fabricate REAL payloads hermetically. Still stubbed:
-progressive/arithmetic JPEG, MP3, MP4 (deterministic fake behind
+restart markers — and progressive SOF2 with spectral selection and
+successive approximation). Encoders for BMP/PNG/JPEG/WAV/AVI are
+included so fixtures fabricate REAL payloads hermetically. Still
+stubbed: arithmetic-coded JPEG, MP3, MP4 (deterministic fake behind
 ``fake=True``, a named raise otherwise). Either way the Spark-side plumbing
 is identical and tested: schemas, ``mapInPandas`` batching,
 Arrow-friendly dtypes, and partition-size control, which is what
@@ -667,18 +668,24 @@ def decode_jpeg_bytes(payload: bytes) -> np.ndarray:
     markers honored), dequantization, de-zigzag, and one batched
     inverse-DCT einsum over the luma blocks.
 
-    Supports baseline and extended-sequential Huffman SOFs (SOF0 /
-    SOF1) with 8-bit precision, single-component (grayscale) frames
-    and 3-component YCbCr with chroma sampling 1x1 under any luma
-    factor up to 2x2 — i.e. 4:4:4 / 4:2:2 / 4:2:0, what libjpeg and
-    PIL emit. Progressive (SOF2), arithmetic coding, 12-bit, and
-    luma-subsampled-below-chroma frames raise with a named reason.
+    Supports baseline/extended-sequential Huffman SOFs (SOF0 / SOF1)
+    AND progressive (SOF2 — spectral selection, successive
+    approximation, EOB runs; see :func:`_jpeg_progressive_scan`),
+    8-bit precision, single-component (grayscale) frames and
+    3-component YCbCr with chroma sampling 1x1 under any luma factor
+    up to 2x2 — i.e. 4:4:4 / 4:2:2 / 4:2:0, covering what libjpeg,
+    PIL and javax.imageio emit in both sequential and progressive
+    modes. Arithmetic coding, 12-bit, and luma-subsampled-below-
+    chroma frames raise with a named reason.
 
     Returns the LUMA plane: JPEG stores Rec.601 Y directly, so the
     gray collapse :func:`decode_bmp_bytes`/:func:`decode_png_bytes`
-    compute arithmetically IS the Y channel — chroma blocks are
-    entropy-decoded (the bitstream interleaves them, they must be
-    walked to stay aligned) but skip dequant/IDCT entirely.
+    compute arithmetically IS the Y channel — in sequential mode
+    chroma blocks are entropy-decoded (the bitstream interleaves
+    them, they must be walked to stay aligned) but skip dequant/IDCT;
+    in progressive mode whole chroma AC scans are skipped without
+    even entropy-decoding, since every scan is an independently
+    delimited segment.
     """
     import struct
 
@@ -688,6 +695,7 @@ def decode_jpeg_bytes(payload: bytes) -> np.ndarray:
     dc_tbls: dict[int, dict[tuple[int, int], int]] = {}
     ac_tbls: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
+    prog = None  # progressive coefficient state, created at first SOS
     restart_interval = 0
     pos = 2
 
@@ -737,7 +745,7 @@ def decode_jpeg_bytes(payload: bytes) -> np.ndarray:
                 nat = np.empty(64, dtype=np.float64)
                 nat[_JPEG_ZIGZAG] = tbl
                 qtbls[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
@@ -747,12 +755,18 @@ def decode_jpeg_bytes(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG coding process (progressive/arithmetic/"
-                f"lossless SOF 0x{marker:02x}; baseline SOF0/SOF1 only)"
+                "unsupported JPEG coding process (arithmetic/lossless "
+                f"SOF 0x{marker:02x}; baseline SOF0/SOF1 and "
+                "progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             off = 0
@@ -780,11 +794,31 @@ def decode_jpeg_bytes(payload: bytes) -> np.ndarray:
                 scan.append(
                     {**comp, "td": tdta >> 4, "ta": tdta & 0x0F}
                 )
-            return _jpeg_decode_scan(
-                payload, pos, frame, scan, qtbls, dc_tbls, ac_tbls,
-                restart_interval,
+            if not frame["progressive"]:
+                return _jpeg_decode_scan(
+                    payload, pos, frame, scan, qtbls, dc_tbls, ac_tbls,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _jpeg_prog_state(frame)
+            pos = _jpeg_progressive_scan(
+                payload, pos, frame, scan, prog,
+                dc_tbls, ac_tbls, restart_interval,
+                ss, se, ahal >> 4, ahal & 0x0F,
             )
         # APPn / COM / other: skipped
+    if frame is not None and frame["progressive"] and prog is not None:
+        if not prog["any_scan"]:
+            raise ValueError("progressive JPEG without a decoded scan")
+        qtbl = qtbls.get(frame["comps"][0]["tq"])
+        if qtbl is None:
+            raise ValueError("JPEG luma component references missing DQT")
+        return _jpeg_idct_luma(
+            prog["ycoef"], prog["ny"], prog["nx"],
+            frame["h"], frame["w"], qtbl,
+        )
     raise ValueError("JPEG without SOS scan")
 
 
@@ -827,21 +861,7 @@ def _jpeg_decode_scan(
     mcuy = -(-h // (8 * vmax))
     n_mcus = mcux * mcuy
 
-    # split entropy data at restart markers (RST resets bit alignment
-    # and DC predictors, so each chunk gets a fresh reader)
-    chunks: list[bytes] = []
-    start, p = pos, pos
-    while p + 1 < len(payload):
-        if payload[p] == 0xFF and payload[p + 1] != 0x00:
-            m = payload[p + 1]
-            chunks.append(payload[start:p])
-            if 0xD0 <= m <= 0xD7:
-                start = p = p + 2
-                continue
-            break
-        p += 1
-    else:
-        chunks.append(payload[start:])
+    chunks, _ = _jpeg_entropy_chunks(payload, pos)
 
     luma = scan[0]
     ny, nx = mcuy * luma["v"], mcux * luma["h"]
@@ -878,6 +898,36 @@ def _jpeg_decode_scan(
     qtbl = qtbls.get(luma["tq"])
     if qtbl is None:
         raise ValueError("JPEG luma component references missing DQT")
+    return _jpeg_idct_luma(ycoef, ny, nx, h, w, qtbl)
+
+
+def _jpeg_entropy_chunks(
+    payload: bytes, pos: int
+) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data at restart markers (RST resets
+    bit alignment, DC predictors and — in progressive scans — the
+    EOB run, so each chunk gets a fresh reader). Returns the chunks
+    plus the position of the first non-RST marker after the data."""
+    chunks: list[bytes] = []
+    start, p = pos, pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            m = payload[p + 1]
+            chunks.append(payload[start:p])
+            if 0xD0 <= m <= 0xD7:
+                start = p = p + 2
+                continue
+            return chunks, p
+        p += 1
+    chunks.append(payload[start:])
+    return chunks, len(payload)
+
+
+def _jpeg_idct_luma(
+    ycoef: np.ndarray, ny: int, nx: int, h: int, w: int, qtbl: np.ndarray
+) -> np.ndarray:
+    """Dequantize + de-zigzag + one batched inverse-DCT einsum over
+    the (ny*nx, 64) luma coefficient table; crop and scale to [0, 1]."""
     nat = np.zeros((ny * nx, 64), dtype=np.float64)
     nat[:, _JPEG_ZIGZAG] = ycoef
     blocks = nat.reshape(-1, 8, 8) * qtbl
@@ -922,6 +972,265 @@ def _jpeg_decode_block(
     return z
 
 
+def _jpeg_prog_state(frame: dict) -> dict:
+    """Persistent luma coefficient store for a progressive frame: the
+    MCU-padded block grid (interleaved DC scans address it in MCU
+    order; non-interleaved luma scans address the component's own
+    ceil(w/8) x ceil(h/8) sub-grid within it)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError(f"unsupported JPEG sampling {hmax}x{vmax} (<=2x2)")
+    luma = comps[0]
+    if len(comps) > 1 and (luma["h"] != hmax or luma["v"] != vmax):
+        raise ValueError(
+            "unsupported JPEG sampling: luma subsampled below chroma"
+        )
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    ny, nx = mcuy * luma["v"], mcux * luma["h"]
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "ny": ny,
+        "nx": nx,
+        # luma's own block grid (can be smaller than the padded one)
+        "wb": -(-frame["w"] // 8) if luma["h"] == hmax else nx,
+        "hb": -(-frame["h"] // 8) if luma["v"] == vmax else ny,
+        "ycoef": np.zeros((ny * nx, 64), dtype=np.int32),
+        "any_scan": False,
+    }
+
+
+def _jpeg_progressive_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[dict],
+    prog: dict,
+    dc_tbls: dict,
+    ac_tbls: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the persistent
+    luma coefficient store and return the position of the next marker.
+
+    Progressive JPEG splits the coefficients across many scans:
+    spectral selection (Ss..Se bands) x successive approximation
+    (first pass shifted by Al, then one-bit refinements Ah→Al).
+    Only the luma plane is wanted, and each scan is an independently
+    delimited entropy segment, so non-luma AC scans are SKIPPED
+    without entropy decoding — unlike baseline, where chroma blocks
+    interleave into the same stream and must be walked. Interleaved
+    DC scans do walk every component's bits (they share the segment)
+    but store luma only."""
+    luma_id = frame["comps"][0]["id"]
+    chunks, end = _jpeg_entropy_chunks(payload, pos)
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive DC scan with Se != 0 (sequential scan header "
+            "inside a progressive frame?)"
+        )
+    if ss > 0:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if se > 63 or ss > se:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+        if scan[0]["id"] != luma_id:
+            return end  # chroma detail: not needed for the luma plane
+    prog["any_scan"] = True
+    ycoef = prog["ycoef"]
+    nx = prog["nx"]
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan over all components, MCU order
+        mcux, mcuy = prog["mcux"], prog["mcuy"]
+        n_units = mcux * mcuy
+    else:
+        # single-component scan: the component's own block raster
+        if ss == 0 and scan[0]["id"] != luma_id:
+            # chroma DC detail would not be skippable if interleaved,
+            # but single-component chroma scans are independent too
+            return end
+        comp = scan[0]
+        if comp["id"] == luma_id:
+            wb, hb = prog["wb"], prog["hb"]
+        else:  # unreachable (returned above); kept for clarity
+            wb = hb = 0
+        n_units = wb * hb
+
+    per_chunk = restart_interval or n_units
+    unit = 0
+    for chunk in chunks:
+        if unit >= n_units:
+            break
+        reader = _JpegBitReader(chunk)
+        preds = {c["id"]: 0 for c in scan}
+        eob = [0]  # EOB run survives blocks, resets at restarts
+        for _ in range(min(per_chunk, n_units - unit)):
+            if ss == 0 and len(scan) > 1:
+                my, mx = divmod(unit, prog["mcux"])
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = -1
+                            if c["id"] == luma_id:
+                                idx = (my * c["v"] + by) * nx + (
+                                    mx * c["h"] + bx
+                                )
+                            _jpeg_prog_dc(
+                                reader, dc_tbls, c, preds, ah, al,
+                                ycoef, idx,
+                            )
+            elif ss == 0:
+                r, col = divmod(unit, prog["wb"])
+                _jpeg_prog_dc(
+                    reader, dc_tbls, scan[0], preds, ah, al,
+                    ycoef, r * nx + col,
+                )
+            else:
+                r, col = divmod(unit, prog["wb"])
+                z = ycoef[r * nx + col]
+                ac_t = ac_tbls.get(scan[0]["ta"])
+                if ac_t is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                if ah == 0:
+                    _jpeg_prog_ac_first(reader, ac_t, z, ss, se, al, eob)
+                else:
+                    _jpeg_prog_ac_refine(reader, ac_t, z, ss, se, al, eob)
+            unit += 1
+    if unit < n_units:
+        raise ValueError(
+            f"JPEG entropy data ended after {unit}/{n_units} units"
+        )
+    return end
+
+
+def _jpeg_prog_dc(
+    reader: _JpegBitReader,
+    dc_tbls: dict,
+    comp: dict,
+    preds: dict,
+    ah: int,
+    al: int,
+    ycoef: np.ndarray,
+    idx: int,
+) -> None:
+    """DC coefficient, first pass (DPCM shifted by Al) or one-bit
+    refinement (T.81 G.1.2.1). ``idx < 0`` = non-luma: consume the
+    bits, store nothing."""
+    if ah == 0:
+        dc_t = dc_tbls.get(comp["td"])
+        if dc_t is None:
+            raise ValueError("JPEG scan references missing DHT")
+        s = reader.read_huff(dc_t)
+        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+        preds[comp["id"]] += diff
+        if idx >= 0:
+            ycoef[idx, 0] = preds[comp["id"]] << al
+    else:
+        bit = reader.read_bits(1)
+        if bit and idx >= 0:
+            ycoef[idx, 0] |= 1 << al
+
+
+def _jpeg_prog_ac_first(
+    reader: _JpegBitReader,
+    ac_t: dict,
+    z: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eob: list,
+) -> None:
+    """First AC pass for one block's Ss..Se band (T.81 G.1.2.2):
+    run-length coefficients shifted by Al, with EOB runs spanning
+    whole blocks."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob[0] = (1 << r) - 1
+            if r:
+                eob[0] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows the spectral band")
+        z[k] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _jpeg_prog_ac_refine(
+    reader: _JpegBitReader,
+    ac_t: dict,
+    z: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eob: list,
+) -> None:
+    """AC successive-approximation refinement for one block's band
+    (T.81 G.1.2.3): every already-nonzero coefficient crossed gets a
+    correction bit; zero-history positions are spent by the run
+    lengths and may gain a new ±(1<<Al)."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine(k: int) -> None:
+        if reader.read_bits(1) and (int(z[k]) & p1) == 0:
+            z[k] += p1 if z[k] > 0 else m1
+
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOB run starts (r==15 is ZRL: 16 zeros)
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += reader.read_bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with magnitude size != 1"
+                    )
+                val = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                if z[k] != 0:
+                    refine(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                z[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if z[k] != 0:
+                refine(k)
+            k += 1
+        eob[0] -= 1
+
+
 def _fake_pixels(payload: bytes, side: int) -> np.ndarray:
     """Deterministic stand-in decoder: payload hash → pseudo-pixels.
 
@@ -947,10 +1256,11 @@ def decode_images(
     ``codec="bmp"`` is a REAL pure-NumPy decode of uncompressed BMP
     payloads (:func:`decode_bmp_bytes`); ``codec="png"`` is a REAL
     stdlib-zlib decode of 8-bit gray/RGB/RGBA PNG payloads
-    (:func:`decode_png_bytes`); ``codec="jpeg"`` is a REAL baseline-
-    JPEG decode — marker parse, Huffman entropy decode, dequant +
-    IDCT — of grayscale and YCbCr 4:4:4/4:2:2/4:2:0 payloads
-    (:func:`decode_jpeg_bytes`). Native dimensions per row, ``side``
+    (:func:`decode_png_bytes`); ``codec="jpeg"`` is a REAL JPEG
+    decode — marker parse, Huffman entropy decode, dequant + IDCT,
+    baseline AND progressive — of grayscale and YCbCr
+    4:4:4/4:2:2/4:2:0 payloads (:func:`decode_jpeg_bytes`). Native
+    dimensions per row, ``side``
     ignored for all three. ``codec=None`` keeps the legacy contract:
     deterministic ``(side, side)`` stub when ``fake=True``, else
     ``NotImplementedError`` (codec autodetection from magic bytes is

@@ -33,8 +33,12 @@ def _jvm(spark):
     return spark._jvm
 
 
-def _jvm_encode(spark, arr: np.ndarray) -> bytes:
-    """uint8 (h, w) or (h, w, 3) RGB → JPEG bytes via javax.imageio."""
+def _jvm_encode(spark, arr: np.ndarray, progressive: bool = False) -> bytes:
+    """uint8 (h, w) or (h, w, 3) RGB → JPEG bytes via javax.imageio.
+
+    ``progressive=True`` asks the writer for its default progressive
+    scan script (spectral selection + successive approximation — the
+    standard libjpeg 10-scan layout)."""
     jvm = _jvm(spark)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -46,7 +50,20 @@ def _jvm_encode(spark, arr: np.ndarray) -> bytes:
         data = bytearray(arr[:, :, ::-1].copy().tobytes())
     img.getRaster().setDataElements(0, 0, w, h, data)
     bos = jvm.java.io.ByteArrayOutputStream()
-    assert jvm.javax.imageio.ImageIO.write(img, "jpg", bos)
+    if not progressive:
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", bos)
+        return bytes(bos.toByteArray())
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpeg"
+    ).next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+    )
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
     return bytes(bos.toByteArray())
 
 
@@ -136,6 +153,68 @@ def test_jvm_color_420_jpeg_luma_matches_raw_raster(spark):
     samplings = [(c[1], c[2]) for c in _sof_samplings(payload)]
     # Java's default: 4:2:0 — luma 2x2, chroma 1x1. This is the
     # subsampled-MCU decode path (4 interleaved Y blocks per MCU).
+    assert samplings == [(2, 2), (1, 1), (1, 1)], samplings
+    mine = decode_jpeg_bytes(payload)
+    raw_y = _jvm_raw_luma(spark, payload).astype(np.float64)
+    assert mine.shape == (40, 56)
+    assert float(np.abs(mine - raw_y / 255.0).max()) <= 3.0 / 255
+
+
+def _assert_sof2(payload: bytes) -> None:
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xC2:
+            return
+        assert marker not in (0xC0, 0xC1), "writer emitted sequential"
+        pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
+    raise AssertionError("no SOF in payload")
+
+
+def test_jvm_progressive_grayscale_decodes_identically(spark):
+    """SOF2 path, single component: spectral-selection bands, DC/AC
+    successive-approximation refinement scans and EOB runs, validated
+    against Java's own decode of its default progressive output."""
+    rng = np.random.default_rng(17)
+    y, x = np.mgrid[0:24, 0:40]
+    gray = np.clip(
+        (np.sin(x / 6) + np.cos(y / 8)) / 4 + 0.5
+        + 0.1 * rng.random((24, 40)),
+        0,
+        1,
+    )
+    payload = _jvm_encode(
+        spark,
+        np.clip(np.rint(gray * 255), 0, 255).astype(np.uint8),
+        progressive=True,
+    )
+    _assert_sof2(payload)
+    mine = decode_jpeg_bytes(payload)
+    theirs = _jvm_decode_first_band(spark, payload).astype(np.float64)
+    assert mine.shape == (24, 40)
+    assert float(np.abs(mine - theirs / 255.0).max()) <= 3.0 / 255
+
+
+def test_jvm_progressive_color_420_luma_matches_raw_raster(spark):
+    """SOF2 path, 3 components at 4:2:0: the interleaved DC scan
+    walks every component's bits; chroma AC scans are skipped whole;
+    luma compared against Java's raw pre-colorconvert Y raster."""
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [
+            np.clip((np.sin(x / 5) + 1) / 2, 0, 1),
+            np.clip((np.cos(y / 8) + 1) / 2, 0, 1),
+            np.clip((x + y) / 96.0, 0, 1),
+        ],
+        axis=-1,
+    )
+    payload = _jvm_encode(
+        spark,
+        np.clip(np.rint(rgb * 255), 0, 255).astype(np.uint8),
+        progressive=True,
+    )
+    _assert_sof2(payload)
+    samplings = [(c[1], c[2]) for c in _sof_samplings(payload)]
     assert samplings == [(2, 2), (1, 1), (1, 1)], samplings
     mine = decode_jpeg_bytes(payload)
     raw_y = _jvm_raw_luma(spark, payload).astype(np.float64)

@@ -415,11 +415,17 @@ def test_jpeg_named_rejections():
         decode_jpeg_bytes(b"\x89PNG\r\n\x1a\n")
     rng = np.random.default_rng(9)
     ok = encode_jpeg(rng.random((16, 32)), quality=95)
-    # flip SOF0 -> SOF2 (progressive): same container, named refusal
+    # flip SOF0 -> SOF2: progressive DECODES now (r12), but a
+    # sequential scan header (Se=63) inside a progressive frame is
+    # malformed and must fail loudly, not decode as garbage
     sof = ok.index(b"\xff\xc0")
     prog = ok[:sof] + b"\xff\xc2" + ok[sof + 2 :]
-    with pytest.raises(ValueError, match="progressive|coding process"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg_bytes(prog)
+    # arithmetic coding (SOF9): named refusal
+    arith = ok[:sof] + b"\xff\xc9" + ok[sof + 2 :]
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_bytes(arith)
     # 12-bit precision: named refusal
     deep = bytearray(ok)
     deep[sof + 4] = 12
