@@ -1475,8 +1475,13 @@ def q_jpeg_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.select("doc_id").mapInPandas(_encode, schema=media_schema)
-    hashed = dhash_images(decode_images(media, codec="jpeg")).withColumn(
-        "img_class", F.col("media_id") % n_classes
+    hashed = (
+        dhash_images(decode_images(media, codec="jpeg"))
+        .withColumn("img_class", F.col("media_id") % n_classes)
+        # TINY (cap rows of (id, hash, class)) with TWO consumers
+        # below — checkpoint so the encode→decode→hash chain runs
+        # once, not once per consumer (the k-consumers-k-scans rule)
+        .localCheckpoint(eager=True)
     )
     by_hash = hashed.groupBy("dhash").agg(
         F.countDistinct("img_class").alias("nc")
@@ -1530,16 +1535,37 @@ def q_streaming_window_parity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_value").alias("_bs"),
     )
 
-    # FileStreamSource needs a DIRECTORY; the corpus ships events as a
-    # single parquet file — symlink it into a temp dir (zero copy)
+    # FileStreamSource needs a DIRECTORY of data files; the corpus
+    # ships events as a single parquet file, while scaled corpora
+    # (tools/scale_data.py) are Spark-written part-file directories —
+    # symlink the actual data file(s) into a temp dir (zero copy;
+    # one micro-batch per file either way)
     import os
 
     stream_dir = tempfile.mkdtemp()
-    os.symlink(
-        os.path.abspath(f"{sf}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
+    src = os.path.abspath(f"{sf}/events.parquet")
+    parts = (
+        sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        if os.path.isdir(src)
+        else None
     )
-    stream = stream_events(spark, stream_dir)
+    if parts is None:
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    else:
+        for f in parts:
+            os.symlink(
+                os.path.join(src, f), os.path.join(stream_dir, f)
+            )
+    # micro-batch sizing: parity needs MULTIPLE batches (a single
+    # batch would make stream-equals-batch trivially true), but the
+    # batch COUNT must stay bounded as the file listing grows — wall
+    # clock is batches x per-batch overhead, so an unbounded 1-file
+    # trigger turned the sf10 ladder rung into 100 micro-batches
+    # (60x at 100x data). Cap at ~8 batches regardless of scale.
+    n_files = 1 if parts is None else max(len(parts), 1)
+    stream = stream_events(
+        spark, stream_dir, max_files_per_trigger=-(-n_files // 8)
+    )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
@@ -1935,6 +1961,72 @@ def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
     for r in docs.select("doc_id", "text").collect():
         wav = encode_wav(
             _fake_waveform(r["text"].encode("utf-8"), 256), 16_000
+        )
+        s, _sr = decode_wav_bytes(wav)
+        s64 = s.astype(np.float64)
+        rms = math.sqrt(float(np.sum(s64 * s64)) / s64.size)
+        zcr = float(np.sum((s64[:-1] * s64[1:]) < 0)) / (s64.size - 1)
+        peak = float(np.max(np.abs(s64)))
+        ref_rows.append((r["doc_id"], rms, zcr, peak))
+    ref_df = spark.createDataFrame(
+        ref_rows,
+        "media_id long, ref_rms double, ref_zcr double, ref_peak double",
+    )
+    return feats.join(F.broadcast(ref_df), "media_id").select(
+        "media_id",
+        (
+            (F.abs(F.col("rms") - F.col("ref_rms")) < 5.01e-7)
+            & (F.abs(F.col("zcr") - F.col("ref_zcr")) < 1e-9)
+            & (F.abs(F.col("peak") - F.col("ref_peak")) < 5.01e-7)
+        ).alias("match"),
+    )
+
+
+def q_adpcm_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-audio twin of q_audio_stats (r12): the per-doc
+    waveforms are encoded to IMA ADPCM WAV (format 0x11 — 4-bit
+    adaptive differential blocks, ~4:1 vs PCM16,
+    multimodal/binary_ops.py::encode_adpcm_wav) and decoded back by
+    the same RIFF parser's ADPCM branch (block headers, nibble
+    reconstruction, step-index adaptation, fact-chunk truncation).
+    The ADPCM loss is deterministic, so the distributed mapInPandas
+    decode and the straight-line driver recompute see IDENTICAL
+    samples — match tolerances are recompute-noise radii, exactly as
+    in q_audio_stats. Oracle states the SQL-knowable frame
+    (media_id, true)."""
+    import math
+
+    import numpy as np
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_waveform,
+        audio_features,
+        decode_audio,
+        decode_wav_bytes,
+        encode_adpcm_wav,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_adpcm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_adpcm_wav(
+                _fake_waveform(t.encode("utf-8"), 600), 16_000
+            )
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_adpcm(F.col("text")).alias("payload"),
+    )
+    feats = audio_features(decode_audio(media, codec="wav")).select(
+        "media_id", "rms", "zcr", "peak"
+    )
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        wav = encode_adpcm_wav(
+            _fake_waveform(r["text"].encode("utf-8"), 600), 16_000
         )
         s, _sr = decode_wav_bytes(wav)
         s64 = s.astype(np.float64)
@@ -7761,6 +7853,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
         "jpeg_dedup_pipeline": q_jpeg_dedup_pipeline,
+        "adpcm_audio_stats": q_adpcm_audio_stats,
         "streaming_window_parity": q_streaming_window_parity,
     }
 
@@ -11572,6 +11665,10 @@ def oracle_sql() -> dict[str, str]:
             "true AS match FROM documents WHERE doc_id < 100"
         ),
         "audio_stats": (
+            "SELECT doc_id AS media_id, true AS match "
+            "FROM documents WHERE doc_id < 100"
+        ),
+        "adpcm_audio_stats": (
             "SELECT doc_id AS media_id, true AS match "
             "FROM documents WHERE doc_id < 100"
         ),

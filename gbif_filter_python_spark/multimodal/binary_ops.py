@@ -197,29 +197,164 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     )
 
 
-def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV bytes → (mono float32 waveform in [-1, 1], sample_rate).
+#: IMA ADPCM tables (IMA "Recommended Practices", the WAV format-0x11
+#: codec): per-nibble step-index delta and the 89-entry step ladder.
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
 
-    Chunk-walking RIFF parse (skips LIST/INFO etc.): PCM (format 1) at
-    8/16/32 bits or IEEE float (format 3) at 32 bits; multi-channel
-    downmixes by mean. Pure struct/NumPy.
+
+def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step — also the encoder's mirror, so both
+    directions share the exact reconstruction arithmetic."""
+    step = int(_IMA_STEP_TABLE[index])
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    if nib & 8:
+        delta = -delta
+    pred = min(max(pred + delta, -32768), 32767)
+    index = min(max(index + int(_IMA_INDEX_TABLE[nib & 7]), 0), 88)
+    return pred, index
+
+
+def encode_adpcm_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, block_align: int = 256
+) -> bytes:
+    """Mono float waveform in [-1, 1] → IMA ADPCM WAV bytes (format
+    tag 0x11): 4:1 lossy compression vs 16-bit PCM, the standard
+    compressed-WAV codec. Block layout per the IMA/Microsoft spec —
+    4-byte header (predictor int16 = the block's first sample, step
+    index, reserved) then 4-bit nibbles, low nibble first; the step
+    index carries across blocks. Emits fmt (cbSize=2 +
+    samplesPerBlock) and fact (true sample count) chunks so the
+    decoder can strip final-block padding. Exists, like the other
+    encoders here, so fixtures fabricate REAL compressed payloads
+    hermetically."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64).ravel()
+    if s.size == 0:
+        raise ValueError("cannot ADPCM-encode an empty waveform")
+    pcm = np.clip(np.rint(s * 32767.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    n = pcm.size
+    blocks = bytearray()
+    # prime the step index from the opening slope (the block header
+    # carries it, so this is free) — otherwise the quantizer starts at
+    # step 7 and takes ~10 samples to slew onto a loud signal
+    d0 = abs(int(pcm[1]) - int(pcm[0])) if n > 1 else 0
+    index = int(np.argmin(np.abs(_IMA_STEP_TABLE - d0)))
+    for start in range(0, n, spb):
+        chunk = pcm[start : start + spb]
+        if chunk.size < spb:  # pad final block by repeating the tail
+            chunk = np.concatenate(
+                [chunk, np.full(spb - chunk.size, chunk[-1], dtype=np.int64)]
+            )
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for sample in chunk[1:]:
+            step = int(_IMA_STEP_TABLE[index])
+            diff = int(sample) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_decode_nibble(nib, pred, index)
+            nibs.append(nib)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(lo | (hi << 4))
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    return (
+        struct.pack(
+            "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 12 + 8 + len(blocks),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sII", b"fact", 4, n)
+        + struct.pack("<4sI", b"data", len(blocks)) + bytes(blocks)
+    )
+
+
+def _decode_ima_adpcm_mono(
+    raw: bytes, block_align: int, spb: int
+) -> np.ndarray:
+    """IMA ADPCM data chunk → int16 samples (mono)."""
+    out: list[int] = []
+    for start in range(0, len(raw) - len(raw) % block_align, block_align):
+        block = raw[start : start + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        emitted = 1
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if emitted >= spb:
+                    break
+                pred, index = _ima_decode_nibble(nib, pred, index)
+                out.append(pred)
+                emitted += 1
+    return np.array(out, dtype=np.int64)
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono float32 waveform in [-1, 1], sample_rate).
+
+    Chunk-walking RIFF parse (skips LIST/INFO etc.). REAL decode for
+    every common WAV codec: PCM (format 1) at 8/16/32 bits, IEEE
+    float32 (format 3), G.711 A-law / µ-law companding (formats 6/7,
+    closed-form expansion), and IMA ADPCM (format 0x11 — 4-bit
+    adaptive differential blocks, the standard compressed WAV),
+    honoring the fact chunk's true sample count. Multi-channel
+    downmixes by mean (ADPCM: mono only, named error otherwise).
+    Pure struct/NumPy.
     """
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
-    pos, fmt_info, raw = 12, None, None
+    pos, fmt_info, fmt_body, raw, fact_n = 12, None, b"", None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and size >= 16:
             fmt_info = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_info is None or raw is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_fmt, n_ch, rate, _, _, bits = fmt_info
+    audio_fmt, n_ch, rate, _, block_align, bits = fmt_info
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_fmt == 1 and bits == 8:
@@ -228,10 +363,44 @@ def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     elif audio_fmt == 3 and bits == 32:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif audio_fmt in (6, 7) and bits == 8:
+        # G.711: one vectorized table lookup (256 codes)
+        codes = np.arange(256, dtype=np.uint8)
+        if audio_fmt == 7:  # µ-law
+            u = ~codes
+            mant = ((u & 0x0F).astype(np.int64) << 3) + 0x84
+            lin = (mant << (u >> 4 & 0x07).astype(np.int64)) - 0x84
+            table = np.where(u & 0x80, -lin, lin)
+        else:  # A-law
+            a = codes ^ 0x55
+            seg = (a >> 4 & 0x07).astype(np.int64)
+            mant = (a & 0x0F).astype(np.int64)
+            lin = np.where(
+                seg == 0,
+                (mant << 4) + 8,
+                ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+            )
+            table = np.where(a & 0x80, lin, -lin)
+        x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif audio_fmt == 0x11 and bits == 4:
+        if n_ch != 1:
+            raise ValueError(
+                f"IMA ADPCM WAV with {n_ch} channels (mono only)"
+            )
+        if len(fmt_body) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        else:
+            spb = (block_align - 4) * 2 + 1
+        pcm = _decode_ima_adpcm_mono(raw, block_align, spb)
+        if fact_n is not None:
+            pcm = pcm[:fact_n]
+        return (pcm.astype(np.float64) / 32768.0).astype(np.float32), int(
+            rate
+        )
     else:
         raise ValueError(
             f"unsupported WAV encoding (format {audio_fmt}, {bits}-bit); "
-            "PCM 8/16/32 or float32 only"
+            "PCM 8/16/32, float32, A-law/µ-law, or IMA ADPCM only"
         )
     if n_ch > 1:
         x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)

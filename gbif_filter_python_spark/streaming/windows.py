@@ -54,11 +54,19 @@ def stream_events(
     spark: SparkSession,
     parquet_dir: str,
     schema=None,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """readStream over a parquet directory (file-source streaming).
 
     File sources are the hermetic stand-in for Kafka here; the plan is
     identical from the first transformation on.
+
+    ``max_files_per_trigger`` is the micro-batch sizing knob: 1 gives
+    one batch per file (maximal incrementality for tests); larger
+    values bound the NUMBER of micro-batches when the directory has
+    many part files — at scale, wall-clock is batches x per-batch
+    overhead, so trigger sizing, not data volume, dominates a backfill
+    over a large file listing.
 
     TIMESTAMP_NTZ columns (tz-naive parquet micros) are cast to
     TIMESTAMP: event-time watermarks accept only ltz, and with the
@@ -68,7 +76,7 @@ def stream_events(
         schema = spark.read.parquet(parquet_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(parquet_dir)
     )
     for name, dtype in stream.dtypes:

@@ -463,3 +463,88 @@ def test_decode_images_jpeg_distributed_matches_direct(spark):
         got = np.array(r.pixels, dtype=np.float32).reshape(a.shape)
         want = decode_jpeg_bytes(payloads[i])
         assert np.array_equal(got, want)  # distributed == direct, exact
+
+
+# ---------------------------------------------------------------------------
+# Compressed WAV codecs (r12): IMA ADPCM (format 0x11) encode+decode,
+# G.711 A-law / µ-law (formats 6/7) decode. The G.711 expansions are
+# pinned against the spec's extreme codewords; ADPCM against its own
+# mirror (encoder embeds the decoder's reconstruction arithmetic) plus
+# quality/length/compression invariants.
+# ---------------------------------------------------------------------------
+
+from gbif_filter_python_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_wav_bytes,
+    encode_adpcm_wav,
+    encode_wav,
+)
+
+
+def _wav_container(fmt_tag: int, codes: bytes, rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(codes), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(codes))
+        + codes
+    )
+
+
+def test_mulaw_decode_matches_g711_reference_codewords():
+    # 0xFF → 0, 0x80 → +32124 (max), 0x00 → -32124, 0x7F → -0
+    x, rate = decode_wav_bytes(_wav_container(7, bytes([0xFF, 0x80, 0x00, 0x7F])))
+    assert rate == 8000
+    assert [round(float(v) * 32768) for v in x] == [0, 32124, -32124, 0]
+
+
+def test_alaw_decode_matches_g711_reference_codewords():
+    # 0xD5 → +8 (min), 0x55 → -8, 0xAA → +32256 (max), 0x2A → -32256
+    x, _ = decode_wav_bytes(_wav_container(6, bytes([0xD5, 0x55, 0xAA, 0x2A])))
+    assert [round(float(v) * 32768) for v in x] == [8, -8, 32256, -32256]
+
+
+def test_adpcm_roundtrip_quality_length_and_compression():
+    t = np.arange(4000) / 16000.0
+    sine = 0.6 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_adpcm_wav(sine, sample_rate=16000)
+    dec, rate = decode_wav_bytes(payload)
+    assert rate == 16000
+    # fact chunk strips final-block padding: EXACT length back
+    assert dec.shape == (4000,)
+    err = dec.astype(np.float64) - sine
+    snr = 10 * np.log10(np.mean(sine**2) / np.mean(err**2))
+    assert snr > 30.0  # 4-bit ADPCM on a tone: mid-30s dB typical
+    assert float(np.abs(err).max()) < 0.05
+    # ~4:1 vs PCM16 (block headers cost a little)
+    ratio = len(encode_wav(sine)) / len(payload)
+    assert 3.5 < ratio < 4.1
+    # deterministic both directions
+    assert payload == encode_adpcm_wav(sine, sample_rate=16000)
+    assert np.array_equal(dec, decode_wav_bytes(payload)[0])
+
+
+def test_adpcm_multiblock_state_carries_across_blocks():
+    # > 1 block (spb=505 at block_align=256): step index carries over,
+    # so a loud signal stays locked after the block boundary
+    rng = np.random.default_rng(23)
+    sig = np.clip(
+        np.cumsum(rng.standard_normal(1600)) / 40.0, -0.9, 0.9
+    )
+    dec, _ = decode_wav_bytes(encode_adpcm_wav(sig))
+    assert dec.shape == (1600,)
+    # random-walk signal: RMS error a small fraction of signal RMS
+    err = dec.astype(np.float64) - sig
+    assert np.sqrt(np.mean(err**2)) < 0.05 * max(np.sqrt(np.mean(sig**2)), 0.1)
+
+
+def test_adpcm_named_errors():
+    with pytest.raises(ValueError, match="empty"):
+        encode_adpcm_wav(np.array([]))
+    # stereo ADPCM: named refusal (channel de-interleave not implemented)
+    mono = encode_adpcm_wav(np.zeros(32))
+    fmt_at = mono.index(b"fmt ") + 8
+    stereo = bytearray(mono)
+    stereo[fmt_at + 2] = 2  # nChannels
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav_bytes(bytes(stereo))
