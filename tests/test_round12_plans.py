@@ -208,3 +208,38 @@ def test_cdf_boundary_lead_spans_partitions(wide):
         w1 += abs(ca / 200 - cb / 200) * (nxt - v)
     assert got["w1_distance"] == pytest.approx(round(w1, 6), abs=2e-6)
     assert got["n_a"] == 200 and got["n_b"] == 200
+
+
+# ---------------------------------------------------------------------------
+# Media-pipeline plan shapes (r12): the compressed-codec queries must
+# keep their scale contracts visible in the physical plan — caps
+# pushed to the parquet scan, and pixel payloads never reaching a
+# shuffle.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_features_doc_cap_reaches_parquet_scan(wide, sf001_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_jpeg_features(wide, sf001_dir)
+    plan = explain_str(df, "formatted")
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThan\(doc_id,120\)", plan
+    ), plan
+
+
+def test_jpeg_dedup_pipeline_pixels_never_reach_a_shuffle(
+    wide, sf001_dir
+):
+    """The dedup query's contract: decode+hash run ONCE inside one
+    mapInPandas chain ending at the eager localCheckpoint, so the
+    returned plan starts at the checkpointed 16-byte (id, hash) rows —
+    no parquet scan, no pixel column anywhere near an exchange."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_jpeg_dedup_pipeline(wide, sf001_dir)
+    plan = explain_str(df, "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan parquet" not in plan, plan  # chain pre-executed once
+    assert "pixels" not in plan, plan
+    assert "payload" not in plan, plan
