@@ -220,3 +220,37 @@ def test_jvm_progressive_color_420_luma_matches_raw_raster(spark):
     raw_y = _jvm_raw_luma(spark, payload).astype(np.float64)
     assert mine.shape == (40, 56)
     assert float(np.abs(mine - raw_y / 255.0).max()) <= 3.0 / 255
+
+
+def test_jvm_odd_dimension_matrix_gray_color_baseline_progressive(spark):
+    """Partial-MCU edge cases: non-multiple-of-8 (and at 4:2:0,
+    non-multiple-of-16) frame dimensions force padded block grids that
+    must be decoded fully and cropped exactly. Matrix of odd shapes x
+    {gray, color} x {baseline, progressive}, every cell compared
+    against Java's raw Y raster (a 24-cell sweep of this matrix passed
+    0-fail during development; this pins a 12-cell core)."""
+    rng = np.random.default_rng(5)
+    jvm = _jvm(spark)
+    for h, w in [(23, 41), (9, 17), (7, 50)]:
+        for gray in (True, False):
+            for progressive in (False, True):
+                y, x = np.mgrid[0:h, 0:w]
+                base = np.clip(
+                    (np.sin(x / 4.0) + np.cos(y / 5.0)) / 4
+                    + 0.5
+                    + 0.1 * rng.random((h, w)),
+                    0,
+                    1,
+                )
+                u8 = np.clip(np.rint(base * 255), 0, 255).astype(np.uint8)
+                arr = (
+                    u8
+                    if gray
+                    else np.stack([u8, np.roll(u8, 3, 1), 255 - u8], -1)
+                )
+                payload = _jvm_encode(spark, arr, progressive=progressive)
+                mine = decode_jpeg_bytes(payload)
+                theirs = _jvm_raw_luma(spark, payload).astype(np.float64)
+                assert mine.shape == (h, w), (h, w, gray, progressive)
+                err = float(np.abs(mine - theirs / 255.0).max())
+                assert err <= 3.0 / 255, (h, w, gray, progressive, err)
