@@ -3143,6 +3143,104 @@ def q_video_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_video_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over REAL Motion-JPEG AVI payloads (round 13,
+    VERDICT r12 item 3 — the compressed-video format reachable by
+    composing the in-repo JPEG codec with the in-repo RIFF walker):
+    6-frame MJPG AVI per doc ('vids'/'MJPG' stream, movi 00dc chunks
+    each a complete baseline JFIF JPEG), evenly-spaced 3-frame sample
+    re-emitted as BMPs, decoded by the pure-NumPy BMP parser.
+    ``match`` checks every decoded pixel against a straight-line
+    driver replay of the identical
+    encode→JPEG-decode→re-encode→decode chain (no Spark in the
+    reference path); the SQL-knowable columns are the selection
+    arithmetic and dimensions."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_avi_frames,
+        decode_bmp_bytes,
+        decode_images,
+        encode_avi_mjpeg,
+        encode_bmp,
+        sample_frames_avi,
+    )
+
+    def make_avi(s: str) -> bytes:
+        return encode_avi_mjpeg(
+            [
+                _fake_pixels(f"{s}#mjpg{i}".encode("utf-8"), 16)
+                for i in range(6)
+            ],
+            fps=6,
+            quality=85,
+        )
+
+    @F.pandas_udf("binary")
+    def _to_avi(rows: pd.Series) -> pd.Series:
+        return rows.map(make_avi)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_avi(F.col("text")).alias("payload"),
+    )
+    sampled = sample_frames_avi(media, n_frames=3)
+    decoded = decode_images(
+        sampled.select(
+            (F.col("media_id") * 100 + F.col("frame_idx")).alias(
+                "media_id"
+            ),
+            F.col("frame_payload").alias("payload"),
+        ),
+        codec="bmp",
+    )
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        frames = decode_avi_frames(make_avi(r["text"]))
+        for i in range(3):
+            src = i * len(frames) // 3
+            g = decode_bmp_bytes(encode_bmp(frames[src]))
+            ref_rows.append(
+                (r["doc_id"], i, [float(v) for v in g.ravel()])
+            )
+    ref_df = spark.createDataFrame(
+        ref_rows, "doc_id long, frame_idx int, ref array<float>"
+    )
+    return (
+        decoded.select(
+            (F.col("media_id") / 100).cast("long").alias("doc_id"),
+            (F.col("media_id") % 100).cast("int").alias("frame_idx"),
+            "width",
+            "height",
+            "pixels",
+        )
+        .join(
+            sampled.select(
+                F.col("media_id").alias("doc_id"), "frame_idx", "src_idx"
+            ),
+            ["doc_id", "frame_idx"],
+        )
+        .join(F.broadcast(ref_df), ["doc_id", "frame_idx"])
+        .select(
+            "doc_id",
+            "frame_idx",
+            "src_idx",
+            "width",
+            "height",
+            (
+                (F.size("pixels") == F.size("ref"))
+                & F.forall(
+                    F.zip_with(
+                        "pixels", "ref", lambda a, b: F.abs(a - b) < 1e-9
+                    ),
+                    lambda x: x,
+                )
+            ).alias("match"),
+        )
+    )
+
+
 def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless set-similarity join (operators/dedup.py::
     prefix_filter_jaccard_pairs, the PPJoin prefix filter, Xiao
@@ -7342,7 +7440,7 @@ def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
@@ -7855,6 +7953,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_dedup_pipeline": q_jpeg_dedup_pipeline,
         "adpcm_audio_stats": q_adpcm_audio_stats,
         "streaming_window_parity": q_streaming_window_parity,
+        # -- round-13 additions ---------------------------------------
+        "video_mjpeg_frames": q_video_mjpeg_frames,
     }
 
 
@@ -10261,6 +10361,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id < 40"
         ),
         "video_avi_frames": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(i * 2 AS INT) AS src_idx, "
+            "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+            "true AS match "
+            "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) "
+            "WHERE doc_id < 40"
+        ),
+        "video_mjpeg_frames": (
             "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
             "CAST(i * 2 AS INT) AS src_idx, "
             "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "

@@ -849,18 +849,24 @@ def psm_att(
     a total order, deterministic in both engines.
 
     Scale shape: the sorted-neighborhood trick, NOT a
-    nearest-neighbor theta-join — two linear window passes (last
-    control seen backward, first control ahead forward) over the
-    score order, then a scalar reduction; no pairwise blow-up
-    anywhere. Honest limit: an un-partitioned window collapses to a
-    SINGLE partition (Spark has no distributed global-order window),
-    so this exact form caps at one executor's worth of units —
-    right for experiment-scale frames (millions), not the raw fact.
-    The 100 TB variant is range-partition by score and match within
-    partitions, duplicating a ±caliper margin across boundaries so
-    edge matches stay exact — same results, one extra narrow
-    duplication pass; kept out of the default so the oracle replays
-    the simple form.
+    nearest-neighbor theta-join — two linear "running last control"
+    passes (backward and forward) along the score order, then a
+    scalar reduction; no pairwise blow-up anywhere. The running
+    last is a PREFIX computation, so it distributes exactly like
+    :func:`profile._distributed_cdf`'s prefix sum — no
+    single-partition global-order window anywhere:
+    ``repartitionByRange(_s, _t, _id)`` gives a total order across
+    partitions; per-partition windows (partitioned by
+    ``spark_partition_id``) compute the within-partition running
+    last control in both directions; the per-partition LAST/FIRST
+    control structs — a TINY agg, ≤ shuffle.partitions rows — carry
+    across boundaries via ignorenulls-last windows over that tiny
+    frame and broadcast back, so each row's backward match is
+    ``coalesce(local running last, carried prefix last)`` (mirror
+    for forward). Exact for ANY caliper (including none — the
+    carried struct reaches arbitrarily far), unlike a ±caliper
+    margin duplication. The only global-order windows run over the
+    per-partition totals frame, bounded by the partition count.
     """
     from pyspark.sql import Window
 
@@ -875,25 +881,66 @@ def psm_att(
         F.col(id_col).alias("_id"),
     )
     # controls sort BEFORE treated at equal score so an exact-score
-    # control is visible in the backward pass
-    w = Window.orderBy("_s", "_t", "_id")
-    ctrl = F.when(F.col("_t") == 0, F.struct("_s", "_y"))
-    back = F.last(ctrl, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    # control is visible in the backward pass; _id makes the order
+    # total (ties resolve to largest id backward / smallest forward).
+    # Struct field order (_s, _id, _y) makes lexicographic min/max
+    # agree with the sort order restricted to controls (_t == 0).
+    parts = base.repartitionByRange("_s", "_t", "_id").withColumn(
+        "_pid", F.spark_partition_id().cast("long")
+    )
+    ctrl = F.when(
+        F.col("_t") == 0, F.struct(F.col("_s"), F.col("_id"), F.col("_y"))
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_s", "_t", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     # forward pass as a REVERSED running last — an unbounded-FOLLOWING
     # first() frame re-scans the tail per row (O(n²): measured 16+ min
     # at 450k units on one core); frames ending at CURRENT ROW are
     # incremental. Fully reversed sort keys mirror the sequence
     # exactly, tie semantics included.
-    wrev = Window.orderBy(
-        F.col("_s").desc(), F.col("_t").desc(), F.col("_id").desc()
+    wrev = (
+        Window.partitionBy("_pid")
+        .orderBy(
+            F.col("_s").desc(), F.col("_t").desc(), F.col("_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = F.last(ctrl, ignorenulls=True).over(
-        wrev.rowsBetween(Window.unboundedPreceding, 0)
+    local = parts.select(
+        "_pid",
+        "_t",
+        "_s",
+        "_y",
+        F.last(ctrl, ignorenulls=True).over(wloc).alias("_lb"),
+        F.last(ctrl, ignorenulls=True).over(wrev).alias("_lf"),
     )
-    flagged = base.select(
-        "_t", "_s", "_y", back.alias("_b"), fwd.alias("_f")
+    # per-partition LAST and FIRST control in sort order — lexicographic
+    # struct max/min over (_s, _id, _y); NULL when the partition holds
+    # no control. Computed from the window output so the planner reuses
+    # the range exchange for both branches.
+    ptots = local.groupBy("_pid").agg(
+        F.max(F.when(F.col("_t") == 0, F.col("_lb"))).alias("_pl"),
+        F.min(F.when(F.col("_t") == 0, F.col("_lf"))).alias("_pf"),
+    )
+    wasc = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wdesc = Window.orderBy(F.col("_pid").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = ptots.select(
+        "_pid",
+        F.last("_pl", ignorenulls=True).over(wasc).alias("_cb"),
+        F.last("_pf", ignorenulls=True).over(wdesc).alias("_cf"),
+    )
+    flagged = local.join(F.broadcast(carries), "_pid").select(
+        "_t",
+        "_s",
+        "_y",
+        F.coalesce(F.col("_lb"), F.col("_cb")).alias("_b"),
+        F.coalesce(F.col("_lf"), F.col("_cf")).alias("_f"),
     )
     bd = F.abs(F.col("_s") - F.col("_b._s"))
     fd = F.abs(F.col("_f._s") - F.col("_s"))

@@ -7,6 +7,8 @@ nothing goes cartesian by accident.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -617,21 +619,46 @@ def test_rank_stats_never_globally_sort_the_fact(spark, sf001_dir):
         # walk each Sort node: everything printed below it at deeper
         # indentation until the indent pops back is its subtree — a
         # HashAggregate must appear in there before any scan leaf,
-        # otherwise the Sort is consuming raw fact rows.
+        # otherwise the Sort is consuming raw fact rows. A
+        # ReusedExchange in the subtree points at an exchange printed
+        # in a SIBLING branch (which branch gets the Reused node is
+        # planner-order dependent): resolve its plan_id back to the
+        # original Exchange and require the aggregate below THAT.
         def indent(l):
             return len(l) - len(l.lstrip(" +-:"))
+
+        def subtree_of(i):
+            base = indent(lines[i])
+            out = []
+            for nxt in lines[i + 1:]:
+                if nxt.strip() and indent(nxt) <= base:
+                    break
+                out.append(nxt)
+            return "\n".join(out)
+
+        def feeds_aggregate(i, seen=()):
+            sub = subtree_of(i)
+            if "HashAggregate" in sub:
+                return True
+            m = re.search(r"ReusedExchange \[[^\]]*\], Exchange .*?\[plan_id=(\d+)\]", sub)
+            if not m or m.group(1) in seen:
+                return False
+            pid = m.group(1)
+            for j, l2 in enumerate(lines):
+                if (
+                    f"[plan_id={pid}]" in l2
+                    and "Exchange" in l2
+                    and "ReusedExchange" not in l2
+                ):
+                    return "HashAggregate" in subtree_of(j) or feeds_aggregate(
+                        j, (*seen, pid)
+                    )
+            return False
 
         for i, l in enumerate(lines):
             if " Sort " not in f" {l.strip()} ":
                 continue
-            base = indent(l)
-            subtree = []
-            for nxt in lines[i + 1:]:
-                if nxt.strip() and indent(nxt) <= base:
-                    break
-                subtree.append(nxt)
-            sub = "\n".join(subtree)
-            assert "HashAggregate" in sub, (
+            assert feeds_aggregate(i), (
                 "Sort consumes unaggregated input:\n" + plan
             )
 
@@ -701,9 +728,11 @@ def test_calibration_bins_single_scan_single_agg(spark):
 
 def test_psm_att_is_windowed_never_nested_loop(spark):
     """psm_att: the nearest-control match is the sorted-neighborhood
-    trick — a global sort + two linear window passes. The plan must
-    contain Window operators and NO nested-loop/cartesian join
-    anywhere (the naive NN formulation is a theta-join)."""
+    trick — a range shuffle + two linear per-partition window passes
+    with a broadcast boundary carry (round 13; the single-partition
+    global window died with the rewrite). The plan must contain
+    Window operators and NO nested-loop/cartesian join anywhere (the
+    naive NN formulation is a theta-join)."""
     from gbif_filter_python_spark.operators.analytics import psm_att
 
     df = spark.createDataFrame(
@@ -713,11 +742,13 @@ def test_psm_att_is_windowed_never_nested_loop(spark):
     plan = explain_str(psm_att(df, "t", "s", "y", "id"), "simple")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
-    # the only join allowed is the final 1-row x 1-row scalar
-    # crossJoin of the two aggregates (plans as a broadcast nested
-    # loop over singleton rows — harmless); the MATCH path itself
-    # must be join-free
-    assert plan.count("Join") == 1
+    # allowed joins: the BROADCAST carry join of the per-partition
+    # boundary structs (bounded by the partition count) and the final
+    # 1-row x 1-row scalar crossJoin of the two aggregates (plans as
+    # a broadcast nested loop over singleton rows — harmless); the
+    # MATCH path itself must never join the unit table to itself
+    assert plan.count("Join") == 2
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 def test_referential_integrity_broadcasts_dims(spark, sf001_dir):

@@ -1,0 +1,238 @@
+"""Round-13 codec additions and ADVICE fixes:
+
+* MJPEG-in-AVI (VERDICT r12 item 3): encode_avi_mjpeg composes the
+  in-repo JPEG encoder with the in-repo RIFF-AVI builder; the
+  decode_avi_frames MJPG path composes the JPEG decoder with the RIFF
+  walker — compressed video end-to-end with no codec library.
+* encode_adpcm_wav rejects degenerate block_align (< 8 silently
+  emitted an empty data chunk).
+* JPEG marker loop handles 0xFF fill bytes and standalone markers
+  (TEM 0x01, stray RSTn) per T.81 B.1.1.2 instead of misparsing them
+  as length-prefixed segments.
+* decode_jpeg_bytes identifies luma by MAX sampling factors (id-1
+  tie-break) instead of trusting frame position 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gbif_filter_python_spark.multimodal.binary_ops import (
+    _fake_pixels,
+    decode_avi_frames,
+    decode_jpeg_bytes,
+    encode_adpcm_wav,
+    encode_avi,
+    encode_avi_mjpeg,
+    encode_jpeg,
+)
+
+
+def _frames(n=5, side=16, tag="mj"):
+    return [_fake_pixels(f"{tag}{i}".encode(), side) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_frames_match_standalone_jpeg_decode():
+    """Each decoded MJPEG frame must be bit-identical to decoding the
+    same frame's standalone JPEG — the AVI layer adds exactly
+    nothing."""
+    frames = _frames(6)
+    got = decode_avi_frames(encode_avi_mjpeg(frames, fps=6, quality=85))
+    assert len(got) == 6
+    for f, g in zip(frames, got):
+        ref = decode_jpeg_bytes(encode_jpeg(f, quality=85))
+        assert g.dtype == np.float32
+        assert np.array_equal(g, ref)
+
+
+def test_mjpeg_avi_quality_ladder_and_loss_bound():
+    frames = _frames(4)
+    prev_err = None
+    for q in (95, 75, 50):
+        got = decode_avi_frames(encode_avi_mjpeg(frames, quality=q))
+        err = max(
+            float(np.abs(g - f).max()) for g, f in zip(got, frames)
+        )
+        assert err < 0.35  # lossy but bounded
+        if prev_err is not None:
+            assert err >= prev_err - 1e-6  # lower quality, more loss
+        prev_err = err
+
+
+def test_mjpeg_avi_odd_dimensions():
+    frames = [f[:13, :11] for f in _frames(3)]
+    got = decode_avi_frames(encode_avi_mjpeg(frames, quality=80))
+    assert [g.shape for g in got] == [(13, 11)] * 3
+
+
+def test_mjpeg_avi_has_mjpg_stream_and_dc_chunks():
+    payload = encode_avi_mjpeg(_frames(2), fps=4)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert b"MJPG" in payload  # strh handler + strf biCompression
+    assert b"00dc" in payload
+    assert b"00db" not in payload
+    # each chunk is a complete JFIF JPEG
+    assert payload.count(b"\xff\xd8\xff") == 2
+
+
+def test_uncompressed_avi_still_roundtrips_exactly():
+    """The refactor to a shared container builder must not move a
+    byte of the 00db path's semantics."""
+    frames = _frames(3)
+    got = decode_avi_frames(encode_avi(frames, fps=5))
+    for f, g in zip(frames, got):
+        q = np.clip(np.rint(f.astype(np.float64) * 255), 0, 255) / 255.0
+        assert np.abs(g - q).max() < 1e-6
+
+
+def test_unknown_compression_still_raises_named():
+    payload = bytearray(encode_avi_mjpeg(_frames(1)))
+    i = payload.find(b"MJPG", 12)  # strh handler fourcc
+    j = payload.find(b"MJPG", i + 4)  # strf biCompression
+    payload[j : j + 4] = b"H264"
+    with pytest.raises(ValueError, match="compressed AVI stream"):
+        decode_avi_frames(bytes(payload))
+
+
+def test_sample_frames_avi_works_on_mjpeg(spark):
+    """The existing sampler composes with the MJPG decode path with
+    zero changes — evenly spaced frames, re-emitted as BMPs."""
+    from pyspark.sql import functions as F
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_images,
+        sample_frames_avi,
+    )
+
+    payload = encode_avi_mjpeg(_frames(6, tag="s"), fps=6)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    sampled = sample_frames_avi(df, n_frames=3)
+    rows = sorted(
+        (r.frame_idx, r.src_idx) for r in sampled.collect()
+    )
+    assert rows == [(0, 0), (1, 2), (2, 4)]
+    dec = decode_images(
+        sampled.select(
+            F.col("media_id"), F.col("frame_payload").alias("payload")
+        ),
+        codec="bmp",
+    )
+    for r in dec.collect():
+        assert (r.width, r.height) == (16, 16)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_rejects_degenerate_block_align():
+    s = np.sin(np.linspace(0, 20, 500))
+    for bad in (0, 3, 4, 7, -8):
+        with pytest.raises(ValueError, match="block_align"):
+            encode_adpcm_wav(s, block_align=bad)
+    # the minimum legal value still encodes
+    assert encode_adpcm_wav(s, block_align=8)[:4] == b"RIFF"
+
+
+def test_jpeg_fill_bytes_and_standalone_markers_parse():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    TEM (0x01) is a standalone marker with no length field. Inject
+    both between header segments; decode must be unchanged."""
+    img = _fake_pixels(b"fill", 16)
+    payload = encode_jpeg(img, quality=85)
+    ref = decode_jpeg_bytes(payload)
+    # splice after SOI: fill bytes, then a TEM marker, then fill again
+    patched = (
+        payload[:2]
+        + b"\xff\xff\xff"  # fill bytes before next marker
+        + b"\xff\x01"      # TEM — standalone
+        + b"\xff"          # one more fill byte
+        + payload[2:]
+    )
+    assert np.array_equal(decode_jpeg_bytes(patched), ref)
+
+
+def test_jpeg_luma_identified_by_sampling_not_position():
+    """Reorder the SOF/SOS components chroma-first (spec-legal): the
+    decoder must still return the Y plane, not the first component.
+    Built by byte-patching an interleaved 3-component JPEG from our
+    encoder is not possible (it emits grayscale), so fabricate via
+    javax.imageio through the existing JVM oracle if available, else
+    assert on the helper directly."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _jpeg_luma_comp,
+    )
+
+    comps = [
+        {"id": 2, "h": 1, "v": 1, "tq": 1},  # Cb first
+        {"id": 3, "h": 1, "v": 1, "tq": 1},
+        {"id": 1, "h": 2, "v": 2, "tq": 0},  # Y last, max-sampled
+    ]
+    assert _jpeg_luma_comp(comps)["id"] == 1
+    # 4:4:4 tie → id 1 wins regardless of order
+    comps444 = [
+        {"id": 3, "h": 1, "v": 1, "tq": 1},
+        {"id": 1, "h": 1, "v": 1, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 1},
+    ]
+    assert _jpeg_luma_comp(comps444)["id"] == 1
+    # no id-1 component: frame order breaks the tie
+    compsodd = [
+        {"id": 5, "h": 1, "v": 1, "tq": 0},
+        {"id": 6, "h": 1, "v": 1, "tq": 1},
+    ]
+    assert _jpeg_luma_comp(compsodd)["id"] == 5
+
+
+def test_jpeg_chroma_first_sof_order_decodes_y_plane(spark):
+    """End-to-end cross-check via javax.imageio: encode a color JPEG
+    with the JVM, byte-swap the SOF component entries so chroma sits
+    first, and verify decode still returns the luma plane (identical
+    to decoding the unpatched bytes)."""
+    import struct
+
+    jvm = spark._jvm
+    w = h = 24
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    payload = bytes(baos.toByteArray())
+    ref = decode_jpeg_bytes(payload)
+
+    # find SOF0/1/2 and rotate the three 3-byte component entries so
+    # the original first (Y) component comes LAST
+    buf = bytearray(payload)
+    pos = 2
+    sof_at = None
+    while pos + 4 <= len(buf):
+        assert buf[pos] == 0xFF
+        marker = buf[pos + 1]
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2):
+            sof_at = pos + 4
+            break
+        pos += 2 + seglen
+    assert sof_at is not None
+    ncomp = buf[sof_at + 5]
+    assert ncomp == 3
+    entries = bytes(buf[sof_at + 6 : sof_at + 6 + 9])
+    rotated = entries[3:] + entries[:3]
+    buf[sof_at + 6 : sof_at + 6 + 9] = rotated
+    got = decode_jpeg_bytes(bytes(buf))
+    assert np.array_equal(got, ref)
