@@ -3241,6 +3241,91 @@ def q_video_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection over Motion-JPEG AVIs (round 13): each
+    doc gets a 6-frame MJPG AVI whose frames 0-2 are tiny brightness
+    perturbations of one pseudo-random scene and frames 3-5 of a
+    second, so the mean-absolute-difference detector must fire at
+    frame 3 and ONLY there (within-scene MAD ≈ 0.01 + bounded JPEG
+    quantization noise « 0.08 threshold; cross-scene MAD of
+    independent uniforms ≈ 1/3 » 0.08). ``match`` pins every MAD to a
+    straight-line driver replay of the identical
+    encode→decode→diff chain; ``is_cut`` and the frame grid are the
+    SQL-knowable columns."""
+    import numpy as np
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_pixels,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        scene_cuts,
+    )
+
+    def make_frames(s: str) -> list:
+        a = _fake_pixels(f"{s}#sceneA".encode("utf-8"), 16)
+        b = _fake_pixels(f"{s}#sceneB".encode("utf-8"), 16)
+        return [np.clip(a + 0.01 * i, 0.0, 1.0) for i in range(3)] + [
+            np.clip(b + 0.01 * i, 0.0, 1.0) for i in range(3)
+        ]
+
+    def make_avi(s: str) -> bytes:
+        return encode_avi_mjpeg(make_frames(s), fps=6, quality=90)
+
+    @F.pandas_udf("binary")
+    def _to_avi(rows: pd.Series) -> pd.Series:
+        return rows.map(make_avi)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_avi(F.col("text")).alias("payload"),
+    )
+    cuts = scene_cuts(media, threshold=0.08)
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        fs = decode_avi_frames(make_avi(r["text"]))
+        prev = None
+        for i, f in enumerate(fs):
+            mad = (
+                0.0
+                if prev is None
+                else round(
+                    float(
+                        np.mean(
+                            np.abs(
+                                f.astype(np.float64)
+                                - prev.astype(np.float64)
+                            )
+                        )
+                    ),
+                    6,
+                )
+            )
+            ref_rows.append((r["doc_id"], i, mad))
+            prev = f
+    ref_df = spark.createDataFrame(
+        ref_rows, "doc_id long, frame_idx int, ref_mad double"
+    )
+    return (
+        cuts.select(
+            F.col("media_id").alias("doc_id"),
+            "frame_idx",
+            "mad",
+            "is_cut",
+        )
+        .join(F.broadcast(ref_df), ["doc_id", "frame_idx"])
+        .select(
+            "doc_id",
+            "frame_idx",
+            "is_cut",
+            (F.abs(F.col("mad") - F.col("ref_mad")) < 1e-9).alias(
+                "match"
+            ),
+        )
+    )
+
+
 def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless set-similarity join (operators/dedup.py::
     prefix_filter_jaccard_pairs, the PPJoin prefix filter, Xiao
@@ -7955,6 +8040,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_parity": q_streaming_window_parity,
         # -- round-13 additions ---------------------------------------
         "video_mjpeg_frames": q_video_mjpeg_frames,
+        "video_scene_cuts": q_video_scene_cuts,
     }
 
 
@@ -10374,6 +10460,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
             "true AS match "
             "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) "
+            "WHERE doc_id < 40"
+        ),
+        "video_scene_cuts": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "(i = 3) AS is_cut, true AS match "
+            "FROM documents CROSS JOIN (SELECT unnest(range(6)) AS i) "
             "WHERE doc_id < 40"
         ),
         "snapshot_diff": (

@@ -128,6 +128,49 @@ def test_sample_frames_avi_works_on_mjpeg(spark):
         assert (r.width, r.height) == (16, 16)
 
 
+def test_scene_cuts_fires_only_at_the_shot_boundary(spark):
+    """Two uncorrelated 'scenes' of three near-identical frames each:
+    the MAD detector flags exactly frame 3. Hand-checkable on
+    uncompressed AVI (no quantization noise at all)."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        scene_cuts,
+    )
+
+    a = _fake_pixels(b"sceneA", 16)
+    b = _fake_pixels(b"sceneB", 16)
+    frames = [np.clip(a + 0.01 * i, 0, 1) for i in range(3)] + [
+        np.clip(b + 0.01 * i, 0, 1) for i in range(3)
+    ]
+    payload = encode_avi(frames, fps=6)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in scene_cuts(df).collect()}
+    assert len(rows) == 6
+    assert rows[0].mad == 0.0 and not rows[0].is_cut
+    for i in (1, 2, 4, 5):
+        assert rows[i].mad < 0.02 and not rows[i].is_cut, rows[i]
+    assert rows[3].is_cut and rows[3].mad > 0.2
+
+
+def test_scene_cuts_works_on_mjpeg_payloads(spark):
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        scene_cuts,
+    )
+
+    a = _fake_pixels(b"mA", 16)
+    b = _fake_pixels(b"mB", 16)
+    frames = [a, np.clip(a + 0.01, 0, 1), b, np.clip(b + 0.01, 0, 1)]
+    payload = encode_avi_mjpeg(frames, fps=4, quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    cuts = sorted(
+        r.frame_idx for r in scene_cuts(df).collect() if r.is_cut
+    )
+    assert cuts == [2]
+
+
 # ---------------------------------------------------------------------------
 # ADVICE fixes
 # ---------------------------------------------------------------------------
