@@ -6269,8 +6269,9 @@ def q_psm_att(spark: SparkSession, sf: str) -> DataFrame:
     """Propensity-matched ATT of nation-parity 'treatment' on order
     activity, balance as the score
     (operators/analytics.py::psm_att): sorted-neighborhood matching —
-    one global sort + two linear window passes, caliper 25; never a
-    nearest-neighbor theta-join."""
+    a range shuffle + per-partition running-last-control passes with a
+    broadcast boundary carry (distributed in r13; no single-partition
+    window), caliper 25; never a nearest-neighbor theta-join."""
     from gbif_filter_python_spark.operators.analytics import psm_att
 
     cust = _t(spark, sf, "customer")
