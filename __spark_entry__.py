@@ -3326,6 +3326,73 @@ def q_video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_spectral(spark: SparkSession, sf: str) -> DataFrame:
+    """STFT spectral features over REAL WAV payloads (round 13):
+    per-doc deterministic 2048-sample waveforms → 16-bit PCM WAV →
+    pure-NumPy RIFF decode → Hann-windowed rfft statistics (centroid,
+    85% rolloff, bandwidth, flatness, flux —
+    multimodal/binary_ops.py::audio_spectral_features). ``match``
+    pins every feature to a straight-line driver replay of the same
+    bytes through the same pure function (encode → decode_wav_bytes →
+    _spectral_stats): both sides are the identical deterministic
+    double-precision computation, so equality is exact. Oracle states
+    the SQL-knowable frame (media_id, n_frames, true)."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_waveform,
+        _spectral_stats,
+        audio_spectral_features,
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    n_samples = 2048
+
+    @F.pandas_udf("binary")
+    def _to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav(
+                _fake_waveform(t.encode("utf-8"), n_samples), 16_000
+            )
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_wav(F.col("text")).alias("payload"),
+    )
+    feats = audio_spectral_features(media)
+
+    ref_rows = []
+    for r in docs.select("doc_id", "text").collect():
+        wav = encode_wav(
+            _fake_waveform(r["text"].encode("utf-8"), n_samples), 16_000
+        )
+        wave, rate = decode_wav_bytes(wav)
+        st = _spectral_stats(wave, rate, 256, 128)
+        ref_rows.append((r["doc_id"],) + st)
+    ref_df = spark.createDataFrame(
+        ref_rows,
+        "media_id long, r_nf int, r_cen double, r_roll double, "
+        "r_bw double, r_flat double, r_flux double",
+    )
+    eq = (
+        (F.col("n_frames") == F.col("r_nf"))
+        & (F.col("sp_centroid_hz") == F.col("r_cen"))
+        & (F.col("sp_rolloff_hz") == F.col("r_roll"))
+        & (F.col("sp_bandwidth_hz") == F.col("r_bw"))
+        & (F.col("sp_flatness") == F.col("r_flat"))
+        & (F.col("sp_flux") == F.col("r_flux"))
+    )
+    return (
+        feats.join(F.broadcast(ref_df), "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_frames",
+            eq.alias("match"),
+        )
+    )
+
+
 def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless set-similarity join (operators/dedup.py::
     prefix_filter_jaccard_pairs, the PPJoin prefix filter, Xiao
@@ -8042,6 +8109,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-13 additions ---------------------------------------
         "video_mjpeg_frames": q_video_mjpeg_frames,
         "video_scene_cuts": q_video_scene_cuts,
+        "audio_spectral": q_audio_spectral,
     }
 
 
@@ -10468,6 +10536,10 @@ def oracle_sql() -> dict[str, str]:
             "(i = 3) AS is_cut, true AS match "
             "FROM documents CROSS JOIN (SELECT unnest(range(6)) AS i) "
             "WHERE doc_id < 40"
+        ),
+        "audio_spectral": (
+            "SELECT doc_id, CAST(15 AS INT) AS n_frames, "
+            "true AS match FROM documents WHERE doc_id < 100"
         ),
         "snapshot_diff": (
             "WITH o AS (SELECT c_custkey, c_name, c_mktsegment, "

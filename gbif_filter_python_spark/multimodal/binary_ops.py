@@ -798,39 +798,48 @@ def encode_jpeg(
 
 class _JpegBitReader:
     """MSB-first reader over one entropy-coded segment (stuffed 0xFF
-    0x00 pairs resolved; segment boundaries pre-split at RST/EOI)."""
+    0x00 pairs resolved; segment boundaries pre-split at RST/EOI).
+
+    Round 13: same API, fast internals — the progressive scans call
+    ``read_huff``/``read_bits`` per symbol, and the old per-bit
+    accumulator walk made each Huffman code up to 16 Python bit
+    reads. Now the segment is destuffed ONCE (NumPy), exposed as
+    per-byte 32-bit windows, and a code costs one 8-bit LUT probe
+    (16-bit fallback); ``read_bits`` is a single window extract. The
+    sequential scan decoder inlines this same machinery directly
+    (no method-call overhead); this class serves the progressive
+    path and any future per-symbol consumer."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        self.win, self.nbits_total = _jpeg_bit_windows(_jpeg_destuff(data))
         self.pos = 0
-        self.acc = 0
-        self.nbits = 0
 
     def read_bits(self, n: int) -> int:
-        while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data exhausted mid-block")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker inside entropy data")
-                self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return out
+        if n == 0:
+            return 0
+        pos = self.pos
+        if pos + n > self.nbits_total:
+            raise ValueError("JPEG entropy data exhausted mid-block")
+        self.pos = pos + n
+        return (self.win[pos >> 3] >> (32 - (pos & 7) - n)) & (
+            (1 << n) - 1
+        )
 
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        pos = self.pos
+        w = self.win[pos >> 3]
+        r = pos & 7
+        lut, long_codes = _jpeg_huff_lut(table)
+        e = lut[(w >> (24 - r)) & 0xFF]
+        if e:
+            ln = e >> 8
+            sym = e & 0xFF
+        else:
+            ln, sym = _jpeg_huff_slow(w, r, long_codes)
+        if pos + ln > self.nbits_total:
+            raise ValueError("JPEG entropy data exhausted mid-block")
+        self.pos = pos + ln
+        return sym
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -1579,12 +1588,16 @@ def _jpeg_prog_ac_refine(
     """AC successive-approximation refinement for one block's band
     (T.81 G.1.2.3): every already-nonzero coefficient crossed gets a
     correction bit; zero-history positions are spent by the run
-    lengths and may gain a new ±(1<<Al)."""
-    p1, m1 = 1 << al, -(1 << al)
+    lengths and may gain a new ±(1<<Al).
 
-    def refine(k: int) -> None:
-        if reader.read_bits(1) and (int(z[k]) & p1) == 0:
-            z[k] += p1 if z[k] > 0 else m1
+    The band is worked as a plain Python list and written back in one
+    vectorized slice assign — this loop touches every nonzero
+    coefficient of every block once per refinement scan, and NumPy
+    scalar indexing was ~two-thirds of a progressive decode's wall
+    (profiled round 13)."""
+    p1, m1 = 1 << al, -(1 << al)
+    zl = z.tolist()
+    read_bits = reader.read_bits
 
     k = ss
     if eob[0] == 0:
@@ -1596,31 +1609,36 @@ def _jpeg_prog_ac_refine(
                 if r != 15:  # EOB run starts (r==15 is ZRL: 16 zeros)
                     eob[0] = 1 << r
                     if r:
-                        eob[0] += reader.read_bits(r)
+                        eob[0] += read_bits(r)
                     break
             else:
                 if s != 1:
                     raise ValueError(
                         "AC refinement symbol with magnitude size != 1"
                     )
-                val = p1 if reader.read_bits(1) else m1
+                val = p1 if read_bits(1) else m1
             while k <= se:
-                if z[k] != 0:
-                    refine(k)
+                zk = zl[k]
+                if zk != 0:
+                    if read_bits(1) and (zk & p1) == 0:
+                        zl[k] = zk + (p1 if zk > 0 else m1)
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if val and k <= se:
-                z[k] = val
+                zl[k] = val
             k += 1
     if eob[0] > 0:
         while k <= se:
-            if z[k] != 0:
-                refine(k)
+            zk = zl[k]
+            if zk != 0:
+                if read_bits(1) and (zk & p1) == 0:
+                    zl[k] = zk + (p1 if zk > 0 else m1)
             k += 1
         eob[0] -= 1
+    z[ss : se + 1] = zl[ss : se + 1]
 
 
 def _fake_pixels(payload: bytes, side: int) -> np.ndarray:
@@ -1894,6 +1912,125 @@ def audio_features(
         F.round(rms, 6).alias("rms"),
         (crossings / (n - 1)).alias("zcr"),
         F.round(peak, 6).alias("peak"),
+    )
+
+
+def _spectral_stats(
+    wave: np.ndarray, rate: int, frame: int, hop: int
+) -> tuple[int, float, float, float, float, float]:
+    """STFT magnitude statistics for one mono waveform — NumPy rfft
+    over hop-strided frames (Hann window). Returns (n_frames,
+    centroid_hz, rolloff85_hz, bandwidth_hz, flatness, flux). All
+    values rounded to 6dp so a straight-line replay is
+    fp-representation stable."""
+    x = np.asarray(wave, dtype=np.float64)
+    if x.size < frame:
+        x = np.pad(x, (0, frame - x.size))
+    n_fr = 1 + (x.size - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_fr)[:, None]
+    win = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame) / frame
+    )  # periodic Hann
+    mag = np.abs(np.fft.rfft(x[idx] * win, axis=1))  # (n_fr, frame/2+1)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    tot = mag.sum(axis=1)
+    ok = tot > 0
+    if not ok.any():
+        return n_fr, 0.0, 0.0, 0.0, 0.0, 0.0
+    m, t = mag[ok], tot[ok]
+    centroid = (m * freqs).sum(axis=1) / t
+    # 85% energy rolloff: first bin whose cumulative magnitude
+    # reaches 0.85 of the frame total
+    roll_idx = (np.cumsum(m, axis=1) >= 0.85 * t[:, None]).argmax(axis=1)
+    rolloff = freqs[roll_idx]
+    bw = np.sqrt(
+        (m * (freqs[None, :] - centroid[:, None]) ** 2).sum(axis=1) / t
+    )
+    # geometric/arithmetic mean ratio over power, eps-floored
+    p = m * m + 1e-12
+    flat = np.exp(np.mean(np.log(p), axis=1)) / np.mean(p, axis=1)
+    # flux over ALL frames (silent ones included: transition into
+    # silence is a legitimate spectral change)
+    if n_fr > 1:
+        flux = float(
+            np.mean(
+                np.sqrt(((np.diff(mag, axis=0)) ** 2).sum(axis=1))
+            )
+        )
+    else:
+        flux = 0.0
+    return (
+        n_fr,
+        round(float(centroid.mean()), 6),
+        round(float(rolloff.mean()), 6),
+        round(float(bw.mean()), 6),
+        round(float(flat.mean()), 6),
+        round(flux, 6),
+    )
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """WAV payloads → per-clip STFT statistics (round 13): spectral
+    centroid / 85% rolloff / bandwidth (all Hz), spectral flatness,
+    and mean spectral flux — the standard audio-curation features
+    (music-vs-speech-vs-noise separation, clipping/silence screens)
+    that time-domain :func:`audio_features` (RMS/ZCR/peak) can't
+    give. Pure NumPy rfft over Hann-windowed hop-strided frames — no
+    audio library.
+
+    Scale shape: one ``mapInPandas`` pass; the waveform dies inside
+    the task and only one 6-number row per clip shuffles onward —
+    same contract as :func:`audio_fingerprint`."""
+    if frame <= 0 or hop <= 0 or hop > frame:
+        raise ValueError(
+            f"need 0 < hop <= frame, got frame={frame} hop={hop}"
+        )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("sp_centroid_hz", DoubleType()),
+            StructField("sp_rolloff_hz", DoubleType()),
+            StructField("sp_bandwidth_hz", DoubleType()),
+            StructField("sp_flatness", DoubleType()),
+            StructField("sp_flux", DoubleType()),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                wave, rate = decode_wav_bytes(bytes(p))
+                rows.append(
+                    (int(mid),) + _spectral_stats(wave, rate, frame, hop)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_frames",
+                    "sp_centroid_hz",
+                    "sp_rolloff_hz",
+                    "sp_bandwidth_hz",
+                    "sp_flatness",
+                    "sp_flux",
+                ],
+            ).astype(
+                {
+                    id_col: "int64",
+                    "n_frames": "int32",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _feat, schema=out_schema
     )
 
 

@@ -171,6 +171,97 @@ def test_scene_cuts_works_on_mjpeg_payloads(spark):
     assert cuts == [2]
 
 
+def test_spectral_stats_physics():
+    """A pure tone's centroid sits at its frequency with near-zero
+    bandwidth/flatness/flux; white noise reads wideband and flat —
+    the separations the features exist to make."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _spectral_stats,
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    rate = 16_000
+    t = np.arange(rate) / rate
+    tone, _ = decode_wav_bytes(
+        encode_wav(0.8 * np.sin(2 * np.pi * 1000 * t), rate)
+    )
+    rng = np.random.default_rng(3)
+    noise, _ = decode_wav_bytes(
+        encode_wav(0.5 * (rng.random(rate) * 2 - 1), rate)
+    )
+    nf_t, cen_t, roll_t, bw_t, flat_t, flux_t = _spectral_stats(
+        tone, rate, 256, 128
+    )
+    nf_n, cen_n, roll_n, bw_n, flat_n, flux_n = _spectral_stats(
+        noise, rate, 256, 128
+    )
+    assert nf_t == nf_n == 1 + (rate - 256) // 128
+    assert abs(cen_t - 1000) < 30
+    assert bw_t < 200 and flat_t < 0.01 and flux_t < 1.0
+    assert cen_n > 3000 and bw_n > 1000 and flat_n > 0.3
+    assert roll_n > roll_t
+
+
+def test_spectral_stats_edges():
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _spectral_stats,
+    )
+
+    # silence → all zeros, no NaNs
+    nf, cen, roll, bw, flat, flux = _spectral_stats(
+        np.zeros(1000), 16_000, 256, 128
+    )
+    assert (cen, roll, bw, flat, flux) == (0.0, 0.0, 0.0, 0.0, 0.0)
+    # shorter than one frame → zero-padded single frame
+    nf, *_ = _spectral_stats(np.ones(100) * 0.5, 16_000, 256, 128)
+    assert nf == 1
+
+
+def test_audio_spectral_features_distributed_matches_direct(spark):
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        _fake_waveform,
+        _spectral_stats,
+        audio_spectral_features,
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    payloads = {
+        i: encode_wav(_fake_waveform(f"a{i}".encode(), 2048), 16_000)
+        for i in range(5)
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (
+            r.n_frames,
+            r.sp_centroid_hz,
+            r.sp_rolloff_hz,
+            r.sp_bandwidth_hz,
+            r.sp_flatness,
+            r.sp_flux,
+        )
+        for r in audio_spectral_features(df).collect()
+    }
+    for i, p in payloads.items():
+        wave, rate = decode_wav_bytes(p)
+        assert got[i] == _spectral_stats(wave, rate, 256, 128)
+
+
+def test_audio_spectral_features_param_guard(spark):
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        audio_spectral_features,
+    )
+
+    df = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    for frame, hop in ((0, 1), (256, 0), (128, 256)):
+        with pytest.raises(ValueError, match="hop"):
+            audio_spectral_features(df, frame=frame, hop=hop)
+
+
 # ---------------------------------------------------------------------------
 # ADVICE fixes
 # ---------------------------------------------------------------------------

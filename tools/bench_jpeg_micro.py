@@ -53,12 +53,22 @@ mid = [
 big_img = np.tile(_fake_pixels(b"b", 64), (4, 4))
 big = [encode_jpeg(big_img, quality=85, restart_interval=8 * (i % 2))
        for i in range(4)]
-
-for name, payloads, reps in (
+shapes_list = [
     ("tiny_8_12px_x120", tiny, 5),
     ("mid_64px_x30", mid, 5),
     ("big_256px_x4", big, 5),
-):
+]
+# optional progressive payload (javax.imageio-written by the caller;
+# see tests/test_jpeg_jvm_crossval.py for the generator) — exercises
+# the _JpegBitReader + prog-scan path, not the inlined sequential walk
+import os
+if os.path.exists("/tmp/prog128.jpg"):
+    shapes_list.append(
+        ("progressive_128px_x5",
+         [open("/tmp/prog128.jpg", "rb").read()] * 5, 5)
+    )
+
+for name, payloads, reps in shapes_list:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
