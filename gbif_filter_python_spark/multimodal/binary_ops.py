@@ -1343,36 +1343,6 @@ def _jpeg_idct_luma(
     return (gray / 255.0).astype(np.float32)
 
 
-def _jpeg_decode_block(
-    reader: _JpegBitReader,
-    dc_tbl: dict,
-    ac_tbl: dict,
-    preds: dict,
-    cid: int,
-) -> np.ndarray:
-    """One 8x8 block of zigzag coefficients (T.81 F.2.2)."""
-    z = np.zeros(64, dtype=np.int32)
-    s = reader.read_huff(dc_tbl)
-    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-    preds[cid] += diff
-    z[0] = preds[cid]
-    k = 1
-    while k <= 63:
-        rs = reader.read_huff(ac_tbl)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if rs == 0xF0:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("JPEG AC run overflows the block")
-        z[k] = _jpeg_extend(reader.read_bits(s), s)
-        k += 1
-    return z
-
-
 def _jpeg_prog_state(frame: dict) -> dict:
     """Persistent luma coefficient store for a progressive frame: the
     MCU-padded block grid (interleaved DC scans address it in MCU
