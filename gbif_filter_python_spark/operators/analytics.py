@@ -659,13 +659,24 @@ def skyline_2d(
 
     orient to (min x, max y); group to per-distinct-x ``max(y)``;
     then a point is dominated iff a strictly smaller x reached >= its
-    y (prefix running max over the x-sorted DISTINCT-x aggregate) or
-    its own x reached a strictly larger y. One shuffle to the
-    |distinct x|-row aggregate, a window over THAT (never the fact),
-    and one equi-join back — the fact is scanned twice and never
-    windowed. The unpartitioned window runs on the aggregate only;
-    at extreme |distinct x|, range-partition the prefix max the
-    assign_global_index way.
+    y (EXCLUSIVE prefix running max over the x-sorted DISTINCT-x
+    aggregate) or its own x reached a strictly larger y. One shuffle
+    to the |distinct x|-row aggregate and one equi-join back — the
+    fact is scanned twice and never windowed.
+
+    The prefix max itself runs DISTRIBUTED (the psm_att /
+    ``profile._distributed_cdf`` carry pattern, round-14 fix): on a
+    continuous x, |distinct x| ≈ n and a bare ``Window.orderBy(_sx)``
+    would sort the world on one task. ``repartitionByRange(_sx)``
+    gives a cross-partition total order; a per-range-partition ROWS
+    window computes the local exclusive running max; per-partition
+    max-y totals — a TINY agg, ≤ shuffle.partitions rows — feed an
+    exclusive prefix max over THAT bounded frame (the only
+    unpartitioned window) and broadcast back, so
+    ``_prev = greatest(local exclusive max, carried prefix max)``
+    (``greatest`` skips NULLs, exactly the coalesce-carry semantics).
+    Totals aggregate the WINDOW OUTPUT so the planner reuses the one
+    range exchange for both branches.
     """
     sx = 1 if x_pref == "min" else -1
     sy = 1 if y_pref == "max" else -1
@@ -680,10 +691,27 @@ def skyline_2d(
         (F.col(y_col) * sy).cast("double").alias("_sy"),
     )
     agg = work.groupBy("_sx").agg(F.max("_sy").alias("_ymax"))
-    w = Window.orderBy(F.col("_sx").asc()).rowsBetween(
+    parts = agg.repartitionByRange("_sx").withColumn(
+        "_pid", F.spark_partition_id().cast("long")
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_sx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("_lprev", F.max("_ymax").over(wloc))
+    ptots = local.groupBy("_pid").agg(F.max("_ymax").alias("_pmax"))
+    wcarry = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    stats = agg.withColumn("_prev", F.max("_ymax").over(w))
+    carries = ptots.select(
+        "_pid", F.max("_pmax").over(wcarry).alias("_carry")
+    )
+    stats = (
+        local.join(F.broadcast(carries), "_pid")
+        .withColumn("_prev", F.greatest("_lprev", "_carry"))
+        .drop("_pid", "_lprev", "_carry")
+    )
     joined = work.join(stats, "_sx")
     survives = (
         (F.col("_prev").isNull() | (F.col("_prev") < F.col("_sy")))
@@ -1312,34 +1340,37 @@ def kruskal_wallis(
 
     Scale shape: ranks are NEVER assigned per row. One hash agg to
     (group, value) pair counts, a re-agg to per-value totals, and
-    average ranks come from a cumulative window over the
-    DISTINCT-VALUE table — |values| rows, so the unpartitioned window
-    is over bounded model state (discrete metrics have a few hundred
-    levels; for continuous metrics quantile-bucket first). Rank sums
-    per group are exact (counts × half-integer average ranks — both
-    exact in doubles), so the statistic is reproducible across
-    partitionings. The pair-count aggregate is the only fact-sized
-    shuffle; the twin identical-subtree references reuse its exchange.
+    average ranks come from the DISTINCT-VALUE table's prefix sum —
+    which runs DISTRIBUTED via :func:`profile._distributed_cdf`
+    (range-partitioned local cumulatives + broadcast per-partition
+    offsets), never a single-partition window: on a continuous metric
+    |values| ≈ n and a bare ``Window.orderBy(v)`` would sort the world
+    on one task (the round-13 review's last one-task sort, fixed).
+    Average ranks stay exact (exclusive prefix count + half-integer
+    within-tie midpoint, both exact in doubles), so the statistic is
+    reproducible across partitionings. The (group, value) pair-count
+    aggregate is the only fact-sized shuffle; the value-keyed re-agg
+    and rank join ride |distinct|-sized tables and AQE picks the join
+    strategy (broadcast when the value table is small).
     """
-    from pyspark.sql import Window
+    from .profile import _distributed_cdf
 
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v"),
     ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
     gv = base.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
-    vals = gv.groupBy("v").agg(F.sum("c").alias("t"))
-    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
-        "v",
-        F.col("t").cast("double").alias("t"),
+    vals = gv.groupBy(F.col("v").alias("_v")).agg(F.sum("c").alias("_t"))
+    ranked = _distributed_cdf(vals, ("_t",)).select(
+        F.col("_v").alias("v"),
+        F.col("_t").cast("double").alias("t"),
         (
-            F.coalesce(F.sum("t").over(cum), F.lit(0)).cast("double")
-            + (F.col("t") + 1) / 2.0
+            (F.col("_cum_t") - F.col("_t")).cast("double")
+            + (F.col("_t") + 1) / 2.0
         ).alias("avg_rank"),
     )
     per = (
-        gv.join(F.broadcast(ranked), "v")
+        gv.join(ranked, "v")
         .groupBy("grp")
         .agg(
             F.sum("c").alias("n_g"),
