@@ -2048,6 +2048,50 @@ def q_adpcm_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mp3_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """MP3 frame-header triage without decode (r13 verdict ask 6 —
+    the smallest honest slice of the compressed-audio fence):
+    multimodal/binary_ops.py::parse_mp3_metadata walks MPEG-1 Layer
+    III headers (sync, bitrate, sample rate, padding hop, ID3v2 skip)
+    via one map-only mapInPandas; payload bytes die in the task and
+    only the scalar metadata row shuffles. The payloads are
+    synthesized per doc_id with structure parameters derived from
+    PUBLIC doc_id arithmetic (frame count, CBR/VBR bitrate cycle,
+    sample rate, channel mode, optional ID3v2 tag), so the DuckDB
+    oracle recomputes every output column INDEPENDENTLY from the same
+    arithmetic — including the exact integer duration
+    n_frames*1152*1000 // sample_rate — without ever seeing a byte of
+    the payload. Full MP3 audio decode stays behind the named
+    decode_audio fence."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        mp3_metadata,
+        synthesize_mp3,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_mp3(ids: pd.Series) -> pd.Series:
+        def build(d: int) -> bytes:
+            d = int(d)
+            rates = [64, 128, 192, 320]
+            return synthesize_mp3(
+                n_frames=8 + d % 40,
+                bitrates_kbps=[64, 160] if d % 5 == 0 else rates[d % 4],
+                sample_rate=[44100, 48000, 32000][d % 3],
+                channel_mode=d % 4,
+                id3_payload=20 if d % 7 == 0 else 0,
+                seed=d,
+            )
+
+        return ids.map(build)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_mp3(F.col("doc_id")).alias("payload"),
+    )
+    return mp3_metadata(media)
+
+
 def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-depth transitive closure (iterative join + checkpoint)
     over a synthetic supplier hierarchy (parent = s_suppkey div 10);
@@ -2060,6 +2104,38 @@ def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("s_suppkey DIV 10").alias("parent"),
     )
     return transitive_closure(edges).select("ancestor", "descendant", "depth")
+
+
+def q_lineage_ancestors(spark: SparkSession, sf: str) -> DataFrame:
+    """Upward ancestor chains (expansion.ascend_lineage — the Spark
+    twin of the legacy ``TaxonomicSource.get_lineage``, SURVEY.md
+    §1.4) over the same synthetic supplier hierarchy as
+    closure_chain: key = s_suppkey, parent = key DIV 10 (roots < 10),
+    canonical_name = s_name, rank = 'L'+digit-count. Every non-root
+    supplier asks for its full lineage; one broadcast-sized equi-join
+    per hop (rounds = tree height, ~digit count — never data size),
+    frontier checkpoint-truncated. Oracle is a DuckDB recursive CTE
+    walking parent_key upward — an independent fixpoint formulation,
+    not a replay."""
+    from gbif_filter_python_spark.operators.expansion import ascend_lineage
+
+    sup = _t(spark, sf, "supplier")
+    taxonomy = sup.select(
+        F.col("s_suppkey").alias("key"),
+        F.when(
+            F.col("s_suppkey") >= 10, F.expr("s_suppkey DIV 10")
+        ).alias("parent_key"),
+        F.col("s_name").alias("canonical_name"),
+        F.concat(
+            F.lit("l"), F.length(F.col("s_suppkey").cast("string"))
+        ).alias("rank"),
+    )
+    keys = sup.filter(F.col("s_suppkey") >= 10).select(
+        F.col("s_suppkey").alias("key")
+    )
+    return ascend_lineage(taxonomy, keys).select(
+        "key", "ancestor_key", "ancestor_name", "ancestor_rank", "depth"
+    )
 
 
 def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
@@ -2517,20 +2593,133 @@ def q_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus mixing (corpus.mixture_sample): target mix
-    en:de:fr:es = 5:2:2:1 over the lang domain, no upsampling — the
-    binding domain keeps everything, the rest downsample by
-    integer-threshold hash. Oracle replays the identical integer
-    arithmetic (thresholds, argmin by cross-multiplication) in SQL."""
-    from gbif_filter_python_spark.functions.text import token_count
-    from gbif_filter_python_spark.operators.corpus import mixture_sample
+    en:de:fr:es = 5:2:2:1 over the lang domain, no upsampling.
+    Verified by INVARIANTS + an independent membership differential
+    instead of an SQL replay of the kept-set filter (r13 verdict
+    ask 3). Per-lang row:
 
-    docs = _t(spark, sf, "documents")
-    kept = mixture_sample(
-        docs, {"en": 5, "de": 2, "fr": 2, "es": 1}, "lang", "doc_id"
+    - ``n_docs_total`` / ``n_tokens_total`` — DuckDB recomputes both
+      independently (tokenizer parity, no sampling involved);
+    - ``threshold_buckets`` — the integer keep threshold; the query
+      derives it from the public spec (exact-Fraction argmin +
+      integer division) while DuckDB re-derives it with HUGEINT
+      cross-multiplied argmin — exact integer cross-engine equality;
+    - ``is_binding`` — argmin(T_d/w_d) agreement;
+    - ``kept_matches_independent`` — a mapInPandas leg re-derives
+      per-doc membership with hashlib md5 (independent of Spark's
+      md5/conv expressions) and must agree with the engine's kept
+      set ROW FOR ROW;
+    - ``rate_ok`` — the achieved token keep-rate within 0.12 of
+      threshold/BUCKETS (hash-uniformity budget invariant; the
+      binding domain is exact at rate 1);
+    - ``no_upsample_ok`` — kept docs never exceed the domain's total.
+    """
+    from fractions import Fraction
+
+    from gbif_filter_python_spark.functions.text import token_count
+    from gbif_filter_python_spark.operators.corpus import (
+        SAMPLE_BUCKETS,
+        mixture_sample,
     )
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+
+    weights = {"en": 5, "de": 2, "fr": 2, "es": 1}
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("_t")
+    )
+    totals = {
+        r["lang"]: int(r["_tt"])
+        for r in base.groupBy("lang")
+        .agg(F.sum("_t").alias("_tt"))
+        .collect()
+    }
+    doms = sorted(
+        d for d, w in weights.items() if w > 0 and totals.get(d, 0) > 0
+    )
+    m = min(doms, key=lambda d: (Fraction(totals[d], weights[d]), d))
+    thresholds = {
+        d: min(
+            SAMPLE_BUCKETS,
+            (SAMPLE_BUCKETS * weights[d] * totals[m])
+            // (weights[m] * totals[d]),
+        )
+        for d in doms
+    }
+    kept_ids = mixture_sample(
+        docs, weights, "lang", "doc_id"
+    ).select("doc_id", F.lit(True).alias("_ek"))
+
+    def _member(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keeps = [
+                (
+                    int(
+                        hashlib.md5(
+                            (str(int(d)) + "mixture").encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % SAMPLE_BUCKETS
+                )
+                < thresholds[lang]
+                for d, lang in zip(pdf["doc_id"], pdf["lang"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "_pyk": keeps}
+            )
+
+    in_mix = base.filter(F.col("lang").isin(doms))
+    flagged = (
+        in_mix.join(F.broadcast(kept_ids), "doc_id", "left")
+        .withColumn("_ekeep", F.coalesce(F.col("_ek"), F.lit(False)))
+        .drop("_ek")
+    )
+    py = in_mix.select("doc_id", "lang").mapInPandas(
+        _member, schema="doc_id long, _pyk boolean"
+    ).select("doc_id", "_pyk")
+    th_col = F.lit(None).cast("long")
+    for d in doms:
+        th_col = F.when(
+            F.col("lang") == d, F.lit(int(thresholds[d])).cast("long")
+        ).otherwise(th_col)
+    per = (
+        flagged.join(py, "doc_id")
+        .withColumn("_th", th_col)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.sum("_t").alias("_nt"),
+            F.sum(F.when(F.col("_ekeep"), F.col("_t")).otherwise(0)).alias(
+                "_kt"
+            ),
+            F.sum(F.when(F.col("_ekeep"), 1).otherwise(0)).alias("_kd"),
+            F.min(
+                (F.col("_ekeep") == F.col("_pyk")).cast("int")
+            ).alias("_agree"),
+            F.first("_th").alias("_thv"),
+        )
+    )
+    return per.select(
+        "lang",
+        F.col("_nd").cast("long").alias("n_docs_total"),
+        F.col("_nt").cast("long").alias("n_tokens_total"),
+        F.col("_thv").alias("threshold_buckets"),
+        (F.col("lang") == m).alias("is_binding"),
+        (F.col("_agree") == 1).alias("kept_matches_independent"),
+        (
+            F.abs(
+                F.col("_kt").cast("double") / F.col("_nt")
+                - F.col("_thv").cast("double") / SAMPLE_BUCKETS
+            )
+            <= 0.12
+        ).alias("rate_ok"),
+        (F.col("_kd") <= F.col("_nd")).alias("no_upsample_ok"),
     )
 
 
@@ -4662,13 +4851,95 @@ def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """A-ES weighted sampling without replacement (corpus.py,
     Efraimidis & Spirakis 2006): 50 docs ∝ n_chars via deterministic
-    exponential clocks — the md5 uniform makes the selected set
-    identical across engines, retries, and the DuckDB oracle. TopK
-    sort, no global corpus sort."""
+    exponential clocks. Verified WITHOUT an SQL replay of the clock
+    arithmetic (r13 verdict ask 3): a mapInPandas leg RE-DERIVES
+    every clock with hashlib md5 + ``math.log`` (independent md5,
+    independent libm) and takes its own distributed top-50; the
+    summary row pins (a) set equality of the two selections, (b) the
+    budget invariant n_selected = min(k, n_eligible) with
+    ``n_eligible`` recomputed independently by DuckDB, and (c) the
+    weight-bias invariant (mean weight of the selected sample must
+    exceed the population mean — what ∝-weight sampling is FOR)."""
     from gbif_filter_python_spark.operators.corpus import weighted_sample
 
     docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
-    return weighted_sample(docs, "n_chars", 50, id_col="doc_id")
+    sel = weighted_sample(docs, "n_chars", 50, id_col="doc_id")
+    elig = docs.filter(F.col("n_chars") > 0)
+
+    def _clock(it):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ks = [
+                round(
+                    math.log(
+                        (
+                            int(
+                                hashlib.md5(
+                                    str(int(d)).encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % 1_000_003
+                            + 0.5
+                        )
+                        / 1_000_003.0
+                    )
+                    / w,
+                    6,
+                )
+                for d, w in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "k": ks})
+
+    indep = (
+        elig.mapInPandas(_clock, schema="doc_id long, k double")
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(50)
+    )
+    both = (
+        sel.select("doc_id")
+        .withColumn("_e", F.lit(1))
+        .join(
+            indep.select("doc_id").withColumn("_i", F.lit(1)),
+            "doc_id",
+            "full",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_e").isNull() | F.col("_i").isNull(), 1
+                ).otherwise(0)
+            ).alias("_mismatch")
+        )
+    )
+    selstats = sel.agg(
+        F.count(F.lit(1)).alias("_nsel"),
+        F.avg("n_chars").alias("_selavg"),
+    )
+    totstats = elig.agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.avg("n_chars").alias("_allavg"),
+    )
+    return (
+        totstats.crossJoin(F.broadcast(selstats))
+        .crossJoin(F.broadcast(both))
+        .select(
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            F.col("_nsel").cast("long").alias("n_selected"),
+            (F.col("_mismatch") == 0).alias(
+                "selection_matches_independent"
+            ),
+            (F.col("_selavg") > F.col("_allavg")).alias(
+                "weight_bias_ok"
+            ),
+        )
+    )
 
 
 def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
@@ -4782,23 +5053,126 @@ def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16
-    (functions/vectors.py, Achlioptas 2001): the sign matrix is
-    md5-derived driver-side model state embedded as codegen literals
-    — map-only, no shuffle, no per-row hashing. FULL oracle: DuckDB
-    replays the identical md5 sign matrix and the identical
-    left-to-right fold, so every rounded component hash-matches.
-    Output exploded to (vec_id, pos, val) scalars."""
+    (functions/vectors.py, Achlioptas 2001), verified WITHOUT an SQL
+    replay of the sign-matrix fold (r13 verdict ask 3). Three
+    independent legs, one summary row:
+
+    (a) ``matches_independent`` — a mapInPandas differential that
+        RE-DERIVES the projection from scratch with hashlib md5 +
+        NumPy float64 matmul (independent md5 implementation,
+        independent summation order) and compares every component to
+        the engine's Column-fold output at 2e-6;
+    (b) the JL distance-preservation invariant over consecutive
+        vec_id pairs: mean(d_proj²/d_orig²) within 5% of 1 and no
+        pair ratio past 4.0 (measured spread at sf0.01/0.1: mean
+        1.015/0.991, max 2.14/2.35 — ≥1.7× headroom), plus the mean
+        pinned to 1.0 at 1dp as a hashed numeric;
+    (c) ``sum_d_orig_sq`` — the pair frame's ORIGINAL-space squared
+        distances, which DuckDB recomputes from the raw embeddings
+        with no knowledge of the projection: the replay-free numeric
+        cross-engine check of the pair plumbing.
+    """
     from gbif_filter_python_spark.functions.vectors import (
         random_projection,
     )
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     proj = emb.select(
         "vec_id",
+        "embedding",
         random_projection(F.col("embedding"), 64, 16).alias("_p"),
     )
-    return proj.select(
-        "vec_id", F.posexplode("_p").alias("pos", "val")
+
+    def _indep(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        signs = np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(
+                            f"rp:0:{i}:{j}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                    for j in range(64)
+                ]
+                for i in range(16)
+            ]
+        )
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            e = np.vstack(
+                pdf["embedding"].map(
+                    lambda v: np.asarray(v, dtype=np.float64)
+                )
+            )
+            p = (e @ signs.T) * 0.25
+            got = np.vstack(
+                pdf["_p"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            ok = (np.abs(p - got) <= 2e-6).all(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "indep_ok": ok}
+            )
+
+    checked = proj.mapInPandas(
+        _indep, schema="vec_id long, indep_ok boolean"
+    ).agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.sum(F.when(~F.col("indep_ok"), 1).otherwise(0)).alias("_bad"),
+    )
+    d2 = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(
+            u,
+            v,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = proj.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("_ea"),
+        F.col("_p").alias("_pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("_ia"),
+        F.col("embedding").alias("_eb"),
+        F.col("_p").alias("_pb"),
+    )
+    pstats = (
+        a.join(b, "_ia")
+        .select(
+            F.round(d2(F.col("_ea"), F.col("_eb")), 6).alias("_do"),
+            d2(F.col("_pa"), F.col("_pb")).alias("_dp"),
+        )
+        .filter(F.col("_do") > 0)
+        .select("_do", (F.col("_dp") / F.col("_do")).alias("_r"))
+        .agg(
+            F.count(F.lit(1)).alias("_np"),
+            F.round(F.sum("_do"), 2).alias("sum_d_orig_sq"),
+            F.avg("_r").alias("_mr"),
+            F.max("_r").alias("_xr"),
+        )
+    )
+    return checked.crossJoin(F.broadcast(pstats)).select(
+        F.col("_nv").cast("long").alias("n_vecs"),
+        F.col("_np").cast("long").alias("n_pairs"),
+        "sum_d_orig_sq",
+        F.round(F.col("_mr"), 1).alias("mean_ratio_1dp"),
+        (F.abs(F.col("_mr") - 1.0) <= 0.05).alias("jl_mean_ok"),
+        (F.col("_xr") <= 4.0).alias("jl_max_ok"),
+        (F.col("_bad") == 0).alias("matches_independent"),
     )
 
 
@@ -7889,6 +8263,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_flatten": q_domain_flatten,
         "closure_chain": q_closure_chain,
+        "lineage_ancestors": q_lineage_ancestors,
+        "mp3_metadata": q_mp3_metadata,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -8769,15 +9145,24 @@ def oracle_sql() -> dict[str, str]:
             "/ 2))), 6) AS dist_km FROM cand) "
             "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 5.0"
         ),
+        # NOT a replay (r13 verdict ask 3): DuckDB never touches the
+        # sign matrix or the projection — it independently recomputes
+        # the pair frame's ORIGINAL-space distances from the raw
+        # embeddings and pins the JL invariants + the hashlib/NumPy
+        # in-query differential to TRUE (the bpe_learn pattern).
         "random_projection": (
-            "WITH idx AS (SELECT CAST(unnest(range(16)) AS INT) AS pos) "
-            "SELECT vec_id, pos, round(list_sum(list_transform("
-            "embedding, (x, j) -> CAST(x AS DOUBLE) * ("
-            "CASE WHEN ('0x' || substr(md5('rp:0:' || "
-            "CAST(pos AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), "
-            "1, 8))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) "
-            "ELSE CAST(-1 AS DOUBLE) END))) * 0.25, 6) AS val "
-            "FROM embeddings CROSS JOIN idx"
+            "WITH pr AS (SELECT a.embedding AS ea, b.embedding AS eb "
+            "FROM embeddings a JOIN embeddings b "
+            "ON b.vec_id = a.vec_id + 1), "
+            "d AS (SELECT round(list_sum(list_transform(range(1, 65), "
+            "i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * "
+            "(CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))), 6) "
+            "AS d2 FROM pr) "
+            "SELECT (SELECT count(*) FROM embeddings) AS n_vecs, "
+            "count(*) AS n_pairs, round(sum(d2), 2) AS sum_d_orig_sq, "
+            "1.0 AS mean_ratio_1dp, TRUE AS jl_mean_ok, "
+            "TRUE AS jl_max_ok, TRUE AS matches_independent "
+            "FROM d WHERE d2 > 0"
         ),
         "containment_pairs": (
             f"WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents), "
@@ -9394,14 +9779,16 @@ def oracle_sql() -> dict[str, str]:
             "(round(shi - mhi, 6) > 200.0 OR round(slo - mlo, 6) > 200.0) "
             "AS is_change FROM m"
         ),
+        # NOT a replay (r13 verdict ask 3): the clock arithmetic is
+        # re-derived in-query with hashlib + math.log (independent
+        # md5/libm) and compared as a set; DuckDB contributes the
+        # independent budget invariant and pins the differentials.
         "weighted_sample": (
-            "WITH w AS (SELECT doc_id, n_chars, "
-            "round(ln(((('0x' || substring(md5("
-            "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000003) + 0.5) "
-            "/ 1000003.0) / n_chars, 6) AS k FROM documents "
+            "WITH e AS (SELECT count(*) AS n FROM documents "
             "WHERE n_chars > 0) "
-            "SELECT doc_id, n_chars FROM w "
-            "ORDER BY k DESC, doc_id ASC LIMIT 50"
+            "SELECT n AS n_eligible, least(50, n) AS n_selected, "
+            "TRUE AS selection_matches_independent, "
+            "TRUE AS weight_bias_ok FROM e"
         ),
         "association_rules": (
             "WITH bi AS (SELECT DISTINCT user_id AS basket, "
@@ -11260,6 +11647,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM cl JOIN edges e ON cl.ancestor = e.child) "
             "SELECT ancestor, descendant, depth FROM cl"
         ),
+        # independent fixpoint formulation (recursive CTE walking
+        # parent_key upward), not a replay of the hop loop
+        "lineage_ancestors": (
+            "WITH RECURSIVE tax AS (SELECT s_suppkey AS key, "
+            "CASE WHEN s_suppkey >= 10 THEN s_suppkey // 10 END "
+            "AS parent_key, s_name AS name, "
+            "'L' || length(CAST(s_suppkey AS VARCHAR)) AS rnk "
+            "FROM supplier), "
+            "ch AS (SELECT st.key AS key, st.parent_key AS anc, "
+            "1 AS depth FROM tax st "
+            "WHERE st.key >= 10 AND st.parent_key IS NOT NULL "
+            "UNION ALL SELECT ch.key, cur.parent_key, ch.depth + 1 "
+            "FROM ch JOIN tax cur ON cur.key = ch.anc "
+            "WHERE cur.parent_key IS NOT NULL) "
+            "SELECT ch.key AS key, t.key AS ancestor_key, "
+            "t.name AS ancestor_name, upper(t.rnk) AS ancestor_rank, "
+            "ch.depth AS depth FROM ch JOIN tax t ON t.key = ch.anc"
+        ),
+        # fully independent: every column re-derived from the same
+        # PUBLIC doc_id arithmetic that parameterized the synthesizer
+        # — DuckDB never sees a payload byte, the parse must recover
+        # exactly what the spec arithmetic says was embedded
+        "mp3_metadata": (
+            "SELECT doc_id AS media_id, "
+            "CAST(8 + doc_id % 40 AS INT) AS n_frames, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END AS INT) AS sample_rate, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 64 ELSE "
+            "CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 "
+            "WHEN 2 THEN 192 ELSE 320 END END AS INT) "
+            "AS bitrate_kbps_min, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 160 ELSE "
+            "CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 "
+            "WHEN 2 THEN 192 ELSE 320 END END AS INT) "
+            "AS bitrate_kbps_max, "
+            "doc_id % 5 = 0 AS is_vbr, "
+            "CAST(doc_id % 4 AS INT) AS channel_mode, "
+            "CAST(((8 + doc_id % 40) * 1152 * 1000) "
+            "// (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END) AS BIGINT) AS duration_ms, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 0 END AS INT) "
+            "AS id3v2_bytes "
+            "FROM documents WHERE doc_id < 120"
+        ),
         "stratified_sample": (
             f"SELECT lang, count(*) AS n_docs FROM documents "
             f"WHERE {_BUCKET10K_SQL} < CASE WHEN lang = 'en' THEN 5000 "
@@ -12110,29 +12541,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderstatus = 'P' GROUP BY o_orderpriority"
         ),
+        # NOT a replay of the kept-set filter (r13 verdict ask 3):
+        # DuckDB independently recomputes totals + the exact
+        # cross-multiplied argmin + integer-division thresholds, and
+        # pins the in-query hashlib membership differential and the
+        # budget/cap invariants to TRUE; the md5 filter itself never
+        # appears in the oracle.
         "mixture_sample": (
             f"WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS t "
             "FROM documents), "
-            "tot AS (SELECT lang, CAST(sum(t) AS BIGINT) AS T FROM tok "
-            "GROUP BY lang), "
+            "tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd, "
+            "CAST(sum(t) AS BIGINT) AS T FROM tok GROUP BY lang), "
             "w AS (SELECT 'en' AS lang, 5 AS wt UNION ALL "
             "SELECT 'de', 2 UNION ALL SELECT 'fr', 2 UNION ALL "
             "SELECT 'es', 1), "
-            "j AS (SELECT tot.lang AS lang, T, wt FROM tot "
+            "j AS (SELECT tot.lang AS lang, nd, T, wt FROM tot "
             "JOIN w ON tot.lang = w.lang WHERE wt > 0 AND T > 0), "
             # binding domain via exact cross-multiplied argmin of T/wt
-            "m AS (SELECT T AS Tm, wt AS wm FROM j a "
+            "m AS (SELECT lang AS ml, T AS Tm, wt AS wm FROM j a "
             "WHERE NOT EXISTS (SELECT 1 FROM j b "
             "WHERE b.T * a.wt < a.T * b.wt "
-            "OR (b.T * a.wt = a.T * b.wt AND b.lang < a.lang))), "
-            "th AS (SELECT lang, least(10000, "
-            "(10000 * wt * Tm) // (wm * T)) AS th FROM j, m), "
-            "kept AS (SELECT tok.lang AS lang, tok.t FROM tok "
-            "JOIN th ON tok.lang = th.lang "
-            "WHERE (('0x' || substring(md5(CAST(tok.doc_id AS VARCHAR) "
-            "|| 'mixture'), 1, 8))::BIGINT % 10000) < th.th) "
-            "SELECT lang, count(*) AS n_docs, "
-            "CAST(sum(t) AS BIGINT) AS n_tokens FROM kept GROUP BY lang"
+            "OR (b.T * a.wt = a.T * b.wt AND b.lang < a.lang))) "
+            "SELECT j.lang AS lang, j.nd AS n_docs_total, "
+            "j.T AS n_tokens_total, "
+            "CAST(least(10000, (10000 * j.wt * m.Tm) // (m.wm * j.T)) "
+            "AS BIGINT) AS threshold_buckets, "
+            "j.lang = m.ml AS is_binding, "
+            "TRUE AS kept_matches_independent, "
+            "TRUE AS rate_ok, TRUE AS no_upsample_ok "
+            "FROM j, m"
         ),
         "approx_top_terms": (
             f"WITH t AS (SELECT {_NORM} AS t FROM documents), "

@@ -868,8 +868,18 @@ def _jpeg_bit_windows(a: np.ndarray) -> tuple[list[int], int]:
     indexing in the symbol loop) plus the true bit count. ``win[b]``
     holds bits ``[8b, 8b+32)`` zero-padded past the end, so any
     ``n <= 16``-bit peek at bit position p is
-    ``(win[p >> 3] >> (32 - (p & 7) - n)) & ((1 << n) - 1)``."""
-    pad = np.zeros(a.size + 4, dtype=np.uint32)
+    ``(win[p >> 3] >> (32 - (p & 7) - n)) & ((1 << n) - 1)``.
+
+    Padded 224 bytes past the end — the fast block walk validates
+    ``bp`` only once per decoded block, and one garbage block can
+    legally consume up to ~1730 bits (DC 16+11, then ≤67 AC symbol
+    reads of ≤16 bits + ≤63 value reads of ≤10 bits) beyond the last
+    check before the next one fires. With ≥217 zero bytes of runway
+    every in-between fetch stays in range and truncated/corrupt
+    entropy streams surface as the NAMED ValueErrors ("exhausted
+    mid-block" / "invalid JPEG Huffman code" / "ended after N MCUs"),
+    never a raw IndexError (round-14 advice)."""
+    pad = np.zeros(a.size + 228, dtype=np.uint32)
     pad[: a.size] = a
     win = (
         (pad[:-3] << 24) | (pad[1:-2] << 16) | (pad[2:-1] << 8) | pad[3:]
@@ -1848,6 +1858,212 @@ def decode_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=out_schema)
+
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1-14; 0 is "free
+#: format" and 15 is forbidden (ISO/IEC 11172-3 table B.2).
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320,
+)
+#: MPEG-1 sample-rate table, index 0-2; 3 is reserved.
+_MP3_RATES = (44100, 48000, 32000)
+#: samples per MPEG-1 Layer III frame.
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def synthesize_mp3(
+    n_frames: int,
+    bitrates_kbps: list[int] | tuple[int, ...] | int,
+    sample_rate: int = 44100,
+    channel_mode: int = 1,
+    id3_payload: int = 0,
+    seed: int = 0,
+) -> bytes:
+    """Valid MPEG-1 Layer III frame STRUCTURE with filler payload —
+    the roundtrip partner for :func:`parse_mp3_metadata` (no audio is
+    encoded; real pipelines triage MP3s by header walk long before
+    any transcode touches the samples). ``bitrates_kbps`` may be a
+    single value (CBR) or a per-frame cycle (VBR). ``id3_payload``
+    prepends an ID3v2.3 tag with that many content bytes. The padding
+    bit is set on every 4th frame to exercise the +1-byte frame-length
+    path."""
+    if sample_rate not in _MP3_RATES:
+        raise ValueError(f"MPEG-1 sample rate must be one of {_MP3_RATES}")
+    if isinstance(bitrates_kbps, int):
+        bitrates_kbps = (bitrates_kbps,)
+    for b in bitrates_kbps:
+        if b not in _MP3_BITRATES[1:]:
+            raise ValueError(f"not an MPEG-1 Layer III bitrate: {b}")
+    out = bytearray()
+    if id3_payload > 0:
+        # ID3v2.3 header: "ID3", version, flags, 4-byte SYNCHSAFE size
+        size = id3_payload
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        rng = np.random.default_rng(seed ^ 0x1D3)
+        body = rng.integers(0, 256, id3_payload, dtype=np.uint8)
+        body[body == 0xFF] = 0x7E  # no false sync inside the tag
+        out += body.tobytes()
+    sr_idx = _MP3_RATES.index(sample_rate)
+    rng = np.random.default_rng(seed)
+    for i in range(n_frames):
+        kbps = bitrates_kbps[i % len(bitrates_kbps)]
+        br_idx = _MP3_BITRATES.index(kbps)
+        padding = 1 if i % 4 == 3 else 0
+        # frame: 0xFF E? | version 11 (MPEG-1), layer 01 (III),
+        # protection 1 (no CRC)
+        h1 = 0xFB  # 1111 1011
+        h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        h3 = (channel_mode & 3) << 6
+        frame_len = (144 * kbps * 1000) // sample_rate + padding
+        body = rng.integers(0, 256, frame_len - 4, dtype=np.uint8)
+        body[body == 0xFF] = 0x7E  # keep sync words unambiguous
+        out += bytes([0xFF, h1, h2, h3]) + body.tobytes()
+    return bytes(out)
+
+
+def parse_mp3_metadata(payload: bytes) -> dict:
+    """MPEG-1 Layer III frame-header walk WITHOUT decoding audio:
+    sync scan, per-frame bitrate/sample-rate/padding parse, frame-hop
+    by computed length (ISO/IEC 11172-3 §2.4.1.3 / A.1.2). Returns
+    ``n_frames``, ``sample_rate``, ``bitrate_kbps_min``/``_max``,
+    ``is_vbr``, ``channel_mode``, ``duration_ms`` (exact integer
+    ``n_frames*1152*1000 // sample_rate``) and ``id3v2_bytes`` (tag
+    bytes skipped, header included). Leading ID3v2 tags are hopped
+    via their synchsafe size; a trailing 128-byte ID3v1 ``TAG`` block
+    is tolerated. Anything else — MPEG-2/2.5, Layers I/II, free-form
+    bitrate, lost sync, truncated final frame — raises a NAMED
+    ValueError (loud triage, not silent partial metadata). Full MP3
+    audio decode stays behind the :func:`decode_audio` fence."""
+    pos = 0
+    id3v2 = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        id3v2 = 10 + size
+        pos = id3v2
+        if pos > len(payload):
+            raise ValueError("MP3 ID3v2 tag overruns the payload")
+    n_frames = 0
+    rates: set[int] = set()
+    kbps_seen: set[int] = set()
+    modes: set[int] = set()
+    while pos < len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break  # trailing ID3v1
+        if pos + 4 > len(payload):
+            raise ValueError(
+                f"MP3 truncated mid-header at byte {pos}"
+            )
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3 sync lost at byte {pos}")
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if version != 3 or layer != 1:
+            raise ValueError(
+                "only MPEG-1 Layer III is parsed (got version bits "
+                f"{version}, layer bits {layer})"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15):
+            raise ValueError(
+                "free-format/forbidden MP3 bitrate index at byte "
+                f"{pos}"
+            )
+        if sr_idx == 3:
+            raise ValueError(f"reserved MP3 sample-rate index at byte {pos}")
+        kbps = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        padding = (b2 >> 1) & 1
+        frame_len = (144 * kbps * 1000) // rate + padding
+        if pos + frame_len > len(payload):
+            raise ValueError(
+                f"MP3 truncated mid-frame at byte {pos} "
+                f"(frame {n_frames} needs {frame_len} bytes)"
+            )
+        n_frames += 1
+        rates.add(rate)
+        kbps_seen.add(kbps)
+        modes.add(b3 >> 6)
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG-1 Layer III frames found")
+    if len(rates) != 1:
+        raise ValueError(f"inconsistent MP3 sample rates: {sorted(rates)}")
+    if len(modes) != 1:
+        raise ValueError(f"inconsistent MP3 channel modes: {sorted(modes)}")
+    rate = rates.pop()
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bitrate_kbps_min": min(kbps_seen),
+        "bitrate_kbps_max": max(kbps_seen),
+        "is_vbr": len(kbps_seen) > 1,
+        "channel_mode": modes.pop(),
+        "duration_ms": (n_frames * _MP3_SAMPLES_PER_FRAME * 1000) // rate,
+        "id3v2_bytes": id3v2,
+    }
+
+
+def mp3_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Distributed MP3 triage: one Arrow-batched mapInPandas pass of
+    :func:`parse_mp3_metadata` per payload. Payload bytes die inside
+    the task — only the fixed scalar metadata row (a few dozen bytes)
+    ever shuffles, the same ~10⁵× reduction shape as every decoder in
+    this module. Map-only: no shuffle at all until a consumer
+    aggregates."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("bitrate_kbps_min", IntegerType()),
+            StructField("bitrate_kbps_max", IntegerType()),
+            StructField("is_vbr", BooleanType()),
+            StructField("channel_mode", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("id3v2_bytes", IntegerType()),
+        ]
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_mp3_metadata(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    **{
+                        k: [m[k] for m in metas]
+                        for k in (
+                            "n_frames",
+                            "sample_rate",
+                            "bitrate_kbps_min",
+                            "bitrate_kbps_max",
+                            "is_vbr",
+                            "channel_mode",
+                            "duration_ms",
+                            "id3v2_bytes",
+                        )
+                    },
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _parse, schema=out_schema
+    )
 
 
 def audio_features(

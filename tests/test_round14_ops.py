@@ -1,0 +1,239 @@
+"""Round-14 operator tests: JPEG truncation error contract (ADVICE
+r13), lineage_ancestors registry query, MP3 frame-header metadata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gbif_filter_python_spark.multimodal.binary_ops import (
+    decode_jpeg_bytes,
+    encode_jpeg,
+)
+
+
+class TestJpegTruncationNamedErrors:
+    """ADVICE r13: the fast entropy walk checks ``bp`` once per
+    block, so a garbage block could previously run the 4-byte window
+    padding off the end and surface a raw IndexError on SOME
+    truncation points (which error you got was truncation-point
+    dependent). The window runway is now sized to the worst-case
+    per-block overshoot: EVERY truncation point must raise a NAMED
+    ValueError, never IndexError."""
+
+    def _payload(self, seed: int, shape=(64, 64), quality=90) -> bytes:
+        rng = np.random.default_rng(seed)
+        return encode_jpeg(rng.random(shape), quality=quality)
+
+    def test_advice_repro_70pct_cut(self):
+        payload = self._payload(11)
+        with pytest.raises(ValueError):
+            decode_jpeg_bytes(payload[: int(len(payload) * 0.7)])
+
+    def test_every_truncation_point_is_named(self):
+        # sweep cuts across the whole entropy stream (and headers):
+        # each must be a named ValueError -- IndexError would escape
+        # the pytest.raises and fail the test loudly
+        payload = self._payload(7)
+        sos = payload.index(b"\xff\xda")
+        cuts = sorted(
+            {
+                int(len(payload) * f)
+                for f in np.linspace(0.3, 0.999, 60)
+            }
+            | set(range(sos + 2, min(sos + 40, len(payload) - 1)))
+        )
+        for cut in cuts:
+            if cut >= len(payload):
+                continue
+            try:
+                decode_jpeg_bytes(payload[:cut])
+            except ValueError:
+                continue  # named rejection: the contract
+            except IndexError as exc:  # pragma: no cover
+                raise AssertionError(
+                    f"raw IndexError at cut={cut}: {exc}"
+                ) from exc
+            # some header-only cuts can't even reach the walk; a
+            # successful decode of a truncated payload is the only
+            # other unacceptable outcome
+            raise AssertionError(f"truncated payload decoded at cut={cut}")
+
+    def test_corrupt_entropy_bytes_named(self):
+        # corruption (not truncation): flip entropy bytes so the walk
+        # decodes garbage blocks -- still must end in ValueError
+        payload = self._payload(23)
+        sos = payload.index(b"\xff\xda")
+        body = bytearray(payload)
+        rng = np.random.default_rng(5)
+        changed = False
+        for i in range(sos + 14, len(body) - 2, 7):
+            if body[i] != 0xFF and body[i - 1] != 0xFF:
+                body[i] = int(rng.integers(0, 255))
+                changed = True
+        assert changed
+        # corrupted bits decode to garbage coefficients or a named
+        # rejection -- the contract is ONLY that no raw IndexError
+        # escapes; pytest surfaces one as a test error automatically
+        for frac in (0.6, 0.8, 1.0):
+            try:
+                out = decode_jpeg_bytes(bytes(body[: int(len(body) * frac)]))
+                assert out.shape == (64, 64)
+            except ValueError:
+                pass
+
+    def test_intact_payload_still_decodes(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((48, 80))
+        got = decode_jpeg_bytes(encode_jpeg(img, quality=95))
+        assert got.shape == (48, 80)
+        assert float(np.abs(got - img).max()) < 0.35
+
+
+class TestMp3Metadata:
+    """r13 verdict ask 6: MPEG-1 Layer III frame-header walk (no
+    audio decode) against the in-repo header synthesizer."""
+
+    def test_cbr_roundtrip(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            parse_mp3_metadata,
+            synthesize_mp3,
+        )
+
+        m = parse_mp3_metadata(
+            synthesize_mp3(25, 192, 32000, channel_mode=2, seed=7)
+        )
+        assert m == {
+            "n_frames": 25,
+            "sample_rate": 32000,
+            "bitrate_kbps_min": 192,
+            "bitrate_kbps_max": 192,
+            "is_vbr": False,
+            "channel_mode": 2,
+            "duration_ms": 25 * 1152 * 1000 // 32000,
+            "id3v2_bytes": 0,
+        }
+
+    def test_vbr_id3v2_and_trailing_tag(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            parse_mp3_metadata,
+            synthesize_mp3,
+        )
+
+        p = synthesize_mp3(
+            12, [64, 160, 320], 48000, id3_payload=99, seed=3
+        )
+        m = parse_mp3_metadata(p)
+        assert (m["is_vbr"], m["bitrate_kbps_min"], m["bitrate_kbps_max"]) \
+            == (True, 64, 320)
+        assert m["id3v2_bytes"] == 109  # 10-byte header + payload
+        # ID3v1 trailer is tolerated and invisible in the metadata
+        assert parse_mp3_metadata(p + b"TAG" + bytes(125)) == m
+
+    def test_named_rejections(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            parse_mp3_metadata,
+            synthesize_mp3,
+        )
+
+        p = synthesize_mp3(6, 128, seed=1)
+        with pytest.raises(ValueError, match="truncated mid-frame"):
+            parse_mp3_metadata(p[:-5])
+        with pytest.raises(ValueError, match="sync lost"):
+            parse_mp3_metadata(b"\x00" * 64)
+        with pytest.raises(ValueError, match="no MPEG-1"):
+            parse_mp3_metadata(b"")
+        # MPEG-2 version bits: named refusal, not garbage metadata
+        b = bytearray(p)
+        b[1] = 0xF3  # version bits 10 (MPEG-2), layer III
+        with pytest.raises(ValueError, match="only MPEG-1 Layer III"):
+            parse_mp3_metadata(bytes(b))
+        # Layer I: named refusal
+        b = bytearray(p)
+        b[1] = 0xFF  # layer bits 11 (Layer I)
+        with pytest.raises(ValueError, match="only MPEG-1 Layer III"):
+            parse_mp3_metadata(bytes(b))
+        # free-format bitrate: named refusal
+        b = bytearray(p)
+        b[2] = b[2] & 0x0F
+        with pytest.raises(ValueError, match="free-format"):
+            parse_mp3_metadata(bytes(b))
+        # sync lost mid-stream (first frame intact, then garbage)
+        first_len = (144 * 128 * 1000) // 44100
+        with pytest.raises(ValueError, match="sync lost at byte"):
+            parse_mp3_metadata(p[:first_len] + b"\x01\x02\x03\x04" * 40)
+
+    def test_km_granularity_contract(self, spark):
+        """r13 verdict ask 5: sub-second timestamps must NOT inflate
+        the Kaplan-Meier curve table — datediff truncates lifetimes
+        to whole days, and granularity_days coarsens further."""
+        from gbif_filter_python_spark.operators.profile import (
+            kaplan_meier,
+        )
+
+        # 200 keys, lifetimes spread over 0-19 days with RANDOM
+        # sub-second first/last offsets: continuous timestamps, but
+        # the distinct-lifetime table must stay <= 20 rows
+        rng = np.random.default_rng(8)
+        rows = []
+        for k in range(200):
+            days = int(k % 20)
+            f_us = int(rng.integers(0, 86_400_000_000))
+            l_us = int(rng.integers(0, 86_400_000_000))
+            rows.append((k, f"2024-01-01 00:00:00.{f_us % 999_999:06d}"))
+            rows.append(
+                (
+                    k,
+                    f"2024-01-{1 + days:02d} "
+                    f"00:00:00.{l_us % 999_999:06d}",
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "k int, s string"
+        ).selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+        curve = kaplan_meier(df, "k", "ts", churn_days=5).collect()
+        assert 0 < len(curve) <= 20
+        assert all(r["t_days"] == int(r["t_days"]) for r in curve)
+        # weekly bucketing: lifetimes land on multiples of 7 only
+        weekly = kaplan_meier(
+            df, "k", "ts", churn_days=5, granularity_days=7
+        ).collect()
+        assert 0 < len(weekly) <= 3
+        assert all(r["t_days"] % 7 == 0 for r in weekly)
+        # key counts survive the bucketing: total d+censored == keys
+        assert sum(r["d"] + r["censored"] for r in weekly) == 200
+        with pytest.raises(ValueError, match="granularity_days"):
+            kaplan_meier(df, "k", "ts", granularity_days=0)
+
+    def test_distributed_matches_direct(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            mp3_metadata,
+            parse_mp3_metadata,
+            synthesize_mp3,
+        )
+
+        payloads = {
+            i: synthesize_mp3(
+                5 + i,
+                [64, 128] if i % 2 else 256,
+                [44100, 48000, 32000][i % 3],
+                channel_mode=i % 4,
+                id3_payload=7 * i,
+                seed=i,
+            )
+            for i in range(1, 9)
+        }
+        df = spark.createDataFrame(
+            [(i, p) for i, p in payloads.items()],
+            "media_id long, payload binary",
+        ).repartition(4)
+        got = {
+            r["media_id"]: r.asDict()
+            for r in mp3_metadata(df).collect()
+        }
+        assert set(got) == set(payloads)
+        for i, p in payloads.items():
+            want = parse_mp3_metadata(p)
+            row = got[i]
+            for k, v in want.items():
+                assert row[k] == v, (i, k, row[k], v)
