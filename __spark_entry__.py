@@ -2092,6 +2092,110 @@ def q_mp3_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return mp3_metadata(media)
 
 
+def q_mp4_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """ISO-BMFF (MP4) box-walk triage without sample decode — the
+    container twin of q_mp3_metadata
+    (multimodal/binary_ops.py::parse_mp4_metadata): ftyp brand,
+    version-0 mvhd timescale + duration, per-trak hdlr handler types,
+    mdat presence; one map-only mapInPandas, payloads die in the
+    task. Box-tree parameters derive from PUBLIC doc_id arithmetic,
+    so the DuckDB oracle recomputes brand/timescale/track counts and
+    the exact integer duration_ms without seeing a payload byte.
+    H.264/AAC sample decode stays behind the named ffmpeg fences."""
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        mp4_metadata,
+        synthesize_mp4,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_mp4(ids: pd.Series) -> pd.Series:
+        def build(d: int) -> bytes:
+            d = int(d)
+            return synthesize_mp4(
+                duration_units=(d % 50 + 1) * 37,
+                timescale=[600, 1000, 90000][d % 3],
+                n_video_tracks=1 + d % 2,
+                n_audio_tracks=d % 3,
+                brand=["isom", "mp42", "avc1", "dash"][d % 4],
+                mdat_bytes=32 + d % 64,
+                seed=d,
+            )
+
+        return ids.map(build)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_mp4(F.col("doc_id")).alias("payload"),
+    )
+    return mp4_metadata(media)
+
+
+def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Container-format triage over a MIXED media corpus
+    (multimodal/binary_ops.py::detect_codec): each doc_id synthesizes
+    one of the seven in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/MP4
+    — every payload built by the repo's own encoders) or, every 13th
+    id, a deterministic garbage blob; the sniff partitions the corpus
+    by container so each bucket can be routed to its EXPLICIT decoder
+    (decode_images/decode_audio stay codec-named — no silent
+    routing). Map-only mapInPandas; payloads die in the task, one
+    scalar row per id shuffles. The DuckDB oracle recomputes the
+    expected label from the SAME doc_id arithmetic that drove the
+    synthesis — it never sees a payload byte, so the magic-byte walk
+    must agree with the ground-truth assignment on every row."""
+    import numpy as np
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        detect_codec,
+        encode_avi,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        synthesize_mp3,
+        synthesize_mp4,
+    )
+
+    def _payload(d: int) -> bytes:
+        d = int(d)
+        if d % 13 == 0:
+            rng = np.random.default_rng(d)
+            blob = rng.integers(1, 255, 64, dtype=np.uint8)
+            blob[0] = 0x00  # never a valid magic
+            return blob.tobytes()
+        rng = np.random.default_rng(d)
+        kind = d % 7
+        if kind == 0:
+            return encode_bmp(rng.random((8, 8)))
+        if kind == 1:
+            return encode_png(rng.random((8, 8)))
+        if kind == 2:
+            return encode_jpeg(rng.random((16, 16)), quality=90)
+        if kind == 3:
+            return encode_wav(
+                (rng.random(64) * 2 - 1).astype(np.float32), 16_000
+            )
+        if kind == 4:
+            return encode_avi(
+                [rng.random((8, 8)), rng.random((8, 8))], fps=5
+            )
+        if kind == 5:
+            return synthesize_mp3(4, 128, 44100, seed=d)
+        return synthesize_mp4(600 + d, 600, d % 2, 1, seed=d)
+
+    @F.pandas_udf("binary")
+    def _to_media(ids: pd.Series) -> pd.Series:
+        return ids.map(_payload)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_media(F.col("doc_id")).alias("payload"),
+    )
+    return detect_codec(media).select("media_id", "codec")
+
+
 def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-depth transitive closure (iterative join + checkpoint)
     over a synthetic supplier hierarchy (parent = s_suppkey div 10);
@@ -8265,6 +8369,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_chain": q_closure_chain,
         "lineage_ancestors": q_lineage_ancestors,
         "mp3_metadata": q_mp3_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "codec_sniff": q_codec_sniff,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -11690,6 +11796,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 0 END AS INT) "
             "AS id3v2_bytes "
             "FROM documents WHERE doc_id < 120"
+        ),
+        # fully independent: box-tree parameters re-derived from the
+        # same PUBLIC doc_id arithmetic, payload never seen
+        "mp4_metadata": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' "
+            "WHEN 2 THEN 'avc1' ELSE 'dash' END AS brand, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 "
+            "ELSE 90000 END AS INT) AS timescale, "
+            "CAST(((doc_id % 50 + 1) * 37 * 1000) "
+            "// (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 "
+            "ELSE 90000 END) AS BIGINT) AS duration_ms, "
+            "CAST(1 + doc_id % 2 + doc_id % 3 AS INT) AS n_tracks, "
+            "CAST(1 + doc_id % 2 AS INT) AS n_video_tracks, "
+            "CAST(doc_id % 3 AS INT) AS n_audio_tracks, "
+            "TRUE AS has_mdat "
+            "FROM documents WHERE doc_id < 150"
+        ),
+        # ground truth from the synthesis arithmetic — the sniff must
+        # recover the container each doc_id was assigned
+        "codec_sniff": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 13 = 0 THEN 'unknown' "
+            "ELSE CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
+            "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' "
+            "WHEN 5 THEN 'mp3' ELSE 'mp4' END END AS codec "
+            "FROM documents WHERE doc_id < 200"
         ),
         "stratified_sample": (
             f"SELECT lang, count(*) AS n_docs FROM documents "

@@ -9,9 +9,14 @@ multimodal corpus is mostly made of — decodes via an own Huffman +
 dequant + IDCT implementation (grayscale and YCbCr 4:4:4/4:2:2/4:2:0,
 restart markers — and progressive SOF2 with spectral selection and
 successive approximation). Encoders for BMP/PNG/JPEG/WAV/AVI are
-included so fixtures fabricate REAL payloads hermetically. Still
-stubbed: arithmetic-coded JPEG, MP3, MP4 (deterministic fake behind
-``fake=True``, a named raise otherwise). Either way the Spark-side plumbing
+included so fixtures fabricate REAL payloads hermetically. MP3 and
+MP4 get the metadata layer real pipelines triage with — MPEG-1 Layer
+III frame-header walk (``parse_mp3_metadata``) and ISO-BMFF box-tree
+walk (``parse_mp4_metadata``), each with its own synthesizer — plus
+``detect_codec`` magic-byte container sniffing for partition-by-
+container routing. Still stubbed: arithmetic-coded JPEG and MP3/MP4
+SAMPLE decode (deterministic fake behind ``fake=True``, a named
+raise otherwise). Either way the Spark-side plumbing
 is identical and tested: schemas, ``mapInPandas`` batching,
 Arrow-friendly dtypes, and partition-size control, which is what
 actually matters at 100 TB (codec CPU is pluggable; the data motion
@@ -86,8 +91,9 @@ def attach_media_meta(
 # the r11 "JPEG-first corpus" gap). Uncompressed BMP and PCM WAV are
 # headers + raw arrays (struct/NumPy); PNG is struct + stdlib zlib +
 # the spec's five scanline filters; baseline JPEG is struct + an own
-# Huffman/DCT implementation. Remaining compressed formats (mp3/mp4,
-# progressive JPEG) still raise unless fake=True.
+# Huffman/DCT implementation; MP3/MP4 parse their header/box layer
+# (no sample decode). Remaining compressed-sample decodes still
+# raise unless fake=True.
 # --------------------------------------------------------------------------
 
 
@@ -1653,10 +1659,12 @@ def decode_images(
     dimensions per row, ``side``
     ignored for all three. ``codec=None`` keeps the legacy contract:
     deterministic ``(side, side)`` stub when ``fake=True``, else
-    ``NotImplementedError`` (codec autodetection from magic bytes is
-    deliberately NOT done — at 100 TB you know your container format,
-    and a mis-sniffed payload should fail loudly, not decode as the
-    wrong thing).
+    ``NotImplementedError`` — this decoder NEVER auto-routes on
+    sniffed magic bytes: a mis-sniffed payload should fail loudly,
+    not decode as the wrong thing. Container triage is a separate,
+    explicit step (:func:`detect_codec`): partition the mixed corpus
+    by sniffed container first, then call each bucket's decoder with
+    the codec NAMED.
 
     mapInPandas either way: one Arrow batch of payloads per
     invocation; output schema is fixed so downstream plans bind
@@ -2063,6 +2071,293 @@ def mp3_metadata(
 
     return df.select(id_col, payload_col).mapInPandas(
         _parse, schema=out_schema
+    )
+
+
+def _mp4_box(kind: bytes, payload: bytes) -> bytes:
+    """One ISO-BMFF box: 4-byte big-endian size (header included) +
+    4CC + payload."""
+    return (8 + len(payload)).to_bytes(4, "big") + kind + payload
+
+
+def synthesize_mp4(
+    duration_units: int,
+    timescale: int,
+    n_video_tracks: int = 1,
+    n_audio_tracks: int = 1,
+    brand: str = "isom",
+    mdat_bytes: int = 64,
+    seed: int = 0,
+) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) box tree — the roundtrip partner
+    for :func:`parse_mp4_metadata`: ``ftyp`` (major brand), ``moov``
+    holding a version-0 ``mvhd`` (timescale + duration) and one
+    ``trak`` → ``mdia`` → ``hdlr`` per track ('vide'/'soun' handler),
+    and an ``mdat`` with filler bytes. No samples are encoded —
+    sample tables are out of scope exactly like MP3 audio decode;
+    this is the box-walk layer real pipelines triage with."""
+    ftyp = _mp4_box(
+        b"ftyp", brand.encode("ascii") + (0).to_bytes(4, "big") + b"isom"
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification time
+        + int(timescale).to_bytes(4, "big")
+        + int(duration_units).to_bytes(4, "big")
+        + bytes(80),  # rate/volume/matrix/predefined/next_track_id
+    )
+    traks = []
+    for i, handler in enumerate(
+        [b"vide"] * n_video_tracks + [b"soun"] * n_audio_tracks
+    ):
+        tkhd = _mp4_box(
+            b"tkhd", bytes(12) + (i + 1).to_bytes(4, "big") + bytes(68)
+        )
+        hdlr = _mp4_box(
+            b"hdlr", bytes(8) + handler + bytes(12) + b"synth\x00"
+        )
+        mdia = _mp4_box(b"mdia", hdlr)
+        traks.append(_mp4_box(b"trak", tkhd + mdia))
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+    rng = np.random.default_rng(seed)
+    mdat = _mp4_box(
+        b"mdat", rng.integers(0, 256, mdat_bytes, dtype=np.uint8).tobytes()
+    )
+    return ftyp + moov + mdat
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """ISO-BMFF box-structure walk WITHOUT decoding any sample data
+    (ISO/IEC 14496-12): top-level ftyp/moov/mdat sizes, the version-0
+    ``mvhd`` timescale + duration, and per-``trak`` handler types
+    from ``mdia``→``hdlr``. Returns ``brand``, ``timescale``,
+    ``duration_ms`` (exact integer ``duration*1000 // timescale``),
+    ``n_tracks``, ``n_video_tracks``, ``n_audio_tracks``,
+    ``has_mdat``. Truncated boxes, missing ftyp/moov/mvhd, version-1
+    (64-bit) headers and zero timescales all raise NAMED ValueErrors
+    — loud triage, the :func:`parse_mp3_metadata` contract. Sample
+    decode (H.264/AAC) stays behind the existing ffmpeg fences."""
+
+    def walk(buf: bytes, base: int) -> list[tuple[str, int, int]]:
+        boxes = []
+        pos = 0
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                raise ValueError(
+                    f"MP4 truncated box header at byte {base + pos}"
+                )
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            kind = buf[pos + 4 : pos + 8].decode("latin-1")
+            if size == 1:
+                raise ValueError(
+                    "64-bit MP4 box sizes are out of parse scope "
+                    f"(box {kind!r} at byte {base + pos})"
+                )
+            if size < 8 or pos + size > len(buf):
+                raise ValueError(
+                    f"MP4 box {kind!r} at byte {base + pos} overruns "
+                    "the payload"
+                )
+            boxes.append((kind, pos + 8, size - 8))
+            pos += size
+        return boxes
+
+    top = walk(payload, 0)
+    kinds = [k for k, _, _ in top]
+    if not top or kinds[0] != "ftyp":
+        raise ValueError("MP4 payload does not start with an ftyp box")
+    f_off, f_len = top[0][1], top[0][2]
+    if f_len < 8:
+        raise ValueError("MP4 ftyp box too short for a major brand")
+    brand = payload[f_off : f_off + 4].decode("latin-1")
+    moovs = [(o, n) for k, o, n in top if k == "moov"]
+    if len(moovs) != 1:
+        raise ValueError(f"MP4 payload has {len(moovs)} moov boxes")
+    m_off, m_len = moovs[0]
+    inner = walk(payload[m_off : m_off + m_len], m_off)
+    mvhds = [(o, n) for k, o, n in inner if k == "mvhd"]
+    if len(mvhds) != 1:
+        raise ValueError(f"MP4 moov has {len(mvhds)} mvhd boxes")
+    v_off, v_len = mvhds[0]
+    mv = payload[m_off + v_off : m_off + v_off + v_len]
+    if len(mv) < 20:
+        raise ValueError("MP4 mvhd box truncated")
+    if mv[0] != 0:
+        raise ValueError(
+            "only version-0 (32-bit) mvhd is parsed, got version "
+            f"{mv[0]}"
+        )
+    timescale = int.from_bytes(mv[12:16], "big")
+    duration = int.from_bytes(mv[16:20], "big")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+    n_video = n_audio = n_tracks = 0
+    for k, o, n in inner:
+        if k != "trak":
+            continue
+        n_tracks += 1
+        trak = payload[m_off + o : m_off + o + n]
+        for k2, o2, n2 in walk(trak, m_off + o):
+            if k2 != "mdia":
+                continue
+            mdia = trak[o2 : o2 + n2]
+            for k3, o3, n3 in walk(mdia, 0):
+                if k3 != "hdlr" or n3 < 12:
+                    continue
+                handler = mdia[o3 + 8 : o3 + 12]
+                if handler == b"vide":
+                    n_video += 1
+                elif handler == b"soun":
+                    n_audio += 1
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": (duration * 1000) // timescale,
+        "n_tracks": n_tracks,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+        "has_mdat": "mdat" in kinds,
+    }
+
+
+def mp4_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Distributed MP4 box-walk triage — the :func:`mp3_metadata`
+    shape: map-only Arrow-batched mapInPandas, payload bytes die in
+    the task, one fixed scalar metadata row per id shuffles."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("brand", StringType()),
+            StructField("timescale", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("n_tracks", IntegerType()),
+            StructField("n_video_tracks", IntegerType()),
+            StructField("n_audio_tracks", IntegerType()),
+            StructField("has_mdat", BooleanType()),
+        ]
+    )
+    fields = (
+        "brand",
+        "timescale",
+        "duration_ms",
+        "n_tracks",
+        "n_video_tracks",
+        "n_audio_tracks",
+        "has_mdat",
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_mp4_metadata(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    **{k: [m[k] for m in metas] for k in fields},
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _parse, schema=out_schema
+    )
+
+
+def detect_codec_bytes(payload: bytes) -> str:
+    """Container-format TRIAGE from magic bytes + a structural sanity
+    check — ``'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | 'mp3' |
+    'mp4' | 'unknown'``. This is the sniff-to-PARTITION primitive a mixed
+    crawl corpus needs (bucket a 100 TB media dump by container, then
+    route each bucket to its EXPLICIT decoder); it deliberately does
+    NOT feed silent decode routing — :func:`decode_images` /
+    :func:`decode_audio` still require the codec named, so a
+    mis-sniffed payload can never quietly decode as the wrong thing
+    (that contract is unchanged). Checks go beyond the first two
+    bytes precisely to keep the sniff honest: RIFF must declare
+    WAVE/AVI, an MPEG audio sync must carry valid MPEG-1 Layer III
+    version/bitrate/rate indices, a bare 'BM' needs a coherent
+    14-byte file header."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        # ISO-BMFF: leading box must be a plausible ftyp
+        size = int.from_bytes(p[0:4], "big")
+        if 16 <= size <= len(p):
+            return "mp4"
+        return "unknown"
+    if p[:4] == b"RIFF" and len(p) >= 12:
+        if p[8:12] == b"WAVE":
+            return "wav"
+        if p[8:12] == b"AVI ":
+            return "avi"
+        return "unknown"
+    if p[:2] == b"BM" and len(p) >= 14:
+        # declared file size plausible + pixel-data offset in range
+        declared = int.from_bytes(p[2:6], "little")
+        offset = int.from_bytes(p[10:14], "little")
+        if declared >= 14 and 14 <= offset <= max(14, len(p)):
+            return "bmp"
+        return "unknown"
+    if p[:3] == b"ID3":
+        return "mp3"
+    if len(p) >= 4 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
+        version = (p[1] >> 3) & 3
+        layer = (p[1] >> 1) & 3
+        br_idx = p[2] >> 4
+        sr_idx = (p[2] >> 2) & 3
+        if (
+            version == 3
+            and layer == 1
+            and br_idx not in (0, 15)
+            and sr_idx != 3
+        ):
+            return "mp3"
+        return "unknown"
+    return "unknown"
+
+
+def detect_codec(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Distributed container sniff: one map-only Arrow-batched
+    mapInPandas of :func:`detect_codec_bytes` per payload — emits
+    ``(id, codec, n_bytes)``. Payload bytes die inside the task; the
+    natural consumer is a ``groupBy("codec")`` partition count or a
+    partitioned write (``.write.partitionBy("codec")``) that turns a
+    mixed corpus into per-container buckets for the explicit
+    decoders."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("codec", StringType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "codec": [
+                        detect_codec_bytes(p) for p in pdf[payload_col]
+                    ],
+                    "n_bytes": [
+                        len(p or b"") for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sniff, schema=out_schema
     )
 
 

@@ -163,6 +163,120 @@ class TestMp3Metadata:
         with pytest.raises(ValueError, match="sync lost at byte"):
             parse_mp3_metadata(p[:first_len] + b"\x01\x02\x03\x04" * 40)
 
+    def test_mp4_box_roundtrip(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            parse_mp4_metadata,
+            synthesize_mp4,
+        )
+
+        m = parse_mp4_metadata(
+            synthesize_mp4(36000, 600, 2, 1, brand="mp42", seed=3)
+        )
+        assert m == {
+            "brand": "mp42",
+            "timescale": 600,
+            "duration_ms": 60000,
+            "n_tracks": 3,
+            "n_video_tracks": 2,
+            "n_audio_tracks": 1,
+            "has_mdat": True,
+        }
+        # zero-track moov parses; exact integer ms at 90kHz timescale
+        m0 = parse_mp4_metadata(synthesize_mp4(90001, 90000, 0, 0))
+        assert m0["n_tracks"] == 0 and m0["duration_ms"] == 1000
+
+    def test_mp4_named_rejections(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            parse_mp4_metadata,
+            synthesize_mp4,
+        )
+
+        p = synthesize_mp4(600, 600, 1, 1)
+        with pytest.raises(ValueError, match="overruns"):
+            parse_mp4_metadata(p[:30])
+        with pytest.raises(ValueError, match="truncated box header"):
+            parse_mp4_metadata(p[:7])
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4_metadata(b"\x00\x00\x00\x08free")
+        # version-1 mvhd (64-bit): named refusal, not misparse
+        i = p.index(b"mvhd") + 4
+        b = bytearray(p)
+        b[i] = 1
+        with pytest.raises(ValueError, match="version-0"):
+            parse_mp4_metadata(bytes(b))
+        # zero timescale: named
+        b = bytearray(p)
+        b[i + 12 : i + 16] = b"\x00\x00\x00\x00"
+        with pytest.raises(ValueError, match="timescale is zero"):
+            parse_mp4_metadata(bytes(b))
+
+    def test_mp4_distributed_matches_direct(self, spark):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            mp4_metadata,
+            parse_mp4_metadata,
+            synthesize_mp4,
+        )
+
+        payloads = {
+            i: synthesize_mp4(
+                1000 * i, [600, 90000][i % 2], i % 3, i % 2,
+                brand=["isom", "avc1"][i % 2], seed=i,
+            )
+            for i in range(1, 7)
+        }
+        df = spark.createDataFrame(
+            [(i, p) for i, p in payloads.items()],
+            "media_id long, payload binary",
+        ).repartition(3)
+        got = {r["media_id"]: r.asDict() for r in mp4_metadata(df).collect()}
+        for i, p in payloads.items():
+            want = parse_mp4_metadata(p)
+            for k, v in want.items():
+                assert got[i][k] == v, (i, k, got[i][k], v)
+
+    def test_detect_codec_positive_and_adversarial(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            detect_codec_bytes,
+            encode_avi,
+            encode_bmp,
+            encode_jpeg,
+            encode_png,
+            encode_wav,
+            synthesize_mp3,
+        )
+
+        rng = np.random.default_rng(4)
+        img = rng.random((8, 8))
+        wave = (rng.random(64) * 2 - 1).astype(np.float32)
+        assert detect_codec_bytes(encode_bmp(img)) == "bmp"
+        assert detect_codec_bytes(encode_png(img)) == "png"
+        assert detect_codec_bytes(encode_jpeg(img, quality=90)) == "jpeg"
+        assert detect_codec_bytes(encode_wav(wave, 16_000)) == "wav"
+        assert detect_codec_bytes(encode_avi([img, img], fps=5)) == "avi"
+        assert detect_codec_bytes(synthesize_mp3(3, 128)) == "mp3"
+        assert (
+            detect_codec_bytes(synthesize_mp3(3, 128, id3_payload=9))
+            == "mp3"
+        )
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            synthesize_mp4,
+        )
+
+        assert detect_codec_bytes(synthesize_mp4(600, 600)) == "mp4"
+        # bare 'ftyp' 4CC with an implausible leading size: unknown
+        assert (
+            detect_codec_bytes(b"\x00\x00\x00\x04ftypisom") == "unknown"
+        )
+        # adversarial: magic prefixes with broken structure stay unknown
+        assert detect_codec_bytes(b"") == "unknown"
+        assert detect_codec_bytes(b"RIFF\x10\x00\x00\x00JUNK") == "unknown"
+        assert detect_codec_bytes(b"BM" + b"\x00" * 4 + b"\x00" * 4
+                                  + (5).to_bytes(4, "little")) == "unknown"
+        # MPEG sync with free-format bitrate: not claimed as mp3
+        assert detect_codec_bytes(b"\xff\xfb\x04\x00" + bytes(32)) == "unknown"
+        # MPEG-2 version bits: out of parse scope, stays unknown
+        assert detect_codec_bytes(b"\xff\xf3\x94\x00" + bytes(32)) == "unknown"
+
     def test_km_granularity_contract(self, spark):
         """r13 verdict ask 5: sub-second timestamps must NOT inflate
         the Kaplan-Meier curve table — datediff truncates lifetimes
