@@ -2196,6 +2196,120 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
     return detect_codec(media).select("media_id", "codec")
 
 
+def q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-shard ingest: WARC/1.0 record explode
+    (multimodal/archive_ops.py::warc_records) over archives
+    synthesized from the documents table — each doc becomes a real
+    warcinfo + response (+ request every 3rd id) archive, odd ids
+    wrapped as per-record gzip members (the .warc.gz convention).
+    One map-only mapInPandas; archive bytes die in the task, only
+    record rows shuffle. The oracle rebuilds every output column
+    from the documents table and the PUBLIC header arithmetic —
+    response payload_text must equal the SOURCE text exactly, so the
+    synth→gzip→parse roundtrip is verified end-to-end without the
+    oracle seeing a payload byte."""
+    from gbif_filter_python_spark.multimodal.archive_ops import (
+        synthesize_warc,
+        warc_records,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_warc(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def build(d: int, t: str) -> bytes:
+            d = int(d)
+            uri = f"https://crawl.example/doc/{d}"
+            recs = [
+                {
+                    "warc_type": "warcinfo",
+                    "content_type": "application/warc-fields",
+                    "payload": (
+                        f"software: synth-warc/1.0\r\nshard: {d}"
+                    ).encode(),
+                },
+                {
+                    "warc_type": "response",
+                    "target_uri": uri,
+                    "content_type": "text/plain; charset=utf-8",
+                    "payload": t.encode("utf-8"),
+                },
+            ]
+            if d % 3 == 0:
+                recs.append(
+                    {
+                        "warc_type": "request",
+                        "target_uri": uri,
+                        "content_type": "application/http;msgtype=request",
+                        "payload": f"GET /doc/{d} HTTP/1.1".encode(),
+                    }
+                )
+            return synthesize_warc(
+                recs, gzip_members=d % 2 == 1, seed=d
+            )
+
+        return pd.Series(
+            [build(d, t) for d, t in zip(ids, texts)]
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_warc(F.col("doc_id"), F.col("text")).alias("payload"),
+    )
+    return warc_records(media)
+
+
+def q_compressed_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-text ingest with the sniff-then-route contract
+    (multimodal/archive_ops.py): each doc's text is compressed with
+    the codec its doc_id bucket names (gzip/bz2/xz/zlib — the
+    bucketed-corpus layout, codec known per bucket), then two
+    branches of the same scan run map-only: ``detect_compression``
+    (magic-byte triage) and ``decompress_text`` with the codec NAMED
+    via codec_col. The branches join on scalar rows only — payload
+    bytes die inside each branch's task, so the join shuffles text,
+    never blobs. The oracle recomputes codec AND sniffed_codec from
+    the same PUBLIC doc_id arithmetic and takes text straight from
+    the documents table, verifying the compress→sniff→decompress
+    roundtrip byte-for-byte while never seeing a payload."""
+    from gbif_filter_python_spark.multimodal.archive_ops import (
+        COMPRESSION_CODECS,
+        compress_bytes,
+        decompress_text,
+        detect_compression,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_blob(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                compress_bytes(
+                    t.encode("utf-8"), COMPRESSION_CODECS[int(d) % 4]
+                )
+                for d, t in zip(ids, texts)
+            ]
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_blob(F.col("doc_id"), F.col("text")).alias("payload"),
+    )
+    named = media.withColumn(
+        "codec",
+        F.element_at(
+            F.array(*[F.lit(c) for c in COMPRESSION_CODECS]),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        ),
+    )
+    unpacked = decompress_text(named, codec_col="codec")
+    sniffed = detect_compression(media).select(
+        "media_id", F.col("codec").alias("sniffed_codec")
+    )
+    return unpacked.join(sniffed, "media_id").select(
+        "media_id", "codec", "sniffed_codec", "text", "text_bytes"
+    )
+
+
 def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-depth transitive closure (iterative join + checkpoint)
     over a synthetic supplier hierarchy (parent = s_suppkey div 10);
@@ -8371,6 +8485,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_metadata": q_mp3_metadata,
         "mp4_metadata": q_mp4_metadata,
         "codec_sniff": q_codec_sniff,
+        "warc_extract": q_warc_extract,
+        "compressed_corpus": q_compressed_corpus,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -11823,6 +11939,45 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' "
             "WHEN 5 THEN 'mp3' ELSE 'mp4' END END AS codec "
             "FROM documents WHERE doc_id < 200"
+        ),
+        # fully independent: record headers re-derived from the PUBLIC
+        # doc_id arithmetic; response payload_text must equal the
+        # SOURCE text — the synth→gzip→parse roundtrip verified
+        # without the oracle seeing a payload byte
+        "warc_extract": (
+            "SELECT doc_id AS media_id, 0 AS rec_idx, "
+            "'warcinfo' AS warc_type, "
+            "CAST(NULL AS VARCHAR) AS target_uri, "
+            "'application/warc-fields' AS content_type, "
+            "CAST(33 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT) "
+            "AS content_length, "
+            "CAST(NULL AS VARCHAR) AS payload_text "
+            "FROM documents WHERE doc_id < 100 "
+            "UNION ALL "
+            "SELECT doc_id, 1, 'response', "
+            "'https://crawl.example/doc/' || doc_id, "
+            "'text/plain; charset=utf-8', "
+            "CAST(strlen(text) AS BIGINT), text "
+            "FROM documents WHERE doc_id < 100 "
+            "UNION ALL "
+            "SELECT doc_id, 2, 'request', "
+            "'https://crawl.example/doc/' || doc_id, "
+            "'application/http;msgtype=request', "
+            "CAST(18 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT), "
+            "CAST(NULL AS VARCHAR) "
+            "FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0"
+        ),
+        # codec AND sniffed_codec from the same arithmetic that drove
+        # compression; text straight from the source table — the
+        # compress→sniff→decompress roundtrip must be byte-exact
+        "compressed_corpus": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2' "
+            "WHEN 2 THEN 'xz' ELSE 'zlib' END AS codec, "
+            "CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2' "
+            "WHEN 2 THEN 'xz' ELSE 'zlib' END AS sniffed_codec, "
+            "text, CAST(strlen(text) AS BIGINT) AS text_bytes "
+            "FROM documents WHERE doc_id < 400"
         ),
         "stratified_sample": (
             f"SELECT lang, count(*) AS n_docs FROM documents "

@@ -1,0 +1,237 @@
+"""Round-14 crawl-ingest tests: WARC record walk + compressed-text
+payloads (multimodal/archive_ops.py) — roundtrips, the named-error
+contract on malformed input (the ADVICE r13 lesson: NEVER a raw
+IndexError/KeyError from a parser), sniff adversarial cases, and
+distributed-vs-direct parity."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gbif_filter_python_spark.multimodal.archive_ops import (
+    COMPRESSION_CODECS,
+    compress_bytes,
+    decompress_bytes,
+    decompress_text,
+    detect_compression,
+    detect_compression_bytes,
+    parse_warc,
+    synthesize_warc,
+    warc_records,
+)
+
+
+def _recs(n: int = 3) -> list[dict]:
+    out = [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "payload": b"software: synth-warc/1.0",
+        }
+    ]
+    for i in range(n):
+        out.append(
+            {
+                "warc_type": "response",
+                "target_uri": f"https://crawl.example/p/{i}",
+                "content_type": "text/plain; charset=utf-8",
+                "payload": f"body {i} éü".encode(),
+            }
+        )
+    return out
+
+
+class TestWarc:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, gz):
+        recs = _recs(3)
+        got = parse_warc(synthesize_warc(recs, gzip_members=gz, seed=7))
+        assert len(got) == 4
+        for want, have in zip(recs, got):
+            assert have["warc_type"] == want["warc_type"]
+            assert have["target_uri"] == want.get("target_uri")
+            assert have["content_type"] == want["content_type"]
+            assert have["payload"] == want["payload"]
+            assert have["content_length"] == len(want["payload"])
+            assert have["record_id"].startswith("<urn:uuid:")
+
+    def test_empty_payload_record(self):
+        got = parse_warc(
+            synthesize_warc(
+                [{"warc_type": "request", "payload": b""}]
+            )
+        )
+        assert got[0]["content_length"] == 0
+        assert got[0]["payload"] == b""
+
+    def test_named_rejections(self):
+        p = synthesize_warc(_recs(1))
+        with pytest.raises(ValueError, match="no terminating blank"):
+            parse_warc(p[:40])
+        with pytest.raises(ValueError, match="missing version line"):
+            parse_warc(b"HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n")
+        with pytest.raises(ValueError, match="missing Content-Length"):
+            parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n")
+        with pytest.raises(ValueError, match="missing WARC-Type"):
+            parse_warc(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+        with pytest.raises(ValueError, match="not an integer"):
+            parse_warc(
+                b"WARC/1.0\r\nWARC-Type: x\r\n"
+                b"Content-Length: ten\r\n\r\n\r\n\r\n"
+            )
+        with pytest.raises(ValueError, match="without colon"):
+            parse_warc(
+                b"WARC/1.0\r\nWARC-Type: x\r\nbogus line\r\n"
+                b"Content-Length: 0\r\n\r\n\r\n\r\n"
+            )
+        # declared length overruns the archive: named, not a slice
+        # of garbage
+        with pytest.raises(ValueError, match="overruns the archive"):
+            parse_warc(
+                b"WARC/1.0\r\nWARC-Type: x\r\n"
+                b"Content-Length: 99\r\n\r\nshort\r\n\r\n"
+            )
+        # payload present but terminator corrupted
+        with pytest.raises(ValueError, match="two-CRLF terminator"):
+            parse_warc(
+                b"WARC/1.0\r\nWARC-Type: x\r\n"
+                b"Content-Length: 2\r\n\r\nhiXXXX"
+            )
+
+    def test_gzip_member_truncation_named(self):
+        p = synthesize_warc(_recs(2), gzip_members=True)
+        with pytest.raises(ValueError, match="truncated mid-stream"):
+            parse_warc(p[: len(p) - 10])
+        with pytest.raises(ValueError, match="gzip member corrupt"):
+            parse_warc(p[:2] + b"\x00\x00" + p[4:])
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        cut=st.integers(min_value=0, max_value=400),
+        gz=st.booleans(),
+    )
+    def test_truncation_fuzz_always_named(self, cut, gz):
+        """EVERY truncation point either parses a prefix of the
+        records or raises ValueError — never IndexError/KeyError/
+        zlib.error (the round-13 ADVICE contract, applied to the new
+        parser from day one)."""
+        p = synthesize_warc(_recs(2), gzip_members=gz, seed=1)
+        try:
+            got = parse_warc(p[: min(cut, len(p))])
+        except ValueError:
+            return
+        assert len(got) <= 3
+
+    def test_distributed_matches_direct(self, spark):
+        payloads = {
+            i: synthesize_warc(_recs(i % 3 + 1), gzip_members=i % 2 == 0,
+                               seed=i)
+            for i in range(1, 6)
+        }
+        df = spark.createDataFrame(
+            [(i, p) for i, p in payloads.items()],
+            "media_id long, payload binary",
+        ).repartition(3)
+        got = warc_records(df).collect()
+        by_id: dict[int, list] = {}
+        for r in sorted(got, key=lambda r: (r["media_id"], r["rec_idx"])):
+            by_id.setdefault(r["media_id"], []).append(r)
+        for i, p in payloads.items():
+            want = parse_warc(p)
+            assert len(by_id[i]) == len(want)
+            for w, h in zip(want, by_id[i]):
+                assert h["warc_type"] == w["warc_type"]
+                assert h["content_length"] == w["content_length"]
+                ctype = w["content_type"] or ""
+                if ctype.startswith("text/"):
+                    assert h["payload_text"] == w["payload"].decode()
+                else:
+                    assert h["payload_text"] is None
+
+
+class TestCompression:
+    @pytest.mark.parametrize("codec", COMPRESSION_CODECS)
+    def test_roundtrip_and_sniff(self, codec):
+        data = b"the quick brown fox " * 40
+        blob = compress_bytes(data, codec)
+        assert decompress_bytes(blob, codec) == data
+        assert detect_compression_bytes(blob) == codec
+
+    def test_gzip_multimember(self):
+        blob = compress_bytes(b"part one|", "gzip") + compress_bytes(
+            b"part two", "gzip"
+        )
+        assert decompress_bytes(blob, "gzip") == b"part one|part two"
+
+    def test_named_errors(self):
+        with pytest.raises(ValueError, match="unknown compression"):
+            compress_bytes(b"x", "zstd")
+        with pytest.raises(ValueError, match="unknown compression"):
+            decompress_bytes(b"x", "zstd")
+        # wrong codec / corrupt payload: named, carries the codec
+        blob = compress_bytes(b"data", "gzip")
+        with pytest.raises(ValueError, match="bz2 payload corrupt"):
+            decompress_bytes(blob, "bz2")
+        with pytest.raises(ValueError, match="xz payload corrupt"):
+            decompress_bytes(b"\x00" * 16, "xz")
+        with pytest.raises(ValueError, match="truncated mid-stream"):
+            decompress_bytes(blob[:-4], "gzip")
+
+    def test_sniff_adversarial(self):
+        assert detect_compression_bytes(b"") == "none"
+        assert detect_compression_bytes(b"plain text") == "none"
+        # 0x78 lead whose two-byte header fails the mod-31 check
+        assert detect_compression_bytes(b"\x78\x02rest") == "none"
+        # zlib levels: 0x9c and 0xda both pass
+        assert detect_compression_bytes(b"\x78\x9c") == "zlib"
+        assert detect_compression_bytes(b"\x78\xda") == "zlib"
+        # gzip magic with a non-deflate method byte
+        assert detect_compression_bytes(b"\x1f\x8b\x07") == "none"
+        # BZh without a block-size digit
+        assert detect_compression_bytes(b"BZhX") == "none"
+
+    def test_decompress_text_contract(self, spark):
+        df = spark.createDataFrame(
+            [(1, compress_bytes(b"x", "gzip"))],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(ValueError, match="exactly one"):
+            decompress_text(df)
+        with pytest.raises(ValueError, match="exactly one"):
+            decompress_text(df, codec="gzip", codec_col="codec")
+        with pytest.raises(ValueError, match="unknown compression"):
+            decompress_text(df, codec="zstd")
+
+    def test_distributed_decompress_and_sniff(self, spark):
+        texts = {
+            i: f"doc {i} body é " + "pad " * i for i in range(8)
+        }
+        rows = [
+            (
+                i,
+                COMPRESSION_CODECS[i % 4],
+                compress_bytes(
+                    texts[i].encode(), COMPRESSION_CODECS[i % 4]
+                ),
+            )
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, codec string, payload binary"
+        ).repartition(3)
+        out = {
+            r["media_id"]: r
+            for r in decompress_text(df, codec_col="codec").collect()
+        }
+        for i, t in texts.items():
+            assert out[i]["text"] == t
+            assert out[i]["codec"] == COMPRESSION_CODECS[i % 4]
+            assert out[i]["text_bytes"] == len(t.encode())
+            assert out[i]["compressed_bytes"] > 0
+        sniffed = {
+            r["media_id"]: r["codec"]
+            for r in detect_compression(df).collect()
+        }
+        assert sniffed == {i: COMPRESSION_CODECS[i % 4] for i in range(8)}
