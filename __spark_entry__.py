@@ -2134,8 +2134,8 @@ def q_mp4_metadata(spark: SparkSession, sf: str) -> DataFrame:
 def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
     """Container-format triage over a MIXED media corpus
     (multimodal/binary_ops.py::detect_codec): each doc_id synthesizes
-    one of the seven in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/MP4
-    — every payload built by the repo's own encoders) or, every 13th
+    one of the eight in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/
+    GIF/MP4 — every payload built by the repo's own encoders) or, every 13th
     id, a deterministic garbage blob; the sniff partitions the corpus
     by container so each bucket can be routed to its EXPLICIT decoder
     (decode_images/decode_audio stay codec-named — no silent
@@ -2150,6 +2150,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
         detect_codec,
         encode_avi,
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_png,
         encode_wav,
@@ -2165,7 +2166,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
             blob[0] = 0x00  # never a valid magic
             return blob.tobytes()
         rng = np.random.default_rng(d)
-        kind = d % 7
+        kind = d % 8
         if kind == 0:
             return encode_bmp(rng.random((8, 8)))
         if kind == 1:
@@ -2182,6 +2183,8 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
             )
         if kind == 5:
             return synthesize_mp3(4, 128, 44100, seed=d)
+        if kind == 6:
+            return encode_gif(rng.random((8, 8)))
         return synthesize_mp4(600 + d, 600, d % 2, 1, seed=d)
 
     @F.pandas_udf("binary")
@@ -2194,6 +2197,96 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
         _to_media(F.col("doc_id")).alias("payload"),
     )
     return detect_codec(media).select("media_id", "codec")
+
+
+def q_gif_features(spark: SparkSession, sf: str) -> DataFrame:
+    """GIF decode verified WITHOUT a replay oracle: each doc_id
+    synthesizes a real GIF89a animation
+    (multimodal/binary_ops.py::encode_gif — actual LZW streams, odd
+    ids 4-pass INTERLACED) whose frames are vertical ramps
+    pixel[y,x] = base+y with base/dims from PUBLIC doc_id arithmetic.
+    The decode (multimodal/binary_ops.py::decode_gif_frames) emits
+    per-frame integer aggregates with CLOSED FORMS the DuckDB oracle
+    computes independently: px_sum = w*(h*base + h(h-1)/2) and the
+    row-order-sensitive row_crc = w*(base*h(h+1)/2 + (h-1)h(h+1)/3)
+    — a permutation of rows (e.g. a deinterlace bug) changes row_crc,
+    so the oracle catches it without ever seeing a payload byte. One
+    map-only mapInPandas; pixels die in the task, scalar rows
+    shuffle. The codec itself is additionally cross-validated
+    byte-exactly against javax.imageio in
+    tests/test_round14_archive.py."""
+    import numpy as np
+    import pandas as pd
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_gif_frames,
+        encode_gif,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("row_crc", LongType()),
+        ]
+    )
+
+    def _rows(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                h, w = 8 + d % 9, 8 + d % 7
+                frames = [
+                    np.tile(
+                        (((d * 3 + f * 11) % 240)
+                         + np.arange(h, dtype=np.float64))[:, None],
+                        (1, w),
+                    )
+                    / 255.0
+                    for f in range(1 + d % 3)
+                ]
+                payload = encode_gif(frames, interlace=d % 2 == 1)
+                for f, fr in enumerate(decode_gif_frames(payload)):
+                    v = np.rint(fr * 255.0).astype(np.int64)
+                    rows.append(
+                        (
+                            d,
+                            f,
+                            fr.shape[0],
+                            fr.shape[1],
+                            int(v.sum()),
+                            int(
+                                (
+                                    (np.arange(fr.shape[0]) + 1)[:, None]
+                                    * v
+                                ).sum()
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "height",
+                    "width",
+                    "px_sum",
+                    "row_crc",
+                ],
+            )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 140)
+    return docs.select("doc_id").mapInPandas(_rows, schema=out_schema)
 
 
 def q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -8487,6 +8580,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_sniff": q_codec_sniff,
         "warc_extract": q_warc_extract,
         "compressed_corpus": q_compressed_corpus,
+        "gif_features": q_gif_features,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -11935,10 +12029,28 @@ def oracle_sql() -> dict[str, str]:
         "codec_sniff": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 13 = 0 THEN 'unknown' "
-            "ELSE CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
+            "ELSE CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
             "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' "
-            "WHEN 5 THEN 'mp3' ELSE 'mp4' END END AS codec "
-            "FROM documents WHERE doc_id < 200"
+            "WHEN 5 THEN 'mp3' WHEN 6 THEN 'gif' ELSE 'mp4' END END "
+            "AS codec FROM documents WHERE doc_id < 200"
+        ),
+        # closed-form oracle, not a replay: ramp-frame aggregates
+        # (px_sum, row-order-sensitive row_crc) recomputed from the
+        # PUBLIC doc_id arithmetic — a deinterlace/row-order bug in
+        # the LZW decode changes row_crc and fails the hash
+        "gif_features": (
+            "SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, "
+            "CAST(8 + doc_id % 9 AS INT) AS height, "
+            "CAST(8 + doc_id % 7 AS INT) AS width, "
+            "CAST((8 + doc_id % 7) * ((8 + doc_id % 9) * "
+            "((doc_id * 3 + f * 11) % 240) + (8 + doc_id % 9) * "
+            "(7 + doc_id % 9) // 2) AS BIGINT) AS px_sum, "
+            "CAST((8 + doc_id % 7) * (((doc_id * 3 + f * 11) % 240) * "
+            "(8 + doc_id % 9) * (9 + doc_id % 9) // 2 + "
+            "(7 + doc_id % 9) * (8 + doc_id % 9) * (9 + doc_id % 9) "
+            "// 3) AS BIGINT) AS row_crc "
+            "FROM documents CROSS JOIN generate_series(0, 2) t(f) "
+            "WHERE doc_id < 140 AND f <= doc_id % 3"
         ),
         # fully independent: record headers re-derived from the PUBLIC
         # doc_id arithmetic; response payload_text must equal the

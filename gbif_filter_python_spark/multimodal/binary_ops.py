@@ -8,7 +8,10 @@ scanline unfilter set), and baseline JPEG — the format a real 100 TB
 multimodal corpus is mostly made of — decodes via an own Huffman +
 dequant + IDCT implementation (grayscale and YCbCr 4:4:4/4:2:2/4:2:0,
 restart markers — and progressive SOF2 with spectral selection and
-successive approximation). Encoders for BMP/PNG/JPEG/WAV/AVI are
+successive approximation), and GIF89a decodes via an own
+variable-width LZW implementation (interlace, local palettes,
+animation compositing), cross-validated byte-exactly against
+javax.imageio. Encoders for BMP/PNG/GIF/JPEG/WAV/AVI are
 included so fixtures fabricate REAL payloads hermetically. MP3 and
 MP4 get the metadata layer real pipelines triage with — MPEG-1 Layer
 III frame-header walk (``parse_mp3_metadata``) and ISO-BMFF box-tree
@@ -577,6 +580,357 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
             px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
         )
     return (gray / 255.0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF89a, LZW) — a REAL variable-width-code compressed format,
+# implemented from the public spec with stdlib + NumPy only. Web-crawl
+# image corpora are full of GIFs; the encoder exists so fixtures
+# fabricate real LZW streams hermetically (incl. interlaced and
+# multi-frame animations), and the decoder cross-validates against the
+# JVM's javax.imageio GIF plugin (zero shared lines).
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE_WIDTH = 12  # spec cap: 4096-entry LZW table
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): rows 0,8,16…
+    then 4,12…, then 2,6,10…, then the odd rows."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting min+1, LSB-first
+    bit packing, CLEAR emitted up front and again whenever the table
+    fills (the non-deferred convention every decoder accepts)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    data = indices.astype(np.uint8).tobytes()
+    w = data[:1]
+    for i in range(1, len(data)):
+        k = data[i : i + 1]
+        if w + k in table:
+            w += k
+            continue
+        emit(table[w], width)
+        if next_code == 1 << _GIF_MAX_CODE_WIDTH:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[w + k] = next_code
+            next_code += 1
+            if (
+                next_code == (1 << width) + 1
+                and width < _GIF_MAX_CODE_WIDTH
+            ):
+                width += 1
+        w = k
+    emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, n_expected: int
+) -> np.ndarray:
+    """Inverse of :func:`_gif_lzw_encode`, tolerant of deferred-clear
+    streams (table full → codes keep flowing at width 12). Truncated
+    or out-of-range streams raise NAMED ValueErrors."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW minimum code size {min_code_size} out of range"
+        )
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(
+                    "GIF LZW stream truncated before its end-of-"
+                    "information code"
+                )
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            del table[eoi + 1 :]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"GIF LZW code {code} out of range after clear"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(
+                f"GIF LZW code {code} skips past table size "
+                f"{len(table)}"
+            )
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF LZW stream decodes past the {n_expected} "
+                "declared pixels"
+            )
+        if prev is not None and len(table) < (1 << _GIF_MAX_CODE_WIDTH):
+            table.append(prev + entry[:1])
+            if (
+                len(table) == 1 << width
+                and width < _GIF_MAX_CODE_WIDTH
+            ):
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW stream decoded {len(out)} pixels, expected "
+            f"{n_expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position past the 0x00 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError(
+                f"GIF sub-block chain at byte {pos} truncated"
+            )
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(payload):
+            raise ValueError(
+                f"GIF sub-block at byte {pos - 1} overruns the payload"
+            )
+        parts.append(payload[pos : pos + n])
+        pos += n
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    interlace: bool = False,
+    delay_cs: int = 4,
+) -> bytes:
+    """Grayscale float frame(s) in [0, 1] → GIF89a bytes: 256-entry
+    grayscale global color table, real LZW-compressed image data
+    (min code size 8), optional 4-pass interlace, and — given a list
+    of frames — a Graphic Control Extension per frame with
+    ``delay_cs`` centiseconds, i.e. a real animation. stdlib+NumPy
+    only, the :func:`encode_png` charter: fixtures fabricate REAL
+    payloads hermetically."""
+    import struct
+
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    quant = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.float64)
+        if a.ndim != 2 or a.shape != np.asarray(frames[0]).shape:
+            raise ValueError(
+                "encode_gif frames must share one (h, w) gray shape"
+            )
+        quant.append(np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8))
+    h, w = quant[0].shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8 bits/channel,
+    # 2^(7+1) = 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gray_ramp = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += gray_ramp.tobytes()
+    animated = len(quant) > 1
+    for v in quant:
+        if animated:
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0
+            )  # GCE: disposal=1 (leave), no transparency
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        rows = v[_gif_interlace_rows(h)] if interlace else v
+        out.append(8)  # LZW minimum code size
+        lzw = _gif_lzw_encode(rows.reshape(-1), 8)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """GIF bytes → list of (h, w) grayscale float32 frames in [0, 1]
+    — the full block walk from the public spec: GIF87a/89a, global
+    AND local color tables, 4-pass interlace, variable-width LZW
+    (incl. deferred clear), partial frames composited onto the
+    logical screen with leave-in-place disposal, and GCE transparency
+    (transparent pixels keep the canvas). Palette RGB collapses via
+    the Rec.601 luma weights, matching :func:`decode_png_bytes`.
+    Restore-to-background/previous disposal is out of scope and
+    raises a NAMED error, as does any truncation or malformed block
+    — loud triage, never a half-decoded frame."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
+    if len(payload) < 13:
+        raise ValueError("GIF logical screen descriptor truncated")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF global color table overruns payload")
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.float32)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF stream ended without a trailer byte")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF extension block truncated")
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9:  # graphic control
+                if len(data) < 4:
+                    raise ValueError(
+                        "GIF graphic control extension too short"
+                    )
+                flags = data[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[3] if flags & 0x01 else None
+                if disposal > 1:
+                    raise ValueError(
+                        "unsupported GIF disposal method "
+                        f"{disposal} (restore-to-background/previous)"
+                    )
+            continue
+        if block != 0x2C:
+            raise ValueError(
+                f"unknown GIF block 0x{block:02x} at byte {pos - 1}"
+            )
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        left, top, iw, ih, ipack = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+            raise ValueError(
+                f"GIF frame {iw}x{ih}@({left},{top}) exceeds the "
+                f"{w}x{h} logical screen"
+            )
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF local color table overruns payload")
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image block without a color table")
+        if pos >= len(payload):
+            raise ValueError("GIF image block missing LZW code size")
+        min_code = payload[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(lzw, min_code, iw * ih).reshape(ih, iw)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF pixel index out of palette range")
+        if ipack & 0x40:  # interlaced: invert the 4-pass row order
+            order = np.asarray(_gif_interlace_rows(ih))
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        rgb = pal[idx].astype(np.float64)
+        gray = (
+            rgb[:, :, 0] * 0.299
+            + rgb[:, :, 1] * 0.587
+            + rgb[:, :, 2] * 0.114
+        ) / 255.0
+        tile = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            gray = np.where(idx == transparent, tile, gray)
+        canvas[top : top + ih, left : left + iw] = gray.astype(np.float32)
+        frames.append(canvas.copy())
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF payload contains no image blocks")
+    return frames
+
+
+def decode_gif_bytes(payload: bytes) -> np.ndarray:
+    """First frame of :func:`decode_gif_frames` — the still-image
+    shape every other ``decode_*_bytes`` returns."""
+    return decode_gif_frames(payload)[0]
 
 
 #: JPEG zigzag scan: raster index of each of the 64 zigzag positions
@@ -1674,16 +2028,18 @@ def decode_images(
         "bmp": decode_bmp_bytes,
         "png": decode_png_bytes,
         "jpeg": decode_jpeg_bytes,
+        "gif": decode_gif_bytes,
     }
     if codec is not None and codec not in decoders:
         raise ValueError(
-            f"codec must be None, 'bmp', 'png' or 'jpeg', got {codec!r}"
+            "codec must be None, 'bmp', 'png', 'jpeg' or 'gif', "
+            f"got {codec!r}"
         )
     if codec is None and not fake:
         raise NotImplementedError(
             "decode_images(codec=None, fake=False): pass the payload "
-            "format explicitly — codec='bmp'/'png'/'jpeg' decode real "
-            "payloads in those formats, fake=True keeps the stub"
+            "format explicitly — codec='bmp'/'png'/'jpeg'/'gif' decode "
+            "real payloads in those formats, fake=True keeps the stub"
         )
     out_schema = StructType(
         [
@@ -2268,8 +2624,8 @@ def mp4_metadata(
 
 def detect_codec_bytes(payload: bytes) -> str:
     """Container-format TRIAGE from magic bytes + a structural sanity
-    check — ``'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | 'mp3' |
-    'mp4' | 'unknown'``. This is the sniff-to-PARTITION primitive a mixed
+    check — ``'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | 'avi' |
+    'mp3' | 'mp4' | 'unknown'``. This is the sniff-to-PARTITION primitive a mixed
     crawl corpus needs (bucket a 100 TB media dump by container, then
     route each bucket to its EXPLICIT decoder); it deliberately does
     NOT feed silent decode routing — :func:`decode_images` /
@@ -2283,6 +2639,8 @@ def detect_codec_bytes(payload: bytes) -> str:
     p = payload or b""
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if len(p) >= 12 and p[4:8] == b"ftyp":
