@@ -2134,8 +2134,8 @@ def q_mp4_metadata(spark: SparkSession, sf: str) -> DataFrame:
 def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
     """Container-format triage over a MIXED media corpus
     (multimodal/binary_ops.py::detect_codec): each doc_id synthesizes
-    one of the eight in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/
-    GIF/MP4 — every payload built by the repo's own encoders) or, every 13th
+    one of the nine in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/
+    GIF/TIFF/MP4 — every payload built by the repo's own encoders) or, every 13th
     id, a deterministic garbage blob; the sniff partitions the corpus
     by container so each bucket can be routed to its EXPLICIT decoder
     (decode_images/decode_audio stay codec-named — no silent
@@ -2153,6 +2153,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
         encode_gif,
         encode_jpeg,
         encode_png,
+        encode_tiff,
         encode_wav,
         synthesize_mp3,
         synthesize_mp4,
@@ -2166,7 +2167,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
             blob[0] = 0x00  # never a valid magic
             return blob.tobytes()
         rng = np.random.default_rng(d)
-        kind = d % 8
+        kind = d % 9
         if kind == 0:
             return encode_bmp(rng.random((8, 8)))
         if kind == 1:
@@ -2185,6 +2186,10 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
             return synthesize_mp3(4, 128, 44100, seed=d)
         if kind == 6:
             return encode_gif(rng.random((8, 8)))
+        if kind == 7:
+            return encode_tiff(
+                rng.random((8, 8)), endian="<" if d % 2 else ">"
+            )
         return synthesize_mp4(600 + d, 600, d % 2, 1, seed=d)
 
     @F.pandas_udf("binary")
@@ -2280,6 +2285,108 @@ def q_gif_features(spark: SparkSession, sf: str) -> DataFrame:
                     "frame_idx",
                     "height",
                     "width",
+                    "px_sum",
+                    "row_crc",
+                ],
+            )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 140)
+    return docs.select("doc_id").mapInPandas(_rows, schema=out_schema)
+
+
+def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """TIFF decode + directory walk verified WITHOUT a replay oracle
+    (the q_gif_features design): each doc_id synthesizes a real
+    multi-page, multi-strip TIFF 6.0 file
+    (multimodal/binary_ops.py::encode_tiff — odd ids little-endian,
+    even big-endian) whose pages are vertical ramps with base/dims
+    from PUBLIC doc_id arithmetic; decode_tiff_frames +
+    parse_tiff_metadata emit per-page structure (strip count,
+    endianness) and integer pixel aggregates with CLOSED FORMS the
+    DuckDB oracle recomputes independently — px_sum and the
+    row-order-sensitive row_crc catch any strip-reassembly or
+    byte-order bug. Map-only mapInPandas; pixels die in the task.
+    The codec is additionally cross-validated byte-exactly against
+    javax.imageio's TIFF plugin in tests/test_tiff_codec.py."""
+    import numpy as np
+    import pandas as pd
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_tiff_frames,
+        encode_tiff,
+        parse_tiff_metadata,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("page_idx", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("n_strips", IntegerType()),
+            StructField("endianness", StringType()),
+            StructField("px_sum", LongType()),
+            StructField("row_crc", LongType()),
+        ]
+    )
+
+    def _rows(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                h, w = 8 + d % 9, 8 + d % 7
+                rps = 3 + d % 5
+                frames = [
+                    np.tile(
+                        (((d * 5 + pg * 13) % 240)
+                         + np.arange(h, dtype=np.float64))[:, None],
+                        (1, w),
+                    )
+                    / 255.0
+                    for pg in range(1 + d % 3)
+                ]
+                payload = encode_tiff(
+                    frames,
+                    endian="<" if d % 2 else ">",
+                    rows_per_strip=rps,
+                )
+                metas = parse_tiff_metadata(payload)
+                for pg, fr in enumerate(decode_tiff_frames(payload)):
+                    v = np.rint(fr * 255.0).astype(np.int64)
+                    rows.append(
+                        (
+                            d,
+                            pg,
+                            fr.shape[0],
+                            fr.shape[1],
+                            metas[pg]["n_strips"],
+                            metas[pg]["endian"],
+                            int(v.sum()),
+                            int(
+                                (
+                                    (np.arange(fr.shape[0]) + 1)[:, None]
+                                    * v
+                                ).sum()
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "page_idx",
+                    "height",
+                    "width",
+                    "n_strips",
+                    "endianness",
                     "px_sum",
                     "row_crc",
                 ],
@@ -8581,6 +8688,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "compressed_corpus": q_compressed_corpus,
         "gif_features": q_gif_features,
+        "tiff_pages": q_tiff_pages,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -12029,9 +12137,10 @@ def oracle_sql() -> dict[str, str]:
         "codec_sniff": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 13 = 0 THEN 'unknown' "
-            "ELSE CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
+            "ELSE CASE doc_id % 9 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
             "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' "
-            "WHEN 5 THEN 'mp3' WHEN 6 THEN 'gif' ELSE 'mp4' END END "
+            "WHEN 5 THEN 'mp3' WHEN 6 THEN 'gif' WHEN 7 THEN 'tiff' "
+            "ELSE 'mp4' END END "
             "AS codec FROM documents WHERE doc_id < 200"
         ),
         # closed-form oracle, not a replay: ramp-frame aggregates
@@ -12051,6 +12160,27 @@ def oracle_sql() -> dict[str, str]:
             "// 3) AS BIGINT) AS row_crc "
             "FROM documents CROSS JOIN generate_series(0, 2) t(f) "
             "WHERE doc_id < 140 AND f <= doc_id % 3"
+        ),
+        # same closed-form design as gif_features: strip/endian
+        # structure + ramp aggregates recomputed from doc_id
+        # arithmetic; row_crc catches strip-reassembly/byte-order bugs
+        "tiff_pages": (
+            "SELECT doc_id AS media_id, CAST(pg AS INT) AS page_idx, "
+            "CAST(8 + doc_id % 9 AS INT) AS height, "
+            "CAST(8 + doc_id % 7 AS INT) AS width, "
+            "CAST((8 + doc_id % 9 + 2 + doc_id % 5) "
+            "// (3 + doc_id % 5) AS INT) AS n_strips, "
+            "CASE WHEN doc_id % 2 = 1 THEN 'little' ELSE 'big' END "
+            "AS endianness, "
+            "CAST((8 + doc_id % 7) * ((8 + doc_id % 9) * "
+            "((doc_id * 5 + pg * 13) % 240) + (8 + doc_id % 9) * "
+            "(7 + doc_id % 9) // 2) AS BIGINT) AS px_sum, "
+            "CAST((8 + doc_id % 7) * (((doc_id * 5 + pg * 13) % 240) * "
+            "(8 + doc_id % 9) * (9 + doc_id % 9) // 2 + "
+            "(7 + doc_id % 9) * (8 + doc_id % 9) * (9 + doc_id % 9) "
+            "// 3) AS BIGINT) AS row_crc "
+            "FROM documents CROSS JOIN generate_series(0, 2) t(pg) "
+            "WHERE doc_id < 140 AND pg <= doc_id % 3"
         ),
         # fully independent: record headers re-derived from the PUBLIC
         # doc_id arithmetic; response payload_text must equal the

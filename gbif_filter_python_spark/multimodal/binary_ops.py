@@ -933,6 +933,269 @@ def decode_gif_bytes(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
+# --------------------------------------------------------------------------
+# TIFF (TIFF 6.0) — IFD directory walk + uncompressed strip decode,
+# both byte orders, multi-page chains. The scan/archival format of
+# document-image corpora; javax.imageio (JDK ≥9) is the independent
+# cross-validation codec. LZW/JPEG-in-TIFF stay behind named raises
+# (the compression field is parsed and reported either way).
+# --------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_ifds(payload: bytes) -> tuple[str, list[dict[int, list[int]]]]:
+    """Parse the IFD chain → (endian, [ {tag: [values...]} per page ]).
+    Only integer-typed tags (BYTE/SHORT/LONG) are materialized; other
+    value types (rationals, ASCII) are skipped — they never gate
+    decode. Structural damage raises NAMED ValueErrors."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError(
+            "not a TIFF payload (missing II*/MM* byte-order magic)"
+        )
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
+    (off,) = struct.unpack_from(e + "I", payload, 4)
+    ifds: list[dict[int, list[int]]] = []
+    seen = set()
+    while off:
+        if off in seen:
+            raise ValueError(f"TIFF IFD chain loops at offset {off}")
+        seen.add(off)
+        if off + 2 > len(payload):
+            raise ValueError(f"TIFF IFD at offset {off} overruns payload")
+        (n,) = struct.unpack_from(e + "H", payload, off)
+        if off + 2 + 12 * n + 4 > len(payload):
+            raise ValueError(
+                f"TIFF IFD at offset {off} declares {n} entries past "
+                "the payload end"
+            )
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            if typ not in _TIFF_TYPE_SIZE:
+                continue
+            size = _TIFF_TYPE_SIZE[typ] * cnt
+            voff = base + 8 if size <= 4 else struct.unpack_from(
+                e + "I", payload, base + 8
+            )[0]
+            if voff + size > len(payload):
+                raise ValueError(
+                    f"TIFF tag {tag} values overrun the payload"
+                )
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                struct.unpack_from(e + fmt * cnt, payload, voff)
+            )
+        ifds.append(tags)
+        (off,) = struct.unpack_from(e + "I", payload, off + 2 + 12 * n)
+    if not ifds:
+        raise ValueError("TIFF payload has no image file directories")
+    return e, ifds
+
+
+def parse_tiff_metadata(payload: bytes) -> list[dict]:
+    """TIFF directory triage WITHOUT decoding pixel data — the
+    :func:`parse_mp4_metadata` shape for the scan/archival format:
+    one dict per page with ``width``, ``height``, ``bits_per_sample``,
+    ``samples_per_pixel``, ``compression`` (raw TIFF 6.0 code: 1=none,
+    5=LZW, 6/7=JPEG, 32773=PackBits), ``photometric``, ``endian``
+    ('little'/'big') and ``n_strips``. Missing dimensions raise NAMED
+    ValueErrors; exotic compressions are REPORTED here and refused
+    with a named raise only at :func:`decode_tiff_bytes` time."""
+    e, ifds = _tiff_ifds(payload)
+    pages = []
+    for i, tags in enumerate(ifds):
+        if 256 not in tags or 257 not in tags:
+            raise ValueError(
+                f"TIFF page {i} is missing ImageWidth/ImageLength"
+            )
+        pages.append(
+            {
+                "width": tags[256][0],
+                "height": tags[257][0],
+                "bits_per_sample": tags.get(258, [1])[0],
+                "samples_per_pixel": tags.get(277, [1])[0],
+                "compression": tags.get(259, [1])[0],
+                "photometric": tags.get(262, [1])[0],
+                "endian": "little" if e == "<" else "big",
+                "n_strips": len(tags.get(273, [])),
+            }
+        )
+    return pages
+
+
+def encode_tiff(
+    frames: np.ndarray | list[np.ndarray],
+    endian: str = "<",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Grayscale float frame(s) in [0, 1] → uncompressed 8-bit TIFF
+    6.0 bytes (BlackIsZero, strip layout, little- or big-endian,
+    multi-page IFD chain for a frame list). ``rows_per_strip``
+    exercises the multi-strip path. stdlib struct + NumPy only — the
+    :func:`encode_png` charter."""
+    import struct
+
+    if endian not in ("<", ">"):
+        raise ValueError("endian must be '<' or '>'")
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_tiff needs at least one frame")
+    out = bytearray(
+        (b"II*\x00" if endian == "<" else b"MM\x00*") + b"\x00" * 4
+    )
+    ifd_patch_at = 4  # where the next-IFD pointer lives
+    for f in frames:
+        a = np.asarray(f, dtype=np.float64)
+        if a.ndim != 2:
+            raise ValueError(
+                f"expected (h, w) gray frames, got shape {a.shape}"
+            )
+        h, w = a.shape
+        v = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+        rps = rows_per_strip or h
+        strips = [
+            v[y : y + rps].tobytes() for y in range(0, h, rps)
+        ]
+        offs = []
+        for s in strips:
+            offs.append(len(out))
+            out += s
+        if len(out) % 2:
+            out += b"\x00"  # IFDs must sit on word boundaries
+        n_strips = len(strips)
+        if n_strips > 1:
+            arr_off = len(out)
+            out += struct.pack(endian + "I" * n_strips, *offs)
+            cnt_off = len(out)
+            out += struct.pack(
+                endian + "I" * n_strips, *(len(s) for s in strips)
+            )
+        ifd_off = len(out)
+        struct.pack_into(endian + "I", out, ifd_patch_at, ifd_off)
+        entries = [
+            (256, 4, 1, w),
+            (257, 4, 1, h),
+            (258, 3, 1, 8),
+            (259, 3, 1, 1),  # no compression
+            (262, 3, 1, 1),  # BlackIsZero
+            (
+                273,
+                4,
+                n_strips,
+                offs[0] if n_strips == 1 else arr_off,
+            ),
+            (277, 3, 1, 1),
+            (278, 4, 1, rps),
+            (
+                279,
+                4,
+                n_strips,
+                len(strips[0]) if n_strips == 1 else cnt_off,
+            ),
+        ]
+        out += struct.pack(endian + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            packed = struct.pack(
+                endian + ("H" if typ == 3 else "I"), val
+            )
+            out += struct.pack(endian + "HHI", tag, typ, cnt)
+            out += packed + b"\x00" * (4 - len(packed))
+        ifd_patch_at = len(out)
+        out += b"\x00" * 4  # next-IFD pointer (patched or stays 0)
+    return bytes(out)
+
+
+def decode_tiff_frames(payload: bytes) -> list[np.ndarray]:
+    """TIFF bytes → list of (h, w) grayscale float32 pages in [0, 1]:
+    uncompressed 8-bit strips, both byte orders, gray (BlackIsZero /
+    WhiteIsZero) and RGB (Rec.601 collapse, matching
+    :func:`decode_png_bytes`), multi-strip and multi-page. Compressed
+    TIFF (LZW/JPEG/PackBits/Deflate) and tiled layouts raise NAMED
+    errors carrying the raw compression code — triage stays loud."""
+    _, ifds = _tiff_ifds(payload)
+    pages = []
+    for i, tags in enumerate(ifds):
+        if 322 in tags or 323 in tags:
+            raise ValueError(
+                f"tiled TIFF (page {i}) is out of decode scope "
+                "(strip layout only)"
+            )
+        if 256 not in tags or 257 not in tags:
+            raise ValueError(
+                f"TIFF page {i} is missing ImageWidth/ImageLength"
+            )
+        w, h = tags[256][0], tags[257][0]
+        comp = tags.get(259, [1])[0]
+        if comp != 1:
+            raise ValueError(
+                f"compressed TIFF (code {comp}) is out of decode "
+                f"scope on page {i} — parse_tiff_metadata still "
+                "reports it"
+            )
+        bits = tags.get(258, [1])
+        if any(b != 8 for b in bits):
+            raise ValueError(
+                f"TIFF bit depth {bits} unsupported (8-bit only)"
+            )
+        spp = tags.get(277, [1])[0]
+        photo = tags.get(262, [1])[0]
+        if photo not in (0, 1, 2) or spp not in (1, 3):
+            raise ValueError(
+                f"TIFF photometric {photo} with {spp} samples/pixel "
+                "unsupported (gray or RGB)"
+            )
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise ValueError(
+                f"TIFF page {i} strip offsets/byte-counts missing or "
+                "mismatched"
+            )
+        raw = bytearray()
+        for o, c in zip(offs, cnts):
+            if o + c > len(payload):
+                raise ValueError(
+                    f"TIFF strip at offset {o} overruns the payload"
+                )
+            raw += payload[o : o + c]
+        if len(raw) != h * w * spp:
+            raise ValueError(
+                f"TIFF page {i} strip data is {len(raw)} bytes, "
+                f"expected {h * w * spp}"
+            )
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            h, w, spp
+        ).astype(np.float64)
+        if spp == 3:
+            gray = (
+                px[:, :, 0] * 0.299
+                + px[:, :, 1] * 0.587
+                + px[:, :, 2] * 0.114
+            )
+        else:
+            gray = px[:, :, 0]
+            if photo == 0:  # WhiteIsZero
+                gray = 255.0 - gray
+        pages.append((gray / 255.0).astype(np.float32))
+    return pages
+
+
+def decode_tiff_bytes(payload: bytes) -> np.ndarray:
+    """First page of :func:`decode_tiff_frames` — the still-image
+    shape every other ``decode_*_bytes`` returns."""
+    return decode_tiff_frames(payload)[0]
+
+
 #: JPEG zigzag scan: raster index of each of the 64 zigzag positions
 #: (ITU-T T.81 figure 5). Shared by the encoder (coefficient order in
 #: the entropy stream / DQT payload) and the decoder (de-zigzag).
@@ -2029,11 +2292,12 @@ def decode_images(
         "png": decode_png_bytes,
         "jpeg": decode_jpeg_bytes,
         "gif": decode_gif_bytes,
+        "tiff": decode_tiff_bytes,
     }
     if codec is not None and codec not in decoders:
         raise ValueError(
-            "codec must be None, 'bmp', 'png', 'jpeg' or 'gif', "
-            f"got {codec!r}"
+            "codec must be None, 'bmp', 'png', 'jpeg', 'gif' or "
+            f"'tiff', got {codec!r}"
         )
     if codec is None and not fake:
         raise NotImplementedError(
@@ -2624,8 +2888,9 @@ def mp4_metadata(
 
 def detect_codec_bytes(payload: bytes) -> str:
     """Container-format TRIAGE from magic bytes + a structural sanity
-    check — ``'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | 'avi' |
-    'mp3' | 'mp4' | 'unknown'``. This is the sniff-to-PARTITION primitive a mixed
+    check — ``'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' |
+    'avi' | 'mp3' | 'mp4' | 'unknown'``. This is the
+    sniff-to-PARTITION primitive a mixed
     crawl corpus needs (bucket a 100 TB media dump by container, then
     route each bucket to its EXPLICIT decoder); it deliberately does
     NOT feed silent decode routing — :func:`decode_images` /
@@ -2641,6 +2906,8 @@ def detect_codec_bytes(payload: bytes) -> str:
         return "png"
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if len(p) >= 12 and p[4:8] == b"ftyp":

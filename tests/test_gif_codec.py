@@ -89,7 +89,7 @@ class TestGifRoundtrip:
         assert detect_codec_bytes(encode_gif(img)) == "gif"
         # decode_images routes codec='gif' but still refuses to sniff
         with pytest.raises(ValueError, match="'gif'"):
-            decode_images(None, codec="tiff")
+            decode_images(None, codec="webp")
 
 
 class TestGifNamedErrors:
