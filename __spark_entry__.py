@@ -2299,13 +2299,16 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
     (the q_gif_features design): each doc_id synthesizes a real
     multi-page, multi-strip TIFF 6.0 file
     (multimodal/binary_ops.py::encode_tiff — odd ids little-endian,
-    even big-endian) whose pages are vertical ramps with base/dims
-    from PUBLIC doc_id arithmetic; decode_tiff_frames +
-    parse_tiff_metadata emit per-page structure (strip count,
-    endianness) and integer pixel aggregates with CLOSED FORMS the
-    DuckDB oracle recomputes independently — px_sum and the
-    row-order-sensitive row_crc catch any strip-reassembly or
-    byte-order bug. Map-only mapInPandas; pixels die in the task.
+    even big-endian, cycling the full per-strip compression matrix:
+    none / LZW / Deflate / PackBits, horizontal-differencing
+    predictor on the LZW and Deflate buckets) whose pages are
+    vertical ramps with base/dims from PUBLIC doc_id arithmetic;
+    decode_tiff_frames + parse_tiff_metadata emit per-page structure
+    (strip count, endianness, raw compression code) and integer
+    pixel aggregates with CLOSED FORMS the DuckDB oracle recomputes
+    independently — px_sum and the row-order-sensitive row_crc catch
+    any strip-reassembly, byte-order, LZW-width or predictor bug.
+    Map-only mapInPandas; pixels die in the task.
     The codec is additionally cross-validated byte-exactly against
     javax.imageio's TIFF plugin in tests/test_tiff_codec.py."""
     import numpy as np
@@ -2332,10 +2335,12 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
             StructField("width", IntegerType()),
             StructField("n_strips", IntegerType()),
             StructField("endianness", StringType()),
+            StructField("compression", IntegerType()),
             StructField("px_sum", LongType()),
             StructField("row_crc", LongType()),
         ]
     )
+    comps = ["none", "lzw", "zlib", "packbits"]
 
     def _rows(batches):
         for pdf in batches:
@@ -2344,6 +2349,7 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
                 d = int(d)
                 h, w = 8 + d % 9, 8 + d % 7
                 rps = 3 + d % 5
+                comp = comps[d % 4]
                 frames = [
                     np.tile(
                         (((d * 5 + pg * 13) % 240)
@@ -2357,6 +2363,8 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
                     frames,
                     endian="<" if d % 2 else ">",
                     rows_per_strip=rps,
+                    compression=comp,
+                    predictor=2 if comp in ("lzw", "zlib") else 1,
                 )
                 metas = parse_tiff_metadata(payload)
                 for pg, fr in enumerate(decode_tiff_frames(payload)):
@@ -2369,6 +2377,7 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
                             fr.shape[1],
                             metas[pg]["n_strips"],
                             metas[pg]["endian"],
+                            metas[pg]["compression"],
                             int(v.sum()),
                             int(
                                 (
@@ -2387,6 +2396,7 @@ def q_tiff_pages(spark: SparkSession, sf: str) -> DataFrame:
                     "width",
                     "n_strips",
                     "endianness",
+                    "compression",
                     "px_sum",
                     "row_crc",
                 ],
@@ -12172,6 +12182,8 @@ def oracle_sql() -> dict[str, str]:
             "// (3 + doc_id % 5) AS INT) AS n_strips, "
             "CASE WHEN doc_id % 2 = 1 THEN 'little' ELSE 'big' END "
             "AS endianness, "
+            "CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 5 "
+            "WHEN 2 THEN 8 ELSE 32773 END AS INT) AS compression, "
             "CAST((8 + doc_id % 7) * ((8 + doc_id % 9) * "
             "((doc_id * 5 + pg * 13) % 240) + (8 + doc_id % 9) * "
             "(7 + doc_id % 9) // 2) AS BIGINT) AS px_sum, "

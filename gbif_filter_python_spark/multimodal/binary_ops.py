@@ -1025,6 +1025,7 @@ def parse_tiff_metadata(payload: bytes) -> list[dict]:
                 "samples_per_pixel": tags.get(277, [1])[0],
                 "compression": tags.get(259, [1])[0],
                 "photometric": tags.get(262, [1])[0],
+                "predictor": tags.get(317, [1])[0],
                 "endian": "little" if e == "<" else "big",
                 "n_strips": len(tags.get(273, [])),
             }
@@ -1032,20 +1033,227 @@ def parse_tiff_metadata(payload: bytes) -> list[dict]:
     return pages
 
 
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): runs of ≥3 become
+    (257-n, byte); literal spans are emitted in ≤128-byte chunks."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while run < 128 and i + run < n and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while run < 3 and i + run < n and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`_tiff_packbits_encode`; truncated or
+    oversized streams raise NAMED ValueErrors."""
+    out = bytearray()
+    i = 0
+    while len(out) < n_expected:
+        if i >= len(data):
+            raise ValueError(
+                f"PackBits strip truncated at {len(out)}/"
+                f"{n_expected} bytes"
+            )
+        n = data[i]
+        i += 1
+        if n == 128:  # noop
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError(
+                    "PackBits literal span overruns the strip"
+                )
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("PackBits run missing its byte")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != n_expected:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} bytes, expected "
+            f"{n_expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): 8-bit symbols, Clear=256,
+    EOI=257, MSB-first bit packing, EARLY-CHANGE width bumps (one
+    code before the table boundary — the convention every TIFF
+    reader/writer uses, unlike GIF's)."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(256, width)
+    if data:
+        w = data[:1]
+        for i in range(1, len(data)):
+            k = data[i : i + 1]
+            if w + k in table:
+                w += k
+                continue
+            emit(table[w], width)
+            if next_code == (1 << _GIF_MAX_CODE_WIDTH) - 2:
+                emit(256, width)  # table nearly full: clear
+                table, next_code, width = fresh()
+            else:
+                table[w + k] = next_code
+                next_code += 1
+                # early change: one entry before the GIF convention —
+                # the decoder (one entry behind) hits (1<<w)-1 exactly
+                # when the next emitted code needs the wider field
+                # (pinned against javax.imageio's LZW writer)
+                if (
+                    next_code == (1 << width)
+                    and width < _GIF_MAX_CODE_WIDTH
+                ):
+                    width += 1
+            w = k
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_encode` (early-change, MSB-first).
+    Truncated/out-of-range streams raise NAMED ValueErrors."""
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(
+                    "TIFF LZW strip truncated before its EOI code"
+                )
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"TIFF LZW code {code} out of range after clear"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(
+                f"TIFF LZW code {code} skips past table size "
+                f"{len(table)}"
+            )
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"TIFF LZW strip decodes past the {n_expected} "
+                "expected bytes"
+            )
+        if prev is not None and len(table) < (1 << _GIF_MAX_CODE_WIDTH):
+            table.append(prev + entry[:1])
+            if (
+                len(table) == (1 << width) - 1
+                and width < _GIF_MAX_CODE_WIDTH
+            ):
+                width += 1  # early change
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"TIFF LZW strip decoded {len(out)} bytes, expected "
+            f"{n_expected}"
+        )
+    return bytes(out)
+
+
+#: encoder name → TIFF 6.0 compression code
+_TIFF_COMPRESSIONS = {
+    "none": 1,
+    "lzw": 5,
+    "zlib": 8,
+    "packbits": 32773,
+}
+
+
 def encode_tiff(
     frames: np.ndarray | list[np.ndarray],
     endian: str = "<",
     rows_per_strip: int | None = None,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
-    """Grayscale float frame(s) in [0, 1] → uncompressed 8-bit TIFF
-    6.0 bytes (BlackIsZero, strip layout, little- or big-endian,
-    multi-page IFD chain for a frame list). ``rows_per_strip``
-    exercises the multi-strip path. stdlib struct + NumPy only — the
-    :func:`encode_png` charter."""
+    """Grayscale float frame(s) in [0, 1] → 8-bit TIFF 6.0 bytes
+    (BlackIsZero, strip layout, little- or big-endian, multi-page IFD
+    chain for a frame list). ``rows_per_strip`` exercises the
+    multi-strip path; ``compression`` picks the per-strip codec
+    ('none' | 'lzw' | 'zlib' | 'packbits'), ``predictor=2`` applies
+    horizontal differencing before compression (tag 317). stdlib
+    struct/zlib + NumPy only — the :func:`encode_png` charter."""
     import struct
+    import zlib as _zlib_mod
 
     if endian not in ("<", ">"):
         raise ValueError("endian must be '<' or '>'")
+    if compression not in _TIFF_COMPRESSIONS:
+        raise ValueError(
+            f"compression must be one of {sorted(_TIFF_COMPRESSIONS)}, "
+            f"got {compression!r}"
+        )
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and compression not in ("lzw", "zlib"):
+        # TIFF 6.0 §14 defines the predictor for LZW (and by extension
+        # Deflate); readers diverge on other combos, so refuse loudly
+        raise ValueError(
+            "predictor=2 requires compression='lzw' or 'zlib'"
+        )
     if isinstance(frames, np.ndarray):
         frames = [frames]
     if not frames:
@@ -1062,10 +1270,20 @@ def encode_tiff(
             )
         h, w = a.shape
         v = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+        if predictor == 2:  # horizontal differencing, mod-256
+            v = np.concatenate(
+                [v[:, :1], np.diff(v.astype(np.int16), axis=1)], axis=1
+            ).astype(np.uint8)
         rps = rows_per_strip or h
         strips = [
             v[y : y + rps].tobytes() for y in range(0, h, rps)
         ]
+        if compression == "lzw":
+            strips = [_tiff_lzw_encode(s) for s in strips]
+        elif compression == "zlib":
+            strips = [_zlib_mod.compress(s, 6) for s in strips]
+        elif compression == "packbits":
+            strips = [_tiff_packbits_encode(s) for s in strips]
         offs = []
         for s in strips:
             offs.append(len(out))
@@ -1086,7 +1304,7 @@ def encode_tiff(
             (256, 4, 1, w),
             (257, 4, 1, h),
             (258, 3, 1, 8),
-            (259, 3, 1, 1),  # no compression
+            (259, 3, 1, _TIFF_COMPRESSIONS[compression]),
             (262, 3, 1, 1),  # BlackIsZero
             (
                 273,
@@ -1103,6 +1321,8 @@ def encode_tiff(
                 len(strips[0]) if n_strips == 1 else cnt_off,
             ),
         ]
+        if predictor == 2:
+            entries.append((317, 3, 1, 2))
         out += struct.pack(endian + "H", len(entries))
         for tag, typ, cnt, val in entries:
             packed = struct.pack(
@@ -1119,9 +1339,15 @@ def decode_tiff_frames(payload: bytes) -> list[np.ndarray]:
     """TIFF bytes → list of (h, w) grayscale float32 pages in [0, 1]:
     uncompressed 8-bit strips, both byte orders, gray (BlackIsZero /
     WhiteIsZero) and RGB (Rec.601 collapse, matching
-    :func:`decode_png_bytes`), multi-strip and multi-page. Compressed
-    TIFF (LZW/JPEG/PackBits/Deflate) and tiled layouts raise NAMED
-    errors carrying the raw compression code — triage stays loud."""
+    :func:`decode_png_bytes`), multi-strip and multi-page, and the
+    compressions archival corpora actually use: LZW (code 5,
+    early-change MSB-first per TIFF 6.0 §13), Deflate (8/32946 via
+    stdlib zlib), PackBits RLE (32773), each per-strip, plus the
+    horizontal-differencing predictor (tag 317 = 2). JPEG-in-TIFF,
+    CCITT fax codings and tiled layouts raise NAMED errors carrying
+    the raw compression code — triage stays loud."""
+    import zlib as _zlib_mod
+
     _, ifds = _tiff_ifds(payload)
     pages = []
     for i, tags in enumerate(ifds):
@@ -1136,11 +1362,17 @@ def decode_tiff_frames(payload: bytes) -> list[np.ndarray]:
             )
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp != 1:
+        if comp not in (1, 5, 8, 32946, 32773):
             raise ValueError(
                 f"compressed TIFF (code {comp}) is out of decode "
                 f"scope on page {i} — parse_tiff_metadata still "
                 "reports it"
+            )
+        predictor = tags.get(317, [1])[0]
+        if predictor not in (1, 2):
+            raise ValueError(
+                f"TIFF predictor {predictor} unsupported (none or "
+                "horizontal differencing)"
             )
         bits = tags.get(258, [1])
         if any(b != 8 for b in bits):
@@ -1161,21 +1393,46 @@ def decode_tiff_frames(payload: bytes) -> list[np.ndarray]:
                 f"TIFF page {i} strip offsets/byte-counts missing or "
                 "mismatched"
             )
+        rps = tags.get(278, [h])[0] or h
         raw = bytearray()
-        for o, c in zip(offs, cnts):
+        for s, (o, c) in enumerate(zip(offs, cnts)):
             if o + c > len(payload):
                 raise ValueError(
                     f"TIFF strip at offset {o} overruns the payload"
                 )
-            raw += payload[o : o + c]
+            strip = payload[o : o + c]
+            n_rows = min(rps, h - s * rps)
+            want = n_rows * w * spp
+            if comp == 5:
+                strip = _tiff_lzw_decode(strip, want)
+            elif comp in (8, 32946):
+                try:
+                    strip = _zlib_mod.decompress(strip)
+                except Exception as exc:
+                    raise ValueError(
+                        f"TIFF deflate strip corrupt: {exc}"
+                    ) from exc
+            elif comp == 32773:
+                strip = _tiff_packbits_decode(strip, want)
+            if len(strip) != want:
+                raise ValueError(
+                    f"TIFF strip {s} decoded {len(strip)} bytes, "
+                    f"expected {want}"
+                )
+            raw += strip
         if len(raw) != h * w * spp:
             raise ValueError(
                 f"TIFF page {i} strip data is {len(raw)} bytes, "
                 f"expected {h * w * spp}"
             )
-        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+        px8 = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
             h, w, spp
-        ).astype(np.float64)
+        )
+        if predictor == 2:  # horizontal differencing: undo per channel
+            px8 = np.cumsum(px8.astype(np.int64), axis=1).astype(
+                np.uint8
+            )
+        px = px8.astype(np.float64)
         if spp == 3:
             gray = (
                 px[:, :, 0] * 0.299

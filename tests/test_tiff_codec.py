@@ -71,6 +71,98 @@ class TestTiffRoundtrip:
             encode_tiff(np.zeros((4, 4, 3)))
 
 
+class TestTiffCompression:
+    @pytest.mark.parametrize(
+        "comp,pred",
+        [
+            ("lzw", 1),
+            ("lzw", 2),
+            ("zlib", 1),
+            ("zlib", 2),
+            ("packbits", 1),
+        ],
+    )
+    def test_roundtrip(self, comp, pred):
+        rng = np.random.default_rng(hash((comp, pred)) % 2**32)
+        for shape in [(8, 8), (33, 17), (64, 64)]:
+            img = rng.random(shape)
+            p = encode_tiff(
+                img,
+                rows_per_strip=7,
+                compression=comp,
+                predictor=pred,
+            )
+            assert np.allclose(
+                decode_tiff_bytes(p), _q(img), atol=1e-6
+            ), (comp, pred, shape)
+            m = parse_tiff_metadata(p)[0]
+            assert m["predictor"] == pred
+
+    def test_lzw_table_reset(self):
+        """128x128 random pixels push the 4096-entry LZW table past
+        full — exercising the mid-stream clear path."""
+        img = np.random.default_rng(12).random((128, 128))
+        p = encode_tiff(img, compression="lzw", predictor=2)
+        assert np.allclose(decode_tiff_bytes(p), _q(img), atol=1e-6)
+
+    def test_compression_actually_compresses(self):
+        img = np.full((40, 40), 0.5)
+        for comp in ("lzw", "zlib", "packbits"):
+            p = encode_tiff(img, compression=comp)
+            assert len(p) < 40 * 40, comp
+            assert np.allclose(
+                decode_tiff_bytes(p), _q(img), atol=1e-6
+            )
+
+    def test_packbits_unit(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            _tiff_packbits_decode,
+            _tiff_packbits_encode,
+        )
+
+        for data in [
+            b"",
+            b"a",
+            b"aaaa",
+            b"abcabc",
+            b"ab" + b"c" * 200 + b"de",
+            bytes(range(256)) * 2,
+            b"x" * 500,
+        ]:
+            enc = _tiff_packbits_encode(data)
+            assert _tiff_packbits_decode(enc, len(data)) == data
+        # noop byte (0x80) is skipped
+        assert _tiff_packbits_decode(b"\x80\x00a", 1) == b"a"
+        with pytest.raises(ValueError, match="overruns the strip"):
+            _tiff_packbits_decode(b"\x05ab", 6)
+        with pytest.raises(ValueError, match="missing its byte"):
+            _tiff_packbits_decode(b"\xfe", 3)
+
+    def test_named_stream_errors(self):
+        from gbif_filter_python_spark.multimodal.binary_ops import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        enc = _tiff_lzw_encode(b"hello world hello world")
+        assert _tiff_lzw_decode(enc, 23) == b"hello world hello world"
+        with pytest.raises(ValueError, match="truncated before its EOI"):
+            _tiff_lzw_decode(enc[:3], 23)
+        with pytest.raises(ValueError, match="expected"):
+            _tiff_lzw_decode(enc, 24)
+        with pytest.raises(ValueError, match="decodes past"):
+            _tiff_lzw_decode(enc, 4)
+
+    def test_predictor_contract(self):
+        with pytest.raises(ValueError, match="requires compression"):
+            encode_tiff(np.zeros((4, 4)), compression="packbits",
+                        predictor=2)
+        with pytest.raises(ValueError, match="requires compression"):
+            encode_tiff(np.zeros((4, 4)), predictor=2)
+        with pytest.raises(ValueError, match="compression must be"):
+            encode_tiff(np.zeros((4, 4)), compression="jpeg")
+
+
 class TestTiffNamedErrors:
     def test_structural(self):
         p = encode_tiff(np.random.default_rng(1).random((9, 7)))
@@ -91,11 +183,11 @@ class TestTiffNamedErrors:
     def test_scope_fences_are_named(self):
         p = bytearray(encode_tiff(np.zeros((5, 5)), endian="<"))
         i = p.index(b"\x03\x01\x03\x00")  # compression tag 259
-        p[i + 8] = 5  # LZW
-        with pytest.raises(ValueError, match="compressed TIFF .code 5."):
+        p[i + 8] = 7  # JPEG-in-TIFF
+        with pytest.raises(ValueError, match="compressed TIFF .code 7."):
             decode_tiff_bytes(bytes(p))
         # metadata walk still reports the code instead of raising
-        assert parse_tiff_metadata(bytes(p))[0]["compression"] == 5
+        assert parse_tiff_metadata(bytes(p))[0]["compression"] == 7
         p[i + 8] = 1
         j = p.index(b"\x02\x01\x03\x00")  # bits-per-sample tag 258
         p[j + 8] = 16
@@ -147,7 +239,9 @@ class TestTiffJvmCrossval:
             np.float64
         )
 
-    def _jvm_encode(self, spark, arr_u8: np.ndarray) -> bytes:
+    def _jvm_encode(
+        self, spark, arr_u8: np.ndarray, ctype: str | None = None
+    ) -> bytes:
         jvm = spark._jvm
         h, w = arr_u8.shape
         img = jvm.java.awt.image.BufferedImage(w, h, 10)  # BYTE_GRAY
@@ -155,7 +249,24 @@ class TestTiffJvmCrossval:
             0, 0, w, h, bytearray(arr_u8.tobytes())
         )
         bos = jvm.java.io.ByteArrayOutputStream()
-        assert jvm.javax.imageio.ImageIO.write(img, "tiff", bos)
+        if ctype is None:
+            assert jvm.javax.imageio.ImageIO.write(img, "tiff", bos)
+            return bytes(bos.toByteArray())
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "tiff"
+        ).next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType(ctype)
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(
+            None, jvm.javax.imageio.IIOImage(img, None, None), param
+        )
+        ios.flush()
+        writer.dispose()
         return bytes(bos.toByteArray())
 
     def test_ours_to_jvm_exact(self, spark):
@@ -177,3 +288,24 @@ class TestTiffJvmCrossval:
             assert (m["width"], m["height"]) == (shape[1], shape[0])
             ours = decode_tiff_bytes(p) * 255.0
             assert np.allclose(ours, u8, atol=0.51)
+
+    def test_compressed_ours_to_jvm_exact(self, spark):
+        rng = np.random.default_rng(9)
+        for comp, pred in [("lzw", 1), ("lzw", 2), ("zlib", 1),
+                           ("zlib", 2), ("packbits", 1)]:
+            f = rng.random((33, 29))
+            p = encode_tiff(
+                f, compression=comp, predictor=pred, rows_per_strip=6
+            )
+            jv = self._jvm_decode_raw(spark, p)
+            assert np.array_equal(jv, np.rint(f * 255.0)), (comp, pred)
+
+    def test_compressed_jvm_to_ours_exact(self, spark):
+        rng = np.random.default_rng(10)
+        for ctype in ("LZW", "PackBits", "ZLib", "Deflate"):
+            u8 = (rng.random((45, 37)) * 255).astype(np.uint8)
+            p = self._jvm_encode(spark, u8, ctype)
+            ours = np.rint(decode_tiff_bytes(p) * 255.0).astype(
+                np.uint8
+            )
+            assert np.array_equal(ours, u8), ctype
