@@ -425,9 +425,24 @@ def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), int(rate)
 
 
-def encode_png(gray: np.ndarray) -> bytes:
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step) per the
+#: PNG spec §8.2 — shared by the encoder and the deinterlacing decode.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(gray: np.ndarray, interlace: bool = False) -> bytes:
     """Grayscale float array in [0, 1] → 8-bit grayscale PNG bytes
-    (color type 0, filter 0 scanlines, one zlib IDAT chunk).
+    (color type 0, filter 0 scanlines, one zlib IDAT chunk);
+    ``interlace=True`` writes the Adam7 seven-pass layout so fixtures
+    exercise the deinterlacing decode path hermetically.
 
     stdlib-only (struct + zlib): like :func:`encode_bmp`, the encoder
     exists so tests and pipelines can fabricate REAL compressed image
@@ -442,7 +457,16 @@ def encode_png(gray: np.ndarray) -> bytes:
         raise ValueError(f"expected (h, w) gray array, got shape {a.shape}")
     h, w = a.shape
     v = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
-    raw = b"".join(b"\x00" + row.tobytes() for row in v)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = v[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts += [b"\x00" + row.tobytes() for row in sub]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + row.tobytes() for row in v)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -452,7 +476,7 @@ def encode_png(gray: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -476,10 +500,12 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
     for the thumbnail-scale media this pipeline processes (decode is
     already the documented slow path, batched behind mapInPandas).
     Palette PNGs (color type 3) decode via the PLTE lookup (8-bit
-    indices). Unsupported shapes raise with a named reason: 16-bit
-    and sub-byte depths, interlace (Adam7). Color collapses via the
-    Rec.601 luma weights, gray+alpha drops alpha, tRNS transparency
-    is ignored — matching :func:`decode_bmp_bytes`.
+    indices), and Adam7-interlaced PNGs deinterlace (seven
+    independently-filtered sub-images scattered back per spec §8.2).
+    Unsupported shapes raise with a named reason: 16-bit and sub-byte
+    depths. Color collapses via the Rec.601 luma weights, gray+alpha
+    drops alpha, tRNS transparency is ignored — matching
+    :func:`decode_bmp_bytes`.
     """
     import struct
     import zlib
@@ -521,52 +547,92 @@ def decode_png_bytes(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt != 0:
         raise ValueError("non-standard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG (Adam7) not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad dimensions {w}x{h}")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, expected "
-            f"{(stride + 1) * h}"
-        )
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = int(lines[y, 0])
-        cur = lines[y, 1:].astype(np.int32)
-        if ftype == 0:
-            rec = cur
-        elif ftype == 2:  # Up
-            rec = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dep
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                up = int(prev[x])
-                if ftype == 1:
-                    rec[x] = (cur[x] + left) & 0xFF
-                elif ftype == 3:
-                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
-                else:
-                    ul = int(prev[x - ch]) if x >= ch else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    if pa <= pb and pa <= pc:
-                        pred = left
-                    elif pb <= pc:
-                        pred = up
+
+    def unfilter(lines: np.ndarray, rows: int, stride: int) -> np.ndarray:
+        """Spec §9 scanline unfilter over one (de)interlace pass —
+        each pass restarts with a zero prior row."""
+        out = np.zeros((rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(rows):
+            ftype = int(lines[y, 0])
+            cur = lines[y, 1:].astype(np.int32)
+            if ftype == 0:
+                rec = cur
+            elif ftype == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dep
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    left = rec[x - ch] if x >= ch else 0
+                    up = int(prev[x])
+                    if ftype == 1:
+                        rec[x] = (cur[x] + left) & 0xFF
+                    elif ftype == 3:
+                        rec[x] = (cur[x] + (left + up) // 2) & 0xFF
                     else:
-                        pred = ul
-                    rec[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
-        prev = out[y]
+                        ul = int(prev[x - ch]) if x >= ch else 0
+                        p = left + up - ul
+                        pa, pb, pc = (
+                            abs(p - left), abs(p - up), abs(p - ul)
+                        )
+                        if pa <= pb and pa <= pc:
+                            pred = left
+                        elif pb <= pc:
+                            pred = up
+                        else:
+                            pred = ul
+                        rec[x] = (cur[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[y] = rec.astype(np.uint8)
+            prev = out[y]
+        return out
+
+    stride = w * ch
+    if interlace == 0:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, expected "
+                f"{(stride + 1) * h}"
+            )
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(
+            h, stride + 1
+        )
+        out = unfilter(lines, h, stride)
+    else:  # Adam7: seven sub-images, each filtered independently
+        out = np.zeros((h, stride), dtype=np.uint8)
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * ch
+            need = (pstride + 1) * ph
+            if pos + need > len(buf):
+                raise ValueError(
+                    "PNG Adam7 pass data truncated "
+                    f"({len(buf) - pos} of {need} bytes)"
+                )
+            sub = unfilter(
+                buf[pos : pos + need].reshape(ph, pstride + 1),
+                ph,
+                pstride,
+            ).reshape(ph, pw, ch)
+            pos += need
+            view = out.reshape(h, w, ch)
+            view[y0::dy, x0::dx] = sub
+        if pos != len(buf):
+            raise ValueError(
+                f"PNG Adam7 data has {len(buf) - pos} trailing bytes"
+            )
     px = out.reshape(h, w, ch).astype(np.float64)
     if ctype == 3:
         idx = out.reshape(h, w)

@@ -249,6 +249,10 @@ def test_png_named_rejections():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png_bytes(ppal)
+    # Adam7 decodes as of round 14 (tests/test_round14_ops.py); a 2x2
+    # interlaced image needs 7 pass bytes, so this 6-byte stream is
+    # short one byte and must fail with the NAMED pass-truncation
+    # error rather than the old blanket interlace fence
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     pi = (
         b"\x89PNG\r\n\x1a\n"
@@ -256,7 +260,7 @@ def test_png_named_rejections():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="Adam7 pass data truncated"):
         decode_png_bytes(pi)
 
 
