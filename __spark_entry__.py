@@ -2520,6 +2520,88 @@ def q_compressed_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zip_bundle(spark: SparkSession, sf: str) -> DataFrame:
+    """ZIP listing + CRC-verified extraction
+    (multimodal/archive_ops.py::zip_members): each doc becomes a real
+    ZIP built by STDLIB zipfile (no shared code with our
+    central-directory walk — builder and parser cross-check), with
+    1 + d%4 members alternating stored/deflate whose contents are
+    deterministic slices of the document text. One map-only
+    mapInPandas; archives die in the task. The oracle rebuilds every
+    column — names, methods, sizes and the member text itself — from
+    the documents table and the same PUBLIC slice arithmetic, so the
+    stdlib-build→own-parse→inflate→CRC roundtrip is verified end to
+    end without the oracle seeing a payload byte."""
+    from gbif_filter_python_spark.multimodal.archive_ops import (
+        build_zip,
+        zip_members,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_zip(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def build(d: int, t: str) -> bytes:
+            d = int(d)
+            members = []
+            for j in range(1 + d % 4):
+                n = min(len(t), max(1, len(t) // (j + 1)))
+                members.append(
+                    (f"doc{d}/part{j}.txt", t[:n].encode("utf-8"))
+                )
+            return build_zip(members)
+
+        return pd.Series(
+            [build(d, t) for d, t in zip(ids, texts)]
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_zip(F.col("doc_id"), F.col("text")).alias("payload"),
+    )
+    return zip_members(media)
+
+
+def q_tar_bundle(spark: SparkSession, sf: str) -> DataFrame:
+    """POSIX-ustar listing (multimodal/archive_ops.py::tar_members):
+    each doc becomes a real tarball built by STDLIB tarfile (no
+    shared code with our 512-block header walk, whose checksum
+    verification runs on every header), odd ids wrapped in the gzip
+    layer (.tar.gz). Members carry deterministic slices of the
+    document text; the oracle rebuilds names, sizes and text from the
+    documents table and the same PUBLIC arithmetic — the
+    build→(gzip)→walk→read roundtrip verified without the oracle
+    seeing a payload byte. Map-only mapInPandas."""
+    from gbif_filter_python_spark.multimodal.archive_ops import (
+        build_tar,
+        compress_bytes,
+        tar_members,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_tar(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def build(d: int, t: str) -> bytes:
+            d = int(d)
+            members = []
+            for j in range(1 + d % 3):
+                n = min(len(t), max(1, len(t) // (j + 2)))
+                members.append(
+                    (f"d{d}/f{j}.txt", t[:n].encode("utf-8"))
+                )
+            blob = build_tar(members)
+            return compress_bytes(blob, "gzip") if d % 2 else blob
+
+        return pd.Series(
+            [build(d, t) for d, t in zip(ids, texts)]
+        )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_tar(F.col("doc_id"), F.col("text")).alias("payload"),
+    )
+    return tar_members(media)
+
+
 def q_closure_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-depth transitive closure (iterative join + checkpoint)
     over a synthetic supplier hierarchy (parent = s_suppkey div 10);
@@ -8699,6 +8781,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_corpus": q_compressed_corpus,
         "gif_features": q_gif_features,
         "tiff_pages": q_tiff_pages,
+        "zip_bundle": q_zip_bundle,
+        "tar_bundle": q_tar_bundle,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -12170,6 +12254,35 @@ def oracle_sql() -> dict[str, str]:
             "// 3) AS BIGINT) AS row_crc "
             "FROM documents CROSS JOIN generate_series(0, 2) t(f) "
             "WHERE doc_id < 140 AND f <= doc_id % 3"
+        ),
+        # names, methods, sizes AND member text rebuilt from the
+        # documents table + slice arithmetic — verifies the stdlib-
+        # build → own central-directory walk → inflate → CRC roundtrip
+        "zip_bundle": (
+            "SELECT doc_id AS media_id, CAST(j AS INT) AS member_idx, "
+            "'doc' || doc_id || '/part' || j || '.txt' AS name, "
+            "CAST(CASE WHEN j % 2 = 1 THEN 8 ELSE 0 END AS INT) "
+            "AS method, "
+            "CAST(LEAST(strlen(text), GREATEST(1, strlen(text) "
+            "// (j + 1))) AS BIGINT) AS uncompressed_size, "
+            "'ok' AS crc_ok, "
+            "substr(text, 1, LEAST(strlen(text), GREATEST(1, "
+            "strlen(text) // (j + 1)))) AS text "
+            "FROM documents CROSS JOIN generate_series(0, 3) t(j) "
+            "WHERE doc_id < 120 AND j <= doc_id % 4"
+        ),
+        # ustar walk twin: stdlib tarfile builds, our checksum-verified
+        # block walk reads — through the gzip layer on odd ids
+        "tar_bundle": (
+            "SELECT doc_id AS media_id, CAST(j AS INT) AS member_idx, "
+            "'d' || doc_id || '/f' || j || '.txt' AS name, "
+            "CAST(LEAST(strlen(text), GREATEST(1, strlen(text) "
+            "// (j + 2))) AS BIGINT) AS size, "
+            "'0' AS typeflag, "
+            "substr(text, 1, LEAST(strlen(text), GREATEST(1, "
+            "strlen(text) // (j + 2)))) AS text "
+            "FROM documents CROSS JOIN generate_series(0, 2) t(j) "
+            "WHERE doc_id < 120 AND j <= doc_id % 3"
         ),
         # same closed-form design as gif_features: strip/endian
         # structure + ramp aggregates recomputed from doc_id

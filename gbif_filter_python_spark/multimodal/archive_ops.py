@@ -438,3 +438,381 @@ def decompress_text(
             )
 
     return df.select(*in_cols).mapInPandas(_unpack, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# ZIP (APPNOTE.TXT) — own end-of-central-directory + central-directory
+# walk and member extraction (stored + deflate via stdlib zlib, CRC32
+# verified). Fixtures are built with stdlib zipfile, which shares no
+# parsing code with this walk — builder and parser cross-check each
+# other. Document bundles and model checkpoints ship as ZIPs; listing
+# members WITHOUT extracting is the triage step that decides what a
+# 100 TB dump even contains.
+# --------------------------------------------------------------------------
+
+_ZIP_EOCD = b"PK\x05\x06"
+_ZIP_CDH = b"PK\x01\x02"
+_ZIP_LFH = b"PK\x03\x04"
+
+
+def build_zip(
+    members: list[tuple[str, bytes]],
+    deflate_every_other: bool = True,
+) -> bytes:
+    """Fixture builder via stdlib zipfile (deliberately NOT this
+    module's parser): members alternate stored/deflated when
+    ``deflate_every_other`` so both extraction paths are exercised."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i, (name, data) in enumerate(members):
+            method = (
+                zipfile.ZIP_DEFLATED
+                if deflate_every_other and i % 2
+                else zipfile.ZIP_STORED
+            )
+            zf.writestr(
+                zipfile.ZipInfo(name, (2026, 1, 1, 0, 0, 0)),
+                data,
+                compress_type=method,
+            )
+    return buf.getvalue()
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """Own central-directory walk: locate the EOCD record from the
+    tail (≤64 KiB comment scan per APPNOTE), then read each central
+    header — name, method, sizes, CRC-32, local-header offset —
+    WITHOUT touching member data. Zip64, encrypted members and
+    malformed structure raise NAMED ValueErrors."""
+    import struct
+
+    tail_from = max(0, len(payload) - 65557)
+    eocd = payload.rfind(_ZIP_EOCD, tail_from)
+    if eocd < 0:
+        raise ValueError(
+            "not a ZIP payload (no end-of-central-directory record)"
+        )
+    if eocd + 22 > len(payload):
+        raise ValueError("ZIP end-of-central-directory truncated")
+    (
+        _disk,
+        _cd_disk,
+        _n_disk,
+        n_entries,
+        cd_size,
+        cd_off,
+        _clen,
+    ) = struct.unpack_from("<HHHHIIH", payload, eocd + 4)
+    if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise ValueError("zip64 archives are out of parse scope")
+    if cd_off + cd_size > len(payload):
+        raise ValueError("ZIP central directory overruns the payload")
+    entries = []
+    pos = cd_off
+    for i in range(n_entries):
+        if payload[pos : pos + 4] != _ZIP_CDH:
+            raise ValueError(
+                f"ZIP central header {i} missing its signature at "
+                f"byte {pos}"
+            )
+        (
+            _ver_made,
+            _ver_need,
+            flags,
+            method,
+            _time,
+            _date,
+            crc,
+            csize,
+            usize,
+            nlen,
+            elen,
+            clen,
+            _disk_no,
+            _iattr,
+            _eattr,
+            lfh_off,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, pos + 4)
+        if flags & 0x1:
+            raise ValueError(
+                f"ZIP member {i} is encrypted — out of parse scope"
+            )
+        name_off = pos + 46
+        if name_off + nlen > len(payload):
+            raise ValueError(f"ZIP member {i} name overruns the payload")
+        entries.append(
+            {
+                "name": payload[name_off : name_off + nlen].decode(
+                    "utf-8", errors="replace"
+                ),
+                "method": method,
+                "compressed_size": csize,
+                "uncompressed_size": usize,
+                "crc32": crc,
+                "local_header_offset": lfh_off,
+            }
+        )
+        pos = name_off + nlen + elen + clen
+    return entries
+
+
+def extract_zip_member(payload: bytes, entry: dict) -> bytes:
+    """Extract one :func:`parse_zip` entry via its local header:
+    stored (0) copied, deflate (8) inflated with raw stdlib zlib; the
+    result must match both the declared size and the CRC-32, else a
+    NAMED ValueError."""
+    import struct
+    import zlib
+
+    off = entry["local_header_offset"]
+    if payload[off : off + 4] != _ZIP_LFH:
+        raise ValueError(
+            f"ZIP local header for {entry['name']!r} missing at byte "
+            f"{off}"
+        )
+    nlen, elen = struct.unpack_from("<HH", payload, off + 26)
+    data_off = off + 30 + nlen + elen
+    csize = entry["compressed_size"]
+    if data_off + csize > len(payload):
+        raise ValueError(
+            f"ZIP member {entry['name']!r} data overruns the payload"
+        )
+    blob = payload[data_off : data_off + csize]
+    method = entry["method"]
+    if method == 0:
+        raw = blob
+    elif method == 8:
+        try:
+            raw = zlib.decompress(blob, -15)
+        except zlib.error as exc:
+            raise ValueError(
+                f"ZIP member {entry['name']!r} deflate stream corrupt: "
+                f"{exc}"
+            ) from exc
+    else:
+        raise ValueError(
+            f"ZIP compression method {method} is out of extract scope "
+            "(stored and deflate only)"
+        )
+    if len(raw) != entry["uncompressed_size"]:
+        raise ValueError(
+            f"ZIP member {entry['name']!r} inflated to {len(raw)} "
+            f"bytes, expected {entry['uncompressed_size']}"
+        )
+    if (zlib.crc32(raw) & 0xFFFFFFFF) != entry["crc32"]:
+        raise ValueError(
+            f"ZIP member {entry['name']!r} fails its CRC-32 check"
+        )
+    return raw
+
+
+#: Output schema of :func:`zip_members`.
+ZIP_MEMBERS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("member_idx", IntegerType()),
+        StructField("name", StringType()),
+        StructField("method", IntegerType()),
+        StructField("uncompressed_size", LongType()),
+        StructField("crc_ok", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def zip_members(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    extract_text: bool = True,
+) -> DataFrame:
+    """Distributed ZIP listing/extraction: one map-only Arrow-batched
+    mapInPandas — one row per member with its central-directory
+    metadata plus (optionally) the extracted UTF-8 text, CRC-verified.
+    Archive bytes die inside the task; only member rows shuffle. With
+    ``extract_text=False`` this is the pure triage pass: no member
+    data is ever inflated."""
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [f for f in ZIP_MEMBERS_SCHEMA.fields if f.name != "media_id"]
+    )
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                for i, e in enumerate(parse_zip(p)):
+                    if extract_text:
+                        raw = extract_zip_member(p, e)
+                        crc_ok, text = "ok", raw.decode(
+                            "utf-8", errors="replace"
+                        )
+                    else:
+                        crc_ok, text = "unchecked", None
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            e["name"],
+                            e["method"],
+                            e["uncompressed_size"],
+                            crc_ok,
+                            text,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in schema.fields],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _walk, schema=schema
+    )
+
+
+# --------------------------------------------------------------------------
+# TAR (POSIX ustar) — own 512-byte block-header walk with octal field
+# parsing and header-checksum verification. Fixtures are built with
+# stdlib tarfile (no shared parsing code). Dataset drops and model
+# artifacts ship as tarballs, usually inside the gzip layer this
+# module already handles.
+# --------------------------------------------------------------------------
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Fixture builder via stdlib tarfile (deliberately NOT this
+    module's parser)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def parse_tar(payload: bytes) -> list[dict]:
+    """Own ustar walk: 512-byte headers (name, octal size, typeflag,
+    ustar magic), the spec's space-initialized header checksum
+    verified on every block, content blocks skipped by rounded size,
+    end detected at two zero blocks. Malformed headers, checksum
+    mismatches and truncated content raise NAMED ValueErrors.
+    Returns ``name``, ``size``, ``typeflag``, ``payload`` per
+    member."""
+    if len(payload) % 512:
+        raise ValueError(
+            f"tar payload length {len(payload)} is not a multiple of "
+            "512"
+        )
+    members = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        block = payload[pos : pos + 512]
+        if block == b"\x00" * 512:
+            break
+        if block[257:263] != b"ustar\x00" and block[257:262] != b"ustar":
+            raise ValueError(
+                f"tar header at byte {pos} missing the ustar magic"
+            )
+        try:
+            declared = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
+            size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError as exc:
+            raise ValueError(
+                f"tar header at byte {pos} has non-octal size/checksum"
+            ) from exc
+        summed = sum(block[:148]) + 8 * 0x20 + sum(block[156:])
+        if summed != declared:
+            raise ValueError(
+                f"tar header at byte {pos} fails its checksum "
+                f"({summed} != {declared})"
+            )
+        name = block[0:100].split(b"\x00")[0].decode(
+            "utf-8", errors="replace"
+        )
+        typeflag = chr(block[156]) if block[156] else "0"
+        data_end = pos + 512 + size
+        if data_end > len(payload):
+            raise ValueError(
+                f"tar member {name!r} content overruns the payload"
+            )
+        members.append(
+            {
+                "name": name,
+                "size": size,
+                "typeflag": typeflag,
+                "payload": payload[pos + 512 : data_end],
+            }
+        )
+        pos = pos + 512 + ((size + 511) // 512) * 512
+    return members
+
+
+#: Output schema of :func:`tar_members`.
+TAR_MEMBERS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("member_idx", IntegerType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("typeflag", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def tar_members(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Distributed tar listing: map-only Arrow-batched mapInPandas of
+    :func:`parse_tar` — one row per member with UTF-8 text for
+    regular files. Handles the ``.tar.gz`` crawl convention by
+    transparently decompressing a leading gzip layer (the explicit
+    :func:`decompress_text` contract does not apply here: gzip-around-
+    tar is part of the tar container convention, and the tar magic is
+    still verified after stripping it). Archive bytes die inside the
+    task."""
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [f for f in TAR_MEMBERS_SCHEMA.fields if f.name != "media_id"]
+    )
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                if p[:2] == _GZIP_MAGIC:
+                    p = b"".join(_gzip_members(p))
+                for i, m in enumerate(parse_tar(p)):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            m["name"],
+                            m["size"],
+                            m["typeflag"],
+                            m["payload"].decode("utf-8", errors="replace")
+                            if m["typeflag"] == "0"
+                            else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _walk, schema=schema
+    )

@@ -235,3 +235,196 @@ class TestCompression:
             for r in detect_compression(df).collect()
         }
         assert sniffed == {i: COMPRESSION_CODECS[i % 4] for i in range(8)}
+
+
+class TestZip:
+    def _members(self, n=4):
+        return [
+            (f"dir/f{i}.txt", (f"content {i} " * (i + 1)).encode())
+            for i in range(n)
+        ]
+
+    def test_roundtrip_stored_and_deflate(self):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            extract_zip_member,
+            parse_zip,
+        )
+
+        members = self._members()
+        z = build_zip(members)
+        es = parse_zip(z)
+        assert [e["name"] for e in es] == [m[0] for m in members]
+        assert [e["method"] for e in es] == [0, 8, 0, 8]
+        for e, (_, data) in zip(es, members):
+            assert e["uncompressed_size"] == len(data)
+            assert extract_zip_member(z, e) == data
+
+    def test_empty_archive(self):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            parse_zip,
+        )
+
+        assert parse_zip(build_zip([])) == []
+
+    def test_named_errors(self):
+        import struct
+
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            extract_zip_member,
+            parse_zip,
+        )
+
+        z = build_zip(self._members(2))
+        with pytest.raises(ValueError, match="no end-of-central"):
+            parse_zip(z[: z.rfind(b"PK\x05\x06")])
+        # encrypted flag on the first central header
+        b = bytearray(z)
+        cd = b.index(b"PK\x01\x02")
+        flags_off = cd + 8
+        struct.pack_into("<H", b, flags_off, 0x0001)
+        with pytest.raises(ValueError, match="encrypted"):
+            parse_zip(bytes(b))
+        # zip64 sentinel in the entry count
+        b = bytearray(z)
+        eocd = b.rindex(b"PK\x05\x06")
+        struct.pack_into("<H", b, eocd + 10, 0xFFFF)
+        with pytest.raises(ValueError, match="zip64"):
+            parse_zip(bytes(b))
+        # CRC poked: extraction must fail loudly
+        es = parse_zip(z)
+        bad = dict(es[0], crc32=es[0]["crc32"] ^ 0xDEAD)
+        with pytest.raises(ValueError, match="CRC-32"):
+            extract_zip_member(z, bad)
+        # unknown method
+        bad = dict(es[0], method=14)  # lzma-in-zip
+        with pytest.raises(ValueError, match="method 14"):
+            extract_zip_member(z, bad)
+
+    @settings(max_examples=100, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=600))
+    def test_truncation_fuzz_always_named(self, cut):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            extract_zip_member,
+            parse_zip,
+        )
+
+        z = build_zip(self._members(3))
+        if cut >= len(z):
+            return
+        try:
+            for e in parse_zip(z[:cut]):
+                extract_zip_member(z[:cut], e)
+        except ValueError:
+            pass
+
+    def test_distributed(self, spark):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            zip_members,
+        )
+
+        rows = [
+            (i, build_zip(self._members(i % 3 + 1)))
+            for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(2)
+        got = zip_members(df).collect()
+        assert len(got) == sum(i % 3 + 1 for i in range(1, 6))
+        for r in got:
+            assert r["crc_ok"] == "ok"
+            assert r["text"].startswith(f"content {r['member_idx']} ")
+        # triage-only mode never inflates
+        listed = zip_members(df, extract_text=False).collect()
+        assert all(r["text"] is None for r in listed)
+        assert all(r["crc_ok"] == "unchecked" for r in listed)
+
+
+class TestTar:
+    def _members(self, n=3):
+        return [
+            (f"d/f{i}.txt", (f"alpha {i} " * (i + 1)).encode())
+            for i in range(n)
+        ]
+
+    def test_roundtrip(self):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_tar,
+            parse_tar,
+        )
+
+        members = self._members()
+        ms = parse_tar(build_tar(members))
+        assert [(m["name"], m["payload"]) for m in ms] == members
+        assert all(m["typeflag"] == "0" for m in ms)
+
+    def test_named_errors(self):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_tar,
+            parse_tar,
+        )
+
+        t = build_tar(self._members(2))
+        with pytest.raises(ValueError, match="multiple of"):
+            parse_tar(t[:700])
+        with pytest.raises(ValueError, match="ustar magic"):
+            parse_tar(b"\x01" * 512)
+        # poke a content byte's header checksum
+        b = bytearray(t)
+        b[0] = ord("X")
+        with pytest.raises(ValueError, match="fails its checksum"):
+            parse_tar(bytes(b))
+        # declared size overrunning the archive
+        b = bytearray(t[:512])  # header only, no content blocks
+        with pytest.raises(ValueError, match="overruns the payload"):
+            parse_tar(bytes(b))
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=511),
+        val=st.integers(min_value=0, max_value=255),
+    )
+    def test_header_mutation_fuzz(self, pos, val):
+        """Any single-byte header corruption either keeps a valid
+        walk or raises ValueError — the checksum catches nearly all
+        of them; none may escape as a raw exception."""
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_tar,
+            parse_tar,
+        )
+
+        t = build_tar(self._members(2))
+        b = bytearray(t)
+        if b[pos] == val:
+            return
+        b[pos] = val
+        try:
+            parse_tar(bytes(b))
+        except ValueError:
+            pass
+
+    def test_distributed_with_gzip_layer(self, spark):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_tar,
+            compress_bytes,
+            tar_members,
+        )
+
+        rows = []
+        for i in range(1, 6):
+            blob = build_tar(self._members(i % 3 + 1))
+            if i % 2:
+                blob = compress_bytes(blob, "gzip")
+            rows.append((i, blob))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(2)
+        got = tar_members(df).collect()
+        assert len(got) == sum(i % 3 + 1 for i in range(1, 6))
+        for r in got:
+            assert r["text"].startswith(f"alpha {r['member_idx']} ")
