@@ -2134,8 +2134,8 @@ def q_mp4_metadata(spark: SparkSession, sf: str) -> DataFrame:
 def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
     """Container-format triage over a MIXED media corpus
     (multimodal/binary_ops.py::detect_codec): each doc_id synthesizes
-    one of the nine in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/
-    GIF/TIFF/MP4 — every payload built by the repo's own encoders) or, every 13th
+    one of the ten in-repo containers (BMP/PNG/JPEG/WAV/AVI/MP3/
+    GIF/TIFF/FLAC/MP4 — every payload built by the repo's own encoders) or, every 13th
     id, a deterministic garbage blob; the sniff partitions the corpus
     by container so each bucket can be routed to its EXPLICIT decoder
     (decode_images/decode_audio stay codec-named — no silent
@@ -2150,6 +2150,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
         detect_codec,
         encode_avi,
         encode_bmp,
+        encode_flac,
         encode_gif,
         encode_jpeg,
         encode_png,
@@ -2167,7 +2168,7 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
             blob[0] = 0x00  # never a valid magic
             return blob.tobytes()
         rng = np.random.default_rng(d)
-        kind = d % 9
+        kind = d % 10
         if kind == 0:
             return encode_bmp(rng.random((8, 8)))
         if kind == 1:
@@ -2189,6 +2190,10 @@ def q_codec_sniff(spark: SparkSession, sf: str) -> DataFrame:
         if kind == 7:
             return encode_tiff(
                 rng.random((8, 8)), endian="<" if d % 2 else ">"
+            )
+        if kind == 8:
+            return encode_flac(
+                (rng.random(64) * 2 - 1).astype(np.float64), 16_000
             )
         return synthesize_mp4(600 + d, 600, d % 2, 1, seed=d)
 
@@ -2518,6 +2523,112 @@ def q_compressed_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return unpacked.join(sniffed, "media_id").select(
         "media_id", "codec", "sniffed_codec", "text", "text_bytes"
     )
+
+
+def q_flac_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL compressed-audio decode (FLAC rice streams) verified
+    WITHOUT a replay oracle — the gif_features/tiff_pages design
+    moved to audio: each doc_id synthesizes a ramp waveform with
+    base/length from PUBLIC doc_id arithmetic, encodes it to genuine
+    FLAC (multimodal/binary_ops.py::encode_flac — cycling fixed/
+    verbatim/LPC subframes, mono and stereo with all four channel
+    assignments, multi-frame at block_size 256, CRC-8/16 + PCM MD5
+    all live), decodes it back
+    (multimodal/binary_ops.py::decode_flac_samples) and emits integer
+    per-channel aggregates whose CLOSED FORMS the DuckDB oracle
+    recomputes — ch0_crc is sample-order-sensitive, so a rice/
+    predictor/decorrelation bug fails the hash. Map-only
+    mapInPandas; waveforms die in the task."""
+    import numpy as np
+    import pandas as pd
+
+    from gbif_filter_python_spark.multimodal.binary_ops import (
+        decode_flac_samples,
+        encode_flac,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("ch0_sum", LongType()),
+            StructField("ch0_crc", LongType()),
+            StructField("ch1_sum", LongType()),
+        ]
+    )
+    modes = ["fixed", "verbatim", "lpc"]
+    ch_modes = ["independent", "left_side", "mid_side", "right_side"]
+
+    def _rows(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 600 + (d % 7) * 100
+                base = -(d % 50)
+                rate = [16000, 22050, 44100][d % 3]
+                ramp = (base + np.arange(n, dtype=np.float64)) / 32767.0
+                if d % 2:
+                    const = (d % 90 + 1) / 32767.0
+                    wave = np.stack(
+                        [ramp, np.full(n, const)], axis=1
+                    )
+                    cm = ch_modes[d % 4]
+                else:
+                    wave = ramp
+                    cm = "independent"
+                payload = encode_flac(
+                    wave,
+                    rate,
+                    block_size=256,
+                    mode=modes[d % 3],
+                    channel_mode=cm,
+                )
+                x, got_rate = decode_flac_samples(payload)
+                pcm = np.rint(x.astype(np.float64) * 32767.0).astype(
+                    np.int64
+                )
+                rows.append(
+                    (
+                        d,
+                        pcm.shape[0],
+                        got_rate,
+                        pcm.shape[1],
+                        int(pcm[:, 0].sum()),
+                        int(
+                            (
+                                (np.arange(pcm.shape[0]) + 1)
+                                * pcm[:, 0]
+                            ).sum()
+                        ),
+                        int(pcm[:, 1].sum())
+                        if pcm.shape[1] > 1
+                        else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "n_channels",
+                    "ch0_sum",
+                    "ch0_crc",
+                    "ch1_sum",
+                ],
+            )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return docs.select("doc_id").mapInPandas(_rows, schema=out_schema)
 
 
 def q_zip_bundle(spark: SparkSession, sf: str) -> DataFrame:
@@ -8783,6 +8894,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_pages": q_tiff_pages,
         "zip_bundle": q_zip_bundle,
         "tar_bundle": q_tar_bundle,
+        "flac_audio": q_flac_audio,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -12231,10 +12343,10 @@ def oracle_sql() -> dict[str, str]:
         "codec_sniff": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 13 = 0 THEN 'unknown' "
-            "ELSE CASE doc_id % 9 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
+            "ELSE CASE doc_id % 10 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' "
             "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi' "
             "WHEN 5 THEN 'mp3' WHEN 6 THEN 'gif' WHEN 7 THEN 'tiff' "
-            "ELSE 'mp4' END END "
+            "WHEN 8 THEN 'flac' ELSE 'mp4' END END "
             "AS codec FROM documents WHERE doc_id < 200"
         ),
         # closed-form oracle, not a replay: ramp-frame aggregates
@@ -12254,6 +12366,23 @@ def oracle_sql() -> dict[str, str]:
             "// 3) AS BIGINT) AS row_crc "
             "FROM documents CROSS JOIN generate_series(0, 2) t(f) "
             "WHERE doc_id < 140 AND f <= doc_id % 3"
+        ),
+        # closed-form ramp aggregates for the FLAC rice streams:
+        # ch0_crc is sample-order-sensitive, so rice/predictor/
+        # decorrelation bugs fail the hash; no SQL replay of the codec
+        "flac_audio": (
+            "WITH t AS (SELECT doc_id, "
+            "600 + (doc_id % 7) * 100 AS n, "
+            "-(doc_id % 50) AS base FROM documents WHERE doc_id < 120) "
+            "SELECT doc_id AS media_id, CAST(n AS INT) AS n_samples, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 "
+            "ELSE 44100 END AS INT) AS sample_rate, "
+            "CAST(1 + doc_id % 2 AS INT) AS n_channels, "
+            "CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS ch0_sum, "
+            "CAST(base * (n * (n + 1) // 2) + "
+            "(n - 1) * n * (n + 1) // 3 AS BIGINT) AS ch0_crc, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN n * (doc_id % 90 + 1) "
+            "ELSE NULL END AS BIGINT) AS ch1_sum FROM t"
         ),
         # names, methods, sizes AND member text rebuilt from the
         # documents table + slice arithmetic — verifies the stdlib-

@@ -12,7 +12,10 @@ successive approximation), and GIF89a decodes via an own
 variable-width LZW implementation (interlace, local palettes,
 animation compositing), cross-validated byte-exactly against
 javax.imageio. Encoders for BMP/PNG/GIF/JPEG/WAV/AVI are
-included so fixtures fabricate REAL payloads hermetically. MP3 and
+included so fixtures fabricate REAL payloads hermetically. FLAC —
+the lossless compressed-audio format — encodes AND decodes for real
+(rice-coded residuals, fixed/LPC prediction, stereo decorrelation,
+CRC-8/16 + MD5 verification). MP3 and
 MP4 get the metadata layer real pipelines triage with — MPEG-1 Layer
 III frame-header walk (``parse_mp3_metadata``) and ISO-BMFF box-tree
 walk (``parse_mp4_metadata``), each with its own synthesizer — plus
@@ -423,6 +426,668 @@ def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
     return x.astype(np.float32), int(rate)
+
+
+# --------------------------------------------------------------------------
+# FLAC (xiph.org format spec) — REAL compressed-audio decode with no
+# codec library: rice-coded residuals under constant/verbatim/fixed/
+# LPC prediction, all four stereo decorrelation modes, CRC-8 frame
+# headers, CRC-16 frames and the STREAMINFO MD5 of the decoded PCM all
+# verified. The encoder produces genuine rice streams (fixed
+# predictors by default; LPC and the decorrelation modes selectable so
+# fixtures drive every decoder path). This closes the honest half of
+# the compressed-audio fence — MP3/AAC sample decode stays behind the
+# named raises.
+# --------------------------------------------------------------------------
+
+
+class _MsbBitWriter:
+    """MSB-first bit accumulator for FLAC frame assembly."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _MsbBitReader:
+    """MSB-first bit reader with NAMED exhaustion errors."""
+
+    def __init__(self, data: bytes, base: int = 0) -> None:
+        self.data = data
+        self.pos = base * 8
+
+    def read(self, nbits: int) -> int:
+        end = self.pos + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC bitstream exhausted mid-frame")
+        v = 0
+        pos = self.pos
+        while nbits:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, nbits)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            pos += take
+            nbits -= take
+        self.pos = pos
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.pos >= len(self.data) * 8:
+                raise ValueError("FLAC bitstream exhausted mid-frame")
+            byte = self.data[self.pos >> 3]
+            avail = 8 - (self.pos & 7)
+            chunk = byte & ((1 << avail) - 1)
+            if chunk == 0:
+                q += avail
+                self.pos += avail
+                continue
+            lead = avail - chunk.bit_length()
+            q += lead
+            self.pos += lead + 1
+            return q
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (extended to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF00 >> nbytes) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _flac_read_utf8(r: _MsbBitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError(f"FLAC frame number has bad UTF-8 lead {b0:#x}")
+    n = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError(
+                "FLAC frame number has a bad UTF-8 continuation byte"
+            )
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+#: LPC test coefficients used by ``encode_flac(mode="lpc")``:
+#: precision 6 bits, shift 4 → predictor 1.5·s[n-1] − 0.5·s[n-2].
+_FLAC_TEST_LPC = ([24, -8], 6, 4)
+
+
+def _flac_rice_write(
+    w: _MsbBitWriter,
+    res: np.ndarray,
+    predictor_order: int = 0,
+    partition_order: int = 0,
+) -> None:
+    """Rice residual block at any partition order: per-partition
+    4-bit parameter chosen from that partition's mean magnitude,
+    zigzag + unary/binary codes, with the verbatim escape (param 15
+    → 5-bit raw size) when a partition's residuals are too wide to
+    rice-code compactly. The first partition is short by the
+    predictor order, per spec."""
+    w.write(0, 2)  # residual method: rice (4-bit params)
+    w.write(partition_order, 4)
+    nparts = 1 << partition_order
+    blocksize = len(res) + predictor_order
+    if blocksize % nparts:
+        raise ValueError(
+            f"partition order {partition_order} does not divide "
+            f"block size {blocksize}"
+        )
+    idx = 0
+    for part in range(nparts):
+        cnt = blocksize // nparts - (
+            predictor_order if part == 0 else 0
+        )
+        chunk = res[idx : idx + cnt].astype(np.int64)
+        idx += cnt
+        zz = np.where(chunk >= 0, chunk * 2, -2 * chunk - 1)
+        mean = float(zz.mean()) if len(zz) else 0.0
+        p = 0
+        while (1 << (p + 1)) < mean + 1 and p < 14:
+            p += 1
+        if len(zz) and int(zz.max()) >> p > 512:
+            w.write(15, 4)  # escape code
+            width = max(int(zz.max()).bit_length() + 1, 1)
+            w.write(width, 5)
+            for v in chunk:
+                w.write(int(v), width)
+            continue
+        w.write(p, 4)
+        for v in zz:
+            w.write_unary(int(v) >> p)
+            if p:
+                w.write(int(v) & ((1 << p) - 1), p)
+
+
+def _flac_rice_read(
+    r: _MsbBitReader, n: int, predictor_order: int
+) -> np.ndarray:
+    """Residual block: both rice methods (4- and 5-bit parameters),
+    any partition order, escape partitions."""
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC residual method {method} is reserved")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    order = r.read(4)
+    nparts = 1 << order
+    if n % nparts:
+        raise ValueError(
+            f"FLAC partition order {order} does not divide block size "
+            f"{n}"
+        )
+    out = np.zeros(n, dtype=np.int64)
+    idx = 0
+    for part in range(nparts):
+        cnt = n // nparts - (predictor_order if part == 0 else 0)
+        if cnt < 0:
+            raise ValueError(
+                "FLAC partition smaller than the predictor order"
+            )
+        p = r.read(plen)
+        if p == escape:
+            width = r.read(5)
+            for i in range(cnt):
+                v = r.read(width)
+                if width and v >= 1 << (width - 1):
+                    v -= 1 << width
+                out[idx + i] = v
+        else:
+            for i in range(cnt):
+                q = r.read_unary()
+                v = (q << p) | (r.read(p) if p else 0)
+                out[idx + i] = (v >> 1) ^ -(v & 1)
+        idx += cnt
+    return out
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    block_size: int = 4096,
+    mode: str = "fixed",
+    channel_mode: str = "independent",
+    rice_partition_order: int = 0,
+) -> bytes:
+    """Float waveform in [-1, 1] (mono ``(n,)`` or stereo ``(n, 2)``)
+    → real FLAC bytes: STREAMINFO with the PCM MD5, then frames of
+    rice-coded residuals. ``mode``: 'fixed' picks the best fixed
+    predictor (order 0-2) per subframe, 'verbatim' stores raw,
+    'lpc' uses the test LPC coefficients so the LPC decode path is
+    exercised end-to-end, 'constant' requires a constant signal.
+    ``channel_mode`` (stereo only): 'independent' | 'left_side' |
+    'right_side' | 'mid_side' — drives every decoder decorrelation
+    branch. stdlib+NumPy only."""
+    import hashlib as _hl
+    import struct
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2 or a.shape[1] not in (1, 2):
+        raise ValueError(
+            f"expected (n,) mono or (n, 2) stereo, got {a.shape}"
+        )
+    if not 16 <= block_size <= 65535:
+        raise ValueError(f"block_size {block_size} out of range 16-65535")
+    if not 1 <= sample_rate < 65536:
+        raise ValueError(
+            f"sample_rate {sample_rate} out of the encoder's 16-bit "
+            "header range"
+        )
+    if channel_mode not in (
+        "independent", "left_side", "right_side", "mid_side"
+    ):
+        raise ValueError(f"unknown channel_mode {channel_mode!r}")
+    if channel_mode != "independent" and a.shape[1] != 2:
+        raise ValueError("stereo decorrelation needs (n, 2) input")
+    pcm = np.clip(np.rint(a * 32767.0), -32768, 32767).astype(np.int64)
+    n_total, n_ch = pcm.shape
+    md5 = _hl.md5(
+        pcm.astype("<i2").reshape(-1).tobytes()
+    ).digest()
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, n_total, block_size)):
+        blk = pcm[start : start + block_size]
+        n = len(blk)
+        hdr = _MsbBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
+        hdr.write(0b1101, 4)  # sample rate: 16-bit Hz at header end
+        if channel_mode == "independent":
+            hdr.write(n_ch - 1, 4)
+        else:
+            hdr.write(
+                {"left_side": 8, "right_side": 9, "mid_side": 10}[
+                    channel_mode
+                ],
+                4,
+            )
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        for b in _flac_utf8_number(fi):
+            hdr.write(b, 8)
+        hdr.write(n - 1, 16)
+        hdr.write(sample_rate, 16)
+        head = bytes(hdr.buf)
+        w = _MsbBitWriter()
+        for b in head:
+            w.write(b, 8)
+        w.write(_flac_crc8(head), 8)
+
+        if channel_mode == "independent":
+            chans = [(blk[:, c], 16) for c in range(n_ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if channel_mode == "left_side":
+                chans = [(left, 16), (side, 17)]
+            elif channel_mode == "right_side":
+                chans = [(side, 17), (right, 16)]
+            else:
+                mid = (left + right) >> 1
+                chans = [(mid, 16), (side, 17)]
+
+        for sig, bps in chans:
+            w.write(0, 1)  # zero pad bit
+            use = mode
+            if mode == "fixed":
+                best, best_cost = 0, None
+                for k in (0, 1, 2):
+                    if n <= k:
+                        continue
+                    coefs = _FLAC_FIXED_COEFS[k]
+                    pred = np.zeros(n - k, dtype=np.int64)
+                    for j, c in enumerate(coefs):
+                        pred += c * sig[k - 1 - j : n - 1 - j]
+                    cost = int(np.abs(sig[k:] - pred).sum())
+                    if best_cost is None or cost < best_cost:
+                        best, best_cost = k, cost
+                k = best
+            if use == "constant":
+                if np.any(sig != sig[0]):
+                    raise ValueError(
+                        "mode='constant' needs a constant signal"
+                    )
+                w.write(0b000000, 6)
+                w.write(0, 1)
+                w.write(int(sig[0]), bps)
+                continue
+            if use == "verbatim":
+                w.write(0b000001, 6)
+                w.write(0, 1)
+                for v in sig:
+                    w.write(int(v), bps)
+                continue
+            if use == "lpc":
+                coefs, prec, shift = _FLAC_TEST_LPC
+                order = len(coefs)
+                if n <= order:
+                    raise ValueError(
+                        "block too short for the test LPC order"
+                    )
+                w.write(0b100000 | (order - 1), 6)
+                w.write(0, 1)
+                for v in sig[:order]:
+                    w.write(int(v), bps)
+                w.write(prec - 1, 4)
+                w.write(shift, 5)
+                for c in coefs:
+                    w.write(c, prec)
+                pred = np.zeros(n - order, dtype=np.int64)
+                for j, c in enumerate(coefs):
+                    pred += c * sig[order - 1 - j : n - 1 - j]
+                _flac_rice_write(
+                    w, sig[order:] - (pred >> shift), order,
+                    rice_partition_order if n % (1 << rice_partition_order) == 0 else 0,
+                )
+                continue
+            # fixed predictor, order k chosen above
+            coefs = _FLAC_FIXED_COEFS[k]
+            w.write(0b001000 | k, 6)
+            w.write(0, 1)
+            for v in sig[:k]:
+                w.write(int(v), bps)
+            pred = np.zeros(n - k, dtype=np.int64)
+            for j, c in enumerate(coefs):
+                pred += c * sig[k - 1 - j : n - 1 - j]
+            _flac_rice_write(
+                w, sig[k:] - pred, k,
+                rice_partition_order if n % (1 << rice_partition_order) == 0 else 0,
+            )
+        w.align()
+        body = bytes(w.buf)
+        frames += body + struct.pack(">H", _flac_crc16(body))
+
+    info = _MsbBitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)  # min frame size unknown
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(n_ch - 1, 3)
+    info.write(15, 5)  # bits per sample - 1
+    info.write(n_total, 36)
+    streaminfo = bytes(info.buf) + md5
+    return (
+        b"fLaC"
+        + bytes([0x80, 0, 0, len(streaminfo)])
+        + streaminfo
+        + bytes(frames)
+    )
+
+
+def decode_flac_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → ((n, channels) float32 in [-1, 1], sample_rate) —
+    the full subset real corpora use: constant/verbatim/fixed(0-4)/
+    LPC(1-32) subframes, both rice methods at any partition order
+    (escape partitions included), wasted bits, all four channel
+    assignments, 8/16/24-bit samples. The CRC-8 of every frame
+    header, the CRC-16 of every frame and the STREAMINFO MD5 of the
+    decoded PCM are all VERIFIED — corruption anywhere raises a NAMED
+    ValueError."""
+    import hashlib as _hl
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata block header truncated")
+        last = payload[pos] & 0x80
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if pos + 4 + blen > len(payload):
+            raise ValueError(
+                f"FLAC metadata block (type {btype}) overruns payload"
+            )
+        if btype == 0:
+            streaminfo = payload[pos + 4 : pos + 4 + blen]
+        elif btype == 127:
+            raise ValueError("FLAC metadata block type 127 is invalid")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC stream is missing a valid STREAMINFO")
+    si = _MsbBitReader(streaminfo)
+    si.read(16)
+    si.read(16)
+    si.read(24)
+    si.read(24)
+    rate = si.read(20)
+    n_ch = si.read(3) + 1
+    bps_info = si.read(5) + 1
+    n_total = si.read(36)
+    md5_want = streaminfo[18:34]
+    if rate == 0:
+        raise ValueError("FLAC STREAMINFO sample rate is zero")
+
+    out = np.zeros((n_total, n_ch), dtype=np.int64)
+    got = 0
+    while got < n_total:
+        if pos >= len(payload):
+            raise ValueError(
+                f"FLAC stream ended at {got}/{n_total} samples"
+            )
+        r = _MsbBitReader(payload, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(
+                f"FLAC frame sync lost at byte {pos} "
+                f"(got {sync:#06x})"
+            )
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)
+        _flac_read_utf8(r)
+        if bs_code == 0:
+            raise ValueError("FLAC blocksize code 0 is reserved")
+        blocksize = {
+            1: 192, 6: None, 7: None,
+        }.get(bs_code, None)
+        if bs_code in (6, 7):
+            blocksize = r.read(8 if bs_code == 6 else 16) + 1
+        elif bs_code == 1:
+            blocksize = 192
+        elif 2 <= bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC sample-rate code 15 is invalid")
+        bps_map = {0: bps_info, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+        if bps_code not in bps_map:
+            raise ValueError(
+                f"FLAC sample-size code {bps_code} is reserved"
+            )
+        bps = bps_map[bps_code]
+        head_len = r.byte_pos() - pos
+        crc8 = r.read(8)
+        if _flac_crc8(payload[pos : pos + head_len]) != crc8:
+            raise ValueError(
+                f"FLAC frame header at byte {pos} fails its CRC-8"
+            )
+        if ch_code < 8:
+            n_sub = ch_code + 1
+            side_idx = None
+        elif ch_code in (8, 9, 10):
+            n_sub = 2
+            side_idx = {8: 1, 9: 0, 10: 1}[ch_code]
+        else:
+            raise ValueError(
+                f"FLAC channel assignment {ch_code} is reserved"
+            )
+        if n_sub != n_ch:
+            raise ValueError(
+                f"FLAC frame has {n_sub} channels, STREAMINFO says "
+                f"{n_ch}"
+            )
+        subs = []
+        for c in range(n_sub):
+            sub_bps = bps + (1 if c == side_idx else 0)
+            if r.read(1):
+                raise ValueError("FLAC subframe pad bit is not zero")
+            stype = r.read(6)
+            wasted = 0
+            if r.read(1):
+                wasted = 1 + r.read_unary()
+                sub_bps -= wasted
+            n = blocksize
+            if stype == 0:
+                v = r.read(sub_bps)
+                if v >= 1 << (sub_bps - 1):
+                    v -= 1 << sub_bps
+                sig = np.full(n, v, dtype=np.int64)
+            elif stype == 1:
+                sig = np.zeros(n, dtype=np.int64)
+                for i in range(n):
+                    v = r.read(sub_bps)
+                    if v >= 1 << (sub_bps - 1):
+                        v -= 1 << sub_bps
+                    sig[i] = v
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                sig = np.zeros(n, dtype=np.int64)
+                for i in range(order):
+                    v = r.read(sub_bps)
+                    if v >= 1 << (sub_bps - 1):
+                        v -= 1 << sub_bps
+                    sig[i] = v
+                res = _flac_rice_read(r, n, order)
+                coefs = _FLAC_FIXED_COEFS[order]
+                for i in range(order, n):
+                    pred = sum(
+                        c * sig[i - 1 - j] for j, c in enumerate(coefs)
+                    )
+                    sig[i] = res[i - order] + pred
+            elif stype >= 32:
+                order = stype - 31
+                sig = np.zeros(n, dtype=np.int64)
+                for i in range(order):
+                    v = r.read(sub_bps)
+                    if v >= 1 << (sub_bps - 1):
+                        v -= 1 << sub_bps
+                    sig[i] = v
+                prec = r.read(4) + 1
+                if prec == 16:
+                    raise ValueError(
+                        "FLAC LPC precision code 15 is invalid"
+                    )
+                shift = r.read(5)
+                coefs = []
+                for _ in range(order):
+                    c = r.read(prec)
+                    if c >= 1 << (prec - 1):
+                        c -= 1 << prec
+                    coefs.append(c)
+                res = _flac_rice_read(r, n, order)
+                for i in range(order, n):
+                    pred = sum(
+                        c * sig[i - 1 - j] for j, c in enumerate(coefs)
+                    ) >> shift
+                    sig[i] = res[i - order] + pred
+            else:
+                raise ValueError(
+                    f"FLAC subframe type {stype:#08b} is reserved"
+                )
+            if wasted:
+                sig = sig << wasted
+            subs.append(sig)
+        r.pos = (r.pos + 7) & ~7  # frame padding to byte boundary
+        body_len = r.byte_pos() - pos
+        crc16 = r.read(16)
+        if _flac_crc16(payload[pos : pos + body_len]) != crc16:
+            raise ValueError(
+                f"FLAC frame at byte {pos} fails its CRC-16"
+            )
+        if ch_code == 8:  # left/side
+            left = subs[0]
+            right = left - subs[1]
+            chans = [left, right]
+        elif ch_code == 9:  # side/right
+            right = subs[1]
+            chans = [subs[0] + right, right]
+        elif ch_code == 10:  # mid/side
+            side = subs[1]
+            mid = (subs[0] << 1) | (side & 1)
+            chans = [(mid + side) >> 1, (mid - side) >> 1]
+        else:
+            chans = subs
+        take = min(blocksize, n_total - got)
+        for c, sig in enumerate(chans):
+            out[got : got + take, c] = sig[:take]
+        got += take
+        pos += body_len + 2
+    if md5_want != bytes(16) and bps_info == 16:
+        actual = _hl.md5(
+            out.astype("<i2").reshape(-1).tobytes()
+        ).digest()
+        if actual != md5_want:
+            raise ValueError(
+                "FLAC decoded PCM fails the STREAMINFO MD5 check"
+            )
+    scale = float(1 << (bps_info - 1)) - 1.0
+    return (out / scale).astype(np.float32), rate
+
+
+def decode_flac_bytes(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (mono float32 waveform, sample_rate) — the
+    :func:`decode_wav_bytes` shape (multi-channel downmixes by
+    mean)."""
+    x, rate = decode_flac_samples(payload)
+    return x.mean(axis=1).astype(np.float32), rate
 
 
 #: Adam7 interlace passes: (x_start, y_start, x_step, y_step) per the
@@ -2761,20 +3426,23 @@ def decode_audio(
     """Audio payloads → (id, samples array<float>, sample_rate).
 
     ``codec="wav"`` is a REAL pure-NumPy decode of PCM WAV payloads
-    (:func:`decode_wav_bytes`) — actual samples and header sample
-    rate, ``sample_rate``/``n_samples`` ignored. ``codec=None`` keeps
-    the legacy contract: deterministic fake waveform when
-    ``fake=True``, else ``NotImplementedError`` (compressed audio
-    needs soundfile/ffmpeg, absent in this container). Arrow-batched
+    (:func:`decode_wav_bytes`) and ``codec="flac"`` a real
+    rice-stream decode (:func:`decode_flac_bytes`) — actual samples
+    and header sample rate, ``sample_rate``/``n_samples`` ignored.
+    ``codec=None`` keeps the legacy contract: deterministic fake
+    waveform when ``fake=True``, else ``NotImplementedError``
+    (MP3/AAC need soundfile/ffmpeg, absent in this container). Arrow-batched
     mapInPandas with a fixed output schema either way.
     """
-    if codec not in (None, "wav"):
-        raise ValueError(f"codec must be None or 'wav', got {codec!r}")
+    if codec not in (None, "wav", "flac"):
+        raise ValueError(
+            f"codec must be None, 'wav' or 'flac', got {codec!r}"
+        )
     if codec is None and not fake:
         raise NotImplementedError(
-            "real decoding of compressed audio needs soundfile/ffmpeg, "
-            "not present in this container; use codec='wav' for real "
-            "PCM-WAV payloads or fake=True for the stub"
+            "real decoding of MP3/AAC audio needs soundfile/ffmpeg, "
+            "not present in this container; use codec='wav'/'flac' for "
+            "real payloads in those formats or fake=True for the stub"
         )
     out_schema = StructType(
         [
@@ -2786,8 +3454,12 @@ def decode_audio(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "wav":
-                decoded = [decode_wav_bytes(p) for p in pdf[payload_col]]
+            if codec in ("wav", "flac"):
+                dec = (
+                    decode_wav_bytes if codec == "wav"
+                    else decode_flac_bytes
+                )
+                decoded = [dec(p) for p in pdf[payload_col]]
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col].astype("int64"),
@@ -3212,7 +3884,7 @@ def mp4_metadata(
 def detect_codec_bytes(payload: bytes) -> str:
     """Container-format TRIAGE from magic bytes + a structural sanity
     check — ``'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' |
-    'avi' | 'mp3' | 'mp4' | 'unknown'``. This is the
+    'avi' | 'mp3' | 'flac' | 'mp4' | 'unknown'``. This is the
     sniff-to-PARTITION primitive a mixed
     crawl corpus needs (bucket a 100 TB media dump by container, then
     route each bucket to its EXPLICIT decoder); it deliberately does
@@ -3231,6 +3903,8 @@ def detect_codec_bytes(payload: bytes) -> str:
         return "gif"
     if p[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if p[:4] == b"fLaC":
+        return "flac"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if len(p) >= 12 and p[4:8] == b"ftyp":
