@@ -2525,6 +2525,62 @@ def q_compressed_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_checkpoint_tensors(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-checkpoint triage
+    (multimodal/archive_ops.py::checkpoint_tensors): even doc_ids
+    become real safetensors files (8-byte length + JSON header +
+    contiguous tensor bytes, offsets VERIFIED against dtype x shape),
+    odd ids GGUF v3 headers (typed metadata key-values + tensor
+    infos, the llama.cpp container) — tensor layouts from PUBLIC
+    doc_id arithmetic. One map-only mapInPandas emits the per-tensor
+    inventory (name, dtype, shape, element count) WITHOUT reading a
+    tensor byte — the triage shape that matters when checkpoints are
+    multi-GB. The oracle rebuilds every row from the same arithmetic;
+    safetensors rows follow sorted-name order (the builder serializes
+    sort_keys=True), GGUF rows written order."""
+    from gbif_filter_python_spark.multimodal.archive_ops import (
+        build_gguf,
+        build_safetensors,
+        checkpoint_tensors,
+    )
+
+    @F.pandas_udf("binary")
+    def _to_ckpt(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def build(d: int) -> bytes:
+            d = int(d)
+            if d % 2 == 0:
+                tensors = {
+                    "a.bias": np.zeros(d % 7 + 1, dtype=np.int64)
+                }
+                for k in range(1 + d % 3):
+                    tensors[f"layer{k}.weight"] = np.zeros(
+                        (4 + d % 5, 8), dtype=np.float32
+                    )
+                return build_safetensors(tensors)
+            return build_gguf(
+                {"general.architecture": "synth", "doc": d},
+                [
+                    (
+                        f"blk.{k}.w",
+                        [8 + d % 5, 16],
+                        [0, 1, 8][k % 3],
+                    )
+                    for k in range(1 + d % 3)
+                ],
+            )
+
+        return ids.map(build)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _to_ckpt(F.col("doc_id")).alias("payload"),
+    )
+    return checkpoint_tensors(media)
+
+
 def q_flac_audio(spark: SparkSession, sf: str) -> DataFrame:
     """REAL compressed-audio decode (FLAC rice streams) verified
     WITHOUT a replay oracle — the gif_features/tiff_pages design
@@ -8895,6 +8951,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_bundle": q_zip_bundle,
         "tar_bundle": q_tar_bundle,
         "flac_audio": q_flac_audio,
+        "checkpoint_tensors": q_checkpoint_tensors,
         "length_trim": q_length_trim,
         "corpus_prep": q_corpus_prep,
         "resample_ffill": q_resample_ffill,
@@ -12366,6 +12423,32 @@ def oracle_sql() -> dict[str, str]:
             "// 3) AS BIGINT) AS row_crc "
             "FROM documents CROSS JOIN generate_series(0, 2) t(f) "
             "WHERE doc_id < 140 AND f <= doc_id % 3"
+        ),
+        # tensor inventory rebuilt from the same arithmetic that drove
+        # both builders; safetensors rows in sorted-name order (the
+        # builder serializes sort_keys=True), gguf in written order
+        "checkpoint_tensors": (
+            "SELECT doc_id AS media_id, 'safetensors' AS fmt, "
+            "CAST(0 AS INT) AS tensor_idx, 'a.bias' AS name, "
+            "'I64' AS dtype, CAST(doc_id % 7 + 1 AS VARCHAR) AS shape, "
+            "CAST(doc_id % 7 + 1 AS BIGINT) AS n_elements "
+            "FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, 'safetensors', CAST(1 + k AS INT), "
+            "'layer' || k || '.weight', 'F32', "
+            "(4 + doc_id % 5) || 'x8', "
+            "CAST((4 + doc_id % 5) * 8 AS BIGINT) "
+            "FROM documents CROSS JOIN generate_series(0, 2) t(k) "
+            "WHERE doc_id < 120 AND doc_id % 2 = 0 AND k <= doc_id % 3 "
+            "UNION ALL "
+            "SELECT doc_id, 'gguf', CAST(k AS INT), "
+            "'blk.' || k || '.w', "
+            "CASE k % 3 WHEN 0 THEN 'f32' WHEN 1 THEN 'f16' "
+            "ELSE 'q8_0' END, "
+            "(8 + doc_id % 5) || 'x16', "
+            "CAST((8 + doc_id % 5) * 16 AS BIGINT) "
+            "FROM documents CROSS JOIN generate_series(0, 2) t(k) "
+            "WHERE doc_id < 120 AND doc_id % 2 = 1 AND k <= doc_id % 3"
         ),
         # closed-form ramp aggregates for the FLAC rice streams:
         # ch0_crc is sample-order-sensitive, so rice/predictor/

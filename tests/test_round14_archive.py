@@ -428,3 +428,156 @@ class TestTar:
         assert len(got) == sum(i % 3 + 1 for i in range(1, 6))
         for r in got:
             assert r["text"].startswith(f"alpha {r['member_idx']} ")
+
+
+class TestCheckpointTriage:
+    def test_safetensors_roundtrip_and_invariants(self):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_safetensors,
+            parse_safetensors,
+        )
+
+        st = build_safetensors(
+            {
+                "model.embed": np.zeros((10, 4), dtype=np.float32),
+                "model.norm": np.ones(4, dtype=np.float16),
+                "counts": np.arange(6, dtype=np.int64).reshape(2, 3),
+                "flag": np.array([True], dtype=bool),
+            }
+        )
+        ts = parse_safetensors(st)
+        by_name = {t["name"]: t for t in ts}
+        assert by_name["model.embed"]["n_bytes"] == 160
+        assert by_name["model.norm"]["dtype"] == "F16"
+        assert by_name["counts"]["shape"] == [2, 3]
+        assert by_name["flag"]["n_bytes"] == 1
+        # sorted-name order (sort_keys=True serialization)
+        assert [t["name"] for t in ts] == sorted(by_name)
+
+    def test_safetensors_named_errors(self):
+        import json
+
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_safetensors,
+            parse_safetensors,
+        )
+
+        st = build_safetensors({"w": np.zeros(4, dtype=np.float32)})
+        with pytest.raises(ValueError, match="length prefix"):
+            parse_safetensors(st[:4])
+        with pytest.raises(ValueError, match="overruns"):
+            parse_safetensors(
+                (10**9).to_bytes(8, "little") + st[8:]
+            )
+        with pytest.raises(ValueError, match="not valid JSON"):
+            parse_safetensors(
+                (4).to_bytes(8, "little") + b"nope" + b"\x00" * 8
+            )
+        # dtype x shape inconsistent with offsets
+        hdr = json.dumps(
+            {"w": {"dtype": "F32", "shape": [4],
+                   "data_offsets": [0, 12]}}
+        ).encode()
+        bad = len(hdr).to_bytes(8, "little") + hdr + b"\x00" * 12
+        with pytest.raises(ValueError, match="dtype x shape"):
+            parse_safetensors(bad)
+        hdr = json.dumps(
+            {"w": {"dtype": "F4", "shape": [4],
+                   "data_offsets": [0, 2]}}
+        ).encode()
+        bad = len(hdr).to_bytes(8, "little") + hdr + b"\x00" * 2
+        with pytest.raises(ValueError, match="unknown dtype"):
+            parse_safetensors(bad)
+
+    def test_gguf_roundtrip_and_named_errors(self):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_gguf,
+            parse_gguf,
+        )
+
+        g = build_gguf(
+            {
+                "general.architecture": "llama",
+                "llama.block_count": 4,
+                "rope.scale": 1.5,
+                "tied": False,
+                "dims": [7, 8],
+            },
+            [
+                ("tok_embd.weight", [4096, 32000], 12),
+                ("output_norm.weight", [4096], 0),
+            ],
+        )
+        m = parse_gguf(g)
+        assert m["version"] == 3
+        assert m["metadata"]["llama.block_count"] == 4
+        assert m["metadata"]["rope.scale"] == 1.5
+        assert m["metadata"]["tied"] is False
+        assert m["metadata"]["dims"] == [7, 8]
+        assert m["tensors"][0]["type"] == "q4_k"
+        assert m["tensors"][0]["n_elements"] == 4096 * 32000
+        with pytest.raises(ValueError, match="GGUF magic"):
+            parse_gguf(b"GGML" + g[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            parse_gguf(g[: len(g) - 7])
+        b = bytearray(g)
+        b[4] = 9  # version
+        with pytest.raises(ValueError, match="version 9"):
+            parse_gguf(bytes(b))
+
+    @settings(max_examples=100, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=400))
+    def test_gguf_truncation_fuzz(self, cut):
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_gguf,
+            parse_gguf,
+        )
+
+        g = build_gguf(
+            {"k": "v", "n": 3, "arr": [1, 2, 3]},
+            [("a.w", [4, 4], 0), ("b.w", [2], 1)],
+        )
+        if cut >= len(g):
+            return
+        with pytest.raises(ValueError):
+            parse_gguf(g[:cut])
+
+    def test_distributed_mixed_formats(self, spark):
+        import numpy as np
+
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_gguf,
+            build_safetensors,
+            checkpoint_tensors,
+        )
+
+        rows = []
+        for i in range(1, 7):
+            if i % 2:
+                rows.append(
+                    (i, build_gguf({"i": i}, [(f"t{i}", [i, 2], 0)]))
+                )
+            else:
+                rows.append(
+                    (
+                        i,
+                        build_safetensors(
+                            {f"w{i}": np.zeros(i, dtype=np.float32)}
+                        ),
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(3)
+        got = {r["media_id"]: r for r in checkpoint_tensors(df).collect()}
+        for i in range(1, 7):
+            r = got[i]
+            if i % 2:
+                assert r["fmt"] == "gguf" and r["shape"] == f"{i}x2"
+            else:
+                assert r["fmt"] == "safetensors"
+                assert r["n_elements"] == i
