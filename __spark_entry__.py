@@ -8644,7 +8644,7 @@ def q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
 #: The round whose planned window ``queries()`` currently serves.
 #: Bumped once per build round (in the same commit that adds any new
 #: query) so the rotation below keeps advancing.
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 #: Permanent 5-query gbif canary (VERDICT r4 item 2): the reference's
 #: actual semantics (apply_gbif_filter.py:114-192). Pinned — these
