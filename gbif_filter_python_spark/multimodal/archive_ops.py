@@ -518,6 +518,10 @@ def parse_zip(payload: bytes) -> list[dict]:
                 f"ZIP central header {i} missing its signature at "
                 f"byte {pos}"
             )
+        if pos + 46 > len(payload):
+            raise ValueError(
+                f"ZIP central header {i} truncated at byte {pos}"
+            )
         (
             _ver_made,
             _ver_need,
@@ -572,6 +576,10 @@ def extract_zip_member(payload: bytes, entry: dict) -> bytes:
         raise ValueError(
             f"ZIP local header for {entry['name']!r} missing at byte "
             f"{off}"
+        )
+    if off + 30 > len(payload):
+        raise ValueError(
+            f"ZIP local header for {entry['name']!r} truncated"
         )
     nlen, elen = struct.unpack_from("<HH", payload, off + 26)
     data_off = off + 30 + nlen + elen

@@ -581,3 +581,28 @@ class TestCheckpointTriage:
             else:
                 assert r["fmt"] == "safetensors"
                 assert r["n_elements"] == i
+
+
+class TestZipAdversarialBounds:
+    def test_lying_entry_count_and_truncated_headers_named(self):
+        import struct
+
+        from gbif_filter_python_spark.multimodal.archive_ops import (
+            build_zip,
+            extract_zip_member,
+            parse_zip,
+        )
+
+        z = build_zip([("a.txt", b"hello")])
+        cd = z.index(b"PK\x01\x02")
+        # archive cut right after the central-header signature, with
+        # a fresh EOCD claiming one full entry lives there
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, 4, cd, 0
+        )
+        with pytest.raises(ValueError, match="truncated at byte"):
+            parse_zip(z[: cd + 4] + eocd)
+        # local-header offset pointing at the archive tail
+        e = dict(parse_zip(z)[0], local_header_offset=len(z) - 10)
+        with pytest.raises(ValueError, match="missing at byte"):
+            extract_zip_member(z, e)
