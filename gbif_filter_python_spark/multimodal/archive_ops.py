@@ -181,6 +181,10 @@ def parse_warc(payload: bytes) -> list[dict]:
                 "WARC Content-Length is not an integer: "
                 f"{hdrs['content-length']!r}"
             ) from exc
+        if clen < 0:
+            raise ValueError(
+                f"WARC Content-Length is negative: {clen}"
+            )
         if "warc-type" not in hdrs:
             raise ValueError(
                 f"WARC record at byte {pos} missing WARC-Type"

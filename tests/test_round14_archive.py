@@ -606,3 +606,11 @@ class TestZipAdversarialBounds:
         e = dict(parse_zip(z)[0], local_header_offset=len(z) - 10)
         with pytest.raises(ValueError, match="missing at byte"):
             extract_zip_member(z, e)
+
+
+def test_warc_negative_content_length_named():
+    with pytest.raises(ValueError, match="negative"):
+        parse_warc(
+            b"WARC/1.0\r\nWARC-Type: x\r\n"
+            b"Content-Length: -4\r\n\r\nhi\r\n\r\n"
+        )
