@@ -905,6 +905,14 @@ def decode_flac_samples(payload: bytes) -> tuple[np.ndarray, int]:
     md5_want = streaminfo[18:34]
     if rate == 0:
         raise ValueError("FLAC STREAMINFO sample rate is zero")
+    # plausibility bound before allocating: even a constant-subframe
+    # stream yields well under 4096 samples per payload byte, so a
+    # corrupt 36-bit total must fail loudly, not try to allocate
+    if n_total > len(payload) * 4096:
+        raise ValueError(
+            f"FLAC STREAMINFO declares {n_total} samples — "
+            f"implausible for a {len(payload)}-byte stream"
+        )
 
     out = np.zeros((n_total, n_ch), dtype=np.int64)
     got = 0
@@ -941,18 +949,31 @@ def decode_flac_samples(payload: bytes) -> tuple[np.ndarray, int]:
             blocksize = 576 << (bs_code - 2)
         elif bs_code >= 8:
             blocksize = 256 << (bs_code - 8)
+        frame_rate = None
         if sr_code == 12:
-            r.read(8)
-        elif sr_code in (13, 14):
-            r.read(16)
+            frame_rate = r.read(8) * 1000
+        elif sr_code == 13:
+            frame_rate = r.read(16)
+        elif sr_code == 14:
+            frame_rate = r.read(16) * 10
         elif sr_code == 15:
             raise ValueError("FLAC sample-rate code 15 is invalid")
+        if frame_rate is not None and frame_rate != rate:
+            raise ValueError(
+                f"FLAC frame sample rate {frame_rate} contradicts "
+                f"STREAMINFO ({rate})"
+            )
         bps_map = {0: bps_info, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
         if bps_code not in bps_map:
             raise ValueError(
                 f"FLAC sample-size code {bps_code} is reserved"
             )
         bps = bps_map[bps_code]
+        if bps != bps_info:
+            raise ValueError(
+                f"FLAC frame sample size {bps} contradicts "
+                f"STREAMINFO ({bps_info})"
+            )
         head_len = r.byte_pos() - pos
         crc8 = r.read(8)
         if _flac_crc8(payload[pos : pos + head_len]) != crc8:
@@ -1711,8 +1732,8 @@ def _tiff_ifds(payload: bytes) -> tuple[str, list[dict[int, list[int]]]]:
         for i in range(n):
             base = off + 2 + 12 * i
             tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
-            if typ not in _TIFF_TYPE_SIZE:
-                continue
+            if typ not in _TIFF_TYPE_SIZE or cnt == 0:
+                continue  # non-integer or empty entries: as-if absent
             size = _TIFF_TYPE_SIZE[typ] * cnt
             voff = base + 8 if size <= 4 else struct.unpack_from(
                 e + "I", payload, base + 8

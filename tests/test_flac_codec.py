@@ -168,15 +168,50 @@ class TestFlacVerificationChain:
         bit=st.integers(min_value=0, max_value=7),
     )
     def test_mutation_fuzz_named_or_detected(self, pos, bit):
-        """Any single-bit flip must be CAUGHT (named ValueError from
-        a CRC/MD5/structure check) — with three verification layers a
-        silent wrong decode would require a triple collision."""
+        """Any single-bit flip in a VERIFIED byte must be CAUGHT
+        (named ValueError from a CRC/MD5/structure/cross-check) —
+        with three verification layers a silent wrong decode would
+        require a triple collision. STREAMINFO bytes 8-17 (min/max
+        blocksize and framesize) are informational per spec — no
+        decoder behavior depends on them — and are excluded from the
+        claim; rate/bps/total/md5 ARE covered (frame-header
+        cross-checks)."""
+        if 8 <= pos <= 17:
+            return
         p = bytearray(self._payload())
         if pos >= len(p):
             return
         p[pos] ^= 1 << bit
         with pytest.raises(ValueError):
             decode_flac_bytes(bytes(p))
+
+    def test_every_single_bit_flip_caught_exhaustive(self):
+        """Deterministic companion to the fuzz: EVERY single-bit flip
+        of every verified byte of a real two-frame stream raises a
+        named ValueError — including the 36-bit total-samples field,
+        whose high bits must hit the allocation plausibility guard
+        rather than attempt a 100-GiB ndarray."""
+        p = bytearray(
+            encode_flac(
+                0.5 * np.sin(np.arange(800) / 10.0),
+                16000,
+                block_size=256,
+            )
+        )
+        misses = []
+        for pos in range(4, len(p)):
+            if 8 <= pos <= 17:  # informational STREAMINFO bytes
+                continue
+            for bit in range(8):
+                p[pos] ^= 1 << bit
+                try:
+                    decode_flac_bytes(bytes(p))
+                    misses.append((pos, bit))
+                except ValueError:
+                    pass
+                finally:
+                    p[pos] ^= 1 << bit
+        assert not misses, misses[:10]
 
 
 class TestFlacDistributed:
