@@ -953,19 +953,27 @@ def repeated_spans(
     spans = _staged_ngrams(docs, doc_id_col, text_col, n).select(
         "doc_id", F.md5(F.col("ngram")).alias("_h")
     )
+    # ONE (hash, doc)-keyed aggregation feeds all three branches
+    # (optimization r14, guide §2.4): doc-frequency, per-doc repeated
+    # count and per-doc total are all re-aggs/joins of the same
+    # ``per`` table, so its identical exchange subtree is planned
+    # once and REUSED (ReusedExchange) — the corpus-sized tokenize +
+    # ngram explode runs exactly once instead of three times (the
+    # previous shape re-scanned ``spans`` per branch: distinct for
+    # df, a semi-join for repeated, a groupBy for totals).
+    per = spans.groupBy("_h", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
     freq = (
-        spans.distinct()
-        .groupBy("_h")
-        .agg(F.count("*").alias("_df"))
+        per.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
         .select("_h")
     )
     repeated = (
-        spans.join(freq, "_h", "left_semi")
+        per.join(freq, "_h", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_repeated"))
+        .agg(F.sum("_c").alias("n_repeated"))
     )
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    totals = per.groupBy("doc_id").agg(F.sum("_c").alias("n_spans"))
     return (
         totals.join(repeated, "doc_id", "left")
         .select(

@@ -69,6 +69,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("_ncomp"))
         )
+        # The convergence flag rides the SAME checkpointed round
+        # instead of a separate labels⋈updated count job: a row
+        # changed iff its neighborhood min undercuts its label
+        # (non-null ``_ncomp < comp`` ⇔ old ``new != old``), so the
+        # post-round test is a shuffle-free scan of the materialized
+        # RDD rather than one more join per iteration (optimization
+        # r14; guide §2.4 — don't re-shuffle what one pass already
+        # knows).
         updated = (
             labels.join(neigh, labels["id"] == neigh["src"], "left")
             .select(
@@ -76,17 +84,16 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.col("_ncomp").isNotNull()
+                    & (F.col("_ncomp") < F.col("comp"))
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        changed = not updated.filter(F.col("_chg")).isEmpty()
+        labels = updated.drop("_chg")
+        if not changed:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
@@ -269,13 +276,26 @@ def pagerank(
     # round — left lazy it would re-scan the edge upstream per
     # iteration (static loop inputs must be materialized; the r9
     # connected_components lesson). Node-sized, so the cost is nil.
+    # The degree key is RE-ALIASED before the checkpoint: the
+    # checkpointed LogicalRDD keeps ``e``'s attribute ids, and the
+    # self-referencing ``e ⋈ deg`` join then carries the same ``src``
+    # attribute on both sides — Spark 4.1's analyzer fails that with
+    # INTERNAL_ERROR "Conflicting attributes" when the left side is a
+    # same-name alias projection (surfaced by the round-14 test run;
+    # a fresh alias gives the checkpoint disjoint attribute ids and
+    # the identical join result).
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("_degsrc"), "deg")
         .localCheckpoint(eager=True)
     )
     # out-degree-annotated edges: contribution factor per edge
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = (
+        e.join(deg, e["src"] == deg["_degsrc"])
+        .drop("_degsrc")
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
@@ -283,7 +303,7 @@ def pagerank(
     for _ in range(n_iter):
         # dangling mass: rank sitting on nodes with no out-edges
         dangling = (
-            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            ranks.join(deg, ranks["id"] == deg["_degsrc"], "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
@@ -676,15 +696,19 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_cur = cur.count()
     for _ in range(max_iterations):
         nxt = _phase(_phase(cur, large=True), large=False).localCheckpoint(
             eager=True
         )
-        same = (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).count() == 0
-        )
+        # carry the previous round's cardinality instead of re-counting
+        # the checkpointed ``cur`` every round (one fewer job per
+        # round; the exceptAll anti-count still short-circuits on a
+        # cardinality change, so it only runs on the terminal rounds)
+        n_nxt = nxt.count()
+        same = n_nxt == n_cur and nxt.exceptAll(cur).count() == 0
         cur = nxt
+        n_cur = n_nxt
         if same:
             labels = cur.select(
                 F.col("a").alias("id"), F.col("b").alias("comp")

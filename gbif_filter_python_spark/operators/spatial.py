@@ -298,6 +298,26 @@ def proximity_pairs(
             .filter(F.col("_rn") <= max_cell_points)
             .drop("_rn")
         )
+    # Half-plane neighbor explode (optimization r14, guide §2.3):
+    # exploding all 9 offsets generates every candidate pair TWICE
+    # (once from each endpoint's home cell) and halves it back with
+    # ``_pid < _qid``. Exploding only the 5 offsets whose direction
+    # set contains exactly one of each ± pair — (0,0), (0,1), (1,-1),
+    # (1,0), (1,1) — generates each cross-cell pair exactly once and
+    # each same-cell pair twice (both orientations of the (0,0)
+    # offset, halved by the id order as before). Right-side rows and
+    # join probe volume drop to 5/9; the emitted (id_a, id_b,
+    # dist_km) set is identical (ids normalized with least/greatest,
+    # haversine is symmetric and rounded the same).
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+            )
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        ]
+    )
     right = (
         pts.select(
             F.col("_pid").alias("_qid"),
@@ -305,17 +325,15 @@ def proximity_pairs(
             F.col("_plat").alias("_qlat"),
             "_cx",
             "_cy",
-            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dx"),
-        )
-        .withColumn(
-            "_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+            F.explode(offsets).alias("_d"),
         )
         .select(
             "_qid",
             "_qlon",
             "_qlat",
-            (F.col("_cx") + F.col("_dx")).alias("_cx"),
-            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+            (F.col("_cx") + F.col("_d.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_d.dy")).alias("_cy"),
+            ((F.col("_d.dx") == 0) & (F.col("_d.dy") == 0)).alias("_same"),
         )
     )
     dist = F.round(
@@ -326,10 +344,14 @@ def proximity_pairs(
     )
     return (
         pts.join(right, ["_cx", "_cy"])
-        .filter(F.col("_pid") < F.col("_qid"))
+        .filter(
+            F.when(
+                F.col("_same"), F.col("_pid") < F.col("_qid")
+            ).otherwise(F.col("_pid") != F.col("_qid"))
+        )
         .select(
-            F.col("_pid").alias("id_a"),
-            F.col("_qid").alias("id_b"),
+            F.least(F.col("_pid"), F.col("_qid")).alias("id_a"),
+            F.greatest(F.col("_pid"), F.col("_qid")).alias("id_b"),
             dist.alias("dist_km"),
         )
         .filter(F.col("dist_km") <= radius_km)
