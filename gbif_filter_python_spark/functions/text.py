@@ -29,11 +29,16 @@ def normalized_text(col: Column) -> Column:
 
     The canonical form feeding fingerprints and shingle-based dedup —
     whitespace/punctuation variation must not defeat near-dup joins.
+
+    ONE regex pass (optimization r14, guide §1.2 "per-task work"):
+    ``[^a-z0-9]+`` already matches every whitespace character, so any
+    maximal run of non-alphanumerics — spaces included — collapses to
+    a single space in the first replace and a follow-up ``\\s+`` pass
+    can never find a multi-space run: it was a per-row no-op, removed
+    (byte-identical output, property-tested in
+    tests/test_corpus_quality.py).
     """
-    return F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "),
-                         r"\s+", " ")
-    )
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
 def token_count(col: Column) -> Column:

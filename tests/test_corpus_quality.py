@@ -488,7 +488,11 @@ class TestWinnowing:
             .executedPlan()
             .toString()
         )
-        assert plan.count("regexp_replace") == 2, plan
+        # ONE regexp_replace per scan since the r14 single-pass
+        # normalized_text (the former \s+ second pass was a no-op);
+        # still exactly one evaluation of the normalization — the
+        # staged-projection contract this test pins.
+        assert plan.count("regexp_replace") == 1, plan
         assert plan.count("md5") == 1, plan
 
     def test_validation(self, spark):
@@ -637,3 +641,47 @@ class TestBenford:
         # still yield their first significant digit
         assert rows[2] == 1 and rows[9] == 1 and rows[3] == 1
         assert sum(rows.values()) == 3
+
+
+class TestNormalizedTextSinglePass:
+    """r14 optimization guard: the single-regex normalized_text must be
+    byte-identical to the historical two-pass form (lower → strip
+    non-alnum runs → collapse \\s+ → trim) on every input shape —
+    [^a-z0-9]+ already swallows whitespace, so the \\s+ pass was a
+    no-op."""
+
+    CASES = [
+        "",
+        "   ",
+        "\t\n\r  \t",
+        "Hello, World!",
+        "a  b\t\tc\nd",
+        "--punct--only--",
+        "MiXeD CaSe 123",
+        "unicode é ü ß 漢字 test",
+        " leading and trailing ",
+        "a" * 500,
+        "word nbsp ls",
+        "1,2;3.4:5",
+    ]
+
+    def test_matches_two_pass_form(self, spark):
+        from gbif_filter_python_spark.functions.text import (
+            normalized_text,
+        )
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.CASES)], "i long, t string"
+        )
+        legacy = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("t")), r"[^a-z0-9]+", " "),
+                r"\s+",
+                " ",
+            )
+        )
+        rows = df.select(
+            normalized_text(F.col("t")).alias("new"), legacy.alias("old")
+        ).collect()
+        for r in rows:
+            assert r["new"] == r["old"]
