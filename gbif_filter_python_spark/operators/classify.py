@@ -399,16 +399,25 @@ def lm_train_bigram(
     toks = bks.select(F.explode("_bs").alias("bucket"))
 
     uni_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = toks.count()
+    # the token total rides the bucket aggregate (Σ cnt == count of
+    # exploded tokens, exactly) instead of a separate eager
+    # ``toks.count()`` action — one fewer full tokenize+bucket pass
+    # over the reference corpus, and plan construction stays lazy
+    # (optimization r14, guide §2.3 "aggregate before you shuffle").
+    # ``cast("double") + a*b`` performs the same IEEE add the former
+    # Python-side ``float(tot) + a*b`` literal did, so every lp_uni
+    # bit matches.
+    tot_df = uni_cnt.agg(F.sum("cnt").alias("_tot"))
     unigram = (
         spark.range(b)
         .select(F.col("id").cast("int").alias("bucket"))
         .join(F.broadcast(uni_cnt), "bucket", "left")
+        .crossJoin(F.broadcast(tot_df))
         .select(
             "bucket",
             F.log(
                 (F.coalesce(F.col("cnt"), F.lit(0)) + a)
-                / F.lit(float(tot) + a * b)
+                / (F.col("_tot").cast("double") + F.lit(a * b))
             ).alias("lp_uni"),
         )
     )
@@ -416,10 +425,18 @@ def lm_train_bigram(
     pairs = bks.select(
         F.explode(_bigram_pairs(F.col("_bs"))).alias("_p")
     ).select(F.col("_p.b1").alias("b1"), F.col("_p.b2").alias("b2"))
-    ctx_cnt = pairs.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts re-aggregate the (b1, b2) pair counts —
+    # c1(b1) = Σ_b2 c12(b1, b2) exactly — instead of a second
+    # corpus-sized explode+aggregate keyed differently (whose
+    # exchange could never be reused): the bigram branch now costs
+    # ONE pass over the reference corpus, and the re-agg rides the
+    # ≤ B² -row count table (optimization r14, guide §2.3).
+    c12_cnt = pairs.groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    ctx_cnt = c12_cnt.groupBy("b1").agg(F.sum("c12").alias("c1"))
     bigram = (
-        pairs.groupBy("b1", "b2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+        c12_cnt
         .join(F.broadcast(ctx_cnt), "b1")
         .select(
             "b1",

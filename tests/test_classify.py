@@ -213,6 +213,23 @@ class TestBigramLM:
         for b1, tot in per_b1.items():
             assert tot == pytest.approx(c1_of[b1], abs=1e-6)
 
+    def test_training_plans_lazily(self, spark):
+        # r14 optimization contract: lm_train_bigram only BUILDS plans —
+        # the former eager ``toks.count()`` (a full tokenize+bucket pass
+        # at construction time) is gone; the token total now rides the
+        # unigram aggregate itself.
+        sc = spark.sparkContext
+        train = self._corpus(spark)
+        sc.setJobGroup("lm-lazy-probe", "lm_train_bigram construction")
+        try:
+            uni, big = lm_train_bigram(train, num_buckets=B)
+            assert sc.statusTracker().getJobIdsForGroup("lm-lazy-probe") == []
+            uni.count()  # sanity: the probe group does see real actions
+            assert sc.statusTracker().getJobIdsForGroup("lm-lazy-probe") != []
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
 
 class TestMd5Bucket:
     def test_matches_duckdb(self, spark):
