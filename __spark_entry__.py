@@ -733,14 +733,35 @@ def _perturbed_docs(spark: SparkSession, sf: str) -> DataFrame:
     """documents ∪ near-copies (every 5th doc with a short suffix) —
     gives the near-dup detectors pairs at Jaccard just under 1.0."""
     docs = _t(spark, sf, "documents")
-    near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" appended marker suffix")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
+    # One scan, not two: the former ``docs.unionByName(filtered clone)``
+    # re-read the parquet for the clone side in EVERY consumer; a
+    # per-row variant explode multiplies every 5th row in place and the
+    # whole perturbed corpus costs a single pass (optimization r14,
+    # guide §2.4 "remove shuffles/passes outright"). Row-identical to
+    # the union shape (verified exceptAll both ways == 0).
+    multi = F.when(
+        F.col("doc_id") % 5 == 0, F.array(F.lit(0), F.lit(1))
+    ).otherwise(F.array(F.lit(0)))
+    return (
+        docs.select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.explode(multi).alias("_v"),
+        )
+        .select(
+            F.when(F.col("_v") == 1, F.col("doc_id") + 100000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.when(
+                F.col("_v") == 1,
+                F.concat(F.col("text"), F.lit(" appended marker suffix")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
     )
-    return docs.unionByName(near)
 
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -137,7 +137,15 @@ def nb_train(
     doc_counts = df.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    n_total = df.count()
+    # the corpus row total rides the per-label doc counts (sum n_docs
+    # == df.count() exactly — a null label still forms a group)
+    # instead of a separate eager ``df.count()`` action: one fewer
+    # corpus pass per training call, and construction stays lazy
+    # (optimization r14, guide §2.3). cast-double keeps the prior's
+    # divisor the same IEEE double the Python literal was.
+    n_total_df = doc_counts.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("_n_total")
+    )
 
     spark = df.sparkSession
     all_buckets = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
@@ -145,6 +153,7 @@ def nb_train(
         doc_counts.join(label_tot, label_col)
         .crossJoin(F.broadcast(all_buckets))
         .join(counts, [label_col, "bucket"], "left")
+        .crossJoin(F.broadcast(n_total_df))
         .select(
             label_col,
             "bucket",
@@ -152,9 +161,9 @@ def nb_train(
                 (F.coalesce(F.col("cnt"), F.lit(0)) + a)
                 / (F.col("tok_tot") + a * b)
             ).alias("log_cond"),
-            F.log(F.col("n_docs") / F.lit(float(n_total))).alias(
-                "log_prior"
-            ),
+            F.log(
+                F.col("n_docs") / F.col("_n_total").cast("double")
+            ).alias("log_prior"),
         )
     )
     return dense
@@ -252,17 +261,27 @@ def dsir_weights(
     def _lm(df: DataFrame, out: str) -> DataFrame:
         t = _tokens(df, text_col, [], b)
         cnt = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-        tot = t.count()
+        # the token total rides the bucket aggregate (sum cnt ==
+        # count of token rows exactly; coalesce keeps the empty-corpus
+        # value at 0 like count() did) instead of an eager
+        # ``t.count()`` — one fewer full tokenize pass PER LM, i.e.
+        # two fewer corpus passes per dsir_weights call (optimization
+        # r14, guide §2.3). cast-double + literal performs the same
+        # IEEE add the Python-side literal did, so every bit matches.
+        tot_df = cnt.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tot")
+        )
         spark = df.sparkSession
         dense = (
             spark.range(b)
             .select(F.col("id").cast("int").alias("bucket"))
             .join(F.broadcast(cnt), "bucket", "left")
+            .crossJoin(F.broadcast(tot_df))
             .select(
                 "bucket",
                 F.log(
                     (F.coalesce(F.col("cnt"), F.lit(0)) + a)
-                    / F.lit(float(tot) + a * b)
+                    / (F.col("_tot").cast("double") + F.lit(a * b))
                 ).alias(out),
             )
         )
@@ -407,7 +426,9 @@ def lm_train_bigram(
     # ``cast("double") + a*b`` performs the same IEEE add the former
     # Python-side ``float(tot) + a*b`` literal did, so every lp_uni
     # bit matches.
-    tot_df = uni_cnt.agg(F.sum("cnt").alias("_tot"))
+    tot_df = uni_cnt.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tot")
+    )
     unigram = (
         spark.range(b)
         .select(F.col("id").cast("int").alias("bucket"))
