@@ -624,13 +624,13 @@ def repetition_signals(
     """Per-document repetition quality signals (Gopher-style rules):
     duplicate-word fraction and most-frequent-bigram fraction.
 
-    One staged words projection feeds both: the scalar stats
-    (word count, distinct word count) ride along the exploded bigram
-    rows as grouping keys, so the whole thing is one scan + two hash
-    aggregations — shuffles carry (doc_id, bigram-ints) rows, never
-    text. Docs with < 2 words have no bigram and are excluded (the
-    signal is undefined for them); the SQL twin applies the same
-    guard.
+    One staged words projection feeds both, and the operator is
+    MAP-ONLY: the duplicate-word fraction is per-row set arithmetic,
+    and the top-bigram count is the longest equal-run of the sorted
+    per-row bigram array (a per-row sort + linear fold) — one scan,
+    zero shuffles. Docs with < 2 words have no bigram and are
+    excluded (the signal is undefined for them); the SQL twin applies
+    the same guard.
 
     Returns (doc_id, n_words, dup_word_frac, top_bigram_frac), the
     fractions rounded to 6dp for fp-stable comparison.
@@ -638,17 +638,39 @@ def repetition_signals(
     with_words = docs.select(
         F.col(doc_id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
     )
-    exploded = with_words.select(
+    # The most-frequent-bigram count is the longest run of equal
+    # values in the SORTED per-row bigram array — a per-row sort +
+    # linear fold, so the whole operator is MAP-ONLY: the former
+    # explode → (doc, bigram) hash-agg → per-doc max re-agg shuffled
+    # every distinct (doc, bigram) pair twice; now nothing shuffles at
+    # all (optimization r14, guide §2.4 — remove shuffles outright).
+    # Docs with < 2 words have no bigram and stay excluded. The
+    # null-seeded ``prev`` makes the first comparison start a run of 1
+    # (NULL equality is never true under F.when).
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    per_doc = with_words.filter(F.size("_w") >= 2).select(
         "doc_id",
         F.size("_w").alias("n_words"),
         F.size(F.array_distinct("_w")).alias("_nd"),
-        F.explode(ngrams_from_words(F.col("_w"), 2)).alias("bigram"),
-    )
-    per_bigram = exploded.groupBy("doc_id", "n_words", "_nd", "bigram").agg(
-        F.count("*").alias("_c")
-    )
-    per_doc = per_bigram.groupBy("doc_id", "n_words", "_nd").agg(
-        F.max("_c").alias("_top")
+        F.aggregate(
+            F.array_sort(ngrams_from_words(F.col("_w"), 2)),
+            acc0,
+            _step,
+            lambda acc: acc["best"],
+        ).alias("_top"),
     )
     return per_doc.select(
         "doc_id",

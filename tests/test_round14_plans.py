@@ -263,3 +263,25 @@ def test_skyline_2d_ties_all_survive(wide):
     # x=1.0,y=5.0 twice (both survive); x=2.0 dominated (smaller x hit
     # same y — strict < fails); x=0.5,y=4.0 survives (no smaller x).
     assert got == [1, 2, 4]
+
+
+def test_repetition_signals_is_map_only(wide):
+    """r14 optimization contract: the top-bigram count rides a per-row
+    sorted-run fold, so the operator plans with ZERO exchanges (the
+    former explode + double hash-agg shuffled every distinct
+    (doc, bigram) pair twice)."""
+    from gbif_filter_python_spark.operators.corpus import (
+        repetition_signals,
+    )
+
+    docs = wide.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = repetition_signals(docs)
+    plan = explain_str(out)
+    assert "Exchange" not in plan, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 3 not in rows  # < 2 words stays excluded
+    assert rows[1].top_bigram_frac == pytest.approx(3 / 5, abs=1e-6)
+    assert rows[2].top_bigram_frac == pytest.approx(1 / 2, abs=1e-6)
