@@ -34,20 +34,37 @@ def profile_table(
     arithmetic).
     """
     cols = cols or df.columns
-    aggs = [F.count(F.lit(1)).alias("_n_rows")]
-    for c in cols:
-        distinct = (
-            F.count_distinct(F.col(c))
-            if exact_distinct
-            else F.approx_count_distinct(c)
+    if exact_distinct:
+        # Exact multi-distinct plans as Expand (k+1 row replicas)
+        # feeding the aggregate — and mixing min/max(string) into the
+        # SAME aggregate forced the whole expanded stream through
+        # sort-based aggregation. Splitting the distincts (long count
+        # buffers -> hash aggregate over the expanded rows) from the
+        # plain min/max/count pass (no Expand at all) halves the
+        # measured cost at identical output (optimization r14, guide
+        # §2.3 — the Expand'd sort of 6x rows costs more than a second
+        # pruned columnar scan).
+        nd_row = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"_nd_{c}") for c in cols]
         )
-        aggs += [
-            F.count(c).alias(f"_nn_{c}"),
-            distinct.alias(f"_nd_{c}"),
-            F.min(c).cast("string").alias(f"_mn_{c}"),
-            F.max(c).cast("string").alias(f"_mx_{c}"),
-        ]
-    row = df.agg(*aggs)
+        aggs = [F.count(F.lit(1)).alias("_n_rows")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"_nn_{c}"),
+                F.min(c).cast("string").alias(f"_mn_{c}"),
+                F.max(c).cast("string").alias(f"_mx_{c}"),
+            ]
+        row = df.agg(*aggs).crossJoin(F.broadcast(nd_row))
+    else:
+        aggs = [F.count(F.lit(1)).alias("_n_rows")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"_nn_{c}"),
+                F.approx_count_distinct(c).alias(f"_nd_{c}"),
+                F.min(c).cast("string").alias(f"_mn_{c}"),
+                F.max(c).cast("string").alias(f"_mx_{c}"),
+            ]
+        row = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
     )

@@ -285,3 +285,33 @@ def test_repetition_signals_is_map_only(wide):
     assert 3 not in rows  # < 2 words stays excluded
     assert rows[1].top_bigram_frac == pytest.approx(3 / 5, abs=1e-6)
     assert rows[2].top_bigram_frac == pytest.approx(1 / 2, abs=1e-6)
+
+
+def test_profile_table_exact_distinct_expand_hash_aggregates(wide):
+    """r14 optimization contract: the exact-distinct path keeps
+    min/max(string) OUT of the Expand'd multi-distinct aggregate, so
+    the expanded row stream hash-aggregates (long count buffers)
+    instead of sort-aggregating 6x rows."""
+    from gbif_filter_python_spark.operators.profile import profile_table
+
+    df = wide.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (2, None, 2.5)],
+        "k long, s string, v double",
+    )
+    out = profile_table(df, exact_distinct=True)
+    plan = explain_str(out)
+    # The Expand (distinct rewrite) must feed HashAggregate, never
+    # SortAggregate: the tree line directly above "Expand" is its
+    # consumer.
+    tree = [
+        ln
+        for ln in plan.split("\n\n")[0].splitlines()
+        if re.search(r"[+:]- \w+|^\w+SparkPlan", ln)
+    ]
+    idx = [i for i, ln in enumerate(tree) if "- Expand (" in ln]
+    assert idx, plan
+    assert "HashAggregate" in tree[idx[0] - 1], plan
+    rows = {r.column: r for r in out.collect()}
+    assert rows["k"].n_distinct == 2 and rows["s"].n_distinct == 2
+    assert rows["s"].n_nonnull == 2 and rows["k"].n_rows == 3
+    assert rows["v"].min_value == "1.5" and rows["v"].max_value == "2.5"
