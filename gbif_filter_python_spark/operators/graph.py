@@ -26,6 +26,8 @@ the same oracle by ``dup_components_star``).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -842,10 +844,19 @@ def harmonic_centrality(
     both = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    reached = both.select(
+    hop1 = both.select(
         F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("d")
     ).localCheckpoint(eager=True)
-    frontier = reached
+    # ``reached`` stays a LAZY union of the per-hop checkpointed
+    # frontiers: each hop's pairs are materialized exactly once (in
+    # ``nxt``'s checkpoint) instead of re-copied into a fresh
+    # checkpoint of the whole growing reached set every round — one
+    # fewer job AND one fewer full-materialization per hop, identical
+    # anti-join semantics (optimization r14, guide §2.4). The union
+    # plan grows by one cached leaf per hop, bounded by max_hops.
+    parts = [hop1]
+    reached = hop1
+    frontier = hop1
     for k in range(2, max_hops + 1):
         nxt = (
             frontier.join(
@@ -858,7 +869,8 @@ def harmonic_centrality(
             .join(reached.select("u", "v"), ["u", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        parts.append(nxt)
+        reached = reduce(DataFrame.unionByName, parts)
         frontier = nxt
     nodes = both.select(F.col("a").alias("u")).distinct()
     scores = reached.groupBy("u").agg(
