@@ -404,35 +404,47 @@ def bcubed_eval(
     id — one row per item). Returns one row: ``(n_items,
     bcubed_precision, bcubed_recall, bcubed_f1)``.
 
-    Scale shape: three hash aggregates (pred sizes, true sizes,
-    pred×true intersection cells) + key joins back to the assignment
-    table — every shuffle is keyed by cluster id, nothing is
-    pairwise; intersection cells are at most min(|pred clusters| ×
-    avg overlap, n_items).
+    Scale shape: ONE hash aggregate over the assignment table — the
+    pred×true contingency cells — with the pred/true cluster sizes
+    re-aggregated FROM the cell table (never a second pass over the
+    items, the :func:`cluster_agreement` shape). Every item in the
+    same (pred, true) cell has the identical per-item precision
+    ``_ix/_sp`` and recall ``_ix/_st``, so the per-item averages are
+    the cell-weighted sums ``Σ _ix·(_ix/_sp) / n`` — the n-row
+    assignment spine never joins back or shuffles again. Cell joins
+    are keyed by cluster id; intersection cells are at most
+    min(|pred clusters| × avg overlap, n_items).
     """
     asg = assignments.select(
         F.col(item_col).alias("_i"),
         F.col(pred_col).alias("_pc"),
         F.col(true_col).alias("_tc"),
     ).filter(F.col("_pc").isNotNull() & F.col("_tc").isNotNull())
-    sp = asg.groupBy("_pc").agg(F.count(F.lit(1)).alias("_sp"))
-    st = asg.groupBy("_tc").agg(F.count(F.lit(1)).alias("_st"))
     ix = asg.groupBy("_pc", "_tc").agg(F.count(F.lit(1)).alias("_ix"))
+    sp = ix.groupBy("_pc").agg(F.sum("_ix").alias("_sp"))
+    st = ix.groupBy("_tc").agg(F.sum("_ix").alias("_st"))
     per = (
-        asg.join(ix, ["_pc", "_tc"])
-        .join(sp, "_pc")
+        ix.join(sp, "_pc")
         .join(st, "_tc")
         .select(
-            (F.col("_ix") / F.col("_sp")).alias("_p"),
-            (F.col("_ix") / F.col("_st")).alias("_r"),
+            F.col("_ix"),
+            (F.col("_ix") * (F.col("_ix") / F.col("_sp"))).alias("_wp"),
+            (F.col("_ix") * (F.col("_ix") / F.col("_st"))).alias("_wr"),
         )
     )
-    return per.agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("_p"), round_dp).alias("bcubed_precision"),
-        F.round(F.avg("_r"), round_dp).alias("bcubed_recall"),
+    tot = per.agg(
+        F.coalesce(F.sum("_ix"), F.lit(0)).alias("_n"),
+        F.sum("_wp").alias("_swp"),
+        F.sum("_wr").alias("_swr"),
+    )
+    avg_p = F.when(F.col("_n") > 0, F.col("_swp") / F.col("_n"))
+    avg_r = F.when(F.col("_n") > 0, F.col("_swr") / F.col("_n"))
+    return tot.select(
+        F.col("_n").cast("long").alias("n_items"),
+        F.round(avg_p, round_dp).alias("bcubed_precision"),
+        F.round(avg_r, round_dp).alias("bcubed_recall"),
         F.round(
-            2 * F.avg("_p") * F.avg("_r") / (F.avg("_p") + F.avg("_r")),
+            2 * avg_p * avg_r / (avg_p + avg_r),
             round_dp,
         ).alias("bcubed_f1"),
     )
