@@ -5891,8 +5891,12 @@ def q_cms_term_counts(spark: SparkSession, sf: str) -> DataFrame:
     words = docs.select(
         F.explode(words_array(F.col("text"))).alias("term")
     )
-    sk = cms_build(words, "term", depth=4, width=256)
+    # ONE corpus explode+aggregation: the sketch re-aggregates the
+    # exact (term, count) table (sum-of-counts ≡ sum-of-ones cell for
+    # cell), so the word stream never replays through the ×depth
+    # explode (optimization r14, guide §2.3).
     exact = words.groupBy("term").agg(F.count("*").alias("exact_n"))
+    sk = cms_build(exact, "term", depth=4, width=256, weight_col="exact_n")
     w = Window.orderBy(F.desc("exact_n"), F.asc("term"))
     probes = (
         exact.withColumn("rk", F.row_number().over(w))
@@ -6241,15 +6245,24 @@ def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     res = kw.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 10
     )
-    words = docs.select(
+    raw_words = docs.select(
         "doc_id",
         F.explode(
             F.split(normalized_text(F.col("text")), " ")
         ).alias("term"),
-    ).filter(F.col("term") != "").distinct()
-    qw = words.filter(F.col("doc_id") < 3).select(
+    ).filter(F.col("term") != "")
+    qw = raw_words.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "term"
-    )
+    ).distinct()
+    # Only terms the 3 query docs contain can ever contribute to a
+    # shared-word count: broadcast-semi-restrict the corpus word
+    # stream to those terms BEFORE the (doc_id, term) distinct, so
+    # the dedup shuffle carries query-vocabulary pairs instead of the
+    # whole corpus (optimization r14, guide §3.2; the query-term set
+    # is bounded by 3 documents, broadcastable by construction).
+    words = raw_words.join(
+        F.broadcast(qw.select("term").distinct()), "term", "left_semi"
+    ).distinct()
     qrels = (
         qw.join(words, "term")
         .filter(F.col("doc_id") != F.col("query_id"))

@@ -208,6 +208,7 @@ def cms_build(
     term_col: str,
     depth: int = 4,
     width: int = 2048,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of a term column as a plain DataFrame:
     ``(depth, bucket, cnt)`` rows — at most depth × width of them,
@@ -222,18 +223,31 @@ def cms_build(
     but answering FREQUENCY questions: est(t) = min over hash rows of
     the bucket count, an upper bound on the true count with classic
     (ε, δ) guarantees (ε ≈ e/width overestimate, δ ≈ e^-depth).
+
+    ``weight_col`` builds the identical sketch from a PRE-AGGREGATED
+    (term, count) table — ``Σ weight`` per cell instead of row count —
+    so a caller that already owns exact term counts feeds the
+    vocab-sized table instead of replaying the raw term stream
+    through the depth-explode (sum-of-ones ≡ sum-of-counts cell for
+    cell, the same mergeability :func:`cms_merge` relies on).
     """
-    rows = df.select(
+    cols = [
         F.explode(
             F.array(*[F.lit(d) for d in range(depth)])
         ).alias("depth"),
         F.col(term_col).alias("_t"),
-    )
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    rows = df.select(*cols)
+    agg = (
+        F.sum("_w") if weight_col is not None else F.count("*")
+    ).alias("cnt")
     return (
         rows.groupBy(
             "depth", _cms_bucket(F.col("depth"), F.col("_t"), width).alias("bucket")
         )
-        .agg(F.count("*").alias("cnt"))
+        .agg(agg)
     )
 
 

@@ -204,6 +204,18 @@ class TestCountMinSketch:
         sk = cms_build(big, "term", depth=4, width=64)
         assert sk.count() <= 4 * 64
 
+    def test_weighted_build_equals_row_build(self, spark, terms):
+        # the pre-aggregated path must produce the IDENTICAL sketch:
+        # Σ weight per cell ≡ Σ 1 over the raw rows, cell for cell
+        counts = terms.groupBy("term").agg(F.count("*").alias("n"))
+        via_rows = cms_build(terms, "term", depth=4, width=64)
+        via_weights = cms_build(
+            counts, "term", depth=4, width=64, weight_col="n"
+        )
+        assert sorted(map(tuple, via_rows.collect())) == sorted(
+            map(tuple, via_weights.collect())
+        )
+
 
 class TestCharEntropy:
     def test_known_distributions(self, spark):
