@@ -94,12 +94,34 @@ def hashed_embedding(text: Column, dim: int = 64) -> Column:
             lambda v, i: v + F.when(b == i, 1.0).otherwise(0.0),
         ),
     )
-    norm = F.sqrt(
-        F.aggregate(counts, F.lit(0.0), lambda a, v: a + v * v)
-    )
-    return F.transform(
-        counts,
-        lambda v: F.when(norm > 0, F.round(v / norm, 6)).otherwise(0.0),
+    # Catalyst does no CSE inside lambdas: referencing ``counts`` from
+    # both the norm and the per-element division would re-evaluate the
+    # whole O(words × dim) fold for every output element (measured
+    # 18×). Bind counts, then the norm, each exactly once as a lambda
+    # variable via the array-of-one idiom.
+    return F.element_at(
+        F.transform(
+            F.array(counts),
+            lambda c: F.element_at(
+                F.transform(
+                    F.array(
+                        F.sqrt(
+                            F.aggregate(
+                                c, F.lit(0.0), lambda a, v: a + v * v
+                            )
+                        )
+                    ),
+                    lambda n: F.transform(
+                        c,
+                        lambda v: F.when(n > 0, F.round(v / n, 6)).otherwise(
+                            0.0
+                        ),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
 
 
