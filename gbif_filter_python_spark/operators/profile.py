@@ -3123,14 +3123,24 @@ def fd_violations(
     a bounded top-n sort (TakeOrderedAndProject) — the fact is
     scanned once and nothing joins back to it.
     """
+    # string key governs the worst_keys render and its tie ordering,
+    # so ONE collation (string) must drive selection and rendering
+    # alike. For types where the cast is injective (everything except
+    # float/double, whose -0.0/0.0 collapse natively but render
+    # apart) the fact-sized aggregates group on the NATIVE key — same
+    # groups, narrower hash key, no per-row cast — and the string
+    # form appears only on the bounded keys table. Float/double keep
+    # the string key up front so grouping semantics never change.
+    from pyspark.sql.types import DoubleType, FloatType
+
+    lhs_native = not isinstance(
+        df.schema[lhs_col].dataType, (FloatType, DoubleType)
+    )
+    lhs_key = (
+        F.col(lhs_col) if lhs_native else F.col(lhs_col).cast("string")
+    )
     pairs = (
-        df.select(
-            # string key up front: the worst_keys render and its tie
-            # ordering must agree engine-to-engine, so ONE collation
-            # (string) governs selection and rendering alike
-            F.col(lhs_col).cast("string").alias("_l"),
-            F.col(rhs_col).alias("_r"),
-        )
+        df.select(lhs_key.alias("_l"), F.col(rhs_col).alias("_r"))
         .filter(F.col("_l").isNotNull())
         .groupBy("_l", "_r")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -3140,6 +3150,8 @@ def fd_violations(
         F.sum("_c").alias("_rows"),
         F.max("_c").alias("_maxc"),
     )
+    if lhs_native:
+        keys = keys.withColumn("_l", F.col("_l").cast("string"))
     worst = (
         keys.filter(F.col("_nrhs") > 1)
         .orderBy(F.desc("_nrhs"), F.desc("_l"))

@@ -294,6 +294,31 @@ def test_fd_violations_matches_python_replay(spark):
     assert row["worst_keys"] == "k3:3,k4:2"
 
 
+def test_fd_violations_integer_lhs_keys_render_as_strings(spark):
+    # the native-key fast path (non-float LHS groups on the native
+    # value, cast to string only on the bounded keys table) must keep
+    # the string rendering and string-collation tie order
+    rows = [(10, "x"), (10, "y"), (9, "a"), (9, "b"), (2, "z")]
+    row = fd_violations(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b", top_n=2
+    ).collect()[0]
+    assert row["n_keys"] == 3 and row["n_violating_keys"] == 2
+    # tie at n_rhs=2 broken by key DESC as STRING: "9" > "10"
+    assert row["worst_keys"] == "9:2,10:2"
+
+
+def test_fd_violations_double_lhs_keeps_string_grouping(spark):
+    # float/double LHS must keep the string key up front: -0.0 and
+    # 0.0 collapse under native grouping but render (and group) apart
+    # as strings — the cast is not injective, so no fast path
+    rows = [(-0.0, "x"), (0.0, "y"), (0.0, "z")]
+    row = fd_violations(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert row["n_keys"] == 2
+    assert row["n_violating_keys"] == 1  # only 0.0 -> {y, z}
+
+
 def test_fd_violations_clean_dependency(spark):
     rows = [("k%d" % i, i % 3) for i in range(9)]
     row = fd_violations(
