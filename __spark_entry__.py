@@ -7948,7 +7948,12 @@ def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
         F.least("id_a", "id_b").alias("a"),
         F.greatest("id_a", "id_b").alias("b"),
         "score",
-    ).distinct()
+    )
+    # No distinct: sorted-neighborhood pairs are unique by
+    # construction (id_a is the strictly lower rank, ranks are a
+    # total order, each (rank, rank+d) combination is emitted once),
+    # so the former .distinct() was a pure extra shuffle over rows
+    # that were already unique (guide §2.4).
     labeled = scored.withColumn(
         "is_true",
         (F.col("a") % 20 == 0)

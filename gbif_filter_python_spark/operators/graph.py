@@ -907,9 +907,22 @@ def degree_assortativity(
     Regular graphs (zero degree variance) yield NULL — undefined,
     not 0, by Pearson semantics.
 
-    Scale shape: one degree aggregation, two broadcast joins of the
-    node-degree dimension onto the edge list, one scalar ``corr`` —
-    edges shuffle once on each endpoint key, nothing quadratic.
+    Scale shape (r14 optimization round): over the directed edge
+    occurrences the MARGINAL moments of the endpoint degrees are pure
+    degree-table sums — node ``v`` appears as the left endpoint of
+    exactly ``deg(v)`` directed edges, so ``Σ da = Σ deg²``,
+    ``Σ da² = Σ deg³`` and ``n = Σ deg``, all exact integer sums over
+    the |nodes|-row table. Only the CROSS term needs the edge list:
+    one broadcast join attaches ``deg(a)`` to each directed edge, a
+    map-side-combined ``groupBy(b)`` reduces it to the |nodes|-row
+    neighbor-degree sums ``S(b) = Σ_{a~b} deg(a)``, and
+    ``Σ da·db = Σ_b deg(b)·S(b)`` rides a node-sized join. The r13
+    shape joined the degree dimension onto the edge list TWICE and
+    ran ``count_distinct`` over the edge-sized join output; nothing
+    edge-sized aggregates or shuffles here beyond the one degree
+    attach. Pearson is the spelled-out closed form on these sufficient
+    statistics (the sample-(n−1) factors cancel in r), with the same
+    zero-variance → NULL guard (Spark 4 ANSI corr() would throw).
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -925,26 +938,33 @@ def degree_assortativity(
     deg = both.groupBy(F.col("a").alias("n")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    d = F.col("deg").cast("double")
+    marg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.coalesce(F.sum("deg"), F.lit(0)) / 2)
+        .cast("long")
+        .alias("n_edges"),
+        F.coalesce(F.sum("deg"), F.lit(0)).cast("double").alias("_n"),
+        F.sum(d * d).alias("_sx"),
+        F.sum(d * d * d).alias("_sxx"),
+    )
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
-    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
-    j = both.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    x = F.col("_da").cast("double")
-    y = F.col("_db").cast("double")
-    agg = j.agg(
-        (F.count_distinct(F.col("a"))).alias("n_nodes"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-        F.covar_samp(x, y).alias("_cov"),
-        F.stddev_samp(x).alias("_sx"),
-        F.stddev_samp(y).alias("_sy"),
+    nbr = (
+        both.join(F.broadcast(da), "a")
+        .groupBy(F.col("b").alias("n"))
+        .agg(F.sum("_da").alias("_snbr"))
     )
-    # Pearson spelled out: Spark 4 ANSI mode makes corr() THROW on a
-    # zero-variance input (a regular graph) where the statistic is
-    # undefined — the guard returns NULL instead, matching DuckDB's
-    # corr and Pearson semantics.
-    r = F.when(
-        F.col("_sx") * F.col("_sy") > 0,
-        F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+    cross = (
+        deg.join(nbr, "n")
+        .agg(F.sum(d * F.col("_snbr").cast("double")).alias("_sxy"))
     )
+    agg = marg.crossJoin(F.broadcast(cross))
+    # Directed occurrences are symmetric in (a, b), so Σ db = Σ da and
+    # Σ db² = Σ da²: vy ≡ vx and the closed form needs only vx.
+    n = F.col("_n")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    r = F.when(vx > 0, cov / vx)
     return agg.select(
         "n_nodes",
         "n_edges",

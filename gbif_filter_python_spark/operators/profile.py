@@ -908,39 +908,93 @@ def winsorized_stats(
     plain mean (the additive complement of robust_outliers' MAD
     flagging: measure robustly instead of flagging).
 
-    Both exact interior percentiles come out of ONE grouped
-    aggregation (the quantile_bins percentile pattern) and are
-    6dp-rounded BEFORE the clamp so membership decisions pin
-    cross-engine; the bounded per-group threshold model joins back
-    (broadcast — |groups| rows) and one more aggregation produces
-    all three means. The fact is scanned twice (threshold pass +
-    measure pass), the impute_by_group contract; NULL values are
-    excluded.
+    Both exact interior percentiles come out of the keyed
+    :func:`_distributed_cdf` machinery (r14 optimization round):
+    ``percentile()`` funnels EVERY group value through one
+    aggregation buffer per group — a single-task sort and an OOM on
+    a 100 TB mega-group (the kruskal_wallis/skyline_2d pattern), and
+    it was measured as ~100 % of this operator's wall locally. Here a
+    per-(group, value) count aggregate (map-side combined) feeds the
+    range-partitioned prefix sum; the two order statistics each
+    percentile needs are conditional ``min``s over the cumulative
+    counts, and the interpolation replicates ``Percentile``'s exact
+    arithmetic (``pos = p·(n−1)``; ``(ceil−pos)·v_floor +
+    (pos−floor)·v_ceil``; the degenerate integral-position branch
+    returns the value itself). Thresholds are 6dp-rounded BEFORE the
+    clamp so membership decisions pin cross-engine; the bounded
+    per-group threshold model joins back (broadcast — |groups| rows)
+    and one more aggregation produces all three means. The fact is
+    scanned twice (threshold pass + measure pass), the
+    impute_by_group contract; NULL values are excluded.
     """
     if not 0 < p < 0.5:
         raise ValueError(f"p must be in (0, 0.5), got {p}")
     keep = df.filter(F.col(value_col).isNotNull())
-    th = keep.groupBy(*group_cols).agg(
-        F.round(
-            F.expr(f"percentile({value_col}, {p}D)"), round_dp
-        ).alias("lo"),
-        F.round(
-            F.expr(f"percentile({value_col}, {1 - p}D)"), round_dp
-        ).alias("hi"),
+    per = keep.groupBy(
+        *group_cols, F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_t"))
+    cdf = _distributed_cdf(per, ("_t",), key_cols=tuple(group_cols))
+
+    def _order_stats(prob: float, tag: str) -> list:
+        # per-row: the group total rides every row as _tot_t, so the
+        # 0-based interpolation indices are per-row expressions and
+        # the order statistics are conditional mins over the
+        # inclusive cumulative counts (cum > i ⇔ this distinct value
+        # covers sorted position i)
+        pos = F.lit(prob) * (F.col("_tot_t") - 1).cast("double")
+        return [
+            F.min(
+                F.when(F.col("_cum_t") > F.floor(pos), F.col("_v"))
+            ).alias(f"_vf_{tag}"),
+            F.min(
+                F.when(F.col("_cum_t") > F.ceil(pos), F.col("_v"))
+            ).alias(f"_vc_{tag}"),
+        ]
+
+    stats = cdf.groupBy(*group_cols).agg(
+        F.min("_tot_t").alias("_n"),
+        *_order_stats(p, "lo"),
+        *_order_stats(1 - p, "hi"),
     )
-    v = F.col(value_col).cast("double")
+
+    def _interp(prob: float, tag: str) -> Column:
+        pos = F.lit(prob) * (F.col("_n") - 1).cast("double")
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        vf = F.col(f"_vf_{tag}").cast("double")
+        vc = F.col(f"_vc_{tag}").cast("double")
+        exact = lo_i == hi_i
+        return F.round(
+            F.when(exact, vf).otherwise(
+                (hi_i.cast("double") - pos) * vf
+                + (pos - lo_i.cast("double")) * vc
+            ),
+            round_dp,
+        )
+
+    th = stats.select(
+        *group_cols,
+        _interp(p, "lo").alias("lo"),
+        _interp(1 - p, "hi").alias("hi"),
+    )
+    # The measure pass rides the SAME (group, value, count) aggregate
+    # (runtime exchange reuse materializes it once), never the fact:
+    # every mean is a count-weighted sum over distinct values, so the
+    # fact is scanned and hash-aggregated exactly ONCE end to end.
+    v = F.col("_v").cast("double")
+    td = F.col("_t").cast("double")
     clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
-    joined = keep.join(F.broadcast(th), group_cols)
+    in_range = (v >= F.col("lo")) & (v <= F.col("hi"))
+    joined = per.join(F.broadcast(th), group_cols)
     return joined.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("n"),
         F.max("lo").alias("lo"),
         F.max("hi").alias("hi"),
-        F.round(F.avg(v), round_dp).alias("mean_raw"),
-        F.round(F.avg(clamped), round_dp).alias("mean_winsorized"),
+        F.round(F.sum(td * v) / F.sum(td), round_dp).alias("mean_raw"),
         F.round(
-            F.avg(
-                F.when((v >= F.col("lo")) & (v <= F.col("hi")), v)
-            ),
+            F.sum(td * clamped) / F.sum(td), round_dp
+        ).alias("mean_winsorized"),
+        F.round(
+            F.sum(F.when(in_range, td * v)) / F.sum(F.when(in_range, td)),
             round_dp,
         ).alias("mean_trimmed"),
     )
@@ -1331,49 +1385,69 @@ def spearman_corr(
     relationship scores rho ~ 1 while Pearson underreports it, and
     whale rows can't dominate. Pairwise NULL exclusion.
 
-    Scale shape: each column's average ranks come from its
-    DISTINCT-VALUE aggregate (per-value count + prefix cumsum over
-    the |distinct|-row table, the rank_sum_test contract) joined
-    back value-equi — the fact is never globally sorted; then one
-    sufficient-statistics aggregation and the spelled-out Pearson
-    closed form (the linear_trend cross-engine FP contract).
-    Average ranks are exact half-integers, so everything before the
-    final division is exact in double.
+    Scale shape (r14 optimization round): ONE fact pass — a
+    map-side-combined ``(x, y)`` pair-count aggregation — and
+    everything downstream rides tables bounded by |distinct pairs|:
+    both marginal per-value count tables RE-AGGREGATE the pair table
+    (the lm_train_bigram / cms_build identity — Σ of pair counts per
+    value ≡ the per-value row count, exact in longs), both average-
+    rank maps come out of a SINGLE side-keyed
+    :func:`_distributed_cdf` pass (one range shuffle instead of two),
+    and the sufficient statistics are count-weighted sums over the
+    pair table. The fact is never globally sorted, never re-scanned,
+    and never joined row-at-a-time: the r13 shape scanned it three
+    times (per-x agg, per-y agg, rank-map probe). Average ranks are
+    exact half-integers, so the weighted products are exact in double
+    before the final sums (the bcubed_eval cell-weighted precedent).
     """
-    from pyspark.sql import Window
-
     pairs = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
+    pc = pairs.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_c"))
 
-    def _rank_map(col: str) -> DataFrame:
-        # distributed average-rank map (no single-partition window
-        # over the |distinct|-row table — see _distributed_cdf): the
-        # exclusive before-count is the inclusive cum minus the row's
-        # own count, both exact in longs
-        per = pairs.groupBy(F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_t")
+    # Both marginal distinct-value tables re-aggregate the pair table
+    # (three references to the same agg subtree — runtime exchange
+    # reuse materializes it once), stacked so ONE keyed CDF pass
+    # computes both rank maps.
+    stacked = pc.select(
+        F.lit("x").alias("_s"), F.col("_x").alias("_v"), F.col("_c")
+    ).unionByName(
+        pc.select(
+            F.lit("y").alias("_s"), F.col("_y").alias("_v"), F.col("_c")
         )
-        return _distributed_cdf(per, ("_t",)).select(
-            F.col("_v").alias(col),
-            (
-                (F.col("_cum_t") - F.col("_t"))
-                + (F.col("_t") + 1) / 2.0
-            ).alias(f"_r{col}"),
-        )
-
-    ranked = pairs.join(_rank_map("_x"), "_x").join(_rank_map("_y"), "_y")
-    rx, ry = F.col("_r_x"), F.col("_r_y")
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(rx).alias("_sx"),
-        F.sum(ry).alias("_sy"),
-        F.sum(rx * ry).alias("_sxy"),
-        F.sum(rx * rx).alias("_sxx"),
-        F.sum(ry * ry).alias("_syy"),
+    )
+    per = stacked.groupBy("_s", "_v").agg(F.sum("_c").alias("_t"))
+    # exclusive before-count = inclusive cum minus the row's own
+    # count, both exact in longs
+    ranked = _distributed_cdf(per, ("_t",), key_cols=("_s",)).select(
+        "_s",
+        "_v",
+        (
+            (F.col("_cum_t") - F.col("_t")) + (F.col("_t") + 1) / 2.0
+        ).alias("_r"),
+    )
+    rx_map = ranked.filter(F.col("_s") == "x").select(
+        F.col("_v").alias("_x"), F.col("_r").alias("_rx")
+    )
+    ry_map = ranked.filter(F.col("_s") == "y").select(
+        F.col("_v").alias("_y"), F.col("_r").alias("_ry")
+    )
+    j = pc.join(rx_map, "_x").join(ry_map, "_y")
+    rx, ry = F.col("_rx"), F.col("_ry")
+    c = F.col("_c")
+    cd = c.cast("double")
+    agg = j.agg(
+        # coalesce keeps the empty-input contract of the old
+        # count(): n = 0, not NULL
+        F.coalesce(F.sum(c), F.lit(0)).alias("n"),
+        F.sum(cd * rx).alias("_sx"),
+        F.sum(cd * ry).alias("_sy"),
+        F.sum(cd * (rx * ry)).alias("_sxy"),
+        F.sum(cd * (rx * rx)).alias("_sxx"),
+        F.sum(cd * (ry * ry)).alias("_syy"),
     )
     nd = F.col("n").cast("double")
     cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")

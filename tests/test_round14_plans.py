@@ -315,3 +315,58 @@ def test_profile_table_exact_distinct_expand_hash_aggregates(wide):
     assert rows["k"].n_distinct == 2 and rows["s"].n_distinct == 2
     assert rows["s"].n_nonnull == 2 and rows["k"].n_rows == 3
     assert rows["v"].min_value == "1.5" and rows["v"].max_value == "2.5"
+
+
+def test_winsorized_stats_distributed_thresholds_one_fact_pass(wide):
+    """r14 optimization contract: winsorized_stats' interior
+    percentiles ride the keyed _distributed_cdf (range partitioning,
+    no per-group percentile() buffer — the single-task mega-group
+    pattern), and the measure pass re-aggregates the (group, value,
+    count) table instead of re-scanning the fact. Differential: the
+    output must equal the retired percentile() form exactly."""
+    from gbif_filter_python_spark.operators.profile import (
+        winsorized_stats,
+    )
+
+    rows = [
+        ("a", float(v)) for v in range(1, 101)
+    ] + [("b", float(v * v % 37)) for v in range(1, 60)] + [
+        ("a", None),
+        ("b", 17.0),  # ties
+        ("b", 17.0),
+    ]
+    df = wide.createDataFrame(rows, "g string, v double")
+    out = winsorized_stats(df, ["g"], "v", p=0.05)
+    plan = explain_str(out)
+    # no exact-percentile aggregate anywhere (the one-buffer-per-group
+    # shape), and the distributed total order is present
+    assert "percentile" not in plan.lower(), plan
+    assert "rangepartitioning" in plan, plan
+    # differential vs the retired one-agg percentile() form
+    keep = df.filter(F.col("v").isNotNull())
+    th = keep.groupBy("g").agg(
+        F.round(F.expr("percentile(v, 0.05D)"), 6).alias("lo"),
+        F.round(F.expr("percentile(v, 0.95D)"), 6).alias("hi"),
+    )
+    v = F.col("v").cast("double")
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    old = (
+        keep.join(F.broadcast(th), ["g"])
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.round(F.avg(v), 6).alias("mean_raw"),
+            F.round(F.avg(clamped), 6).alias("mean_winsorized"),
+            F.round(
+                F.avg(
+                    F.when((v >= F.col("lo")) & (v <= F.col("hi")), v)
+                ),
+                6,
+            ).alias("mean_trimmed"),
+        )
+    )
+    got = {r["g"]: r.asDict() for r in out.collect()}
+    want = {r["g"]: r.asDict() for r in old.collect()}
+    assert got == want
