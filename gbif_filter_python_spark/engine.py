@@ -128,7 +128,27 @@ class OccurrenceEngine:
 
         resolved = resolve_names(taxa, self.taxonomy, cfg)
         occ_zone = self.occurrences_in_zone(cfg.zone)
-        tagged = tag_existence(resolved, occ_zone)
+        if cfg.resolve_to_rank:
+            # Expansion consumes the zone key set a SECOND time (the
+            # child semi-join below) — materialize the bounded
+            # distinct-key table once so the 100 TB-side fact is
+            # scanned and distinct-aggregated exactly once. Without
+            # this the two broadcast builds canonicalize differently
+            # (tag_existence renames the key column below its
+            # exchange), so runtime exchange reuse never fires and
+            # the fact pays the zone scan + distinct twice (measured
+            # on the flagship bench: tag_expand ≈ tag_country + one
+            # extra fact pass). The key table is ≤ |taxonomy| rows —
+            # the broadcast build side — so the checkpoint pins
+            # bounded dimension state, never fact bytes. Plain tag
+            # scenarios keep the single lazy pass (a checkpoint there
+            # would only add a barrier).
+            zone_probe = occurrence_keys(occ_zone).localCheckpoint(
+                eager=True
+            )
+        else:
+            zone_probe = occ_zone
+        tagged = tag_existence(resolved, zone_probe)
         if observation is not None:
             tagged = tagged.observe(
                 observation,
@@ -165,7 +185,7 @@ class OccurrenceEngine:
                 self.taxonomy,
                 parents,
                 target,
-                zone_occurrence_keys=occurrence_keys(occ_zone),
+                zone_occurrence_keys=zone_probe,
                 habitat=cfg.habitat,
             )
             # No broadcast hint on the arrays join: |arrays| grows with
