@@ -187,7 +187,22 @@ def calibration_probe() -> dict:
 #: stays moved is a real change to investigate.
 MOVER_RATIO = 1.5
 MOVER_MIN_SEC = 1.0
-MOVER_TOP_K = 3
+#: r14 gap (VERDICT r14 item 5): K=3 left kcenter_coreset's 3.6x sweep
+#: line unadjudicated because three environment-drift movers outranked
+#: it. Now every flagged mover whose calibrated ratio exceeds
+#: MOVER_ADJUDICATE_RATIO (either direction) is isolated, plus the
+#: top-K by |log ratio|, capped at MOVER_MAX_ISOLATED to bound the
+#: sweep's wall clock (each isolation is ~2 fresh JVMs).
+MOVER_TOP_K = 8
+MOVER_ADJUDICATE_RATIO = 2.0
+MOVER_MAX_ISOLATED = 12
+
+
+def _bench_cpus() -> int:
+    """The core count this bench run is using (driver contract:
+    master local[$SPARK_GRAFT_CPUS])."""
+    tok = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return int(tok) if tok.isdigit() else 32
 
 
 def _auto_adjudicate_movers(
@@ -198,16 +213,25 @@ def _auto_adjudicate_movers(
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # prefer the committed FULL artifact (all ~310 per-query lines);
-    # the driver's BENCH_r{N}.json holds only the byte-budgeted
-    # stdout subset (~48 queries) under "parsed" — fallback only
+    # prefer the committed FULL artifact (all ~310 per-query lines)
+    # for THIS core count — r14 lesson (VERDICT r14 item 1): the
+    # driver's 8-core rerun overwrote the un-suffixed
+    # BENCH_FULL_LATEST.json, so a cross-cpus comparison flagged
+    # everything. The driver's BENCH_r{N}.json holds only the
+    # byte-budgeted stdout subset (~48 queries) under "parsed" —
+    # fallback only.
     prev = None
-    prev_path = os.path.join(repo, "BENCH_FULL_LATEST.json")
-    try:
-        with open(prev_path) as fh:
-            prev = json.load(fh)
-    except (OSError, ValueError):
-        prev = None
+    for cand in (
+        f"BENCH_FULL_LATEST_c{_bench_cpus()}.json",
+        "BENCH_FULL_LATEST.json",
+    ):
+        prev_path = os.path.join(repo, cand)
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            break
+        except (OSError, ValueError):
+            prev = None
     if not prev or "queries" not in prev:
         arts = []
         for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
@@ -236,6 +260,16 @@ def _auto_adjudicate_movers(
         return {
             "prev_artifact": os.path.basename(prev_path),
             "skipped": f"prev sf {prev_sf} != current sf {cur_sf}",
+        }
+    # ... and so is cross-core-count comparison (a compute-bound query
+    # legitimately runs ~4x slower on 8 cores than 32)
+    prev_cpus = prev.get("cpus")
+    if prev_cpus is not None and prev_cpus != _bench_cpus():
+        return {
+            "prev_artifact": os.path.basename(prev_path),
+            "skipped": (
+                f"prev cpus {prev_cpus} != current cpus {_bench_cpus()}"
+            ),
         }
     prev_scale = prev.get("calibration", {}).get("scale", 1.0) or 1.0
     cur_scale = calibration.get("scale", 1.0) or 1.0
@@ -270,11 +304,7 @@ def _auto_adjudicate_movers(
     }
     if not flagged:
         return block
-    top = sorted(
-        flagged,
-        key=lambda n: abs(math.log(flagged[n]["calibrated_ratio"])),
-        reverse=True,
-    )[:MOVER_TOP_K]
+    top = _movers_to_isolate(flagged)
     try:
         with tempfile.TemporaryDirectory() as td:
             outp = os.path.join(td, "iso.json")
@@ -557,29 +587,124 @@ NON_HEADLINE = {
 }
 
 
+def _movers_to_isolate(flagged: dict) -> list[str]:
+    """Which flagged movers get a fresh-JVM isolation verdict: every
+    one whose calibrated ratio moved beyond MOVER_ADJUDICATE_RATIO in
+    either direction (VERDICT r14 item 5 — kcenter_coreset's 3.6x line
+    went unadjudicated under plain top-3), plus the top
+    ``MOVER_TOP_K`` by |log ratio|, capped at ``MOVER_MAX_ISOLATED``
+    biggest movers to bound the sweep's wall clock."""
+    import math
+
+    ranked = sorted(
+        flagged,
+        key=lambda n: abs(math.log(flagged[n]["calibrated_ratio"])),
+        reverse=True,
+    )
+    must = [
+        n
+        for n in ranked
+        if flagged[n]["calibrated_ratio"] > MOVER_ADJUDICATE_RATIO
+        or flagged[n]["calibrated_ratio"] < 1.0 / MOVER_ADJUDICATE_RATIO
+    ]
+    return list(dict.fromkeys(must + ranked[:MOVER_TOP_K]))[
+        :MOVER_MAX_ISOLATED
+    ]
+
+
+def _movers_digest(movers: dict) -> dict:
+    """Byte-bounded stdout summary of the movers block: counts plus the
+    top-3 flagged ratios and one-word verdicts. The full block always
+    lives in the ``SPARK_GRAFT_BENCH_OUT`` artifact."""
+    import math
+
+    digest = {
+        k: movers[k]
+        for k in ("prev_artifact", "n_compared", "n_flagged", "skipped")
+        if k in movers
+    }
+    flagged = movers.get("flagged") or {}
+    top3 = sorted(
+        (n for n in flagged if flagged[n].get("calibrated_ratio")),
+        key=lambda n: abs(math.log(flagged[n]["calibrated_ratio"])),
+        reverse=True,
+    )[:3]
+    if top3:
+        digest["top"] = {
+            n: flagged[n]["calibrated_ratio"] for n in top3
+        }
+    iso = movers.get("isolated") or {}
+    if iso:
+        digest["isolated"] = {
+            n: (
+                "real"
+                if "stays moved" in str(v.get("verdict", ""))
+                else "env"
+                if "environment" in str(v.get("verdict", ""))
+                else "err"
+            )
+            for n, v in iso.items()
+        }
+    return digest
+
+
+#: stdout blocks that may be dropped wholesale to honor the byte
+#: budget — every one of them lives verbatim in the file artifact, so
+#: stdout loses nothing irreplaceable. Diagnostic blocks go BEFORE the
+#: per-query dict is folded (the per-query timings feed the driver's
+#: PERF comparison; a movers digest does not — r14 lost ALL 322
+#: timings to an unbounded movers block, VERDICT r14 item 1);
+#: ``calibration`` is last-resort because the driver reads its scale.
+#: The driver contract fields (metric/value/unit/queries/sf) are
+#: never dropped.
+_DROP_BEFORE_QUERIES = (
+    "movers",
+    "batching",
+    "non_headline",
+    "gbif_pipeline",
+    "errors",
+)
+_DROP_LAST = ("calibration",)
+
+
 def _fit_stdout(payload: dict, timings: dict[str, float]) -> str:
-    """Compact-encode; if over budget, fold the FASTEST queries into
-    an {n, sum} aggregate until the line fits — the slow queries (the
-    ones the judge reads) always survive verbatim."""
+    """Compact-encode within ``STDOUT_BUDGET``, shedding in priority
+    order: first the diagnostic blocks (all preserved in the file
+    artifact), then fold the FASTEST queries into an {n, sum}
+    aggregate — the slow queries (the ones the judge reads) always
+    survive longest — then the calibration block as a last resort."""
+    payload = dict(payload)
     blob = json.dumps(payload, separators=(",", ":"))
     if len(blob) <= STDOUT_BUDGET:
         return blob
-    kept = {k: round(v, 2) for k, v in timings.items()}
-    omitted_n, omitted_sum = 0, 0.0
-    while kept:
-        fastest = min(kept, key=kept.get)
-        omitted_sum += kept.pop(fastest)
-        omitted_n += 1
-        payload = dict(payload)
-        payload["queries"] = kept
-        payload["fast_omitted"] = {
-            "n": omitted_n,
-            "sum_sec": round(omitted_sum, 2),
-        }
+    for key in _DROP_BEFORE_QUERIES:
+        if key not in payload:
+            continue
+        payload.pop(key)
         blob = json.dumps(payload, separators=(",", ":"))
         if len(blob) <= STDOUT_BUDGET:
             return blob
-    return blob
+    kept = {k: round(v, 2) for k, v in timings.items()}
+    omitted_n, omitted_sum = 0, 0.0
+    drop_idx = 0
+    while True:
+        if kept:
+            fastest = min(kept, key=kept.get)
+            omitted_sum += kept.pop(fastest)
+            omitted_n += 1
+            payload["queries"] = kept
+            payload["fast_omitted"] = {
+                "n": omitted_n,
+                "sum_sec": round(omitted_sum, 2),
+            }
+        elif drop_idx < len(_DROP_LAST):
+            payload.pop(_DROP_LAST[drop_idx], None)
+            drop_idx += 1
+        else:
+            return blob
+        blob = json.dumps(payload, separators=(",", ":"))
+        if len(blob) <= STDOUT_BUDGET:
+            return blob
 
 
 def batch_of(name: str, n: int | None = None) -> int:
@@ -819,6 +944,7 @@ def main() -> None:
         "queries": shown,
         "non_headline": non_headline,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": _bench_cpus(),
         "gbif_pipeline": gbif_block,
         "batching": {
             "mode": "inprocess" if inprocess else "fresh-jvm",
@@ -839,10 +965,13 @@ def main() -> None:
         movers = _auto_adjudicate_movers(timings, calibration, sf_dir)
         if movers is not None:
             payload["movers"] = movers
+    # default artifact name carries the core count so the driver's
+    # 8-core scaling rerun can no longer clobber the 32-core full
+    # artifact (VERDICT r14 item 1 / "what's wrong" 2)
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL_LATEST.json"),
+                     f"BENCH_FULL_LATEST_c{_bench_cpus()}.json"),
     )
     try:
         with open(out_path, "w") as fh:
@@ -857,6 +986,12 @@ def main() -> None:
         "mode": payload["batching"]["mode"],
         "n_batches": nb if not inprocess else 1,
     }
+    # the movers block is unbounded (r14: 48 flagged movers = ~4.5 KB,
+    # which blew the stdout budget and truncated the driver's capture —
+    # VERDICT r14 item 1). stdout carries only a top-3 digest; the full
+    # flagged dict + every isolation verdict live in the file artifact.
+    if isinstance(payload.get("movers"), dict):
+        payload["movers"] = _movers_digest(payload["movers"])
     print(_fit_stdout(payload, shown), flush=True)
 
 

@@ -141,3 +141,111 @@ def test_superlinear_ladder_lines_carry_named_cause_notes():
             "'notes' dict — annotate (sub-linear-vs-data? known "
             "shape? regression?) before committing the artifact"
         )
+
+
+# --- round-15 stdout-contract fixes (VERDICT r14 items 1 & 5) ------------
+
+
+def _fat_payload():
+    """A payload shaped like r14's failure: 322 queries plus a
+    48-mover adjudication block (~4.5 KB on its own)."""
+    queries = {f"query_{i:03d}": round(0.5 + i * 0.037, 3) for i in range(322)}
+    movers = {
+        "prev_artifact": "BENCH_FULL_LATEST_c32.json",
+        "threshold": 1.5,
+        "min_sec": 1.0,
+        "n_compared": 200,
+        "n_flagged": 48,
+        "flagged": {
+            f"query_{i:03d}": {
+                "prev_sec": 2.0,
+                "cur_sec": round(2.0 * (1.6 + (i % 7) * 0.5), 3),
+                "calibrated_ratio": round(1.6 + (i % 7) * 0.5, 3),
+            }
+            for i in range(48)
+        },
+        "isolated": {
+            f"query_{i:03d}": {
+                "isolated_times": [1.0, 1.1],
+                "isolated_ratio_vs_prev": 0.9,
+                "verdict": "environment: isolated re-time back inside the prior band",
+            }
+            for i in range(3)
+        },
+    }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 180.0,
+        "calibrated_value": 181.0,
+        "calibration": {"scale": 1.0, "cpu_sec": 0.7},
+        "unit": "sec",
+        "n_queries": len(queries),
+        "queries": dict(queries),
+        "sf": 0.1,
+        "cpus": 32,
+        "gbif_pipeline": {"total_sec": 9.9},
+        "batching": {"mode": "fresh-jvm", "n_batches": 14},
+        "movers": bench._movers_digest(movers),
+    }
+    return payload, queries, movers
+
+
+def test_fit_stdout_always_honors_budget_and_contract():
+    """r14 regression: the one-line stdout blew the driver's 2000-byte
+    capture and PERF lost every per-query timing. The fitted line must
+    ALWAYS be within budget, parse as JSON, keep the driver-contract
+    fields, and keep a useful number of the SLOWEST per-query
+    timings."""
+    payload, queries, _ = _fat_payload()
+    line = bench._fit_stdout(payload, queries)
+    assert len(line) <= bench.STDOUT_BUDGET
+    parsed = json.loads(line)
+    for field in ("metric", "value", "unit", "queries", "sf"):
+        assert field in parsed, f"contract field {field} dropped"
+    kept = parsed["queries"]
+    assert len(kept) >= 30, f"only {len(kept)} per-query timings survived"
+    # the kept set is the slowest ones
+    slowest = sorted(queries, key=queries.get, reverse=True)[: len(kept)]
+    assert set(kept) == set(slowest)
+    # accounting: folded queries are summarized, not silently dropped
+    assert parsed["fast_omitted"]["n"] == len(queries) - len(kept)
+
+
+def test_movers_digest_is_byte_bounded():
+    _, _, movers = _fat_payload()
+    digest = bench._movers_digest(movers)
+    blob = json.dumps(digest, separators=(",", ":"))
+    assert len(blob) <= 600, f"movers digest too fat: {len(blob)}B"
+    assert digest["n_flagged"] == 48
+    assert len(digest["top"]) == 3
+    # top by |log ratio| — the 4.6x movers outrank the 1.6x ones
+    assert all(v > 4 for v in digest["top"].values())
+
+
+def test_movers_to_isolate_covers_every_big_ratio():
+    """VERDICT r14 item 5: every flagged mover beyond 2x (either
+    direction) must get an isolation verdict, not just the top-3."""
+    flagged = {
+        "env_a": {"calibrated_ratio": 9.0},
+        "env_b": {"calibrated_ratio": 8.0},
+        "env_c": {"calibrated_ratio": 7.0},
+        "kcenter_like": {"calibrated_ratio": 3.6},
+        "halfspeed": {"calibrated_ratio": 0.4},
+        "mild": {"calibrated_ratio": 1.6},
+    }
+    chosen = bench._movers_to_isolate(flagged)
+    assert "kcenter_like" in chosen  # >2x is always adjudicated now
+    assert "halfspeed" in chosen  # <0.5x too
+    # cap holds under a flood of >2x movers
+    flood = {f"m{i}": {"calibrated_ratio": 2.5 + i * 0.01} for i in range(40)}
+    assert len(bench._movers_to_isolate(flood)) == bench.MOVER_MAX_ISOLATED
+
+
+def test_bench_out_default_is_cpu_suffixed(monkeypatch):
+    """VERDICT r14 item 1: the driver's 8-core rerun clobbered the
+    32-core full artifact; the default output name now carries the
+    core count."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._bench_cpus() == 8
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert bench._bench_cpus() == 32
