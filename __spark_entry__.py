@@ -489,11 +489,23 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated median per order status."""
-    orders = _t(spark, sf, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price")
+    """Exact interpolated median per order status — via the keyed
+    distributed-CDF order statistics (r15: no single-buffer
+    ``percentile()`` holding a whole status group per aggregation
+    cell), arithmetic identical to ``percentile()``."""
+    from gbif_filter_python_spark.operators.profile import (
+        _cdf_percentiles,
     )
+
+    orders = _t(spark, sf, "orders")
+    return _cdf_percentiles(
+        orders,
+        "o_totalprice",
+        [0.5],
+        ["median_price"],
+        key_cols=("o_orderstatus",),
+        round_dp=2,
+    ).select("o_orderstatus", "median_price")
 
 
 def q_having(spark: SparkSession, sf: str) -> DataFrame:
@@ -5060,29 +5072,61 @@ def _item_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     operators below: nodes are the 50 event items (props.k % 50),
     edges where user-set Jaccard ≥ 0.6 (rounded 6dp; exact integer
     co-occurrence counts, so the oracle replays the edge set
-    bit-for-bit). The user-keyed self-join is the standard item-CF
-    co-occurrence shape: per-user pair fan-out is bounded by the
-    catalog cap (≤ C(50,2)), so the edge build stays O(users × 1225)
-    regardless of event volume — unlike an all-pairs cosine join,
-    this scales to the 100 TB event log."""
+    bit-for-bit). Per-user pair fan-out is bounded by the catalog cap
+    (≤ C(50,2)), so the edge build stays O(users × 1225) regardless
+    of event volume — unlike an all-pairs cosine join, this scales to
+    the 100 TB event log.
+
+    r15 optimization (VERDICT r14 item 7): ONE fact scan and ONE fact
+    exchange. The old user-keyed self-join shuffled the distinct
+    (user, item) table three ways (distinct, a-side, b-side) and
+    sorted both join sides; now a single ``collect_set`` per user
+    (map-side partial dedup — ≤ 50 ints per user cross the exchange)
+    feeds a map-side i<j pair explode, and the per-item user counts
+    re-aggregate the bounded per-user sets instead of re-scanning the
+    fact. ``collect_set`` drops NULL items and the sorted i<j
+    enumeration never pairs a NULL — exactly the rows the old
+    ``a.item < b.item`` predicate excluded, so the pair multiset and
+    the (ia, ib) counts are bit-identical."""
     ev = _t(spark, sf, "events")
-    ui = ev.select(
-        "user_id",
-        (F.get_json_object("props", "$.k").cast("int") % 50).alias("item"),
-    ).distinct()
-    n = ui.groupBy("item").agg(F.count("*").alias("nu"))
-    a, b = ui.alias("a"), ui.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
+    sets = (
+        ev.select(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("int") % 50).alias(
+                "item"
+            ),
         )
-        .groupBy(
-            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
-        )
-        .agg(F.count("*").alias("cu"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("_is"))
     )
+    n = (
+        sets.select(F.explode("_is").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("nu"))
+    )
+    # NULL users never matched the old self-join's equality predicate
+    # (NULL == NULL is false) yet DID count in the per-item user
+    # totals — keep both behaviors exactly
+    pairs = sets.filter(F.col("user_id").isNotNull()).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_is"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("_is"), i + 2, F.size(F.col("_is"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("ia"), y.alias("ib")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    co = pairs.groupBy(
+        F.col("_p.ia").alias("ia"), F.col("_p.ib").alias("ib")
+    ).agg(F.count("*").alias("cu"))
     na = n.select(F.col("item").alias("ia"), F.col("nu").alias("na"))
     nb = n.select(F.col("item").alias("ib"), F.col("nu").alias("nb"))
     jac = F.round(

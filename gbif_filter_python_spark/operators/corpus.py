@@ -310,19 +310,24 @@ def trim_by_percentile(
     """Keep rows whose ``col`` lies within the [lo, hi] percentile band.
 
     The standard outlier trim before corpus stats (drop the truncated
-    stubs and the concatenation monsters). Exact interpolated
-    percentiles computed in ONE aggregate, crossJoined back as a 1-row
-    bound table (AQE turns it into a broadcast) — no driver action, no
+    stubs and the concatenation monsters). Both exact interpolated
+    percentiles come from ONE :func:`~.profile._cdf_percentiles` pass
+    (r15 optimization round — the old ``percentile()`` aggregate held
+    EVERY value in a single buffer: a single-task sort at 100 TB),
+    broadcast back as a 1-row bound table — no driver action, no
     second scan parameterized by a collected value. Bounds are rounded
     to 6dp so the band edge is reproducible across engines (the
     interpolation's last bits are not).
     """
-    bounds = df.agg(
-        F.round(F.expr(f"percentile({col}, {lo})"), 6).alias("_lo"),
-        F.round(F.expr(f"percentile({col}, {hi})"), 6).alias("_hi"),
+    from gbif_filter_python_spark.operators.profile import (
+        _cdf_percentiles,
     )
+
+    bounds = _cdf_percentiles(
+        df, col, [lo, hi], ["_lo", "_hi"], round_dp=6
+    ).select("_lo", "_hi")
     return (
-        df.crossJoin(bounds)
+        df.join(F.broadcast(bounds), F.lit(True), "left")
         .filter(F.col(col).between(F.col("_lo"), F.col("_hi")))
         .drop("_lo", "_hi")
     )

@@ -198,21 +198,25 @@ def quantile_bins(
     ``col`` (bin i ⇔ value above the i-th of n_bins-1 interior exact
     percentiles) — the feature-bucketing / length-band primitive.
 
-    One aggregation computes ALL thresholds (exact interpolated
-    percentiles, a single pass), the 1-row result broadcasts via
-    crossJoin, and the bin is a fold over the threshold array — the
-    fact table never shuffles. Thresholds are 6dp-rounded BEFORE the
-    comparison so bin membership is fp-stable cross-engine (the
-    comparison then pits two exactly-representable reproductions
-    against each other, not two engines' last-ulp interpolations).
+    All thresholds come out of ONE :func:`_cdf_percentiles` pass (r15
+    optimization round — the old single ``percentile(array(...))``
+    aggregate held EVERY value in one buffer: a single-task sort at
+    100 TB), the 1-row result broadcasts, and the bin is a fold over
+    the threshold array — the fact table never shuffles. Thresholds
+    are 6dp-rounded BEFORE the comparison so bin membership is
+    fp-stable cross-engine (the comparison then pits two
+    exactly-representable reproductions against each other, not two
+    engines' last-ulp interpolations).
     """
-    probs = ", ".join(
-        f"{i / n_bins}D" for i in range(1, n_bins)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    tags = [f"_q{i}" for i in range(1, n_bins)]
+    th = _cdf_percentiles(df, col, probs, tags).select(
+        F.array(*tags).alias("_th")
     )
-    th = df.agg(
-        F.expr(f"percentile({col}, array({probs}))").alias("_th")
-    )
-    binned = df.crossJoin(F.broadcast(th)).withColumn(
+    # lit(True) left join ≡ crossJoin, except an EMPTY threshold table
+    # (all-NULL column) keeps the rows with a NULL fold — the old
+    # 1-row-with-NULL crossJoin behavior
+    binned = df.join(F.broadcast(th), F.lit(True), "left").withColumn(
         out_col,
         F.aggregate(
             F.col("_th"),
@@ -243,25 +247,50 @@ def robust_outliers(
     ``is_outlier = false`` — a constant group has no outliers, not
     all-outliers.
 
-    Plan shape: two grouped EXACT percentile aggregations (median,
-    then median of absolute deviations — the second needs the first
-    joined back, so two passes is the floor), each map-side partial;
-    the per-key model (med, mad) is bounded by |keys| and broadcast
-    back, so the fact rows never shuffle. Exact percentile holds the
-    group's values per aggregation cell — for groups too large for
-    that at 100 TB, swap ``F.percentile`` for ``percentile_approx``
-    (same call shape, KLL-bounded state) at the cost of the
-    cross-engine exactness this function's oracle relies on.
+    Plan shape (r15 optimization round): both exact medians come out
+    of the keyed :func:`_cdf_percentiles` machinery — the old chained
+    ``percentile()`` aggregations funneled every group value through
+    one aggregation cell TWICE (two sequential single-task sorts and
+    an OOM on a 100 TB mega-group, the hazard r14 removed from
+    winsorized_stats). One per-(key, value) count aggregate feeds the
+    median; the MAD re-aggregates THAT bounded-per-distinct table on
+    the absolute deviation (count-weighted — exact), so the fact is
+    hash-aggregated once and never holds a whole group in one buffer.
+    The per-key model (med, mad) stays bounded by |keys| and
+    broadcast back, so the fact rows never shuffle.
     """
     k, v = F.col(key_col), F.col(value_col)
-    med = df.groupBy(key_col).agg(
-        F.percentile(v, F.lit(0.5)).alias("_med")
+    # the key filter sits UNDER the aggregate in BOTH branches: the
+    # MAD branch's inner join would push isnotnull(key) into its copy
+    # of this subtree anyway, and an asymmetric filter breaks runtime
+    # exchange reuse (one extra fact scan, caught by the plan test);
+    # the null-key group's model row was never consumed (old inner
+    # joins dropped null-key rows, reproduced below)
+    per = (
+        df.filter(v.isNotNull() & k.isNotNull())
+        .groupBy(key_col, v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_t"))
     )
-    with_med = df.join(F.broadcast(med), key_col)
-    mad = with_med.groupBy(key_col).agg(
-        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    med = _cdf_percentiles(
+        per, "_v", [0.5], ["_med"], key_cols=(key_col,), weight_col="_t"
+    ).select(key_col, "_med")
+    dev = per.join(F.broadcast(med), key_col).select(
+        key_col,
+        F.abs(F.col("_v") - F.col("_med")).alias("_d"),
+        "_t",
     )
-    scored = with_med.join(F.broadcast(mad), key_col)
+    mad = _cdf_percentiles(
+        dev, "_d", [0.5], ["_mad"], key_cols=(key_col,), weight_col="_t"
+    ).select(key_col, "_mad")
+    # left joins + explicit key filter ≡ the old inner joins: a
+    # null-key row never matched the inner join; a group whose values
+    # are all NULL (absent from the CDF tables) kept its rows with
+    # NULL rz — exactly what the left join reproduces
+    scored = (
+        df.filter(k.isNotNull())
+        .join(F.broadcast(med), key_col, "left")
+        .join(F.broadcast(mad), key_col, "left")
+    )
     rz = F.when(
         F.col("_mad") > 0,
         F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), round_dp),
@@ -377,18 +406,21 @@ def population_stability(
     before the log so an empty current bin contributes finitely (the
     standard PSI convention).
 
-    Scale shape: one exact-percentile aggregation on the reference
-    (1-row threshold table, broadcast), map-only bin assignment on
+    Scale shape: the reference thresholds come from ONE
+    :func:`_cdf_percentiles` pass (r15 — exact interpolated
+    percentiles with no single-buffer ``percentile()`` aggregate; the
+    1-row threshold table broadcasts), map-only bin assignment on
     both sides, two ≤ n_bins-row count aggregations. Neither input
     ever shuffles rows.
     """
-    probs = ", ".join(f"{i / n_bins}D" for i in range(1, n_bins))
-    th = ref.agg(
-        F.expr(f"percentile({col}, array({probs}))").alias("_th")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    tags = [f"_q{i}" for i in range(1, n_bins)]
+    th = _cdf_percentiles(ref, col, probs, tags).select(
+        F.array(*tags).alias("_th")
     )
 
     def _binned_counts(df: DataFrame, out: str) -> DataFrame:
-        b = df.crossJoin(F.broadcast(th)).select(
+        b = df.join(F.broadcast(th), F.lit(True), "left").select(
             F.aggregate(
                 F.col("_th"),
                 F.lit(0),
@@ -479,25 +511,49 @@ def impute_by_group(
     estimates, and the rounding is what keeps them reproducible
     across engines and re-runs.
 
-    Scale shape: ONE grouped aggregation produces the per-group model
-    (|groups| × |cols| numbers), broadcast back onto the fact — the
-    fact rows never shuffle. Exact percentile holds group values in
-    the aggregation cell; swap to ``percentile_approx`` for
-    million-row single groups.
+    Scale shape: the per-group model (|groups| × |cols| numbers) is
+    bounded and broadcast back onto the fact — the fact rows never
+    shuffle. Medians (r15 optimization round) unpivot the value
+    columns into (group…, col, value) rows and run ONE keyed
+    :func:`_cdf_percentiles` pass — exact interpolated percentiles
+    with no single-buffer ``percentile()`` holding a whole 100 TB
+    group in one aggregation cell; means stay a plain one-pass
+    grouped aggregation.
     """
     if strategy not in ("median", "mean"):
         raise ValueError(
             f"impute_by_group: strategy must be median|mean, got {strategy!r}"
         )
-    aggs = []
-    for c in value_cols:
-        stat = (
-            F.percentile(F.col(c), F.lit(0.5))
-            if strategy == "median"
-            else F.avg(c)
+    if strategy == "median":
+        pairs = ", ".join(
+            f"'{c}', cast(`{c}` as double)" for c in value_cols
         )
-        aggs.append(F.round(stat, round_dp).alias(f"_fill_{c}"))
-    stats = df.groupBy(*group_cols).agg(*aggs)
+        long = df.select(
+            *group_cols,
+            F.expr(f"stack({len(value_cols)}, {pairs}) as (_c, _mv)"),
+        )
+        med = _cdf_percentiles(
+            long,
+            "_mv",
+            [0.5],
+            ["_fill"],
+            key_cols=tuple(group_cols) + ("_c",),
+            round_dp=round_dp,
+        )
+        stats = (
+            med.groupBy(*group_cols)
+            .pivot("_c", value_cols)
+            .agg(F.first("_fill"))
+        )
+        for c in value_cols:
+            stats = stats.withColumnRenamed(c, f"_fill_{c}")
+    else:
+        stats = df.groupBy(*group_cols).agg(
+            *[
+                F.round(F.avg(c), round_dp).alias(f"_fill_{c}")
+                for c in value_cols
+            ]
+        )
     out = df.join(F.broadcast(stats), group_cols, "left")
     for c in value_cols:
         out = out.withColumn(
@@ -929,7 +985,15 @@ def winsorized_stats(
     """
     if not 0 < p < 0.5:
         raise ValueError(f"p must be in (0, 0.5), got {p}")
+    # key filter under the shared aggregate (r15): the measure pass's
+    # inner join pushes isnotnull(group…) into ITS copy of this
+    # subtree, and an asymmetric filter breaks the runtime exchange
+    # reuse this operator's one-fact-pass contract rests on. NULL-key
+    # groups were already dropped by that inner join, so the filter
+    # changes nothing the query computes.
     keep = df.filter(F.col(value_col).isNotNull())
+    for g in group_cols:
+        keep = keep.filter(F.col(g).isNotNull())
     per = keep.groupBy(
         *group_cols, F.col(value_col).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_t"))
@@ -1160,7 +1224,21 @@ def _distributed_cdf(
         ],
         F.lead("_firstv").over(wkey.orderBy("_pid")).alias("_nextfirst"),
     )
-    out = local.join(F.broadcast(offs), ["_pid"] + keys)
+    # NULL-SAFE key equality: a NULL group key is a legitimate group
+    # (groupBy keeps it, percentile() emits it, callers like
+    # levene_test join it back eqNullSafe) — a plain equality join
+    # here silently dropped its rows (r15 fix; identical plan and
+    # result for non-null keys, BroadcastHashJoin handles
+    # EqualNullSafe as an equi-key)
+    offs_r = offs.withColumnRenamed("_pid", "_opid")
+    for c in keys:
+        offs_r = offs_r.withColumnRenamed(c, f"_ok{c}")
+    cond = local["_pid"] == F.col("_opid")
+    for c in keys:
+        cond = cond & local[c].eqNullSafe(F.col(f"_ok{c}"))
+    out = local.join(F.broadcast(offs_r), cond).drop(
+        "_opid", *[f"_ok{c}" for c in keys]
+    )
     for c in cum_cols:
         out = out.withColumn(f"_cum{c}", F.col(f"_off{c}") + F.col(f"_lc{c}"))
     out = out.withColumn(
@@ -1173,6 +1251,79 @@ def _distributed_cdf(
         *[f"_lc{c}" for c in cum_cols],
         *[f"_off{c}" for c in cum_cols],
     )
+
+
+def _cdf_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    aliases: list[str],
+    key_cols: tuple = (),
+    round_dp: int | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles — ``percentile()``'s arithmetic
+    bit-for-bit — computed through the keyed :func:`_distributed_cdf`
+    instead of one aggregation buffer per group (r15 optimization
+    round, generalizing the r14 ``winsorized_stats`` conversion):
+    ``percentile()`` funnels EVERY group value through a single
+    aggregation cell — a single-task sort and an OOM at a 100 TB
+    mega-group. Here a per-(key, value) count aggregate (map-side
+    combined) feeds the range-partitioned prefix sum; each requested
+    percentile's two order statistics are conditional ``min``s over
+    the cumulative counts (``cum > i`` ⇔ this distinct value covers
+    sorted position ``i``), and the interpolation replicates
+    ``Percentile``'s exact arithmetic: ``pos = p·(n−1)``;
+    ``(ceil−pos)·v_floor + (pos−floor)·v_ceil``; the degenerate
+    integral-position branch returns the value itself (identical
+    doubles, same operations in the same order — plan- and
+    oracle-pinned by the r14 winsorized differential test).
+
+    Returns one row per key: ``(key..., _n, alias...)`` with ``_n``
+    the non-NULL value count. NULL values are excluded (percentile()
+    semantics); a key whose values are ALL NULL produces NO row —
+    callers that must keep such groups join back with ``how="left"``.
+    ``weight_col`` treats ``df`` as pre-aggregated (value, weight)
+    rows — exact for integer weights, identical to expansion.
+    """
+    v = F.col(value_col)
+    keep = df.filter(v.isNotNull())
+    per = keep.groupBy(
+        *key_cols, v.alias("_v")
+    ).agg(
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).alias("_t")
+    )
+    cdf = _distributed_cdf(per, ("_t",), key_cols=tuple(key_cols))
+    aggs = [F.min("_tot_t").alias("_n")]
+    for prob, tag in zip(probs, aliases):
+        pos = F.lit(prob) * (F.col("_tot_t") - 1).cast("double")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum_t") > F.floor(pos), F.col("_v"))
+            ).alias(f"_vf_{tag}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum_t") > F.ceil(pos), F.col("_v"))
+            ).alias(f"_vc_{tag}")
+        )
+    stats = cdf.groupBy(*key_cols).agg(*aggs)
+    cols: list = list(key_cols) + [F.col("_n")]
+    for prob, tag in zip(probs, aliases):
+        pos = F.lit(prob) * (F.col("_n") - 1).cast("double")
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        vf = F.col(f"_vf_{tag}").cast("double")
+        vc = F.col(f"_vc_{tag}").cast("double")
+        out = F.when(lo_i == hi_i, vf).otherwise(
+            (hi_i.cast("double") - pos) * vf
+            + (pos - lo_i.cast("double")) * vc
+        )
+        if round_dp is not None:
+            out = F.round(out, round_dp)
+        cols.append(out.alias(tag))
+    return stats.select(*cols)
 
 
 def ks_test(
@@ -2248,17 +2399,23 @@ def levene_test(
     ``z = |x − median_g|``; medians are exact interpolated
     percentiles (both engines' ``quantile_cont`` convention).
 
-    Scale shape: one exact-percentile hash aggregation to k medians
-    (map-side partials; the k-row result broadcasts back onto the
-    fact — the fact itself never shuffles), then the anova_f
-    aggregation on the derived column. Two fact scans, zero fact
-    shuffles.
+    Scale shape: the k exact medians come from one keyed
+    :func:`_cdf_percentiles` pass (r15 — no single-buffer
+    ``percentile()`` holding a whole group per aggregation cell; the
+    k-row result broadcasts back onto the fact — the fact itself
+    never shuffles), then the anova_f aggregation on the derived
+    column. Two fact scans, zero fact shuffles.
     """
-    meds = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(group_col).alias("grp"))
-        .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("med"))
-    )
+    meds = _cdf_percentiles(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("_mv"),
+        ),
+        "_mv",
+        [0.5],
+        ["med"],
+        key_cols=("grp",),
+    ).select("grp", "med")
     # eqNullSafe: anova_f treats a NULL group as a group of its own
     # (groupBy semantics); a plain equality join here would silently
     # drop those rows and the two tests would disagree on n
@@ -3608,16 +3765,16 @@ def mood_median_test(
     per group (observed above, expected above, n) plus the shared
     χ² statistic on every row; NULL χ² when a margin is empty.
 
-    Scale shape: the grand median is one ``percentile`` aggregate;
-    the side counts are ONE conditional hash-agg over the fact; the
-    χ² re-agg and expected counts run on the k-row table.
+    Scale shape: the grand median comes from one
+    :func:`_cdf_percentiles` pass (r15 — the old single ``percentile``
+    aggregate funneled the whole fact through ONE buffer); the side
+    counts are ONE conditional hash-agg over the fact; the χ² re-agg
+    and expected counts run on the k-row table.
     """
-    med = df.filter(F.col(value_col).isNotNull()).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_m")
-    )
+    med = _cdf_percentiles(df, value_col, [0.5], ["_m"]).select("_m")
     base = (
         df.filter(F.col(value_col).isNotNull())
-        .crossJoin(F.broadcast(med))
+        .join(F.broadcast(med), F.lit(True), "left")
         .filter(F.col(value_col) != F.col("_m"))
         .select(
             F.col(group_col).alias("grp"),

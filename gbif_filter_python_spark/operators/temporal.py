@@ -632,17 +632,44 @@ def event_latency(
     ) / 1e6
     if max_wait_seconds is not None:
         lat = F.when(lat <= max_wait_seconds, lat)
-    return matched.select(lat.alias("_lat")).agg(
-        F.count(F.lit(1)).alias("n_from"),
-        F.count("_lat").alias("n_converted"),
+    # r15 optimization round: the old single aggregate computed both
+    # percentiles with ``percentile()`` — one buffer holding EVERY
+    # latency (single-task sort at 100 TB). Now one per-distinct-
+    # latency count table feeds BOTH the scalar totals and the
+    # _cdf_percentiles order statistics (the two consumers share the
+    # same aggregate subtree — runtime exchange reuse materializes the
+    # asof-join side once); NULL latency (non-converted) is its own
+    # group so n_from still counts every *from* event.
+    from gbif_filter_python_spark.operators.profile import (
+        _cdf_percentiles,
+    )
+
+    per = (
+        matched.select(lat.alias("_lat"))
+        .groupBy("_lat")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    totals = per.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_from"),
+        F.coalesce(
+            F.sum(F.when(F.col("_lat").isNotNull(), F.col("_t"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_converted"),
+        F.max("_lat").alias("_mx"),
+    )
+    pcts = _cdf_percentiles(
+        per, "_lat", [0.5, 0.9], ["_p50", "_p90"], weight_col="_t"
+    ).select("_p50", "_p90")
+    return totals.join(F.broadcast(pcts), F.lit(True), "left").select(
+        "n_from",
+        "n_converted",
         F.round(
-            F.count("_lat") / F.count(F.lit(1)).cast("double"), round_dp
+            F.col("n_converted") / F.col("n_from").cast("double"),
+            round_dp,
         ).alias("conversion_rate"),
-        F.round(F.percentile("_lat", F.lit(0.5)), round_dp).alias(
-            "p50_latency_s"
-        ),
-        F.round(F.percentile("_lat", F.lit(0.9)), round_dp).alias(
-            "p90_latency_s"
-        ),
-        F.round(F.max("_lat"), round_dp).alias("max_latency_s"),
+        F.round("_p50", round_dp).alias("p50_latency_s"),
+        F.round("_p90", round_dp).alias("p90_latency_s"),
+        F.round("_mx", round_dp).alias("max_latency_s"),
     )
