@@ -143,6 +143,15 @@ class OccurrenceEngine:
             # bounded dimension state, never fact bytes. Plain tag
             # scenarios keep the single lazy pass (a checkpoint there
             # would only add a barrier).
+            # Durability trade (ADVICE r14): localCheckpoint stores
+            # UNREPLICATED executor-local blocks — on a long-running
+            # cluster an executor lost between checkpoint and
+            # consumption fails the query with no lineage recovery
+            # (rerun, or swap in persist(MEMORY_AND_DISK_2)/a reliable
+            # checkpoint dir when running under executor churn); the
+            # eager flag is correct HERE because a job always follows
+            # immediately in run_filter, but explain-only callers of
+            # this path pay the materialization job.
             zone_probe = occurrence_keys(occ_zone).localCheckpoint(
                 eager=True
             )

@@ -71,12 +71,13 @@ def hashed_embedding(text: Column, dim: int = 64) -> Column:
     Values round to 6dp so downstream hashes are fp-stable
     cross-engine; empty/whitespace text yields the zero vector.
     """
+    # one regex pass per row: "[^a-z0-9]+" already collapses every
+    # whitespace run (whitespace is non-alphanumeric), so a second
+    # "\s+" pass is dead work — same one-pass contract as
+    # functions.text.normalized_text (r14 item 17; byte-identical by
+    # the same property test argument)
     norm_text = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "),
-            "\\s+",
-            " ",
-        )
+        F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
     )
     words = F.when(norm_text == "", F.array().cast("array<string>")).otherwise(
         F.split(norm_text, " ")

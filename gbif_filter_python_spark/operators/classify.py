@@ -417,23 +417,34 @@ def lm_train_bigram(
     bks = df.select(_bucket_array(F.col(text_col), b).alias("_bs"))
     toks = bks.select(F.explode("_bs").alias("bucket"))
 
+    from pyspark.sql import Window
+
     uni_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     # the token total rides the bucket aggregate (Σ cnt == count of
     # exploded tokens, exactly) instead of a separate eager
-    # ``toks.count()`` action — one fewer full tokenize+bucket pass
-    # over the reference corpus, and plan construction stays lazy
-    # (optimization r14, guide §2.3 "aggregate before you shuffle").
-    # ``cast("double") + a*b`` performs the same IEEE add the former
-    # Python-side ``float(tot) + a*b`` literal did, so every lp_uni
-    # bit matches.
-    tot_df = uni_cnt.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tot")
-    )
+    # ``toks.count()`` action (optimization r14, guide §2.3), and it
+    # is computed as an UNBOUNDED WINDOW over the dense ≤ B-row bucket
+    # table rather than a second aggregate branch over ``uni_cnt``
+    # (r15, VERDICT r14 item 8): the two-branch form relied on runtime
+    # exchange reuse to keep the corpus at one scan, and the reuse
+    # does NOT fire across the two broadcast-stage boundaries — the
+    # corpus was tokenized twice (caught by
+    # tests/test_round15_plans.py). The window runs on ≤ num_buckets
+    # rows, so the single-partition frame is bounded model state, and
+    # Σ coalesce(cnt, 0) over the dense table is the identical exact
+    # long total. ``cast("double") + a*b`` performs the same IEEE add
+    # the former Python-side ``float(tot) + a*b`` literal did, so
+    # every lp_uni bit matches.
     unigram = (
         spark.range(b)
         .select(F.col("id").cast("int").alias("bucket"))
         .join(F.broadcast(uni_cnt), "bucket", "left")
-        .crossJoin(F.broadcast(tot_df))
+        .withColumn(
+            "_tot",
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(
+                Window.partitionBy()
+            ),
+        )
         .select(
             "bucket",
             F.log(
@@ -446,19 +457,22 @@ def lm_train_bigram(
     pairs = bks.select(
         F.explode(_bigram_pairs(F.col("_bs"))).alias("_p")
     ).select(F.col("_p.b1").alias("b1"), F.col("_p.b2").alias("b2"))
-    # context counts re-aggregate the (b1, b2) pair counts —
-    # c1(b1) = Σ_b2 c12(b1, b2) exactly — instead of a second
-    # corpus-sized explode+aggregate keyed differently (whose
-    # exchange could never be reused): the bigram branch now costs
-    # ONE pass over the reference corpus, and the re-agg rides the
-    # ≤ B² -row count table (optimization r14, guide §2.3).
+    # context counts ride the (b1, b2) pair counts — c1(b1) =
+    # Σ_b2 c12(b1, b2) exactly — instead of a second corpus-sized
+    # explode+aggregate keyed differently (optimization r14, guide
+    # §2.3), and as a PER-b1 WINDOW over the ≤ B²-row count table
+    # rather than a re-agg + join-back (r15, VERDICT r14 item 8: the
+    # join-back form depended on runtime exchange reuse that does not
+    # fire across the broadcast boundary — the corpus paid a second
+    # tokenize+pair pass). One corpus scan per branch by plan
+    # construction, pinned in tests/test_round15_plans.py.
     c12_cnt = pairs.groupBy("b1", "b2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    ctx_cnt = c12_cnt.groupBy("b1").agg(F.sum("c12").alias("c1"))
     bigram = (
-        c12_cnt
-        .join(F.broadcast(ctx_cnt), "b1")
+        c12_cnt.withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("b1"))
+        )
         .select(
             "b1",
             "b2",

@@ -959,6 +959,15 @@ def degree_assortativity(
         .agg(F.sum(d * F.col("_snbr").cast("double")).alias("_sxy"))
     )
     agg = marg.crossJoin(F.broadcast(cross))
+    # Precision note (ADVICE r14): the raw power sums feed the
+    # cancellation-prone n·Sxy − Sx² closed form; for graphs whose
+    # moment sums approach 2^53 with near-zero assortativity,
+    # catastrophic cancellation could perturb r beyond the 6dp
+    # rounding. Mitigating by centering on a pre-pass mean would
+    # change the computed doubles (and potentially the 6dp-rounded
+    # declared output) for zero performance gain, so it is documented
+    # rather than applied; at that operating point switch to shifted
+    # moment sums AND re-derive the oracle together.
     # Directed occurrences are symmetric in (a, b), so Σ db = Σ da and
     # Σ db² = Σ da²: vy ≡ vx and the closed form needs only vx.
     n = F.col("_n")
